@@ -1,13 +1,658 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.config.{EngineConfig, TableConfig}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Coercion, PartitionTransforms}
+import graft.sink.Ingest
+import graft.table.IceTable
+import graft.transforms.Transforms
+
+/** Driver contract — queries map + DuckDB oracle SQL (see builder prompt).
+  *
+  * Naming convention: every computed column is aliased identically in the
+  * Spark plan and the oracle SQL (the driver sorts columns by name before
+  * hashing). Aggregated doubles are cast to DECIMAL on both sides so sums
+  * are order-independent and bit-exact; timestamps are exchanged as epoch
+  * longs or formatted strings (the synthetic `events.ts` is ns-precision,
+  * read by Spark as epoch-nanos long via `parquet.nanosAsLong`).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---- helpers --------------------------------------------------------
+
+  private def configure(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+  }
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Per-query scratch warehouse (wiped per run, idempotent re-execution). */
+  private def freshDir(name: String): String = {
+    val d = Paths.get("/root/repo/.work", name)
+    if (Files.exists(d)) {
+      Files.walk(d).sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(d)
+    d.toString
+  }
+
+  /** events with a micros-precision timestamp column derived from the ns
+    * long (Spark TimestampType is micros).
+    */
+  private def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events").withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+
+  // ---- flagship -------------------------------------------------------
+
+  /** Flagship: full ingest pipeline on sf0.001 (driver smoke-checks rows>0). */
+  def entry(spark: SparkSession): DataFrame = {
+    configure(spark)
+    qIngestAppend(spark, "/root/testdata/sf0.001")
+  }
+
+  // ---- pipeline queries (SURVEY §2 operators, end-to-end) -------------
+
+  /** S1+R5+P3+K9: append ingestion of `events` into an auto-created
+    * IceTable, read back through the commit log.
+    */
+  private def qIngestAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("ingest_append")
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("events_sink")), autoCreate = true)
+    Ingest.run(spark, t(spark, sfDir, "events"), 0L, cfg)
+    IceTable.load(s"$wh/events_sink").read(spark)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy("event_id")
+  }
+
+  /** P1+P2: partitioned write (`day(ts_t)`, identity `event_type`) plus a
+    * metadata-pruned scan — only files of one day/type partition are read.
+    */
+  private def qIngestPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("ingest_partitioned")
+    val cfg = EngineConfig(
+      warehouse = wh,
+      tables = Seq(TableConfig("events_part", partitionBy = Seq("day(ts_t)", "event_type"))),
+      autoCreate = true
+    )
+    Ingest.run(spark, eventsWithTs(spark, sfDir), 0L, cfg)
+    IceTable.load(s"$wh/events_part")
+      .scan(spark, Some(pv =>
+        pv.get("ts_t_day").contains("2024-01-03") && pv.get("event_type").contains("purchase")))
+      .select(col("event_id"), col("user_id"), col("value"),
+        date_format(col("ts_t"), "yyyy-MM-dd").as("ts_day"))
+      .orderBy("event_id")
+  }
+
+  /** R2+R7: static regex routing into two tables (full-match semantics). */
+  private def qRouteStatic(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("route_static")
+    val cfg = EngineConfig(
+      warehouse = wh,
+      tables = Seq(
+        TableConfig("purchases", routeRegex = Some("purchase|signup")),
+        TableConfig("errors", routeRegex = Some("error"))
+      ),
+      routeField = Some("event_type"),
+      autoCreate = true
+    )
+    Ingest.run(spark, t(spark, sfDir, "events"), 0L, cfg)
+    val p = IceTable.load(s"$wh/purchases").read(spark)
+      .select(lit("purchases").as("sink"), col("event_id"), col("event_type"))
+    val e = IceTable.load(s"$wh/errors").read(spark)
+      .select(lit("errors").as("sink"), col("event_id"), col("event_type"))
+    p.unionByName(e).orderBy("sink", "event_id")
+  }
+
+  /** R3: dynamic routing — table per lowercased route value, auto-created. */
+  private def qRouteDynamic(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("route_dynamic")
+    val cfg = EngineConfig(
+      warehouse = wh,
+      routeField = Some("event_type"),
+      dynamicRouting = true,
+      autoCreate = true
+    )
+    Ingest.run(spark, t(spark, sfDir, "events"), 0L, cfg)
+    import scala.jdk.CollectionConverters._
+    val sinks = Files.list(Paths.get(wh)).iterator().asScala
+      .filter(p => Files.isDirectory(p)).map(_.getFileName.toString).toSeq.sorted
+    sinks.map { s =>
+      IceTable.load(s"$wh/$s").read(spark)
+        .select(lit(s).as("sink"), col("event_id"), col("user_id"))
+    }.reduce(_.unionByName(_)).orderBy("sink", "event_id")
+  }
+
+  /** D1-D4+K9: two-batch CDC upsert/delete keyed on user_id; equality
+    * deletes from batch 1 erase batch-0 rows; read = anti-join on the
+    * delete files.
+    */
+  private def qCdcUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("cdc_upsert")
+    val ev = t(spark, sfDir, "events")
+      .withColumn("op_col",
+        when(col("event_type") === "error", "D")
+          .when(col("event_type") === "purchase", "U")
+          .otherwise("I"))
+      .withColumn("offset", col("event_id"))
+    val maxId = ev.agg(max("event_id")).head().getLong(0)
+    val split = maxId / 2
+    val cfg = EngineConfig(
+      warehouse = wh,
+      tables = Seq(TableConfig("state", idColumns = Seq("user_id"))),
+      cdcField = Some("op_col"),
+      autoCreate = true
+    )
+    Ingest.run(spark, ev.filter(col("event_id") <= split), 0L, cfg)
+    Ingest.run(spark, ev.filter(col("event_id") > split), 1L, cfg)
+    IceTable.load(s"$wh/state").read(spark)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** E1/E2: auto-create from a narrow first batch, then widen int→long,
+    * float→double and add a column in batch 2; read back aligned.
+    */
+  private def qSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("schema_evolution")
+    val ev = t(spark, sfDir, "events")
+    val maxId = ev.agg(max("event_id")).head().getLong(0)
+    val split = maxId / 2
+    val batch0 = ev.filter(col("event_id") <= split)
+      .select(col("event_id"), col("user_id").cast(IntegerType).as("user_id"),
+        col("value").cast(FloatType).as("value"))
+    val batch1 = ev.filter(col("event_id") > split)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("evolving")),
+      autoCreate = true, evolveSchema = true)
+    Ingest.run(spark, batch0, 0L, cfg)
+    Ingest.run(spark, batch1, 1L, cfg)
+    IceTable.load(s"$wh/evolving").read(spark)
+      .select("event_id", "user_id", "value", "event_type")
+      .orderBy("event_id")
+  }
+
+  // ---- transform operators (SMT parity) -------------------------------
+
+  /** C9: CopyValue SMT. */
+  private def qCopyValue(spark: SparkSession, sfDir: String): DataFrame =
+    Transforms.copyValue("event_type", "event_type_copy")(t(spark, sfDir, "events"))
+      .select("event_id", "event_type", "event_type_copy")
+      .orderBy("event_id")
+
+  /** C10: kafka-metadata injection (flattened mode) over a kafka-shaped
+    * batch synthesized deterministically from events.
+    */
+  private def qKafkaMetadata(spark: SparkSession, sfDir: String): DataFrame = {
+    val kafkaShaped = t(spark, sfDir, "events")
+      .withColumn("topic", lit("events"))
+      .withColumn("partition", col("user_id") % 4)
+      .withColumn("offset", col("event_id"))
+      .withColumn("timestamp", col("ts"))
+    Transforms.kafkaMetadata(nested = false, keyName = "_kafka")(kafkaShaped)
+      .select(col("event_id"), col("_kafka_topic"), col("_kafka_partition"),
+        col("_kafka_offset"), expr("_kafka_timestamp div 1000").as("_kafka_ts_us"))
+      .orderBy("event_id")
+  }
+
+  /** C7: JSON value → typed columns (inferred) + string-map mode. */
+  private def qJsonExpand(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val expanded = Transforms.jsonExpand("props")(ev)
+    val mapped = Transforms.jsonToMap("props")(expanded)
+    mapped
+      .select(col("event_id"), col("k"), col("payload").getItem("k").as("k_str"))
+      .orderBy("event_id")
+  }
+
+  /** C1-C6: the coercion matrix — string→long, epoch-millis→timestamp,
+    * lenient string→timestamp, string→double, projected through
+    * [[Coercion.project]] against a target schema.
+    */
+  private def qCoerceTypes(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = t(spark, sfDir, "events").select(
+      col("event_id"),
+      col("event_id").cast(StringType).as("id_parsed"),
+      expr("ts div 1000000").as("ts_ms"),
+      date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+      col("value").cast(StringType).as("val_parsed")
+    )
+    val target = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("id_parsed", LongType),
+      StructField("ts_ms", TimestampType),
+      StructField("ts_str", TimestampType),
+      StructField("val_parsed", DoubleType)
+    ))
+    Coercion.project(src, target)
+      .select(col("event_id"), col("id_parsed"),
+        unix_micros(col("ts_ms")).as("ts_ms_us"),
+        unix_micros(col("ts_str")).as("ts_str_us"),
+        col("val_parsed"))
+      .orderBy("event_id")
+  }
+
+  /** P1: partition-transform derivation (year/month/day/hour/truncate). */
+  private def qPartitionTransforms(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    val s = o.schema
+    def pt(tok: String): Column =
+      PartitionTransforms.parse(tok, s).column(col(PartitionTransforms.parse(tok, s).source))
+    o.select(
+      col("o_orderkey"),
+      pt("year(o_orderdate)").cast(LongType).as("od_year"),
+      pt("month(o_orderdate)").as("od_month"),
+      pt("day(o_orderdate)").as("od_day"),
+      pt("hour(o_orderdate)").as("od_hour"),
+      pt("truncate(o_orderkey,1000)").as("key_trunc"),
+      pt("truncate(o_orderpriority,3)").as("prio_trunc")
+    ).orderBy("o_orderkey")
+  }
+
+  /** P1: Iceberg-spec murmur3 bucket transform (no SQL oracle — DuckDB has
+    * no murmur3_x86_32; exactness is asserted against the published spec
+    * test vectors in BucketSpec unit tests).
+    */
+  private def qPartitionBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    o.select(
+      col("o_orderkey"),
+      graft.functions.IcebergBucket(col("o_orderkey"), 16).as("key_bucket"),
+      graft.functions.IcebergBucket(col("o_orderpriority"), 8).as("prio_bucket")
+    ).orderBy("o_orderkey")
+  }
+
+  /** S2+K11: per-partition next-offset bookkeeping. */
+  private def qEventsOffsets(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy((col("user_id") % 4).as("part"))
+      .agg((max("event_id") + 1).as("next_offset"), expr("max(ts) div 1000").as("max_ts"))
+      .orderBy("part")
+
+  /** K11: VTTS = min over partitions of max event timestamp. */
+  private def qEventsVtts(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy((col("user_id") % 4).as("part"))
+      .agg(expr("max(ts) div 1000").as("mt"))
+      .agg(min("mt").as("vtts"))
+
+  // ---- analytics (bench headliners; decimal-exact) --------------------
+
+  private def qQ1Agg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(18, 2)))).cast(DecimalType(18, 4)).as("sum_disc_price"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private def qQ3TopN(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, sfDir, "orders").filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampType))
+    val li = t(spark, sfDir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast(TimestampType))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount").cast(DecimalType(18, 2)))).cast(DecimalType(18, 4)).as("revenue"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  private def qQ5Region(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = t(spark, sfDir, "region").filter(col("r_name") === "ASIA")
+    val n = t(spark, sfDir, "nation")
+    val c = t(spark, sfDir, "customer")
+    val o = t(spark, sfDir, "orders")
+    val li = t(spark, sfDir, "lineitem")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount").cast(DecimalType(18, 2)))).cast(DecimalType(18, 4)).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private def qWindowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast(DecimalType(18, 2)).as("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // ---- LLM-pipeline extensions ----------------------------------------
+
+  /** Exact dedup: winner (lowest doc_id) + group size per distinct text. */
+  private def qDedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
+      .select("doc_id", "dup_count")
+      .orderBy("doc_id")
+
+  /** Exact word-3-gram Jaccard near-dup pairs (inverted-index join). */
+  private def qDedupJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(spark, sfDir, "documents"), "doc_id", "text", 3, 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** MinHash+LSH near-dup pairs, Jaccard-verified (no SQL oracle: relies
+    * on xxhash64 banding; recall asserted against the exact-Jaccard pairs
+    * in unit tests).
+    */
+  private def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashLshPairs(t(spark, sfDir, "documents"), "doc_id", "text",
+      n = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs (Hamming ≤ 3 via pigeonhole banding). */
+  private def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashPairs(t(spark, sfDir, "documents"), "doc_id", "text", maxDist = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Embedding-cosine near-dup pairs (brute verification path). */
+  private def qDedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(t(spark, sfDir, "embeddings"), "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+
+  /** Brute-force top-5 cosine KNN for the first 8 vectors. */
+  private def qKnnBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = t(spark, sfDir, "embeddings")
+    Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+      .select("q_id", "rank", "n_id")
+      .orderBy("q_id", "rank")
+  }
+
+  /** IVF ANN top-5 (coarse-quantized scale path; no SQL oracle — recall
+    * vs brute force asserted in unit tests).
+    */
+  private def qKnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = t(spark, sfDir, "embeddings")
+    Similarity.ivfKnn(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 4)
+      .select("q_id", "rank", "n_id")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Text analysis: exact counting signals + language-ID heuristic. */
+  private def qTextStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = t(spark, sfDir, "documents")
+    TextAnalysis.qualitySignals(d, "text")
+      .withColumn("bpe_tokens", TextAnalysis.bpeTokenCount(col("text")))
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .select("doc_id", "word_count", "char_count", "punct_count", "digit_count",
+        "stopword_count", "bpe_tokens", "is_quality", "lang_pred")
+      .orderBy("doc_id")
+  }
+
+  /** Rolling-hash + simhash document fingerprints (custom codegen'd
+    * expressions; no SQL oracle — value-level unit tests instead).
+    */
+  private def qTextFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextHashes.rolling_hash(col("text")).as("fingerprint"),
+        graft.functions.TextHashes.simhash64(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** Multimodal plumbing: media wrap → batched (stub) decode → frame
+    * sampling; byte-exact plumbing verified against length arithmetic.
+    */
+  private def qMultimodal(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = t(spark, sfDir, "documents")
+    val media = Multimodal.asMedia(d, "text", "image", "image/fake")
+    val feats = Multimodal.extractFeatures(media, "doc_id", "media")
+    val frames = Multimodal.sampleFrames(media, "doc_id", "media", frameBytes = 64, everyN = 2)
+      .groupBy("id").agg(count(lit(1)).as("frames_kept"))
+    feats.join(frames, "id")
+      .select(col("id"), col("byte_len"), col("frames_kept"))
+      .orderBy("id")
+  }
+
+  // ---- registry -------------------------------------------------------
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+      (s, d) => { configure(s); f(s, d) }
+    Map(
+      "ingest_append" -> wrap(qIngestAppend),
+      "ingest_partitioned" -> wrap(qIngestPartitioned),
+      "route_static" -> wrap(qRouteStatic),
+      "route_dynamic" -> wrap(qRouteDynamic),
+      "cdc_upsert" -> wrap(qCdcUpsert),
+      "schema_evolution" -> wrap(qSchemaEvolution),
+      "transform_copy_value" -> wrap(qCopyValue),
+      "transform_kafka_metadata" -> wrap(qKafkaMetadata),
+      "transform_json_expand" -> wrap(qJsonExpand),
+      "coerce_types" -> wrap(qCoerceTypes),
+      "partition_transforms" -> wrap(qPartitionTransforms),
+      "partition_bucket" -> wrap(qPartitionBucket),
+      "events_offsets" -> wrap(qEventsOffsets),
+      "events_vtts" -> wrap(qEventsVtts),
+      "q1_agg" -> wrap(qQ1Agg),
+      "q3_topn" -> wrap(qQ3TopN),
+      "q5_region" -> wrap(qQ5Region),
+      "window_running" -> wrap(qWindowRunning),
+      "dedup_exact" -> wrap(qDedupExact),
+      "dedup_jaccard" -> wrap(qDedupJaccard),
+      "dedup_minhash" -> wrap(qDedupMinhash),
+      "dedup_simhash" -> wrap(qDedupSimhash),
+      "dedup_embedding" -> wrap(qDedupEmbedding),
+      "knn_brute" -> wrap(qKnnBrute),
+      "knn_ivf" -> wrap(qKnnIvf),
+      "text_stats" -> wrap(qTextStats),
+      "text_fingerprint" -> wrap(qTextFingerprint),
+      "multimodal_features" -> wrap(qMultimodal)
+    )
+  }
+
+  /** DuckDB oracle SQL per query (omitted for hash-construction queries
+    * that SQL cannot reproduce — those get rows-only checks + unit tests).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "ingest_append" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
+    "ingest_partitioned" ->
+      """SELECT event_id, user_id, value, strftime(ts, '%Y-%m-%d') AS ts_day
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') = '2024-01-03' AND event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "route_static" ->
+      """SELECT * FROM (
+        |  SELECT 'purchases' AS sink, event_id, event_type FROM events
+        |  WHERE regexp_full_match(event_type, 'purchase|signup')
+        |  UNION ALL
+        |  SELECT 'errors' AS sink, event_id, event_type FROM events
+        |  WHERE regexp_full_match(event_type, 'error')
+        |) ORDER BY sink, event_id""".stripMargin,
+    "route_dynamic" ->
+      """SELECT lower(event_type) AS sink, event_id, user_id FROM events
+        |ORDER BY sink, event_id""".stripMargin,
+    "cdc_upsert" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'D'
+        |         WHEN event_type = 'purchase' THEN 'U' ELSE 'I' END AS op,
+        |    CASE WHEN event_id <= (SELECT max(event_id) // 2 FROM events)
+        |         THEN 0 ELSE 1 END AS b
+        |  FROM events),
+        |last AS (
+        |  SELECT * FROM (
+        |    SELECT e.*, row_number() OVER (PARTITION BY user_id, b ORDER BY event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |data AS (SELECT * FROM last WHERE op <> 'D'),
+        |del AS (SELECT user_id, b FROM last WHERE op IN ('U','D'))
+        |SELECT d.event_id, d.user_id, d.event_type, d.value FROM data d
+        |WHERE NOT EXISTS (SELECT 1 FROM del x WHERE x.user_id = d.user_id AND x.b > d.b)
+        |ORDER BY d.user_id, d.event_id""".stripMargin,
+    "schema_evolution" ->
+      """WITH s AS (SELECT max(event_id) // 2 AS m FROM events)
+        |SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+        |       CAST(CAST(value AS FLOAT) AS DOUBLE) AS value,
+        |       CAST(NULL AS VARCHAR) AS event_type
+        |FROM events, s WHERE event_id <= m
+        |UNION ALL
+        |SELECT event_id, user_id, value, event_type FROM events, s WHERE event_id > m
+        |ORDER BY event_id""".stripMargin,
+    "transform_copy_value" ->
+      """SELECT event_id, event_type, event_type AS event_type_copy
+        |FROM events ORDER BY event_id""".stripMargin,
+    "transform_kafka_metadata" ->
+      """SELECT event_id, 'events' AS _kafka_topic, user_id % 4 AS _kafka_partition,
+        |       event_id AS _kafka_offset, epoch_us(ts) AS _kafka_ts_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "transform_json_expand" ->
+      """SELECT event_id,
+        |       CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
+        |       regexp_extract(props, '"k": (\d+)', 1) AS k_str
+        |FROM events ORDER BY event_id""".stripMargin,
+    "coerce_types" ->
+      """SELECT event_id,
+        |       CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS id_parsed,
+        |       (epoch_ns(ts) // 1000000) * 1000 AS ts_ms_us,
+        |       epoch_us(CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP)) AS ts_str_us,
+        |       CAST(CAST(value AS VARCHAR) AS DOUBLE) AS val_parsed
+        |FROM events ORDER BY event_id""".stripMargin,
+    "partition_transforms" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS BIGINT) AS od_year,
+        |       strftime(o_orderdate, '%Y-%m') AS od_month,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS od_day,
+        |       strftime(o_orderdate, '%Y-%m-%d-%H') AS od_hour,
+        |       o_orderkey - (o_orderkey % 1000) AS key_trunc,
+        |       substr(o_orderpriority, 1, 3) AS prio_trunc
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "events_offsets" ->
+      """SELECT user_id % 4 AS part, max(event_id) + 1 AS next_offset,
+        |       max(epoch_us(ts)) AS max_ts
+        |FROM events GROUP BY 1 ORDER BY part""".stripMargin,
+    "events_vtts" ->
+      """SELECT min(mt) AS vtts FROM (
+        |  SELECT max(epoch_us(ts)) AS mt FROM events GROUP BY user_id % 4)""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topn" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_region" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "window_running" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id) AS DECIMAL(18,2)) AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, isect, sa.sz AS size_a, sb.sz AS size_b
+        |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+    "knn_brute" ->
+      """SELECT q_id, rank, n_id FROM (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC, n.vec_id) AS rank
+        |  FROM embeddings q, embeddings n
+        |  WHERE q.vec_id < 8 AND q.vec_id <> n.vec_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS word_count,
+        |  length(text) AS char_count,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct_count,
+        |  len(regexp_extract_all(text, '[0-9]')) AS digit_count,
+        |  len(regexp_extract_all(lower(text), '\b(?:the|a|and|of|to|in|is|that|it|for)\b')) AS stopword_count,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
+        |  (len(string_split_regex(trim(text), '\s+')) BETWEEN 5 AND 100000
+        |    AND len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 5 < length(text)
+        |    AND len(regexp_extract_all(lower(text), '\b(?:the|a|and|of|to|in|is|that|it|for)\b')) > 0) AS is_quality,
+        |  CASE
+        |    WHEN len(regexp_extract_all(text, '[一-鿿぀-ヿ가-힯]')) > 0 THEN 'cjk'
+        |    WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+        |    WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+        |    WHEN es >= fr AND es > 0 THEN 'es'
+        |    WHEN fr > 0 THEN 'fr'
+        |    ELSE 'und' END AS lang_pred
+        |FROM (
+        |  SELECT *,
+        |    len(regexp_extract_all(lower(text), '\b(?:the|a|and|of|to|in|is|that|it|for)\b')) AS en,
+        |    len(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist|nicht|ein|mit|auf|zu)\b')) AS de,
+        |    len(regexp_extract_all(lower(text), '\b(?:el|la|de|que|y|en|un|una|es|por)\b')) AS es,
+        |    len(regexp_extract_all(lower(text), '\b(?:le|la|les|et|de|un|une|est|que|pour)\b')) AS fr
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS byte_len,
+        |       ((length(text) + 63) // 64 + 1) // 2 AS frames_kept
+        |FROM documents ORDER BY id""".stripMargin
+  )
 }

@@ -1,0 +1,109 @@
+package graft.config
+
+/** Engine configuration, property-name compatible with the reference sink
+  * config surface (`kafka-connect/src/main/java/io/tabular/iceberg/connect/
+  * IcebergSinkConfig.java:118-241`).
+  *
+  * A user of the reference configures the connector with `iceberg.*`
+  * properties; [[EngineConfig.fromProperties]] accepts the same names.
+  */
+final case class TableConfig(
+    name: String,
+    /** `iceberg.table.<name>.route-regex` (IcebergSinkConfig.java:352-374) */
+    routeRegex: Option[String] = None,
+    /** `iceberg.table.<name>.id-columns` — equality-delete / upsert key */
+    idColumns: Seq[String] = Nil,
+    /** `iceberg.table.<name>.partition-by` — Iceberg partition transforms,
+      * e.g. `day(ts)`, `bucket(user_id,16)`, `truncate(name,4)` */
+    partitionBy: Seq[String] = Nil,
+    /** `iceberg.table.<name>.commit-branch` */
+    commitBranch: String = "main"
+)
+
+final case class EngineConfig(
+    /** Root directory holding one IceTable per table name ("warehouse"). */
+    warehouse: String,
+    /** `iceberg.tables` — static list of target tables */
+    tables: Seq[TableConfig] = Nil,
+    /** `iceberg.tables.route-field` (dot-path into the record) */
+    routeField: Option[String] = None,
+    /** `iceberg.tables.dynamic-enabled` — route by lowercased field value */
+    dynamicRouting: Boolean = false,
+    /** `iceberg.tables.cdc-field` — dot-path to the I/U/D op code */
+    cdcField: Option[String] = None,
+    /** `iceberg.tables.upsert-mode-enabled` — treat every row as UPDATE */
+    upsertMode: Boolean = false,
+    /** `iceberg.tables.auto-create-enabled` */
+    autoCreate: Boolean = false,
+    /** `iceberg.tables.evolve-schema-enabled` */
+    evolveSchema: Boolean = false,
+    /** `iceberg.tables.schema-force-optional` */
+    schemaForceOptional: Boolean = false,
+    /** `iceberg.tables.schema-case-insensitive` */
+    schemaCaseInsensitive: Boolean = true,
+    /** `iceberg.tables.default-id-columns` */
+    defaultIdColumns: Seq[String] = Nil,
+    /** `iceberg.tables.default-partition-by` */
+    defaultPartitionBy: Seq[String] = Nil,
+    /** write.format.default: parquet|orc|avro (Utilities.java:162-163) */
+    format: String = "parquet",
+    /** `iceberg.control.commit.interval-ms` (default 300 000,
+      * IcebergSinkConfig.java:88-89) */
+    commitIntervalMs: Long = 300000L,
+    /** retries for table create / schema update (IcebergSinkConfig.java:103-104) */
+    createRetries: Int = 3,
+    /** approximation of write.target-file-size-bytes via records/file */
+    maxRecordsPerFile: Long = 0L
+) {
+  def tableConfig(name: String): TableConfig =
+    tables
+      .find(_.name == name)
+      .getOrElse(
+        TableConfig(name, idColumns = defaultIdColumns, partitionBy = defaultPartitionBy)
+      )
+}
+
+object EngineConfig {
+
+  /** Parse the reference's property map into an [[EngineConfig]].
+    * Mirrors `IcebergSinkConfig` parsing: comma-split lists, per-table
+    * prefix-scoped properties (`IcebergSinkConfig.java:252-293,352-374`).
+    */
+  def fromProperties(warehouse: String, props: Map[String, String]): EngineConfig = {
+    def list(key: String): Seq[String] =
+      props.get(key).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    def bool(key: String, dflt: Boolean): Boolean =
+      props.get(key).map(_.trim.toBoolean).getOrElse(dflt)
+
+    val tableNames = list("iceberg.tables")
+    val tables = tableNames.map { t =>
+      def tprop(suffix: String) = props.get(s"iceberg.table.$t.$suffix")
+      TableConfig(
+        name = t,
+        routeRegex = tprop("route-regex"),
+        idColumns = tprop("id-columns").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+        partitionBy = tprop("partition-by").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+        commitBranch = tprop("commit-branch").getOrElse("main")
+      )
+    }
+    EngineConfig(
+      warehouse = warehouse,
+      tables = tables,
+      routeField = props.get("iceberg.tables.route-field"),
+      dynamicRouting = bool("iceberg.tables.dynamic-enabled", dflt = false),
+      cdcField = props.get("iceberg.tables.cdc-field"),
+      upsertMode = bool("iceberg.tables.upsert-mode-enabled", dflt = false),
+      autoCreate = bool("iceberg.tables.auto-create-enabled", dflt = false),
+      evolveSchema = bool("iceberg.tables.evolve-schema-enabled", dflt = false),
+      schemaForceOptional = bool("iceberg.tables.schema-force-optional", dflt = false),
+      schemaCaseInsensitive = bool("iceberg.tables.schema-case-insensitive", dflt = true),
+      defaultIdColumns = list("iceberg.tables.default-id-columns"),
+      defaultPartitionBy = list("iceberg.tables.default-partition-by"),
+      format = props.getOrElse("iceberg.kafka.write.format.default", "parquet"),
+      commitIntervalMs =
+        props.get("iceberg.control.commit.interval-ms").map(_.toLong).getOrElse(300000L),
+      createRetries = 3,
+      maxRecordsPerFile = props.get("write.target-file-records").map(_.toLong).getOrElse(0L)
+    )
+  }
+}

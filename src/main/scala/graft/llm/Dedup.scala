@@ -1,0 +1,217 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHashes
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its 100 TB shuffle shape:
+  *
+  *  - exact: one hash-partitioned aggregation on the dup key
+  *  - minhash+LSH: band buckets bound the self-join to near-identical
+  *    candidates (no O(n²) pair space); candidates verified with exact
+  *    Jaccard before any row is dropped
+  *  - simhash: 64-bit signature + pigeonhole banding for Hamming ≤ k
+  *  - n-gram Jaccard: shingle-inverted-index join, prunable by shingle
+  *    document frequency
+  *  - embedding cosine: normalized-vector dot product; brute pairs for
+  *    verification, LSH hyperplane buckets as the scale path
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per key (deterministic winner). */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word n-gram shingles of a text column (distinct). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      filter(
+        transform(
+          sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => when(i + n <= size(toks), concat_ws(" ", slice(toks, i + 1, lit(n))))
+        ),
+        x => x.isNotNull
+      )
+    )
+  }
+
+  /** Exact n-gram Jaccard similarity pairs via a shingle inverted index:
+    * explode distinct shingles, self-join on shingle, count intersections,
+    * compute |A∩B| / (|A|+|B|-|A∩B|). Returns (idA, idB, intersect,
+    * sizeA, sizeB) with idA < idB for pairs meeting `threshold`.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double
+  ): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count("*").as("sz"))
+    val pairs = sh
+      .withColumnRenamed("id", "id_a")
+      .join(sh.withColumnRenamed("id", "id_b"), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count("*").as("isect"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("size_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("size_b")), "id_b")
+      .withColumn(
+        "jaccard",
+        col("isect").cast("double") /
+          (col("size_a") + col("size_b") - col("isect")).cast("double")
+      )
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "isect", "size_a", "size_b")
+  }
+
+  /** MinHash signature: k permutations approximated as (a*h+b) mod p over
+    * xxhash64 shingle hashes (standard universal-hash construction).
+    */
+  private val MersennePrime = (1L << 61) - 1
+  private def hashParams(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42) // deterministic
+    Seq.fill(k)((math.abs(rnd.nextLong()) % MersennePrime + 1, math.abs(rnd.nextLong()) % MersennePrime))
+  }
+
+  /** Per-shingle base hashes (compute once per row and materialize — the
+    * per-permutation mins below reference the same column, so the shingle
+    * pass isn't re-evaluated `numHashes` times).
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(shingles(text, n), s => abs(xxhash64(s)))
+
+  /** Signature over a pre-materialized shingle-hash array column. */
+  def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column = {
+    val mins = hashParams(numHashes).map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
+    }
+    array(mins: _*)
+  }
+
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
+    minhashSignatureFromHashes(shingleHashes(text, n), numHashes)
+
+  /** MinHash + LSH near-dup pairs: signatures → band buckets → candidate
+    * pairs within buckets → verified with exact n-gram Jaccard. Bands/rows
+    * trade recall vs candidate volume (b bands of r rows, k = b*r).
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.6
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sig = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("hh"))
+      .select(col("id"), minhashSignatureFromHashes(col("hh"), numHashes).as("sig"))
+    val banded = sig.select(
+      col("id"),
+      explode(
+        array((0 until bands).map { b =>
+          struct(lit(b).as("band"), xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, r))).as("bh"))
+        }: _*)
+      ).as("bb")
+    )
+    val candidates = banded
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .alias("l")
+      .join(
+        banded.select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh")).alias("r"),
+        Seq("band", "bh")
+      )
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    // verify candidates with exact Jaccard (no false positives survive):
+    // join pairs against per-id shingle sets, intersect in one pass
+    val withSets = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shset"))
+    candidates
+      .join(withSets.select(col("id").as("id_a"), col("shset").as("set_a")), "id_a")
+      .join(withSets.select(col("id").as("id_b"), col("shset").as("set_b")), "id_b")
+      .withColumn("isect", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("union_sz", size(col("set_a")) + size(col("set_b")) - col("isect"))
+      .withColumn("jaccard", col("isect").cast("double") / col("union_sz").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "isect")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, using
+    * pigeonhole banding: split the 64-bit signature into maxDist+1 chunks —
+    * any pair within distance shares at least one exact chunk, so the
+    * self-join runs on chunk buckets, never all pairs.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3
+  ): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
+    val sigs = df.select(col(idCol).as("id"), TextHashes.simhash64(col(textCol)).as("sig"))
+    val banded = sigs.select(
+      col("id"),
+      col("sig"),
+      explode(array((0 until chunks).map { c =>
+        struct(
+          lit(c).as("chunk"),
+          shiftrightunsigned(col("sig"), c * bitsPer)
+            .bitwiseAND(lit((1L << bitsPer) - 1)).as("ch")
+        )
+      }: _*)).as("bb")
+    )
+    val l = banded.select(col("id"), col("sig"), col("bb.chunk").as("chunk"), col("bb.ch").as("ch"))
+    val pairs = l.alias("l")
+      .join(l.alias("r"), Seq("chunk", "ch"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ threshold over normalized vectors.
+    * `lshBits > 0` switches to random-hyperplane bucketing (sign-bit
+    * signatures), bounding the self-join at scale; 0 = exact brute pairs.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      lshBits: Int = 0
+  ): DataFrame = {
+    val v = df.select(col(idCol).as("id"), Similarity.normalize(col(vecCol)).as("v"))
+    val joined =
+      if (lshBits <= 0) {
+        v.alias("a").join(v.alias("b"), col("a.id") < col("b.id"))
+      } else {
+        val planes = Similarity.hyperplaneSignature(col("v"), lshBits)
+        val sigged = v.withColumn("sig", planes)
+        sigged.alias("a")
+          .join(sigged.alias("b"), col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      }
+    joined
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Similarity.dot(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

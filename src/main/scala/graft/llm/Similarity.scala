@@ -1,0 +1,126 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (`Array[Float]`), all in double precision for cross-engine
+  * determinism.
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set so
+  * the corpus is scanned exactly once with no shuffle; the IVF path
+  * shrinks the scanned corpus to the probed cells (classic
+  * inverted-file/coarse-quantizer layout); hyperplane LSH turns the
+  * all-pairs problem into bucket-equality joins.
+  */
+object Similarity {
+
+  /** dot(a,b) with double accumulation via the aggregate HOF — codegen'd,
+    * no UDF.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def normalize(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x => x.cast("double") / n)
+  }
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bit signature against `bits` deterministic pseudo-random
+    * hyperplanes (seeded per index): bucket key for cosine LSH.
+    */
+  def hyperplaneSignature(v: Column, bits: Int, dim: Int = 64): Column = {
+    val rnd = new scala.util.Random(7)
+    val planes = Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    val bitsCols: Seq[Column] = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(x => lit(x)).toIndexedSeq: _*)
+      when(
+        aggregate(zip_with(v, planeCol, (x, w) => x.cast("double") * w), lit(0.0), (acc, x) => acc + x) >= 0,
+        lit(1L << i)
+      ).otherwise(lit(0L))
+    }
+    bitsCols.reduce(_ + _)
+  }
+
+  /** Exact top-k cosine neighbors for each query vector (brute force —
+    * the verification baseline). Queries are broadcast; the corpus is
+    * scanned once. Deterministic tie-break on neighbor id.
+    */
+  def bruteForceKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), normalize(col(vecCol)).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), normalize(col(vecCol)).as("q_vec"))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", dot(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cosine")
+  }
+
+  /** IVF (inverted-file) ANN: assign vectors to the nearest of `nCells`
+    * deterministic centroids (the lowest-id vectors — a fixed coarse
+    * quantizer), then answer queries by probing the `nProbe` closest
+    * cells only. Returns the same shape as [[bruteForceKnn]]; recall
+    * depends on nProbe/nCells.
+    */
+  def ivfKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), normalize(col(vecCol)).as("n_vec"))
+    // deterministic coarse quantizer: first nCells vectors by id
+    val centroids = c.orderBy("n_id").limit(nCells)
+      .select(col("n_id").as("c_id"), col("n_vec").as("c_vec"))
+    val cb = broadcast(centroids)
+
+    // assign each corpus vector to its nearest centroid (one broadcast join)
+    val assignW = Window.partitionBy("n_id").orderBy(col("c_sim").desc, col("c_id"))
+    val assigned = c.crossJoin(cb)
+      .withColumn("c_sim", dot(col("n_vec"), col("c_vec")))
+      .withColumn("c_rank", row_number().over(assignW))
+      .filter(col("c_rank") === 1)
+      .select("n_id", "n_vec", "c_id")
+
+    // route each query to its nProbe nearest cells
+    val q = queries.select(col(idCol).as("q_id"), normalize(col(vecCol)).as("q_vec"))
+    val probeW = Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("c_id"))
+    val probes = q.crossJoin(cb)
+      .withColumn("c_sim", dot(col("q_vec"), col("c_vec")))
+      .withColumn("c_rank", row_number().over(probeW))
+      .filter(col("c_rank") <= nProbe)
+      .select("q_id", "q_vec", "c_id")
+
+    // scan only the probed cells
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    assigned
+      .join(broadcast(probes), "c_id")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", dot(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cosine")
+  }
+}

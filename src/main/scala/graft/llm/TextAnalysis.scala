@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All scalar operators are pure Catalyst column expressions — they stay
+  * inside whole-stage codegen, vectorize over parquet scans, and shuffle
+  * nothing. At 100 TB these run map-side at scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (empty-token safe). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-boundary token count: letter runs, digit runs, and
+    * single non-alphanumeric marks — the classic pre-tokenizer regex.
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpeTokenPattern))
+
+  def charCount(text: Column): Column = length(text)
+  def punctCount(text: Column): Column = regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+  def digitCount(text: Column): Column = regexp_count(text, lit("[0-9]"))
+
+  /** Small multilingual stopword marker lists (public common-word lists). */
+  val StopwordsEn = Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for")
+  val StopwordsDe = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu")
+  val StopwordsEs = Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "por")
+  val StopwordsFr = Seq("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour")
+
+  def stopwordCount(text: Column, words: Seq[String] = StopwordsEn): Column = {
+    val pattern = words.mkString("\\b(?:", "|", ")\\b")
+    regexp_count(lower(text), lit(pattern))
+  }
+
+  /** Quality signals as exact integer counts (deterministic across
+    * engines) plus a boolean gate — the filter a data pipeline applies
+    * before training-set inclusion.
+    */
+  def qualitySignals(df: DataFrame, textCol: String, out: String => String = identity): DataFrame = {
+    val t = col(textCol)
+    df.withColumn(out("word_count"), tokenCount(t))
+      .withColumn(out("char_count"), charCount(t))
+      .withColumn(out("punct_count"), punctCount(t))
+      .withColumn(out("digit_count"), digitCount(t))
+      .withColumn(out("stopword_count"), stopwordCount(t))
+      .withColumn(
+        out("is_quality"),
+        tokenCount(t).between(5, 100000) &&
+          punctCount(t) * lit(5) < charCount(t) &&
+          stopwordCount(t) > lit(0)
+      )
+  }
+
+  /** n-gram-heuristic language ID: count language-marker stopword hits per
+    * candidate language plus a CJK character-class check; argmax with a
+    * deterministic tie-break (en > de > es > fr by marker count ordering).
+    */
+  def langId(text: Column): Column = {
+    val en = stopwordCount(text, StopwordsEn)
+    val de = stopwordCount(text, StopwordsDe)
+    val es = stopwordCount(text, StopwordsEs)
+    val fr = stopwordCount(text, StopwordsFr)
+    val cjk = regexp_count(text, lit("[\\u4e00-\\u9fff\\u3040-\\u30ff\\uac00-\\ud7af]"))
+    when(cjk > 0, "cjk")
+      .when(en >= de && en >= es && en >= fr && en > 0, "en")
+      .when(de >= es && de >= fr && de > 0, "de")
+      .when(es >= fr && es > 0, "es")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** D1-D4 — CDC / upsert operators.
+  *
+  * The reference's delta writer turns each record into insert /
+  * (equality-delete + insert) / equality-delete
+  * (`data/BaseDeltaTaskWriter.write:71-84`) with within-batch key dedup
+  * supplied by Iceberg's insert-map (D4). In Spark the whole batch is
+  * resolved in one shuffle: a last-wins window per key, then a split into
+  * data rows and delete keys.
+  *
+  * Scale: one hash-partitioned shuffle on the id columns per micro-batch —
+  * the minimum possible for keyed upserts; AQE handles skewed keys.
+  */
+object CdcOps {
+
+  val OpCol = "__graft_op"
+  val OrdCol = "__graft_ord"
+
+  /** D1 — op-code extraction (`data/IcebergWriter.extractCdcOperation:109-131`):
+    * first char of the trimmed, uppercased value: U→UPDATE, D→DELETE,
+    * anything else / null / empty → INSERT. D3 — upsert mode treats every
+    * record as UPDATE (`BaseDeltaTaskWriter.java:74-76`).
+    */
+  def opColumn(cdcField: Option[String], upsertMode: Boolean): Column =
+    if (upsertMode || cdcField.isEmpty) lit(if (upsertMode) "U" else "I")
+    else {
+      val first = upper(substring(trim(col(cdcField.get).cast("string")), 1, 1))
+      when(first === "U", "U").when(first === "D", "D").otherwise("I")
+    }
+
+  /** D2 + D4 — resolve a batch to (rows to append, delete keys).
+    *
+    * `df` must carry [[OpCol]] and an ordering column [[OrdCol]] (Kafka
+    * offset when available — the reference processes in offset order).
+    * Returns data rows (final op I or U) and delete keys (final op U or D,
+    * which equality-delete any same-key row in earlier commits).
+    */
+  def resolveBatch(
+      df: DataFrame,
+      keyCols: Seq[String]
+  ): (DataFrame, DataFrame) = {
+    require(keyCols.nonEmpty,
+      "CDC/upsert requires id columns (parity: data/Utilities.java:169-178)")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(OrdCol).desc)
+    val last = df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+    val data = last.filter(col(OpCol) =!= "D").drop(OpCol, OrdCol)
+    val deleteKeys = last
+      .filter(col(OpCol) === "U" || col(OpCol) === "D")
+      .select(keyCols.map(col): _*)
+    (data, deleteKeys)
+  }
+}

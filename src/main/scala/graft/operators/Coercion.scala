@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** R5 + C1-C6 — projection of an arbitrary input DataFrame onto a target
+  * table schema with permissive, reference-parity type coercion.
+  *
+  * The reference converts record-by-record in Java
+  * (`data/RecordConverter.java:105-144` dispatch; leaf coercions
+  * `:302-506`). Here the whole conversion is declared as a Catalyst select
+  * list — every cast/parse is codegen'd and runs columnar, and Catalyst
+  * prunes unused source columns all the way into the scan.
+  *
+  * Coercion rules mirrored:
+  *  - numbers from Number or parsed String (`:302-336`) → permissive `cast`
+  *    (requires `spark.sql.ansi.enabled=false`, set by [[graft.GraftSession]])
+  *  - decimal rescale HALF_UP (`:338-357`) → Spark decimal cast (HALF_UP)
+  *  - anything → string, complex types JSON-encoded (`:368-385`)
+  *  - binary from Base64 string (`:387-405`)
+  *  - date/time/timestamp from epoch numbers (millis, `:407-495`) and
+  *    lenient ISO strings incl. `"yyyy-MM-dd HH:mm:ss"` repair (`:497-506`)
+  *  - nested struct/list/map recursion (`:273-300`)
+  *  - field lookup: exact, case-insensitive, or name-mapping alias
+  *    (`:245-271`); unmatched target fields → null, extra source fields
+  *    dropped (`:159-243`)
+  */
+object Coercion {
+
+  /** Project `df` onto `target`. `extraCols` are carried through untouched
+    * (used by the CDC path for op/order bookkeeping columns).
+    */
+  def project(
+      df: DataFrame,
+      target: StructType,
+      nameMapping: Map[String, Seq[String]] = Map.empty,
+      caseInsensitive: Boolean = true,
+      extraCols: Seq[String] = Nil
+  ): DataFrame = {
+    val available = df.schema
+    val cols = target.fields.toSeq.map { f =>
+      resolveField(available, f.name, nameMapping, caseInsensitive) match {
+        case Some(src) => coerce(col(src.name), src.dataType, f.dataType).as(f.name)
+        case None      => lit(null).cast(f.dataType).as(f.name)
+      }
+    } ++ extraCols.map(col)
+    df.select(cols: _*)
+  }
+
+  /** Field lookup: exact name, case-insensitive name, then name-mapping
+    * aliases (`RecordConverter.java:245-271`, E3/E4).
+    */
+  def resolveField(
+      in: StructType,
+      name: String,
+      nameMapping: Map[String, Seq[String]],
+      caseInsensitive: Boolean
+  ): Option[StructField] =
+    in.fields
+      .find(_.name == name)
+      .orElse(if (caseInsensitive) in.fields.find(_.name.equalsIgnoreCase(name)) else None)
+      .orElse {
+        nameMapping.get(name).flatMap { aliases =>
+          in.fields.find(f => aliases.contains(f.name))
+        }
+      }
+
+  /** Build the coercion expression from `from` to `to`. */
+  def coerce(in: Column, from: DataType, to: DataType): Column =
+    (from, to) match {
+      case (f, t) if f == t => in
+
+      // ---- to string (C4): complex types JSON-encoded ----
+      case (_: StructType | _: ArrayType | _: MapType, StringType) => to_json(in)
+      case (_, StringType)                                         => in.cast(StringType)
+
+      // ---- binary (C5): Base64 from strings ----
+      case (StringType, BinaryType) => unbase64(in)
+      case (_, BinaryType)          => in.cast(BinaryType)
+
+      // ---- temporal (C6): epoch numbers are MILLIS in the reference ----
+      case (IntegerType | LongType | ShortType, TimestampType)    => timestamp_millis(in.cast(LongType))
+      case (IntegerType | LongType | ShortType, TimestampNTZType) =>
+        timestamp_millis(in.cast(LongType)).cast(TimestampNTZType)
+      case (StringType, TimestampType)    => lenientTimestamp(in).cast(TimestampType)
+      case (StringType, TimestampNTZType) => lenientTimestamp(in).cast(TimestampNTZType)
+      case (IntegerType | LongType | ShortType, DateType) => date_from_unix_date(in.cast(IntegerType))
+      case (StringType, DateType)                         => to_date(in)
+
+      // ---- nested recursion (C1) ----
+      case (f: StructType, t: StructType) =>
+        val fields = t.fields.toSeq.map { tf =>
+          resolveField(f, tf.name, Map.empty, caseInsensitive = true) match {
+            case Some(sf) => coerce(in.getField(sf.name), sf.dataType, tf.dataType).as(tf.name)
+            case None     => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }
+        when(in.isNull, lit(null).cast(t)).otherwise(struct(fields: _*))
+      case (f: ArrayType, t: ArrayType) =>
+        transform(in, x => coerce(x, f.elementType, t.elementType))
+      case (f: MapType, t: MapType) =>
+        val keyed = transform_keys(in, (k, _) => coerce(k, f.keyType, t.keyType))
+        transform_values(keyed, (_, v) => coerce(v, f.valueType, t.valueType))
+
+      // JSON string → struct/array/map (schemaless record path, C7)
+      case (StringType, t: StructType) => from_json(in, t)
+      case (StringType, t: ArrayType)  => from_json(in, t)
+      case (StringType, t: MapType)    => from_json(in, t)
+
+      // ---- numerics / decimal / everything else: permissive cast ----
+      case (_, t) => in.cast(t)
+    }
+
+  /** Lenient timestamp parse mirroring `ensureTimestampFormat`
+    * (`RecordConverter.java:497-506`): accepts ISO-8601 with `T` or space
+    * separator and `+HH:mm` / `+HHmm` offsets. Spark's non-ANSI
+    * string→timestamp cast already accepts all of these; the explicit
+    * repair keeps exact parity for `+HHmm` (no colon) offsets.
+    */
+  def lenientTimestamp(s: Column): Column = {
+    val repaired = regexp_replace(
+      s,
+      "([+-])(\\d{2})(\\d{2})$",
+      "$1$2:$3"
+    )
+    coalesce(repaired.cast(TimestampType), s.cast(TimestampType))
+  }
+}

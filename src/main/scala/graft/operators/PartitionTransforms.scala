@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.IcebergBucket
+
+/** P1 — Iceberg partition-transform parsing and column derivation.
+  *
+  * Parses the same `partition-by` strings as the reference
+  * (`data/SchemaUtils.createPartitionSpec:150-199`, regex
+  * `(\w+)\((.+)\)` at `SchemaUtils.java:44`): `identity` (bare column
+  * name), `year(c)`, `month(c)`, `day(c)`, `hour(c)`, `bucket(c,n)`,
+  * `truncate(c,w)`.
+  *
+  * Values are derived as Catalyst columns (codegen'd, evaluated at write
+  * time) and become the table's physical partition layout via Spark's
+  * native dynamic-partition fan-out writer (P2).
+  */
+sealed trait PartitionTransform {
+  def source: String
+
+  /** partition field name recorded in file metadata (Iceberg naming). */
+  def fieldName: String
+
+  /** column name used during the physical write (avoids clobbering the
+    * source data column when `partitionBy` strips partition columns). */
+  def writeName: String = s"__p_$fieldName"
+
+  /** derived partition value (human-readable, Iceberg hive-layout style). */
+  def column(in: Column): Column
+}
+
+object PartitionTransforms {
+  final case class Identity(source: String) extends PartitionTransform {
+    def fieldName: String = source
+    def column(in: Column): Column = in
+  }
+  final case class Year(source: String) extends PartitionTransform {
+    def fieldName: String = s"${source}_year"
+    def column(in: Column): Column = year(in)
+  }
+  final case class Month(source: String) extends PartitionTransform {
+    def fieldName: String = s"${source}_month"
+    def column(in: Column): Column = date_format(in, "yyyy-MM")
+  }
+  final case class Day(source: String) extends PartitionTransform {
+    def fieldName: String = s"${source}_day"
+    def column(in: Column): Column = date_format(in, "yyyy-MM-dd")
+  }
+  final case class Hour(source: String) extends PartitionTransform {
+    def fieldName: String = s"${source}_hour"
+    def column(in: Column): Column = date_format(in, "yyyy-MM-dd-HH")
+  }
+  final case class Bucket(source: String, n: Int) extends PartitionTransform {
+    def fieldName: String = s"${source}_bucket"
+    def column(in: Column): Column = IcebergBucket(in, n)
+  }
+
+  /** Iceberg truncate: ints/longs floor to width multiple, strings take a
+    * prefix, decimals floor the unscaled value (spec-exact).
+    */
+  final case class Truncate(source: String, width: Int, dt: DataType)
+      extends PartitionTransform {
+    def fieldName: String = s"${source}_trunc"
+    def column(in: Column): Column = dt match {
+      case IntegerType | LongType =>
+        in - pmod(in, lit(width))
+      case StringType => substring(in, 1, width)
+      case d: DecimalType =>
+        // unscaled floor: v - (unscaled(v) mod w) * 10^-s
+        val unscaled = (in * pow(lit(10), lit(d.scale))).cast(LongType)
+        ((unscaled - pmod(unscaled, lit(width.toLong)))
+          / pow(lit(10), lit(d.scale))).cast(d)
+      case other =>
+        throw new IllegalArgumentException(s"truncate unsupported for $other")
+    }
+  }
+
+  private val TransformRegex = """(\w+)\((.+)\)""".r
+
+  /** Parse one partition-by token against the table schema. */
+  def parse(token: String, schema: StructType): PartitionTransform = {
+    def typeOf(c: String): DataType =
+      schema.fields
+        .find(_.name.equalsIgnoreCase(c))
+        .map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(s"partition column $c not in schema"))
+    token.trim match {
+      case TransformRegex(fn, args) =>
+        val parts = args.split(",").map(_.trim)
+        fn.toLowerCase match {
+          case "identity" => Identity(parts(0))
+          case "year"     => Year(parts(0))
+          case "month"    => Month(parts(0))
+          case "day"      => Day(parts(0))
+          case "hour"     => Hour(parts(0))
+          case "bucket"   => Bucket(parts(0), parts(1).toInt)
+          case "truncate" => Truncate(parts(0), parts(1).toInt, typeOf(parts(0)))
+          case other      => throw new IllegalArgumentException(s"unknown transform $other")
+        }
+      case bare => Identity(bare)
+    }
+  }
+
+  def parseSpec(spec: Seq[String], schema: StructType): Seq[PartitionTransform] =
+    spec.map(parse(_, schema))
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.config.{EngineConfig, TableConfig}
+
+/** R1-R3, R6-R7 — record routing as Catalyst filter operators.
+  *
+  * The reference routes record-by-record on the worker
+  * (`channel/Worker.java:103-144`); here each route becomes a declarative
+  * filter over the (persisted) micro-batch, so Catalyst pushes the
+  * predicate into the scan and each table's write reads only its slice.
+  */
+object Routing {
+
+  /** Resolved routing result: per-table slices of the batch. For dynamic
+    * routing the table list is discovered from the batch itself.
+    */
+  def route(df: DataFrame, config: EngineConfig): Seq[(TableConfig, DataFrame)] =
+    config.routeField match {
+      // R1 — no route field: broadcast every record to all tables
+      // (`Worker.java:103-113`)
+      case None =>
+        config.tables.map(t => t -> df)
+
+      case Some(field) if !config.dynamicRouting =>
+        // R2 — static regex routing (`Worker.java:115-133`); the reference
+        // uses Matcher.matches() = full match, hence the ^(?:...)$ wrap.
+        // R7 — null route values are dropped (`Worker.java:116-117`).
+        config.tables.flatMap { t =>
+          t.routeRegex.map { re =>
+            t -> df.filter(col(field).isNotNull && col(field).rlike(s"^(?:$re)$$"))
+          }
+        }
+
+      case Some(field) =>
+        // R3 — dynamic: table name = lowercased route value
+        // (`Worker.java:135-144`). Distinct route values are collected on
+        // the driver — cardinality is the number of target tables (small
+        // by construction), not the batch size.
+        val names = df
+          .filter(col(field).isNotNull)
+          .select(lower(col(field).cast("string")).as("t"))
+          .distinct()
+          .collect()
+          .map(_.getString(0))
+          .toSeq
+          .sorted
+        names.map { n =>
+          config.tableConfig(n) -> df.filter(lower(col(field).cast("string")) === n)
+        }
+    }
+
+  /** R6 — tombstone filter: records with a null value column are skipped
+    * (`data/IcebergWriter.java:66-76`).
+    */
+  def dropTombstones(df: DataFrame, valueColumn: String = "value"): DataFrame =
+    if (df.columns.contains(valueColumn)) df.filter(col(valueColumn).isNotNull) else df
+}

@@ -1,0 +1,78 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+
+/** E1/E2 — schema-evolution detection and application.
+  *
+  * Mirrors the reference's rules:
+  *  - add column when the incoming batch has a field the table lacks
+  *    (`data/RecordConverter.java:165-241` detection)
+  *  - widen int→long and float→double only (`data/SchemaUtils
+  *    .needsDataTypeUpdate:75-83`)
+  *  - required + missing/optional incoming ⇒ make optional
+  *    (`SchemaUpdate.MakeOptional`)
+  *  - recursive into nested structs (the reference evolves nested fields
+  *    through its struct converter)
+  *
+  * Difference vs reference (documented in SURVEY §7 risk register): the
+  * reference evolves mid-record and re-converts; we diff once per
+  * micro-batch up front — same resulting table state, one schema commit.
+  */
+object SchemaEvolution {
+
+  /** Normalize incoming Spark types the way the reference maps Connect
+    * types to Iceberg (`data/SchemaUtils.toIcebergType:227-289`):
+    * INT8/16 → int; schemaless integrals were already widened to long by
+    * Spark's JSON inference (`doInferIcebergType:296-352` parity).
+    */
+  def normalize(dt: DataType): DataType = dt match {
+    case ByteType | ShortType => IntegerType
+    case s: StructType        => StructType(s.fields.map(f => f.copy(dataType = normalize(f.dataType))))
+    case a: ArrayType         => a.copy(elementType = normalize(a.elementType))
+    case m: MapType           => m.copy(keyType = normalize(m.keyType), valueType = normalize(m.valueType))
+    case other                => other
+  }
+
+  def widen(current: DataType, incoming: DataType): Option[DataType] =
+    (current, incoming) match {
+      case (IntegerType, LongType)  => Some(LongType)
+      case (FloatType, DoubleType)  => Some(DoubleType)
+      case _                        => None
+    }
+
+  /** Compute the evolved table schema for an incoming batch schema.
+    * Returns None when no change is needed (idempotence check parity,
+    * `data/SchemaUtils.applySchemaUpdates:134-148`).
+    */
+  def evolve(table: StructType, incoming: StructType, caseInsensitive: Boolean = true): Option[StructType] = {
+    val evolved = evolveStruct(table, StructType(incoming.fields.map(f => f.copy(dataType = normalize(f.dataType)))), caseInsensitive)
+    if (evolved == table) None else Some(evolved)
+  }
+
+  private def evolveStruct(table: StructType, in: StructType, ci: Boolean): StructType = {
+    def find(s: StructType, name: String): Option[StructField] =
+      s.fields.find(_.name == name)
+        .orElse(if (ci) s.fields.find(_.name.equalsIgnoreCase(name)) else None)
+
+    // widen / recurse / make-optional existing fields
+    val updated = table.fields.map { tf =>
+      find(in, tf.name) match {
+        case Some(inF) =>
+          val newType = (tf.dataType, inF.dataType) match {
+            case (t: StructType, i: StructType) => evolveStruct(t, i, ci)
+            case (t, i)                         => widen(t, i).getOrElse(t)
+          }
+          // required column receiving optional values ⇒ make optional
+          val nullable = tf.nullable || inF.nullable
+          tf.copy(dataType = newType, nullable = nullable)
+        case None => tf
+      }
+    }
+    // add new incoming fields (always optional on add, Iceberg rule)
+    val known = updated.map(_.name.toLowerCase).toSet
+    val added = in.fields.filter { f =>
+      if (ci) !known.contains(f.name.toLowerCase) else !updated.exists(_.name == f.name)
+    }.map(_.copy(nullable = true))
+    StructType(updated ++ added)
+  }
+}

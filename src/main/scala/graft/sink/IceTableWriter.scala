@@ -1,0 +1,198 @@
+package graft.sink
+
+import java.net.URLDecoder
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.table.{Commit, FileEntry, IceTable}
+import graft.operators.PartitionTransforms
+
+/** Physical write path: stages immutable files under the table directory
+  * and publishes them with one atomic commit-log entry.
+  *
+  * Mirrors the reference's writer stack (P2-P5):
+  *  - partitioned fan-out (`data/PartitionedAppendWriter.java:32-55`) →
+  *    Spark's native dynamic-partition `FileFormatWriter` via
+  *    `.partitionBy(...)`; Spark sorts rows by partition columns within
+  *    each task, so each task holds one open file at a time (better than
+  *    the reference's always-fanout writer, cf. `docs/design.md:46`)
+  *  - rolling target file size (`data/Utilities.java:165-167`) →
+  *    `maxRecordsPerFile`
+  *  - commit = append files + offsets + vtts in one atomic log entry (K9)
+  *    with batchId replay guard (K8)
+  *
+  * Files are written once and referenced by path — no renames — so the
+  * same design works on object storage at cluster scale.
+  */
+object IceTableWriter {
+
+  /** Append `df` (already coerced to the table schema) as a new commit.
+    * Returns None if `batchId` was already committed (replayed batch).
+    */
+  def append(
+      spark: SparkSession,
+      df: DataFrame,
+      table: IceTable,
+      batchId: Long,
+      offsets: Map[String, Long] = Map.empty,
+      vtts: Option[Long] = None,
+      props: Map[String, String] = Map.empty,
+      maxRecordsPerFile: Long = 0L,
+      compaction: Boolean = false
+  ): Option[Commit] = {
+    val deltas = writeFiles(df, table, maxRecordsPerFile)
+    publish(table, batchId, deltas, Nil, offsets, vtts,
+      if (compaction) props + ("compaction" -> "true") else props)
+  }
+
+  /** Delta commit (D2): new data files plus equality-delete key files that
+    * apply to all *earlier* commits of the same keys.
+    */
+  def delta(
+      spark: SparkSession,
+      dataDf: DataFrame,
+      deleteKeysDf: DataFrame,
+      table: IceTable,
+      batchId: Long,
+      offsets: Map[String, Long] = Map.empty,
+      vtts: Option[Long] = None,
+      props: Map[String, String] = Map.empty,
+      maxRecordsPerFile: Long = 0L
+  ): Option[Commit] = {
+    val dataFiles = writeFiles(dataDf, table, maxRecordsPerFile)
+    val delFiles = writeDeleteFiles(deleteKeysDf, table)
+    publish(table, batchId, dataFiles, delFiles, offsets, vtts, props)
+  }
+
+  // ---- internals ------------------------------------------------------
+
+  private def writeFiles(df: DataFrame, table: IceTable, maxRecords: Long): Seq[FileEntry] = {
+    val meta = table.meta
+    val schema = table.schema
+    val schemaVersion = table.currentSchemaVersion
+    val uuid = java.util.UUID.randomUUID().toString
+    val outDir = table.dir.resolve("data").resolve(uuid)
+
+    val transforms = PartitionTransforms.parseSpec(meta.partitionBy, schema)
+    // project to schema order, then add derived partition columns
+    val base = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val withParts = transforms.foldLeft(base) { (d, t) =>
+      d.withColumn(t.writeName, t.column(col(t.source)))
+    }
+    var w = withParts.write.format(meta.format).mode("append")
+    if (transforms.nonEmpty) w = w.partitionBy(transforms.map(_.writeName): _*)
+    if (maxRecords > 0) w = w.option("maxRecordsPerFile", maxRecords)
+    w.save(outDir.toString)
+
+    val files = listDataFiles(outDir, meta.format)
+    // footer reads are driver-side: run them in parallel (one open per file)
+    val entries = new java.util.concurrent.ConcurrentLinkedQueue[FileEntry]()
+    files.asJava.parallelStream().forEach { p =>
+      entries.add(FileEntry(
+        path = p.toString,
+        rows = rowCount(p, meta.format),
+        schemaVersion = schemaVersion,
+        partition = partitionValues(outDir, p, transforms)
+      ))
+    }
+    entries.asScala.toSeq.sortBy(_.path)
+  }
+
+  private def writeDeleteFiles(keysDf: DataFrame, table: IceTable): Seq[FileEntry] = {
+    val meta = table.meta
+    val uuid = java.util.UUID.randomUUID().toString
+    val outDir = table.dir.resolve("deletes").resolve(uuid)
+    keysDf.write.format(meta.format).mode("append").save(outDir.toString)
+    listDataFiles(outDir, meta.format).map { p =>
+      FileEntry(p.toString, rowCount(p, meta.format), table.currentSchemaVersion)
+    }
+  }
+
+  private def publish(
+      table: IceTable,
+      batchId: Long,
+      dataFiles: Seq[FileEntry],
+      deleteFiles: Seq[FileEntry],
+      offsets: Map[String, Long],
+      vtts: Option[Long],
+      props: Map[String, String]
+  ): Option[Commit] = {
+    val committed = table.log.commit(
+      batchId,
+      seq =>
+        Commit(
+          seq = seq,
+          batchId = batchId,
+          commitId = java.util.UUID.randomUUID().toString,
+          timestampMs = System.currentTimeMillis(),
+          schemaVersion = table.currentSchemaVersion,
+          dataFiles = dataFiles,
+          deleteFiles = deleteFiles,
+          offsets = offsets,
+          vtts = vtts,
+          props = props
+        )
+    )
+    if (committed.isEmpty) {
+      // replayed batch: the staged files will never be referenced; drop them
+      (dataFiles ++ deleteFiles).foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+    }
+    committed
+  }
+
+  private def listDataFiles(dir: Path, format: String): Seq[Path] = {
+    if (!Files.isDirectory(dir)) return Nil
+    val suffix = format match {
+      case "parquet" => ".parquet"
+      case "orc"     => ".orc"
+      case "avro"    => ".avro"
+      case _         => ""
+    }
+    Files
+      .walk(dir)
+      .iterator()
+      .asScala
+      .filter(p => Files.isRegularFile(p))
+      .filter { p =>
+        val n = p.getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".") && (suffix.isEmpty || n.endsWith(suffix))
+      }
+      .toSeq
+      .sortBy(_.toString)
+  }
+
+  /** Exact row count from the parquet footer (no data read). */
+  private def rowCount(p: Path, format: String): Long =
+    if (format != "parquet") -1L
+    else {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(p.toString), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount
+      finally r.close()
+    }
+
+  /** Recover `name=value` partition values from the staged hive layout. */
+  private def partitionValues(
+      root: Path,
+      file: Path,
+      transforms: Seq[graft.operators.PartitionTransform]
+  ): Map[String, String] = {
+    val writeToField = transforms.map(t => t.writeName -> t.fieldName).toMap
+    root
+      .relativize(file)
+      .iterator()
+      .asScala
+      .map(_.toString)
+      .filter(_.contains("="))
+      .flatMap { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        writeToField.get(k).map(_ -> URLDecoder.decode(v, "UTF-8"))
+      }
+      .toMap
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+
+import graft.config.EngineConfig
+import graft.sink.Ingest
+
+/** K1-K12 — the streaming shell.
+  *
+  * The reference's coordinator state machine (commit interval trigger,
+  * begin-commit broadcast, readiness barrier, transactional offset commit,
+  * replay-on-restart — `channel/Coordinator.java`, `channel/Worker.java`)
+  * collapses into Structured Streaming:
+  *
+  *  - K1 commit interval → `Trigger.ProcessingTime` (default 300 000 ms,
+  *    `IcebergSinkConfig.java:88-89`)
+  *  - K2/K5 broadcast + barrier → micro-batch job boundary
+  *  - S2/S4/K4 offset bookkeeping/restore → `checkpointLocation`
+  *  - K8 zombie fencing → batchId guard in the commit log
+  *  - K6 partial commits → intentionally absent (Spark never commits a
+  *    partial batch); documented semantic difference
+  */
+object IngestStream {
+
+  def start(
+      source: DataFrame,
+      config: EngineConfig,
+      checkpointLocation: String,
+      transforms: Seq[DataFrame => DataFrame] = Nil,
+      triggerMs: Option[Long] = None
+  ): StreamingQuery = {
+    val interval = triggerMs.getOrElse(config.commitIntervalMs)
+    source.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(Trigger.ProcessingTime(interval))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Ingest.run(batch.sparkSession, batch, batchId, config, transforms)
+        ()
+      }
+      .start()
+  }
+
+  /** K12 — commit-lifecycle reporting, the analogue of the reference's
+    * `CommitToTable`/`CommitComplete` events for downstream consumers
+    * (`channel/Coordinator.java:259-268`).
+    */
+  final class CommitListener(onProgress: String => Unit)
+      extends StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+      onProgress(s"""{"event":"started","id":"${e.id}"}""")
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+      onProgress(
+        s"""{"event":"commit-complete","batchId":${e.progress.batchId},""" +
+          s""""rows":${e.progress.numInputRows},"ts":"${e.progress.timestamp}"}"""
+      )
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+      onProgress(s"""{"event":"terminated","id":"${e.id}"}""")
+  }
+}

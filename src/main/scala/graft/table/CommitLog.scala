@@ -1,0 +1,115 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+/** One data or equality-delete file tracked by a commit.
+  *
+  * Mirrors the reference's per-commit `DataWritten(dataFiles, deleteFiles)`
+  * payload (`channel/CommitterImpl.java:140-188`) and Iceberg's
+  * file-with-partition-values manifest entry.
+  */
+final case class FileEntry(
+    path: String,
+    rows: Long,
+    schemaVersion: Int,
+    partition: Map[String, String] = Map.empty
+)
+
+/** A committed snapshot of an IceTable branch.
+  *
+  * Field-for-field analogue of the reference's Iceberg snapshot + summary
+  * properties (`channel/Coordinator.commitToTable:220-257`):
+  *  - `offsets`  = `kafka.connect.offsets` snapshot property (K4/K8)
+  *  - `batchId`  = idempotence guard (replaces control-topic low-watermark
+  *    fencing, `Coordinator.lastCommittedOffsetsForTable:286-303`)
+  *  - `commitId` = `kafka.connect.commit-id` UUID
+  *  - `vtts`     = `kafka.connect.vtts` valid-through-timestamp (K11),
+  *    epoch micros
+  */
+final case class Commit(
+    seq: Long,
+    batchId: Long,
+    commitId: String,
+    timestampMs: Long,
+    schemaVersion: Int,
+    dataFiles: Seq[FileEntry] = Nil,
+    deleteFiles: Seq[FileEntry] = Nil,
+    offsets: Map[String, Long] = Map.empty,
+    vtts: Option[Long] = None,
+    props: Map[String, String] = Map.empty
+)
+
+/** Append-only JSON commit log with atomic-rename commits.
+  *
+  * Reproduces the commit semantics the reference gets from Iceberg's
+  * optimistic snapshot commit: writers race to claim `v{seq}.json`; the
+  * loser reloads and retries (`data/SchemaUtils.applySchemaUpdates:85-132`
+  * uses the same retry-on-conflict pattern for schema commits).
+  *
+  * Scale note: at 100 TB the log is metadata only (file paths + stats);
+  * data files are never renamed (Iceberg-style "write once, reference by
+  * path"), so commits are O(metadata), not O(data), and work on object
+  * stores without atomic directory rename.
+  */
+final class CommitLog(val root: Path) {
+  import CommitLog.mapper
+
+  Files.createDirectories(root)
+
+  private def commitPath(seq: Long): Path = root.resolve(f"v$seq%09d.json")
+
+  def commits(): Seq[Commit] = {
+    if (!Files.isDirectory(root)) return Nil
+    Files
+      .list(root)
+      .iterator()
+      .asScala
+      .filter(p => p.getFileName.toString.matches("v\\d+\\.json"))
+      .toSeq
+      .sortBy(_.getFileName.toString)
+      .map(p => mapper.readValue(Files.readAllBytes(p), classOf[Commit]))
+  }
+
+  def lastSeq(): Long = commits().lastOption.map(_.seq).getOrElse(0L)
+
+  def lastBatchId(): Option[Long] =
+    commits().filter(_.batchId >= 0).lastOption.map(_.batchId)
+
+  /** Atomically commit; returns None if the batchId was already committed
+    * (exactly-once replay guard, K8). `build` receives the claimed seq.
+    */
+  def commit(batchId: Long, build: Long => Commit, maxRetries: Int = 10): Option[Commit] = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      if (batchId >= 0 && lastBatchId().exists(batchId <= _)) return None
+      val seq = lastSeq() + 1
+      val entry = build(seq)
+      val tmp = root.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, mapper.writeValueAsBytes(entry))
+      try {
+        Files.move(tmp, commitPath(seq), StandardCopyOption.ATOMIC_MOVE)
+        return Some(entry)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp) // lost the race; reload and retry
+      }
+    }
+    throw new IllegalStateException(s"commit conflict not resolved after $maxRetries attempts")
+  }
+}
+
+object CommitLog {
+  private[table] val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  def apply(dir: String): CommitLog = new CommitLog(Paths.get(dir))
+}

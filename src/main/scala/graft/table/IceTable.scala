@@ -1,0 +1,246 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Table-level metadata, fixed at create time (partition spec v1 only). */
+final case class TableMeta(
+    idColumns: Seq[String] = Nil,
+    partitionBy: Seq[String] = Nil,
+    format: String = "parquet",
+    props: Map[String, String] = Map.empty
+)
+
+/** "IceTable" — the engine's minimal snapshot-log table format.
+  *
+  * Spark-native stand-in for the Iceberg tables the reference commits to
+  * (no Iceberg runtime in this environment). It reproduces the semantics
+  * the reference relies on (`docs/design.md:1-157`):
+  *
+  *  - append commits of immutable Parquet data files (K9)
+  *  - equality-delete files keyed by id-columns, applying to rows with a
+  *    strictly lower commit sequence (Iceberg v2 sequence-number rule;
+  *    reference delta path `channel/Coordinator.commitToTable:246-257`)
+  *  - snapshot summary properties: offsets JSON, commit UUID, VTTS
+  *  - branches (`iceberg.table.<t>.commit-branch`) as independent commit
+  *    chains
+  *  - schema evolution via versioned schemas; files remember the version
+  *    they were written with and are aligned (cast / null-fill) on read
+  *
+  * Layout:
+  * {{{
+  *   <dir>/table.json                  table metadata (id cols, spec, format)
+  *   <dir>/_schemas/v{n}.json          versioned Spark StructType JSON
+  *   <dir>/_commits/<branch>/v*.json   commit log per branch
+  *   <dir>/data/<commit-uuid>/...      data files (never renamed)
+  *   <dir>/deletes/<commit-uuid>/...   equality-delete key files
+  * }}}
+  *
+  * Scale design: reads are planned from metadata — per-file partition
+  * values allow partition pruning before any file is opened, the
+  * seq-number of every file rides in via a broadcast join against
+  * `input_file_name()` (no per-commit union explosion), and equality
+  * deletes are applied with a single (broadcast when small) null-safe
+  * anti-join.
+  */
+final class IceTable private[table] (val dir: Path, val branch: String) {
+
+  val log = new CommitLog(dir.resolve("_commits").resolve(branch))
+
+  def meta: TableMeta =
+    CommitLog.mapper.readValue(Files.readAllBytes(dir.resolve("table.json")), classOf[TableMeta])
+
+  // ---- schema versions ------------------------------------------------
+
+  private def schemaDir: Path = dir.resolve("_schemas")
+
+  def schemaVersions: Seq[(Int, StructType)] =
+    Files
+      .list(schemaDir)
+      .iterator()
+      .asScala
+      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+      .toSeq
+      .sortBy(_.getFileName.toString)
+      .map { p =>
+        val v = p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toInt
+        v -> DataType.fromJson(new String(Files.readAllBytes(p), "UTF-8")).asInstanceOf[StructType]
+      }
+
+  def currentSchemaVersion: Int = schemaVersions.last._1
+  def schema: StructType = schemaVersions.last._2
+  def schemaAt(version: Int): StructType =
+    schemaVersions.find(_._1 == version).map(_._2).getOrElse(schema)
+
+  /** Commit a new schema version (E2). Atomic-rename; idempotent: if a
+    * concurrent writer already committed an identical schema, reuse it.
+    * Mirrors `SchemaUtils.applySchemaUpdates` retry (`data/SchemaUtils.java:85-132`).
+    */
+  def evolveTo(newSchema: StructType, maxRetries: Int = 3): Int = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val (lastV, lastS) = schemaVersions.last
+      if (lastS == newSchema) return lastV
+      val v = lastV + 1
+      val tmp = schemaDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, newSchema.json.getBytes("UTF-8"))
+      try {
+        Files.move(tmp, schemaDir.resolve(s"v$v.json"), StandardCopyOption.ATOMIC_MOVE)
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          if (attempt >= maxRetries) throw new IllegalStateException("schema commit conflict")
+      }
+    }
+    -1 // unreachable
+  }
+
+  // ---- read path ------------------------------------------------------
+
+  import IceTable.SEQ
+
+  /** Current table state: data files minus equality deletes, aligned to the
+    * latest schema.
+    */
+  def read(spark: SparkSession): DataFrame = scan(spark, None)
+
+  /** Read with metadata-level partition pruning: `pred` sees each file's
+    * partition-value map (e.g. `Map("ts_day" -> "2024-01-03")`) and files
+    * failing it are never opened (Iceberg manifest-pruning equivalent).
+    */
+  def scan(spark: SparkSession, pred: Option[Map[String, String] => Boolean]): DataFrame = {
+    val cur = schema
+    val all = log.commits()
+    val keep: FileEntry => Boolean = f => pred.forall(p => p(f.partition))
+    val dataFiles = all.flatMap(c => c.dataFiles.filter(keep).map(f => (f, c.seq)))
+    val delFiles = all.flatMap(c => c.deleteFiles.map(f => (f, c.seq)))
+    val keyCols = meta.idColumns
+
+    if (dataFiles.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cur)
+
+    val data = readAligned(spark, dataFiles, cur, v => schemaAt(v))
+    val result =
+      if (delFiles.isEmpty || keyCols.isEmpty) data
+      else {
+        val keySchema = StructType(cur.fields.filter(f => keyCols.contains(f.name)))
+        val dels = readAligned(spark, delFiles, keySchema, v => keyProjection(schemaAt(v), keyCols))
+        val delRows = delFiles.map(_._1.rows).filter(_ >= 0).sum
+        val rhs0 = dels.withColumnRenamed(SEQ, "__graft_dseq")
+        val rhs = if (delRows < 5000000) broadcast(rhs0) else rhs0
+        val cond = keyCols
+          .map(k => data(k) <=> rhs(k))
+          .reduce(_ && _) && rhs("__graft_dseq") > data(SEQ)
+        data.join(rhs, cond, "left_anti")
+      }
+    result.drop(SEQ)
+  }
+
+  private def keyProjection(s: StructType, keyCols: Seq[String]): StructType =
+    StructType(keyCols.flatMap(k => s.fields.find(_.name == k)))
+
+  /** Read a set of (file, seq) entries, grouped by the schema version they
+    * were written with, align each group to `target` (cast widened types,
+    * null-fill added columns), and attach the owning commit's sequence
+    * number via a broadcast `input_file_name()` join.
+    */
+  private def readAligned(
+      spark: SparkSession,
+      files: Seq[(FileEntry, Long)],
+      target: StructType,
+      versionSchema: Int => StructType
+  ): DataFrame = {
+    val fmt = meta.format
+    val groups = files.groupBy(_._1.schemaVersion).toSeq.sortBy(_._1)
+    val parts = groups.map { case (ver, entries) =>
+      val written = versionSchema(ver)
+      val df = spark.read.schema(written).format(fmt).load(entries.map(_._1.path): _*)
+      val seqRows = entries.map { case (f, s) => Row(IceTable.normalizePath(f.path), s) }
+      val seqDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(seqRows, 1),
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("__graft_file", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(SEQ, org.apache.spark.sql.types.LongType)
+        ))
+      )
+      val withSeq = df
+        .withColumn("__graft_file", regexp_replace(input_file_name(), "^file:/+", "/"))
+        .join(broadcast(seqDf), Seq("__graft_file"))
+        .drop("__graft_file")
+      // align to target schema
+      val cols: Seq[Column] = target.fields.toSeq.map { f =>
+        if (written.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } :+ col(SEQ)
+      withSeq.select(cols: _*)
+    }
+    parts.reduce(_.unionByName(_))
+  }
+
+  // ---- maintenance ----------------------------------------------------
+
+  /** Rewrite current state as a single fresh append (applies accumulated
+    * equality deletes); the compaction commit uses batchId -1 (not a
+    * stream batch). Old files become unreferenced for later GC.
+    */
+  def compact(spark: SparkSession): Unit = {
+    val snapshot = read(spark)
+    graft.sink.IceTableWriter.append(spark, snapshot, this, batchId = -1, compaction = true)
+  }
+}
+
+object IceTable {
+  private[graft] val SEQ = "__graft_seq"
+
+  private[graft] def normalizePath(p: String): String =
+    p.replaceFirst("^file:/+", "/")
+
+  def exists(dir: String): Boolean = Files.exists(Paths.get(dir, "table.json"))
+
+  def load(dir: String, branch: String = "main"): IceTable =
+    new IceTable(Paths.get(dir), branch)
+
+  /** Create a table (race-safe load-or-create, mirroring the reference's
+    * auto-create retry, `data/IcebergWriterFactory.autoCreateTable:69-117`).
+    */
+  def create(
+      dir: String,
+      schema: StructType,
+      meta: TableMeta = TableMeta(),
+      branch: String = "main"
+  ): IceTable = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    Files.createDirectories(d.resolve("_schemas"))
+    val tmp = d.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, CommitLog.mapper.writeValueAsBytes(meta))
+    try Files.move(tmp, d.resolve("table.json"), StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
+    }
+    val t = load(dir, branch)
+    if (t.schemaVersions.isEmpty) {
+      val stmp = d.resolve("_schemas").resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      Files.write(stmp, schema.json.getBytes("UTF-8"))
+      try Files.move(stmp, d.resolve("_schemas").resolve("v1.json"), StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(stmp)
+      }
+    }
+    t
+  }
+
+  def loadOrCreate(
+      dir: String,
+      schema: => StructType,
+      meta: => TableMeta,
+      branch: String = "main"
+  ): IceTable =
+    if (exists(dir)) load(dir, branch) else create(dir, schema, meta, branch)
+}
