@@ -69,9 +69,26 @@ object EngineConfig {
     * Mirrors `IcebergSinkConfig` parsing: comma-split lists, per-table
     * prefix-scoped properties (`IcebergSinkConfig.java:252-293,352-374`).
     */
+  /** Comma split that respects parentheses, so `day(ts),bucket(id,8)`
+    * yields two transforms (the transform-arg comma stays inside).
+    */
+  def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString.trim
+    out.filter(_.nonEmpty).toSeq
+  }
+
   def fromProperties(warehouse: String, props: Map[String, String]): EngineConfig = {
     def list(key: String): Seq[String] =
-      props.get(key).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      props.get(key).map(splitTopLevel).getOrElse(Nil)
     def bool(key: String, dflt: Boolean): Boolean =
       props.get(key).map(_.trim.toBoolean).getOrElse(dflt)
 
@@ -81,8 +98,8 @@ object EngineConfig {
       TableConfig(
         name = t,
         routeRegex = tprop("route-regex"),
-        idColumns = tprop("id-columns").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
-        partitionBy = tprop("partition-by").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+        idColumns = tprop("id-columns").map(splitTopLevel).getOrElse(Nil),
+        partitionBy = tprop("partition-by").map(splitTopLevel).getOrElse(Nil),
         commitBranch = tprop("commit-branch").getOrElse("main")
       )
     }

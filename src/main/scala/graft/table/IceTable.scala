@@ -116,7 +116,11 @@ final class IceTable private[table] (val dir: Path, val branch: String) {
     */
   def scan(spark: SparkSession, pred: Option[Map[String, String] => Boolean]): DataFrame = {
     val cur = schema
-    val all = log.commits()
+    val all0 = log.commits()
+    // a compaction commit is a full-state rewrite: it supersedes every
+    // earlier commit (old files stay on disk for time travel / GC)
+    val lastRewrite = all0.lastIndexWhere(_.props.get("compaction").contains("true"))
+    val all = if (lastRewrite >= 0) all0.drop(lastRewrite) else all0
     val keep: FileEntry => Boolean = f => pred.forall(p => p(f.partition))
     val dataFiles = all.flatMap(c => c.dataFiles.filter(keep).map(f => (f, c.seq)))
     val delFiles = all.flatMap(c => c.deleteFiles.map(f => (f, c.seq)))

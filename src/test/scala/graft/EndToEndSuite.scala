@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.{EngineConfig, TableConfig}
+import graft.sink.Ingest
+import graft.table.IceTable
+
+/** Replicates the reference's Testcontainers end-to-end scenarios
+  * (kafka-connect-runtime integration tests) against the batch pipeline:
+  * assertions are on committed table state, file counts, and snapshot
+  * props — the same observables the reference asserts.
+  */
+class EndToEndSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("CDC I/I/I + D/U stream yields adds + equality deletes (IntegrationCdcTest.java:139-156)") {
+    val wh = TestSpark.freshDir("e2e-cdc")
+    val cfg = EngineConfig(warehouse = wh,
+      tables = Seq(TableConfig("tbl", idColumns = Seq("id"))),
+      cdcField = Some("op"), autoCreate = true)
+    // batch 1: three inserts
+    val b1 = Seq((1L, "a", "I", 0L), (2L, "b", "I", 1L), (3L, "c", "I", 2L))
+      .toDF("id", "payload", "op", "offset")
+    // batch 2: delete id 1, update id 2
+    val b2 = Seq((1L, null.asInstanceOf[String], "D", 3L), (2L, "b2", "U", 4L))
+      .toDF("id", "payload", "op", "offset")
+    Ingest.run(spark, b1, 0L, cfg)
+    Ingest.run(spark, b2, 1L, cfg)
+
+    val t = IceTable.load(s"$wh/tbl")
+    val commits = t.log.commits()
+    assert(commits.size === 2)
+    assert(commits(0).deleteFiles.nonEmpty) // CDC mode always writes the delta path
+    assert(commits(1).deleteFiles.map(_.rows).sum === 2) // delete keys for D + U
+    val rows = t.read(spark).select("id", "payload").as[(Long, String)].collect().toSet
+    assert(rows === Set((2L, "b2"), (3L, "c")))
+  }
+
+  test("regex multi-table fan-out (IntegrationMultiTableTest.java:99-103)") {
+    val wh = TestSpark.freshDir("e2e-multi")
+    val cfg = EngineConfig(warehouse = wh,
+      tables = Seq(
+        TableConfig("tbl1", routeRegex = Some("type1")),
+        TableConfig("tbl2", routeRegex = Some("type2"))),
+      routeField = Some("type"), autoCreate = true)
+    val batch = Seq((1L, "type1"), (2L, "type2")).toDF("id", "type")
+    Ingest.run(spark, batch, 0L, cfg)
+    assert(IceTable.load(s"$wh/tbl1").read(spark).select("id").as[Long].collect().toSeq === Seq(1L))
+    assert(IceTable.load(s"$wh/tbl2").read(spark).select("id").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("dynamic table fan-out by field value (IntegrationDynamicTableTest.java:98-99)") {
+    val wh = TestSpark.freshDir("e2e-dyn")
+    val cfg = EngineConfig(warehouse = wh,
+      routeField = Some("payload"), dynamicRouting = true, autoCreate = true)
+    val batch = Seq((1L, "TblA"), (2L, "tblb")).toDF("id", "payload")
+    Ingest.run(spark, batch, 0L, cfg)
+    assert(IceTable.exists(s"$wh/tbla") && IceTable.exists(s"$wh/tblb"))
+    assert(IceTable.load(s"$wh/tbla").read(spark).select("id").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("unknown table with auto-create off is silently skipped (IcebergWriterFactory.java:55-62)") {
+    val wh = TestSpark.freshDir("e2e-skip")
+    val cfg = EngineConfig(warehouse = wh,
+      routeField = Some("payload"), dynamicRouting = true, autoCreate = false)
+    val results = Ingest.run(spark, Seq((1L, "nosuch")).toDF("id", "payload"), 0L, cfg)
+    assert(results.forall(_.commit.isEmpty))
+    assert(!IceTable.exists(s"$wh/nosuch"))
+  }
+
+  test("auto-create with hour(ts) partitioning records partition values (IntegrationTest auto-create)") {
+    val wh = TestSpark.freshDir("e2e-autocreate")
+    val cfg = EngineConfig(warehouse = wh,
+      tables = Seq(TableConfig("evts", partitionBy = Seq("hour(ts)"))),
+      autoCreate = true)
+    val batch = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:15:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:45:00")))
+      .toDF("id", "ts")
+    Ingest.run(spark, batch, 0L, cfg)
+    val t = IceTable.load(s"$wh/evts")
+    assert(t.meta.partitionBy === Seq("hour(ts)"))
+    val parts = t.log.commits().head.dataFiles.map(_.partition("ts_hour")).toSet
+    assert(parts === Set("2024-01-01-10", "2024-01-01-11"))
+  }
+
+  test("schema evolution end-to-end: add column + widen during ingestion (IntegrationTest evolution)") {
+    val wh = TestSpark.freshDir("e2e-evolve")
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("t")),
+      autoCreate = true, evolveSchema = true)
+    Ingest.run(spark, Seq((1, 1.5f)).toDF("id", "v"), 0L, cfg)
+    Ingest.run(spark, Seq((2L, 2.5, "x")).toDF("id", "v", "note"), 1L, cfg)
+    val t = IceTable.load(s"$wh/t")
+    import org.apache.spark.sql.types._
+    assert(t.schema("id").dataType === LongType)
+    assert(t.schema("v").dataType === DoubleType)
+    assert(t.schema.fieldNames.contains("note"))
+    val rows = t.read(spark).orderBy("id").collect()
+    assert(rows.length === 2 && rows(0).isNullAt(2))
+  }
+
+  test("engine config parses the reference property surface (IcebergSinkConfigTest parity)") {
+    val cfg = EngineConfig.fromProperties("/tmp/wh", Map(
+      "iceberg.tables" -> "db.tbl1, db.tbl2",
+      "iceberg.tables.route-field" -> "type",
+      "iceberg.table.db.tbl1.route-regex" -> "t1",
+      "iceberg.table.db.tbl1.id-columns" -> "id,ts",
+      "iceberg.table.db.tbl1.partition-by" -> "day(ts),bucket(id,8)",
+      "iceberg.tables.cdc-field" -> "_cdc.op",
+      "iceberg.tables.upsert-mode-enabled" -> "true",
+      "iceberg.tables.auto-create-enabled" -> "true",
+      "iceberg.tables.evolve-schema-enabled" -> "true",
+      "iceberg.control.commit.interval-ms" -> "60000"))
+    assert(cfg.tables.map(_.name) === Seq("db.tbl1", "db.tbl2"))
+    val t1 = cfg.tableConfig("db.tbl1")
+    assert(t1.routeRegex === Some("t1"))
+    assert(t1.idColumns === Seq("id", "ts"))
+    assert(t1.partitionBy === Seq("day(ts)", "bucket(id,8)"))
+    assert(cfg.cdcField === Some("_cdc.op"))
+    assert(cfg.upsertMode && cfg.autoCreate && cfg.evolveSchema)
+    assert(cfg.commitIntervalMs === 60000L)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("exact dedup keeps the lowest id per key") {
+    val df = Seq((3L, "a"), (1L, "a"), (2L, "b")).toDF("id", "text")
+    val got = Dedup.exact(df, "id", Seq("text")).select("id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L))
+  }
+
+  test("shingles: distinct word n-grams") {
+    val got = Seq("a b c d a b c d").toDF("t")
+      .select(Dedup.shingles(col("t"), 3)).head().getSeq[String](0)
+    assert(got.toSet === Set("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("minhash-LSH finds every exact-Jaccard pair on the sf0.001 corpus (recall) with no false positives") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // verification step kills false positives ⇒ lsh ⊆ exact
+    assert(lsh.subsetOf(exact))
+    // banding at 16 bands × 2 rows catches all J≥0.5 pairs on this corpus
+    assert(lsh === exact)
+  }
+
+  test("simhash pairs: every reported pair is within the Hamming bound, none missed") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b", "hamming").collect()
+    assert(pairs.forall(_.getInt(2) <= 3))
+    // pigeonhole banding is exact for Hamming ≤ maxDist: cross-check by brute force
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.TextHashes.simhash64(col("text")).as("sig"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === brute)
+  }
+
+  test("embedding near-dup with hyperplane LSH is a subset of brute pairs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.45, lshBits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute))
+  }
+}
+
+class SimilaritySuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c"))).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("IVF ANN achieves high recall vs brute force at nProbe=8/16 cells") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfKnn(emb, queries, "vec_id", "embedding", 5, nCells = 16, nProbe = 8)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall too low: $recall")
+  }
+}
+
+class MultimodalSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("media wrap + batched decode stub + frame sampling keep byte-exact plumbing") {
+    val df = Seq((1L, "abcd" * 50), (2L, "xy")).toDF("id", "payload")
+    val media = Multimodal.asMedia(df, "payload", "image", "image/fake")
+    assert(media.select("media_meta.byte_len").as[Long].collect().sorted.toSeq === Seq(2L, 200L))
+
+    val feats = Multimodal.extractFeatures(media, "id", "media")
+      .orderBy("id").collect()
+    assert(feats(0).getLong(1) === 200L)
+    assert(feats(0).getLong(2) === "abcd".map(_.toInt).sum * 50L)
+    assert(feats(1).getLong(1) === 2L)
+
+    val frames = Multimodal.sampleFrames(media, "id", "media", frameBytes = 64, everyN = 2)
+      .groupBy("id").count().orderBy("id").collect()
+    // 200 bytes → 4 frames → keep idx 0,2 → 2 ; 2 bytes → 1 frame → keep idx 0 → 1
+    assert(frames(0).getLong(1) === 2L)
+    assert(frames(1).getLong(1) === 1L)
+  }
+}

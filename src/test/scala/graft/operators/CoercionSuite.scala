@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Mirrors the behavioral spec of the reference's conversion matrix
+  * (`data/RecordConverterTest.java`, 835 lines): every target type from
+  * every plausible source shape, plus name resolution modes.
+  */
+class CoercionSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(src: org.apache.spark.sql.DataFrame, target: StructType) =
+    Coercion.project(src, target).head()
+
+  test("numbers parse from strings and widen from numbers (C2)") {
+    val src = Seq(("42", "3.5", 7, 1.25)).toDF("i_str", "d_str", "i", "d")
+    val target = StructType(Seq(
+      StructField("i_str", LongType), StructField("d_str", DoubleType),
+      StructField("i", LongType), StructField("d", FloatType)))
+    val r = one(src, target)
+    assert(r.getLong(0) === 42L)
+    assert(r.getDouble(1) === 3.5)
+    assert(r.getLong(2) === 7L)
+    assert(r.getFloat(3) === 1.25f)
+  }
+
+  test("decimal rescales HALF_UP (C3)") {
+    val src = Seq(("14.255", 14.245)).toDF("s", "d")
+    val target = StructType(Seq(
+      StructField("s", DecimalType(10, 2)), StructField("d", DecimalType(10, 2))))
+    val r = one(src, target)
+    assert(r.getDecimal(0) === new java.math.BigDecimal("14.26"))
+    // doubles round via their shortest string repr ("14.245" → 14.25 HALF_UP),
+    // exactly the reference's BigDecimal.valueOf(double) path
+    // (RecordConverter.convertDecimalValue:338-357)
+    assert(r.getDecimal(1) === new java.math.BigDecimal("14.25"))
+  }
+
+  test("anything → string; complex types JSON-encoded (C4)") {
+    val src = Seq((5, 1.5, true, Seq(1, 2), Map("a" -> 1)))
+      .toDF("i", "d", "b", "arr", "m")
+    val target = StructType(Seq("i", "d", "b", "arr", "m").map(StructField(_, StringType)))
+    val r = one(src, target)
+    assert(r.getString(0) === "5")
+    assert(r.getString(1) === "1.5")
+    assert(r.getString(2) === "true")
+    assert(r.getString(3) === "[1,2]")
+    assert(r.getString(4) === """{"a":1}""")
+  }
+
+  test("binary from base64 string (C5)") {
+    val src = Seq(java.util.Base64.getEncoder.encodeToString("hi".getBytes)).toDF("b")
+    val target = StructType(Seq(StructField("b", BinaryType)))
+    assert(new String(one(src, target).getAs[Array[Byte]](0)) === "hi")
+  }
+
+  test("timestamps from epoch millis and lenient ISO strings (C6)") {
+    val millis = 1684408953000L // 2023-05-18T11:22:33Z
+    val src = Seq((
+      millis,
+      "2023-05-18T11:22:33Z",
+      "2023-05-18 11:22:33",     // space separator repair
+      "2023-05-18T11:22:33+0000" // +HHmm offset repair
+    )).toDF("epoch", "iso", "space", "offset")
+    val target = StructType(Seq("epoch", "iso", "space", "offset").map(StructField(_, TimestampType)))
+    val r = one(src, target)
+    (0 until 4).foreach { i =>
+      assert(r.getTimestamp(i).getTime === millis, s"col $i")
+    }
+  }
+
+  test("date from epoch days and ISO string (C6)") {
+    val src = Seq((19495, "2023-05-18")).toDF("days", "str")
+    val target = StructType(Seq(StructField("days", DateType), StructField("str", DateType)))
+    val r = one(src, target)
+    assert(r.getDate(0).toLocalDate === java.time.LocalDate.ofEpochDay(19495))
+    assert(r.getDate(1).toLocalDate === java.time.LocalDate.of(2023, 5, 18))
+  }
+
+  test("nested struct conversion: case-insensitive resolution, missing → null, extra dropped (C1/R5)") {
+    val src = spark.sql(
+      "SELECT named_struct('ID', 1, 'Extra', 'x', 'val', '2.5') AS s")
+    val target = StructType(Seq(StructField("s", StructType(Seq(
+      StructField("id", LongType), StructField("val", DoubleType),
+      StructField("missing", StringType))))))
+    val r = one(src, target).getStruct(0)
+    assert(r.getLong(0) === 1L)
+    assert(r.getDouble(1) === 2.5)
+    assert(r.isNullAt(2))
+  }
+
+  test("arrays and maps convert element-wise (C1)") {
+    val src = Seq((Seq("1", "2"), Map("k" -> "3.5"))).toDF("arr", "m")
+    val target = StructType(Seq(
+      StructField("arr", ArrayType(LongType)),
+      StructField("m", MapType(StringType, DoubleType))))
+    val r = one(src, target)
+    assert(r.getSeq[Long](0) === Seq(1L, 2L))
+    assert(r.getMap[String, Double](1)("k") === 3.5)
+  }
+
+  test("JSON string → struct (schemaless path, C7)") {
+    val src = Seq("""{"a": 1, "b": "x"}""").toDF("j")
+    val target = StructType(Seq(StructField("j", StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType))))))
+    val r = one(src, target).getStruct(0)
+    assert(r.getLong(0) === 1L && r.getString(1) === "x")
+  }
+
+  test("name-mapping aliases resolve source fields (E4)") {
+    val src = Seq((7L, "x")).toDF("legacy_id", "name")
+    val target = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val r = Coercion.project(src, target, nameMapping = Map("id" -> Seq("legacy_id"))).head()
+    assert(r.getLong(0) === 7L)
+  }
+
+  test("unmatched target fields become null; extra source fields dropped (R5)") {
+    val src = Seq((1L, "drop-me")).toDF("id", "extra")
+    val target = StructType(Seq(StructField("id", LongType), StructField("absent", StringType)))
+    val out = Coercion.project(src, target)
+    assert(out.columns.toSeq === Seq("id", "absent"))
+    assert(out.head().isNullAt(1))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.config.{EngineConfig, TableConfig}
+
+class CdcOpsSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("op extraction: first char of trimmed uppercase; null/empty/other → INSERT (D1)") {
+    val df = Seq(
+      ("update", 1), ("u", 2), (" Updated ", 3), ("d", 4), ("DELETE", 5),
+      ("c", 6), ("r", 7), ("", 8), (null.asInstanceOf[String], 9)
+    ).toDF("op", "id")
+    val got = df.select(col("id"), CdcOps.opColumn(Some("op"), upsertMode = false).as("o"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got === Map(1 -> "U", 2 -> "U", 3 -> "U", 4 -> "D", 5 -> "D",
+      6 -> "I", 7 -> "I", 8 -> "I", 9 -> "I"))
+  }
+
+  test("upsert mode forces UPDATE regardless of cdc field (D3)") {
+    val df = Seq(("d", 1)).toDF("op", "id")
+    val got = df.select(CdcOps.opColumn(Some("op"), upsertMode = true)).head().getString(0)
+    assert(got === "U")
+  }
+
+  test("within-batch last-wins resolution (D2/D4)") {
+    val df = Seq(
+      (1L, "v1", "I", 10L), (1L, "v2", "U", 11L), // update same key later
+      (2L, "w1", "I", 12L), (2L, null, "D", 13L), // delete same key later
+      (3L, "x1", "I", 14L)
+    ).toDF("id", "payload", CdcOps.OpCol, CdcOps.OrdCol)
+    val (data, dels) = CdcOps.resolveBatch(df, Seq("id"))
+    val dataRows = data.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(dataRows === Seq((1L, "v2"), (3L, "x1")))
+    assert(dels.as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("CDC requires id columns (Utilities.java:169-178 parity)") {
+    val df = Seq((1L, "I", 0L)).toDF("id", CdcOps.OpCol, CdcOps.OrdCol)
+    assertThrows[IllegalArgumentException](CdcOps.resolveBatch(df, Nil))
+  }
+}
+
+class RoutingSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val df = Seq(
+    ("orders", 1), ("orders_eu", 2), ("shipments", 3), (null.asInstanceOf[String], 4)
+  ).toDF("dest", "id")
+
+  test("no route field broadcasts to all tables (R1)") {
+    val cfg = EngineConfig("/tmp/x", tables = Seq(TableConfig("a"), TableConfig("b")))
+    val routed = Routing.route(df, cfg)
+    assert(routed.map(_._1.name) === Seq("a", "b"))
+    assert(routed.forall(_._2.count() === 4))
+  }
+
+  test("static regex routing is full-match and drops null route values (R2/R7)") {
+    val cfg = EngineConfig("/tmp/x",
+      tables = Seq(
+        TableConfig("o", routeRegex = Some("orders")),      // must NOT match orders_eu
+        TableConfig("all_o", routeRegex = Some("orders.*"))
+      ),
+      routeField = Some("dest"))
+    val byName = Routing.route(df, cfg).map { case (t, d) =>
+      t.name -> d.select("id").as[Int].collect().sorted.toSeq
+    }.toMap
+    assert(byName("o") === Seq(1))
+    assert(byName("all_o") === Seq(1, 2))
+  }
+
+  test("dynamic routing discovers lowercased route values (R3)") {
+    val cfg = EngineConfig("/tmp/x", routeField = Some("dest"), dynamicRouting = true)
+    val routed = Routing.route(df.withColumn("dest", upper(col("dest"))), cfg)
+    assert(routed.map(_._1.name) === Seq("orders", "orders_eu", "shipments"))
+  }
+
+  test("tombstone filter drops null-value records (R6)") {
+    val d = Seq((1, "x"), (2, null.asInstanceOf[String])).toDF("id", "value")
+    assert(Routing.dropTombstones(d).count() === 1)
+  }
+}
+
+class SchemaEvolutionSuite extends AnyFunSuite {
+  import org.apache.spark.sql.types._
+  import graft.schema.SchemaEvolution
+
+  test("widen int→long and float→double only (E1)") {
+    assert(SchemaEvolution.widen(IntegerType, LongType) === Some(LongType))
+    assert(SchemaEvolution.widen(FloatType, DoubleType) === Some(DoubleType))
+    assert(SchemaEvolution.widen(LongType, IntegerType) === None)
+    assert(SchemaEvolution.widen(IntegerType, DoubleType) === None)
+  }
+
+  test("evolve: add columns, widen, make optional, recurse into structs") {
+    val table = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("s", StructType(Seq(StructField("a", FloatType))))))
+    val incoming = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StructType(Seq(StructField("a", DoubleType), StructField("b", StringType)))),
+      StructField("fresh", StringType, nullable = false)))
+    val evolved = SchemaEvolution.evolve(table, incoming).get
+    assert(evolved("id").dataType === LongType)
+    assert(evolved("id").nullable) // required + optional incoming ⇒ optional
+    val s = evolved("s").dataType.asInstanceOf[StructType]
+    assert(s("a").dataType === DoubleType)
+    assert(s.fieldNames.contains("b"))
+    assert(evolved("fresh").nullable) // added columns always optional
+    // idempotent: evolving the evolved schema again is a no-op
+    assert(SchemaEvolution.evolve(evolved, incoming).isEmpty)
+  }
+
+  test("normalize maps int8/16 to int (type-mapping parity)") {
+    assert(SchemaEvolution.normalize(ByteType) === IntegerType)
+    assert(SchemaEvolution.normalize(ShortType) === IntegerType)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.config.{EngineConfig, TableConfig}
+import graft.table.IceTable
+
+case class Ev(event_id: Long, user_id: Long, event_type: String, value: Double)
+
+/** K1-K12 streaming shell: micro-batches from a MemoryStream drive the
+  * same Ingest pipeline; each trigger = one commit (the reference's
+  * commit-interval semantics with the coordinator collapsed into the
+  * driver).
+  */
+class StreamingSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streaming ingest commits one snapshot per micro-batch with offsets checkpointed") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val wh = TestSpark.freshDir("stream-wh")
+    val ckpt = TestSpark.freshDir("stream-ckpt")
+    val cfg = EngineConfig(warehouse = wh,
+      tables = Seq(TableConfig("sink")), autoCreate = true)
+
+    val ms = MemoryStream[Ev]
+    val q = IngestStream.start(ms.toDF(), cfg, ckpt, triggerMs = Some(50))
+    try {
+      ms.addData(Ev(1, 10, "click", 1.0), Ev(2, 11, "view", 2.0))
+      q.processAllAvailable()
+      ms.addData(Ev(3, 12, "click", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val t = IceTable.load(s"$wh/sink")
+    assert(t.read(spark).count() === 3)
+    assert(t.log.commits().map(_.batchId) === Seq(0L, 1L))
+    // checkpoint exists for restart recovery (S4/K4 parity)
+    assert(new java.io.File(s"$ckpt/offsets").list().nonEmpty)
+  }
+
+  test("streaming CDC upsert: per-batch last-wins merge into the table") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val wh = TestSpark.freshDir("stream-cdc")
+    val ckpt = TestSpark.freshDir("stream-cdc-ckpt")
+    val cfg = EngineConfig(warehouse = wh,
+      tables = Seq(TableConfig("state", idColumns = Seq("user_id"))),
+      cdcField = Some("event_type"), autoCreate = true)
+    // event_type doubles as the op code here: I/U/D
+    val ms = MemoryStream[Ev]
+    val q = IngestStream.start(ms.toDF(), cfg, ckpt, triggerMs = Some(50))
+    try {
+      ms.addData(Ev(1, 100, "I", 1.0), Ev(2, 200, "I", 2.0))
+      q.processAllAvailable()
+      ms.addData(Ev(3, 100, "U", 9.0), Ev(4, 200, "D", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = IceTable.load(s"$wh/state").read(spark)
+      .select("user_id", "value").as[(Long, Double)].collect().toSet
+    assert(rows === Set((100L, 9.0)))
+  }
+}

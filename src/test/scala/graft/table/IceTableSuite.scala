@@ -1,0 +1,126 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sink.IceTableWriter
+
+class IceTableSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("v", DoubleType)
+  ))
+
+  private def df(rows: (Long, String, Double)*) =
+    rows.toDF("id", "name", "v")
+
+  test("create + append + read back") {
+    val dir = TestSpark.freshDir("t1")
+    val t = IceTable.create(dir, schema, TableMeta())
+    IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0)), t, batchId = 0)
+    IceTableWriter.append(spark, df((3L, "c", 3.0)), t, batchId = 1)
+    val got = t.read(spark).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got === Array((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(t.log.commits().map(_.batchId) === Seq(0L, 1L))
+  }
+
+  test("batchId replay guard (K8): re-committing a batch is a no-op") {
+    val dir = TestSpark.freshDir("t2")
+    val t = IceTable.create(dir, schema, TableMeta())
+    assert(IceTableWriter.append(spark, df((1L, "a", 1.0)), t, batchId = 5).isDefined)
+    assert(IceTableWriter.append(spark, df((1L, "a", 1.0)), t, batchId = 5).isEmpty)
+    assert(IceTableWriter.append(spark, df((1L, "a", 1.0)), t, batchId = 4).isEmpty)
+    assert(t.read(spark).count() === 1)
+  }
+
+  test("equality deletes apply only to earlier commits (D2 sequence rule)") {
+    val dir = TestSpark.freshDir("t3")
+    val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
+    // batch 0: insert ids 1,2,3
+    IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), t, 0)
+    // batch 1: update id 2, delete id 3, insert id 4 in the same delta
+    IceTableWriter.delta(
+      spark,
+      dataDf = df((2L, "b2", 2.2), (4L, "d", 4.0)),
+      deleteKeysDf = Seq(2L, 3L).toDF("id"),
+      table = t,
+      batchId = 1
+    )
+    val got = t.read(spark).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // id2 new version survives (same commit as its delete → not erased),
+    // id3 gone, id4 inserted
+    assert(got === Seq((1L, "a"), (2L, "b2"), (4L, "d")))
+  }
+
+  test("schema evolution: files written under older schema versions align on read") {
+    val dir = TestSpark.freshDir("t4")
+    val v1 = StructType(Seq(StructField("id", IntegerType), StructField("v", FloatType)))
+    val t = IceTable.create(dir, v1, TableMeta())
+    IceTableWriter.append(spark,
+      Seq((1, 1.5f)).toDF("id", "v"), t, 0)
+    val v2 = StructType(Seq(StructField("id", LongType), StructField("v", DoubleType),
+      StructField("extra", StringType)))
+    assert(t.evolveTo(v2) === 2)
+    IceTableWriter.append(spark,
+      Seq((2L, 2.5, "x")).toDF("id", "v", "extra"), t, 1)
+    val got = t.read(spark).orderBy("id").collect()
+    assert(t.schema === v2)
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(got(0).isNullAt(2) && got(1).getString(2) === "x")
+    assert(got(0).getDouble(1) === 1.5f.toDouble)
+    // idempotent: evolving to the same schema returns the same version
+    assert(t.evolveTo(v2) === 2)
+  }
+
+  test("branches are independent commit chains") {
+    val dir = TestSpark.freshDir("t5")
+    val main = IceTable.create(dir, schema, TableMeta())
+    IceTableWriter.append(spark, df((1L, "a", 1.0)), main, 0)
+    val branch = IceTable.load(dir, "audit")
+    IceTableWriter.append(spark, df((9L, "z", 9.0)), branch, 0)
+    assert(main.read(spark).select("id").as[Long].collect().toSeq === Seq(1L))
+    assert(branch.read(spark).select("id").as[Long].collect().toSeq === Seq(9L))
+  }
+
+  test("partition values are recorded and prune the scan") {
+    val dir = TestSpark.freshDir("t6")
+    val t = IceTable.create(dir, schema,
+      TableMeta(partitionBy = Seq("truncate(id,10)", "name")))
+    IceTableWriter.append(spark,
+      df((1L, "a", 1.0), (11L, "a", 2.0), (12L, "b", 3.0)), t, 0)
+    val c = t.log.commits().head
+    assert(c.dataFiles.forall(_.partition.keySet === Set("id_trunc", "name")))
+    val pruned = t.scan(spark, Some(pv => pv("id_trunc") == "10" && pv("name") == "a"))
+    assert(pruned.select("id").as[Long].collect().toSeq === Seq(11L))
+  }
+
+  test("snapshot props: offsets + vtts land in the commit entry (K4/K11)") {
+    val dir = TestSpark.freshDir("t7")
+    val t = IceTable.create(dir, schema, TableMeta())
+    IceTableWriter.append(spark, df((1L, "a", 1.0)), t, 0,
+      offsets = Map("topic-0" -> 42L), vtts = Some(1234567L))
+    val c = t.log.commits().head
+    assert(c.offsets === Map("topic-0" -> 42L))
+    assert(c.vtts === Some(1234567L))
+    assert(c.commitId.nonEmpty)
+  }
+
+  test("compact rewrites state (applies accumulated deletes)") {
+    val dir = TestSpark.freshDir("t8")
+    val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
+    IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0)), t, 0)
+    IceTableWriter.delta(spark, df((2L, "b2", 2.2)), Seq(2L).toDF("id"), t, 1)
+    t.compact(spark)
+    val last = t.log.commits().last
+    assert(last.props.get("compaction").contains("true"))
+    assert(last.deleteFiles.isEmpty)
+    val got = t.read(spark).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "b2")))
+  }
+}
