@@ -27,19 +27,11 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word n-gram shingles of a text column (distinct). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    array_distinct(
-      filter(
-        transform(
-          sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => when(i + n <= size(toks), concat_ws(" ", slice(toks, i + 1, lit(n))))
-        ),
-        x => x.isNotNull
-      )
-    )
-  }
+  /** Word n-gram shingles of a text column (distinct) — single-pass
+    * codegen'd expression (see [[graft.functions.WordShingles]]).
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles(text, n)
 
   /** Exact n-gram Jaccard similarity pairs via a shingle inverted index:
     * explode distinct shingles, self-join on shingle, count intersections,
@@ -53,8 +45,13 @@ object Dedup {
       n: Int,
       threshold: Double
   ): DataFrame = {
+    // materialize the inverted index once — it feeds the self-join twice
+    // plus the size aggregate, and re-deriving shingles per consumer is
+    // the dominant cost (at cluster scale this would be a persisted/
+    // written-out index table)
     val sh = df
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .localCheckpoint()
     val sizes = sh.groupBy("id").agg(count("*").as("sz"))
     val pairs = sh
       .withColumnRenamed("id", "id_a")
@@ -116,8 +113,13 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sig = df
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("hh"))
+    // one shingle pass feeds both the signatures and the verification
+    // sets; materialized once (cluster scale: a persisted index table)
+    val withSets = df
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("shset"))
+      .localCheckpoint()
+    val sig = withSets
+      .select(col("id"), transform(col("shset"), s => abs(xxhash64(s))).as("hh"))
       .select(col("id"), minhashSignatureFromHashes(col("hh"), numHashes).as("sig"))
     val banded = sig.select(
       col("id"),
@@ -126,7 +128,7 @@ object Dedup {
           struct(lit(b).as("band"), xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, r))).as("bh"))
         }: _*)
       ).as("bb")
-    )
+    ).localCheckpoint()
     val candidates = banded
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .alias("l")
@@ -139,7 +141,6 @@ object Dedup {
       .distinct()
     // verify candidates with exact Jaccard (no false positives survive):
     // join pairs against per-id shingle sets, intersect in one pass
-    val withSets = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shset"))
     candidates
       .join(withSets.select(col("id").as("id_a"), col("shset").as("set_a")), "id_a")
       .join(withSets.select(col("id").as("id_b"), col("shset").as("set_b")), "id_b")

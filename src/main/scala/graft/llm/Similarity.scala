@@ -16,15 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a,b) with double accumulation via the aggregate HOF — codegen'd,
-    * no UDF.
+  /** dot(a,b) with double accumulation — a fused codegen'd kernel (see
+    * [[graft.functions.ArrayDot]]); bit-identical to the sequential
+    * aggregate-HOF formulation but allocation-free per pair.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
+    graft.functions.VectorOps.array_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -43,8 +40,7 @@ object Similarity {
     val planes = Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
     val bitsCols: Seq[Column] = planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(x => lit(x)).toIndexedSeq: _*)
-      when(
-        aggregate(zip_with(v, planeCol, (x, w) => x.cast("double") * w), lit(0.0), (acc, x) => acc + x) >= 0,
+      when(graft.functions.VectorOps.array_dot(transform(v, _.cast("double")), planeCol) >= 0,
         lit(1L << i)
       ).otherwise(lit(0L))
     }

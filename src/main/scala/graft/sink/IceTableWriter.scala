@@ -79,9 +79,16 @@ object IceTableWriter {
     val transforms = PartitionTransforms.parseSpec(meta.partitionBy, schema)
     // project to schema order, then add derived partition columns
     val base = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    val withParts = transforms.foldLeft(base) { (d, t) =>
+    val withParts0 = transforms.foldLeft(base) { (d, t) =>
       d.withColumn(t.writeName, t.column(col(t.source)))
     }
+    // cluster rows by partition value before the fan-out write: without
+    // this every task can hold every partition (tasks × partitions tiny
+    // files); with it each partition lands in few tasks — fewer, larger
+    // files, which is also the right shape at cluster scale
+    val withParts =
+      if (transforms.isEmpty) withParts0
+      else withParts0.repartition(transforms.map(t => col(t.writeName)): _*)
     var w = withParts.write.format(meta.format).mode("append")
     if (transforms.nonEmpty) w = w.partitionBy(transforms.map(_.writeName): _*)
     if (maxRecords > 0) w = w.option("maxRecordsPerFile", maxRecords)
@@ -164,13 +171,16 @@ object IceTableWriter {
       .sortBy(_.toString)
   }
 
+  // one shared (read-only) Hadoop conf: constructing one per file costs
+  // tens of ms of XML parsing and dominated commit time at many files
+  private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
+
   /** Exact row count from the parquet footer (no data read). */
   private def rowCount(p: Path, format: String): Long =
     if (format != "parquet") -1L
     else {
-      val conf = new org.apache.hadoop.conf.Configuration()
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new org.apache.hadoop.fs.Path(p.toString), conf)
+        .fromPath(new org.apache.hadoop.fs.Path(p.toString), hadoopConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getRecordCount
       finally r.close()
