@@ -33,6 +33,21 @@ object SchemaEvolution {
     case other                => other
   }
 
+  /** Deep-nullable form: IceTable stores every schema fully optional —
+    * parquet round-trips drop Spark-level required-ness, and a struct
+    * cast cannot re-impose non-nullability on read. (The reference's
+    * required/optional tracking surfaces as `schema-force-optional` and
+    * the MakeOptional evolution op; physically everything is optional.)
+    */
+  def deepNullable(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f => f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+    case a: ArrayType => a.copy(elementType = deepNullable(a.elementType), containsNull = true)
+    case m: MapType =>
+      m.copy(valueType = deepNullable(m.valueType), valueContainsNull = true)
+    case o => o
+  }
+
   def widen(current: DataType, incoming: DataType): Option[DataType] =
     (current, incoming) match {
       case (IntegerType, LongType)  => Some(LongType)

@@ -80,7 +80,9 @@ final class IceTable private[table] (val dir: Path, val branch: String) {
     * concurrent writer already committed an identical schema, reuse it.
     * Mirrors `SchemaUtils.applySchemaUpdates` retry (`data/SchemaUtils.java:85-132`).
     */
-  def evolveTo(newSchema: StructType, maxRetries: Int = 3): Int = {
+  def evolveTo(newSchema0: StructType, maxRetries: Int = 3): Int = {
+    val newSchema =
+      graft.schema.SchemaEvolution.deepNullable(newSchema0).asInstanceOf[StructType]
     var attempt = 0
     while (true) {
       attempt += 1
@@ -215,10 +217,12 @@ object IceTable {
     */
   def create(
       dir: String,
-      schema: StructType,
+      schema0: StructType,
       meta: TableMeta = TableMeta(),
       branch: String = "main"
   ): IceTable = {
+    val schema =
+      graft.schema.SchemaEvolution.deepNullable(schema0).asInstanceOf[StructType]
     val d = Paths.get(dir)
     Files.createDirectories(d)
     Files.createDirectories(d.resolve("_schemas"))

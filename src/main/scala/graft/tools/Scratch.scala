@@ -4,43 +4,33 @@ import org.apache.spark.sql.functions._
 
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = graft.GraftSession.builder("local[32]").getOrCreate()
+    val spark = graft.GraftSession.builder("local[8]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.1"
-
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[time] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2fs")
-      r
-    }
-
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
-    ev.count()
-
-    val withParts = ev
-      .withColumn("__p_day", date_format(col("ts_t"), "yyyy-MM-dd"))
-      .withColumn("__p_type", col("event_type"))
-
-    val out1 = java.nio.file.Files.createTempDirectory("w1").toString
-    time("bare partitioned write") {
-      withParts.repartition(col("__p_day"), col("__p_type"))
-        .write.partitionBy("__p_day", "__p_type").parquet(out1 + "/d")
-    }
-    val out2 = java.nio.file.Files.createTempDirectory("w2").toString
-    time("bare partitioned write 2nd") {
-      withParts.repartition(col("__p_day"), col("__p_type"))
-        .write.partitionBy("__p_day", "__p_type").parquet(out2 + "/d")
-    }
-    val out3 = java.nio.file.Files.createTempDirectory("w3").toString
-    time("no-repartition write") {
-      withParts.write.partitionBy("__p_day", "__p_type").parquet(out3 + "/d")
-    }
-    val out4 = java.nio.file.Files.createTempDirectory("w4").toString
-    time("unpartitioned write") {
-      ev.write.parquet(out4 + "/d")
-    }
+    val props = Map(
+      "transforms" -> "mongo",
+      "transforms.mongo.type" -> "MongoDebeziumTransform")
+    val chain = graft.transforms.Transforms.fromConfig(props)
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  ('c', CAST(NULL AS STRING), '{"_id": 1, "name": "ada", "age": 36}',
+        |   CAST(NULL AS STRUCT<updatedFields: STRING, removedFields: ARRAY<STRING>>),
+        |   named_struct('db', 'appdb', 'collection', 'users'), CAST(1000 AS LONG), CAST(0 AS LONG)),
+        |  ('u', '{"_id": 1, "name": "ada", "age": 36}', CAST(NULL AS STRING),
+        |   named_struct('updatedFields', '{"age": 37}', 'removedFields', CAST(NULL AS ARRAY<STRING>)),
+        |   named_struct('db', 'appdb', 'collection', 'users'), CAST(2000 AS LONG), CAST(1 AS LONG))
+        |AS t(op, before, after, updateDescription, source, ts_ms, offset)""".stripMargin)
+    val flat = chain.foldLeft(df)((d, t) => t(d))
+    flat.printSchema()
+    val wh = java.nio.file.Files.createTempDirectory("mongo-wh").toString
+    val cfg = graft.config.EngineConfig(warehouse = wh,
+      tables = Seq(graft.config.TableConfig("users", idColumns = Seq("_id"))),
+      cdcField = Some("_cdc.op"), autoCreate = true)
+    graft.sink.Ingest.run(spark, df, 0L, cfg, transforms = chain)
+    val t = graft.table.IceTable.load(s"$wh/users")
+    println("table schema: " + t.schema.treeString)
+    val file = t.log.commits().head.dataFiles.head.path
+    println("file schema: " + spark.read.parquet(file).schema.treeString)
+    t.read(spark).show(false)
     spark.stop()
   }
 }

@@ -161,6 +161,8 @@ object Transforms {
           ) _
         case t if t.endsWith("JsonToMapTransform") =>
           if (p("json.root").contains("true")) jsonToMap("value") _ else jsonExpand("value") _
+        case t if t.endsWith("MongoDebeziumTransform") =>
+          MongoDebezium.mongoDebezium() _
         case t if t.endsWith("DebeziumTransform") =>
           debezium(p("cdc.target.pattern")) _
         case t if t.endsWith("DmsTransform") =>

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.{EngineConfig, TableConfig}
+import graft.sink.Ingest
+import graft.table.IceTable
+
+/** Plan-shape assertions (the 100 TB story): filters reach the parquet
+  * scan, small dimensions broadcast, and offset/VTTS bookkeeping rides
+  * the commit.
+  */
+class PlanAndOffsetsSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("q3 plan: predicate pushdown into the scan + broadcast of the dimension side") {
+    val plan = SparkEntry.queries("q3_topn")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || plan.contains("EqualTo(c_mktsegment,BUILDING)"), s"no pushed filter in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "dimension join is not broadcast")
+  }
+
+  test("q1 plan: scan prunes to the referenced columns only") {
+    val plan = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // lineitem has 11 columns; the ReadSchema must only carry the 6 used
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"))
+    assert(!read.contains("l_partkey") && !read.contains("l_suppkey"))
+  }
+
+  test("kafka-shaped batches commit next-offsets and VTTS (S2/K4/K11)") {
+    val wh = TestSpark.freshDir("offsets-wh")
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("t")), autoCreate = true)
+    val batch = Seq(
+      ("t", 0, 10L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+      ("t", 0, 11L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "b"),
+      ("t", 1, 7L, java.sql.Timestamp.valueOf("2024-01-01 10:02:00"), "c")
+    ).toDF("topic", "partition", "offset", "timestamp", "value")
+    Ingest.run(spark, batch, 0L, cfg)
+    val c = IceTable.load(s"$wh/t").log.commits().head
+    // next-to-consume = max+1 per partition (Worker.save:89-101)
+    assert(c.offsets === Map("t-0" -> 12L, "t-1" -> 8L))
+    // vtts = min over partitions of max ts (CommitState.vtts:155-178)
+    val expected = java.sql.Timestamp.valueOf("2024-01-01 10:02:00").getTime * 1000L
+    assert(c.vtts === Some(expected))
+  }
+
+  test("VTTS is null when a partition has no timestamp (CommitState.vtts null case)") {
+    val wh = TestSpark.freshDir("vtts-null")
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("t")), autoCreate = true)
+    val batch = Seq(
+      ("t", 0, 1L, Some(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")), "a"),
+      ("t", 1, 2L, None, "b")
+    ).toDF("topic", "partition", "offset", "timestamp", "value")
+    Ingest.run(spark, batch, 0L, cfg)
+    val c = IceTable.load(s"$wh/t").log.commits().head
+    assert(c.vtts === None)
+    assert(c.offsets === Map("t-0" -> 2L, "t-1" -> 3L))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.transforms
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Mirrors `MongoDebeziumTransformTest` scenarios: insert/delete images,
+  * partial-update reconstruction with removed fields.
+  */
+class MongoDebeziumSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("insert/delete images and partial-update reconstruction") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  ('c', CAST(NULL AS STRING), '{"_id": 1, "name": "ada", "age": 36}',
+        |   CAST(NULL AS STRUCT<updatedFields: STRING, removedFields: ARRAY<STRING>>),
+        |   named_struct('db', 'appdb', 'collection', 'users'), CAST(1000 AS LONG)),
+        |  ('u', '{"_id": 2, "name": "bob", "age": 40, "city": "nyc"}', CAST(NULL AS STRING),
+        |   named_struct('updatedFields', '{"age": 41}', 'removedFields', array('city')),
+        |   named_struct('db', 'appdb', 'collection', 'users'), CAST(2000 AS LONG)),
+        |  ('d', '{"_id": 3, "name": "eve", "age": 20}', CAST(NULL AS STRING),
+        |   CAST(NULL AS STRUCT<updatedFields: STRING, removedFields: ARRAY<STRING>>),
+        |   named_struct('db', 'appdb', 'collection', 'users'), CAST(3000 AS LONG))
+        |AS t(op, before, after, updateDescription, source, ts_ms)""".stripMargin)
+
+    val out = MongoDebezium.mongoDebezium()(df)
+      .select(col("_id"), col("name"), col("age"), col("city"),
+        col("_cdc.op"), col("_cdc.source"))
+      .orderBy("_id").collect()
+
+    // insert: full after image
+    assert(out(0).getLong(0) === 1L && out(0).getString(1) === "ada" && out(0).getString(4) === "I")
+    // partial update: age patched, city removed, name carried from before
+    assert(out(1).getLong(0) === 2L && out(1).getString(1) === "bob")
+    assert(out(1).getLong(2) === 41L)
+    assert(out(1).isNullAt(3))
+    assert(out(1).getString(4) === "U")
+    // delete: payload from before image
+    assert(out(2).getLong(0) === 3L && out(2).getString(1) === "eve" && out(2).getString(4) === "D")
+    assert(out(0).getString(5) === "appdb.users")
+  }
+}
