@@ -42,8 +42,26 @@ object Ingest {
     if (multi) transformed.persist()
     try {
       val (offsets, vtts) = offsetsAndVtts(transformed)
-      routed.map { case (tconf, tdf) =>
-        TableResult(tconf.name, writeTable(spark, tdf, batchId, tconf, config, offsets, vtts))
+      if (!multi) {
+        routed.map { case (tconf, tdf) =>
+          TableResult(tconf.name, writeTable(spark, tdf, batchId, tconf, config, offsets, vtts))
+        }
+      } else {
+        // K10 — multi-table parallel commit (`channel/Coordinator.doCommit
+        // :141-168` uses a cores×2 pool); Spark supports concurrent jobs
+        // from the driver, so per-table writes overlap their I/O
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(routed.size, Runtime.getRuntime.availableProcessors()))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        try {
+          val fs = routed.map { case (tconf, tdf) =>
+            Future(TableResult(tconf.name,
+              writeTable(spark, tdf, batchId, tconf, config, offsets, vtts)))
+          }
+          Await.result(Future.sequence(fs), Duration.Inf)
+        } finally pool.shutdown()
       }
     } finally {
       if (multi) { transformed.unpersist(); () }

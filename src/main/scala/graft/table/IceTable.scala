@@ -112,13 +112,22 @@ final class IceTable private[table] (val dir: Path, val branch: String) {
     */
   def read(spark: SparkSession): DataFrame = scan(spark, None)
 
+  /** Time travel: table state as of commit `seq` (inclusive). */
+  def readAt(spark: SparkSession, seq: Long): DataFrame =
+    scan(spark, None, maxSeq = Some(seq))
+
   /** Read with metadata-level partition pruning: `pred` sees each file's
     * partition-value map (e.g. `Map("ts_day" -> "2024-01-03")`) and files
     * failing it are never opened (Iceberg manifest-pruning equivalent).
     */
-  def scan(spark: SparkSession, pred: Option[Map[String, String] => Boolean]): DataFrame = {
+  def scan(
+      spark: SparkSession,
+      pred: Option[Map[String, String] => Boolean],
+      maxSeq: Option[Long] = None
+  ): DataFrame = {
     val cur = schema
-    val all0 = log.commits()
+    val all1 = log.commits()
+    val all0 = maxSeq.fold(all1)(s => all1.filter(_.seq <= s))
     // a compaction commit is a full-state rewrite: it supersedes every
     // earlier commit (old files stay on disk for time travel / GC)
     val lastRewrite = all0.lastIndexWhere(_.props.get("compaction").contains("true"))
@@ -198,6 +207,41 @@ final class IceTable private[table] (val dir: Path, val branch: String) {
   def compact(spark: SparkSession): Unit = {
     val snapshot = read(spark)
     graft.sink.IceTableWriter.append(spark, snapshot, this, batchId = -1, compaction = true)
+  }
+
+  /** Remove data/delete files no branch can still reach (i.e. referenced
+    * only by commits superseded by a compaction rewrite). Trades time
+    * travel past the last rewrite for space — Iceberg's
+    * expire-snapshots/remove-orphans rolled into one for this format.
+    * Returns the number of deleted files.
+    */
+  def gc(): Int = {
+    val branchDirs = {
+      val root = dir.resolve("_commits")
+      if (!Files.isDirectory(root)) Nil
+      else Files.list(root).iterator().asScala.filter(Files.isDirectory(_)).toSeq
+    }
+    val live = branchDirs.flatMap { bd =>
+      val commits = new CommitLog(bd).commits()
+      val lastRewrite = commits.lastIndexWhere(_.props.get("compaction").contains("true"))
+      val active = if (lastRewrite >= 0) commits.drop(lastRewrite) else commits
+      active.flatMap(c => (c.dataFiles ++ c.deleteFiles).map(f => IceTable.normalizePath(f.path)))
+    }.toSet
+    var removed = 0
+    for (sub <- Seq("data", "deletes")) {
+      val root = dir.resolve(sub)
+      if (Files.isDirectory(root)) {
+        Files.walk(root).iterator().asScala.toSeq.reverse.foreach { p =>
+          if (Files.isRegularFile(p) && !live.contains(IceTable.normalizePath(p.toString))) {
+            Files.delete(p)
+            removed += 1
+          } else if (Files.isDirectory(p) && !Files.list(p).iterator().hasNext) {
+            Files.delete(p)
+          }
+        }
+      }
+    }
+    removed
   }
 }
 

@@ -111,6 +111,35 @@ class IceTableSuite extends AnyFunSuite {
     assert(c.commitId.nonEmpty)
   }
 
+  test("time travel: readAt(seq) reproduces an earlier snapshot") {
+    val dir = TestSpark.freshDir("t9")
+    val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
+    IceTableWriter.append(spark, df((1L, "a", 1.0)), t, 0)
+    IceTableWriter.delta(spark, df((1L, "a2", 1.1)), Seq(1L).toDF("id"), t, 1)
+    assert(t.readAt(spark, 1).select("name").as[String].collect().toSeq === Seq("a"))
+    assert(t.readAt(spark, 2).select("name").as[String].collect().toSeq === Seq("a2"))
+  }
+
+  test("gc removes files superseded by compaction, keeps live state readable") {
+    val dir = TestSpark.freshDir("t10")
+    val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
+    IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0)), t, 0)
+    IceTableWriter.delta(spark, df((2L, "b2", 2.2)), Seq(2L).toDF("id"), t, 1)
+    def parquetFiles() = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .count(p => p.getFileName.toString.endsWith(".parquet"))
+    }
+    t.gc() // only writer bookkeeping (_SUCCESS/.crc) is orphaned pre-compaction
+    val before = parquetFiles()
+    assert(t.read(spark).count() === 2)
+    t.compact(spark)
+    t.gc() // pre-compaction data/delete files now unreachable
+    assert(parquetFiles() < before + 2) // old files gone despite compaction adding new ones
+    val got = t.read(spark).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "b2")))
+  }
+
   test("compact rewrites state (applies accumulated deletes)") {
     val dir = TestSpark.freshDir("t8")
     val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
