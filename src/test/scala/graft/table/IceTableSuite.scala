@@ -111,6 +111,18 @@ class IceTableSuite extends AnyFunSuite {
     assert(c.commitId.nonEmpty)
   }
 
+  test("P5: ORC file format end-to-end (write.format.default parity)") {
+    val dir = TestSpark.freshDir("t-orc")
+    val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id"), format = "orc"))
+    IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0)), t, 0)
+    IceTableWriter.delta(spark, df((2L, "b2", 2.2)), Seq(2L).toDF("id"), t, 1)
+    val c = t.log.commits().head
+    assert(c.dataFiles.forall(_.path.endsWith(".orc")))
+    assert(c.dataFiles.forall(_.rows === -1L)) // row stats are parquet-only
+    val got = t.read(spark).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "b2")))
+  }
+
   test("time travel: readAt(seq) reproduces an earlier snapshot") {
     val dir = TestSpark.freshDir("t9")
     val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
