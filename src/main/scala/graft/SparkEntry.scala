@@ -23,6 +23,9 @@ import graft.transforms.Transforms
   * longs or formatted strings (the synthetic `events.ts` is ns-precision,
   * read by Spark as epoch-nanos long via `parquet.nanosAsLong`).
   */
+/** Row shape for the streaming-ingest query's MemoryStream source. */
+case class StreamEvent(event_id: Long, user_id: Long, event_type: String, value: Double)
+
 object SparkEntry {
 
   // ---- helpers --------------------------------------------------------
@@ -180,6 +183,75 @@ object SparkEntry {
     Ingest.run(spark, batch1, 1L, cfg)
     IceTable.load(s"$wh/evolving").read(spark)
       .select("event_id", "user_id", "value", "event_type")
+      .orderBy("event_id")
+  }
+
+  /** Table maintenance: multi-batch ingest → compact (rewrite) → gc
+    * (drop superseded files) → read the rewritten state.
+    */
+  private def qMaintenanceCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("maintenance_compact")
+    val ev = t(spark, sfDir, "events")
+    val maxId = ev.agg(max("event_id")).head().getLong(0)
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("events_c")), autoCreate = true)
+    Ingest.run(spark, ev.filter(col("event_id") <= maxId / 2), 0L, cfg)
+    Ingest.run(spark, ev.filter(col("event_id") > maxId / 2), 1L, cfg)
+    val table = IceTable.load(s"$wh/events_c")
+    table.compact(spark)
+    table.gc()
+    table.read(spark).select("event_id", "user_id", "value").orderBy("event_id")
+  }
+
+  /** K1/S4: true Structured-Streaming ingestion — two MemoryStream
+    * micro-batches through the foreachBatch shell with a checkpoint, then
+    * the committed table read back.
+    */
+  private def qStreamingIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = freshDir("streaming_ingest")
+    val ckpt = freshDir("streaming_ingest_ckpt")
+    val rows = t(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamEvent].collect()
+    val (b0, b1) = rows.splitAt(rows.length / 2)
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("stream_sink")), autoCreate = true)
+    val ms = MemoryStream[StreamEvent]
+    val q = graft.streaming.IngestStream.start(ms.toDF(), cfg, ckpt, triggerMs = Some(20))
+    try {
+      ms.addData(b0.toIndexedSeq)
+      q.processAllAvailable()
+      ms.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    IceTable.load(s"$wh/stream_sink").read(spark)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  /** S1+S2+C7+C10: the full reference flow on kafka-shaped records —
+    * JSON value payload → typed expansion → metadata injection → table,
+    * with per-partition next-offsets committed (checked in unit tests).
+    */
+  private def qIngestKafkaShaped(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("ingest_kafka_shaped")
+    val kafka = t(spark, sfDir, "events").select(
+      to_json(struct(col("event_id"), col("user_id"), col("event_type"),
+        col("value").as("amount"))).as("value"),
+      lit("events").as("topic"),
+      (col("user_id") % 4).cast(IntegerType).as("partition"),
+      col("event_id").as("offset"),
+      timestamp_micros(expr("ts div 1000")).as("timestamp")
+    )
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("events_k")), autoCreate = true)
+    Ingest.run(spark, kafka, 0L, cfg, transforms = Seq(
+      Transforms.jsonExpand("value"),
+      Transforms.kafkaMetadata(nested = true)
+    ))
+    IceTable.load(s"$wh/events_k").read(spark)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("amount"),
+        col("_kafka_metadata.offset").as("offset"))
       .orderBy("event_id")
   }
 
@@ -443,6 +515,9 @@ object SparkEntry {
     Map(
       "ingest_append" -> wrap(qIngestAppend),
       "ingest_partitioned" -> wrap(qIngestPartitioned),
+      "ingest_kafka_shaped" -> wrap(qIngestKafkaShaped),
+      "maintenance_compact" -> wrap(qMaintenanceCompact),
+      "streaming_ingest" -> wrap(qStreamingIngest),
       "route_static" -> wrap(qRouteStatic),
       "route_dynamic" -> wrap(qRouteDynamic),
       "cdc_upsert" -> wrap(qCdcUpsert),
@@ -484,6 +559,13 @@ object SparkEntry {
         |FROM events
         |WHERE strftime(ts, '%Y-%m-%d') = '2024-01-03' AND event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+    "ingest_kafka_shaped" ->
+      """SELECT event_id, user_id, event_type, value AS amount, event_id AS offset
+        |FROM events ORDER BY event_id""".stripMargin,
+    "maintenance_compact" ->
+      """SELECT event_id, user_id, value FROM events ORDER BY event_id""".stripMargin,
+    "streaming_ingest" ->
+      """SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id""".stripMargin,
     "route_static" ->
       """SELECT * FROM (
         |  SELECT 'purchases' AS sink, event_id, event_type FROM events

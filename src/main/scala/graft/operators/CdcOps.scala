@@ -47,9 +47,12 @@ object CdcOps {
     require(keyCols.nonEmpty,
       "CDC/upsert requires id columns (parity: data/Utilities.java:169-178)")
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(OrdCol).desc)
+    // materialize the resolved batch once: the data append and the
+    // delete-key file derive from it in two separate write jobs
     val last = df.withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)
       .drop("__graft_rn")
+      .localCheckpoint()
     val data = last.filter(col(OpCol) =!= "D").drop(OpCol, OrdCol)
     val deleteKeys = last
       .filter(col(OpCol) === "U" || col(OpCol) === "D")
