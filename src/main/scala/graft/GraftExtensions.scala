@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+import graft.functions._
+
+/** SQL-surface registration of the engine's custom Catalyst expressions,
+  * the idiomatic extension point for operators Spark lacks:
+  *
+  * {{{
+  *   val spark = SparkSession.builder()
+  *     .withExtensions(new GraftExtensions) ...
+  *   spark.sql("SELECT iceberg_bucket(16, id), rolling_hash(text) FROM t")
+  * }}}
+  *
+  * Registered functions: `iceberg_bucket(n, col)` (spec-exact murmur3
+  * partition transform), `rolling_hash(text)`, `simhash64(text)`,
+  * `array_dot(a, b)`, `word_shingles(text, n)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
+          builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other =>
+      throw new IllegalArgumentException(s"$fn expects a literal int, got $other")
+  }
+
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "iceberg_bucket" -> (args => IcebergBucket(args(1), intArg(args.head, "iceberg_bucket"))),
+    "rolling_hash" -> (args => RollingHash(args.head)),
+    "simhash64" -> (args => SimHash(args.head)),
+    "array_dot" -> (args => ArrayDot(args(0), args(1))),
+    "word_shingles" -> (args => WordShingles(args.head, intArg(args(1), "word_shingles")))
+  )
+
+  /** Register on an already-created session (the builder-time
+    * `withExtensions(new GraftExtensions)` path is preferred when you own
+    * session construction).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

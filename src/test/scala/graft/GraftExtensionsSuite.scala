@@ -1,0 +1,21 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSuite extends AnyFunSuite {
+
+  test("custom expressions are callable from SQL once registered") {
+    val spark = TestSpark.spark
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT iceberg_bucket(16, CAST(34 AS BIGINT)) AS b,
+        |       rolling_hash('ab') AS rh,
+        |       simhash64('hello world') AS sh,
+        |       array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       size(word_shingles('a b c d', 3)) AS ws""".stripMargin).head()
+    assert(r.getInt(0) === graft.functions.IcebergHashing.bucketLong(34L, 16))
+    assert(r.getLong(1) === 97L * 257 + 98)
+    assert(r.getDouble(3) === 11.0)
+    assert(r.getInt(4) === 2)
+  }
+}
