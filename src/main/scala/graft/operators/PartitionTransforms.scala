@@ -69,10 +69,13 @@ object PartitionTransforms {
         in - pmod(in, lit(width))
       case StringType => substring(in, 1, width)
       case d: DecimalType =>
-        // unscaled floor: v - (unscaled(v) mod w) * 10^-s
-        val unscaled = (in * pow(lit(10), lit(d.scale))).cast(LongType)
-        ((unscaled - pmod(unscaled, lit(width.toLong)))
-          / pow(lit(10), lit(d.scale))).cast(d)
+        // Iceberg spec: floor the unscaled value to a width multiple.
+        // All-decimal arithmetic (a double pow here would corrupt values
+        // whose scaled form isn't double-exact).
+        val factor = lit(BigDecimal(10).pow(d.scale).underlying())
+        val unscaled = (in * factor).cast(LongType)
+        val truncated = unscaled - pmod(unscaled, lit(width.toLong))
+        (truncated / factor).cast(d)
       case other =>
         throw new IllegalArgumentException(s"truncate unsupported for $other")
     }

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{IcebergHashing, TextHashUtil}
+import graft.schema.SchemaEvolution
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ScalaCheck property tests for the pure kernels (SURVEY §5: property
+  * tests for the conversion lattice / hashing / VTTS subtleties).
+  */
+object HashingProps extends Properties("hashing") {
+
+  property("bucket is always in [0, n)") = forAll(Gen.long, Gen.choose(1, 1 << 20)) {
+    (v, n) =>
+      val b = IcebergHashing.bucketLong(v, n)
+      b >= 0 && b < n
+  }
+
+  property("ints and longs hash identically (Iceberg spec rule)") =
+    forAll(Gen.choose(Int.MinValue, Int.MaxValue)) { i =>
+      IcebergHashing.hashLong(i.toLong) == IcebergHashing.hashLong(i.toInt.toLong)
+    }
+
+  property("string bucket is stable across encodings of the same text") =
+    forAll(Gen.alphaNumStr, Gen.choose(1, 4096)) { (s, n) =>
+      val a = IcebergHashing.bucketBytes(s.getBytes("UTF-8"), n)
+      val b = IcebergHashing.bucketUTF8(UTF8String.fromString(s), n)
+      a == b
+    }
+
+  private val P = (BigInt(1) << 61) - 1
+
+  property("rolling hash stays in [0, 2^61-1)") = forAll(Gen.asciiPrintableStr) { s =>
+    val h = TextHashUtil.rollingHash(UTF8String.fromString(s))
+    h >= 0 && BigInt(h) < P
+  }
+
+  property("rolling hash composes: h(a++b) = h(a)*257^|b| + h(b) mod p") =
+    forAll(Gen.asciiPrintableStr, Gen.asciiPrintableStr) { (a, b) =>
+      val ha = BigInt(TextHashUtil.rollingHash(UTF8String.fromString(a)))
+      val hb = BigInt(TextHashUtil.rollingHash(UTF8String.fromString(b)))
+      val hab = BigInt(TextHashUtil.rollingHash(UTF8String.fromString(a + b)))
+      val blen = b.getBytes("UTF-8").length
+      hab == (ha * BigInt(257).modPow(blen, P) + hb).mod(P)
+    }
+
+  property("simhash of identical text is identical; of permuted tokens too (bag-of-words)") =
+    forAll(Gen.nonEmptyListOf(Gen.identifier)) { tokens =>
+      val t1 = tokens.mkString(" ")
+      val t2 = scala.util.Random.shuffle(tokens).mkString(" ")
+      TextHashUtil.simHash64(UTF8String.fromString(t1)) ==
+        TextHashUtil.simHash64(UTF8String.fromString(t2))
+    }
+}
+
+object SchemaProps extends Properties("schema-evolution") {
+  import org.apache.spark.sql.types._
+
+  private val genField: Gen[StructField] = for {
+    name <- Gen.identifier.map(_.take(8))
+    dt <- Gen.oneOf(IntegerType, LongType, FloatType, DoubleType, StringType, BooleanType)
+    nullable <- Gen.oneOf(true, false)
+  } yield StructField(name, dt, nullable)
+
+  private val genSchema: Gen[StructType] =
+    Gen.nonEmptyListOf(genField).map(fs => StructType(fs.distinctBy(_.name.toLowerCase)))
+
+  property("evolution is idempotent: second evolve is a no-op") =
+    forAll(genSchema, genSchema) { (table, incoming) =>
+      SchemaEvolution.evolve(table, incoming) match {
+        case None          => Prop.passed
+        case Some(evolved) => Prop(SchemaEvolution.evolve(evolved, incoming).isEmpty)
+      }
+    }
+
+  property("evolved schema keeps every table field and covers every incoming field") =
+    forAll(genSchema, genSchema) { (table, incoming) =>
+      val evolved = SchemaEvolution.evolve(table, incoming).getOrElse(table)
+      val names = evolved.fieldNames.map(_.toLowerCase).toSet
+      table.fieldNames.forall(f => names.contains(f.toLowerCase)) &&
+      incoming.fieldNames.forall(f => names.contains(f.toLowerCase))
+    }
+
+  property("widening is one-way: never narrows") =
+    forAll(genSchema, genSchema) { (table, incoming) =>
+      val evolved = SchemaEvolution.evolve(table, incoming).getOrElse(table)
+      table.fields.forall { tf =>
+        val ef = evolved.fields.find(_.name.equalsIgnoreCase(tf.name)).get
+        (tf.dataType, ef.dataType) match {
+          case (a, b) if a == b        => true
+          case (IntegerType, LongType) => true
+          case (FloatType, DoubleType) => true
+          case _                       => false
+        }
+      }
+    }
+}
