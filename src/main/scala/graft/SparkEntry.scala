@@ -506,6 +506,21 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Composed curation pipeline — the end-to-end training-data use case:
+    * near-dup removal (keep the lowest doc_id of each duplicate pair)
+    * followed by the quality gate, over one shared scan.
+    */
+  private def qPipelineCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val dupLosers = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+    val surviving = docs.join(dupLosers, Seq("doc_id"), "left_anti")
+    TextAnalysis.qualitySignals(surviving, "text")
+      .filter(col("is_quality"))
+      .select("doc_id", "word_count", "char_count")
+      .orderBy("doc_id")
+  }
+
   // ---- registry -------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
@@ -541,6 +556,7 @@ object SparkEntry {
       "dedup_embedding" -> wrap(qDedupEmbedding),
       "knn_brute" -> wrap(qKnnBrute),
       "knn_ivf" -> wrap(qKnnIvf),
+      "pipeline_curate" -> wrap(qPipelineCurate),
       "text_stats" -> wrap(qTextStats),
       "text_fingerprint" -> wrap(qTextFingerprint),
       "multimodal_features" -> wrap(qMultimodal)
@@ -706,6 +722,29 @@ object SparkEntry {
         |  FROM embeddings q, embeddings n
         |  WHERE q.vec_id < 8 AND q.vec_id <> n.vec_id)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "pipeline_curate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT id_b AS doc_id
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.5)
+        |SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS word_count,
+        |  length(text) AS char_count
+        |FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |  AND len(string_split_regex(trim(text), '\s+')) BETWEEN 5 AND 100000
+        |  AND len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 5 < length(text)
+        |  AND len(regexp_extract_all(lower(text), '\b(?:the|a|and|of|to|in|is|that|it|for)\b')) > 0
+        |ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS word_count,
