@@ -38,12 +38,18 @@ object Dedup {
     * compute |A∩B| / (|A|+|B|-|A∩B|). Returns (idA, idB, intersect,
     * sizeA, sizeB) with idA < idB for pairs meeting `threshold`.
     */
+  /** `maxShingleDf > 0` drops shingles whose document frequency exceeds
+    * it before the self-join — the standard scale guard against
+    * non-discriminative shingles blowing up the candidate space (slightly
+    * undercounts intersections for affected pairs; leave 0 for exactness).
+    */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      threshold: Double
+      threshold: Double,
+      maxShingleDf: Long = 0L
   ): DataFrame = {
     // materialize the inverted index once — it feeds the self-join twice
     // plus the size aggregate, and re-deriving shingles per consumer is
@@ -53,9 +59,16 @@ object Dedup {
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
       .localCheckpoint()
     val sizes = sh.groupBy("id").agg(count("*").as("sz"))
-    val pairs = sh
+    val joinSide =
+      if (maxShingleDf <= 0) sh
+      else {
+        val hot = sh.groupBy("sh").agg(count("*").as("df"))
+          .filter(col("df") > maxShingleDf).select("sh")
+        sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+    val pairs = joinSide
       .withColumnRenamed("id", "id_a")
-      .join(sh.withColumnRenamed("id", "id_b"), "sh")
+      .join(joinSide.withColumnRenamed("id", "id_b"), "sh")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count("*").as("isect"))

@@ -91,8 +91,12 @@ final class CommitLog(val root: Path) {
       val entry = build(seq)
       val tmp = root.resolve(s".tmp-${java.util.UUID.randomUUID()}")
       Files.write(tmp, mapper.writeValueAsBytes(entry))
+      // publish via hard link: atomic full-content claim that FAILS if the
+      // seq is taken (ATOMIC_MOVE silently replaces an existing target on
+      // POSIX — it would lose concurrent commits)
       try {
-        Files.move(tmp, commitPath(seq), StandardCopyOption.ATOMIC_MOVE)
+        Files.createLink(commitPath(seq), tmp)
+        Files.deleteIfExists(tmp)
         return Some(entry)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>

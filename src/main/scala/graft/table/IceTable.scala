@@ -92,7 +92,9 @@ final class IceTable private[table] (val dir: Path, val branch: String) {
       val tmp = schemaDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
       Files.write(tmp, newSchema.json.getBytes("UTF-8"))
       try {
-        Files.move(tmp, schemaDir.resolve(s"v$v.json"), StandardCopyOption.ATOMIC_MOVE)
+        // create-exclusive publish (see CommitLog: ATOMIC_MOVE replaces)
+        Files.createLink(schemaDir.resolve(s"v$v.json"), tmp)
+        Files.deleteIfExists(tmp)
         return v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -272,7 +274,7 @@ object IceTable {
     Files.createDirectories(d.resolve("_schemas"))
     val tmp = d.resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, CommitLog.mapper.writeValueAsBytes(meta))
-    try Files.move(tmp, d.resolve("table.json"), StandardCopyOption.ATOMIC_MOVE)
+    try { Files.createLink(d.resolve("table.json"), tmp); Files.deleteIfExists(tmp) }
     catch {
       case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
     }
@@ -280,7 +282,7 @@ object IceTable {
     if (t.schemaVersions.isEmpty) {
       val stmp = d.resolve("_schemas").resolve(s".tmp-${java.util.UUID.randomUUID()}")
       Files.write(stmp, schema.json.getBytes("UTF-8"))
-      try Files.move(stmp, d.resolve("_schemas").resolve("v1.json"), StandardCopyOption.ATOMIC_MOVE)
+      try { Files.createLink(d.resolve("_schemas").resolve("v1.json"), stmp); Files.deleteIfExists(stmp) }
       catch {
         case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(stmp)
       }

@@ -1,18 +1,23 @@
 package graft.tools
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.builder("local[8]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // drive decimal truncate over real testdata through the public API
-    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
-      .withColumn("price_dec", col("o_totalprice").cast(DecimalType(12, 2)))
-    val t = graft.operators.PartitionTransforms.Truncate("price_dec", 1000, DecimalType(12, 2))
-    o.select(col("o_orderkey"), col("price_dec"), t.column(col("price_dec")).as("trunc"))
-      .orderBy("o_orderkey").show(5, false)
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("plan-wh").toString
+    val t = graft.table.IceTable.create(s"$wh/t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))),
+      graft.table.TableMeta(idColumns = Seq("id")))
+    graft.sink.IceTableWriter.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t, 0)
+    graft.sink.IceTableWriter.delta(spark, Seq((2L, "b2")).toDF("id", "v"), Seq(2L).toDF("id"), t, 1)
+    val df = t.read(spark)
+    df.explain("formatted")
+    df.show(false)
     spark.stop()
   }
 }

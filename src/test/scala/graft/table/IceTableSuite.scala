@@ -78,6 +78,27 @@ class IceTableSuite extends AnyFunSuite {
     assert(t.evolveTo(v2) === 2)
   }
 
+  test("optimistic commit: concurrent writers race on seq, none lost") {
+    val dir = TestSpark.freshDir("t-race")
+    val t = IceTable.create(dir, schema, TableMeta())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = (0 until 8).map { i =>
+        new java.util.concurrent.Callable[Option[graft.table.Commit]] {
+          // batchId -1 = non-stream commits (no replay fencing between them)
+          def call() = t.log.commit(-1L, seq =>
+            Commit(seq, -1L, s"c$i", 0L, 1), maxRetries = 50)
+        }
+      }
+      val results = pool.invokeAll(tasks.asJava).asScala.map(_.get())
+      assert(results.forall(_.isDefined))
+      val commits = t.log.commits()
+      assert(commits.map(_.seq) === (1L to 8L)) // dense, no gaps, no loss
+      assert(commits.map(_.commitId).toSet.size === 8)
+    } finally pool.shutdown()
+  }
+
   test("branches are independent commit chains") {
     val dir = TestSpark.freshDir("t5")
     val main = IceTable.create(dir, schema, TableMeta())
