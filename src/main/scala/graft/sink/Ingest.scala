@@ -151,9 +151,10 @@ object Ingest {
     val cols = df.columns.toSet
     if (!Set("topic", "partition", "offset").subsetOf(cols)) return (Map.empty, None)
     val hasTs = cols.contains("timestamp")
+    val off = col("offset").cast("long")
     val aggCols =
-      if (hasTs) Seq(max(col("offset")).as("mo"), max(col("timestamp")).as("mt"))
-      else Seq(max(col("offset")).as("mo"))
+      if (hasTs) Seq(max(off).as("mo"), max(col("timestamp")).as("mt"))
+      else Seq(max(off).as("mo"))
     val rows = df.groupBy(col("topic"), col("partition")).agg(aggCols.head, aggCols.tail: _*).collect()
     val offsets = rows.map { r =>
       s"${r.get(0)}-${r.get(1)}" -> (r.getAs[Long]("mo") + 1L)

@@ -70,7 +70,8 @@ object Transforms {
   def jsonExpand(jsonCol: String)(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
     val schema = df.sparkSession.read
-      .json(df.select(col(jsonCol).cast(StringType)).as[String])
+      .json(df.select(col(jsonCol).cast(StringType))
+        .filter(col(jsonCol).isNotNull).as[String])
       .schema
     val cleaned = StructType(schema.fields.filterNot(_.name.startsWith("_corrupt")))
     df.withColumn("__j", from_json(col(jsonCol), cleaned))
