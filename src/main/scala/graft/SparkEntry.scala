@@ -407,6 +407,35 @@ object SparkEntry {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Distinct aggregation + conditional counting over events. */
+  private def qAggDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("users"),
+        count(lit(1)).as("events"),
+        sum(when(col("value") > 100, 1).otherwise(0)).as("big_values"))
+      .orderBy("event_type")
+
+  /** Small-dimension analytics over part/supplier/nation (broadcast join). */
+  private def qPartSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = t(spark, sfDir, "supplier")
+    val n = t(spark, sfDir, "nation")
+    val p = t(spark, sfDir, "part")
+    val bySupplier = s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("suppliers"),
+        sum(col("s_acctbal").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("acctbal"))
+    val parts = p.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("parts"),
+        sum(col("p_size")).cast(DecimalType(18, 6)).as("size_sum"))
+    bySupplier.select(col("n_name").as("grp"), col("suppliers").as("cnt"),
+        col("acctbal").cast(DecimalType(18, 6)).as("metric"))
+      .unionByName(parts.select(col("p_brand").as("grp"), col("parts").as("cnt"),
+        col("size_sum").as("metric")))
+      .orderBy("grp")
+  }
+
   private def qWindowRunning(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("event_id")
@@ -545,6 +574,8 @@ object SparkEntry {
       "partition_bucket" -> wrap(qPartitionBucket),
       "events_offsets" -> wrap(qEventsOffsets),
       "events_vtts" -> wrap(qEventsVtts),
+      "agg_distinct" -> wrap(qAggDistinct),
+      "part_supplier" -> wrap(qPartSupplier),
       "q1_agg" -> wrap(qQ1Agg),
       "q3_topn" -> wrap(qQ3TopN),
       "q5_region" -> wrap(qQ5Region),
@@ -654,6 +685,20 @@ object SparkEntry {
     "events_vtts" ->
       """SELECT min(mt) AS vtts FROM (
         |  SELECT max(epoch_us(ts)) AS mt FROM events GROUP BY user_id % 4)""".stripMargin,
+    "agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS events,
+        |       sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS big_values
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "part_supplier" ->
+      """SELECT * FROM (
+        |  SELECT n_name AS grp, count(*) AS cnt,
+        |         CAST(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DECIMAL(18,6)) AS metric
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY n_name
+        |  UNION ALL
+        |  SELECT p_brand AS grp, count(*) AS cnt, CAST(sum(p_size) AS DECIMAL(18,6)) AS metric
+        |  FROM part GROUP BY p_brand
+        |) ORDER BY grp""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
