@@ -361,15 +361,21 @@ object SparkEntry {
 
   // ---- analytics (bench headliners; decimal-exact) --------------------
 
+  /** Money columns are exchanged as integer cents (×100 / ×10000): per-row
+    * `round(x*scale)` is bit-identical in Spark and DuckDB (IEEE mult, then
+    * half-away-from-zero on an exactly-representable .5 boundary), and BIGINT
+    * sums are order-independent — unlike double sums or double→DECIMAL casts,
+    * whose rounding is representation-sensitive across engines.
+    */
   private def qQ1Agg(spark: SparkSession, sfDir: String): DataFrame = {
     val li = t(spark, sfDir, "lineitem")
     li.filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_base_price"),
-        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-          (lit(1) - col("l_discount").cast(DecimalType(18, 2)))).cast(DecimalType(18, 4)).as("sum_disc_price"),
+        sum(round(col("l_quantity") * 100, 0).cast(LongType)).as("sum_qty_c"),
+        sum(round(col("l_extendedprice") * 100, 0).cast(LongType)).as("sum_base_price_c"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000, 0)
+          .cast(LongType)).as("sum_disc_price_c4"),
         count(lit(1)).as("count_order")
       )
       .orderBy("l_returnflag", "l_linestatus")
@@ -425,14 +431,14 @@ object SparkEntry {
     val bySupplier = s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("suppliers"),
-        sum(col("s_acctbal").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("acctbal"))
+        sum(round(col("s_acctbal") * 100, 0).cast(LongType)).as("acctbal_c"))
     val parts = p.groupBy(col("p_brand"))
       .agg(count(lit(1)).as("parts"),
-        sum(col("p_size")).cast(DecimalType(18, 6)).as("size_sum"))
+        (sum(col("p_size")) * 100).cast(LongType).as("size_c"))
     bySupplier.select(col("n_name").as("grp"), col("suppliers").as("cnt"),
-        col("acctbal").cast(DecimalType(18, 6)).as("metric"))
+        col("acctbal_c").as("metric_c"))
       .unionByName(parts.select(col("p_brand").as("grp"), col("parts").as("cnt"),
-        col("size_sum").as("metric")))
+        col("size_c").as("metric_c")))
       .orderBy("grp")
   }
 
@@ -441,7 +447,7 @@ object SparkEntry {
     val w = Window.partitionBy("user_id").orderBy("event_id")
     t(spark, sfDir, "events")
       .select(col("user_id"), col("event_id"),
-        sum(col("value").cast(DecimalType(18, 2))).over(w).cast(DecimalType(18, 2)).as("running_value"))
+        sum(round(col("value") * 100, 0).cast(LongType)).over(w).as("running_value_c"))
       .orderBy("user_id", "event_id")
   }
 
@@ -687,23 +693,23 @@ object SparkEntry {
         |  SELECT max(epoch_us(ts)) AS mt FROM events GROUP BY user_id % 4)""".stripMargin,
     "agg_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS events,
-        |       sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS big_values
+        |       CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS big_values
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "part_supplier" ->
       """SELECT * FROM (
         |  SELECT n_name AS grp, count(*) AS cnt,
-        |         CAST(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DECIMAL(18,6)) AS metric
+        |         CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS metric_c
         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |  GROUP BY n_name
         |  UNION ALL
-        |  SELECT p_brand AS grp, count(*) AS cnt, CAST(sum(p_size) AS DECIMAL(18,6)) AS metric
+        |  SELECT p_brand AS grp, count(*) AS cnt, CAST(sum(p_size) * 100 AS BIGINT) AS metric_c
         |  FROM part GROUP BY p_brand
         |) ORDER BY grp""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_c4,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -734,7 +740,8 @@ object SparkEntry {
         |ORDER BY revenue DESC, n_name""".stripMargin,
     "window_running" ->
       """SELECT user_id, event_id,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id) AS DECIMAL(18,2)) AS running_value
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |       OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS running_value_c
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
