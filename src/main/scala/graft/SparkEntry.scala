@@ -230,9 +230,11 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
-  /** S1+S2+C7+C10: the full reference flow on kafka-shaped records —
+  /** S1+S2+C7+C10+R6: the full reference flow on kafka-shaped records —
     * JSON value payload → typed expansion → metadata injection → table,
     * with per-partition next-offsets committed (checked in unit tests).
+    * A synthetic tombstone (null value) rides along and must be skipped
+    * (R6), so the oracle is unchanged by its presence.
     */
   private def qIngestKafkaShaped(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = freshDir("ingest_kafka_shaped")
@@ -244,8 +246,14 @@ object SparkEntry {
       col("event_id").as("offset"),
       timestamp_micros(expr("ts div 1000")).as("timestamp")
     )
+    val tombstone = spark.range(1).select(
+      lit(null).cast(StringType).as("value"),
+      lit("events").as("topic"),
+      lit(0).as("partition"),
+      lit(Long.MaxValue / 2).as("offset"),
+      lit(null).cast(TimestampType).as("timestamp"))
     val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("events_k")), autoCreate = true)
-    Ingest.run(spark, kafka, 0L, cfg, transforms = Seq(
+    Ingest.run(spark, kafka.unionByName(tombstone), 0L, cfg, transforms = Seq(
       Transforms.jsonExpand("value"),
       Transforms.kafkaMetadata(nested = true)
     ))

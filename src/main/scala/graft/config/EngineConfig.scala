@@ -52,6 +52,11 @@ final case class EngineConfig(
     commitIntervalMs: Long = 300000L,
     /** retries for table create / schema update (IcebergSinkConfig.java:103-104) */
     createRetries: Int = 3,
+    /** R6 — skip kafka tombstones (null-value records). The reference always
+      * ignores them (`data/IcebergWriter.java:66-76`, with a TODO to make it
+      * configurable); here it is a flag with the reference behavior as
+      * default. */
+    tombstoneDrop: Boolean = true,
     /** approximation of write.target-file-size-bytes via records/file */
     maxRecordsPerFile: Long = 0L
 ) {
@@ -120,6 +125,7 @@ object EngineConfig {
       commitIntervalMs =
         props.get("iceberg.control.commit.interval-ms").map(_.toLong).getOrElse(300000L),
       createRetries = 3,
+      tombstoneDrop = bool("iceberg.tables.tombstone-drop-enabled", dflt = true),
       maxRecordsPerFile = props.get("write.target-file-records").map(_.toLong).getOrElse(0L)
     )
   }

@@ -52,9 +52,17 @@ object Routing {
         }
     }
 
-  /** R6 — tombstone filter: records with a null value column are skipped
-    * (`data/IcebergWriter.java:66-76`).
+  /** R6 — tombstone filter: kafka-shaped records (topic/partition/offset
+    * columns present) whose value column is null are skipped
+    * (`data/IcebergWriter.java:66-76` ignores null-value records).
+    * Callers compute offset bookkeeping on the UNFILTERED batch — the
+    * reference's worker tracks offsets for every consumed record,
+    * tombstones included.
     */
-  def dropTombstones(df: DataFrame, valueColumn: String = "value"): DataFrame =
-    if (df.columns.contains(valueColumn)) df.filter(col(valueColumn).isNotNull) else df
+  def dropTombstones(df: DataFrame, valueColumn: String = "value"): DataFrame = {
+    val cols = df.columns.toSet
+    if (Set("topic", "partition", "offset", valueColumn).subsetOf(cols))
+      df.filter(col(valueColumn).isNotNull)
+    else df
+  }
 }

@@ -35,7 +35,9 @@ object Ingest {
   ): Seq[TableResult] = {
     // SMT chain (C7-C10 style transforms), then R6 tombstone filter
     val transformed = transforms.foldLeft(batch)((d, t) => t(d))
-    val routed = Routing.route(transformed, config)
+    val filtered =
+      if (config.tombstoneDrop) Routing.dropTombstones(transformed) else transformed
+    val routed = Routing.route(filtered, config)
 
     // P6 / R1: one cached batch, N table writes
     val multi = routed.size > 1

@@ -54,9 +54,10 @@ object Transforms {
   }
 
   /** C7 — `JsonToMapTransform` (`transforms/JsonToMapTransform.java:61-129`),
-    * map mode (`json.root=false` handling): the JSON value becomes one
+    * map mode (`json.root=true`): the whole JSON value becomes one
     * `Map<String,String>` column named `payload`
-    * (`JsonToMapUtils` string-map fallback).
+    * (`JsonToMapUtils` string-map fallback). With `json.root=false` the
+    * reference infers per-field types instead — that is [[jsonExpand]].
     */
   def jsonToMap(jsonCol: String, outCol: String = "payload")(df: DataFrame): DataFrame =
     df.withColumn(outCol, from_json(col(jsonCol), MapType(StringType, StringType)))

@@ -102,6 +102,28 @@ class EndToEndSuite extends AnyFunSuite {
     assert(rows.length === 2 && rows(0).isNullAt(2))
   }
 
+  test("kafka tombstones are skipped but still advance offsets (IcebergWriter.java:66-76)") {
+    val wh = TestSpark.freshDir("e2e-tombstone")
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("t")), autoCreate = true)
+    val batch = Seq(
+      ("t", 0, 0L, """{"id":1}"""),
+      ("t", 0, 1L, null.asInstanceOf[String]), // tombstone
+      ("t", 1, 2L, """{"id":2}""")
+    ).toDF("topic", "partition", "offset", "value")
+    val results = Ingest.run(spark, batch, 0L, cfg,
+      transforms = Seq(graft.transforms.Transforms.jsonExpand("value")))
+    val table = IceTable.load(s"$wh/t")
+    assert(table.read(spark).select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // the tombstone's offset is still tracked (consumer moved past it)
+    assert(results.head.commit.get.offsets === Map("t-0" -> 2L, "t-1" -> 3L))
+    // config can disable the drop (reference TODO made configurable)
+    val wh2 = TestSpark.freshDir("e2e-tombstone-keep")
+    val cfg2 = cfg.copy(warehouse = wh2, tombstoneDrop = false)
+    Ingest.run(spark, batch, 0L, cfg2,
+      transforms = Seq(graft.transforms.Transforms.jsonExpand("value")))
+    assert(IceTable.load(s"$wh2/t").read(spark).count() === 3)
+  }
+
   test("engine config parses the reference property surface (IcebergSinkConfigTest parity)") {
     val cfg = EngineConfig.fromProperties("/tmp/wh", Map(
       "iceberg.tables" -> "db.tbl1, db.tbl2",

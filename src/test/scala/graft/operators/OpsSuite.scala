@@ -80,9 +80,14 @@ class RoutingSuite extends AnyFunSuite {
     assert(routed.map(_._1.name) === Seq("orders", "orders_eu", "shipments"))
   }
 
-  test("tombstone filter drops null-value records (R6)") {
-    val d = Seq((1, "x"), (2, null.asInstanceOf[String])).toDF("id", "value")
-    assert(Routing.dropTombstones(d).count() === 1)
+  test("tombstone filter drops null-value records on kafka-shaped batches only (R6)") {
+    val kafka = Seq(
+      ("t", 0, 0L, "x"), ("t", 0, 1L, null.asInstanceOf[String])
+    ).toDF("topic", "partition", "offset", "value")
+    assert(Routing.dropTombstones(kafka).count() === 1)
+    // non-kafka batch with a coincidental `value` column passes through
+    val plain = Seq((1, "x"), (2, null.asInstanceOf[String])).toDF("id", "value")
+    assert(Routing.dropTombstones(plain).count() === 2)
   }
 }
 
