@@ -1,0 +1,78 @@
+package graft.schema
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.types.{StructType, StructField}
+
+/** E4 — `schema.name-mapping.default` table property, the Iceberg name
+  * mapping the reference reads in `data/RecordConverter.java:100-103` and
+  * applies during field lookup (`:245-271`): incoming records may use any
+  * alias listed for a column and still land in it.
+  *
+  * Accepted JSON forms:
+  *  - Iceberg `NameMappingParser` format: a list of
+  *    `{"field-id": n, "names": [...], "fields": [...]}` entries. Field ids
+  *    are resolved against the table schema by fresh-assignment order —
+  *    each struct's direct fields are numbered first (root = 1..n), then
+  *    children are numbered recursively in field order, which is the id
+  *    layout Iceberg gives a newly created schema.
+  *  - a plain object `{"column": ["alias", ...], ...}` keyed directly by
+  *    top-level column name.
+  *
+  * The result maps target column name → aliases, consumed by
+  * [[graft.operators.Coercion.resolveField]]. Mapping entries for nested
+  * fields are resolved with dotted keys (`"s.a" -> aliases`) for callers
+  * that need them; top-level projection uses the top-level entries.
+  */
+object NameMapping {
+
+  private val mapper = new ObjectMapper()
+
+  def parse(json: String, schema: StructType): Map[String, Seq[String]] = {
+    val root = mapper.readTree(json)
+    if (root.isObject) {
+      root.properties().asScala.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map(_.asText).toSeq
+      }.toMap
+    } else if (root.isArray) {
+      val idToPath = assignFreshIds(schema)
+      val out = Map.newBuilder[String, Seq[String]]
+      def walk(entries: JsonNode): Unit =
+        entries.elements().asScala.foreach { e =>
+          if (e.has("field-id") && e.has("names")) {
+            val id = e.get("field-id").asInt
+            val names = e.get("names").elements().asScala.map(_.asText).toSeq
+            idToPath.get(id).filter(_ => names.nonEmpty).foreach(p => out += p -> names)
+          }
+          if (e.has("fields")) walk(e.get("fields"))
+        }
+      walk(root)
+      out.result()
+    } else Map.empty
+  }
+
+  /** Iceberg fresh-id assignment: number a struct's direct fields first,
+    * then recurse into each field in order. Returns id → dotted path
+    * (top-level fields have undotted paths).
+    */
+  private[schema] def assignFreshIds(schema: StructType): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    var next = 1
+    def struct(s: StructType, prefix: String): Unit = {
+      val ids = s.fields.map { f =>
+        val id = next; next += 1
+        out += id -> (prefix + f.name)
+        (f, id)
+      }
+      ids.foreach { case (f: StructField, _) =>
+        f.dataType match {
+          case st: StructType => struct(st, prefix + f.name + ".")
+          case _              => ()
+        }
+      }
+    }
+    struct(schema, "")
+    out.result()
+  }
+}

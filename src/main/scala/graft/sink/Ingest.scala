@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.StructType
 
 import graft.config.{EngineConfig, TableConfig}
 import graft.operators.{CdcOps, Coercion, Routing}
-import graft.schema.SchemaEvolution
+import graft.schema.{NameMapping => SchemaNameMapping, SchemaEvolution}
 import graft.table.{Commit, IceTable, TableMeta}
 
 /** The per-micro-batch ingestion pipeline — Spark-native equivalent of the
@@ -115,6 +115,13 @@ object Ingest {
         .foreach(table.evolveTo(_))
     }
 
+    // E4 — `schema.name-mapping.default` table property → alias lookup
+    // during projection (RecordConverter.java:100-103,252-271)
+    val nameMapping = table.meta.props
+      .get("schema.name-mapping.default")
+      .map(SchemaNameMapping.parse(_, table.schema))
+      .getOrElse(Map.empty[String, Seq[String]])
+
     val cdcMode = config.cdcField.isDefined || config.upsertMode
     if (cdcMode) {
       val keyCols = if (tconf.idColumns.nonEmpty) tconf.idColumns else config.defaultIdColumns
@@ -124,6 +131,7 @@ object Ingest {
         else monotonically_increasing_id()
       val prepared = tdf.withColumn(CdcOps.OpCol, op).withColumn(CdcOps.OrdCol, ord)
       val coerced = Coercion.project(prepared, table.schema,
+        nameMapping = nameMapping,
         caseInsensitive = config.schemaCaseInsensitive,
         extraCols = Seq(CdcOps.OpCol, CdcOps.OrdCol))
       val (data, deleteKeys) = CdcOps.resolveBatch(coerced, keyCols)
@@ -131,6 +139,7 @@ object Ingest {
         offsets = offsets, vtts = vtts, maxRecordsPerFile = config.maxRecordsPerFile)
     } else {
       val coerced = Coercion.project(tdf, table.schema,
+        nameMapping = nameMapping,
         caseInsensitive = config.schemaCaseInsensitive)
       IceTableWriter.append(spark, coerced, table, batchId,
         offsets = offsets, vtts = vtts, maxRecordsPerFile = config.maxRecordsPerFile)

@@ -124,6 +124,19 @@ class EndToEndSuite extends AnyFunSuite {
     assert(IceTable.load(s"$wh2/t").read(spark).count() === 3)
   }
 
+  test("schema.name-mapping.default table property maps aliased fields (RecordConverter.java:100-103)") {
+    import org.apache.spark.sql.types._
+    val wh = TestSpark.freshDir("e2e-namemapping")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    IceTable.create(s"$wh/t", schema,
+      graft.table.TableMeta(props = Map(
+        "schema.name-mapping.default" -> """[ {"field-id": 1, "names": ["legacy_id"]} ]""")))
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("t")))
+    Ingest.run(spark, Seq((7L, "x")).toDF("legacy_id", "name"), 0L, cfg)
+    val rows = IceTable.load(s"$wh/t").read(spark).as[(Long, String)].collect().toSeq
+    assert(rows === Seq((7L, "x")))
+  }
+
   test("engine config parses the reference property surface (IcebergSinkConfigTest parity)") {
     val cfg = EngineConfig.fromProperties("/tmp/wh", Map(
       "iceberg.tables" -> "db.tbl1, db.tbl2",

@@ -119,6 +119,41 @@ class CoercionSuite extends AnyFunSuite {
     assert(r.getLong(0) === 7L)
   }
 
+  test("Iceberg name-mapping JSON resolves by field id (RecordConverterTest.testNameMapping)") {
+    import graft.schema.NameMapping
+    val schema = StructType(Seq(StructField("ii", IntegerType), StructField("ff", FloatType)))
+    // NameMapping.of(MappedField.of(1, ["renamed_ii"])) as NameMappingParser.toJson emits it
+    val json = """[ { "field-id": 1, "names": ["renamed_ii"] } ]"""
+    val mapping = NameMapping.parse(json, schema)
+    assert(mapping === Map("ii" -> Seq("renamed_ii")))
+    val src = Seq((123, 1.5f)).toDF("renamed_ii", "ff")
+    val r = Coercion.project(src, schema, nameMapping = mapping).head()
+    assert(r.getInt(0) === 123 && r.getFloat(1) === 1.5f)
+  }
+
+  test("name-mapping fresh-id assignment numbers direct fields before children") {
+    import graft.schema.NameMapping
+    val schema = StructType(Seq(
+      StructField("a", IntegerType),
+      StructField("s", StructType(Seq(StructField("x", IntegerType), StructField("y", IntegerType)))),
+      StructField("b", StringType)))
+    val json =
+      """[ {"field-id": 1, "names": ["a_old"]},
+        |  {"field-id": 2, "names": [], "fields": [
+        |     {"field-id": 4, "names": ["x_old"]} ]},
+        |  {"field-id": 3, "names": ["b_old", "b_older"]} ]""".stripMargin
+    val mapping = NameMapping.parse(json, schema)
+    assert(mapping === Map("a" -> Seq("a_old"), "s.x" -> Seq("x_old"),
+      "b" -> Seq("b_old", "b_older")))
+  }
+
+  test("plain-object name-mapping form is accepted") {
+    import graft.schema.NameMapping
+    val schema = StructType(Seq(StructField("id", LongType)))
+    assert(NameMapping.parse("""{"id": ["legacy_id"]}""", schema) ===
+      Map("id" -> Seq("legacy_id")))
+  }
+
   test("unmatched target fields become null; extra source fields dropped (R5)") {
     val src = Seq((1L, "drop-me")).toDF("id", "extra")
     val target = StructType(Seq(StructField("id", LongType), StructField("absent", StringType)))
