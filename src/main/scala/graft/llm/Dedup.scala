@@ -205,27 +205,50 @@ object Dedup {
   /** Embedding near-dup pairs: cosine ≥ threshold over normalized vectors.
     * `lshBits > 0` switches to random-hyperplane bucketing (sign-bit
     * signatures), bounding the self-join at scale; 0 = exact brute pairs.
+    *
+    * `lshTables` is the standard recall amplifier: L independent plane
+    * sets, a pair is a candidate if it collides in ANY table, and every
+    * candidate is verified with the exact cosine — so extra tables add
+    * recall, never false positives. Size (bits, tables) to the threshold:
+    * sign-agreement probability per plane is 1 - θ/π, so high-similarity
+    * dedup (≥0.9) needs few tables while moderate thresholds need more
+    * tables or fewer bits.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      lshBits: Int = 0
+      lshBits: Int = 0,
+      lshTables: Int = 1
   ): DataFrame = {
     val v = df.select(col(idCol).as("id"), Similarity.normalize(col(vecCol)).as("v"))
-    val joined =
-      if (lshBits <= 0) {
-        v.alias("a").join(v.alias("b"), col("a.id") < col("b.id"))
-      } else {
-        val planes = Similarity.hyperplaneSignature(col("v"), lshBits)
-        val sigged = v.withColumn("sig", planes)
-        sigged.alias("a")
-          .join(sigged.alias("b"), col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-      }
-    joined
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Similarity.dot(col("a.v"), col("b.v")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    if (lshBits <= 0) {
+      v.alias("a").join(v.alias("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          Similarity.dot(col("a.v"), col("b.v")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    } else {
+      // vectors are re-read by the candidate-verify join — materialize the
+      // normalized form once (cluster scale: a persisted vector table)
+      val vv = v.localCheckpoint()
+      val sigged = vv.select(
+        col("id"),
+        explode(array((0 until math.max(1, lshTables)).map { t =>
+          struct(lit(t).as("t"),
+            Similarity.hyperplaneSignature(col("v"), lshBits, seed = 7 + t).as("sig"))
+        }: _*)).as("ts")
+      ).select(col("id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+      val candidates = sigged.alias("a")
+        .join(sigged.alias("b"), Seq("t", "sig"))
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      candidates
+        .join(vv.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+        .join(vv.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+        .select(col("id_a"), col("id_b"), Similarity.dot(col("v_a"), col("v_b")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    }
   }
 }

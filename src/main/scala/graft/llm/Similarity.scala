@@ -33,10 +33,11 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Sign-bit signature against `bits` deterministic pseudo-random
-    * hyperplanes (seeded per index): bucket key for cosine LSH.
+    * hyperplanes (seeded per index): bucket key for cosine LSH. `seed`
+    * varies the plane set — multi-table LSH uses one seed per table.
     */
-  def hyperplaneSignature(v: Column, bits: Int, dim: Int = 64): Column = {
-    val rnd = new scala.util.Random(7)
+  def hyperplaneSignature(v: Column, bits: Int, dim: Int = 64, seed: Long = 7): Column = {
+    val rnd = new scala.util.Random(seed)
     val planes = Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
     val bitsCols: Seq[Column] = planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(x => lit(x)).toIndexedSeq: _*)
