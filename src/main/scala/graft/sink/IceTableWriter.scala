@@ -84,11 +84,14 @@ object IceTableWriter {
     }
     // cluster rows by partition value before the fan-out write: without
     // this every task can hold every partition (tasks × partitions tiny
-    // files); with it each partition lands in few tasks — fewer, larger
-    // files, which is also the right shape at cluster scale
+    // files). A plain hash repartition caps a partition value at ONE task
+    // (a hot day/type serializes the batch at scale), so use AQE rebalance
+    // instead: same clustering, but skewed partition values are split
+    // across tasks by mapper range and tiny ones are coalesced — the
+    // files-per-partition budget is advisoryPartitionSizeInBytes.
     val withParts =
       if (transforms.isEmpty) withParts0
-      else withParts0.repartition(transforms.map(t => col(t.writeName)): _*)
+      else withParts0.hint("rebalance", transforms.map(t => col(t.writeName)): _*)
     var w = withParts.write.format(meta.format).mode("append")
     if (transforms.nonEmpty) w = w.partitionBy(transforms.map(_.writeName): _*)
     if (maxRecords > 0) w = w.option("maxRecordsPerFile", maxRecords)

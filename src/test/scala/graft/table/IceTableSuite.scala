@@ -132,6 +132,32 @@ class IceTableSuite extends AnyFunSuite {
     assert(c.commitId.nonEmpty)
   }
 
+  test("P2: a hot partition value is split across tasks (rebalance skew split)") {
+    val dir = TestSpark.freshDir("t-skew")
+    val pschema = StructType(Seq(
+      StructField("id", LongType), StructField("cat", StringType),
+      StructField("payload", StringType)))
+    val t = IceTable.create(dir, pschema, TableMeta(partitionBy = Seq("cat")))
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864b")
+    try {
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536b")
+      // one hot cat (~3 MB of payload) + two cold ones
+      val hot = spark.range(20000).select(col("id"),
+        lit("hot").as("cat"),
+        concat(lit("x" * 150), col("id").cast(StringType)).as("payload"))
+      val cold = spark.range(20).select((col("id") + 100000L).as("id"),
+        concat(lit("cold"), (col("id") % 2).cast(StringType)).as("cat"),
+        lit("y").as("payload"))
+      IceTableWriter.append(spark, hot.unionByName(cold), t, batchId = 0)
+      val byPart = t.log.commits().head.dataFiles.groupBy(_.partition("cat"))
+      // >1 task served the hot partition value; cold values stayed compact
+      assert(byPart("hot").size > 1, s"hot files: ${byPart("hot").size}")
+      assert(byPart.keySet === Set("hot", "cold0", "cold1"))
+      assert(t.read(spark).count() === 20020)
+    } finally conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", saved)
+  }
+
   test("P5: ORC file format end-to-end (write.format.default parity)") {
     val dir = TestSpark.freshDir("t-orc")
     val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id"), format = "orc"))
