@@ -32,13 +32,17 @@ object IceTableWriter {
   /** Append `df` (already coerced to the table schema) as a new commit.
     * Returns None if `batchId` was already committed (replayed batch).
     */
+  /** `offsets`/`vtts` are by-name: when bookkeeping rides the write job as
+    * an observe metric (see [[Ingest.run]]), it only resolves after the
+    * write action — so they are evaluated here between write and publish.
+    */
   def append(
       spark: SparkSession,
       df: DataFrame,
       table: IceTable,
       batchId: Long,
-      offsets: Map[String, Long] = Map.empty,
-      vtts: Option[Long] = None,
+      offsets: => Map[String, Long] = Map.empty,
+      vtts: => Option[Long] = None,
       props: Map[String, String] = Map.empty,
       maxRecordsPerFile: Long = 0L,
       compaction: Boolean = false
@@ -57,8 +61,8 @@ object IceTableWriter {
       deleteKeysDf: DataFrame,
       table: IceTable,
       batchId: Long,
-      offsets: Map[String, Long] = Map.empty,
-      vtts: Option[Long] = None,
+      offsets: => Map[String, Long] = Map.empty,
+      vtts: => Option[Long] = None,
       props: Map[String, String] = Map.empty,
       maxRecordsPerFile: Long = 0L
   ): Option[Commit] = {
@@ -98,18 +102,47 @@ object IceTableWriter {
     w.save(outDir.toString)
 
     val files = listDataFiles(outDir, meta.format)
-    // footer reads are driver-side: run them in parallel (one open per file)
-    val entries = new java.util.concurrent.ConcurrentLinkedQueue[FileEntry]()
-    files.asJava.parallelStream().forEach { p =>
-      entries.add(FileEntry(
+    val rows = rowCounts(df.sparkSession, files, meta.format)
+    files.map { p =>
+      FileEntry(
         path = p.toString,
-        rows = rowCount(p, meta.format),
+        rows = rows(p.toString),
         schemaVersion = schemaVersion,
         partition = partitionValues(outDir, p, transforms)
-      ))
+      )
     }
-    entries.asScala.toSeq.sortBy(_.path)
   }
+
+  /** Per-file row counts from parquet footers. Small commits read on the
+    * driver (parallel, one open per file — no job overhead); large commits
+    * run a metadata-only Spark job so the driver never serializes on
+    * thousands of footer opens (the per-file stats collection pattern used
+    * by table-format migration jobs).
+    */
+  private val DriverFooterLimit = 64
+
+  private def rowCounts(
+      spark: SparkSession,
+      files: Seq[Path],
+      format: String
+  ): Map[String, Long] =
+    if (files.size <= DriverFooterLimit) {
+      val out = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+      files.asJava.parallelStream().forEach { p =>
+        out.put(p.toString, rowCount(p, format))
+      }
+      out.asScala.map { case (k, v) => k -> v.longValue() }.toMap
+    } else {
+      val fmt = format
+      val paths = files.map(_.toString)
+      import org.apache.spark.sql.{Encoders => E}
+      spark
+        .createDataset(paths)(E.STRING)
+        .repartition(math.min(paths.size, 512))
+        .map(p => (p, rowCount(Paths.get(p), fmt)))(E.tuple(E.STRING, E.scalaLong))
+        .collect()
+        .toMap
+    }
 
   private def writeDeleteFiles(keysDf: DataFrame, table: IceTable): Seq[FileEntry] = {
     val meta = table.meta

@@ -35,18 +35,40 @@ object Ingest {
   ): Seq[TableResult] = {
     // SMT chain (C7-C10 style transforms), then R6 tombstone filter
     val transformed = transforms.foldLeft(batch)((d, t) => t(d))
+
+    // S2/K11 — offset + VTTS bookkeeping rides the WRITE job as an
+    // `observe` metric (one pass over the batch, like the reference worker
+    // tracking offsets inline on its write path) instead of a separate
+    // aggregation scan. The observe node sits ABOVE the tombstone filter,
+    // so bookkeeping sees tombstones (the consumer moved past them), and
+    // ABOVE the route filters, so any table's write evaluates the full
+    // batch through it.
+    val kafkaShaped = Set("topic", "partition", "offset").subsetOf(transformed.columns.toSet)
+    val (observed, bookkeeping): (DataFrame, () => (Map[String, Long], Option[Long])) =
+      if (!kafkaShaped) (transformed, () => (Map.empty, None))
+      else {
+        val obs = org.apache.spark.sql.Observation(s"graft_offsets_$batchId")
+        val hasTs = transformed.schema.fields
+          .find(_.name == "timestamp")
+          .exists(_.dataType.typeName == "timestamp")
+        val tsCol = if (hasTs) unix_micros(col("timestamp")) else lit(null).cast("long")
+        val o = transformed.observe(obs,
+          graft.functions.OffsetsAgg(
+            col("topic"), col("partition"), col("offset").cast("long"), tsCol).as("offsets"))
+        (o, () => fromObservation(obs))
+      }
+
     val filtered =
-      if (config.tombstoneDrop) Routing.dropTombstones(transformed) else transformed
+      if (config.tombstoneDrop) Routing.dropTombstones(observed) else observed
     val routed = Routing.route(filtered, config)
 
     // P6 / R1: one cached batch, N table writes
     val multi = routed.size > 1
-    if (multi) transformed.persist()
+    if (multi) filtered.persist()
     try {
-      val (offsets, vtts) = offsetsAndVtts(transformed)
       if (!multi) {
         routed.map { case (tconf, tdf) =>
-          TableResult(tconf.name, writeTable(spark, tdf, batchId, tconf, config, offsets, vtts))
+          TableResult(tconf.name, writeTable(spark, tdf, batchId, tconf, config, bookkeeping))
         }
       } else {
         // K10 — multi-table parallel commit (`channel/Coordinator.doCommit
@@ -60,14 +82,28 @@ object Ingest {
         try {
           val fs = routed.map { case (tconf, tdf) =>
             Future(TableResult(tconf.name,
-              writeTable(spark, tdf, batchId, tconf, config, offsets, vtts)))
+              writeTable(spark, tdf, batchId, tconf, config, bookkeeping)))
           }
           Await.result(Future.sequence(fs), Duration.Inf)
         } finally pool.shutdown()
       }
     } finally {
-      if (multi) { transformed.unpersist(); () }
+      if (multi) { filtered.unpersist(); () }
     }
+  }
+
+  /** Decode the [[graft.functions.OffsetsAgg]] observe metric into
+    * (next-offsets, vtts). Blocks until the first job over the observed
+    * plan completes — callers resolve it only after a write action.
+    */
+  private def fromObservation(
+      obs: org.apache.spark.sql.Observation): (Map[String, Long], Option[Long]) = {
+    val m = obs.get("offsets").asInstanceOf[scala.collection.Map[String, org.apache.spark.sql.Row]]
+    val offsets = m.map { case (k, r) => k -> (r.getLong(0) + 1L) }.toMap
+    val vtts =
+      if (m.isEmpty || m.values.exists(_.isNullAt(1))) None
+      else Some(m.values.map(_.getLong(1)).min)
+    (offsets, vtts)
   }
 
   def tablePath(config: EngineConfig, name: String): String =
@@ -79,8 +115,7 @@ object Ingest {
       batchId: Long,
       tconf: TableConfig,
       config: EngineConfig,
-      offsets: Map[String, Long],
-      vtts: Option[Long]
+      bookkeeping: () => (Map[String, Long], Option[Long])
   ): Option[Commit] = {
     val path = tablePath(config, tconf.name)
     val incomingSchema = dataSchema(tdf.schema)
@@ -136,13 +171,15 @@ object Ingest {
         extraCols = Seq(CdcOps.OpCol, CdcOps.OrdCol))
       val (data, deleteKeys) = CdcOps.resolveBatch(coerced, keyCols)
       IceTableWriter.delta(spark, data, deleteKeys, table, batchId,
-        offsets = offsets, vtts = vtts, maxRecordsPerFile = config.maxRecordsPerFile)
+        offsets = bookkeeping()._1, vtts = bookkeeping()._2,
+        maxRecordsPerFile = config.maxRecordsPerFile)
     } else {
       val coerced = Coercion.project(tdf, table.schema,
         nameMapping = nameMapping,
         caseInsensitive = config.schemaCaseInsensitive)
       IceTableWriter.append(spark, coerced, table, batchId,
-        offsets = offsets, vtts = vtts, maxRecordsPerFile = config.maxRecordsPerFile)
+        offsets = bookkeeping()._1, vtts = bookkeeping()._2,
+        maxRecordsPerFile = config.maxRecordsPerFile)
     }
   }
 
@@ -152,30 +189,4 @@ object Ingest {
   private def dataSchema(s: StructType): StructType =
     StructType(s.fields.filterNot(f => f.name.startsWith("__graft_")))
 
-  /** S2 + K11 — per-partition next-offset bookkeeping
-    * (`channel/Worker.save:89-101`: max offset + 1) and the VTTS watermark
-    * (`channel/CommitState.vtts:155-178`: min over partitions of max record
-    * timestamp; null if any partition has no timestamp). Computed only for
-    * kafka-shaped batches (topic/partition/offset columns present).
-    */
-  private[graft] def offsetsAndVtts(df: DataFrame): (Map[String, Long], Option[Long]) = {
-    val cols = df.columns.toSet
-    if (!Set("topic", "partition", "offset").subsetOf(cols)) return (Map.empty, None)
-    val hasTs = cols.contains("timestamp")
-    val off = col("offset").cast("long")
-    val aggCols =
-      if (hasTs) Seq(max(off).as("mo"), max(col("timestamp")).as("mt"))
-      else Seq(max(off).as("mo"))
-    val rows = df.groupBy(col("topic"), col("partition")).agg(aggCols.head, aggCols.tail: _*).collect()
-    val offsets = rows.map { r =>
-      s"${r.get(0)}-${r.get(1)}" -> (r.getAs[Long]("mo") + 1L)
-    }.toMap
-    val vtts =
-      if (!hasTs || rows.isEmpty || rows.exists(_.isNullAt(rows.head.fieldIndex("mt")))) None
-      else {
-        val minMax = rows.map(r => r.getAs[java.sql.Timestamp]("mt")).minBy(_.getTime)
-        Some(minMax.getTime * 1000L + (minMax.getNanos / 1000) % 1000)
-      }
-    (offsets, vtts)
-  }
 }

@@ -49,6 +49,39 @@ class PlanAndOffsetsSuite extends AnyFunSuite {
     assert(c.vtts === Some(expected))
   }
 
+  test("append commit runs ONE Spark job: bookkeeping rides the write via observe (K4)") {
+    val wh = TestSpark.freshDir("one-job")
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("t")), autoCreate = true)
+    val batch = Seq(
+      ("t", 0, 5L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+      ("t", 1, 6L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "b")
+    ).toDF("topic", "partition", "offset", "timestamp", "value")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // listener events are async: settle = no count change for 500 ms
+    def settle(): Int = {
+      var last = -1
+      var cur = jobs.get()
+      while (cur != last) { last = cur; Thread.sleep(500); cur = jobs.get() }
+      cur
+    }
+    settle() // flush pending events from earlier tests
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      jobs.set(0)
+      Ingest.run(spark, batch, 0L, cfg)
+      val n = settle()
+      assert(n === 1, s"append commit ran $n jobs, expected 1")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the single job still produced correct bookkeeping
+    val c = IceTable.load(s"$wh/t").log.commits().head
+    assert(c.offsets === Map("t-0" -> 6L, "t-1" -> 7L))
+  }
+
   test("VTTS is null when a partition has no timestamp (CommitState.vtts null case)") {
     val wh = TestSpark.freshDir("vtts-null")
     val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("t")), autoCreate = true)
