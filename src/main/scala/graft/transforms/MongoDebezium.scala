@@ -25,33 +25,63 @@ import org.apache.spark.sql.types._
   * Mongo Java driver (`MongoDataConverter.java:43-260`); this container
   * has no BSON library, so values ride their JSON representations and
   * types come from JSON inference — the dataflow shape (patch merge,
-  * image selection, typed promotion) is the same.
+  * image selection, typed promotion) is the same. The common extended-JSON
+  * scalar wrappers are unwrapped before inference (see
+  * [[unwrapExtendedJson]]), so `$oid`/`$numberLong`/`$numberInt`/
+  * `$numberDecimal`/`$date` surface as scalars rather than structs,
+  * matching the reference's typed dispatch for those types.
   */
 object MongoDebezium {
+
+  /** Rewrite BSON extended-JSON scalar wrappers to plain JSON scalars
+    * (`MongoDataConverter.java` OBJECT_ID/INT64/INT32/DECIMAL128/DATE_TIME
+    * arms): `{"$oid":"x"}` → `"x"`, `{"$numberLong":"1004"}` → 1004,
+    * `{"$numberInt":"5"}` → 5, `{"$numberDecimal":"1.25"}` → 1.25,
+    * `{"$date": 1490716800000}` → the epoch-millis number (the engine's
+    * C6 coercion turns epoch millis into timestamps at the table
+    * boundary), `{"$date": "ISO"}` → the ISO string. Purely textual: a
+    * *string field* whose text happens to contain a wrapper is also
+    * rewritten — acceptable for JSON-domain SMT parity.
+    */
+  private[transforms] def unwrapExtendedJson(c: Column): Column = {
+    var e = c
+    e = regexp_replace(e, """\{\s*"\$oid"\s*:\s*"([0-9a-fA-F]+)"\s*\}""", "\"$1\"")
+    e = regexp_replace(e, """\{\s*"\$numberLong"\s*:\s*"(-?\d+)"\s*\}""", "$1")
+    e = regexp_replace(e, """\{\s*"\$numberInt"\s*:\s*"(-?\d+)"\s*\}""", "$1")
+    e = regexp_replace(e, """\{\s*"\$numberDecimal"\s*:\s*"(-?[0-9.eE+]+)"\s*\}""", "$1")
+    e = regexp_replace(e, """\{\s*"\$date"\s*:\s*(-?\d+)\s*\}""", "$1")
+    e = regexp_replace(e, """\{\s*"\$date"\s*:\s*"([^"]+)"\s*\}""", "\"$1\"")
+    e
+  }
 
   def mongoDebezium()(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
     val hasUpdate = df.columns.contains("updateDescription")
 
+    val beforeJ = unwrapExtendedJson(col("before"))
+    val afterJ = unwrapExtendedJson(col("after"))
+    val updJ =
+      if (hasUpdate) unwrapExtendedJson(col("updateDescription.updatedFields"))
+      else lit(null).cast(StringType)
+
     // infer one typed schema across every document image we may read
     val samples =
       if (hasUpdate)
-        df.select(explode(array(col("before"), col("after"),
-          col("updateDescription.updatedFields"))).as("j"))
-      else df.select(explode(array(col("before"), col("after"))).as("j"))
+        df.select(explode(array(beforeJ, afterJ, updJ)).as("j"))
+      else df.select(explode(array(beforeJ, afterJ)).as("j"))
     val schema = df.sparkSession.read
       .json(samples.filter(col("j").isNotNull).as[String]).schema
     val clean = StructType(schema.fields.filterNot(_.name.startsWith("_corrupt")))
 
-    val before = from_json(col("before"), clean)
-    val after = from_json(col("after"), clean)
+    val before = from_json(beforeJ, clean)
+    val after = from_json(afterJ, clean)
     val op = col("op")
     val removed =
       if (hasUpdate) coalesce(col("updateDescription.removedFields"),
         array().cast(ArrayType(StringType)))
       else array().cast(ArrayType(StringType))
     val upd =
-      if (hasUpdate) from_json(col("updateDescription.updatedFields"), clean)
+      if (hasUpdate) from_json(updJ, clean)
       else lit(null).cast(clean)
 
     val partialUpdate =

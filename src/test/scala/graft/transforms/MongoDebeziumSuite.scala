@@ -41,4 +41,40 @@ class MongoDebeziumSuite extends AnyFunSuite {
     assert(out(2).getLong(0) === 3L && out(2).getString(1) === "eve" && out(2).getString(4) === "D")
     assert(out(0).getString(5) === "appdb.users")
   }
+
+  test("extended-JSON scalars unwrap to typed values (shouldConvertCreateEvents golden)") {
+    // after-image is the reference's mongo_create_event_after.json fixture
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  ('c', CAST(NULL AS STRING),
+        |   '{"_id" : {"$numberLong" : "1004"},"first_name" : "Anne","last_name" : "Kretchmar","email" : "annek@noanswer.org"}',
+        |   named_struct('db', 'appdb', 'collection', 'customers'), CAST(1000 AS LONG))
+        |AS t(op, before, after, source, ts_ms)""".stripMargin)
+    val r = MongoDebezium.mongoDebezium()(df)
+      .select("_id", "first_name", "last_name", "email").head()
+    // MongoDataConverter INT64 arm: $numberLong "1004" → 1004L
+    assert(r.getLong(0) === 1004L)
+    assert(r.getString(1) === "Anne" && r.getString(2) === "Kretchmar")
+    assert(r.getString(3) === "annek@noanswer.org")
+  }
+
+  test("$oid, $date, $numberInt and $numberDecimal wrappers unwrap") {
+    val doc = """{"_id": {"$oid": "635019a078be67426d7cf4d2"},
+                 | "created": {"$date": 1490716800000},
+                 | "updated": {"$date": "2023-01-15T10:30:00Z"},
+                 | "count": {"$numberInt": "42"},
+                 | "price": {"$numberDecimal": "19.99"}}""".stripMargin.replace("\n", "")
+    val df = spark.sql(
+      s"""SELECT * FROM VALUES
+         |  ('c', CAST(NULL AS STRING), '$doc',
+         |   named_struct('db', 'appdb', 'collection', 'orders'), CAST(1000 AS LONG))
+         |AS t(op, before, after, source, ts_ms)""".stripMargin)
+    val r = MongoDebezium.mongoDebezium()(df)
+      .select("_id", "created", "updated", "count", "price").head()
+    assert(r.getString(0) === "635019a078be67426d7cf4d2") // OBJECT_ID arm → string
+    assert(r.getLong(1) === 1490716800000L) // DATE_TIME numeric → epoch millis (C6 coerces)
+    assert(r.getString(2) === "2023-01-15T10:30:00Z") // ISO form stays a parseable string
+    assert(r.getLong(3) === 42L) // INT32 arm (long under JSON inference)
+    assert(r.getDouble(4) === 19.99) // DECIMAL128 arm (double in the JSON domain)
+  }
 }
