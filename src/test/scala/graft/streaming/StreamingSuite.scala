@@ -41,6 +41,43 @@ class StreamingSuite extends AnyFunSuite {
     assert(new java.io.File(s"$ckpt/offsets").list().nonEmpty)
   }
 
+  test("commit-lifecycle listener reports started/commit-complete/terminated (K12)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val wh = TestSpark.freshDir("stream-listener")
+    val ckpt = TestSpark.freshDir("stream-listener-ckpt")
+    val cfg = EngineConfig(warehouse = wh,
+      tables = Seq(TableConfig("sink")), autoCreate = true)
+
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new IngestStream.CommitListener(events.add(_))
+    spark.streams.addListener(listener)
+    val ms = MemoryStream[Ev]
+    val q = IngestStream.start(ms.toDF(), cfg, ckpt, triggerMs = Some(50))
+    try {
+      ms.addData(Ev(1, 10, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(2, 11, "view", 2.0))
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination(10000)
+      // listener events are delivered async — settle briefly
+      val deadline = System.currentTimeMillis() + 10000
+      def lines = events.toArray(Array.empty[String]).toSeq
+      while (System.currentTimeMillis() < deadline &&
+        !lines.exists(_.contains("\"terminated\""))) Thread.sleep(100)
+      assert(lines.exists(_.contains(s"""{"event":"started","id":"${q.id}"""")))
+      // one commit-complete line per non-empty micro-batch, with row counts
+      val commits = lines.filter(_.contains("\"commit-complete\""))
+      assert(commits.exists(l => l.contains("\"batchId\":0") && l.contains("\"rows\":1")))
+      assert(commits.exists(l => l.contains("\"batchId\":1") && l.contains("\"rows\":1")))
+      assert(lines.exists(_.contains(s"""{"event":"terminated","id":"${q.id}"""")))
+    } finally {
+      if (q.isActive) q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("streaming CDC upsert: per-batch last-wins merge into the table") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
