@@ -80,6 +80,19 @@ object IceTableWriter {
     val uuid = java.util.UUID.randomUUID().toString
     val outDir = table.dir.resolve("data").resolve(uuid)
 
+    // P5 — `write.target-file-size-bytes` parity (Utilities.java:162-167):
+    // bytes-per-row is unknowable before the first file exists, so the cap
+    // is derived from the previous commit's recorded (rows, bytes) and
+    // applied as maxRecordsPerFile. First commit writes uncapped and seeds
+    // the estimate.
+    val effectiveMax =
+      if (maxRecords > 0) maxRecords
+      else
+        meta.props.get("write.target-file-size-bytes").map(_.toLong) match {
+          case Some(target) if target > 0 => estimatedRowsPerFile(table, target).getOrElse(0L)
+          case _                          => 0L
+        }
+
     val transforms = PartitionTransforms.parseSpec(meta.partitionBy, schema)
     // project to schema order, then add derived partition columns
     val base = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
@@ -98,40 +111,56 @@ object IceTableWriter {
       else withParts0.hint("rebalance", transforms.map(t => col(t.writeName)): _*)
     var w = withParts.write.format(meta.format).mode("append")
     if (transforms.nonEmpty) w = w.partitionBy(transforms.map(_.writeName): _*)
-    if (maxRecords > 0) w = w.option("maxRecordsPerFile", maxRecords)
+    if (effectiveMax > 0) w = w.option("maxRecordsPerFile", effectiveMax)
     w.save(outDir.toString)
 
     val files = listDataFiles(outDir, meta.format)
-    val rows = rowCounts(df.sparkSession, files, meta.format)
+    val stats = fileStats(df.sparkSession, files, meta.format)
     files.map { p =>
+      val (rows, bytes) = stats(p.toString)
       FileEntry(
         path = p.toString,
-        rows = rows(p.toString),
+        rows = rows,
         schemaVersion = schemaVersion,
-        partition = partitionValues(outDir, p, transforms)
+        partition = partitionValues(outDir, p, transforms),
+        bytes = bytes
       )
     }
   }
 
-  /** Per-file row counts from parquet footers. Small commits read on the
-    * driver (parallel, one open per file — no job overhead); large commits
-    * run a metadata-only Spark job so the driver never serializes on
-    * thousands of footer opens (the per-file stats collection pattern used
-    * by table-format migration jobs).
+  /** Rows-per-file cap that approximates `targetBytes` per file, from the
+    * most recent commit whose entries carry (rows, bytes) stats.
+    */
+  private def estimatedRowsPerFile(table: IceTable, targetBytes: Long): Option[Long] = {
+    val commits = table.log.commits()
+    commits.reverseIterator
+      .map(_.dataFiles.filter(f => f.rows > 0 && f.bytes > 0))
+      .find(_.nonEmpty)
+      .map { fs =>
+        val bytesPerRow = fs.map(_.bytes).sum.toDouble / fs.map(_.rows).sum.toDouble
+        math.max(1L, (targetBytes / bytesPerRow).toLong)
+      }
+  }
+
+  /** Per-file (rows, bytes) stats from parquet footers + fs metadata.
+    * Small commits read on the driver (parallel, one open per file — no
+    * job overhead); large commits run a metadata-only Spark job so the
+    * driver never serializes on thousands of footer opens (the per-file
+    * stats collection pattern used by table-format migration jobs).
     */
   private val DriverFooterLimit = 64
 
-  private def rowCounts(
+  private def fileStats(
       spark: SparkSession,
       files: Seq[Path],
       format: String
-  ): Map[String, Long] =
+  ): Map[String, (Long, Long)] =
     if (files.size <= DriverFooterLimit) {
-      val out = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+      val out = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
       files.asJava.parallelStream().forEach { p =>
-        out.put(p.toString, rowCount(p, format))
+        out.put(p.toString, (rowCount(p, format), Files.size(p)))
       }
-      out.asScala.map { case (k, v) => k -> v.longValue() }.toMap
+      out.asScala.toMap
     } else {
       val fmt = format
       val paths = files.map(_.toString)
@@ -139,8 +168,12 @@ object IceTableWriter {
       spark
         .createDataset(paths)(E.STRING)
         .repartition(math.min(paths.size, 512))
-        .map(p => (p, rowCount(Paths.get(p), fmt)))(E.tuple(E.STRING, E.scalaLong))
+        .map { p =>
+          val path = Paths.get(p)
+          (p, rowCount(path, fmt), Files.size(path))
+        }(E.tuple(E.STRING, E.scalaLong, E.scalaLong))
         .collect()
+        .map { case (p, r, b) => p -> (r, b) }
         .toMap
     }
 

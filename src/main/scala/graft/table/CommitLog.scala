@@ -16,7 +16,9 @@ final case class FileEntry(
     path: String,
     rows: Long,
     schemaVersion: Int,
-    partition: Map[String, String] = Map.empty
+    partition: Map[String, String] = Map.empty,
+    /** on-disk size; -1 for entries committed before sizes were recorded */
+    bytes: Long = -1L
 )
 
 /** A committed snapshot of an IceTable branch.

@@ -158,6 +158,23 @@ class IceTableSuite extends AnyFunSuite {
     } finally conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", saved)
   }
 
+  test("P5: write.target-file-size-bytes rolls files via the previous commit's stats") {
+    val dir = TestSpark.freshDir("t-filesize")
+    val t = IceTable.create(dir, schema,
+      TableMeta(props = Map("write.target-file-size-bytes" -> "4096")))
+    val rows = (1L to 4000L).map(i => (i, s"name_$i", i * 1.5))
+    // first commit: no estimate yet — writes uncapped, seeds (rows, bytes)
+    IceTableWriter.append(spark, rows.toDF("id", "name", "v").coalesce(1), t, batchId = 0)
+    val c0 = t.log.commits().head
+    assert(c0.dataFiles.size === 1)
+    assert(c0.dataFiles.forall(f => f.bytes > 0 && f.rows === 4000L))
+    // second commit: rows-per-4KB estimated from commit 0 → multiple files
+    IceTableWriter.append(spark, rows.toDF("id", "name", "v").coalesce(1), t, batchId = 1)
+    val c1 = t.log.commits()(1)
+    assert(c1.dataFiles.size > 1, s"expected rolled files, got ${c1.dataFiles.size}")
+    assert(t.read(spark).count() === 8000L)
+  }
+
   test("P5: ORC file format end-to-end (write.format.default parity)") {
     val dir = TestSpark.freshDir("t-orc")
     val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id"), format = "orc"))
