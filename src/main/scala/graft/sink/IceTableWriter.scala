@@ -148,7 +148,7 @@ object IceTableWriter {
     * driver never serializes on thousands of footer opens (the per-file
     * stats collection pattern used by table-format migration jobs).
     */
-  private val DriverFooterLimit = 64
+  private val DriverFooterLimit = 512
 
   private def fileStats(
       spark: SparkSession,

@@ -10,38 +10,27 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.builder("local[32]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.1"
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
-    val withParts = ev
-      .withColumn("ts_t_day", date_format(col("ts_t"), "yyyy-MM-dd"))
-    println(s"rows=${ev.count()} partitions=${withParts.select("ts_t_day", "event_type").distinct().count()}")
-
-    def time(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // recall check at oracle scales
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val brute = graft.llm.Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.45)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for ((bits, tables) <- Seq((5, 24), (5, 32), (6, 32))) {
+        val lsh = graft.llm.Dedup
+          .embeddingNearDupPairs(e, "vec_id", "embedding", 0.45, lshBits = bits, lshTables = tables)
+          .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(s"$sf bits=$bits tables=$tables brute=${brute.size} " +
+          s"missed=${(brute -- lsh).size} extra=${(lsh -- brute).size}")
+      }
     }
-    def freshDir(tag: String): String = {
-      val d = java.nio.file.Files.createTempDirectory(s"scratch-$tag")
-      d.toFile.deleteOnExit(); d.toString
-    }
-    for (round <- 1 to 2) {
-      time(s"r$round repartition(parts)") {
-        withParts.repartition(col("ts_t_day"), col("event_type"))
-          .write.partitionBy("ts_t_day", "event_type").parquet(freshDir("a") + "/t")
-      }
-      time(s"r$round rebalance(parts)") {
-        withParts.hint("rebalance", "ts_t_day", "event_type")
-          .write.partitionBy("ts_t_day", "event_type").parquet(freshDir("b") + "/t")
-      }
-      time(s"r$round salt4") {
-        withParts.repartition((Seq(col("ts_t_day"), col("event_type")) :+
-          pmod(xxhash64(col("event_id")), lit(4))): _*)
-          .write.partitionBy("ts_t_day", "event_type").parquet(freshDir("c") + "/t")
-      }
-      time(s"r$round no-repart") {
-        withParts.write.partitionBy("ts_t_day", "event_type").parquet(freshDir("d") + "/t")
-      }
+    // timing at bench scale
+    val e1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    for ((bits, tables) <- Seq((5, 24), (5, 32), (6, 32)); round <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = graft.llm.Dedup
+        .embeddingNearDupPairs(e1, "vec_id", "embedding", 0.45, lshBits = bits, lshTables = tables)
+        .count()
+      println(f"sf0.1 bits=$bits tables=$tables r$round pairs=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -59,12 +59,12 @@ class DedupSuite extends AnyFunSuite {
     assert(lsh.subsetOf(brute))
   }
 
-  test("multi-table hyperplane LSH (4 bits x 32 tables) reaches recall 1 vs brute") {
+  test("multi-table hyperplane LSH (5 bits x 32 tables) reaches recall 1 vs brute") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.45)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val lsh = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.45,
-      lshBits = 4, lshTables = 32)
+      lshBits = 5, lshTables = 32)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh === brute) // exact-cosine verify ⇒ no false positives; tables ⇒ recall
     assert(brute.nonEmpty)
