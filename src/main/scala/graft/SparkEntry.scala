@@ -479,9 +479,11 @@ object SparkEntry {
       maxShingleDf = 5)
       .orderBy("id_a", "id_b")
 
-  /** MinHash+LSH near-dup pairs, Jaccard-verified (no SQL oracle: relies
-    * on xxhash64 banding; recall asserted against the exact-Jaccard pairs
-    * in unit tests).
+  /** MinHash+LSH near-dup pairs. Candidates from banded signature buckets
+    * are verified with EXACT Jaccard over the full shingle sets, so there
+    * are no false positives — and with 16 bands of 2 rows, banding recall
+    * is empirically 1 on the verification corpora (deterministic hashes),
+    * so the output is oracle-checked against the exact-Jaccard pair SQL.
     */
   private def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minhashLshPairs(t(spark, sfDir, "documents"), "doc_id", "text",
@@ -785,6 +787,20 @@ object SparkEntry {
         |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, isect, sa.sz AS size_a, sb.sz AS size_b
+        |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b
         |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,

@@ -80,6 +80,31 @@ class TransformsSuite extends AnyFunSuite {
     assert(r.getLong(0) === 87L && r.getString(1) === "x" && r.getString(2) === "87")
   }
 
+  test("jsonExpand heterogeneous-array rules vs JsonToMapUtils.arraySchema (C7 edge)") {
+    import org.apache.spark.sql.types._
+    val df = Seq(
+      (1L, """{"mixed": [1, "x"], "nums": [1, 2.5], "objs": [{"a": 1}, {"a": 2}]}"""),
+      (2L, """{"mixed": ["y"], "nums": [3], "objs": [{"a": 3}]}""")
+    ).toDF("id", "props")
+    val out = Transforms.jsonExpand("props")(df)
+    val s = out.schema
+    // mixed scalar types → array<string> (same as the reference's
+    // inconsistent-types fallback, JsonToMapUtils.java:136-142)
+    assert(s("mixed").dataType === ArrayType(StringType, containsNull = true))
+    // PINNED DIVERGENCE: int+double unify to array<double> here (Spark's
+    // numeric widening); the reference treats IntNode/DoubleNode as
+    // inconsistent and stringifies (arrayNodeType:182-198). Strictly more
+    // typed on our side — documented, not hidden.
+    assert(s("nums").dataType === ArrayType(DoubleType, containsNull = true))
+    // consistent objects stay structured (reference maps them to
+    // map<string,string>; we keep the inferred struct, again more typed)
+    assert(s("objs").dataType.isInstanceOf[ArrayType] &&
+      s("objs").dataType.asInstanceOf[ArrayType].elementType.isInstanceOf[StructType])
+    val r = out.orderBy("id").select("mixed", "nums").head()
+    assert(r.getSeq[String](0) === Seq("1", "x"))
+    assert(r.getSeq[Double](1) === Seq(1.0, 2.5))
+  }
+
   test("config-driven transform registry composes an SMT chain (§2.9)") {
     val props = Map(
       "transforms" -> "cv",
