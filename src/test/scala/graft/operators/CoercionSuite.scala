@@ -112,6 +112,51 @@ class CoercionSuite extends AnyFunSuite {
     assert(r.getLong(0) === 1L && r.getString(1) === "x")
   }
 
+  test("case-sensitive mode does not cross-match differently-cased fields (testCaseSensitivity)") {
+    val src = Seq((7L, "x")).toDF("ID", "name")
+    val target = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val insensitive = Coercion.project(src, target, caseInsensitive = true).head()
+    assert(insensitive.getLong(0) === 7L)
+    val sensitive = Coercion.project(src, target, caseInsensitive = false).head()
+    assert(sensitive.isNullAt(0)) // "ID" must not resolve to "id"
+    assert(sensitive.getString(1) === "x")
+  }
+
+  test("structs inside lists and maps convert element-wise (testStructValueInList/MapConvert)") {
+    val src = spark.sql(
+      """SELECT array(named_struct('a', '1', 'b', 2)) AS lst,
+        |       map('k', named_struct('a', '3', 'b', 4)) AS m""".stripMargin)
+    val inner = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
+    val target = StructType(Seq(
+      StructField("lst", ArrayType(inner)),
+      StructField("m", MapType(StringType, inner))))
+    val r = one(src, target)
+    val e0 = r.getSeq[org.apache.spark.sql.Row](0).head
+    assert(e0.getLong(0) === 1L && e0.getString(1) === "2")
+    val mv = r.getMap[String, org.apache.spark.sql.Row](1)("k")
+    assert(mv.getLong(0) === 3L && mv.getString(1) === "4")
+  }
+
+  test("timestamp-ntz from epoch millis and ISO string (testTimestampWithoutZoneConversion)") {
+    val src = Seq((1700000000000L, "2023-11-15T07:51:30.888")).toDF("epoch", "iso")
+    val target = StructType(Seq(
+      StructField("epoch", TimestampNTZType), StructField("iso", TimestampNTZType)))
+    val r = one(src, target)
+    assert(r.getAs[java.time.LocalDateTime](0) ===
+      java.time.LocalDateTime.ofEpochSecond(1700000000L, 0, java.time.ZoneOffset.UTC))
+    assert(r.getAs[java.time.LocalDateTime](1) ===
+      java.time.LocalDateTime.of(2023, 11, 15, 7, 51, 30, 888000000))
+  }
+
+  test("decimal from integer numbers (testDecimalConversion int arm)") {
+    val src = Seq((123, 45L)).toDF("i", "l")
+    val target = StructType(Seq(
+      StructField("i", DecimalType(10, 2)), StructField("l", DecimalType(10, 2))))
+    val r = one(src, target)
+    assert(r.getDecimal(0) === new java.math.BigDecimal("123.00"))
+    assert(r.getDecimal(1) === new java.math.BigDecimal("45.00"))
+  }
+
   test("name-mapping aliases resolve source fields (E4)") {
     val src = Seq((7L, "x")).toDF("legacy_id", "name")
     val target = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))

@@ -41,6 +41,39 @@ class StreamingSuite extends AnyFunSuite {
     assert(new java.io.File(s"$ckpt/offsets").list().nonEmpty)
   }
 
+  test("restart from checkpoint resumes without duplicating commits (S4/K8)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val wh = TestSpark.freshDir("stream-restart")
+    val ckpt = TestSpark.freshDir("stream-restart-ckpt")
+    val cfg = EngineConfig(warehouse = wh,
+      tables = Seq(TableConfig("sink")), autoCreate = true)
+
+    val ms1 = MemoryStream[Ev]
+    val q1 = IngestStream.start(ms1.toDF(), cfg, ckpt, triggerMs = Some(50))
+    try {
+      ms1.addData(Ev(1, 10, "click", 1.0), Ev(2, 11, "view", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // second incarnation, same source + checkpoint: batch ids continue,
+    // nothing replays
+    ms1.addData(Ev(3, 12, "click", 3.0))
+    val q2 = IngestStream.start(ms1.toDF(), cfg, ckpt, triggerMs = Some(50))
+    try q2.processAllAvailable()
+    finally q2.stop()
+
+    val t = IceTable.load(s"$wh/sink")
+    assert(t.read(spark).select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // distinct, monotonically increasing batch ids — no duplicated commit
+    val batchIds = t.log.commits().map(_.batchId)
+    assert(batchIds === batchIds.distinct.sorted)
+    // replaying an already-committed batch id is fenced by the guard (K8)
+    val before = t.log.commits().size
+    graft.sink.Ingest.run(spark, Seq(Ev(99, 99, "click", 9.9)).toDF(), batchIds.last, cfg)
+    assert(IceTable.load(s"$wh/sink").log.commits().size === before)
+  }
+
   test("commit-lifecycle listener reports started/commit-complete/terminated (K12)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
