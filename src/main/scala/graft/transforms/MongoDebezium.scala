@@ -51,6 +51,21 @@ object MongoDebezium {
     e = regexp_replace(e, """\{\s*"\$numberDecimal"\s*:\s*"(-?[0-9.eE+]+)"\s*\}""", "$1")
     e = regexp_replace(e, """\{\s*"\$date"\s*:\s*(-?\d+)\s*\}""", "$1")
     e = regexp_replace(e, """\{\s*"\$date"\s*:\s*"([^"]+)"\s*\}""", "\"$1\"")
+    // BSON timestamp: seconds + increment → epoch millis (reference
+    // TIMESTAMP arm: new Date(1000L * ts.getTime())); ×1000 is literal
+    // zero-append on the integer seconds
+    e = regexp_replace(e,
+      """\{\s*"\$timestamp"\s*:\s*\{\s*"t"\s*:\s*(?<t>\d+)\s*,\s*"i"\s*:\s*\d+\s*\}\s*\}""",
+      "${t}000")
+    // binary → its base64 payload string (C5 coercion decodes base64 when
+    // the table column is binary); both the {"base64":…,"subType":…} and
+    // legacy {"$binary":…,"$type":…} forms
+    e = regexp_replace(e,
+      """\{\s*"\$binary"\s*:\s*\{\s*"base64"\s*:\s*"([^"]*)"\s*,\s*"subType"\s*:\s*"[^"]*"\s*\}\s*\}""",
+      "\"$1\"")
+    e = regexp_replace(e,
+      """\{\s*"\$binary"\s*:\s*"([^"]*)"\s*,\s*"\$type"\s*:\s*"[^"]*"\s*\}""",
+      "\"$1\"")
     e
   }
 

@@ -67,13 +67,18 @@ object Transforms {
     * :112-198`; Spark's JSON inference applies the same integral→long,
     * fractional→double, object→struct rules as `doInferIcebergType:296-352`).
     * Inferred fields are promoted to top level alongside existing columns.
+    *
+    * `inferLimit = 0` (default) infers from every record — exact parity,
+    * but a second full scan of the batch. At cluster scale set a limit:
+    * inference reads only the first N records (fields first appearing
+    * later in the batch parse as null for that batch and are picked up by
+    * schema evolution on the next one — the bounded-scan trade-off).
     */
-  def jsonExpand(jsonCol: String)(df: DataFrame): DataFrame = {
+  def jsonExpand(jsonCol: String, inferLimit: Int = 0)(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
-    val schema = df.sparkSession.read
-      .json(df.select(col(jsonCol).cast(StringType))
-        .filter(col(jsonCol).isNotNull).as[String])
-      .schema
+    val base = df.select(col(jsonCol).cast(StringType)).filter(col(jsonCol).isNotNull)
+    val sample = if (inferLimit > 0) base.limit(inferLimit) else base
+    val schema = df.sparkSession.read.json(sample.as[String]).schema
     val cleaned = StructType(schema.fields.filterNot(_.name.startsWith("_corrupt")))
     df.withColumn("__j", from_json(col(jsonCol), cleaned))
       .select(col("*") +: cleaned.fieldNames.toIndexedSeq.map(f => col(s"__j.$f").as(f)): _*)
@@ -162,7 +167,8 @@ object Transforms {
             }
           ) _
         case t if t.endsWith("JsonToMapTransform") =>
-          if (p("json.root").contains("true")) jsonToMap("value") _ else jsonExpand("value") _
+          if (p("json.root").contains("true")) jsonToMap("value") _
+          else jsonExpand("value", p("json.infer-limit").map(_.toInt).getOrElse(0)) _
         case t if t.endsWith("MongoDebeziumTransform") =>
           MongoDebezium.mongoDebezium() _
         case t if t.endsWith("DebeziumTransform") =>

@@ -58,6 +58,23 @@ class MongoDebeziumSuite extends AnyFunSuite {
     assert(r.getString(3) === "annek@noanswer.org")
   }
 
+  test("$timestamp and $binary wrappers unwrap (TIMESTAMP/BINARY arms)") {
+    val doc = """{"_id": 1, "ts": {"$timestamp": {"t": 1490716800, "i": 7}},
+                 | "blob": {"$binary": {"base64": "aGVsbG8=", "subType": "00"}},
+                 | "legacy": {"$binary": "d29ybGQ=", "$type": "00"}}"""
+      .stripMargin.replace("\n", "")
+    val df = spark.sql(
+      s"""SELECT * FROM VALUES
+         |  ('c', CAST(NULL AS STRING), '$doc',
+         |   named_struct('db', 'appdb', 'collection', 'blobs'), CAST(1000 AS LONG))
+         |AS t(op, before, after, source, ts_ms)""".stripMargin)
+    val r = MongoDebezium.mongoDebezium()(df)
+      .select("_id", "ts", "blob", "legacy").head()
+    assert(r.getLong(1) === 1490716800000L) // seconds*1000 (reference TIMESTAMP arm)
+    assert(r.getString(2) === "aGVsbG8=") // base64 payload; C5 decodes at the table
+    assert(r.getString(3) === "d29ybGQ=")
+  }
+
   test("$oid, $date, $numberInt and $numberDecimal wrappers unwrap") {
     val doc = """{"_id": {"$oid": "635019a078be67426d7cf4d2"},
                  | "created": {"$date": 1490716800000},
