@@ -60,11 +60,15 @@ object Ingest {
 
     val filtered =
       if (config.tombstoneDrop) Routing.dropTombstones(observed) else observed
-    val routed = Routing.route(filtered, config)
 
-    // P6 / R1: one cached batch, N table writes
-    val multi = routed.size > 1
-    if (multi) filtered.persist()
+    // P6 / R1: one cached batch, N table writes. Dynamic routing persists
+    // BEFORE discovery so its distinct-route-values job materializes the
+    // cache instead of being a throwaway extra scan of the source.
+    val dynamic = config.dynamicRouting && config.routeField.isDefined
+    if (dynamic) filtered.persist()
+    val routed = Routing.route(filtered, config)
+    val multi = routed.size > 1 || dynamic
+    if (multi && !dynamic) filtered.persist()
     try {
       if (!multi) {
         routed.map { case (tconf, tdf) =>
