@@ -230,6 +230,46 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Streaming windowed aggregation with a watermark — 1-day tumbling
+    * counts per event type over a real file stream, append mode: only
+    * windows closed by the final watermark (max event time − 1 h) are
+    * emitted, and the oracle states the same emission rule in SQL.
+    */
+  private def qStreamingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = t(spark, sfDir, "events").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val qn = s"stream_window_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = stream
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_t", "1 hour")
+      .groupBy(window(col("ts_t"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("day_us"), col("event_type"), col("cnt"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .option("checkpointLocation", freshDir("streaming_window_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn).orderBy("day_us", "event_type")
+  }
+
+  /** Typed sessionization: split each user's event stream at >30 min gaps
+    * (window-function formulation — one shuffle; streaming twin with
+    * flatMapGroupsWithState state in graft.streaming.Sessionize).
+    */
+  private def qSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    graft.operators.Sessionize.sessions(ev, "user_id", "ts_us")
+      .orderBy("user_id", "session_id")
+  }
+
   /** S1+S2+C7+C10+R6: the full reference flow on kafka-shaped records —
     * JSON value payload → typed expansion → metadata injection → table,
     * with per-partition next-offsets committed (checked in unit tests).
@@ -597,6 +637,8 @@ object SparkEntry {
       "ingest_kafka_shaped" -> wrap(qIngestKafkaShaped),
       "maintenance_compact" -> wrap(qMaintenanceCompact),
       "streaming_ingest" -> wrap(qStreamingIngest),
+      "streaming_window" -> wrap(qStreamingWindow),
+      "sessionize" -> wrap(qSessionize),
       "route_static" -> wrap(qRouteStatic),
       "route_dynamic" -> wrap(qRouteDynamic),
       "cdc_upsert" -> wrap(qCdcUpsert),
@@ -649,6 +691,28 @@ object SparkEntry {
       """SELECT event_id, user_id, value FROM events ORDER BY event_id""".stripMargin,
     "streaming_ingest" ->
       """SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id""".stripMargin,
+    "streaming_window" ->
+      """SELECT * FROM (
+        |  SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |WHERE day_us + 86400000000 <= (SELECT epoch_us(max(ts)) - 3600000000 FROM events)
+        |ORDER BY day_us, event_type""".stripMargin,
+    "sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        |  FROM m)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |       CAST(count(*) AS BIGINT) AS events
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
     "route_static" ->
       """SELECT * FROM (
         |  SELECT 'purchases' AS sink, event_id, event_type FROM events

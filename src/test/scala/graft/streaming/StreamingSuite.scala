@@ -111,6 +111,35 @@ class StreamingSuite extends AnyFunSuite {
     }
   }
 
+  test("flatMapGroupsWithState sessionization matches the batch operator on closed sessions") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val min = 60L * 1000 * 1000 // a minute in micros
+    // user 1: two sessions (gap 45 min); user 2: one session
+    val batch1 = Seq((1L, 0L * min), (1L, 10L * min), (2L, 5L * min))
+    val batch2 = Seq((1L, 55L * min), (1L, 60L * min), (2L, 20L * min))
+    val ms = MemoryStream[(Long, Long)]
+    val qn = "sessions_out"
+    val q = Sessionize.stream(ms.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table(qn)
+      .as[Session].collect().map(s => (s.user_id, s.session_id, s.start_us, s.end_us, s.events))
+      .toSet
+    // batch operator over the union sees the same sessions; the last
+    // session of each user is still open in the stream, so drop it
+    val all = graft.operators.Sessionize
+      .sessions((batch1 ++ batch2).toDF("user_id", "ts_us"), "user_id", "ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val lastPerUser = all.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expectClosed = all.filterNot(s => lastPerUser(s._1) == s._2).toSet
+    assert(closed === expectClosed)
+    assert(closed === Set((1L, 0L, 0L, 10L * min, 2L))) // the 45-min gap split
+  }
+
   test("streaming CDC upsert: per-batch last-wins merge into the table") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
