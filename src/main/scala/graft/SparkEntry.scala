@@ -570,7 +570,7 @@ object SparkEntry {
   private def qKnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = t(spark, sfDir, "embeddings")
     Similarity.ivfKnn(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5,
-      nCells = 16, nProbe = 4)
+      nCells = 16, nProbe = 4, kmeansIters = 1)
       .select("q_id", "rank", "n_id")
       .orderBy("q_id", "rank")
   }

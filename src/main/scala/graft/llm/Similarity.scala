@@ -74,10 +74,16 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN: assign vectors to the nearest of `nCells`
-    * deterministic centroids (the lowest-id vectors — a fixed coarse
-    * quantizer), then answer queries by probing the `nProbe` closest
-    * cells only. Returns the same shape as [[bruteForceKnn]]; recall
-    * depends on nProbe/nCells.
+    * centroids, then answer queries by probing the `nProbe` closest cells
+    * only. Returns the same shape as [[bruteForceKnn]]; recall depends on
+    * nProbe/nCells and centroid quality.
+    *
+    * The coarse quantizer seeds deterministically (the lowest-id vectors)
+    * and is optionally refined with `kmeansIters` Lloyd iterations —
+    * assign (broadcast join) + per-cell spherical mean (`dim` codegen'd
+    * column averages, one shuffle per iteration). Refinement happens once
+    * per index build; at cluster scale the assignment table would be the
+    * persisted IVF index.
     */
   def ivfKnn(
       corpus: DataFrame,
@@ -86,12 +92,25 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCells: Int = 16,
-      nProbe: Int = 4
+      nProbe: Int = 4,
+      kmeansIters: Int = 0,
+      dim: Int = 64
   ): DataFrame = {
-    val c = corpus.select(col(idCol).as("n_id"), normalize(col(vecCol)).as("n_vec"))
-    // deterministic coarse quantizer: first nCells vectors by id
-    val centroids = c.orderBy("n_id").limit(nCells)
+    val c0 = corpus.select(col(idCol).as("n_id"), normalize(col(vecCol)).as("n_vec"))
+    val c = if (kmeansIters > 0) c0.localCheckpoint() else c0
+    // deterministic seed: first nCells vectors by id
+    var centroids = c.orderBy("n_id").limit(nCells)
       .select(col("n_id").as("c_id"), col("n_vec").as("c_vec"))
+    for (_ <- 0 until kmeansIters) {
+      val w = Window.partitionBy("n_id").orderBy(col("c_sim").desc, col("c_id"))
+      val assigned0 = c.crossJoin(broadcast(centroids))
+        .withColumn("c_sim", dot(col("n_vec"), col("c_vec")))
+        .withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") === 1)
+      val means = assigned0.groupBy("c_id")
+        .agg(array((0 until dim).map(i => avg(col("n_vec").getItem(i))): _*).as("m"))
+      centroids = means.select(col("c_id"), normalize(col("m")).as("c_vec"))
+    }
     val cb = broadcast(centroids)
 
     // assign each corpus vector to its nearest centroid (one broadcast join)

@@ -94,6 +94,12 @@ class SimilaritySuite extends AnyFunSuite {
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.6, s"IVF recall too low: $recall")
+    // Lloyd-refined centroids must not lose recall vs the raw seed
+    val refined = Similarity.ivfKnn(emb, queries, "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 8, kmeansIters = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall2 = (brute & refined).size.toDouble / brute.size
+    assert(recall2 >= recall - 0.05, s"refined recall regressed: $recall2 vs $recall")
   }
 }
 
