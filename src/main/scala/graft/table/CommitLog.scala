@@ -52,34 +52,69 @@ final case class Commit(
   * loser reloads and retries (`data/SchemaUtils.applySchemaUpdates:85-132`
   * uses the same retry-on-conflict pattern for schema commits).
   *
-  * Scale note: at 100 TB the log is metadata only (file paths + stats);
+  * Scale notes: at 100 TB the log is metadata only (file paths + stats);
   * data files are never renamed (Iceberg-style "write once, reference by
   * path"), so commits are O(metadata), not O(data), and work on object
-  * stores without atomic directory rename.
+  * stores without atomic directory rename. The commit fast path reads
+  * O(1) files — seq comes from directory names, the replay guard from the
+  * last entry only — and every `checkpointInterval` commits the full log
+  * is consolidated into a `ckpt-v{seq}.json` so `commits()` reads one
+  * checkpoint plus the tail, never the whole history (Delta-checkpoint
+  * pattern; individual entries are kept for time travel/audit).
   */
-final class CommitLog(val root: Path) {
+final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
   import CommitLog.mapper
 
   Files.createDirectories(root)
 
   private def commitPath(seq: Long): Path = root.resolve(f"v$seq%09d.json")
+  private def ckptPath(seq: Long): Path = root.resolve(f"ckpt-v$seq%09d.json")
+
+  private def listNames(): Seq[String] =
+    Files.list(root).iterator().asScala.map(_.getFileName.toString).toSeq
+
+  private def seqOf(name: String, prefix: String): Long =
+    name.stripPrefix(prefix).stripPrefix("v").stripSuffix(".json").toLong
 
   def commits(): Seq[Commit] = {
     if (!Files.isDirectory(root)) return Nil
-    Files
-      .list(root)
-      .iterator()
-      .asScala
-      .filter(p => p.getFileName.toString.matches("v\\d+\\.json"))
-      .toSeq
-      .sortBy(_.getFileName.toString)
-      .map(p => mapper.readValue(Files.readAllBytes(p), classOf[Commit]))
+    val names = listNames()
+    val lastCkpt = names.filter(_.matches("ckpt-v\\d+\\.json")).sorted.lastOption
+    val base: Seq[Commit] = lastCkpt match {
+      case None => Nil
+      case Some(n) =>
+        mapper
+          .readValue(Files.readAllBytes(root.resolve(n)), classOf[Array[Commit]])
+          .toSeq
+    }
+    val from = lastCkpt.map(seqOf(_, "ckpt-")).getOrElse(0L)
+    val tail = names
+      .filter(_.matches("v\\d+\\.json"))
+      .filter(seqOf(_, "") > from)
+      .sorted
+      .map(n => mapper.readValue(Files.readAllBytes(root.resolve(n)), classOf[Commit]))
+    base ++ tail
   }
 
-  def lastSeq(): Long = commits().lastOption.map(_.seq).getOrElse(0L)
+  /** Highest claimed seq, from directory names only (no file reads). */
+  def lastSeq(): Long = {
+    if (!Files.isDirectory(root)) return 0L
+    val seqs = listNames().filter(_.matches("v\\d+\\.json")).map(seqOf(_, ""))
+    if (seqs.isEmpty) 0L else seqs.max
+  }
 
-  def lastBatchId(): Option[Long] =
-    commits().filter(_.batchId >= 0).lastOption.map(_.batchId)
+  /** Replay fence: batch ids are committed in order, so only the LAST
+    * entry needs reading (one file, not the log).
+    */
+  def lastBatchId(): Option[Long] = {
+    val last = lastSeq()
+    if (last == 0L) None
+    else {
+      val c = mapper.readValue(Files.readAllBytes(commitPath(last)), classOf[Commit])
+      if (c.batchId >= 0) Some(c.batchId)
+      else commits().filter(_.batchId >= 0).lastOption.map(_.batchId)
+    }
+  }
 
   /** Atomically commit; returns None if the batchId was already committed
     * (exactly-once replay guard, K8). `build` receives the claimed seq.
@@ -99,6 +134,7 @@ final class CommitLog(val root: Path) {
       try {
         Files.createLink(commitPath(seq), tmp)
         Files.deleteIfExists(tmp)
+        if (checkpointInterval > 0 && seq % checkpointInterval == 0) checkpoint(seq)
         return Some(entry)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -106,6 +142,23 @@ final class CommitLog(val root: Path) {
       }
     }
     throw new IllegalStateException(s"commit conflict not resolved after $maxRetries attempts")
+  }
+
+  /** Consolidate commits 1..seq into one checkpoint file (idempotent —
+    * losing a race to another writer's identical checkpoint is fine).
+    */
+  private def checkpoint(seq: Long): Unit = {
+    val upTo = commits().filter(_.seq <= seq)
+    val tmp = root.resolve(s".tmp-ckpt-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, mapper.writeValueAsBytes(upTo))
+    try {
+      Files.createLink(ckptPath(seq), tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => ()
+    } finally {
+      Files.deleteIfExists(tmp)
+      ()
+    }
   }
 }
 

@@ -158,6 +158,24 @@ class IceTableSuite extends AnyFunSuite {
     } finally conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", saved)
   }
 
+  test("commit-log checkpoints consolidate history; reads = checkpoint + tail") {
+    val dir = TestSpark.freshDir("t-ckpt")
+    val log = new CommitLog(java.nio.file.Paths.get(dir), checkpointInterval = 3)
+    (0 until 7).foreach { i =>
+      log.commit(i.toLong, seq => Commit(seq, i.toLong, s"c$i", i * 1000L, 1,
+        dataFiles = Seq(FileEntry(s"f$i", i.toLong, 1))))
+    }
+    val names = new java.io.File(dir).list().toSeq
+    assert(names.count(_.startsWith("ckpt-")) === 2) // at seq 3 and 6
+    val all = log.commits()
+    assert(all.map(_.seq) === (1L to 7L))
+    assert(all.map(_.dataFiles.head.path) === (0 until 7).map(i => s"f$i"))
+    // replay fence still works from the fast path
+    assert(log.commit(3L, seq => Commit(seq, 3L, "dup", 0L, 1)).isEmpty)
+    assert(log.lastBatchId() === Some(6L))
+    assert(log.lastSeq() === 7L)
+  }
+
   test("P5: write.target-file-size-bytes rolls files via the previous commit's stats") {
     val dir = TestSpark.freshDir("t-filesize")
     val t = IceTable.create(dir, schema,
