@@ -230,6 +230,32 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Metadata data skipping: commits carry per-file column min/max bounds
+    * from the parquet footers, so a range scan prunes files BEFORE any is
+    * opened (Iceberg lower/upper-bound pruning analogue; skipping itself
+    * is asserted by IceTableSuite, result parity by the oracle).
+    */
+  private def qScanSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("scan_skipping")
+    val ev = t(spark, sfDir, "events").select("event_id", "user_id", "event_type", "value")
+    val q = ev.agg(max("event_id")).head().getLong(0) / 4
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("events_s")), autoCreate = true)
+    (0 until 4).foreach { i =>
+      val part =
+        if (i < 3) ev.filter(col("event_id") > i * q && col("event_id") <= (i + 1) * q)
+        else ev.filter(col("event_id") > 3 * q)
+      Ingest.run(spark, part, i.toLong, cfg)
+    }
+    val lo = q + 1
+    val hi = 2 * q
+    IceTable.load(s"$wh/events_s")
+      .scan(spark, None, filePred = Some(f => graft.table.FilePruning
+        .mayContainRange(f, "event_id", Some(lo.toString), Some(hi.toString))))
+      .filter(col("event_id").between(lo, hi))
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   /** Streaming windowed aggregation with a watermark — 1-day tumbling
     * counts per event type over a real file stream, append mode: only
     * windows closed by the final watermark (max event time − 1 h) are
@@ -639,6 +665,7 @@ object SparkEntry {
       "streaming_ingest" -> wrap(qStreamingIngest),
       "streaming_window" -> wrap(qStreamingWindow),
       "sessionize" -> wrap(qSessionize),
+      "scan_skipping" -> wrap(qScanSkipping),
       "route_static" -> wrap(qRouteStatic),
       "route_dynamic" -> wrap(qRouteDynamic),
       "cdc_upsert" -> wrap(qCdcUpsert),
@@ -691,6 +718,11 @@ object SparkEntry {
       """SELECT event_id, user_id, value FROM events ORDER BY event_id""".stripMargin,
     "streaming_ingest" ->
       """SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id""".stripMargin,
+    "scan_skipping" ->
+      """WITH b AS (SELECT max(event_id) // 4 AS q FROM events)
+        |SELECT event_id, user_id, event_type, value FROM events, b
+        |WHERE event_id > b.q AND event_id <= 2 * b.q
+        |ORDER BY event_id""".stripMargin,
     "streaming_window" ->
       """SELECT * FROM (
         |  SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,

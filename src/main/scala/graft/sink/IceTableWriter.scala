@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions.col
 import graft.table.{Commit, FileEntry, IceTable}
 import graft.operators.PartitionTransforms
 
+/** Footer-derived stats for one staged file (public shape so the
+  * distributed stats job can use a product encoder).
+  */
+final case class FooterStats(
+    rows: Long,
+    bytes: Long,
+    min: Map[String, String],
+    max: Map[String, String])
+
 /** Physical write path: stages immutable files under the table directory
   * and publishes them with one atomic commit-log entry.
   *
@@ -117,13 +126,15 @@ object IceTableWriter {
     val files = listDataFiles(outDir, meta.format)
     val stats = fileStats(df.sparkSession, files, meta.format)
     files.map { p =>
-      val (rows, bytes) = stats(p.toString)
+      val s = stats(p.toString)
       FileEntry(
         path = p.toString,
-        rows = rows,
+        rows = s.rows,
         schemaVersion = schemaVersion,
         partition = partitionValues(outDir, p, transforms),
-        bytes = bytes
+        bytes = s.bytes,
+        min = s.min,
+        max = s.max
       )
     }
   }
@@ -142,11 +153,12 @@ object IceTableWriter {
       }
   }
 
-  /** Per-file (rows, bytes) stats from parquet footers + fs metadata.
-    * Small commits read on the driver (parallel, one open per file — no
-    * job overhead); large commits run a metadata-only Spark job so the
-    * driver never serializes on thousands of footer opens (the per-file
-    * stats collection pattern used by table-format migration jobs).
+  /** Per-file stats (rows, bytes, column bounds) from parquet footers +
+    * fs metadata. Small commits read on the driver (parallel, one open per
+    * file — no job overhead); large commits run a metadata-only Spark job
+    * so the driver never serializes on thousands of footer opens (the
+    * per-file stats collection pattern used by table-format migration
+    * jobs).
     */
   private val DriverFooterLimit = 512
 
@@ -154,11 +166,11 @@ object IceTableWriter {
       spark: SparkSession,
       files: Seq[Path],
       format: String
-  ): Map[String, (Long, Long)] =
+  ): Map[String, FooterStats] =
     if (files.size <= DriverFooterLimit) {
-      val out = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+      val out = new java.util.concurrent.ConcurrentHashMap[String, FooterStats]()
       files.asJava.parallelStream().forEach { p =>
-        out.put(p.toString, (rowCount(p, format), Files.size(p)))
+        out.put(p.toString, footerStats(p, format))
       }
       out.asScala.toMap
     } else {
@@ -168,14 +180,72 @@ object IceTableWriter {
       spark
         .createDataset(paths)(E.STRING)
         .repartition(math.min(paths.size, 512))
-        .map { p =>
-          val path = Paths.get(p)
-          (p, rowCount(path, fmt), Files.size(path))
-        }(E.tuple(E.STRING, E.scalaLong, E.scalaLong))
+        .map(p => (p, footerStats(Paths.get(p), fmt)))(E.product[(String, FooterStats)])
         .collect()
-        .map { case (p, r, b) => p -> (r, b) }
         .toMap
     }
+
+  /** Rows + size + per-top-level-column min/max bounds from one parquet
+    * footer (no data read). Bounds are recorded only for columns with
+    * valid statistics in EVERY row group; nested paths and raw binary are
+    * skipped — absence of a bound means "may contain anything" to the
+    * pruner, never a wrong skip.
+    */
+  private[sink] def footerStats(p: Path, format: String): FooterStats = {
+    val size = Files.size(p)
+    if (format != "parquet") return FooterStats(-1L, size, Map.empty, Map.empty)
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(p.toString), hadoopConf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val merged = scala.collection.mutable.LinkedHashMap[
+        String, org.apache.parquet.column.statistics.Statistics[_]]()
+      val invalid = scala.collection.mutable.Set[String]()
+      blocks.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val pathParts = c.getPath.toArray
+          if (pathParts.length == 1) {
+            val name = pathParts(0)
+            val st = c.getStatistics
+            val pt = c.getPrimitiveType
+            val encodable = pt.getPrimitiveTypeName match {
+              case INT32 | INT64 | FLOAT | DOUBLE | BOOLEAN => true
+              case BINARY =>
+                pt.getLogicalTypeAnnotation
+                  .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+              case _ => false
+            }
+            if (st == null || st.isEmpty || !st.hasNonNullValue || !encodable) {
+              invalid += name; ()
+            } else {
+              merged.get(name) match {
+                case None => merged(name) = st
+                case Some(acc) =>
+                  // erased cast to a concrete type param so the invariant
+                  // Java generic accepts the same-column merge
+                  type S = org.apache.parquet.column.statistics.Statistics[java.lang.Long]
+                  acc.asInstanceOf[S].mergeStatistics(st.asInstanceOf[S])
+              }
+            }
+          }
+        }
+      }
+      def enc(v: Any): String = v match {
+        case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+        case other                               => String.valueOf(other)
+      }
+      val valid = merged.view.filterKeys(!invalid.contains(_))
+      FooterStats(
+        rows = r.getRecordCount,
+        bytes = size,
+        min = valid.map { case (k, s) => k -> enc(s.genericGetMin) }.toMap,
+        max = valid.map { case (k, s) => k -> enc(s.genericGetMax) }.toMap
+      )
+    } finally r.close()
+  }
 
   private def writeDeleteFiles(keysDf: DataFrame, table: IceTable): Seq[FileEntry] = {
     val meta = table.meta

@@ -18,7 +18,12 @@ final case class FileEntry(
     schemaVersion: Int,
     partition: Map[String, String] = Map.empty,
     /** on-disk size; -1 for entries committed before sizes were recorded */
-    bytes: Long = -1L
+    bytes: Long = -1L,
+    /** per-top-level-column lower/upper bounds from the parquet footer
+      * (string-encoded; Iceberg lower_bounds/upper_bounds analogue) —
+      * empty for formats/entries without recorded stats */
+    min: Map[String, String] = Map.empty,
+    max: Map[String, String] = Map.empty
 )
 
 /** A committed snapshot of an IceTable branch.

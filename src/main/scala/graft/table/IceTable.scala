@@ -7,6 +7,38 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
+/** Predicate helpers over per-file column bounds (Iceberg
+  * lower/upper-bound pruning analogue): conservative — a file without
+  * recorded bounds for the column always "may contain".
+  */
+object FilePruning {
+
+  /** True iff `f` may contain a value of `col` within [lo, hi] (either
+    * bound optional). `numeric` compares bounds numerically, otherwise
+    * lexicographically (matching parquet's unsigned-ish string order for
+    * UTF8 columns closely enough for pruning).
+    */
+  def mayContainRange(
+      f: FileEntry,
+      col: String,
+      lo: Option[String],
+      hi: Option[String],
+      numeric: Boolean = true
+  ): Boolean = {
+    def cmp(a: String, b: String): Int =
+      if (numeric) java.lang.Double.compare(a.toDouble, b.toDouble) else a.compareTo(b)
+    val belowHi = (hi, f.min.get(col)) match {
+      case (Some(h), Some(mn)) => cmp(mn, h) <= 0
+      case _                   => true
+    }
+    val aboveLo = (lo, f.max.get(col)) match {
+      case (Some(l), Some(mx)) => cmp(mx, l) >= 0
+      case _                   => true
+    }
+    belowHi && aboveLo
+  }
+}
+
 /** Table-level metadata, fixed at create time (partition spec v1 only). */
 final case class TableMeta(
     idColumns: Seq[String] = Nil,
@@ -125,18 +157,12 @@ final class IceTable private[table] (val dir: Path, val branch: String) {
   def scan(
       spark: SparkSession,
       pred: Option[Map[String, String] => Boolean],
-      maxSeq: Option[Long] = None
+      maxSeq: Option[Long] = None,
+      filePred: Option[FileEntry => Boolean] = None
   ): DataFrame = {
     val cur = schema
-    val all1 = log.commits()
-    val all0 = maxSeq.fold(all1)(s => all1.filter(_.seq <= s))
-    // a compaction commit is a full-state rewrite: it supersedes every
-    // earlier commit (old files stay on disk for time travel / GC)
-    val lastRewrite = all0.lastIndexWhere(_.props.get("compaction").contains("true"))
-    val all = if (lastRewrite >= 0) all0.drop(lastRewrite) else all0
-    val keep: FileEntry => Boolean = f => pred.forall(p => p(f.partition))
-    val dataFiles = all.flatMap(c => c.dataFiles.filter(keep).map(f => (f, c.seq)))
-    val delFiles = all.flatMap(c => c.deleteFiles.map(f => (f, c.seq)))
+    val dataFiles = planFiles(pred, maxSeq, filePred)
+    val delFiles = liveCommits(maxSeq).flatMap(c => c.deleteFiles.map(f => (f, c.seq)))
     val keyCols = meta.idColumns
 
     if (dataFiles.isEmpty)
@@ -157,6 +183,31 @@ final class IceTable private[table] (val dir: Path, val branch: String) {
         data.join(rhs, cond, "left_anti")
       }
     result.drop(SEQ)
+  }
+
+  /** Live commit chain at `maxSeq`: everything after the last compaction
+    * rewrite (old files stay on disk for time travel / GC).
+    */
+  private def liveCommits(maxSeq: Option[Long]): Seq[Commit] = {
+    val all1 = log.commits()
+    val all0 = maxSeq.fold(all1)(s => all1.filter(_.seq <= s))
+    val lastRewrite = all0.lastIndexWhere(_.props.get("compaction").contains("true"))
+    if (lastRewrite >= 0) all0.drop(lastRewrite) else all0
+  }
+
+  /** Metadata-level file planning: partition-value pruning plus optional
+    * per-file predicates over the recorded stats (row counts, byte sizes,
+    * column min/max bounds) — files failing either are never opened.
+    * This is the scan's planner; tests call it directly to assert skipping.
+    */
+  def planFiles(
+      pred: Option[Map[String, String] => Boolean],
+      maxSeq: Option[Long] = None,
+      filePred: Option[FileEntry => Boolean] = None
+  ): Seq[(FileEntry, Long)] = {
+    val keep: FileEntry => Boolean =
+      f => pred.forall(p => p(f.partition)) && filePred.forall(p => p(f))
+    liveCommits(maxSeq).flatMap(c => c.dataFiles.filter(keep).map(f => (f, c.seq)))
   }
 
   private def keyProjection(s: StructType, keyCols: Seq[String]): StructType =

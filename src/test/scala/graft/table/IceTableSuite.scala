@@ -158,6 +158,26 @@ class IceTableSuite extends AnyFunSuite {
     } finally conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", saved)
   }
 
+  test("column min/max bounds prune file plans; result unchanged (data skipping)") {
+    val dir = TestSpark.freshDir("t-stats")
+    val t = IceTable.create(dir, schema, TableMeta())
+    (0 until 3).foreach { i =>
+      val rows = (i * 100 until (i + 1) * 100).map(j => (j.toLong, s"n$j", j * 1.0))
+      IceTableWriter.append(spark, rows.toDF("id", "name", "v").coalesce(1), t, batchId = i.toLong)
+    }
+    val total = t.planFiles(None).size
+    assert(total === 3)
+    val c0 = t.log.commits().head.dataFiles.head
+    assert(c0.min("id") === "0" && c0.max("id") === "99") // footer bounds recorded
+    assert(c0.min("name") === "n0") // string bounds too
+    val pruner: FileEntry => Boolean =
+      f => FilePruning.mayContainRange(f, "id", Some("150"), Some("160"))
+    assert(t.planFiles(None, filePred = Some(pruner)).size === 1) // 2 of 3 skipped
+    val got = t.scan(spark, None, filePred = Some(pruner))
+      .filter(col("id").between(150, 160)).select("id").as[Long].collect().sorted
+    assert(got.toSeq === (150L to 160L))
+  }
+
   test("commit-log checkpoints consolidate history; reads = checkpoint + tail") {
     val dir = TestSpark.freshDir("t-ckpt")
     val log = new CommitLog(java.nio.file.Paths.get(dir), checkpointInterval = 3)
