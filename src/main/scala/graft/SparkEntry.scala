@@ -268,20 +268,27 @@ object SparkEntry {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
     val qn = s"stream_window_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = stream
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts_t", "1 hour")
-      .groupBy(window(col("ts_t"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(unix_micros(col("window.start")).as("day_us"), col("event_type"), col("cnt"))
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(qn)
-      .option("checkpointLocation", freshDir("streaming_window_ckpt"))
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state partition count is pinned at first run from this conf: size it
+    // to the aggregation's key cardinality (days × types, tiny), not the
+    // batch default — each state partition costs checkpoint files per batch
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = stream
+        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts_t", "1 hour")
+        .groupBy(window(col("ts_t"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("window.start")).as("day_us"), col("event_type"), col("cnt"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qn)
+        .option("checkpointLocation", freshDir("streaming_window_ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     spark.table(qn).orderBy("day_us", "event_type")
   }
 
