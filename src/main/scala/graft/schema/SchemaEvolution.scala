@@ -69,17 +69,23 @@ object SchemaEvolution {
       s.fields.find(_.name == name)
         .orElse(if (ci) s.fields.find(_.name.equalsIgnoreCase(name)) else None)
 
-    // widen / recurse / make-optional existing fields
+    // widen / recurse / make-optional existing fields; recursion reaches
+    // structs nested inside list elements and map values too
+    // (RecordConverterTest missing-column detection for list/map values)
+    def evolveType(t: DataType, i: DataType): DataType = (t, i) match {
+      case (ts: StructType, is: StructType) => evolveStruct(ts, is, ci)
+      case (ta: ArrayType, ia: ArrayType) =>
+        ta.copy(elementType = evolveType(ta.elementType, ia.elementType))
+      case (tm: MapType, im: MapType) =>
+        tm.copy(valueType = evolveType(tm.valueType, im.valueType))
+      case _ => widen(t, i).getOrElse(t)
+    }
     val updated = table.fields.map { tf =>
       find(in, tf.name) match {
         case Some(inF) =>
-          val newType = (tf.dataType, inF.dataType) match {
-            case (t: StructType, i: StructType) => evolveStruct(t, i, ci)
-            case (t, i)                         => widen(t, i).getOrElse(t)
-          }
           // required column receiving optional values ⇒ make optional
           val nullable = tf.nullable || inF.nullable
-          tf.copy(dataType = newType, nullable = nullable)
+          tf.copy(dataType = evolveType(tf.dataType, inF.dataType), nullable = nullable)
         case None => tf
       }
     }

@@ -241,10 +241,15 @@ final class IceTable private[table] (val dir: Path, val branch: String) {
         .withColumn("__graft_file", regexp_replace(input_file_name(), "^file:/+", "/"))
         .join(broadcast(seqDf), Seq("__graft_file"))
         .drop("__graft_file")
-      // align to target schema
+      // align to target schema — the coercion kernel, not a bare cast:
+      // it rebuilds structs field-wise (null-filling fields added by
+      // evolution, including inside array elements / map values, which
+      // cast cannot do) and widens scalars
       val cols: Seq[Column] = target.fields.toSeq.map { f =>
-        if (written.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        written.fields.find(_.name == f.name) match {
+          case Some(w) => graft.operators.Coercion.coerce(col(f.name), w.dataType, f.dataType).as(f.name)
+          case None    => lit(null).cast(f.dataType).as(f.name)
+        }
       } :+ col(SEQ)
       withSeq.select(cols: _*)
     }

@@ -102,6 +102,24 @@ class EndToEndSuite extends AnyFunSuite {
     assert(rows.length === 2 && rows(0).isNullAt(2))
   }
 
+  test("fields added inside list elements evolve; old files align on read") {
+    val wh = TestSpark.freshDir("e2e-evolve-nested")
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("t")),
+      autoCreate = true, evolveSchema = true)
+    val b1 = spark.sql("SELECT 1L AS id, array(named_struct('a', 1)) AS lst")
+    val b2 = spark.sql("SELECT 2L AS id, array(named_struct('a', 2, 'b', 'x')) AS lst")
+    Ingest.run(spark, b1, 0L, cfg)
+    Ingest.run(spark, b2, 1L, cfg)
+    val t = IceTable.load(s"$wh/t")
+    val el = t.schema("lst").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(el.fieldNames.toSeq === Seq("a", "b"))
+    val rows = t.read(spark).orderBy("id")
+      .selectExpr("id", "lst[0].a AS a", "lst[0].b AS b").collect()
+    assert(rows(0).getLong(0) === 1L && rows(0).getInt(1) === 1 && rows(0).isNullAt(2))
+    assert(rows(1).getLong(0) === 2L && rows(1).getInt(1) === 2 && rows(1).getString(2) === "x")
+  }
+
   test("kafka tombstones are skipped but still advance offsets (IcebergWriter.java:66-76)") {
     val wh = TestSpark.freshDir("e2e-tombstone")
     val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("t")), autoCreate = true)

@@ -121,6 +121,28 @@ class SchemaEvolutionSuite extends AnyFunSuite {
     assert(SchemaEvolution.evolve(evolved, incoming).isEmpty)
   }
 
+  test("evolution reaches structs inside list elements and map values (testMissingColumnDetection*Value)") {
+    val table = StructType(Seq(
+      StructField("lst", ArrayType(StructType(Seq(StructField("a", IntegerType))))),
+      StructField("m", MapType(StringType, StructType(Seq(StructField("x", FloatType)))))))
+    val incoming = StructType(Seq(
+      StructField("lst", ArrayType(StructType(Seq(
+        StructField("a", LongType), StructField("b", StringType))))),
+      StructField("m", MapType(StringType, StructType(Seq(
+        StructField("x", DoubleType), StructField("y", LongType)))))))
+    val evolved = SchemaEvolution.evolve(table, incoming).get
+    val lstEl = evolved("lst").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(lstEl("a").dataType === LongType) // widened inside list element
+    assert(lstEl.fieldNames.contains("b")) // added inside list element
+    val mVal = evolved("m").dataType.asInstanceOf[MapType]
+      .valueType.asInstanceOf[StructType]
+    assert(mVal("x").dataType === DoubleType)
+    assert(mVal.fieldNames.contains("y"))
+    // idempotent
+    assert(SchemaEvolution.evolve(evolved, incoming).isEmpty)
+  }
+
   test("normalize maps int8/16 to int (type-mapping parity)") {
     assert(SchemaEvolution.normalize(ByteType) === IntegerType)
     assert(SchemaEvolution.normalize(ShortType) === IntegerType)
