@@ -256,6 +256,35 @@ final class IceTable private[table] (val dir: Path, val branch: String) {
     parts.reduce(_.unionByName(_))
   }
 
+  /** Fast-forward THIS branch to include `from`'s newer commits — the
+    * write-audit-publish pattern (Iceberg branch fast_forward): ingest
+    * into an audit branch (`iceberg.table.<t>.commit-branch`), validate,
+    * then publish by fast-forwarding main. Data files are shared by path
+    * (never copied); each entry is re-claimed through the normal
+    * optimistic commit, so concurrent writers on this branch stay safe.
+    * Requires this branch's history to be a prefix of `from`'s (same seqs
+    * = same commit ids), else fails — matching Iceberg's
+    * not-an-ancestor error. Returns the number of commits published.
+    */
+  def fastForwardFrom(from: String): Int = {
+    val source = new IceTable(dir, from)
+    val srcCommits = source.log.commits()
+    val mine = log.commits()
+    val divergent = mine.zip(srcCommits).find { case (a, b) => a.commitId != b.commitId }
+    require(divergent.isEmpty && mine.size <= srcCommits.size,
+      s"branch '$branch' is not an ancestor of '$from'")
+    val newer = srcCommits.drop(mine.size)
+    newer.foreach { c =>
+      // batchId -1 skips the replay fence (entries are copied verbatim);
+      // the seq check aborts cleanly if this branch advanced concurrently
+      log.commit(-1L, seq => {
+        require(seq == c.seq, s"branch '$branch' advanced concurrently during fast-forward")
+        c
+      })
+    }
+    newer.size
+  }
+
   // ---- maintenance ----------------------------------------------------
 
   /** Rewrite current state as a single fresh append (applies accumulated

@@ -158,6 +158,25 @@ class IceTableSuite extends AnyFunSuite {
     } finally conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", saved)
   }
 
+  test("branch fast-forward publishes audited commits to main (write-audit-publish)") {
+    val dir = TestSpark.freshDir("t-wap")
+    val t = IceTable.create(dir, schema, TableMeta())
+    val audit = IceTable.load(dir, "audit")
+    IceTableWriter.append(spark, df((1L, "a", 1.0)), audit, batchId = 0)
+    IceTableWriter.append(spark, df((2L, "b", 2.0)), audit, batchId = 1)
+    assert(t.read(spark).count() === 0) // nothing published yet
+    assert(t.fastForwardFrom("audit") === 2)
+    assert(t.read(spark).select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // incremental: only the new audit commit publishes
+    IceTableWriter.append(spark, df((3L, "c", 3.0)), audit, batchId = 2)
+    assert(t.fastForwardFrom("audit") === 1)
+    assert(t.read(spark).count() === 3)
+    // diverged target is rejected (not-an-ancestor)
+    IceTableWriter.append(spark, df((9L, "z", 9.0)), t, batchId = 9)
+    IceTableWriter.append(spark, df((4L, "d", 4.0)), audit, batchId = 3)
+    assertThrows[IllegalArgumentException](t.fastForwardFrom("audit"))
+  }
+
   test("column min/max bounds prune file plans; result unchanged (data skipping)") {
     val dir = TestSpark.freshDir("t-stats")
     val t = IceTable.create(dir, schema, TableMeta())
