@@ -566,9 +566,14 @@ object SparkEntry {
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dup pairs (Hamming ≤ 3 via pigeonhole banding). */
+  /** SimHash near-dup pairs (Hamming ≤ 3 via pigeonhole banding). The
+    * banding is exhaustive for the distance bound (pigeonhole), so the
+    * output equals the all-pairs SQL oracle exactly — signatures
+    * re-derived in DuckDB via the same HUGEINT fold as text_fingerprint.
+    */
   private def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhashPairs(t(spark, sfDir, "documents"), "doc_id", "text", maxDist = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
       .orderBy("id_a", "id_b")
 
   /** Embedding-cosine near-dup pairs (brute verification path). */
@@ -620,7 +625,8 @@ object SparkEntry {
   }
 
   /** Rolling-hash + simhash document fingerprints (custom codegen'd
-    * expressions; no SQL oracle — value-level unit tests instead).
+    * expressions). Oracle: both hashes re-derived bit-exactly in pure
+    * DuckDB SQL via HUGEINT list_reduce folds.
     */
   private def qTextFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "documents")
@@ -954,6 +960,63 @@ object SparkEntry {
         |  AND len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 5 < length(text)
         |  AND len(regexp_extract_all(lower(text), '\b(?:the|a|and|of|to|in|is|that|it|for)\b')) > 0
         |ORDER BY doc_id""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest([t for t in string_split_regex(text, '[ \n\t\r]+') if len(t) > 0]) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |        [CAST(ascii(x) AS HUGEINT) for x in split(tok, '')]),
+        |      (acc, c) -> ((xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))) AS h
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, r.b AS b,
+        |         sum(CASE WHEN (h // CAST(power(2, r.b) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM th CROSS JOIN range(64) r(b) GROUP BY doc_id, r.b),
+        |sig AS (
+        |  SELECT doc_id, sum(CASE WHEN vote > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE 0 END) AS s
+        |  FROM bits GROUP BY doc_id),
+        |sg AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN s >= CAST('9223372036854775808' AS HUGEINT)
+        |         THEN s - CAST('18446744073709551616' AS HUGEINT) ELSE s END AS BIGINT) AS sig
+        |  FROM sig)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // both custom hash expressions re-derived in pure SQL: the Karp-Rabin
+    // polynomial mod 2^61-1 and FNV-1a+bit-vote simhash as HUGEINT
+    // list_reduce folds (ASCII corpus => ascii(ch) == utf8 byte)
+    "text_fingerprint" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest([t for t in string_split_regex(text, '[ \n\t\r]+') if len(t) > 0]) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |        [CAST(ascii(x) AS HUGEINT) for x in split(tok, '')]),
+        |      (acc, c) -> ((xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))) AS h
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, r.b AS b,
+        |         sum(CASE WHEN (h // CAST(power(2, r.b) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM th CROSS JOIN range(64) r(b) GROUP BY doc_id, r.b),
+        |sig AS (
+        |  SELECT doc_id, sum(CASE WHEN vote > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE 0 END) AS s
+        |  FROM bits GROUP BY doc_id),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(text) = 0 THEN 0
+        |      ELSE list_reduce([CAST(ascii(x) AS HUGEINT) for x in split(text, '')],
+        |           (acc, c) -> (acc * 257 + c) % 2305843009213693951) END AS BIGINT) AS fingerprint
+        |  FROM documents)
+        |SELECT fp.doc_id AS doc_id, fp.fingerprint AS fingerprint,
+        |  CAST(CASE WHEN COALESCE(s, 0) >= CAST('9223372036854775808' AS HUGEINT)
+        |       THEN s - CAST('18446744073709551616' AS HUGEINT) ELSE COALESCE(s, 0) END AS BIGINT) AS simhash
+        |FROM fp LEFT JOIN sig ON fp.doc_id = sig.doc_id ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS word_count,
