@@ -415,16 +415,18 @@ object SparkEntry {
     ).orderBy("o_orderkey")
   }
 
-  /** P1: Iceberg-spec murmur3 bucket transform (no SQL oracle — DuckDB has
-    * no murmur3_x86_32; exactness is asserted against the published spec
-    * test vectors in BucketSpec unit tests).
+  /** P1: Iceberg-spec murmur3 bucket transform. Exactness is asserted
+    * against the published spec test vectors in unit tests AND against a
+    * full murmur3_x86_32 re-implementation in the DuckDB oracle (HUGEINT
+    * mod-2^32 arithmetic; non-negative keys / ASCII strings, which the
+    * corpus satisfies).
     */
   private def qPartitionBucket(spark: SparkSession, sfDir: String): DataFrame = {
     val o = t(spark, sfDir, "orders")
     o.select(
       col("o_orderkey"),
-      graft.functions.IcebergBucket(col("o_orderkey"), 16).as("key_bucket"),
-      graft.functions.IcebergBucket(col("o_orderpriority"), 8).as("prio_bucket")
+      graft.functions.IcebergBucket(col("o_orderkey"), 16).cast(LongType).as("key_bucket"),
+      graft.functions.IcebergBucket(col("o_orderpriority"), 8).cast(LongType).as("prio_bucket")
     ).orderBy("o_orderkey")
   }
 
@@ -960,6 +962,16 @@ object SparkEntry {
         |  AND len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 5 < length(text)
         |  AND len(regexp_extract_all(lower(text), '\b(?:the|a|and|of|to|in|is|that|it|for)\b')) > 0
         |ORDER BY doc_id""".stripMargin,
+    "partition_bucket" ->
+      """WITH src AS (SELECT o_orderkey AS k, o_orderpriority AS s FROM orders),
+        |b AS (SELECT k, s,
+        |  [CAST((CAST(k AS HUGEINT) // CAST(power(256, bi) AS HUGEINT)) % 256 AS HUGEINT) for bi in range(8)] AS lb,
+        |  [CAST(ascii(x) AS HUGEINT) for x in split(s, '')] AS sb
+        |  FROM src)
+        |SELECT k AS o_orderkey,
+        |  CAST(((xor((((xor((((xor(xor((CASE WHEN len(lb)%4 = 0 THEN (list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(lb[4*bi+1] + 256*lb[4*bi+2] + 65536*lb[4*bi+3] + 16777216*lb[4*bi+4] AS HUGEINT) for bi in range(len(lb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)) ELSE xor((list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(lb[4*bi+1] + 256*lb[4*bi+2] + 65536*lb[4*bi+3] + 16777216*lb[4*bi+4] AS HUGEINT) for bi in range(len(lb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)), ((((((((((CAST(CASE WHEN len(lb)%4 >= 1 THEN lb[4*(len(lb)//4)+1] ELSE 0 END + CASE WHEN len(lb)%4 >= 2 THEN 256*lb[4*(len(lb)//4)+2] ELSE 0 END + CASE WHEN len(lb)%4 >= 3 THEN 65536*lb[4*(len(lb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) * 32768) % 4294967296 + (((((CAST(CASE WHEN len(lb)%4 >= 1 THEN lb[4*(len(lb)//4)+1] ELSE 0 END + CASE WHEN len(lb)%4 >= 2 THEN 256*lb[4*(len(lb)//4)+2] ELSE 0 END + CASE WHEN len(lb)%4 >= 3 THEN 65536*lb[4*(len(lb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296)) END), 8), (xor((CASE WHEN len(lb)%4 = 0 THEN (list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(lb[4*bi+1] + 256*lb[4*bi+2] + 65536*lb[4*bi+3] + 16777216*lb[4*bi+4] AS HUGEINT) for bi in range(len(lb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)) ELSE xor((list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(lb[4*bi+1] + 256*lb[4*bi+2] + 65536*lb[4*bi+3] + 16777216*lb[4*bi+4] AS HUGEINT) for bi in range(len(lb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)), ((((((((((CAST(CASE WHEN len(lb)%4 >= 1 THEN lb[4*(len(lb)//4)+1] ELSE 0 END + CASE WHEN len(lb)%4 >= 2 THEN 256*lb[4*(len(lb)//4)+2] ELSE 0 END + CASE WHEN len(lb)%4 >= 3 THEN 65536*lb[4*(len(lb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) * 32768) % 4294967296 + (((((CAST(CASE WHEN len(lb)%4 >= 1 THEN lb[4*(len(lb)//4)+1] ELSE 0 END + CASE WHEN len(lb)%4 >= 2 THEN 256*lb[4*(len(lb)//4)+2] ELSE 0 END + CASE WHEN len(lb)%4 >= 3 THEN 65536*lb[4*(len(lb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296)) END), 8)) // 65536)) * 2246822507) % 4294967296), ((((xor(xor((CASE WHEN len(lb)%4 = 0 THEN (list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(lb[4*bi+1] + 256*lb[4*bi+2] + 65536*lb[4*bi+3] + 16777216*lb[4*bi+4] AS HUGEINT) for bi in range(len(lb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)) ELSE xor((list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(lb[4*bi+1] + 256*lb[4*bi+2] + 65536*lb[4*bi+3] + 16777216*lb[4*bi+4] AS HUGEINT) for bi in range(len(lb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)), ((((((((((CAST(CASE WHEN len(lb)%4 >= 1 THEN lb[4*(len(lb)//4)+1] ELSE 0 END + CASE WHEN len(lb)%4 >= 2 THEN 256*lb[4*(len(lb)//4)+2] ELSE 0 END + CASE WHEN len(lb)%4 >= 3 THEN 65536*lb[4*(len(lb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) * 32768) % 4294967296 + (((((CAST(CASE WHEN len(lb)%4 >= 1 THEN lb[4*(len(lb)//4)+1] ELSE 0 END + CASE WHEN len(lb)%4 >= 2 THEN 256*lb[4*(len(lb)//4)+2] ELSE 0 END + CASE WHEN len(lb)%4 >= 3 THEN 65536*lb[4*(len(lb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296)) END), 8), (xor((CASE WHEN len(lb)%4 = 0 THEN (list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(lb[4*bi+1] + 256*lb[4*bi+2] + 65536*lb[4*bi+3] + 16777216*lb[4*bi+4] AS HUGEINT) for bi in range(len(lb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)) ELSE xor((list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(lb[4*bi+1] + 256*lb[4*bi+2] + 65536*lb[4*bi+3] + 16777216*lb[4*bi+4] AS HUGEINT) for bi in range(len(lb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)), ((((((((((CAST(CASE WHEN len(lb)%4 >= 1 THEN lb[4*(len(lb)//4)+1] ELSE 0 END + CASE WHEN len(lb)%4 >= 2 THEN 256*lb[4*(len(lb)//4)+2] ELSE 0 END + CASE WHEN len(lb)%4 >= 3 THEN 65536*lb[4*(len(lb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) * 32768) % 4294967296 + (((((CAST(CASE WHEN len(lb)%4 >= 1 THEN lb[4*(len(lb)//4)+1] ELSE 0 END + CASE WHEN len(lb)%4 >= 2 THEN 256*lb[4*(len(lb)//4)+2] ELSE 0 END + CASE WHEN len(lb)%4 >= 3 THEN 65536*lb[4*(len(lb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296)) END), 8)) // 65536)) * 2246822507) % 4294967296)) // 8192)) * 3266489909) % 4294967296), ((((xor((((xor(xor((CASE WHEN len(lb)%4 = 0 THEN (list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(lb[4*bi+1] + 256*lb[4*bi+2] + 65536*lb[4*bi+3] + 16777216*lb[4*bi+4] AS HUGEINT) for bi in range(len(lb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)) ELSE xor((list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(lb[4*bi+1] + 256*lb[4*bi+2] + 65536*lb[4*bi+3] + 16777216*lb[4*bi+4] AS HUGEINT) for bi in range(len(lb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)), ((((((((((CAST(CASE WHEN len(lb)%4 >= 1 THEN lb[4*(len(lb)//4)+1] ELSE 0 END + CASE WHEN len(lb)%4 >= 2 THEN 256*lb[4*(len(lb)//4)+2] ELSE 0 END + CASE WHEN len(lb)%4 >= 3 THEN 65536*lb[4*(len(lb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) * 32768) % 4294967296 + (((((CAST(CASE WHEN len(lb)%4 >= 1 THEN lb[4*(len(lb)//4)+1] ELSE 0 END + CASE WHEN len(lb)%4 >= 2 THEN 256*lb[4*(len(lb)//4)+2] ELSE 0 END + CASE WHEN len(lb)%4 >= 3 THEN 65536*lb[4*(len(lb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296)) END), 8), (xor((CASE WHEN len(lb)%4 = 0 THEN (list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(lb[4*bi+1] + 256*lb[4*bi+2] + 65536*lb[4*bi+3] + 16777216*lb[4*bi+4] AS HUGEINT) for bi in range(len(lb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)) ELSE xor((list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(lb[4*bi+1] + 256*lb[4*bi+2] + 65536*lb[4*bi+3] + 16777216*lb[4*bi+4] AS HUGEINT) for bi in range(len(lb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)), ((((((((((CAST(CASE WHEN len(lb)%4 >= 1 THEN lb[4*(len(lb)//4)+1] ELSE 0 END + CASE WHEN len(lb)%4 >= 2 THEN 256*lb[4*(len(lb)//4)+2] ELSE 0 END + CASE WHEN len(lb)%4 >= 3 THEN 65536*lb[4*(len(lb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) * 32768) % 4294967296 + (((((CAST(CASE WHEN len(lb)%4 >= 1 THEN lb[4*(len(lb)//4)+1] ELSE 0 END + CASE WHEN len(lb)%4 >= 2 THEN 256*lb[4*(len(lb)//4)+2] ELSE 0 END + CASE WHEN len(lb)%4 >= 3 THEN 65536*lb[4*(len(lb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296)) END), 8)) // 65536)) * 2246822507) % 4294967296), ((((xor(xor((CASE WHEN len(lb)%4 = 0 THEN (list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(lb[4*bi+1] + 256*lb[4*bi+2] + 65536*lb[4*bi+3] + 16777216*lb[4*bi+4] AS HUGEINT) for bi in range(len(lb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)) ELSE xor((list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(lb[4*bi+1] + 256*lb[4*bi+2] + 65536*lb[4*bi+3] + 16777216*lb[4*bi+4] AS HUGEINT) for bi in range(len(lb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)), ((((((((((CAST(CASE WHEN len(lb)%4 >= 1 THEN lb[4*(len(lb)//4)+1] ELSE 0 END + CASE WHEN len(lb)%4 >= 2 THEN 256*lb[4*(len(lb)//4)+2] ELSE 0 END + CASE WHEN len(lb)%4 >= 3 THEN 65536*lb[4*(len(lb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) * 32768) % 4294967296 + (((((CAST(CASE WHEN len(lb)%4 >= 1 THEN lb[4*(len(lb)//4)+1] ELSE 0 END + CASE WHEN len(lb)%4 >= 2 THEN 256*lb[4*(len(lb)//4)+2] ELSE 0 END + CASE WHEN len(lb)%4 >= 3 THEN 65536*lb[4*(len(lb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296)) END), 8), (xor((CASE WHEN len(lb)%4 = 0 THEN (list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(lb[4*bi+1] + 256*lb[4*bi+2] + 65536*lb[4*bi+3] + 16777216*lb[4*bi+4] AS HUGEINT) for bi in range(len(lb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)) ELSE xor((list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(lb[4*bi+1] + 256*lb[4*bi+2] + 65536*lb[4*bi+3] + 16777216*lb[4*bi+4] AS HUGEINT) for bi in range(len(lb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)), ((((((((((CAST(CASE WHEN len(lb)%4 >= 1 THEN lb[4*(len(lb)//4)+1] ELSE 0 END + CASE WHEN len(lb)%4 >= 2 THEN 256*lb[4*(len(lb)//4)+2] ELSE 0 END + CASE WHEN len(lb)%4 >= 3 THEN 65536*lb[4*(len(lb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) * 32768) % 4294967296 + (((((CAST(CASE WHEN len(lb)%4 >= 1 THEN lb[4*(len(lb)//4)+1] ELSE 0 END + CASE WHEN len(lb)%4 >= 2 THEN 256*lb[4*(len(lb)//4)+2] ELSE 0 END + CASE WHEN len(lb)%4 >= 3 THEN 65536*lb[4*(len(lb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296)) END), 8)) // 65536)) * 2246822507) % 4294967296)) // 8192)) * 3266489909) % 4294967296)) // 65536)) % 2147483648) % 16 AS BIGINT) AS key_bucket,
+        |  CAST(((xor((((xor((((xor(xor((CASE WHEN len(sb)%4 = 0 THEN (list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(sb[4*bi+1] + 256*sb[4*bi+2] + 65536*sb[4*bi+3] + 16777216*sb[4*bi+4] AS HUGEINT) for bi in range(len(sb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)) ELSE xor((list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(sb[4*bi+1] + 256*sb[4*bi+2] + 65536*sb[4*bi+3] + 16777216*sb[4*bi+4] AS HUGEINT) for bi in range(len(sb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)), ((((((((((CAST(CASE WHEN len(sb)%4 >= 1 THEN sb[4*(len(sb)//4)+1] ELSE 0 END + CASE WHEN len(sb)%4 >= 2 THEN 256*sb[4*(len(sb)//4)+2] ELSE 0 END + CASE WHEN len(sb)%4 >= 3 THEN 65536*sb[4*(len(sb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) * 32768) % 4294967296 + (((((CAST(CASE WHEN len(sb)%4 >= 1 THEN sb[4*(len(sb)//4)+1] ELSE 0 END + CASE WHEN len(sb)%4 >= 2 THEN 256*sb[4*(len(sb)//4)+2] ELSE 0 END + CASE WHEN len(sb)%4 >= 3 THEN 65536*sb[4*(len(sb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296)) END), len(sb)), (xor((CASE WHEN len(sb)%4 = 0 THEN (list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(sb[4*bi+1] + 256*sb[4*bi+2] + 65536*sb[4*bi+3] + 16777216*sb[4*bi+4] AS HUGEINT) for bi in range(len(sb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)) ELSE xor((list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(sb[4*bi+1] + 256*sb[4*bi+2] + 65536*sb[4*bi+3] + 16777216*sb[4*bi+4] AS HUGEINT) for bi in range(len(sb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)), ((((((((((CAST(CASE WHEN len(sb)%4 >= 1 THEN sb[4*(len(sb)//4)+1] ELSE 0 END + CASE WHEN len(sb)%4 >= 2 THEN 256*sb[4*(len(sb)//4)+2] ELSE 0 END + CASE WHEN len(sb)%4 >= 3 THEN 65536*sb[4*(len(sb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) * 32768) % 4294967296 + (((((CAST(CASE WHEN len(sb)%4 >= 1 THEN sb[4*(len(sb)//4)+1] ELSE 0 END + CASE WHEN len(sb)%4 >= 2 THEN 256*sb[4*(len(sb)//4)+2] ELSE 0 END + CASE WHEN len(sb)%4 >= 3 THEN 65536*sb[4*(len(sb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296)) END), len(sb))) // 65536)) * 2246822507) % 4294967296), ((((xor(xor((CASE WHEN len(sb)%4 = 0 THEN (list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(sb[4*bi+1] + 256*sb[4*bi+2] + 65536*sb[4*bi+3] + 16777216*sb[4*bi+4] AS HUGEINT) for bi in range(len(sb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)) ELSE xor((list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(sb[4*bi+1] + 256*sb[4*bi+2] + 65536*sb[4*bi+3] + 16777216*sb[4*bi+4] AS HUGEINT) for bi in range(len(sb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)), ((((((((((CAST(CASE WHEN len(sb)%4 >= 1 THEN sb[4*(len(sb)//4)+1] ELSE 0 END + CASE WHEN len(sb)%4 >= 2 THEN 256*sb[4*(len(sb)//4)+2] ELSE 0 END + CASE WHEN len(sb)%4 >= 3 THEN 65536*sb[4*(len(sb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) * 32768) % 4294967296 + (((((CAST(CASE WHEN len(sb)%4 >= 1 THEN sb[4*(len(sb)//4)+1] ELSE 0 END + CASE WHEN len(sb)%4 >= 2 THEN 256*sb[4*(len(sb)//4)+2] ELSE 0 END + CASE WHEN len(sb)%4 >= 3 THEN 65536*sb[4*(len(sb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296)) END), len(sb)), (xor((CASE WHEN len(sb)%4 = 0 THEN (list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(sb[4*bi+1] + 256*sb[4*bi+2] + 65536*sb[4*bi+3] + 16777216*sb[4*bi+4] AS HUGEINT) for bi in range(len(sb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)) ELSE xor((list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(sb[4*bi+1] + 256*sb[4*bi+2] + 65536*sb[4*bi+3] + 16777216*sb[4*bi+4] AS HUGEINT) for bi in range(len(sb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)), ((((((((((CAST(CASE WHEN len(sb)%4 >= 1 THEN sb[4*(len(sb)//4)+1] ELSE 0 END + CASE WHEN len(sb)%4 >= 2 THEN 256*sb[4*(len(sb)//4)+2] ELSE 0 END + CASE WHEN len(sb)%4 >= 3 THEN 65536*sb[4*(len(sb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) * 32768) % 4294967296 + (((((CAST(CASE WHEN len(sb)%4 >= 1 THEN sb[4*(len(sb)//4)+1] ELSE 0 END + CASE WHEN len(sb)%4 >= 2 THEN 256*sb[4*(len(sb)//4)+2] ELSE 0 END + CASE WHEN len(sb)%4 >= 3 THEN 65536*sb[4*(len(sb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296)) END), len(sb))) // 65536)) * 2246822507) % 4294967296)) // 8192)) * 3266489909) % 4294967296), ((((xor((((xor(xor((CASE WHEN len(sb)%4 = 0 THEN (list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(sb[4*bi+1] + 256*sb[4*bi+2] + 65536*sb[4*bi+3] + 16777216*sb[4*bi+4] AS HUGEINT) for bi in range(len(sb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)) ELSE xor((list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(sb[4*bi+1] + 256*sb[4*bi+2] + 65536*sb[4*bi+3] + 16777216*sb[4*bi+4] AS HUGEINT) for bi in range(len(sb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)), ((((((((((CAST(CASE WHEN len(sb)%4 >= 1 THEN sb[4*(len(sb)//4)+1] ELSE 0 END + CASE WHEN len(sb)%4 >= 2 THEN 256*sb[4*(len(sb)//4)+2] ELSE 0 END + CASE WHEN len(sb)%4 >= 3 THEN 65536*sb[4*(len(sb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) * 32768) % 4294967296 + (((((CAST(CASE WHEN len(sb)%4 >= 1 THEN sb[4*(len(sb)//4)+1] ELSE 0 END + CASE WHEN len(sb)%4 >= 2 THEN 256*sb[4*(len(sb)//4)+2] ELSE 0 END + CASE WHEN len(sb)%4 >= 3 THEN 65536*sb[4*(len(sb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296)) END), len(sb)), (xor((CASE WHEN len(sb)%4 = 0 THEN (list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(sb[4*bi+1] + 256*sb[4*bi+2] + 65536*sb[4*bi+3] + 16777216*sb[4*bi+4] AS HUGEINT) for bi in range(len(sb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)) ELSE xor((list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(sb[4*bi+1] + 256*sb[4*bi+2] + 65536*sb[4*bi+3] + 16777216*sb[4*bi+4] AS HUGEINT) for bi in range(len(sb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)), ((((((((((CAST(CASE WHEN len(sb)%4 >= 1 THEN sb[4*(len(sb)//4)+1] ELSE 0 END + CASE WHEN len(sb)%4 >= 2 THEN 256*sb[4*(len(sb)//4)+2] ELSE 0 END + CASE WHEN len(sb)%4 >= 3 THEN 65536*sb[4*(len(sb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) * 32768) % 4294967296 + (((((CAST(CASE WHEN len(sb)%4 >= 1 THEN sb[4*(len(sb)//4)+1] ELSE 0 END + CASE WHEN len(sb)%4 >= 2 THEN 256*sb[4*(len(sb)//4)+2] ELSE 0 END + CASE WHEN len(sb)%4 >= 3 THEN 65536*sb[4*(len(sb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296)) END), len(sb))) // 65536)) * 2246822507) % 4294967296), ((((xor(xor((CASE WHEN len(sb)%4 = 0 THEN (list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(sb[4*bi+1] + 256*sb[4*bi+2] + 65536*sb[4*bi+3] + 16777216*sb[4*bi+4] AS HUGEINT) for bi in range(len(sb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)) ELSE xor((list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(sb[4*bi+1] + 256*sb[4*bi+2] + 65536*sb[4*bi+3] + 16777216*sb[4*bi+4] AS HUGEINT) for bi in range(len(sb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)), ((((((((((CAST(CASE WHEN len(sb)%4 >= 1 THEN sb[4*(len(sb)//4)+1] ELSE 0 END + CASE WHEN len(sb)%4 >= 2 THEN 256*sb[4*(len(sb)//4)+2] ELSE 0 END + CASE WHEN len(sb)%4 >= 3 THEN 65536*sb[4*(len(sb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) * 32768) % 4294967296 + (((((CAST(CASE WHEN len(sb)%4 >= 1 THEN sb[4*(len(sb)//4)+1] ELSE 0 END + CASE WHEN len(sb)%4 >= 2 THEN 256*sb[4*(len(sb)//4)+2] ELSE 0 END + CASE WHEN len(sb)%4 >= 3 THEN 65536*sb[4*(len(sb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296)) END), len(sb)), (xor((CASE WHEN len(sb)%4 = 0 THEN (list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(sb[4*bi+1] + 256*sb[4*bi+2] + 65536*sb[4*bi+3] + 16777216*sb[4*bi+4] AS HUGEINT) for bi in range(len(sb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)) ELSE xor((list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(sb[4*bi+1] + 256*sb[4*bi+2] + 65536*sb[4*bi+3] + 16777216*sb[4*bi+4] AS HUGEINT) for bi in range(len(sb)//4)]), (h, b) -> ((((((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) * 8192) % 4294967296 + ((xor(h, (((((((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) * 32768) % 4294967296 + ((((((((b) * 3432918353) % 4294967296)) * 1) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296))) // 524288))) % 4294967296) * 5 + 3864292196) % 4294967296)), ((((((((((CAST(CASE WHEN len(sb)%4 >= 1 THEN sb[4*(len(sb)//4)+1] ELSE 0 END + CASE WHEN len(sb)%4 >= 2 THEN 256*sb[4*(len(sb)//4)+2] ELSE 0 END + CASE WHEN len(sb)%4 >= 3 THEN 65536*sb[4*(len(sb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) * 32768) % 4294967296 + (((((CAST(CASE WHEN len(sb)%4 >= 1 THEN sb[4*(len(sb)//4)+1] ELSE 0 END + CASE WHEN len(sb)%4 >= 2 THEN 256*sb[4*(len(sb)//4)+2] ELSE 0 END + CASE WHEN len(sb)%4 >= 3 THEN 65536*sb[4*(len(sb)//4)+3] ELSE 0 END AS HUGEINT)) * 3432918353) % 4294967296)) // 131072))) % 4294967296) * 461845907) % 4294967296)) END), len(sb))) // 65536)) * 2246822507) % 4294967296)) // 8192)) * 3266489909) % 4294967296)) // 65536)) % 2147483648) % 8 AS BIGINT) AS prio_bucket
+        |FROM b ORDER BY o_orderkey""".stripMargin,
     "dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest([t for t in string_split_regex(text, '[ \n\t\r]+') if len(t) > 0]) AS tok
