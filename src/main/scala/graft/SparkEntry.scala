@@ -18,10 +18,12 @@ import graft.transforms.Transforms
   *
   * Naming convention: every computed column is aliased identically in the
   * Spark plan and the oracle SQL (the driver sorts columns by name before
-  * hashing). Aggregated doubles are cast to DECIMAL on both sides so sums
-  * are order-independent and bit-exact; timestamps are exchanged as epoch
-  * longs or formatted strings (the synthetic `events.ts` is ns-precision,
-  * read by Spark as epoch-nanos long via `parquet.nanosAsLong`).
+  * hashing). Money/double aggregates are exchanged as integer cents
+  * (`round(x*scale)` summed as BIGINT — order-independent and
+  * representation-exact across engines; never DECIMAL or HUGEINT at the
+  * boundary); timestamps are exchanged as epoch longs or formatted
+  * strings (the synthetic `events.ts` is ns-precision, read by Spark as
+  * epoch-nanos long via `parquet.nanosAsLong`).
   */
 /** Row shape for the streaming-ingest query's MemoryStream source. */
 case class StreamEvent(event_id: Long, user_id: Long, event_type: String, value: Double)
