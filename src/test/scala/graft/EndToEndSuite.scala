@@ -39,6 +39,44 @@ class EndToEndSuite extends AnyFunSuite {
     assert(rows === Set((2L, "b2"), (3L, "c")))
   }
 
+  test("CDC into a partitioned table on a branch (IntegrationCdcTest.testIcebergSinkPartitionedTable)") {
+    import org.apache.spark.sql.types._
+    val wh = TestSpark.freshDir("e2e-cdc-part")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("type", StringType),
+      StructField("ts", TimestampType), StructField("payload", StringType)))
+    IceTable.create(s"$wh/tbl", schema,
+      graft.table.TableMeta(idColumns = Seq("id"), partitionBy = Seq("hour(ts)")),
+      branch = "test_branch")
+    val cfg = EngineConfig(warehouse = wh,
+      tables = Seq(TableConfig("tbl", idColumns = Seq("id"),
+        partitionBy = Seq("hour(ts)"), commitBranch = "test_branch")),
+      cdcField = Some("op"))
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2023-03-13 $h%02d:00:00")
+    // 2 hours × I-events, then an update + a delete
+    val b0 = Seq(
+      (1L, "type1", ts(10), "a", "I", 0L), (2L, "type2", ts(10), "b", "I", 1L),
+      (3L, "type1", ts(11), "c", "I", 2L), (4L, "type2", ts(11), "d", "I", 3L))
+      .toDF("id", "type", "ts", "payload", "op", "offset")
+    val b1 = Seq(
+      (2L, "type2", ts(10), "b2", "U", 4L), (3L, "type1", ts(11), null.asInstanceOf[String], "D", 5L))
+      .toDF("id", "type", "ts", "payload", "op", "offset")
+    Ingest.run(spark, b0, 0L, cfg)
+    Ingest.run(spark, b1, 1L, cfg)
+    val t = IceTable.load(s"$wh/tbl", "test_branch")
+    val commits = t.log.commits()
+    // batch 0: data files span both hour partitions, 4 rows total
+    assert(commits(0).dataFiles.map(_.partition("ts_hour")).toSet ===
+      Set("2023-03-13-10", "2023-03-13-11"))
+    assert(commits(0).dataFiles.map(_.rows).sum === 4L)
+    // batch 1: 2 delete keys (U + D), updated row lands in its partition
+    assert(commits(1).deleteFiles.map(_.rows).sum === 2L)
+    val rows = t.read(spark).select("id", "payload").as[(Long, String)].collect().toSet
+    assert(rows === Set((1L, "a"), (2L, "b2"), (4L, "d")))
+    // nothing on main (commit-branch isolation)
+    assert(IceTable.load(s"$wh/tbl").read(spark).count() === 0)
+  }
+
   test("regex multi-table fan-out (IntegrationMultiTableTest.java:99-103)") {
     val wh = TestSpark.freshDir("e2e-multi")
     val cfg = EngineConfig(warehouse = wh,
