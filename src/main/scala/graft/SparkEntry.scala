@@ -617,6 +617,18 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF with nProbe == nCells probes every cell, so the machinery
+    * (assignment, probe routing, per-cell scan, ranking) must reproduce
+    * brute force EXACTLY — oracle-checked against the same brute SQL.
+    */
+  private def qKnnIvfFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = t(spark, sfDir, "embeddings")
+    Similarity.ivfKnn(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 16, kmeansIters = 1)
+      .select("q_id", "rank", "n_id")
+      .orderBy("q_id", "rank")
+  }
+
   /** Text analysis: exact counting signals + language-ID heuristic. */
   private def qTextStats(spark: SparkSession, sfDir: String): DataFrame = {
     val d = t(spark, sfDir, "documents")
@@ -709,6 +721,7 @@ object SparkEntry {
       "dedup_embedding_lsh" -> wrap(qDedupEmbeddingLsh),
       "knn_brute" -> wrap(qKnnBrute),
       "knn_ivf" -> wrap(qKnnIvf),
+      "knn_ivf_full" -> wrap(qKnnIvfFull),
       "pipeline_curate" -> wrap(qPipelineCurate),
       "text_stats" -> wrap(qTextStats),
       "text_fingerprint" -> wrap(qTextFingerprint),
@@ -932,6 +945,14 @@ object SparkEntry {
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
     "knn_brute" ->
+      """SELECT q_id, rank, n_id FROM (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC, n.vec_id) AS rank
+        |  FROM embeddings q, embeddings n
+        |  WHERE q.vec_id < 8 AND q.vec_id <> n.vec_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "knn_ivf_full" ->
       """SELECT q_id, rank, n_id FROM (
         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
         |    row_number() OVER (PARTITION BY q.vec_id
