@@ -82,6 +82,20 @@ class PlanAndOffsetsSuite extends AnyFunSuite {
     assert(c.offsets === Map("t-0" -> 6L, "t-1" -> 7L))
   }
 
+  test("CDC read-back applies equality deletes as a broadcast anti-join (D2 plan shape)") {
+    val wh = TestSpark.freshDir("plan-cdc")
+    val cfg = EngineConfig(warehouse = wh,
+      tables = Seq(TableConfig("t", idColumns = Seq("id"))),
+      cdcField = Some("op"), autoCreate = true)
+    val b0 = Seq((1L, "a", "I", 0L), (2L, "b", "I", 1L)).toDF("id", "v", "op", "offset")
+    val b1 = Seq((1L, "a2", "U", 2L)).toDF("id", "v", "op", "offset")
+    Ingest.run(spark, b0, 0L, cfg)
+    Ingest.run(spark, b1, 1L, cfg)
+    val plan = IceTable.load(s"$wh/t").read(spark).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"deletes not applied as broadcast anti-join:\n$plan")
+  }
+
   test("VTTS is null when a partition has no timestamp (CommitState.vtts null case)") {
     val wh = TestSpark.freshDir("vtts-null")
     val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("t")), autoCreate = true)
