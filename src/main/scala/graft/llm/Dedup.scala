@@ -212,7 +212,10 @@ object Dedup {
     * recall, never false positives. Size (bits, tables) to the threshold:
     * sign-agreement probability per plane is 1 - θ/π, so high-similarity
     * dedup (≥0.9) needs few tables while moderate thresholds need more
-    * tables or fewer bits.
+    * tables or fewer bits. Scale `bits` with the corpus: candidate volume
+    * per table is Σ bucket² over 2^bits buckets, so bits ≈
+    * log2(n / targetBucketSize) keeps buckets bounded as n grows (recall
+    * lost to extra bits is bought back with tables).
     */
   def embeddingNearDupPairs(
       df: DataFrame,

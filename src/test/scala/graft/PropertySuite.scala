@@ -97,3 +97,49 @@ object SchemaProps extends Properties("schema-evolution") {
       }
     }
 }
+
+/** The streaming sessionization state fold must agree with the direct
+  * batch gap-split on EVERY way of cutting the event stream into
+  * micro-batches — the exactly-once-across-restarts contract.
+  */
+object SessionizeProps extends Properties("sessionize") {
+  import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+  import graft.streaming.{Session, SessionState, Sessionize}
+
+  private val Gap = 10L
+
+  /** Direct reference: split a sorted series at >Gap gaps. */
+  private def direct(ts: List[Long]): List[(Long, Long, Long)] =
+    ts.foldLeft(List.empty[(Long, Long, Long)]) {
+      case (Nil, t) => List((t, t, 1L))
+      case ((s, last, n) :: rest, t) =>
+        if (t - last > Gap) (t, t, 1L) :: (s, last, n) :: rest
+        else (s, t, n + 1L) :: rest
+    }.reverse
+
+  private val genSeries = Gen.listOf(Gen.choose(0L, 300L)).map(_.sorted)
+  private val genCuts = Gen.listOf(Gen.choose(0, 50))
+
+  property("any micro-batch split folds to the batch gap-split") =
+    forAll(genSeries, genCuts) { (ts, cutsRaw) =>
+      // cut the sorted series into consecutive batches at the cut points
+      val cuts = cutsRaw.map(c => if (ts.isEmpty) 0 else c % (ts.size + 1)).sorted.distinct
+      val batches = (0 :: cuts ::: List(ts.size)).distinct.sorted
+        .sliding(2).collect { case List(a, b) if b > a => ts.slice(a, b) }.toList
+      var state: Option[SessionState] = None
+      val emitted = scala.collection.mutable.Buffer[Session]()
+      batches.foreach { b =>
+        val gs = TestGroupState.create[SessionState](
+          state.map(org.apache.spark.api.java.Optional.of[SessionState])
+            .getOrElse(org.apache.spark.api.java.Optional.empty[SessionState]()),
+          GroupStateTimeout.NoTimeout, 0L,
+          org.apache.spark.api.java.Optional.empty[Long](),
+          hasTimedOut = false)
+        emitted ++= Sessionize.update(Gap)(1L, b.map(t => (1L, t)).iterator, gs)
+        if (gs.exists) state = Some(gs.get)
+      }
+      val open = state.filter(_.n > 0).map(s => (s.start, s.last, s.n)).toList
+      val got = emitted.map(s => (s.start_us, s.end_us, s.events)).toList ++ open
+      Prop(got == direct(ts)) :| s"got=$got expected=${direct(ts)} batches=$batches"
+    }
+}
