@@ -594,7 +594,9 @@ object SparkEntry {
     */
   private def qDedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.embeddingNearDupPairs(t(spark, sfDir, "embeddings"), "vec_id", "embedding", 0.45,
-      lshBits = 5, lshTables = 32)
+      lshBits = 5, lshTables = 32,
+      // the vector side broadcasts at this scale: dedup after the verify
+      dedupCandidates = false)
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
 

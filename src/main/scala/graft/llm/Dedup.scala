@@ -217,13 +217,22 @@ object Dedup {
     * log2(n / targetBucketSize) keeps buckets bounded as n grows (recall
     * lost to extra bits is bought back with tables).
     */
+  /** `dedupCandidates` picks where the multi-table duplicate pairs are
+    * collapsed: BEFORE the verify join (true — pre-shrinks the join input
+    * by the collision factor; right when the vector table is too large to
+    * broadcast, so verification is a shuffle join) or AFTER (false — the
+    * candidate stream flows straight into a broadcast verify and only the
+    * tiny survivor set is deduped; measurably cheaper whenever the vector
+    * side broadcasts). Either order yields identical pairs.
+    */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
       lshBits: Int = 0,
-      lshTables: Int = 1
+      lshTables: Int = 1,
+      dedupCandidates: Boolean = true
   ): DataFrame = {
     val v = df.select(col(idCol).as("id"), Similarity.normalize(col(vecCol)).as("v"))
     if (lshBits <= 0) {
@@ -242,16 +251,18 @@ object Dedup {
             Similarity.hyperplaneSignature(col("v"), lshBits, seed = 7 + t).as("sig"))
         }: _*)).as("ts")
       ).select(col("id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
-      val candidates = sigged.alias("a")
+      val candidates0 = sigged.alias("a")
         .join(sigged.alias("b"), Seq("t", "sig"))
         .filter(col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .distinct()
-      candidates
+      val candidates = if (dedupCandidates) candidates0.distinct() else candidates0
+      val verified = candidates
         .join(vv.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
         .join(vv.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
         .select(col("id_a"), col("id_b"), Similarity.dot(col("v_a"), col("v_b")).as("cosine"))
         .filter(col("cosine") >= threshold)
+      // cosine is deterministic per pair, so post-dedup is exact
+      if (dedupCandidates) verified else verified.distinct()
     }
   }
 }
