@@ -204,6 +204,7 @@ class EndToEndSuite extends AnyFunSuite {
       "iceberg.tables.upsert-mode-enabled" -> "true",
       "iceberg.tables.auto-create-enabled" -> "true",
       "iceberg.tables.evolve-schema-enabled" -> "true",
+      "iceberg.tables.tombstone-drop-enabled" -> "false",
       "iceberg.control.commit.interval-ms" -> "60000"))
     assert(cfg.tables.map(_.name) === Seq("db.tbl1", "db.tbl2"))
     val t1 = cfg.tableConfig("db.tbl1")
@@ -212,6 +213,7 @@ class EndToEndSuite extends AnyFunSuite {
     assert(t1.partitionBy === Seq("day(ts)", "bucket(id,8)"))
     assert(cfg.cdcField === Some("_cdc.op"))
     assert(cfg.upsertMode && cfg.autoCreate && cfg.evolveSchema)
+    assert(!cfg.tombstoneDrop)
     assert(cfg.commitIntervalMs === 60000L)
   }
 }
