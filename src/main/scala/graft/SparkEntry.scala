@@ -475,12 +475,12 @@ object SparkEntry {
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-        (lit(1) - col("l_discount").cast(DecimalType(18, 2)))).cast(DecimalType(18, 4)).as("revenue"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000, 0)
+        .cast(LongType)).as("revenue_c4"))
       .select(col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
-        col("o_orderpriority"), col("revenue"))
-      .orderBy(col("revenue").desc, col("o_orderkey"))
+        col("o_orderpriority"), col("revenue_c4"))
+      .orderBy(col("revenue_c4").desc, col("o_orderkey"))
       .limit(10)
   }
 
@@ -495,9 +495,9 @@ object SparkEntry {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-        (lit(1) - col("l_discount").cast(DecimalType(18, 2)))).cast(DecimalType(18, 4)).as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000, 0)
+        .cast(LongType)).as("revenue_c4"))
+      .orderBy(col("revenue_c4").desc, col("n_name"))
   }
 
   /** Distinct aggregation + conditional counting over events. */
@@ -875,7 +875,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_topn" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -883,11 +883,11 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, o_orderkey
+        |ORDER BY revenue_c4 DESC, o_orderkey
         |LIMIT 10""".stripMargin,
     "q5_region" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -895,7 +895,7 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin,
+        |ORDER BY revenue_c4 DESC, n_name""".stripMargin,
     "window_running" ->
       """SELECT user_id, event_id,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT))
