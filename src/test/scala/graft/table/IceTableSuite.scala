@@ -158,6 +158,25 @@ class IceTableSuite extends AnyFunSuite {
     } finally conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", saved)
   }
 
+  test("concurrent auto-create races settle on one table (IcebergWriterFactory.autoCreateTable)") {
+    val dir = TestSpark.freshDir("t-create-race") + "/t"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[IceTable] {
+          def call(): IceTable = IceTable.loadOrCreate(dir, schema, TableMeta(idColumns = Seq("id")))
+        })
+      }
+      val tables = futures.map(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+      // exactly one schema version and one metadata file won the race
+      assert(tables.head.schemaVersions.map(_._1) === Seq(1))
+      assert(tables.forall(_.meta.idColumns === Seq("id")))
+      // table is immediately usable by any racer's handle
+      IceTableWriter.append(spark, df((1L, "a", 1.0)), tables.head, batchId = 0)
+      assert(tables.last.read(spark).count() === 1)
+    } finally pool.shutdown()
+  }
+
   test("branch fast-forward publishes audited commits to main (write-audit-publish)") {
     val dir = TestSpark.freshDir("t-wap")
     val t = IceTable.create(dir, schema, TableMeta())
