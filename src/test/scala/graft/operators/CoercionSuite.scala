@@ -157,6 +157,16 @@ class CoercionSuite extends AnyFunSuite {
     assert(r.getDecimal(1) === new java.math.BigDecimal("45.00"))
   }
 
+  test("JSON string → array and map targets (schemaless path, C7)") {
+    val src = Seq(("""[1, 2, 3]""", """{"a": 1, "b": 2}""")).toDF("arr", "m")
+    val target = StructType(Seq(
+      StructField("arr", ArrayType(LongType)),
+      StructField("m", MapType(StringType, LongType))))
+    val r = one(src, target)
+    assert(r.getSeq[Long](0) === Seq(1L, 2L, 3L))
+    assert(r.getMap[String, Long](1) === Map("a" -> 1L, "b" -> 2L))
+  }
+
   test("name-mapping aliases resolve source fields (E4)") {
     val src = Seq((7L, "x")).toDF("legacy_id", "name")
     val target = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))

@@ -216,6 +216,24 @@ class IceTableSuite extends AnyFunSuite {
     assert(got.toSeq === (150L to 160L))
   }
 
+  test("range pruner: string mode, missing bounds, and boundary inclusivity") {
+    val f = FileEntry("p", 10, 1, min = Map("name" -> "ccc", "id" -> "100"),
+      max = Map("name" -> "mmm", "id" -> "200"))
+    import FilePruning.mayContainRange
+    // string (lexicographic) mode
+    assert(mayContainRange(f, "name", Some("aaa"), Some("bbb"), numeric = false) === false)
+    assert(mayContainRange(f, "name", Some("ddd"), Some("eee"), numeric = false) === true)
+    assert(mayContainRange(f, "name", Some("mmm"), None, numeric = false) === true) // inclusive max
+    assert(mayContainRange(f, "name", Some("mmn"), None, numeric = false) === false)
+    // numeric boundaries are inclusive
+    assert(mayContainRange(f, "id", Some("200"), Some("300")) === true)
+    assert(mayContainRange(f, "id", Some("201"), Some("300")) === false)
+    assert(mayContainRange(f, "id", None, Some("100")) === true)
+    assert(mayContainRange(f, "id", None, Some("99")) === false)
+    // column without recorded bounds can never be skipped
+    assert(mayContainRange(f, "other", Some("1"), Some("2")) === true)
+  }
+
   test("commit-log checkpoints consolidate history; reads = checkpoint + tail") {
     val dir = TestSpark.freshDir("t-ckpt")
     val log = new CommitLog(java.nio.file.Paths.get(dir), checkpointInterval = 3)
