@@ -45,6 +45,12 @@ final case class EngineConfig(
     defaultIdColumns: Seq[String] = Nil,
     /** `iceberg.tables.default-partition-by` */
     defaultPartitionBy: Seq[String] = Nil,
+    /** `iceberg.tables.default-commit-branch` */
+    defaultCommitBranch: String = "main",
+    /** `iceberg.tables.auto-create-props.*` — table properties applied at
+      * auto-create (IcebergSinkConfig.autoCreateProps), e.g.
+      * `write.target-file-size-bytes` or `schema.name-mapping.default` */
+    autoCreateProps: Map[String, String] = Map.empty,
     /** write.format.default: parquet|orc|avro (Utilities.java:162-163) */
     format: String = "parquet",
     /** `iceberg.control.commit.interval-ms` (default 300 000,
@@ -64,7 +70,8 @@ final case class EngineConfig(
     tables
       .find(_.name == name)
       .getOrElse(
-        TableConfig(name, idColumns = defaultIdColumns, partitionBy = defaultPartitionBy)
+        TableConfig(name, idColumns = defaultIdColumns, partitionBy = defaultPartitionBy,
+          commitBranch = defaultCommitBranch)
       )
 }
 
@@ -97,6 +104,7 @@ object EngineConfig {
     def bool(key: String, dflt: Boolean): Boolean =
       props.get(key).map(_.trim.toBoolean).getOrElse(dflt)
 
+    val defaultBranch = props.getOrElse("iceberg.tables.default-commit-branch", "main")
     val tableNames = list("iceberg.tables")
     val tables = tableNames.map { t =>
       def tprop(suffix: String) = props.get(s"iceberg.table.$t.$suffix")
@@ -105,7 +113,7 @@ object EngineConfig {
         routeRegex = tprop("route-regex"),
         idColumns = tprop("id-columns").map(splitTopLevel).getOrElse(Nil),
         partitionBy = tprop("partition-by").map(splitTopLevel).getOrElse(Nil),
-        commitBranch = tprop("commit-branch").getOrElse("main")
+        commitBranch = tprop("commit-branch").getOrElse(defaultBranch)
       )
     }
     EngineConfig(
@@ -121,6 +129,11 @@ object EngineConfig {
       schemaCaseInsensitive = bool("iceberg.tables.schema-case-insensitive", dflt = true),
       defaultIdColumns = list("iceberg.tables.default-id-columns"),
       defaultPartitionBy = list("iceberg.tables.default-partition-by"),
+      defaultCommitBranch = defaultBranch,
+      autoCreateProps = props.collect {
+        case (k, v) if k.startsWith("iceberg.tables.auto-create-props.") =>
+          k.stripPrefix("iceberg.tables.auto-create-props.") -> v
+      },
       format = props.getOrElse("iceberg.kafka.write.format.default", "parquet"),
       commitIntervalMs =
         props.get("iceberg.control.commit.interval-ms").map(_.toLong).getOrElse(300000L),

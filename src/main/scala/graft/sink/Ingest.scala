@@ -139,7 +139,8 @@ object Ingest {
             tconf.partitionBy
           } catch { case _: Exception => Nil }
         IceTable.create(path, SchemaEvolution.normalize(createSchema).asInstanceOf[StructType],
-          TableMeta(idColumns = tconf.idColumns, partitionBy = spec, format = config.format),
+          TableMeta(idColumns = tconf.idColumns, partitionBy = spec, format = config.format,
+            props = config.autoCreateProps),
           tconf.commitBranch)
       } else {
         // R3 — unknown table and auto-create off: silently skip

@@ -158,6 +158,16 @@ class EndToEndSuite extends AnyFunSuite {
     assert(rows(1).getLong(0) === 2L && rows(1).getInt(1) === 2 && rows(1).getString(2) === "x")
   }
 
+  test("auto-create-props land on new tables (IcebergSinkConfig.autoCreateProps)") {
+    val wh = TestSpark.freshDir("e2e-autoprops")
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("t")),
+      autoCreate = true,
+      autoCreateProps = Map("write.target-file-size-bytes" -> "4096", "owner" -> "pipeline"))
+    Ingest.run(spark, Seq((1L, "x")).toDF("id", "v"), 0L, cfg)
+    val meta = IceTable.load(s"$wh/t").meta
+    assert(meta.props === Map("write.target-file-size-bytes" -> "4096", "owner" -> "pipeline"))
+  }
+
   test("kafka tombstones are skipped but still advance offsets (IcebergWriter.java:66-76)") {
     val wh = TestSpark.freshDir("e2e-tombstone")
     val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("t")), autoCreate = true)
@@ -205,6 +215,8 @@ class EndToEndSuite extends AnyFunSuite {
       "iceberg.tables.auto-create-enabled" -> "true",
       "iceberg.tables.evolve-schema-enabled" -> "true",
       "iceberg.tables.tombstone-drop-enabled" -> "false",
+      "iceberg.tables.default-commit-branch" -> "audit",
+      "iceberg.tables.auto-create-props.write.target-file-size-bytes" -> "4096",
       "iceberg.control.commit.interval-ms" -> "60000"))
     assert(cfg.tables.map(_.name) === Seq("db.tbl1", "db.tbl2"))
     val t1 = cfg.tableConfig("db.tbl1")
@@ -215,5 +227,10 @@ class EndToEndSuite extends AnyFunSuite {
     assert(cfg.upsertMode && cfg.autoCreate && cfg.evolveSchema)
     assert(!cfg.tombstoneDrop)
     assert(cfg.commitIntervalMs === 60000L)
+    // default branch applies to listed tables without their own and to
+    // dynamically discovered ones; auto-create props flow to new tables
+    assert(cfg.tableConfig("db.tbl2").commitBranch === "audit")
+    assert(cfg.tableConfig("nosuch").commitBranch === "audit")
+    assert(cfg.autoCreateProps === Map("write.target-file-size-bytes" -> "4096"))
   }
 }
