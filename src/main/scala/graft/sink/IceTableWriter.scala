@@ -209,7 +209,8 @@ object IceTableWriter {
           val pathParts = c.getPath.toArray
           if (pathParts.length == 1) {
             val name = pathParts(0)
-            val st = c.getStatistics
+            val st: org.apache.parquet.column.statistics.Statistics[_ <: Comparable[_]] =
+              c.getStatistics
             val pt = c.getPrimitiveType
             val encodable = pt.getPrimitiveTypeName match {
               case INT32 | INT64 | FLOAT | DOUBLE | BOOLEAN => true
