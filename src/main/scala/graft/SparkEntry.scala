@@ -588,13 +588,16 @@ object SparkEntry {
 
   /** Embedding near-dup via the multi-table hyperplane-LSH scale path —
     * oracle-checked against the same brute SQL: candidates are verified
-    * with the exact cosine (no false positives) and (bits=5, tables=32)
-    * empirically reaches recall 1 on the fixed test data at sf0.001 and
-    * sf0.01 (deterministic seeds), so the output matches brute exactly.
+    * with the exact cosine (no false positives). Bits are AUTO-SIZED from
+    * the corpus count (`Dedup.sizedLshBits`, lshBits = -1) so per-table
+    * candidate volume stays ~linear as the corpus grows (asserted across
+    * sf0.01→sf0.1 in LlmSuite); at the verification scale this resolves
+    * to bits=5, where tables=32 empirically reaches recall 1 on the fixed
+    * test data (deterministic seeds), so the output matches brute exactly.
     */
   private def qDedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.embeddingNearDupPairs(t(spark, sfDir, "embeddings"), "vec_id", "embedding", 0.45,
-      lshBits = 5, lshTables = 32,
+      lshBits = -1, lshTables = 32,
       // the vector side broadcasts at this scale: dedup after the verify
       dedupCandidates = false)
       .select("id_a", "id_b")
@@ -614,7 +617,7 @@ object SparkEntry {
   private def qKnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = t(spark, sfDir, "embeddings")
     Similarity.ivfKnn(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5,
-      nCells = 16, nProbe = 4, kmeansIters = 1)
+      nCells = 16, nProbe = 4, kmeansIters = 2)
       .select("q_id", "rank", "n_id")
       .orderBy("q_id", "rank")
   }
@@ -626,7 +629,7 @@ object SparkEntry {
   private def qKnnIvfFull(spark: SparkSession, sfDir: String): DataFrame = {
     val e = t(spark, sfDir, "embeddings")
     Similarity.ivfKnn(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5,
-      nCells = 16, nProbe = 16, kmeansIters = 1)
+      nCells = 16, nProbe = 16, kmeansIters = 2)
       .select("q_id", "rank", "n_id")
       .orderBy("q_id", "rank")
   }

@@ -202,20 +202,41 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Bits sized to the corpus: with 2^bits buckets per table, expected
+    * bucket size is n/2^bits and per-table candidate volume Σ bucket² ≈
+    * n · targetBucketSize — linear in n. Fixed bits would be quadratic
+    * (n²/2^bits). Floor of 5 keeps tiny corpora from degenerating to a
+    * handful of buckets.
+    */
+  def sizedLshBits(n: Long, targetBucketSize: Int = 16): Int = {
+    val buckets = math.max(1L, n).toDouble / math.max(1, targetBucketSize)
+    math.max(5, math.ceil(math.log(buckets) / math.log(2)).toInt)
+  }
+
+  /** Tables sized to a per-pair miss tolerance at the decision threshold:
+    * a pair at cosine t collides per table with probability p^bits where
+    * p = 1 - acos(t)/π (sign-agreement per hyperplane), so T =
+    * ln(1/missProb)/p^bits gives miss probability (1-p^bits)^T ≤ missProb
+    * for every pair at-or-above the threshold. This is the knob that buys
+    * recall back as [[sizedLshBits]] grows with the corpus.
+    */
+  def sizedLshTables(threshold: Double, bits: Int, missProb: Double = 0.01): Int = {
+    val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    math.max(1, math.ceil(math.log(1.0 / missProb) / math.pow(p, bits)).toInt)
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold over normalized vectors.
     * `lshBits > 0` switches to random-hyperplane bucketing (sign-bit
-    * signatures), bounding the self-join at scale; 0 = exact brute pairs.
+    * signatures), bounding the self-join at scale; 0 = exact brute pairs;
+    * NEGATIVE auto-sizes bits from the corpus count via [[sizedLshBits]]
+    * (one count job at index build — the scale-safe default, keeping
+    * candidate volume ~linear as the corpus grows).
     *
     * `lshTables` is the standard recall amplifier: L independent plane
     * sets, a pair is a candidate if it collides in ANY table, and every
     * candidate is verified with the exact cosine — so extra tables add
-    * recall, never false positives. Size (bits, tables) to the threshold:
-    * sign-agreement probability per plane is 1 - θ/π, so high-similarity
-    * dedup (≥0.9) needs few tables while moderate thresholds need more
-    * tables or fewer bits. Scale `bits` with the corpus: candidate volume
-    * per table is Σ bucket² over 2^bits buckets, so bits ≈
-    * log2(n / targetBucketSize) keeps buckets bounded as n grows (recall
-    * lost to extra bits is bought back with tables).
+    * recall, never false positives. [[sizedLshTables]] computes the table
+    * count that holds a target recall at the threshold as bits grow.
     */
   /** `dedupCandidates` picks where the multi-table duplicate pairs are
     * collapsed: BEFORE the verify join (true — pre-shrinks the join input
@@ -232,10 +253,11 @@ object Dedup {
       threshold: Double,
       lshBits: Int = 0,
       lshTables: Int = 1,
-      dedupCandidates: Boolean = true
+      dedupCandidates: Boolean = true,
+      targetBucketSize: Int = 16
   ): DataFrame = {
     val v = df.select(col(idCol).as("id"), Similarity.normalize(col(vecCol)).as("v"))
-    if (lshBits <= 0) {
+    if (lshBits == 0) {
       v.alias("a").join(v.alias("b"), col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           Similarity.dot(col("a.v"), col("b.v")).as("cosine"))
@@ -244,17 +266,8 @@ object Dedup {
       // vectors are re-read by the candidate-verify join — materialize the
       // normalized form once (cluster scale: a persisted vector table)
       val vv = v.localCheckpoint()
-      val sigged = vv.select(
-        col("id"),
-        explode(array((0 until math.max(1, lshTables)).map { t =>
-          struct(lit(t).as("t"),
-            Similarity.hyperplaneSignature(col("v"), lshBits, seed = 7 + t).as("sig"))
-        }: _*)).as("ts")
-      ).select(col("id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
-      val candidates0 = sigged.alias("a")
-        .join(sigged.alias("b"), Seq("t", "sig"))
-        .filter(col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val bits = if (lshBits > 0) lshBits else sizedLshBits(vv.count(), targetBucketSize)
+      val candidates0 = lshCandidateStream(vv, bits, lshTables)
       val candidates = if (dedupCandidates) candidates0.distinct() else candidates0
       val verified = candidates
         .join(vv.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
@@ -264,5 +277,42 @@ object Dedup {
       // cosine is deterministic per pair, so post-dedup is exact
       if (dedupCandidates) verified else verified.distinct()
     }
+  }
+
+  /** Raw candidate pairs from the banded multi-table self-join — one row
+    * per colliding (table, bucket) pair, NOT distinct. `vv` must carry
+    * (id, v) with v normalized.
+    */
+  private def lshCandidateStream(vv: DataFrame, bits: Int, tables: Int): DataFrame = {
+    val sigged = vv.select(
+      col("id"),
+      explode(array((0 until math.max(1, tables)).map { t =>
+        struct(lit(t).as("t"),
+          Similarity.hyperplaneSignature(col("v"), bits, seed = 7 + t).as("sig"))
+      }: _*)).as("ts")
+    ).select(col("id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+    sigged.alias("a")
+      .join(sigged.alias("b"), Seq("t", "sig"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+
+  /** Distinct LSH candidate pairs before verification — the quantity whose
+    * growth rate decides whether the plan survives scale-up (exposed so
+    * tests can assert it stays ~linear across scale factors under
+    * [[sizedLshBits]]). Deterministic: fixed plane seeds.
+    */
+  def embeddingLshCandidates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      lshBits: Int = -1,
+      lshTables: Int = 1,
+      targetBucketSize: Int = 16
+  ): DataFrame = {
+    val vv = df.select(col(idCol).as("id"), Similarity.normalize(col(vecCol)).as("v"))
+      .localCheckpoint()
+    val bits = if (lshBits > 0) lshBits else sizedLshBits(vv.count(), targetBucketSize)
+    lshCandidateStream(vv, bits, lshTables).distinct()
   }
 }

@@ -73,17 +73,61 @@ object Similarity {
       .select("q_id", "rank", "n_id", "cosine")
   }
 
+  /** Deterministic spread seeding for the coarse quantizer: rank the
+    * corpus by a fixed-seed hash of the id (a deterministic pseudo-random
+    * sample — adjacent-id runs no longer collapse into one cell), take an
+    * oversampled candidate set, then greedy farthest-point selection
+    * (k-means++-style, deterministic): each next seed is the candidate
+    * with the largest cosine distance to its nearest already-chosen seed,
+    * ties broken by id. The candidate pull is one tiny job (4·nCells
+    * rows); selection is O(candidates · nCells) on the driver — index
+    * build cost, not per-query.
+    */
+  private def seedCentroids(c: DataFrame, nCells: Int): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val cands: Array[(Long, Array[Double])] = c
+      .orderBy(xxhash64(col("n_id")), col("n_id"))
+      .limit(math.max(nCells, 4 * nCells))
+      .select(col("n_id"), col("n_vec"))
+      .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(cands.head)
+    // bestSim(i) = max dot(cands(i), chosen) so far; vectors are normalized
+    val bestSim = Array.fill(cands.length)(Double.NegativeInfinity)
+    while (chosen.size < math.min(nCells, cands.length)) {
+      val last = chosen.last._2
+      var argmin = -1; var minSim = Double.PositiveInfinity
+      var i = 0
+      while (i < cands.length) {
+        val s = math.max(bestSim(i), dot(cands(i)._2, last))
+        bestSim(i) = s
+        val taken = chosen.exists(_._1 == cands(i)._1)
+        if (!taken && (s < minSim || (s == minSim && argmin >= 0 && cands(i)._1 < cands(argmin)._1))) {
+          minSim = s; argmin = i
+        }
+        i += 1
+      }
+      chosen += cands(argmin)
+    }
+    chosen.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("c_id", "c_vec")
+  }
+
   /** IVF (inverted-file) ANN: assign vectors to the nearest of `nCells`
     * centroids, then answer queries by probing the `nProbe` closest cells
     * only. Returns the same shape as [[bruteForceKnn]]; recall depends on
     * nProbe/nCells and centroid quality.
     *
-    * The coarse quantizer seeds deterministically (the lowest-id vectors)
-    * and is optionally refined with `kmeansIters` Lloyd iterations —
-    * assign (broadcast join) + per-cell spherical mean (`dim` codegen'd
-    * column averages, one shuffle per iteration). Refinement happens once
-    * per index build; at cluster scale the assignment table would be the
-    * persisted IVF index.
+    * The coarse quantizer seeds via [[seedCentroids]] (deterministic
+    * hash-sampled candidates + farthest-point selection) and is refined
+    * with `kmeansIters` Lloyd iterations — assign (broadcast join) +
+    * per-cell spherical mean (`dim` codegen'd column averages, one shuffle
+    * per iteration). Refinement happens once per index build; at cluster
+    * scale the assignment table would be the persisted IVF index.
     */
   def ivfKnn(
       corpus: DataFrame,
@@ -93,14 +137,12 @@ object Similarity {
       k: Int,
       nCells: Int = 16,
       nProbe: Int = 4,
-      kmeansIters: Int = 0,
+      kmeansIters: Int = 2,
       dim: Int = 64
   ): DataFrame = {
     val c0 = corpus.select(col(idCol).as("n_id"), normalize(col(vecCol)).as("n_vec"))
     val c = if (kmeansIters > 0) c0.localCheckpoint() else c0
-    // deterministic seed: first nCells vectors by id
-    var centroids = c.orderBy("n_id").limit(nCells)
-      .select(col("n_id").as("c_id"), col("n_vec").as("c_vec"))
+    var centroids = seedCentroids(c, nCells)
     for (_ <- 0 until kmeansIters) {
       val w = Window.partitionBy("n_id").orderBy(col("c_sim").desc, col("c_id"))
       val assigned0 = c.crossJoin(broadcast(centroids))
