@@ -589,15 +589,18 @@ object SparkEntry {
   /** Embedding near-dup via the multi-table hyperplane-LSH scale path —
     * oracle-checked against the same brute SQL: candidates are verified
     * with the exact cosine (no false positives). Bits are AUTO-SIZED from
-    * the corpus count (`Dedup.sizedLshBits`, lshBits = -1) so per-table
-    * candidate volume stays ~linear as the corpus grows (asserted across
-    * sf0.01→sf0.1 in LlmSuite); at the verification scale this resolves
-    * to bits=5, where tables=32 empirically reaches recall 1 on the fixed
-    * test data (deterministic seeds), so the output matches brute exactly.
+    * the corpus count (`Dedup.sizedLshBits`) so per-table candidate
+    * volume stays ~linear as the corpus grows (asserted across
+    * sf0.01→sf0.1 in LlmSuite), and tables are AUTO-SIZED from the
+    * threshold at those bits (`Dedup.sizedLshTables`, capped) so the
+    * per-pair recall target tracks the growing bit count; at the
+    * verification scale this resolves to bits=5 / tables=41, which
+    * reaches recall 1 on the fixed test data (deterministic seeds), so
+    * the output matches brute exactly.
     */
   private def qDedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.embeddingNearDupPairs(t(spark, sfDir, "embeddings"), "vec_id", "embedding", 0.45,
-      lshBits = -1, lshTables = 32,
+      lshBits = Dedup.AutoSize, lshTables = Dedup.AutoSize,
       // the vector side broadcasts at this scale: dedup after the verify
       dedupCandidates = false)
       .select("id_a", "id_b")

@@ -21,6 +21,12 @@ import graft.functions.TextHashes
   */
 object Dedup {
 
+  /** Sentinel for the auto-sized LSH path: pass as `lshBits` to size bits
+    * from the corpus count ([[sizedLshBits]]) and/or as `lshTables` to
+    * size the table count from the threshold ([[sizedLshTables]]).
+    */
+  val AutoSize: Int = -1
+
   /** Exact dedup: keep the lowest-id row per key (deterministic winner). */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
@@ -217,12 +223,27 @@ object Dedup {
     * a pair at cosine t collides per table with probability p^bits where
     * p = 1 - acos(t)/π (sign-agreement per hyperplane), so T =
     * ln(1/missProb)/p^bits gives miss probability (1-p^bits)^T ≤ missProb
-    * for every pair at-or-above the threshold. This is the knob that buys
-    * recall back as [[sizedLshBits]] grows with the corpus.
+    * for every pair at-or-above the threshold.
+    *
+    * The requirement is EXPONENTIAL in bits, so the result is capped at
+    * `maxTables` (each table is one explode struct per row plus one
+    * bucket self-join — hundreds of tables are infeasible and would make
+    * total candidate volume superlinear again). Within the cap the
+    * threshold-worst-case guarantee holds; past it (low thresholds
+    * combined with the high bit counts of very large corpora) the
+    * guarantee degrades to pairs above the threshold — at that scale
+    * raise the decision threshold or switch schemes (e.g. multiprobe)
+    * rather than adding tables.
     */
-  def sizedLshTables(threshold: Double, bits: Int, missProb: Double = 0.01): Int = {
+  def sizedLshTables(
+      threshold: Double,
+      bits: Int,
+      missProb: Double = 0.01,
+      maxTables: Int = 64
+  ): Int = {
     val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
-    math.max(1, math.ceil(math.log(1.0 / missProb) / math.pow(p, bits)).toInt)
+    val need = math.ceil(math.log(1.0 / missProb) / math.pow(p, bits))
+    math.max(1, math.min(maxTables.toDouble, need).toInt)
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold over normalized vectors.
@@ -235,8 +256,10 @@ object Dedup {
     * `lshTables` is the standard recall amplifier: L independent plane
     * sets, a pair is a candidate if it collides in ANY table, and every
     * candidate is verified with the exact cosine — so extra tables add
-    * recall, never false positives. [[sizedLshTables]] computes the table
-    * count that holds a target recall at the threshold as bits grow.
+    * recall, never false positives. [[AutoSize]] (the default) sizes the
+    * table count via [[sizedLshTables]] so the threshold-worst-case
+    * recall target tracks the sized bit count instead of silently
+    * degrading as the corpus grows.
     */
   /** `dedupCandidates` picks where the multi-table duplicate pairs are
     * collapsed: BEFORE the verify join (true — pre-shrinks the join input
@@ -252,7 +275,7 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       lshBits: Int = 0,
-      lshTables: Int = 1,
+      lshTables: Int = AutoSize,
       dedupCandidates: Boolean = true,
       targetBucketSize: Int = 16
   ): DataFrame = {
@@ -267,7 +290,8 @@ object Dedup {
       // normalized form once (cluster scale: a persisted vector table)
       val vv = v.localCheckpoint()
       val bits = if (lshBits > 0) lshBits else sizedLshBits(vv.count(), targetBucketSize)
-      val candidates0 = lshCandidateStream(vv, bits, lshTables)
+      val tables = if (lshTables > 0) lshTables else sizedLshTables(threshold, bits)
+      val candidates0 = lshCandidateStream(vv, bits, tables)
       val candidates = if (dedupCandidates) candidates0.distinct() else candidates0
       val verified = candidates
         .join(vv.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")

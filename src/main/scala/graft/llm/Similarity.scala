@@ -91,6 +91,8 @@ object Similarity {
       .limit(math.max(nCells, 4 * nCells))
       .select(col("n_id"), col("n_vec"))
       .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
+    if (cands.isEmpty) // empty corpus: no cells, queries degrade to empty output
+      return Seq.empty[(Long, Seq[Double])].toDF("c_id", "c_vec")
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }

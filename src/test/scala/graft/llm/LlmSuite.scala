@@ -59,13 +59,14 @@ class DedupSuite extends AnyFunSuite {
     assert(lsh.subsetOf(brute))
   }
 
-  test("multi-table hyperplane LSH with AUTO-SIZED bits reaches recall 1 vs brute") {
+  test("multi-table hyperplane LSH with AUTO-SIZED bits AND tables reaches recall 1 vs brute") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.45)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    // lshBits = -1: the sized path (resolves to 5 bits at this corpus size)
+    // the production auto path: bits sized from the corpus count (5 at
+    // this size), tables sized from the threshold at those bits (41)
     val lsh = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.45,
-      lshBits = -1, lshTables = 32)
+      lshBits = Dedup.AutoSize, lshTables = Dedup.AutoSize)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh === brute) // exact-cosine verify ⇒ no false positives; tables ⇒ recall
     assert(brute.nonEmpty)
@@ -77,6 +78,17 @@ class DedupSuite extends AnyFunSuite {
     assert(Dedup.sizedLshBits(10, targetBucketSize = 16) === 5)
     // 100 TB-ish corpus: 1e9 docs → 26 bits, expected bucket ~16 rows
     assert(Dedup.sizedLshBits(1000000000L, targetBucketSize = 16) === 26)
+  }
+
+  test("sized-tables rule: ln(1/miss)/p^bits, capped at maxTables") {
+    assert(Dedup.sizedLshTables(0.45, 5) === 41)
+    assert(Dedup.sizedLshTables(0.9, 10) === 22)
+    // exponential requirement hits the cap: 7 bits at 0.45 wants 96
+    assert(Dedup.sizedLshTables(0.45, 7) === 64)
+    // 1e9-doc bit counts would want ~10^5 tables — the cap keeps the
+    // explode feasible (the guarantee regime is documented on the method)
+    assert(Dedup.sizedLshTables(0.45, 26) === 64)
+    assert(Dedup.sizedLshTables(0.45, 7, maxTables = 128) === 96)
   }
 
   test("auto-sized bits keep the LSH candidate-pair count ~linear from sf0.01 to sf0.1") {
@@ -101,14 +113,12 @@ class DedupSuite extends AnyFunSuite {
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val brute = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.45)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val bits = Dedup.sizedLshBits(emb.count(), targetBucketSize = 16)
-    val tables = Dedup.sizedLshTables(0.45, bits, missProb = 0.01)
     val lsh = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.45,
-      lshBits = -1, lshTables = tables)
+      lshBits = Dedup.AutoSize, lshTables = Dedup.AutoSize)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(brute)) // verify step kills false positives
     val recall = (lsh & brute).size.toDouble / brute.size
-    assert(recall >= 0.95, s"sized-path recall too low at sf0.1: $recall (bits=$bits, tables=$tables)")
+    assert(recall >= 0.95, s"sized-path recall too low at sf0.1: $recall")
   }
 }
 
@@ -159,6 +169,13 @@ class SimilaritySuite extends AnyFunSuite {
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.9, s"IVF recall@5 too low at sf0.1: $recall")
+  }
+
+  test("IVF on an empty corpus degrades gracefully to empty output") {
+    val empty = emb.filter(col("vec_id") < 0)
+    val got = Similarity.ivfKnn(empty, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 5, nCells = 4, nProbe = 2, kmeansIters = 2)
+    assert(got.count() === 0)
   }
 }
 
