@@ -51,6 +51,11 @@ final case class EngineConfig(
       * auto-create (IcebergSinkConfig.autoCreateProps), e.g.
       * `write.target-file-size-bytes` or `schema.name-mapping.default` */
     autoCreateProps: Map[String, String] = Map.empty,
+    /** `iceberg.table.write-props.*` — table properties overlaid on top of
+      * the (possibly pre-existing) table's own properties at writer
+      * creation (IcebergSinkConfig.java:66,264 → data/Utilities.java:160),
+      * e.g. `write.target-file-size-bytes` on a table created elsewhere */
+    writeProps: Map[String, String] = Map.empty,
     /** write.format.default: parquet|orc|avro (Utilities.java:162-163) */
     format: String = "parquet",
     /** `iceberg.control.commit.interval-ms` (default 300 000,
@@ -133,6 +138,10 @@ object EngineConfig {
       autoCreateProps = props.collect {
         case (k, v) if k.startsWith("iceberg.tables.auto-create-props.") =>
           k.stripPrefix("iceberg.tables.auto-create-props.") -> v
+      },
+      writeProps = props.collect {
+        case (k, v) if k.startsWith("iceberg.table.write-props.") =>
+          k.stripPrefix("iceberg.table.write-props.") -> v
       },
       format = props.getOrElse("iceberg.kafka.write.format.default", "parquet"),
       commitIntervalMs =

@@ -254,7 +254,8 @@ object IceTableWriter {
     val outDir = table.dir.resolve("deletes").resolve(uuid)
     keysDf.write.format(meta.format).mode("append").save(outDir.toString)
     listDataFiles(outDir, meta.format).map { p =>
-      FileEntry(p.toString, rowCount(p, meta.format), table.currentSchemaVersion)
+      FileEntry(p.toString, rowCount(p, meta.format), table.currentSchemaVersion,
+        bytes = Files.size(p))
     }
   }
 

@@ -31,7 +31,16 @@ object Ingest {
       batch: DataFrame,
       batchId: Long,
       config: EngineConfig,
-      transforms: Seq[DataFrame => DataFrame] = Nil
+      transforms: Seq[DataFrame => DataFrame] = Nil,
+      /** K11 — kafka "topic-partition" keys ASSIGNED to this pipeline.
+        * The reference's coordinator hears from every assigned partition
+        * even when it sent no data, and nulls the VTTS if any assigned
+        * partition is silent (`channel/CommitState.vtts:155-178`; workers
+        * report all assignments in `CommitterImpl.sendCommitResponse:140-188`).
+        * A batch can only observe partitions that produced rows, so callers
+        * that know the assignment pass it here; empty = derive from the
+        * batch (VTTS then assumes no silent partitions). */
+      assignedPartitions: Set[String] = Set.empty
   ): Seq[TableResult] = {
     // SMT chain (C7-C10 style transforms), then R6 tombstone filter
     val transformed = transforms.foldLeft(batch)((d, t) => t(d))
@@ -55,7 +64,7 @@ object Ingest {
         val o = transformed.observe(obs,
           graft.functions.OffsetsAgg(
             col("topic"), col("partition"), col("offset").cast("long"), tsCol).as("offsets"))
-        (o, () => fromObservation(obs))
+        (o, () => fromObservation(obs, assignedPartitions))
       }
 
     val filtered =
@@ -78,34 +87,52 @@ object Ingest {
         // K10 — multi-table parallel commit (`channel/Coordinator.doCommit
         // :141-168` uses a cores×2 pool); Spark supports concurrent jobs
         // from the driver, so per-table writes overlap their I/O
-        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(routed.size, Runtime.getRuntime.availableProcessors()))
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-        try {
-          val fs = routed.map { case (tconf, tdf) =>
-            Future(TableResult(tconf.name,
-              writeTable(spark, tdf, batchId, tconf, config, bookkeeping)))
-          }
-          Await.result(Future.sequence(fs), Duration.Inf)
-        } finally pool.shutdown()
+        implicit val ec: scala.concurrent.ExecutionContext = commitEc
+        val fs = routed.map { case (tconf, tdf) =>
+          Future(TableResult(tconf.name,
+            writeTable(spark, tdf, batchId, tconf, config, bookkeeping)))
+        }
+        Await.result(Future.sequence(fs), Duration.Inf)
       }
     } finally {
       if (multi) { filtered.unpersist(); () }
     }
   }
 
+  /** K10 — shared driver-side pool for multi-table parallel commits
+    * (`channel/Coordinator.doCommit:141-168` keeps a cores×2 pool for the
+    * connector's lifetime; a per-batch pool would be rebuilt every trigger).
+    * Daemon threads so an open pool never pins the JVM.
+    */
+  private lazy val commitEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        Runtime.getRuntime.availableProcessors() * 2,
+        r => {
+          val t = new Thread(r, "graft-commit-pool")
+          t.setDaemon(true)
+          t
+        }))
+
   /** Decode the [[graft.functions.OffsetsAgg]] observe metric into
     * (next-offsets, vtts). Blocks until the first job over the observed
     * plan completes — callers resolve it only after a write action.
+    *
+    * VTTS nulls when any observed timestamp is null OR any ASSIGNED
+    * partition is absent from the batch (silent-partition rule,
+    * `CommitState.vtts:155-178`): a silent partition may still hold
+    * unread data older than every observed timestamp.
     */
-  private def fromObservation(
-      obs: org.apache.spark.sql.Observation): (Map[String, Long], Option[Long]) = {
+  private[graft] def fromObservation(
+      obs: org.apache.spark.sql.Observation,
+      assignedPartitions: Set[String] = Set.empty): (Map[String, Long], Option[Long]) = {
     val m = obs.get("offsets").asInstanceOf[scala.collection.Map[String, org.apache.spark.sql.Row]]
     val offsets = m.map { case (k, r) => k -> (r.getLong(0) + 1L) }.toMap
+    val silentAssigned = assignedPartitions.exists(p => !m.contains(p))
     val vtts =
-      if (m.isEmpty || m.values.exists(_.isNullAt(1))) None
+      if (m.isEmpty || silentAssigned || m.values.exists(_.isNullAt(1))) None
       else Some(m.values.map(_.getLong(1)).min)
     (offsets, vtts)
   }
@@ -126,7 +153,7 @@ object Ingest {
 
     // P7 — auto-create (schema inferred from the batch, partition spec from
     // config, unpartitioned fallback on error: IcebergWriterFactory:69-117)
-    val table: IceTable =
+    val table0: IceTable =
       if (IceTable.exists(path)) IceTable.load(path, tconf.commitBranch)
       else if (config.autoCreate) {
         val createSchema =
@@ -147,6 +174,10 @@ object Ingest {
         // (no-op writer parity, IcebergWriterFactory.java:55-62)
         return None
       }
+
+    // `iceberg.table.write-props.*` overlay — applies to pre-existing
+    // tables too, not just auto-created ones (Utilities.java:160)
+    val table = table0.withWriteProps(config.writeProps)
 
     // E1/E2 — evolve schema from the batch, once, up front
     if (config.evolveSchema) {

@@ -79,12 +79,33 @@ final case class TableMeta(
   * deletes are applied with a single (broadcast when small) null-safe
   * anti-join.
   */
-final class IceTable private[table] (val dir: Path, val branch: String) {
+final class IceTable private[table] (
+    val dir: Path,
+    val branch: String,
+    /** write-time property overlay (`iceberg.table.write-props.*`) — merged
+      * over the table's own properties, never persisted (Utilities.java:160
+      * builds the writer from table props + config writeProps). */
+    writeOverlay: Map[String, String] = Map.empty
+) {
 
   val log = new CommitLog(dir.resolve("_commits").resolve(branch))
 
-  def meta: TableMeta =
-    CommitLog.mapper.readValue(Files.readAllBytes(dir.resolve("table.json")), classOf[TableMeta])
+  def meta: TableMeta = {
+    val m = CommitLog.mapper
+      .readValue(Files.readAllBytes(dir.resolve("table.json")), classOf[TableMeta])
+    if (writeOverlay.isEmpty) m
+    else
+      m.copy(
+        props = m.props ++ writeOverlay,
+        // `write.format.default` is itself a table property in the
+        // reference's writer-creation path (Utilities.java:162-163)
+        format = writeOverlay.getOrElse("write.format.default", m.format))
+  }
+
+  /** View of this table with `overlay` merged over its properties for all
+    * write-path decisions (target file size, format, name mapping). */
+  def withWriteProps(overlay: Map[String, String]): IceTable =
+    if (overlay.isEmpty) this else new IceTable(dir, branch, writeOverlay ++ overlay)
 
   // ---- schema versions ------------------------------------------------
 
@@ -174,9 +195,16 @@ final class IceTable private[table] (val dir: Path, val branch: String) {
       else {
         val keySchema = StructType(cur.fields.filter(f => keyCols.contains(f.name)))
         val dels = readAligned(spark, delFiles, keySchema, v => keyProjection(schemaAt(v), keyCols))
-        val delRows = delFiles.map(_._1.rows).filter(_ >= 0).sum
+        // broadcast the delete side only while its on-disk bytes stay small:
+        // row counts mis-size wide composite keys (5M rows of fat keys can
+        // blow the broadcast limit), bytes don't. Entries without recorded
+        // sizes (bytes < 0, pre-stats commits) count as the conservative
+        // per-file estimate so legacy logs still shuffle when large.
+        val delBytes = delFiles.map { case (f, _) =>
+          if (f.bytes >= 0) f.bytes else IceTable.UnknownDeleteFileBytes
+        }.sum
         val rhs0 = dels.withColumnRenamed(SEQ, "__graft_dseq")
-        val rhs = if (delRows < 5000000) broadcast(rhs0) else rhs0
+        val rhs = if (delBytes < IceTable.DeleteBroadcastBytes) broadcast(rhs0) else rhs0
         val cond = keyCols
           .map(k => data(k) <=> rhs(k))
           .reduce(_ && _) && rhs("__graft_dseq") > data(SEQ)
@@ -334,6 +362,13 @@ final class IceTable private[table] (val dir: Path, val branch: String) {
 
 object IceTable {
   private[graft] val SEQ = "__graft_seq"
+
+  /** Broadcast the equality-delete side only below this compressed size
+    * (64 MB on disk ≈ a few hundred MB in memory across the columnar →
+    * row expansion — safely inside executor/driver broadcast budgets). */
+  private[graft] val DeleteBroadcastBytes: Long = 64L << 20
+  /** Assumed size for delete files committed before byte stats existed. */
+  private[graft] val UnknownDeleteFileBytes: Long = 8L << 20
 
   private[graft] def normalizePath(p: String): String =
     p.replaceFirst("^file:/+", "/")

@@ -10,6 +10,10 @@ import org.apache.spark.sql.types._
   */
 object Transforms {
 
+  /** Records sampled for JSON schema inference per batch (see
+    * [[jsonExpand]]); 0 or negative = unbounded exact inference. */
+  val DefaultJsonInferLimit: Int = 4096
+
   /** C9 — `CopyValue` SMT (`transforms/CopyValue.java:62-110`):
     * `target := source.field` (dot-paths supported via Catalyst nested
     * access, R4 parity with `Utilities.extractFromRecordValue:123-155`).
@@ -68,13 +72,16 @@ object Transforms {
     * fractional→double, object→struct rules as `doInferIcebergType:296-352`).
     * Inferred fields are promoted to top level alongside existing columns.
     *
-    * `inferLimit = 0` (default) infers from every record — exact parity,
-    * but a second full scan of the batch. At cluster scale set a limit:
-    * inference reads only the first N records (fields first appearing
-    * later in the batch parse as null for that batch and are picked up by
-    * schema evolution on the next one — the bounded-scan trade-off).
+    * `inferLimit` bounds the inference scan to the first N records
+    * (default 4096): fields first appearing later in the batch parse as
+    * null for that batch and are picked up by schema evolution on the
+    * next one — the bounded-scan trade-off. `inferLimit <= 0` opts into
+    * exact whole-batch inference, which is a second FULL scan of the
+    * batch every trigger — at cluster scale that doubles every read, so
+    * the bounded sample is the default, not the opt-in.
     */
-  def jsonExpand(jsonCol: String, inferLimit: Int = 0)(df: DataFrame): DataFrame = {
+  def jsonExpand(jsonCol: String, inferLimit: Int = DefaultJsonInferLimit)(
+      df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
     val base = df.select(col(jsonCol).cast(StringType)).filter(col(jsonCol).isNotNull)
     val sample = if (inferLimit > 0) base.limit(inferLimit) else base
@@ -168,7 +175,9 @@ object Transforms {
           ) _
         case t if t.endsWith("JsonToMapTransform") =>
           if (p("json.root").contains("true")) jsonToMap("value") _
-          else jsonExpand("value", p("json.infer-limit").map(_.toInt).getOrElse(0)) _
+          else
+            jsonExpand("value",
+              p("json.infer-limit").map(_.toInt).getOrElse(DefaultJsonInferLimit)) _
         case t if t.endsWith("MongoDebeziumTransform") =>
           MongoDebezium.mongoDebezium() _
         case t if t.endsWith("DebeziumTransform") =>

@@ -203,6 +203,49 @@ class EndToEndSuite extends AnyFunSuite {
     assert(rows === Seq((7L, "x")))
   }
 
+  test("iceberg.table.write-props.* overlays existing-table props at write time (Utilities.java:160)") {
+    val wh = TestSpark.freshDir("e2e-writeprops")
+    val cfg0 = EngineConfig(warehouse = wh, tables = Seq(TableConfig("t")), autoCreate = true)
+    val rows = (1 to 4000).map(i => (i.toLong, s"payload-$i-${"x" * 24}"))
+    // seed commit: single file, establishes the bytes-per-row estimate
+    Ingest.run(spark, rows.toDF("id", "v").repartition(1), 0L, cfg0)
+    assert(IceTable.load(s"$wh/t").log.commits().head.dataFiles.size === 1)
+    // same property surface a reference user writes; the table already
+    // exists, so auto-create-props would be ignored — write-props must not be
+    val cfg = EngineConfig.fromProperties(wh, Map(
+      "iceberg.tables" -> "t",
+      "iceberg.table.write-props.write.target-file-size-bytes" -> "4096"))
+    assert(cfg.writeProps === Map("write.target-file-size-bytes" -> "4096"))
+    Ingest.run(spark, rows.toDF("id", "v").repartition(1), 1L, cfg)
+    val t = IceTable.load(s"$wh/t")
+    assert(t.log.commits()(1).dataFiles.size > 1,
+      "write-props target file size did not roll the second commit's files")
+    // the overlay is write-time only — never persisted onto the table
+    assert(t.meta.props.isEmpty)
+  }
+
+  test("bounded JSON inference: late fields are null this batch, picked up by evolution next (C7)") {
+    import graft.transforms.Transforms
+    val wh = TestSpark.freshDir("e2e-json-late")
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("t")),
+      autoCreate = true, evolveSchema = true)
+    // "late" first appears past the default 4096-record inference sample
+    // (single ordered partition so the sample is exactly the head)
+    val b1 = spark.range(0, 5000, 1, 1).selectExpr("id",
+      """CASE WHEN id < 4500 THEN concat('{"a":', id, '}')
+        |     ELSE concat('{"a":', id, ',"late":1') || '}' END AS value""".stripMargin)
+    Ingest.run(spark, b1, 0L, cfg, transforms = Seq(Transforms.jsonExpand("value")))
+    assert(!IceTable.load(s"$wh/t").schema.fieldNames.contains("late"))
+    // next batch leads with the field: inference sees it, evolution adds it
+    val b2 = Seq((9000L, """{"a":9000,"late":2}""")).toDF("id", "value")
+    Ingest.run(spark, b2, 1L, cfg, transforms = Seq(Transforms.jsonExpand("value")))
+    val t = IceTable.load(s"$wh/t")
+    assert(t.schema.fieldNames.contains("late"))
+    val byId = t.read(spark).select("id", "late").as[(Long, Option[Long])].collect().toMap
+    assert(byId(9000L) === Some(2L)) // new batch carries the value
+    assert(byId(4999L) === None) // batch-1 rows (even post-sample ones) read null
+  }
+
   test("engine config parses the reference property surface (IcebergSinkConfigTest parity)") {
     val cfg = EngineConfig.fromProperties("/tmp/wh", Map(
       "iceberg.tables" -> "db.tbl1, db.tbl2",

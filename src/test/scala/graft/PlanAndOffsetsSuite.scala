@@ -96,6 +96,25 @@ class PlanAndOffsetsSuite extends AnyFunSuite {
       s"deletes not applied as broadcast anti-join:\n$plan")
   }
 
+  test("VTTS is null when an ASSIGNED partition is silent (CommitState.vtts:155-178)") {
+    val batch = Seq(
+      ("t", 0, 1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a")
+    ).toDF("topic", "partition", "offset", "timestamp", "value")
+    // t-1 is assigned but sent nothing: it may still hold unread data older
+    // than every observed timestamp, so the watermark cannot advance
+    val wh = TestSpark.freshDir("vtts-silent")
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("t")), autoCreate = true)
+    Ingest.run(spark, batch, 0L, cfg, assignedPartitions = Set("t-0", "t-1"))
+    val c = IceTable.load(s"$wh/t").log.commits().head
+    assert(c.vtts === None)
+    assert(c.offsets === Map("t-0" -> 2L)) // offsets still advance for observed partitions
+    // full assignment present → min-of-max watermark as usual
+    val wh2 = TestSpark.freshDir("vtts-silent2")
+    Ingest.run(spark, batch, 0L, cfg.copy(warehouse = wh2), assignedPartitions = Set("t-0"))
+    val c2 = IceTable.load(s"$wh2/t").log.commits().head
+    assert(c2.vtts === Some(java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000L))
+  }
+
   test("VTTS is null when a partition has no timestamp (CommitState.vtts null case)") {
     val wh = TestSpark.freshDir("vtts-null")
     val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("t")), autoCreate = true)

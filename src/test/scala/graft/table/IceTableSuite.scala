@@ -121,6 +121,31 @@ class IceTableSuite extends AnyFunSuite {
     assert(pruned.select("id").as[Long].collect().toSeq === Seq(11L))
   }
 
+  test("oversized delete side falls back to a shuffle anti-join (bytes-based threshold)") {
+    val dir = TestSpark.freshDir("t-delbytes")
+    val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
+    IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0)), t, 0)
+    IceTableWriter.delta(spark, df((2L, "b2", 2.2)), Seq(2L).toDF("id"), t, 1)
+    // inflate the recorded delete-file size past the broadcast budget —
+    // the row count stays tiny, which is exactly the wide-composite-key
+    // case a row-count threshold would mis-broadcast
+    val seq = t.log.commits().find(_.deleteFiles.nonEmpty).get.seq
+    val p = t.log.root.resolve(f"v$seq%09d.json")
+    val c = CommitLog.mapper.readValue(java.nio.file.Files.readAllBytes(p), classOf[Commit])
+    val fat = c.copy(deleteFiles = c.deleteFiles.map(_.copy(bytes = 65L << 20)))
+    java.nio.file.Files.write(p, CommitLog.mapper.writeValueAsBytes(fat))
+    val read = t.read(spark)
+    val plan = read.queryExecution.executedPlan.toString
+    // the delete anti-join itself must not be broadcast (the inner
+    // file→seq attach join is tiny and broadcast by design)
+    val antiLine = plan.linesIterator.find(_.contains("LeftAnti")).getOrElse("")
+    assert(antiLine.nonEmpty, s"no anti-join in plan:\n$plan")
+    assert(!antiLine.contains("BroadcastHashJoin"),
+      s"oversized delete side was still broadcast:\n$plan")
+    val got = read.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "b2")))
+  }
+
   test("snapshot props: offsets + vtts land in the commit entry (K4/K11)") {
     val dir = TestSpark.freshDir("t7")
     val t = IceTable.create(dir, schema, TableMeta())
