@@ -25,11 +25,15 @@ import org.apache.spark.sql.types._
   * Mongo Java driver (`MongoDataConverter.java:43-260`); this container
   * has no BSON library, so values ride their JSON representations and
   * types come from JSON inference — the dataflow shape (patch merge,
-  * image selection, typed promotion) is the same. The common extended-JSON
-  * scalar wrappers are unwrapped before inference (see
-  * [[unwrapExtendedJson]]), so `$oid`/`$numberLong`/`$numberInt`/
-  * `$numberDecimal`/`$date` surface as scalars rather than structs,
-  * matching the reference's typed dispatch for those types.
+  * image selection, typed promotion) is the same. The extended-JSON
+  * wrappers are unwrapped before inference (see [[unwrapExtendedJson]]):
+  * `$oid`/`$numberLong`/`$numberInt`/`$numberDecimal`/`$date`/
+  * `$timestamp`/`$binary` surface as scalars, `$code` as the code string
+  * (with-scope → a {code, scope} struct), `$regularExpression` and the
+  * legacy `$regex`/`$options` pair as a {regex, options} struct, and
+  * `$symbol` as its string — matching the reference's typed dispatch
+  * arm-for-arm. `array_handling_mode=document` reproduces
+  * `ArrayEncoding.DOCUMENT` (arrays → `_0.._n` documents).
   */
 object MongoDebezium {
 
@@ -66,17 +70,76 @@ object MongoDebezium {
     e = regexp_replace(e,
       """\{\s*"\$binary"\s*:\s*"([^"]*)"\s*,\s*"\$type"\s*:\s*"[^"]*"\s*\}""",
       "\"$1\"")
+    // JAVASCRIPT (no scope): {"$code":"f()"} → "f()" (reference JAVASCRIPT
+    // arm returns the code string); escaped quotes inside the code survive
+    e = regexp_replace(e, """\{\s*"\$code"\s*:\s*"((?:[^"\\]|\\.)*)"\s*\}""", "\"$1\"")
+    // JAVASCRIPT_WITH_SCOPE: keep the {code, scope} structure, drop the
+    // wrapper key names (reference builds a {code, scope} struct)
+    e = regexp_replace(e, """"\$code"(\s*:)""", "\"code\"$1")
+    e = regexp_replace(e, """"\$scope"(\s*:)""", "\"scope\"$1")
+    // REGULAR_EXPRESSION → {regex, options} struct, both the modern
+    // $regularExpression envelope (either key order) and the legacy
+    // {"$regex","$options"} pair
+    e = regexp_replace(e,
+      """\{\s*"\$regularExpression"\s*:\s*\{\s*"pattern"\s*:\s*"((?:[^"\\]|\\.)*)"\s*,\s*"options"\s*:\s*"((?:[^"\\]|\\.)*)"\s*\}\s*\}""",
+      "{\"regex\":\"$1\",\"options\":\"$2\"}")
+    e = regexp_replace(e,
+      """\{\s*"\$regularExpression"\s*:\s*\{\s*"options"\s*:\s*"((?:[^"\\]|\\.)*)"\s*,\s*"pattern"\s*:\s*"((?:[^"\\]|\\.)*)"\s*\}\s*\}""",
+      "{\"regex\":\"$2\",\"options\":\"$1\"}")
+    e = regexp_replace(e,
+      """\{\s*"\$regex"\s*:\s*"((?:[^"\\]|\\.)*)"\s*,\s*"\$options"\s*:\s*"((?:[^"\\]|\\.)*)"\s*\}""",
+      "{\"regex\":\"$1\",\"options\":\"$2\"}")
+    // SYMBOL → its string (upstream Debezium symbol semantics; the
+    // vendored converter's default arm silently drops the field — keeping
+    // the value is strictly more faithful to the data)
+    e = regexp_replace(e, """\{\s*"\$symbol"\s*:\s*"((?:[^"\\]|\\.)*)"\s*\}""", "\"$1\"")
     e
   }
 
-  def mongoDebezium()(df: DataFrame): DataFrame = {
+  private lazy val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** `array_handling_mode=document` (`ArrayEncoding.DOCUMENT`,
+    * `MongoDataConverter.java:145-190`): arrays become documents keyed
+    * `_0.._n` (`arrayElementStructName:257-259`), so heterogeneous array
+    * elements each keep their own inferred type instead of needing one
+    * element schema. Jackson rewrite, record-at-a-time like the
+    * reference's converter — only active when the mode is requested.
+    */
+  private[transforms] def arraysAsDocuments(json: String): String =
+    if (json == null) null
+    else
+      try jsonMapper.writeValueAsString(rewriteArrays(jsonMapper.readTree(json)))
+      catch { case _: Exception => json }
+
+  private def rewriteArrays(
+      n: com.fasterxml.jackson.databind.JsonNode): com.fasterxml.jackson.databind.JsonNode =
+    n match {
+      case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+        val o = jsonMapper.createObjectNode()
+        var i = 0
+        a.forEach { el => o.set(s"_$i", rewriteArrays(el)); i += 1; () }
+        o
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        val out = jsonMapper.createObjectNode()
+        o.fields().forEachRemaining(e => { out.set(e.getKey, rewriteArrays(e.getValue)); () })
+        out
+      case other => other
+    }
+
+  def mongoDebezium(arrayHandlingMode: String = "array")(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
     val hasUpdate = df.columns.contains("updateDescription")
 
-    val beforeJ = unwrapExtendedJson(col("before"))
-    val afterJ = unwrapExtendedJson(col("after"))
+    val docMode = arrayHandlingMode == "document"
+    val toDoc = udf(arraysAsDocuments _)
+    def prep(c: Column): Column = {
+      val u = unwrapExtendedJson(c)
+      if (docMode) toDoc(u) else u
+    }
+    val beforeJ = prep(col("before"))
+    val afterJ = prep(col("after"))
     val updJ =
-      if (hasUpdate) unwrapExtendedJson(col("updateDescription.updatedFields"))
+      if (hasUpdate) prep(col("updateDescription.updatedFields"))
       else lit(null).cast(StringType)
 
     // infer one typed schema across every document image we may read

@@ -179,7 +179,8 @@ object Transforms {
             jsonExpand("value",
               p("json.infer-limit").map(_.toInt).getOrElse(DefaultJsonInferLimit)) _
         case t if t.endsWith("MongoDebeziumTransform") =>
-          MongoDebezium.mongoDebezium() _
+          MongoDebezium.mongoDebezium(
+            p("array_handling_mode").getOrElse("array")) _
         case t if t.endsWith("DebeziumTransform") =>
           debezium(p("cdc.target.pattern")) _
         case t if t.endsWith("DmsTransform") =>

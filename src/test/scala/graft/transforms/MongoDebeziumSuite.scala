@@ -94,4 +94,47 @@ class MongoDebeziumSuite extends AnyFunSuite {
     assert(r.getLong(3) === 42L) // INT32 arm (long under JSON inference)
     assert(r.getDouble(4) === 19.99) // DECIMAL128 arm (double in the JSON domain)
   }
+
+  test("$code, $regularExpression/$regex and $symbol wrappers unwrap (residual BSON arms)") {
+    val doc = """{"_id": 1,
+                 | "js": {"$code": "var x = 1"},
+                 | "jss": {"$code": "f()", "$scope": {"a": 5}},
+                 | "pat": {"$regularExpression": {"pattern": "^a.*b", "options": "i"}},
+                 | "legacy": {"$regex": "x+", "$options": "m"},
+                 | "sym": {"$symbol": "sss"}}""".stripMargin.replace("\n", "")
+    val df = spark.sql(
+      s"""SELECT * FROM VALUES
+         |  ('c', CAST(NULL AS STRING), '$doc',
+         |   named_struct('db', 'appdb', 'collection', 'misc'), CAST(1000 AS LONG))
+         |AS t(op, before, after, source, ts_ms)""".stripMargin)
+    val r = MongoDebezium.mongoDebezium()(df)
+      .selectExpr("js", "jss.code", "jss.scope.a", "pat.regex", "pat.options",
+        "legacy.regex", "legacy.options", "sym")
+      .head()
+    assert(r.getString(0) === "var x = 1") // JAVASCRIPT arm → code string
+    assert(r.getString(1) === "f()" && r.getLong(2) === 5L) // JAVASCRIPT_WITH_SCOPE struct
+    assert(r.getString(3) === "^a.*b" && r.getString(4) === "i") // REGULAR_EXPRESSION struct
+    assert(r.getString(5) === "x+" && r.getString(6) === "m") // legacy pair form
+    assert(r.getString(7) === "sss") // SYMBOL → string (upstream Debezium semantics)
+  }
+
+  test("array_handling_mode=document encodes arrays as _N documents (ArrayEncoding.DOCUMENT)") {
+    val doc = """{"_id": 1, "tags": ["a", "b"], "mixed": [7, "x"], "nested": [[1, 2], [3]]}"""
+    val df = spark.sql(
+      s"""SELECT * FROM VALUES
+         |  ('c', CAST(NULL AS STRING), '$doc',
+         |   named_struct('db', 'appdb', 'collection', 'arr'), CAST(1000 AS LONG))
+         |AS t(op, before, after, source, ts_ms)""".stripMargin)
+    val r = MongoDebezium.mongoDebezium(arrayHandlingMode = "document")(df)
+      .selectExpr("tags._0", "tags._1", "mixed._0", "mixed._1",
+        "nested._0._0", "nested._0._1", "nested._1._0")
+      .head()
+    assert(r.getString(0) === "a" && r.getString(1) === "b")
+    // document mode's point: heterogeneous elements keep their own types
+    assert(r.getLong(2) === 7L && r.getString(3) === "x")
+    assert(r.getLong(4) === 1L && r.getLong(5) === 2L && r.getLong(6) === 3L)
+    // default mode still yields a real array
+    val arr = MongoDebezium.mongoDebezium()(df).select("tags").head().getSeq[String](0)
+    assert(arr === Seq("a", "b"))
+  }
 }
