@@ -41,6 +41,48 @@ object VectorKernels {
   }
 
   def dotDF(a: ArrayData, b: ArrayData): Double = dotFD(b, a)
+
+  /** All `tables` hyperplane-LSH signatures of `v` in ONE fused loop over
+    * a flattened constant plane matrix (layout `[(t*bits+b)*dim + d]`).
+    *
+    * One expression node instead of tables×bits separate dot expressions:
+    * a 64-table × 9-bit index as individual `ArrayDot`s is ~576 codegen
+    * subtrees — past the JIT/codegen sweet spot and re-reading the vector
+    * buffer per bit. Here the vector element loads amortize across all
+    * planes and the generated code is a single static call.
+    * Accumulation order per plane matches [[dotDD]], so signatures are
+    * bit-identical to the per-bit formulation.
+    */
+  def hyperplaneSigs(
+      v: ArrayData,
+      planes: Array[Double],
+      bits: Int,
+      tables: Int,
+      dim: Int,
+      floatElems: Boolean): ArrayData = {
+    val n = math.min(dim, v.numElements())
+    val sigs = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val base = (t * bits + b) * dim
+        var acc = 0.0
+        var d = 0
+        if (floatElems) {
+          while (d < n) { acc += v.getFloat(d).toDouble * planes(base + d); d += 1 }
+        } else {
+          while (d < n) { acc += v.getDouble(d) * planes(base + d); d += 1 }
+        }
+        if (acc >= 0) sig |= (1L << b)
+        b += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sigs)
+  }
 }
 
 /** dot(a, b) over array<float>/array<double> columns, null-safe,
@@ -80,7 +122,71 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
+/** `array<long>` of `tables` hyperplane signatures for one vector — the
+  * index-build kernel of the multi-table embedding LSH (see
+  * [[graft.llm.Dedup.embeddingNearDupPairs]]). Plane matrix is generated
+  * deterministically at plan time (table `t` draws `bits × dim` gaussians
+  * from seed `baseSeed + t`, matching the single-signature formulation)
+  * and rides into codegen as one referenced constant.
+  */
+case class HyperplaneSignatures(
+    child: Expression,
+    bits: Int,
+    tables: Int,
+    dim: Int,
+    baseSeed: Long
+) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val planes: Array[Double] =
+    HyperplaneSignatures.planeMatrix(bits, tables, dim, baseSeed)
+
+  private lazy val floatElems =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => true
+      case DoubleType => false
+      case other =>
+        throw new IllegalArgumentException(s"HyperplaneSignatures unsupported element type: $other")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.hyperplaneSigs(
+      v.asInstanceOf[ArrayData], planes, bits, tables, dim, floatElems)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.hyperplaneSigs($c, $ref, $bits, $tables, $dim, $floatElems)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneSignatures =
+    copy(child = c)
+}
+
+object HyperplaneSignatures {
+  /** Flattened `[(t*bits+b)*dim + d]` plane matrix; per-table draws are
+    * sequential gaussians from `baseSeed + t`, identical to building each
+    * table's planes independently.
+    */
+  def planeMatrix(bits: Int, tables: Int, dim: Int, baseSeed: Long): Array[Double] = {
+    val out = new Array[Double](tables * bits * dim)
+    var t = 0
+    while (t < tables) {
+      val rnd = new scala.util.Random(baseSeed + t)
+      var i = 0
+      while (i < bits * dim) { out(t * bits * dim + i) = rnd.nextGaussian(); i += 1 }
+      t += 1
+    }
+    out
+  }
+}
+
 object VectorOps {
   def array_dot(a: Column, b: Column): Column =
     GraftInternal.column(ArrayDot(GraftInternal.expression(a), GraftInternal.expression(b)))
+
+  def hyperplane_signatures(
+      v: Column, bits: Int, tables: Int, dim: Int = 64, baseSeed: Long = 7): Column =
+    GraftInternal.column(
+      HyperplaneSignatures(GraftInternal.expression(v), bits, tables, dim, baseSeed))
 }

@@ -308,13 +308,14 @@ object Dedup {
     * (id, v) with v normalized.
     */
   private def lshCandidateStream(vv: DataFrame, bits: Int, tables: Int): DataFrame = {
+    // one fused expression computes every table's signature (same seeds/
+    // values as per-table hyperplaneSignature calls, which at high table
+    // counts would explode into tables×bits codegen subtrees)
     val sigged = vv.select(
       col("id"),
-      explode(array((0 until math.max(1, tables)).map { t =>
-        struct(lit(t).as("t"),
-          Similarity.hyperplaneSignature(col("v"), bits, seed = 7 + t).as("sig"))
-      }: _*)).as("ts")
-    ).select(col("id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+      posexplode(graft.functions.VectorOps.hyperplane_signatures(
+        col("v"), bits, math.max(1, tables))))
+      .select(col("id"), col("pos").as("t"), col("col").as("sig"))
     sigged.alias("a")
       .join(sigged.alias("b"), Seq("t", "sig"))
       .filter(col("a.id") < col("b.id"))

@@ -83,7 +83,7 @@ object Similarity {
     * rows); selection is O(candidates · nCells) on the driver — index
     * build cost, not per-query.
     */
-  private def seedCentroids(c: DataFrame, nCells: Int): DataFrame = {
+  private def seedCentroids(c: DataFrame, nCells: Int): Array[(Long, Array[Double])] = {
     val spark = c.sparkSession
     import spark.implicits._
     val cands: Array[(Long, Array[Double])] = c
@@ -92,7 +92,7 @@ object Similarity {
       .select(col("n_id"), col("n_vec"))
       .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
     if (cands.isEmpty) // empty corpus: no cells, queries degrade to empty output
-      return Seq.empty[(Long, Seq[Double])].toDF("c_id", "c_vec")
+      return Array.empty
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }
@@ -116,7 +116,23 @@ object Similarity {
       }
       chosen += cands(argmin)
     }
-    chosen.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("c_id", "c_vec")
+    chosen.toArray
+  }
+
+  /** Per-row nearest centroid over a driver-held (index-build-sized)
+    * centroid set as ONE codegen'd expression: `array_max` over
+    * `(c_sim, -c_id)` structs = highest similarity, ties to the lowest id.
+    * Replaces the crossJoin + per-row window formulation, which shuffled
+    * the whole corpus by row id just to rank ≤ nCells candidates — this
+    * form is shuffle-free and stays inside whole-stage codegen.
+    */
+  private def nearestCentroid(vec: Column, cents: Array[(Long, Array[Double])]): Column = {
+    val entries = cents.map { case (id, v) =>
+      struct(graft.functions.VectorOps.array_dot(vec, lit(v)).as("c_sim"),
+        lit(-id).as("negc"))
+    }
+    val best = array_max(array(entries.toIndexedSeq: _*))
+    struct((-best.getField("negc")).as("c_id"), best.getField("c_sim").as("c_sim"))
   }
 
   /** IVF (inverted-file) ANN: assign vectors to the nearest of `nCells`
@@ -126,10 +142,11 @@ object Similarity {
     *
     * The coarse quantizer seeds via [[seedCentroids]] (deterministic
     * hash-sampled candidates + farthest-point selection) and is refined
-    * with `kmeansIters` Lloyd iterations — assign (broadcast join) +
-    * per-cell spherical mean (`dim` codegen'd column averages, one shuffle
-    * per iteration). Refinement happens once per index build; at cluster
-    * scale the assignment table would be the persisted IVF index.
+    * with `kmeansIters` Lloyd iterations — assignment is the shuffle-free
+    * [[nearestCentroid]] argmax expression, so each iteration costs ONE
+    * shuffle (the partial-aggregated per-cell mean) and nothing else.
+    * Refinement happens once per index build; at cluster scale the
+    * assignment table would be the persisted IVF index.
     */
   def ivfKnn(
       corpus: DataFrame,
@@ -142,30 +159,33 @@ object Similarity {
       kmeansIters: Int = 2,
       dim: Int = 64
   ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val c0 = corpus.select(col(idCol).as("n_id"), normalize(col(vecCol)).as("n_vec"))
-    val c = if (kmeansIters > 0) c0.localCheckpoint() else c0
-    var centroids = seedCentroids(c, nCells)
+    val c = c0.localCheckpoint() // scanned by seeding, each Lloyd pass, and assignment
+    var cents = seedCentroids(c, nCells)
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rank", "n_id", "cosine")
     for (_ <- 0 until kmeansIters) {
-      val w = Window.partitionBy("n_id").orderBy(col("c_sim").desc, col("c_id"))
-      val assigned0 = c.crossJoin(broadcast(centroids))
-        .withColumn("c_sim", dot(col("n_vec"), col("c_vec")))
-        .withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") === 1)
-      val means = assigned0.groupBy("c_id")
+      // assign via the shuffle-free argmax expression, then per-cell
+      // spherical mean (dim column averages — ONE shuffle per iteration,
+      // the partial-aggregated groupBy, nothing else)
+      cents = c
+        .withColumn("c_id", nearestCentroid(col("n_vec"), cents).getField("c_id"))
+        .groupBy("c_id")
         .agg(array((0 until dim).map(i => avg(col("n_vec").getItem(i))): _*).as("m"))
-      centroids = means.select(col("c_id"), normalize(col("m")).as("c_vec"))
+        .select(col("c_id"), normalize(col("m")).as("c_vec"))
+        .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
+        .sortBy(_._1)
     }
-    val cb = broadcast(centroids)
 
-    // assign each corpus vector to its nearest centroid (one broadcast join)
-    val assignW = Window.partitionBy("n_id").orderBy(col("c_sim").desc, col("c_id"))
-    val assigned = c.crossJoin(cb)
-      .withColumn("c_sim", dot(col("n_vec"), col("c_vec")))
-      .withColumn("c_rank", row_number().over(assignW))
-      .filter(col("c_rank") === 1)
+    // final corpus assignment — shuffle-free, whole-stage codegen
+    val assigned = c
+      .withColumn("c_id", nearestCentroid(col("n_vec"), cents).getField("c_id"))
       .select("n_id", "n_vec", "c_id")
 
-    // route each query to its nProbe nearest cells
+    // route each query to its nProbe nearest cells (query side is tiny)
+    val cb = broadcast(cents.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("c_id", "c_vec"))
     val q = queries.select(col(idCol).as("q_id"), normalize(col(vecCol)).as("q_vec"))
     val probeW = Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("c_id"))
     val probes = q.crossJoin(cb)
