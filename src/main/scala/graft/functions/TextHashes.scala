@@ -85,6 +85,53 @@ object TextHashUtil {
 
   @inline private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\n' || b == '\t' || b == '\r'
+
+  /** The (a, b) universal-hash parameter sequence for MinHash permutations
+    * — deterministic from `seed`, identical to drawing per-permutation
+    * pairs from one `Random` stream.
+    */
+  def minhashParams(k: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val as = new Array[Long](k)
+    val bs = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      as(i) = math.abs(rnd.nextLong()) % Mod + 1
+      bs(i) = math.abs(rnd.nextLong()) % Mod
+      i += 1
+    }
+    (as, bs)
+  }
+
+  /** All `k` permutation minima over one shingle-hash array in a single
+    * fused loop. Arithmetic matches the column formulation exactly
+    * (non-ANSI wrapping multiply/add, then pmod 2^61-1), so signatures are
+    * bit-identical to k separate `array_min(transform(...))` columns —
+    * which would run k passes over the array and allocate k intermediate
+    * arrays per row.
+    */
+  def minhashSig(hashes: org.apache.spark.sql.catalyst.util.ArrayData,
+      as: Array[Long], bs: Array[Long]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = hashes.numElements()
+    val k = as.length
+    if (n == 0) // array_min over an empty array is null, per permutation
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](k))
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < k) {
+        val x = h * as(j) + bs(j)
+        var m = x % Mod
+        if (m < 0) m += Mod
+        if (m < mins(j)) mins(j) = m
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
 }
 
 /** Rolling-hash document fingerprint as a codegen'd Catalyst expression. */
@@ -109,7 +156,31 @@ case class SimHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** MinHash signature (`array<long>` of `numHashes` permutation minima)
+  * over a pre-hashed shingle array, fused into one codegen'd loop.
+  */
+case class MinHashSig(child: Expression, numHashes: Int, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  @transient private lazy val (as, bs) = TextHashUtil.minhashParams(numHashes, seed)
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashUtil.minhashSig(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], as, bs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.minhashSig($c, $aRef, $bRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 object TextHashes {
   def rolling_hash(c: Column): Column = GraftInternal.column(RollingHash(GraftInternal.expression(c)))
   def simhash64(c: Column): Column = GraftInternal.column(SimHash(GraftInternal.expression(c)))
+  def minhash_signature(hashes: Column, numHashes: Int, seed: Long = 42): Column =
+    GraftInternal.column(MinHashSig(GraftInternal.expression(hashes), numHashes, seed))
 }

@@ -91,14 +91,9 @@ object Dedup {
   }
 
   /** MinHash signature: k permutations approximated as (a*h+b) mod p over
-    * xxhash64 shingle hashes (standard universal-hash construction).
+    * xxhash64 shingle hashes (standard universal-hash construction;
+    * parameter stream in [[graft.functions.TextHashUtil.minhashParams]]).
     */
-  private val MersennePrime = (1L << 61) - 1
-  private def hashParams(k: Int): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42) // deterministic
-    Seq.fill(k)((math.abs(rnd.nextLong()) % MersennePrime + 1, math.abs(rnd.nextLong()) % MersennePrime))
-  }
-
   /** Per-shingle base hashes (compute once per row and materialize — the
     * per-permutation mins below reference the same column, so the shingle
     * pass isn't re-evaluated `numHashes` times).
@@ -106,13 +101,14 @@ object Dedup {
   def shingleHashes(text: Column, n: Int): Column =
     transform(shingles(text, n), s => abs(xxhash64(s)))
 
-  /** Signature over a pre-materialized shingle-hash array column. */
-  def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column = {
-    val mins = hashParams(numHashes).map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
-    }
-    array(mins: _*)
-  }
+  /** Signature over a pre-materialized shingle-hash array column — ONE
+    * fused pass computing all permutation minima
+    * ([[graft.functions.MinHashSig]]; bit-identical to `numHashes`
+    * separate `array_min(transform(...))` columns, which would re-scan
+    * and re-allocate the shingle array per permutation).
+    */
+  def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column =
+    graft.functions.TextHashes.minhash_signature(hashes, numHashes, seed = 42)
 
   def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
     minhashSignatureFromHashes(shingleHashes(text, n), numHashes)
