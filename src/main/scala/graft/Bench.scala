@@ -13,14 +13,17 @@ object Bench {
       .builder(s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm up JIT/codegen/parquet/streaming machinery on the smallest sf so
-    // the first measured query of each engine path doesn't absorb JVM and
-    // generated-code compilation time
-    try {
-      SparkEntry.entry(spark).count()
-      Seq("cdc_upsert", "window_running", "sessionize", "streaming_ingest", "dedup_embedding_lsh")
-        .foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count())
-    } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    // warm up JIT/codegen/parquet/streaming machinery: one pass over EVERY
+    // query at the smallest sf, so measured runs time the engine rather
+    // than JVM + generated-code compilation (standard warmup-then-measure)
+    try SparkEntry.entry(spark).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch {
+        case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }

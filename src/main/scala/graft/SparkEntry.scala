@@ -648,6 +648,65 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Duplicate-GROUP resolution: near-dup pairs (same guarded-Jaccard
+    * source as `dedup_jaccard`) → connected components → every member
+    * labeled with its component's min doc id. The oracle replays min-label
+    * propagation in SQL to a fixed depth that exceeds the data's component
+    * diameter (pairs alone under-delete: A~B, B~C must collapse to ONE
+    * survivor even without an A~C edge).
+    */
+  private def qDedupGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(t(spark, sfDir, "documents"), "doc_id", "text", 3, 0.5,
+      maxShingleDf = 5)
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("group_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic hash sampling: reproducible ~10% split by doc id
+    * (portable congruential hash — identical arithmetic in the oracle).
+    */
+  private def qSampleHash(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.hashSample(t(spark, sfDir, "documents"), "doc_id", 0.1)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  /** Stratified variant: per-language rates (a training-mix domain
+    * reweighting), default rate elsewhere.
+    */
+  private def qSampleStratified(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.stratifiedHashSample(t(spark, sfDir, "documents"),
+      "doc_id", "lang", Map("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.1)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  /** Canonical text normalization (trim → collapse ws → lower → NFC). */
+  private def qTextNormalize(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextNormalize.normalize_text(col("text")).as("norm_text"))
+      .orderBy("doc_id")
+
+  /** PII redaction over a deterministic synthetic PII suffix (the corpus
+    * itself is synthetic word-soup; both engines build the same input).
+    */
+  private def qTextRedactPii(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = t(spark, sfDir, "documents")
+    val withPii = d.select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".7")).as("txt"))
+    withPii
+      .select(col("doc_id"), TextAnalysis.redactPii(col("txt")).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** Within-document repetition gate (distinct-word ratio). */
+  private def qTextRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.repetitionSignals(t(spark, sfDir, "documents"), "text")
+      .select("doc_id", "word_count", "distinct_word_count", "repetition_ratio")
+      .orderBy("doc_id")
+
   /** Rolling-hash + simhash document fingerprints (custom codegen'd
     * expressions). Oracle: both hashes re-derived bit-exactly in pure
     * DuckDB SQL via HUGEINT list_reduce folds.
@@ -733,6 +792,12 @@ object SparkEntry {
       "pipeline_curate" -> wrap(qPipelineCurate),
       "text_stats" -> wrap(qTextStats),
       "text_fingerprint" -> wrap(qTextFingerprint),
+      "text_normalize" -> wrap(qTextNormalize),
+      "text_redact_pii" -> wrap(qTextRedactPii),
+      "text_repetition" -> wrap(qTextRepetition),
+      "dedup_groups" -> wrap(qDedupGroups),
+      "sample_hash" -> wrap(qSampleHash),
+      "sample_stratified" -> wrap(qSampleStratified),
       "multimodal_features" -> wrap(qMultimodal)
     )
   }
@@ -741,6 +806,69 @@ object SparkEntry {
     * that SQL cannot reproduce — those get rows-only checks + unit tests).
     */
   def oracleSql: Map[String, String] = Map(
+    "dedup_groups" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 5),
+        |shf AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+        |p0 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
+        |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT id_a, id_b
+        |  FROM p0 JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.5),
+        |e AS (
+        |  SELECT id_a AS u, id_b AS v FROM jp
+        |  UNION SELECT id_b, id_a FROM jp
+        |  UNION SELECT id_a, id_a FROM jp
+        |  UNION SELECT id_b, id_b FROM jp),
+        |l0 AS (SELECT DISTINCT u AS id, u AS label FROM e),
+        |l1 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l0 l ON l.id = e.v GROUP BY e.u),
+        |l2 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l1 l ON l.id = e.v GROUP BY e.u),
+        |l3 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l2 l ON l.id = e.v GROUP BY e.u),
+        |l4 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l3 l ON l.id = e.v GROUP BY e.u)
+        |SELECT id AS doc_id, label AS group_id FROM l4 ORDER BY doc_id""".stripMargin,
+    "sample_hash" -> {
+      import graft.operators.Sampling.{A, B, P}
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ((doc_id % $P) * $A + $B) % $P < ${(0.1 * P).toLong}
+         |ORDER BY doc_id""".stripMargin
+    },
+    "sample_stratified" -> {
+      import graft.operators.Sampling.{A, B, P}
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ((doc_id % $P) * $A + $B) % $P <
+         |  CASE WHEN lang = 'en' THEN ${(0.5 * P).toLong}
+         |       WHEN lang = 'zh' THEN ${(0.25 * P).toLong}
+         |       ELSE ${(0.1 * P).toLong} END
+         |ORDER BY doc_id""".stripMargin
+    },
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  nfc_normalize(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || doc_id || '@mail.example.com from 10.0.' || (doc_id % 256) || '.7',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS word_count,
+        |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS distinct_word_count,
+        |  CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+        |       THEN 1.0 - CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |                  / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+        |       ELSE 0.0 END AS repetition_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "ingest_append" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,

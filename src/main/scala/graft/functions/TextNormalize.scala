@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftInternal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Canonical text normalization for dedup/quality pipelines: trim,
+  * collapse whitespace runs to single spaces, lowercase, then Unicode NFC
+  * — the composition `nfc(lower(collapse_ws(trim(text))))`, one pass per
+  * row, expressible verbatim in standard SQL for oracle parity.
+  *
+  * Normalizing BEFORE hashing/shingling makes exact and near dedup
+  * insensitive to whitespace/case/encoding-form noise — without it the
+  * same paragraph in NFC and NFD survives every exact-hash dedup pass.
+  */
+object TextNormUtil {
+  def normalizeText(s: UTF8String): UTF8String = {
+    val collapsed = s.toString.trim
+      .replaceAll("\\s+", " ")
+      .toLowerCase(java.util.Locale.ROOT)
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(collapsed, java.text.Normalizer.Form.NFC))
+  }
+}
+
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    TextNormUtil.normalizeText(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNormUtil.normalizeText($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
+object TextNormalize {
+  def normalize_text(c: Column): Column =
+    GraftInternal.column(NormalizeText(GraftInternal.expression(c)))
+}

@@ -318,6 +318,59 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
   }
 
+  /** Duplicate-group resolution: connected components over an undirected
+    * near-dup pair list, labeling every member with the component's
+    * minimum id — the step that turns pairwise dup evidence into "keep
+    * one canonical doc per group" (pairs alone under-delete: A~B, B~C
+    * without A~C must still collapse to one survivor).
+    *
+    * Algorithm: iterative min-label propagation over the (self-looped)
+    * edge list — `label(u) ← min over neighbors v of label(v)` until a
+    * fixpoint, which every node reaches after `component diameter` rounds.
+    * Each round is one partition-aligned join plus one partial-aggregated
+    * groupBy on a pre-partitioned, lineage-truncated edge list; near-dup
+    * graphs have tiny diameters (near-cliques of mutual duplicates), so
+    * rounds stay in low single digits. For adversarial million-hop chains
+    * the round count degrades linearly — at that shape switch to
+    * star-contraction (alternating large-star/small-star, O(log n)
+    * rounds); the per-round dataflow here is the same building block.
+    *
+    * Returns (id, group_id); nodes not present in `pairs` are absent
+    * (callers left-join and coalesce to the row's own id).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIters: Int = 25
+  ): DataFrame = {
+    val p = pairs.select(col(idACol).cast("long").as("u"), col(idBCol).cast("long").as("v"))
+    val und = p.union(p.select(col("v").as("u"), col("u").as("v")))
+    // self-loops fold each node's own label into the neighbor-min
+    val nodes = und.select(col("u")).distinct()
+    val edges = und.union(nodes.withColumn("v", col("u")))
+      .distinct()
+      .repartition(col("v")) // static across rounds; the per-round join key
+      .localCheckpoint()
+    var labels = nodes.select(col("u").as("id"), col("u").as("label")).localCheckpoint()
+    var it = 0
+    var done = false
+    while (!done && it < maxIters) {
+      it += 1
+      val next = edges
+        .join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u").as("id"))
+        .agg(min("label").as("label"))
+        .localCheckpoint() // truncate lineage: iterative plans must not stack
+      done = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev"))
+        .isEmpty
+      labels = next
+    }
+    labels.select(col("id"), col("label").as("group_id"))
+  }
+
   /** Distinct LSH candidate pairs before verification — the quantity whose
     * growth rate decides whether the plan survives scale-up (exposed so
     * tests can assert it stays ~linear across scale factors under

@@ -57,6 +57,41 @@ object TextAnalysis {
       )
   }
 
+  /** Within-document repetition signals (the cheap repetition gate a
+    * corpus-quality pipeline applies before training-set inclusion):
+    * fraction of word occurrences that repeat an earlier word.
+    */
+  def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val total = tokenCount(t)
+    val distinctWords = size(array_distinct(tokens(t)))
+    df.withColumn("word_count", total)
+      .withColumn("distinct_word_count", distinctWords)
+      .withColumn("repetition_ratio",
+        when(total > 0,
+          lit(1.0) - distinctWords.cast("double") / total.cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** PII redaction patterns — deliberately simple, portable regexes (no
+    * backreferences/lookaround, so Java regex and RE2 engines agree).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** Redact common PII shapes (emails → [EMAIL], IPv4 → [IP], phone-like
+    * digit runs → [PHONE]) — codegen'd regexp_replace chain, map-side at
+    * scan speed. Order matters: emails first (their local part may look
+    * phone-like), then IPs (their digits would otherwise feed the phone
+    * pattern), then phones.
+    */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, lit(EmailPattern), lit("[EMAIL]"))
+    val i = regexp_replace(e, lit(Ipv4Pattern), lit("[IP]"))
+    regexp_replace(i, lit(PhonePattern), lit("[PHONE]"))
+  }
+
   /** n-gram-heuristic language ID: count language-marker stopword hits per
     * candidate language plus a CJK character-class check; argmax with a
     * deterministic tie-break (en > de > es > fr by marker count ordering).

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data pipelines.
+  *
+  * `rand()`-based sampling is neither reproducible across runs nor
+  * expressible as an oracle; this sampler hashes a stable key with a
+  * Lehmer-style congruential map over the Mersenne prime 2^31-1 and keeps
+  * rows whose bucket falls below `rate`. Every step fits in 64-bit
+  * arithmetic with no overflow ((p-1)·a + b < 2^62), so the EXACT same
+  * formula runs in any SQL engine — reproducible splits are what make
+  * training mixes auditable.
+  *
+  * Pure codegen'd column math: map-side at scan speed, no shuffle, and
+  * the filter can sit directly above the parquet scan.
+  */
+object Sampling {
+
+  /** 2^31-1, the Lehmer modulus. */
+  val P: Long = (1L << 31) - 1
+
+  /** Classic LCG multiplier/increment (glibc constants) — quality is fine
+    * for bucketing, and small constants keep the arithmetic overflow-free
+    * and portable.
+    */
+  val A: Long = 1103515245L
+  val B: Long = 12345L
+
+  /** Bucket in [0, P): `((key mod P) * A + B) mod P`, seed-shifted. */
+  def hashBucket(key: Column, seed: Long = 0L): Column =
+    pmod(pmod(key.cast("long") + lit(seed), lit(P)) * lit(A) + lit(B), lit(P))
+
+  /** Keep ~`rate` of rows, deterministically by `key`. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double, seed: Long = 0L): DataFrame =
+    df.filter(hashBucket(col(keyCol), seed) < lit((rate * P).toLong))
+
+  /** Stratified variant: per-stratum rates (e.g. per source/language
+    * domain weights in a training mix), `defaultRate` elsewhere. The rate
+    * lookup is a codegen'd CASE over the (small) strata map.
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0,
+      seed: Long = 0L
+  ): DataFrame = {
+    val cap = rates.foldLeft(lit((defaultRate * P).toLong)) { case (acc, (value, rate)) =>
+      when(col(strataCol) === value, lit((rate * P).toLong)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), seed) < cap)
+  }
+}

@@ -120,6 +120,85 @@ class DedupSuite extends AnyFunSuite {
     val recall = (lsh & brute).size.toDouble / brute.size
     assert(recall >= 0.95, s"sized-path recall too low at sf0.1: $recall")
   }
+
+  test("connectedComponents labels every node with its component min (vs union-find reference)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 30 + trial * 10
+      val edges = Seq.fill(2 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      // union-find with union-by-min: find() yields the component minimum
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial mismatch")
+    }
+  }
+
+  test("connectedComponents converges across a long chain (multi-round propagation)") {
+    val chain = (0L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length === 9 && labels.forall(_._2 == 0L))
+  }
+}
+
+class TextOpsSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  test("hash sampling is deterministic and matches the portable arithmetic") {
+    val df = spark.range(10000).toDF("id")
+    val s1 = Sampling.hashSample(df, "id", 0.1).select("id").as[Long].collect().toSet
+    val s2 = Sampling.hashSample(df, "id", 0.1).select("id").as[Long].collect().toSet
+    assert(s1 === s2) // reproducible split
+    val expect = (0L until 10000L)
+      .filter(id => ((id % Sampling.P) * Sampling.A + Sampling.B) % Sampling.P
+        < (0.1 * Sampling.P).toLong)
+      .toSet
+    assert(s1 === expect) // engine-portable formula
+    assert(math.abs(s1.size - 1000) < 200, s"sample size ${s1.size} far from rate")
+  }
+
+  test("stratified sampling applies per-stratum rates") {
+    val df = spark.range(20000)
+      .select(col("id"), (col("id") % 2 === 0).cast("string").as("stratum"))
+    val out = Sampling.stratifiedHashSample(df, "id", "stratum",
+      Map("true" -> 0.5, "false" -> 0.05)).groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("true") - 5000L) < 400, s"stratum rate off: $out")
+    assert(math.abs(out("false") - 500L) < 150, s"stratum rate off: $out")
+  }
+
+  test("normalize_text: trim, whitespace collapse, lowercase, Unicode NFC") {
+    val decomposed = "  Café   NOISY\tText \n" // 'e' + combining acute (NFD)
+    val out = Seq(decomposed).toDF("t")
+      .select(graft.functions.TextNormalize.normalize_text(col("t"))).head().getString(0)
+    assert(out === "café noisy text") // composed é: NFD input folds to NFC
+  }
+
+  test("redactPii masks emails, IPv4s and phone-like runs") {
+    val s = "mail a.b+c@x-y.org or 10.1.2.3 or +1 (555) 010-1234 end"
+    val out = Seq(s).toDF("t")
+      .select(TextAnalysis.redactPii(col("t"))).head().getString(0)
+    assert(out === "mail [EMAIL] or [IP] or [PHONE] end")
+  }
+
+  test("repetitionSignals: repeated words raise the ratio") {
+    val df = Seq((1L, "a b c d"), (2L, "a a a b")).toDF("id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "text")
+      .select("id", "repetition_ratio").as[(Long, Double)].collect().toMap
+    assert(out(1L) === 0.0)
+    assert(math.abs(out(2L) - 0.5) < 1e-12)
+  }
 }
 
 class SimilaritySuite extends AnyFunSuite {
