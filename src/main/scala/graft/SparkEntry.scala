@@ -294,6 +294,51 @@ object SparkEntry {
     spark.table(qn).orderBy("day_us", "event_type")
   }
 
+  /** Streaming exactly-once event dedup: at-least-once delivery collapsed
+    * by key with watermark-bounded state (`dropDuplicatesWithinWatermark`
+    * — state expires as the watermark passes, so it holds a delay-window
+    * of keys, not the stream's history). The source is unioned with
+    * itself so every event arrives twice; exactly one copy survives.
+    */
+  private def qStreamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = t(spark, sfDir, "events").schema
+    def src = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val qn = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8") // state partition count
+    try {
+      val q = src.union(src)
+        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts_t", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select("event_id", "user_id", "event_type")
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qn)
+        .option("checkpointLocation", freshDir("streaming_dedup_ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    spark.table(qn).orderBy("event_id")
+  }
+
+  /** Corpus reporting: per-domain (lang × source) doc/char/token totals —
+    * the partial-aggregated map-side rollup a mix audit reads.
+    */
+  private def qCorpusStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = t(spark, sfDir, "documents")
+    d.groupBy("lang", "source")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("words"))
+      .orderBy("lang", "source")
+  }
+
   /** Typed sessionization: split each user's event stream at >30 min gaps
     * (window-function formulation — one shuffle; streaming twin with
     * flatMapGroupsWithState state in graft.streaming.Sessionize).
@@ -792,6 +837,8 @@ object SparkEntry {
       "pipeline_curate" -> wrap(qPipelineCurate),
       "text_stats" -> wrap(qTextStats),
       "text_fingerprint" -> wrap(qTextFingerprint),
+      "streaming_dedup" -> wrap(qStreamingDedup),
+      "corpus_stats" -> wrap(qCorpusStats),
       "text_normalize" -> wrap(qTextNormalize),
       "text_redact_pii" -> wrap(qTextRedactPii),
       "text_repetition" -> wrap(qTextRepetition),
@@ -848,6 +895,12 @@ object SparkEntry {
          |       ELSE ${(0.1 * P).toLong} END
          |ORDER BY doc_id""".stripMargin
     },
+    "streaming_dedup" ->
+      """SELECT event_id, user_id, event_type FROM events ORDER BY event_id""",
+    "corpus_stats" ->
+      """SELECT lang, source, count(*) AS docs, sum(n_chars) AS chars,
+        |  sum(len(string_split_regex(trim(text), '\s+'))) AS words
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  nfc_normalize(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS norm_text
