@@ -344,7 +344,11 @@ object Dedup {
       idBCol: String = "id_b",
       maxIters: Int = 25
   ): DataFrame = {
+    // materialize the pair list once: it is usually the output of an
+    // expensive near-dup join, and the edge construction below references
+    // it several times (both orientations + the node set)
     val p = pairs.select(col(idACol).cast("long").as("u"), col(idBCol).cast("long").as("v"))
+      .localCheckpoint()
     val und = p.union(p.select(col("v").as("u"), col("u").as("v")))
     // self-loops fold each node's own label into the neighbor-min
     val nodes = und.select(col("u")).distinct()
