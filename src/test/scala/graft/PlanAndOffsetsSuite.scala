@@ -96,6 +96,26 @@ class PlanAndOffsetsSuite extends AnyFunSuite {
       s"deletes not applied as broadcast anti-join:\n$plan")
   }
 
+  test("sampling and text ops stay map-side: no exchange in the plan") {
+    for (q <- Seq("sample_hash", "text_normalize", "text_redact_pii", "text_repetition")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      // a single global sort for the ordered output is expected; nothing
+      // else may shuffle — these are scan-speed filters/projections
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 1, s"$q has $exchanges exchanges:\n$plan")
+    }
+  }
+
+  test("corpus_stats aggregates partially before its one shuffle") {
+    val plan = SparkEntry.queries("corpus_stats")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), s"no partial aggregation in plan:\n$plan")
+    // documents has 5 columns; the scan must not read doc_id
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("doc_id"), s"scan reads pruned column:\n$read")
+  }
+
   test("VTTS is null when an ASSIGNED partition is silent (CommitState.vtts:155-178)") {
     val batch = Seq(
       ("t", 0, 1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a")
