@@ -899,11 +899,12 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type FROM events ORDER BY event_id""",
     "corpus_stats" ->
       """SELECT lang, source, count(*) AS docs, sum(n_chars) AS chars,
-        |  sum(len(string_split_regex(trim(text), '\s+'))) AS words
+        |  sum(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS words
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
-        |  nfc_normalize(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS norm_text
+        |  nfc_normalize(lower(regexp_replace(
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'))) AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_redact_pii" ->
       """SELECT doc_id,
@@ -914,14 +915,17 @@ object SparkEntry {
         |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
-      """SELECT doc_id,
-        |  len(string_split_regex(trim(text), '\s+')) AS word_count,
-        |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS distinct_word_count,
-        |  CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
-        |       THEN 1.0 - CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
-        |                  / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(ws) AS word_count,
+        |  len(list_distinct(ws)) AS distinct_word_count,
+        |  CASE WHEN len(ws) > 0
+        |       THEN 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
         |       ELSE 0.0 END AS repetition_ratio
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM w ORDER BY doc_id""".stripMargin,
     "ingest_append" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
@@ -1243,13 +1247,13 @@ object SparkEntry {
         |FROM fp LEFT JOIN sig ON fp.doc_id = sig.doc_id ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
-        |  len(string_split_regex(trim(text), '\s+')) AS word_count,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS word_count,
         |  length(text) AS char_count,
         |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct_count,
         |  len(regexp_extract_all(text, '[0-9]')) AS digit_count,
         |  len(regexp_extract_all(lower(text), '\b(?:the|a|and|of|to|in|is|that|it|for)\b')) AS stopword_count,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
-        |  (len(string_split_regex(trim(text), '\s+')) BETWEEN 5 AND 100000
+        |  (len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) BETWEEN 5 AND 100000
         |    AND len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 5 < length(text)
         |    AND len(regexp_extract_all(lower(text), '\b(?:the|a|and|of|to|in|is|that|it|for)\b')) > 0) AS is_quality,
         |  CASE

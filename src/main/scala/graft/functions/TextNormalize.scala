@@ -17,7 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextNormUtil {
   def normalizeText(s: UTF8String): UTF8String = {
-    val collapsed = s.toString.trim
+    // regex end-strip rather than String.trim: trim also eats control
+    // chars (≤ U+0020) that `\s` does not, which would silently diverge
+    // from the SQL formulation of the same pipeline
+    val collapsed = s.toString
+      .replaceAll("^\\s+|\\s+$", "")
       .replaceAll("\\s+", " ")
       .toLowerCase(java.util.Locale.ROOT)
     UTF8String.fromString(

@@ -372,6 +372,13 @@ object Dedup {
         .isEmpty
       labels = next
     }
+    // a truncated fixpoint would silently split components into multiple
+    // "canonical" groups — fail loudly instead; callers with genuinely
+    // deep graphs raise maxIters (or move to star-contraction)
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds — " +
+          "component diameter exceeds the bound; raise maxIters")
     labels.select(col("id"), col("label").as("group_id"))
   }
 

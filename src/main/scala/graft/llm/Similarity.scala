@@ -38,6 +38,11 @@ object Similarity {
     * Planes are constant array literals (no per-row construction) and the
     * input is cast once, so each bit costs one fused dot product.
     */
+  /** Reference formulation of one table's signature, retained as the
+    * parity oracle for the fused [[graft.functions.HyperplaneSignatures]]
+    * kernel (LlmSuite asserts bit-equality) — production index builds use
+    * the fused expression.
+    */
   def hyperplaneSignature(v: Column, bits: Int, dim: Int = 64, seed: Long = 7): Column = {
     val rnd = new scala.util.Random(seed)
     val planes = Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))

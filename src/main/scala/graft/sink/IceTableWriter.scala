@@ -134,7 +134,8 @@ object IceTableWriter {
         partition = partitionValues(outDir, p, transforms),
         bytes = s.bytes,
         min = s.min,
-        max = s.max
+        max = s.max,
+        format = meta.format
       )
     }
   }
@@ -255,7 +256,7 @@ object IceTableWriter {
     keysDf.write.format(meta.format).mode("append").save(outDir.toString)
     listDataFiles(outDir, meta.format).map { p =>
       FileEntry(p.toString, rowCount(p, meta.format), table.currentSchemaVersion,
-        bytes = Files.size(p))
+        bytes = Files.size(p), format = meta.format)
     }
   }
 

@@ -23,7 +23,12 @@ final case class FileEntry(
       * (string-encoded; Iceberg lower_bounds/upper_bounds analogue) —
       * empty for formats/entries without recorded stats */
     min: Map[String, String] = Map.empty,
-    max: Map[String, String] = Map.empty
+    max: Map[String, String] = Map.empty,
+    /** file format this entry was written with (Iceberg's per-data-file
+      * file_format): a `write-props` format override must not re-type
+      * files that already exist. "" = entry predates per-file formats —
+      * read with the table's persisted format. */
+    format: String = ""
 )
 
 /** A committed snapshot of an IceTable branch.

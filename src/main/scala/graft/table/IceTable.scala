@@ -90,15 +90,21 @@ final class IceTable private[table] (
 
   val log = new CommitLog(dir.resolve("_commits").resolve(branch))
 
+  /** Persisted table metadata, no write-time overlay applied. */
+  private def rawMeta: TableMeta =
+    CommitLog.mapper.readValue(Files.readAllBytes(dir.resolve("table.json")), classOf[TableMeta])
+
   def meta: TableMeta = {
-    val m = CommitLog.mapper
-      .readValue(Files.readAllBytes(dir.resolve("table.json")), classOf[TableMeta])
+    val m = rawMeta
     if (writeOverlay.isEmpty) m
     else
       m.copy(
         props = m.props ++ writeOverlay,
         // `write.format.default` is itself a table property in the
-        // reference's writer-creation path (Utilities.java:162-163)
+        // reference's writer-creation path (Utilities.java:162-163). A
+        // format override applies to NEW files only; each FileEntry
+        // records the format it was written with, so reads stay correct
+        // on tables that mix formats across commits.
         format = writeOverlay.getOrElse("write.format.default", m.format))
   }
 
@@ -198,11 +204,10 @@ final class IceTable private[table] (
         // broadcast the delete side only while its on-disk bytes stay small:
         // row counts mis-size wide composite keys (5M rows of fat keys can
         // blow the broadcast limit), bytes don't. Entries without recorded
-        // sizes (bytes < 0, pre-stats commits) count as the conservative
-        // per-file estimate so legacy logs still shuffle when large.
-        val delBytes = delFiles.map { case (f, _) =>
-          if (f.bytes >= 0) f.bytes else IceTable.UnknownDeleteFileBytes
-        }.sum
+        // sizes (pre-stats commits) estimate from their row count, so a
+        // legacy 50M-row delete file still shuffles; entries with neither
+        // get a conservative per-file constant.
+        val delBytes = delFiles.map { case (f, _) => IceTable.deleteSideBytes(f) }.sum
         val rhs0 = dels.withColumnRenamed(SEQ, "__graft_dseq")
         val rhs = if (delBytes < IceTable.DeleteBroadcastBytes) broadcast(rhs0) else rhs0
         val cond = keyCols
@@ -252,9 +257,13 @@ final class IceTable private[table] (
       target: StructType,
       versionSchema: Int => StructType
   ): DataFrame = {
-    val fmt = meta.format
-    val groups = files.groupBy(_._1.schemaVersion).toSeq.sortBy(_._1)
-    val parts = groups.map { case (ver, entries) =>
+    // per-file format, falling back to the PERSISTED table format for
+    // entries that predate per-file recording — never the write-props
+    // overlay, which must not re-type files that already exist
+    val legacyFmt = rawMeta.format
+    def fmtOf(f: FileEntry): String = if (f.format.nonEmpty) f.format else legacyFmt
+    val groups = files.groupBy(e => (e._1.schemaVersion, fmtOf(e._1))).toSeq.sortBy(_._1)
+    val parts = groups.map { case ((ver, fmt), entries) =>
       val written = versionSchema(ver)
       val df = spark.read.schema(written).format(fmt).load(entries.map(_._1.path): _*)
       val seqRows = entries.map { case (f, s) => Row(IceTable.normalizePath(f.path), s) }
@@ -367,8 +376,19 @@ object IceTable {
     * (64 MB on disk ≈ a few hundred MB in memory across the columnar →
     * row expansion — safely inside executor/driver broadcast budgets). */
   private[graft] val DeleteBroadcastBytes: Long = 64L << 20
-  /** Assumed size for delete files committed before byte stats existed. */
+  /** Assumed size for delete files with neither byte nor row stats. */
   private[graft] val UnknownDeleteFileBytes: Long = 8L << 20
+  /** Conservative bytes-per-key-row when only a row count is recorded. */
+  private[graft] val EstimatedDeleteRowBytes: Long = 100L
+
+  /** Size estimate for one delete-side file entry, for the broadcast
+    * decision: recorded bytes, else rows × conservative row width, else
+    * the per-file constant. Pure so tests can pin the fallback ladder.
+    */
+  private[graft] def deleteSideBytes(f: FileEntry): Long =
+    if (f.bytes >= 0) f.bytes
+    else if (f.rows >= 0) f.rows * EstimatedDeleteRowBytes
+    else UnknownDeleteFileBytes
 
   private[graft] def normalizePath(p: String): String =
     p.replaceFirst("^file:/+", "/")

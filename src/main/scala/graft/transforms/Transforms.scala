@@ -79,6 +79,12 @@ object Transforms {
     * exact whole-batch inference, which is a second FULL scan of the
     * batch every trigger — at cluster scale that doubles every read, so
     * the bounded sample is the default, not the opt-in.
+    *
+    * IMPORTANT: the late-field pickup depends on schema evolution being
+    * ON at the sink (`iceberg.tables.evolve-schema-enabled`). With
+    * evolution OFF, a field the sample never sees is projected away on
+    * every batch — pipelines that disable evolution AND carry sparse
+    * late fields should set `inferLimit = 0` (exact) instead.
     */
   def jsonExpand(jsonCol: String, inferLimit: Int = DefaultJsonInferLimit)(
       df: DataFrame): DataFrame = {

@@ -224,6 +224,25 @@ class EndToEndSuite extends AnyFunSuite {
     assert(t.meta.props.isEmpty)
   }
 
+  test("write-props format override re-types only NEW files; mixed-format tables read correctly") {
+    val wh = TestSpark.freshDir("e2e-writeprops-fmt")
+    val cfg0 = EngineConfig(warehouse = wh, tables = Seq(TableConfig("t")), autoCreate = true)
+    Ingest.run(spark, Seq((1L, "a")).toDF("id", "v"), 0L, cfg0) // parquet commit
+    val cfg = cfg0.copy(writeProps = Map("write.format.default" -> "orc"))
+    Ingest.run(spark, Seq((2L, "b")).toDF("id", "v"), 1L, cfg) // orc commit
+    val t = IceTable.load(s"$wh/t")
+    val commits = t.log.commits()
+    assert(commits(0).dataFiles.forall(f => f.format == "parquet" && f.path.endsWith(".parquet")))
+    assert(commits(1).dataFiles.forall(f => f.format == "orc" && f.path.endsWith(".orc")))
+    // a plain (no-overlay) load must read both formats correctly
+    val rows = t.read(spark).orderBy("id").as[(Long, String)].collect().toSeq
+    assert(rows === Seq((1L, "a"), (2L, "b")))
+    // and the overlaid view reads the same
+    val rows2 = IceTable.load(s"$wh/t").withWriteProps(cfg.writeProps)
+      .read(spark).orderBy("id").as[(Long, String)].collect().toSeq
+    assert(rows2 === rows)
+  }
+
   test("bounded JSON inference: late fields are null this batch, picked up by evolution next (C7)") {
     import graft.transforms.Transforms
     val wh = TestSpark.freshDir("e2e-json-late")

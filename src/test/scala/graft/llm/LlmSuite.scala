@@ -148,6 +148,32 @@ class DedupSuite extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(labels.length === 9 && labels.forall(_._2 == 0L))
   }
+
+  test("connectedComponents fails loudly when the round bound truncates the fixpoint") {
+    val chain = (0L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("fused HyperplaneSignatures matches the per-table reference formulation bit-for-bit") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), Similarity.normalize(col("embedding")).as("v"))
+      .limit(50)
+    val bits = 7
+    val tables = 3
+    val fused = emb.select(col("vec_id"),
+      graft.functions.VectorOps.hyperplane_signatures(col("v"), bits, tables).as("sigs"))
+    val reference = emb.select(col("vec_id") +:
+      (0 until tables).map(t =>
+        Similarity.hyperplaneSignature(col("v"), bits, seed = 7 + t).as(s"s$t")): _*)
+    val f = fused.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    reference.collect().foreach { r =>
+      val sigs = f(r.getLong(0))
+      (0 until tables).foreach(t => assert(sigs(t) === r.getLong(1 + t)))
+    }
+  }
 }
 
 class TextOpsSuite extends AnyFunSuite {
@@ -183,6 +209,11 @@ class TextOpsSuite extends AnyFunSuite {
     val out = Seq(decomposed).toDF("t")
       .select(graft.functions.TextNormalize.normalize_text(col("t"))).head().getString(0)
     assert(out === "café noisy text") // composed é: NFD input folds to NFC
+    // `\s`-strip only (unlike String.trim, which also eats control chars —
+    // the SQL-regex formulation of this pipeline must agree exactly)
+    val ctl = Seq("x").toDF("t")
+      .select(graft.functions.TextNormalize.normalize_text(col("t"))).head().getString(0)
+    assert(ctl === "x")
   }
 
   test("redactPii masks emails, IPv4s and phone-like runs") {

@@ -146,6 +146,16 @@ class IceTableSuite extends AnyFunSuite {
     assert(got === Seq((1L, "a"), (2L, "b2")))
   }
 
+  test("delete-side size estimate: bytes, then rows, then constant (legacy entries)") {
+    def fe(bytes: Long, rows: Long) = FileEntry("p", rows, 1, bytes = bytes)
+    assert(IceTable.deleteSideBytes(fe(bytes = 123L, rows = 50000000L)) === 123L)
+    // a legacy 50M-row delete file (no byte stats) must NOT look broadcastable
+    assert(IceTable.deleteSideBytes(fe(bytes = -1L, rows = 50000000L))
+      >= IceTable.DeleteBroadcastBytes)
+    assert(IceTable.deleteSideBytes(fe(bytes = -1L, rows = -1L))
+      === IceTable.UnknownDeleteFileBytes)
+  }
+
   test("snapshot props: offsets + vtts land in the commit entry (K4/K11)") {
     val dir = TestSpark.freshDir("t7")
     val t = IceTable.create(dir, schema, TableMeta())
