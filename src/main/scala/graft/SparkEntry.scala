@@ -204,6 +204,24 @@ object SparkEntry {
     table.read(spark).select("event_id", "user_id", "value").orderBy("event_id")
   }
 
+  /** Bin-packing small-file compaction: many tiny commits packed into
+    * ~target-size files (large files untouched, originals superseded via
+    * removedPaths), content bit-identical after the rewrite + GC.
+    */
+  private def qMaintenanceBinpack(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("maintenance_binpack")
+    val ev = t(spark, sfDir, "events")
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("events_b")), autoCreate = true)
+    // 8 small commits — the "streaming produced tiny files" shape
+    (0 until 8).foreach { i =>
+      Ingest.run(spark, ev.filter(pmod(col("event_id"), lit(8)) === i).coalesce(1), i.toLong, cfg)
+    }
+    val table = IceTable.load(s"$wh/events_b")
+    table.compactSmallFiles(spark, targetFileBytes = 128L << 20)
+    table.gc()
+    table.read(spark).select("event_id", "user_id", "value").orderBy("event_id")
+  }
+
   /** K1/S4: true Structured-Streaming ingestion — two MemoryStream
     * micro-batches through the foreachBatch shell with a checkpoint, then
     * the committed table read back.
@@ -803,6 +821,7 @@ object SparkEntry {
       "ingest_partitioned" -> wrap(qIngestPartitioned),
       "ingest_kafka_shaped" -> wrap(qIngestKafkaShaped),
       "maintenance_compact" -> wrap(qMaintenanceCompact),
+      "maintenance_binpack" -> wrap(qMaintenanceBinpack),
       "streaming_ingest" -> wrap(qStreamingIngest),
       "streaming_window" -> wrap(qStreamingWindow),
       "sessionize" -> wrap(qSessionize),
@@ -938,6 +957,8 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value AS amount, event_id AS offset
         |FROM events ORDER BY event_id""".stripMargin,
     "maintenance_compact" ->
+      """SELECT event_id, user_id, value FROM events ORDER BY event_id""".stripMargin,
+    "maintenance_binpack" ->
       """SELECT event_id, user_id, value FROM events ORDER BY event_id""".stripMargin,
     "streaming_ingest" ->
       """SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id""".stripMargin,

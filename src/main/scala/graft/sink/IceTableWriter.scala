@@ -61,6 +61,21 @@ object IceTableWriter {
       if (compaction) props + ("compaction" -> "true") else props)
   }
 
+  /** Partial rewrite: stage `df` as new files and supersede
+    * `removedPaths` in one commit (bin-packing compaction's commit shape;
+    * see [[graft.table.IceTable.compactSmallFiles]]).
+    */
+  def rewrite(
+      spark: SparkSession,
+      df: DataFrame,
+      table: IceTable,
+      removedPaths: Seq[String],
+      props: Map[String, String] = Map.empty
+  ): Option[Commit] = {
+    val files = writeFiles(df, table, maxRecords = 0L)
+    publish(table, batchId = -1L, files, Nil, Map.empty, None, props, removedPaths)
+  }
+
   /** Delta commit (D2): new data files plus equality-delete key files that
     * apply to all *earlier* commits of the same keys.
     */
@@ -267,7 +282,8 @@ object IceTableWriter {
       deleteFiles: Seq[FileEntry],
       offsets: Map[String, Long],
       vtts: Option[Long],
-      props: Map[String, String]
+      props: Map[String, String],
+      removedPaths: Seq[String] = Nil
   ): Option[Commit] = {
     val committed = table.log.commit(
       batchId,
@@ -282,7 +298,8 @@ object IceTableWriter {
           deleteFiles = deleteFiles,
           offsets = offsets,
           vtts = vtts,
-          props = props
+          props = props,
+          removedPaths = removedPaths
         )
     )
     if (committed.isEmpty) {

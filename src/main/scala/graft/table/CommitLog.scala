@@ -52,7 +52,13 @@ final case class Commit(
     deleteFiles: Seq[FileEntry] = Nil,
     offsets: Map[String, Long] = Map.empty,
     vtts: Option[Long] = None,
-    props: Map[String, String] = Map.empty
+    props: Map[String, String] = Map.empty,
+    /** Paths of earlier commits' data files this commit supersedes
+      * (Iceberg rewrite-files analogue): a bin-packing compaction adds
+      * the packed files and lists the small ones here. Readers at
+      * `maxSeq >= this.seq` skip them; time travel below still sees
+      * them. */
+    removedPaths: Seq[String] = Nil
 )
 
 /** Append-only JSON commit log with atomic-rename commits.

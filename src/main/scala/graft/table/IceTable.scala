@@ -238,9 +238,12 @@ final class IceTable private[table] (
       maxSeq: Option[Long] = None,
       filePred: Option[FileEntry => Boolean] = None
   ): Seq[(FileEntry, Long)] = {
-    val keep: FileEntry => Boolean =
-      f => pred.forall(p => p(f.partition)) && filePred.forall(p => p(f))
-    liveCommits(maxSeq).flatMap(c => c.dataFiles.filter(keep).map(f => (f, c.seq)))
+    val live = liveCommits(maxSeq)
+    val removed = live.flatMap(_.removedPaths).map(IceTable.normalizePath).toSet
+    val keep: FileEntry => Boolean = f =>
+      !removed.contains(IceTable.normalizePath(f.path)) &&
+        pred.forall(p => p(f.partition)) && filePred.forall(p => p(f))
+    live.flatMap(c => c.dataFiles.filter(keep).map(f => (f, c.seq)))
   }
 
   private def keyProjection(s: StructType, keyCols: Seq[String]): StructType =
@@ -327,10 +330,65 @@ final class IceTable private[table] (
   /** Rewrite current state as a single fresh append (applies accumulated
     * equality deletes); the compaction commit uses batchId -1 (not a
     * stream batch). Old files become unreferenced for later GC.
+    *
+    * `sortBy` rewrites range-partitioned and sorted on those columns, so
+    * every output file covers a disjoint value range — per-file min/max
+    * bounds then prune range scans to the few files that actually
+    * overlap (the sort-ordered rewrite a data-skipping table runs after
+    * unordered ingest).
     */
-  def compact(spark: SparkSession): Unit = {
-    val snapshot = read(spark)
+  def compact(spark: SparkSession, sortBy: Seq[String] = Nil, sortPartitions: Int = 0): Unit = {
+    val snapshot0 = read(spark)
+    val snapshot =
+      if (sortBy.isEmpty) snapshot0
+      else {
+        val cols = sortBy.map(snapshot0(_))
+        // default: AQE sizes the range partitions (advisory bytes) — the
+        // scale behavior; explicit sortPartitions pins the file count
+        val ranged =
+          if (sortPartitions > 0) snapshot0.repartitionByRange(sortPartitions, cols: _*)
+          else snapshot0.repartitionByRange(cols: _*)
+        ranged.sortWithinPartitions(cols: _*)
+      }
     graft.sink.IceTableWriter.append(spark, snapshot, this, batchId = -1, compaction = true)
+  }
+
+  /** Bin-packing small-file compaction (Iceberg rewrite-data-files
+    * analogue): coalesce live data files smaller than `targetFileBytes`
+    * into ~target-sized ones, superseding the originals via
+    * `Commit.removedPaths` — large files are never rewritten, so the
+    * operation costs O(small-file bytes), not O(table). No-op unless at
+    * least `minInputFiles` qualify. Returns the number of files packed.
+    *
+    * Only safe combined with equality deletes when the packed rows keep
+    * their original commit seqs — rewriting would lose delete ordering —
+    * so tables with id columns and live delete files fall back to full
+    * [[compact]] semantics (which applies the deletes).
+    */
+  def compactSmallFiles(
+      spark: SparkSession,
+      targetFileBytes: Long,
+      minInputFiles: Int = 2
+  ): Int = {
+    val hasLiveDeletes = meta.idColumns.nonEmpty &&
+      liveCommits(None).exists(_.deleteFiles.nonEmpty)
+    if (hasLiveDeletes) {
+      val rewritten = planFiles(None).size
+      compact(spark)
+      return rewritten
+    }
+    val small = planFiles(None, filePred =
+      Some(f => f.bytes >= 0 && f.bytes < targetFileBytes))
+    if (small.size < minInputFiles) return 0
+    val cur = schema
+    val df = readAligned(spark, small, cur, v => schemaAt(v)).drop(IceTable.SEQ)
+    val totalBytes = small.map(_._1.bytes).sum
+    val outParts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    graft.sink.IceTableWriter.rewrite(
+      spark, df.coalesce(outParts), this,
+      removedPaths = small.map(_._1.path),
+      props = Map("compaction-small" -> "true"))
+    small.size
   }
 
   /** Remove data/delete files no branch can still reach (i.e. referenced
@@ -349,7 +407,11 @@ final class IceTable private[table] (
       val commits = new CommitLog(bd).commits()
       val lastRewrite = commits.lastIndexWhere(_.props.get("compaction").contains("true"))
       val active = if (lastRewrite >= 0) commits.drop(lastRewrite) else commits
+      // files a later active commit superseded are GC-able (same trade as
+      // the full-rewrite rule: time travel to their seqs is given up)
+      val removed = active.flatMap(_.removedPaths).map(IceTable.normalizePath).toSet
       active.flatMap(c => (c.dataFiles ++ c.deleteFiles).map(f => IceTable.normalizePath(f.path)))
+        .filterNot(removed.contains)
     }.toSet
     var removed = 0
     for (sub <- Seq("data", "deletes")) {

@@ -146,6 +146,56 @@ class IceTableSuite extends AnyFunSuite {
     assert(got === Seq((1L, "a"), (2L, "b2")))
   }
 
+  test("small-file compaction packs tiny files, preserves content and time travel") {
+    val dir = TestSpark.freshDir("t-binpack")
+    val t = IceTable.create(dir, schema, TableMeta())
+    // 4 tiny single-row commits + 1 genuinely large one
+    (1 to 4).foreach(i => IceTableWriter.append(spark, df((i.toLong, s"v$i", i.toDouble)), t, i - 1))
+    IceTableWriter.append(spark,
+      (100L until 20100L).map(i => (i, s"big-payload-$i-${"x" * 40}", i.toDouble))
+        .toDF("id", "name", "v").coalesce(1), t, 4)
+    val before = t.planFiles(None)
+    val bigPaths = t.log.commits().last.dataFiles.map(_.path).toSet
+    assert(before.filter(f => bigPaths.contains(f._1.path)).forall(_._1.bytes > 64 * 1024))
+    val packed = t.compactSmallFiles(spark, targetFileBytes = 64 * 1024)
+    assert(packed >= 4, s"expected the 4 tiny files packed, got $packed")
+    val after = t.planFiles(None)
+    assert(after.size < before.size)
+    // large files were not rewritten
+    assert(bigPaths.subsetOf(after.map(_._1.path).toSet))
+    // content identical
+    assert(t.read(spark).orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      (1L to 4L) ++ (100L until 20100L))
+    // time travel below the rewrite still sees the original files
+    val preRewrite = t.readAt(spark, 5)
+    assert(preRewrite.count() === before.map(_._1.rows).sum)
+    // gc removes the superseded originals but keeps everything live
+    val removed = t.gc()
+    assert(removed >= 4)
+    assert(t.read(spark).count() === 4 + 20000)
+  }
+
+  test("sorted compaction makes file bounds disjoint so range pruning tightens") {
+    val dir = TestSpark.freshDir("t-sortcompact")
+    val t = IceTable.create(dir, schema, TableMeta())
+    // interleaved ids across commits: every file spans the whole range
+    val rnd = new scala.util.Random(3)
+    val shuffled = rnd.shuffle((1L to 3000L).toVector)
+    shuffled.grouped(1000).zipWithIndex.foreach { case (ids, i) =>
+      IceTableWriter.append(spark,
+        ids.map(id => (id, s"n$id", id.toDouble)).toDF("id", "name", "v").repartition(4), t, i)
+    }
+    def prunedCount = t.planFiles(None, filePred =
+      Some(f => FilePruning.mayContainRange(f, "id", Some("100"), Some("200")))).size
+    val beforeFiles = t.planFiles(None).size
+    assert(prunedCount === beforeFiles, "interleaved files should all overlap the range")
+    t.compact(spark, sortBy = Seq("id"), sortPartitions = 8)
+    val afterFiles = t.planFiles(None).size
+    assert(prunedCount < afterFiles, s"sorted rewrite should prune: $prunedCount of $afterFiles")
+    // content unchanged
+    assert(t.read(spark).count() === 3000)
+  }
+
   test("delete-side size estimate: bytes, then rows, then constant (legacy entries)") {
     def fe(bytes: Long, rows: Long) = FileEntry("p", rows, 1, bytes = bytes)
     assert(IceTable.deleteSideBytes(fe(bytes = 123L, rows = 50000000L)) === 123L)
