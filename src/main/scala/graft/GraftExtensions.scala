@@ -16,7 +16,9 @@ import graft.functions._
   *
   * Registered functions: `iceberg_bucket(n, col)` (spec-exact murmur3
   * partition transform), `rolling_hash(text)`, `simhash64(text)`,
-  * `array_dot(a, b)`, `word_shingles(text, n)`.
+  * `array_dot(a, b)`, `word_shingles(text, n)`,
+  * `normalize_text(text)`, `minhash_signature(hashes, k)`,
+  * `hyperplane_signatures(vec, bits, tables)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -41,7 +43,15 @@ object GraftExtensions {
     "rolling_hash" -> (args => RollingHash(args.head)),
     "simhash64" -> (args => SimHash(args.head)),
     "array_dot" -> (args => ArrayDot(args(0), args(1))),
-    "word_shingles" -> (args => WordShingles(args.head, intArg(args(1), "word_shingles")))
+    "word_shingles" -> (args => WordShingles(args.head, intArg(args(1), "word_shingles"))),
+    "normalize_text" -> (args => NormalizeText(args.head)),
+    "minhash_signature" -> (args =>
+      MinHashSig(args.head, intArg(args(1), "minhash_signature"), seed = 42)),
+    "hyperplane_signatures" -> (args =>
+      HyperplaneSignatures(args.head,
+        bits = intArg(args(1), "hyperplane_signatures"),
+        tables = intArg(args(2), "hyperplane_signatures"),
+        dim = 64, baseSeed = 7))
   )
 
   /** Register on an already-created session (the builder-time

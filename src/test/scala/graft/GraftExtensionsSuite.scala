@@ -18,4 +18,16 @@ class GraftExtensionsSuite extends AnyFunSuite {
     assert(r.getDouble(3) === 11.0)
     assert(r.getInt(4) === 2)
   }
+
+  test("curation expressions are callable from SQL once registered") {
+    val spark = TestSpark.spark
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT normalize_text('  A  B ') AS nt,
+        |       size(minhash_signature(array(CAST(7 AS BIGINT)), 8)) AS mh,
+        |       size(hyperplane_signatures(array(1.0d, 0.5d), 5, 3)) AS hp""".stripMargin).head()
+    assert(r.getString(0) === "a b")
+    assert(r.getInt(1) === 8)
+    assert(r.getInt(2) === 3)
+  }
 }
