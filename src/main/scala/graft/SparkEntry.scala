@@ -711,16 +711,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** Duplicate-GROUP resolution: near-dup pairs (same guarded-Jaccard
-    * source as `dedup_jaccard`) → connected components → every member
-    * labeled with its component's min doc id. The oracle replays min-label
-    * propagation in SQL to a fixed depth that exceeds the data's component
-    * diameter (pairs alone under-delete: A~B, B~C must collapse to ONE
-    * survivor even without an A~C edge).
+  /** Duplicate-GROUP resolution: near-dup pairs (same minhash-LSH source
+    * as `dedup_minhash` — banded candidates, exact-Jaccard verified, the
+    * path that scales) → connected components → every member labeled with
+    * its component's min doc id. The oracle replays min-label propagation
+    * in SQL to a fixed depth that exceeds the data's component diameter
+    * (pairs alone under-delete: A~B, B~C must collapse to ONE survivor
+    * even without an A~C edge).
     */
   private def qDedupGroups(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(t(spark, sfDir, "documents"), "doc_id", "text", 3, 0.5,
-      maxShingleDf = 5)
+    val pairs = Dedup.minhashLshPairs(t(spark, sfDir, "documents"), "doc_id", "text",
+      n = 3, numHashes = 32, bands = 16, threshold = 0.5)
     Dedup.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("group_id"))
       .orderBy("doc_id")
@@ -878,11 +879,9 @@ object SparkEntry {
         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
         |),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 5),
-        |shf AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
         |p0 AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
-        |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |jp AS (
         |  SELECT id_a, id_b
