@@ -744,6 +744,16 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Deterministic weighted interleave: per-language mix positions (en at
+    * 2×, zh at 1×, rest at 0.5×) — the reproducible merge order a
+    * training-mix spec compiles to.
+    */
+  private def qMixInterleave(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.interleaveByWeight(t(spark, sfDir, "documents"),
+      "doc_id", "lang", Map("en" -> 2.0, "zh" -> 1.0), defaultWeight = 0.5)
+      .select("doc_id", "lang", "mix_pos")
+      .orderBy("mix_pos", "lang", "doc_id")
+
   /** Canonical text normalization (trim → collapse ws → lower → NFC). */
   private def qTextNormalize(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "documents")
@@ -865,6 +875,7 @@ object SparkEntry {
       "dedup_groups" -> wrap(qDedupGroups),
       "sample_hash" -> wrap(qSampleHash),
       "sample_stratified" -> wrap(qSampleStratified),
+      "mix_interleave" -> wrap(qMixInterleave),
       "multimodal_features" -> wrap(qMultimodal)
     )
   }
@@ -919,6 +930,11 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS docs, sum(n_chars) AS chars,
         |  sum(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS words
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "mix_interleave" ->
+      """SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS DOUBLE)
+        |    / (CASE WHEN lang = 'en' THEN 2.0 WHEN lang = 'zh' THEN 1.0 ELSE 0.5 END) AS mix_pos
+        |FROM documents ORDER BY mix_pos, lang, doc_id""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  nfc_normalize(lower(regexp_replace(

@@ -36,6 +36,29 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, rate: Double, seed: Long = 0L): DataFrame =
     df.filter(hashBucket(col(keyCol), seed) < lit((rate * P).toLong))
 
+  /** Deterministic weighted interleave (training-mix epoch composition):
+    * row r of stratum s lands at position `(r-1) / w_s`, so reading the
+    * output ordered by position yields each stratum at a rate ∝ its
+    * weight, reproducibly — the merge order a mix spec compiles to,
+    * without RNG. One window shuffle (rank within stratum); the position
+    * math is codegen'd column arithmetic, portable to any SQL engine.
+    */
+  def interleaveByWeight(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col(keyCol))
+    val weightExpr = weights.foldLeft(lit(defaultWeight)) { case (acc, (value, wt)) =>
+      when(col(strataCol) === value, lit(wt)).otherwise(acc)
+    }
+    df.withColumn("mix_pos",
+      (row_number().over(w) - 1).cast("double") / weightExpr)
+  }
+
   /** Stratified variant: per-stratum rates (e.g. per source/language
     * domain weights in a training mix), `defaultRate` elsewhere. The rate
     * lookup is a codegen'd CASE over the (small) strata map.

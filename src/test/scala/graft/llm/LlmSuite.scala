@@ -149,6 +149,24 @@ class DedupSuite extends AnyFunSuite {
     assert(labels.length === 9 && labels.forall(_._2 == 0L))
   }
 
+  test("connectedComponents matches union-find on a 500-node random graph") {
+    val rnd = new scala.util.Random(11)
+    val n = 500
+    val edges = Seq.fill(700)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(id => id -> find(id.toInt).toLong).toMap
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   test("connectedComponents fails loudly when the round bound truncates the fixpoint") {
     val chain = (0L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
@@ -221,6 +239,23 @@ class TextOpsSuite extends AnyFunSuite {
     val out = Seq(s).toDF("t")
       .select(TextAnalysis.redactPii(col("t"))).head().getString(0)
     assert(out === "mail [EMAIL] or [IP] or [PHONE] end")
+  }
+
+  test("interleaveByWeight: a position-ordered prefix carries strata at weight ratios") {
+    val df = spark.range(3000)
+      .select(col("id"), (col("id") % 3).cast("string").as("s"))
+    val out = Sampling.interleaveByWeight(df, "id", "s", Map("0" -> 2.0, "1" -> 1.0),
+      defaultWeight = 0.5)
+    // first 700 positions: stratum 0 at 2/s, 1 at 1/s, 2 at 0.5/s
+    val prefix = out.orderBy("mix_pos", "s", "id").limit(700)
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(prefix("0") - 2.0 * prefix("1")) <= 2, s"mix off: $prefix")
+    assert(math.abs(prefix("1") - 2.0 * prefix("2")) <= 2, s"mix off: $prefix")
+    // deterministic: same input → same positions
+    val again = Sampling.interleaveByWeight(df, "id", "s", Map("0" -> 2.0, "1" -> 1.0),
+      defaultWeight = 0.5)
+    assert(out.orderBy("mix_pos", "s", "id").limit(50).collect().toSeq ===
+      again.orderBy("mix_pos", "s", "id").limit(50).collect().toSeq)
   }
 
   test("repetitionSignals: repeated words raise the ratio") {
