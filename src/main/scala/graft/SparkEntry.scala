@@ -821,6 +821,27 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Full curation composition over the new operator set: near-dup pairs
+    * (minhash-LSH) → connected-component groups → keep the canonical
+    * (min-id) doc per group → quality gate → normalized text. The shape
+    * an actual pretraining-corpus build runs end-to-end, with the whole
+    * chain oracle-replayed in SQL.
+    */
+  private def qPipelineDedupCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 16, threshold = 0.5)
+    val groups = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    val withGroup = docs.join(groups, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))
+    val canonical = withGroup.filter(col("doc_id") === col("group_id"))
+    TextAnalysis.qualitySignals(canonical, "text")
+      .filter(col("is_quality"))
+      .select(col("doc_id"),
+        graft.functions.TextNormalize.normalize_text(col("text")).as("norm_text"))
+      .orderBy("doc_id")
+  }
+
   // ---- registry -------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
@@ -865,6 +886,7 @@ object SparkEntry {
       "knn_ivf" -> wrap(qKnnIvf),
       "knn_ivf_full" -> wrap(qKnnIvfFull),
       "pipeline_curate" -> wrap(qPipelineCurate),
+      "pipeline_dedup_curate" -> wrap(qPipelineDedupCurate),
       "text_stats" -> wrap(qTextStats),
       "text_fingerprint" -> wrap(qTextFingerprint),
       "streaming_dedup" -> wrap(qStreamingDedup),
@@ -909,6 +931,41 @@ object SparkEntry {
         |l3 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l2 l ON l.id = e.v GROUP BY e.u),
         |l4 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l3 l ON l.id = e.v GROUP BY e.u)
         |SELECT id AS doc_id, label AS group_id FROM l4 ORDER BY doc_id""".stripMargin,
+    "pipeline_dedup_curate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |p0 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT id_a, id_b
+        |  FROM p0 JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.5),
+        |e AS (
+        |  SELECT id_a AS u, id_b AS v FROM jp
+        |  UNION SELECT id_b, id_a FROM jp
+        |  UNION SELECT id_a, id_a FROM jp
+        |  UNION SELECT id_b, id_b FROM jp),
+        |l0 AS (SELECT DISTINCT u AS id, u AS label FROM e),
+        |l1 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l0 l ON l.id = e.v GROUP BY e.u),
+        |l2 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l1 l ON l.id = e.v GROUP BY e.u),
+        |l3 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l2 l ON l.id = e.v GROUP BY e.u),
+        |l4 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l3 l ON l.id = e.v GROUP BY e.u),
+        |canon AS (
+        |  SELECT d.* FROM documents d LEFT JOIN l4 g ON g.id = d.doc_id
+        |  WHERE d.doc_id = coalesce(g.label, d.doc_id))
+        |SELECT doc_id,
+        |  nfc_normalize(lower(regexp_replace(
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'))) AS norm_text
+        |FROM canon
+        |WHERE len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) BETWEEN 5 AND 100000
+        |  AND len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 5 < length(text)
+        |  AND len(regexp_extract_all(lower(text), '\b(?:the|a|and|of|to|in|is|that|it|for)\b')) > 0
+        |ORDER BY doc_id""".stripMargin,
     "sample_hash" -> {
       import graft.operators.Sampling.{A, B, P}
       s"""SELECT doc_id, lang, source FROM documents
