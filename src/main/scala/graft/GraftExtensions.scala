@@ -48,10 +48,13 @@ object GraftExtensions {
     "minhash_signature" -> (args =>
       MinHashSig(args.head, intArg(args(1), "minhash_signature"), seed = 42)),
     "hyperplane_signatures" -> (args =>
+      // (vec, bits, tables[, dim]) — dim defaults to 64; vectors longer
+      // than dim are signature-d on their first dim components
       HyperplaneSignatures(args.head,
         bits = intArg(args(1), "hyperplane_signatures"),
         tables = intArg(args(2), "hyperplane_signatures"),
-        dim = 64, baseSeed = 7))
+        dim = if (args.length > 3) intArg(args(3), "hyperplane_signatures") else 64,
+        baseSeed = 7))
   )
 
   /** Register on an already-created session (the builder-time

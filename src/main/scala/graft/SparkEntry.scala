@@ -720,8 +720,12 @@ object SparkEntry {
     * even without an A~C edge).
     */
   private def qDedupGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    // 64 hashes / 32 bands of 2: a pair exactly AT the 0.5 threshold
+    // escapes all bands with p ≈ (1-0.25)^32 ≈ 1e-4 (pairs above it far
+    // less) — margin against the exact-Jaccard oracle, since one missed
+    // edge would relabel a whole component
     val pairs = Dedup.minhashLshPairs(t(spark, sfDir, "documents"), "doc_id", "text",
-      n = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      n = 3, numHashes = 64, bands = 32, threshold = 0.5)
     Dedup.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("group_id"))
       .orderBy("doc_id")
@@ -830,7 +834,7 @@ object SparkEntry {
   private def qPipelineDedupCurate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-      n = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      n = 3, numHashes = 64, bands = 32, threshold = 0.5)
     val groups = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
     val withGroup = docs.join(groups, Seq("doc_id"), "left")
       .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))
@@ -902,70 +906,57 @@ object SparkEntry {
     )
   }
 
+  /** Shared oracle prelude for the dup-group queries: exact word-3-gram
+    * Jaccard pairs (uncapped) at threshold 0.5, then 4 rounds of
+    * min-label propagation over the self-looped edge list — depth safely
+    * above the corpus' component diameter (measured 1). Ends inside the
+    * WITH clause so callers append their own final CTEs/SELECT.
+    */
+  private val groupPropagationSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |p0 AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT id_a, id_b
+      |  FROM p0 JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.5),
+      |e AS (
+      |  SELECT id_a AS u, id_b AS v FROM jp
+      |  UNION SELECT id_b, id_a FROM jp
+      |  UNION SELECT id_a, id_a FROM jp
+      |  UNION SELECT id_b, id_b FROM jp),
+      |l0 AS (SELECT DISTINCT u AS id, u AS label FROM e),
+      |l1 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l0 l ON l.id = e.v GROUP BY e.u),
+      |l2 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l1 l ON l.id = e.v GROUP BY e.u),
+      |l3 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l2 l ON l.id = e.v GROUP BY e.u),
+      |l4 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l3 l ON l.id = e.v GROUP BY e.u)""".stripMargin
+
   /** DuckDB oracle SQL per query (omitted for hash-construction queries
     * that SQL cannot reproduce — those get rows-only checks + unit tests).
     */
   def oracleSql: Map[String, String] = Map(
     "dedup_groups" ->
-      """WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
-        |),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |p0 AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jp AS (
-        |  SELECT id_a, id_b
-        |  FROM p0 JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-        |  WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.5),
-        |e AS (
-        |  SELECT id_a AS u, id_b AS v FROM jp
-        |  UNION SELECT id_b, id_a FROM jp
-        |  UNION SELECT id_a, id_a FROM jp
-        |  UNION SELECT id_b, id_b FROM jp),
-        |l0 AS (SELECT DISTINCT u AS id, u AS label FROM e),
-        |l1 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l0 l ON l.id = e.v GROUP BY e.u),
-        |l2 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l1 l ON l.id = e.v GROUP BY e.u),
-        |l3 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l2 l ON l.id = e.v GROUP BY e.u),
-        |l4 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l3 l ON l.id = e.v GROUP BY e.u)
-        |SELECT id AS doc_id, label AS group_id FROM l4 ORDER BY doc_id""".stripMargin,
+      s"""$groupPropagationSql
+         |SELECT id AS doc_id, label AS group_id FROM l4 ORDER BY doc_id""".stripMargin,
     "pipeline_dedup_curate" ->
-      """WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
-        |),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |p0 AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jp AS (
-        |  SELECT id_a, id_b
-        |  FROM p0 JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-        |  WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.5),
-        |e AS (
-        |  SELECT id_a AS u, id_b AS v FROM jp
-        |  UNION SELECT id_b, id_a FROM jp
-        |  UNION SELECT id_a, id_a FROM jp
-        |  UNION SELECT id_b, id_b FROM jp),
-        |l0 AS (SELECT DISTINCT u AS id, u AS label FROM e),
-        |l1 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l0 l ON l.id = e.v GROUP BY e.u),
-        |l2 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l1 l ON l.id = e.v GROUP BY e.u),
-        |l3 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l2 l ON l.id = e.v GROUP BY e.u),
-        |l4 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l3 l ON l.id = e.v GROUP BY e.u),
-        |canon AS (
-        |  SELECT d.* FROM documents d LEFT JOIN l4 g ON g.id = d.doc_id
-        |  WHERE d.doc_id = coalesce(g.label, d.doc_id))
-        |SELECT doc_id,
-        |  nfc_normalize(lower(regexp_replace(
-        |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'))) AS norm_text
-        |FROM canon
-        |WHERE len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) BETWEEN 5 AND 100000
-        |  AND len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 5 < length(text)
-        |  AND len(regexp_extract_all(lower(text), '\b(?:the|a|and|of|to|in|is|that|it|for)\b')) > 0
-        |ORDER BY doc_id""".stripMargin,
+      s"""$groupPropagationSql,
+         |canon AS (
+         |  SELECT d.* FROM documents d LEFT JOIN l4 g ON g.id = d.doc_id
+         |  WHERE d.doc_id = coalesce(g.label, d.doc_id))
+         |SELECT doc_id,
+         |  nfc_normalize(lower(regexp_replace(
+         |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+', ' ', 'g'))) AS norm_text
+         |FROM canon
+         |WHERE len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) BETWEEN 5 AND 100000
+         |  AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 5 < length(text)
+         |  AND len(regexp_extract_all(lower(text), '\\b(?:the|a|and|of|to|in|is|that|it|for)\\b')) > 0
+         |ORDER BY doc_id""".stripMargin,
     "sample_hash" -> {
       import graft.operators.Sampling.{A, B, P}
       s"""SELECT doc_id, lang, source FROM documents

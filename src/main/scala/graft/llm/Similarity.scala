@@ -35,13 +35,9 @@ object Similarity {
   /** Sign-bit signature against `bits` deterministic pseudo-random
     * hyperplanes (seeded per index): bucket key for cosine LSH. `seed`
     * varies the plane set — multi-table LSH uses one seed per table.
-    * Planes are constant array literals (no per-row construction) and the
-    * input is cast once, so each bit costs one fused dot product.
-    */
-  /** Reference formulation of one table's signature, retained as the
-    * parity oracle for the fused [[graft.functions.HyperplaneSignatures]]
-    * kernel (LlmSuite asserts bit-equality) — production index builds use
-    * the fused expression.
+    * Retained as the parity oracle for the fused
+    * [[graft.functions.HyperplaneSignatures]] kernel (LlmSuite asserts
+    * bit-equality) — production index builds use the fused expression.
     */
   def hyperplaneSignature(v: Column, bits: Int, dim: Int = 64, seed: Long = 7): Column = {
     val rnd = new scala.util.Random(seed)

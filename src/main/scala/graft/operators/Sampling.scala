@@ -50,6 +50,9 @@ object Sampling {
       weights: Map[String, Double],
       defaultWeight: Double = 1.0
   ): DataFrame = {
+    require(weights.values.forall(_ > 0) && defaultWeight > 0,
+      s"interleave weights must be positive (zero would put a stratum at NaN/Inf positions): " +
+        s"$weights default=$defaultWeight")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol)).orderBy(col(keyCol))
     val weightExpr = weights.foldLeft(lit(defaultWeight)) { case (acc, (value, wt)) =>

@@ -54,9 +54,11 @@ object IceTableWriter {
       vtts: => Option[Long] = None,
       props: Map[String, String] = Map.empty,
       maxRecordsPerFile: Long = 0L,
-      compaction: Boolean = false
+      compaction: Boolean = false,
+      sortBy: Seq[String] = Nil,
+      sortPartitions: Int = 0
   ): Option[Commit] = {
-    val deltas = writeFiles(df, table, maxRecordsPerFile)
+    val deltas = writeFiles(df, table, maxRecordsPerFile, sortBy, sortPartitions)
     publish(table, batchId, deltas, Nil, offsets, vtts,
       if (compaction) props + ("compaction" -> "true") else props)
   }
@@ -97,7 +99,12 @@ object IceTableWriter {
 
   // ---- internals ------------------------------------------------------
 
-  private def writeFiles(df: DataFrame, table: IceTable, maxRecords: Long): Seq[FileEntry] = {
+  private def writeFiles(
+      df: DataFrame,
+      table: IceTable,
+      maxRecords: Long,
+      sortBy: Seq[String] = Nil,
+      sortPartitions: Int = 0): Seq[FileEntry] = {
     val meta = table.meta
     val schema = table.schema
     val schemaVersion = table.currentSchemaVersion
@@ -130,8 +137,19 @@ object IceTableWriter {
     // instead: same clustering, but skewed partition values are split
     // across tasks by mapper range and tiny ones are coalesced — the
     // files-per-partition budget is advisoryPartitionSizeInBytes.
+    //
+    // A sort-ordered rewrite (`sortBy` nonempty) replaces the rebalance:
+    // range-partition + sort on (partition values, sort columns) so every
+    // output file covers a disjoint sort-key range WITHIN its partition —
+    // a rebalance here would scatter the sort clustering it exists for.
     val withParts =
-      if (transforms.isEmpty) withParts0
+      if (sortBy.nonEmpty) {
+        val cluster = transforms.map(t => col(t.writeName)) ++ sortBy.map(col)
+        val ranged =
+          if (sortPartitions > 0) withParts0.repartitionByRange(sortPartitions, cluster: _*)
+          else withParts0.repartitionByRange(cluster: _*)
+        ranged.sortWithinPartitions(cluster: _*)
+      } else if (transforms.isEmpty) withParts0
       else withParts0.hint("rebalance", transforms.map(t => col(t.writeName)): _*)
     var w = withParts.write.format(meta.format).mode("append")
     if (transforms.nonEmpty) w = w.partitionBy(transforms.map(_.writeName): _*)

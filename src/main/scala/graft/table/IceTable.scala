@@ -338,19 +338,13 @@ final class IceTable private[table] (
     * unordered ingest).
     */
   def compact(spark: SparkSession, sortBy: Seq[String] = Nil, sortPartitions: Int = 0): Unit = {
-    val snapshot0 = read(spark)
-    val snapshot =
-      if (sortBy.isEmpty) snapshot0
-      else {
-        val cols = sortBy.map(snapshot0(_))
-        // default: AQE sizes the range partitions (advisory bytes) — the
-        // scale behavior; explicit sortPartitions pins the file count
-        val ranged =
-          if (sortPartitions > 0) snapshot0.repartitionByRange(sortPartitions, cols: _*)
-          else snapshot0.repartitionByRange(cols: _*)
-        ranged.sortWithinPartitions(cols: _*)
-      }
-    graft.sink.IceTableWriter.append(spark, snapshot, this, batchId = -1, compaction = true)
+    // the writer does the sort clustering itself — range-partition + sort
+    // on (partition values, sortBy), replacing its usual rebalance — so
+    // partitioned tables keep the ordering through the fan-out write
+    // (a pre-shuffle here would be destroyed by the writer's clustering).
+    // Default partition sizing is AQE-advisory; sortPartitions pins it.
+    graft.sink.IceTableWriter.append(spark, read(spark), this, batchId = -1,
+      compaction = true, sortBy = sortBy, sortPartitions = sortPartitions)
   }
 
   /** Bin-packing small-file compaction (Iceberg rewrite-data-files
@@ -358,12 +352,14 @@ final class IceTable private[table] (
     * into ~target-sized ones, superseding the originals via
     * `Commit.removedPaths` — large files are never rewritten, so the
     * operation costs O(small-file bytes), not O(table). No-op unless at
-    * least `minInputFiles` qualify. Returns the number of files packed.
+    * least `minInputFiles` qualify. Returns the number of input files
+    * rewritten.
     *
     * Only safe combined with equality deletes when the packed rows keep
     * their original commit seqs — rewriting would lose delete ordering —
     * so tables with id columns and live delete files fall back to full
-    * [[compact]] semantics (which applies the deletes).
+    * [[compact]] semantics (which applies the deletes); in that fallback
+    * EVERY live data file is rewritten and counted, not just small ones.
     */
   def compactSmallFiles(
       spark: SparkSession,
@@ -407,11 +403,11 @@ final class IceTable private[table] (
       val commits = new CommitLog(bd).commits()
       val lastRewrite = commits.lastIndexWhere(_.props.get("compaction").contains("true"))
       val active = if (lastRewrite >= 0) commits.drop(lastRewrite) else commits
-      // files a later active commit superseded are GC-able (same trade as
-      // the full-rewrite rule: time travel to their seqs is given up)
-      val removed = active.flatMap(_.removedPaths).map(IceTable.normalizePath).toSet
+      // bin-pack-superseded files stay: commits below the rewrite can
+      // still time-travel to them (the removedPaths contract). They are
+      // reclaimed when a later FULL compaction truncates the window —
+      // the only point this format gives up time travel.
       active.flatMap(c => (c.dataFiles ++ c.deleteFiles).map(f => IceTable.normalizePath(f.path)))
-        .filterNot(removed.contains)
     }.toSet
     var removed = 0
     for (sub <- Seq("data", "deletes")) {

@@ -166,12 +166,20 @@ class IceTableSuite extends AnyFunSuite {
     // content identical
     assert(t.read(spark).orderBy("id").collect().map(_.getLong(0)).toSeq ===
       (1L to 4L) ++ (100L until 20100L))
-    // time travel below the rewrite still sees the original files
+    // time travel below the rewrite still sees the original files...
     val preRewrite = t.readAt(spark, 5)
     assert(preRewrite.count() === before.map(_._1.rows).sum)
-    // gc removes the superseded originals but keeps everything live
-    val removed = t.gc()
-    assert(removed >= 4)
+    // ...and gc must NOT reclaim them (they back that time travel; it may
+    // still sweep writer bookkeeping like _SUCCESS/.crc)
+    val originals = before.map(_._1.path)
+    t.gc()
+    assert(originals.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    assert(t.readAt(spark, 5).count() === before.map(_._1.rows).sum)
+    // a later FULL compaction truncates the window; gc then reclaims the
+    // packed-away originals along with every other superseded file
+    t.compact(spark)
+    t.gc()
+    assert(originals.forall(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
     assert(t.read(spark).count() === 4 + 20000)
   }
 
@@ -194,6 +202,29 @@ class IceTableSuite extends AnyFunSuite {
     assert(prunedCount < afterFiles, s"sorted rewrite should prune: $prunedCount of $afterFiles")
     // content unchanged
     assert(t.read(spark).count() === 3000)
+  }
+
+  test("sorted compaction keeps its clustering on PARTITIONED tables") {
+    val dir = TestSpark.freshDir("t-sortpart")
+    val pschema = StructType(Seq(
+      StructField("id", LongType), StructField("cat", StringType),
+      StructField("v", DoubleType)))
+    val t = IceTable.create(dir, pschema, TableMeta(partitionBy = Seq("cat")))
+    val rnd = new scala.util.Random(5)
+    val rows = rnd.shuffle((1L to 2000L).toVector).map(i => (i, s"c${i % 2}", i.toDouble))
+    rows.grouped(1000).zipWithIndex.foreach { case (g, i) =>
+      IceTableWriter.append(spark, g.toDF("id", "cat", "v").repartition(4), t, i)
+    }
+    t.compact(spark, sortBy = Seq("id"), sortPartitions = 8)
+    val live = t.planFiles(None)
+    // within each partition value, file id-ranges must be (near) disjoint:
+    // a range predicate prunes to a strict subset of that partition's files
+    val c0Files = live.filter(_._1.partition.get("cat").contains("c0"))
+    assert(c0Files.size > 1, "need multiple files per partition to test pruning")
+    val hit = c0Files.count(f =>
+      FilePruning.mayContainRange(f._1, "id", Some("100"), Some("200")))
+    assert(hit < c0Files.size, s"no pruning within partition: $hit of ${c0Files.size}")
+    assert(t.read(spark).count() === 2000)
   }
 
   test("delete-side size estimate: bytes, then rows, then constant (legacy entries)") {
