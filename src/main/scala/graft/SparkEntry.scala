@@ -357,6 +357,25 @@ object SparkEntry {
       .orderBy("lang", "source")
   }
 
+  /** As-of join: each purchase matched with the user's most recent click
+    * at-or-before it (one key shuffle + sorted window carry — see
+    * [[graft.operators.AsofJoin]]). Oracle is DuckDB's NATIVE ASOF JOIN,
+    * so the whole operator semantics are cross-checked engine-to-engine.
+    */
+  private def qAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events").withColumn("ts_us", expr("ts div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    // unique right representative per (user, ts): deterministic arg-max
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts_us")
+      .agg(max("event_id").as("prior_click_id"),
+        expr("max_by(value, event_id)").as("prior_click_value"))
+    graft.operators.AsofJoin.asof(purchases, clicks, "user_id", "ts_us",
+      Seq("prior_click_id", "prior_click_value"))
+      .orderBy("event_id")
+  }
+
   /** Typed sessionization: split each user's event stream at >30 min gaps
     * (window-function formulation — one shuffle; streaming twin with
     * flatMapGroupsWithState state in graft.streaming.Sessionize).
@@ -894,6 +913,7 @@ object SparkEntry {
       "text_stats" -> wrap(qTextStats),
       "text_fingerprint" -> wrap(qTextFingerprint),
       "streaming_dedup" -> wrap(qStreamingDedup),
+      "asof_join" -> wrap(qAsofJoin),
       "corpus_stats" -> wrap(qCorpusStats),
       "text_normalize" -> wrap(qTextNormalize),
       "text_redact_pii" -> wrap(qTextRedactPii),
@@ -974,6 +994,17 @@ object SparkEntry {
     },
     "streaming_dedup" ->
       """SELECT event_id, user_id, event_type FROM events ORDER BY event_id""",
+    "asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS prior_click_id,
+        |         max_by(value, event_id) AS prior_click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts_us, c.prior_click_id, c.prior_click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
+        |ORDER BY p.event_id""".stripMargin,
     "corpus_stats" ->
       """SELECT lang, source, count(*) AS docs, sum(n_chars) AS chars,
         |  sum(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS words

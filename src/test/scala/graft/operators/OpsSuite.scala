@@ -148,3 +148,29 @@ class SchemaEvolutionSuite extends AnyFunSuite {
     assert(SchemaEvolution.normalize(ShortType) === IntegerType)
   }
 }
+
+class AsofJoinSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asof: most recent right at-or-before each left ts; nulls before any right") {
+    val left = Seq((1L, "k", 10L), (2L, "k", 20L), (3L, "k", 5L), (4L, "other", 50L))
+      .toDF("lid", "key", "ts")
+    val right = Seq(("k", 8L, "a"), ("k", 10L, "b"), ("k", 15L, "c"))
+      .toDF("key", "ts", "payload")
+    val got = graft.operators.AsofJoin.asof(left, right, "key", "ts", Seq("payload"))
+      .select("lid", "payload").as[(Long, Option[String])].collect().toMap
+    assert(got(1L) === Some("b")) // equal ts qualifies (<= semantics)
+    assert(got(2L) === Some("c")) // latest at-or-before 20
+    assert(got(3L) === None) // nothing at-or-before 5
+    assert(got(4L) === None) // key with no right rows at all
+  }
+
+  test("asof: rejects payload names that collide with left columns") {
+    val l = Seq((1L, "k", 1L, "x")).toDF("lid", "key", "ts", "v")
+    val r = Seq(("k", 1L, "y")).toDF("key", "ts", "v")
+    intercept[IllegalArgumentException] {
+      graft.operators.AsofJoin.asof(l, r, "key", "ts", Seq("v"))
+    }
+  }
+}
