@@ -376,6 +376,22 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Range join: events matched to every overlapping value band from a
+    * deterministic interval grid — bucketized into a hash join (see
+    * [[graft.operators.RangeJoin]]); the oracle runs the same join as a
+    * plain BETWEEN predicate.
+    */
+  private def qRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events").select("event_id", "value")
+    // overlapping bands [i*25, i*25+40) covering the value domain
+    val bands = spark.range(0, 20).select(col("id").as("band_id"),
+      (col("id") * 25.0).as("lo"), (col("id") * 25.0 + 40.0).as("hi"))
+    graft.operators.RangeJoin.pointInInterval(ev, bands, "value", "lo", "hi",
+      bucketWidth = 25.0)
+      .select("event_id", "band_id")
+      .orderBy("event_id", "band_id")
+  }
+
   /** Typed sessionization: split each user's event stream at >30 min gaps
     * (window-function formulation — one shuffle; streaming twin with
     * flatMapGroupsWithState state in graft.streaming.Sessionize).
@@ -914,6 +930,7 @@ object SparkEntry {
       "text_fingerprint" -> wrap(qTextFingerprint),
       "streaming_dedup" -> wrap(qStreamingDedup),
       "asof_join" -> wrap(qAsofJoin),
+      "range_join" -> wrap(qRangeJoin),
       "corpus_stats" -> wrap(qCorpusStats),
       "text_normalize" -> wrap(qTextNormalize),
       "text_redact_pii" -> wrap(qTextRedactPii),
@@ -994,6 +1011,12 @@ object SparkEntry {
     },
     "streaming_dedup" ->
       """SELECT event_id, user_id, event_type FROM events ORDER BY event_id""",
+    "range_join" ->
+      """WITH bands AS (
+        |  SELECT i AS band_id, i * 25.0 AS lo, i * 25.0 + 40.0 AS hi FROM range(20) t(i))
+        |SELECT e.event_id, b.band_id
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |ORDER BY e.event_id, b.band_id""".stripMargin,
     "asof_join" ->
       """WITH p AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us

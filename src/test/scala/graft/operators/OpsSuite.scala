@@ -174,3 +174,21 @@ class AsofJoinSuite extends AnyFunSuite {
     }
   }
 }
+
+class RangeJoinSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bucketized point-in-interval equals the naive BETWEEN join, once per match") {
+    val points = Seq((1L, 3.0), (2L, 12.5), (3L, 25.0), (4L, 99.0)).toDF("pid", "p")
+    val ivs = Seq((10L, 0.0, 13.0), (20L, 12.0, 26.0), (30L, 24.0, 30.0)).toDF("iid", "lo", "hi")
+    val got = graft.operators.RangeJoin.pointInInterval(points, ivs, "p", "lo", "hi", 5.0)
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    // naive reference: cross + filter
+    val expect = points.crossJoin(ivs)
+      .filter(col("p") >= col("lo") && col("p") < col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === expect)
+    assert(got === Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (3L, 30L)))
+  }
+}
