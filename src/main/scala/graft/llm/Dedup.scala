@@ -324,9 +324,13 @@ object Dedup {
     * one canonical doc per group" (pairs alone under-delete: A~B, B~C
     * without A~C must still collapse to one survivor).
     *
-    * Algorithm: iterative min-label propagation over the (self-looped)
-    * edge list — `label(u) ← min over neighbors v of label(v)` until a
-    * fixpoint, which every node reaches after `component diameter` rounds.
+    * Strategy is size-based (like broadcast-join selection): at or below
+    * `driverEdgeThreshold` edges the graph is index-build-sized and is
+    * resolved with union-find on the driver in one collect; above it,
+    * iterative min-label propagation runs distributed over the
+    * (self-looped) edge list — `label(u) ← min over neighbors v of
+    * label(v)` until a fixpoint, which every node reaches after
+    * `component diameter` rounds.
     * Each round is one partition-aligned join plus one partial-aggregated
     * groupBy on a pre-partitioned, lineage-truncated edge list; near-dup
     * graphs have tiny diameters (near-cliques of mutual duplicates), so
@@ -342,13 +346,37 @@ object Dedup {
       pairs: DataFrame,
       idACol: String = "id_a",
       idBCol: String = "id_b",
-      maxIters: Int = 25
+      maxIters: Int = 25,
+      /** Edge-count bound below which the graph is resolved with
+        * union-find on the driver (one collect, zero shuffles) — the same
+        * size-based strategy switch as broadcast-join selection: dup-pair
+        * graphs are usually tiny relative to the corpus that produced
+        * them, and the iterative path costs ~3 jobs per round. Above the
+        * bound, distributed min-label propagation runs as before. */
+      driverEdgeThreshold: Long = 1L << 20
   ): DataFrame = {
     // materialize the pair list once: it is usually the output of an
     // expensive near-dup join, and the edge construction below references
     // it several times (both orientations + the node set)
     val p = pairs.select(col(idACol).cast("long").as("u"), col(idBCol).cast("long").as("v"))
       .localCheckpoint()
+    if (p.count() <= driverEdgeThreshold) {
+      val spark = p.sparkSession
+      import spark.implicits._
+      val edges = p.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "group_id")
+    }
     val und = p.union(p.select(col("v").as("u"), col("u").as("v")))
     // self-loops fold each node's own label into the neighbor-min
     val nodes = und.select(col("u")).distinct()

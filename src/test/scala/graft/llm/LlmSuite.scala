@@ -136,15 +136,19 @@ class DedupSuite extends AnyFunSuite {
       }
       val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(id => id -> find(id.toInt).toLong).toMap
-      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      // both strategies must agree with the reference
+      val dist = Dedup.connectedComponents(edges.toDF("id_a", "id_b"), driverEdgeThreshold = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got === expected, s"trial $trial mismatch")
+      val drv = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist === expected, s"trial $trial distributed mismatch")
+      assert(drv === expected, s"trial $trial driver mismatch")
     }
   }
 
   test("connectedComponents converges across a long chain (multi-round propagation)") {
     val chain = (0L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.connectedComponents(chain)
+    val labels = Dedup.connectedComponents(chain, driverEdgeThreshold = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(labels.length === 9 && labels.forall(_._2 == 0L))
   }
@@ -162,7 +166,7 @@ class DedupSuite extends AnyFunSuite {
     }
     val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
       .map(id => id -> find(id.toInt).toLong).toMap
-    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"), driverEdgeThreshold = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === expected)
   }
@@ -170,7 +174,7 @@ class DedupSuite extends AnyFunSuite {
   test("connectedComponents fails loudly when the round bound truncates the fixpoint") {
     val chain = (0L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIters = 3)
+      Dedup.connectedComponents(chain, maxIters = 3, driverEdgeThreshold = 0)
     }
     assert(e.getMessage.contains("did not converge"))
   }
