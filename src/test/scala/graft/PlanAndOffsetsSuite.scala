@@ -107,6 +107,24 @@ class PlanAndOffsetsSuite extends AnyFunSuite {
     }
   }
 
+  test("range_join plans as a hash join on buckets, never a nested loop") {
+    val plan = SparkEntry.queries("range_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$plan")
+    assert(plan.contains("Join"), s"no join in plan:\n$plan")
+  }
+
+  test("asof_join runs on ONE key shuffle for the window carry") {
+    val plan = SparkEntry.queries("asof_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // expected exchanges: click-dedup groupBy, the window's key partition,
+    // and the output sort — anything more means the union re-shuffled
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 3, s"asof join shuffles $exchanges times:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in asof plan:\n$plan")
+  }
+
   test("corpus_stats aggregates partially before its one shuffle") {
     val plan = SparkEntry.queries("corpus_stats")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
