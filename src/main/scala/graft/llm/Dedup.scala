@@ -358,7 +358,10 @@ object Dedup {
     // materialize the pair list once: it is usually the output of an
     // expensive near-dup join, and the edge construction below references
     // it several times (both orientations + the node set)
+    // NULL ids never join (standard join-key semantics; also keeps the
+    // typed driver collect total)
     val p = pairs.select(col(idACol).cast("long").as("u"), col(idBCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
       .localCheckpoint()
     if (p.count() <= driverEdgeThreshold) {
       val spark = p.sparkSession
@@ -368,6 +371,10 @@ object Dedup {
       def find(x: Long): Long = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent(r)
+        // path compression — without it a chain-shaped graph makes the
+        // final labeling pass quadratic (an effective hang at ~10^5 nodes)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val next = parent(c); parent(c) = r; c = next }
         r
       }
       edges.foreach { case (a, b) =>

@@ -32,24 +32,37 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(payloadCols.intersect(leftCols).isEmpty,
       s"right payload columns ${payloadCols.intersect(leftCols)} collide with left columns")
+    require(!leftCols.contains("__side") && !leftCols.contains("__r") &&
+      !payloadCols.contains("__side") && !payloadCols.contains("__r"),
+      "column names __side/__r are reserved by the as-of implementation")
     val carried = leftCols.filterNot(c => c == keyCol || c == tsCol)
 
+    // the payload rides as ONE struct so the carry is atomic per right
+    // ROW: a most-recent right row with a NULL field must yield that
+    // NULL, never a stale value torn from an older row (per-column
+    // last(ignoreNulls) would do exactly that)
+    val rStructType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(p => right.schema(p).copy(name = p)))
     val l = left.select(
       Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
-        carried.map(col) ++
-        payloadCols.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
-    val r = right.select(
-      Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
-        carried.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(col): _*)
+        carried.map(col) :+
+        lit(null).cast(rStructType).as("__r"): _*)
+    // join-key semantics: NULL keys and NULL timestamps never match — a
+    // NULL-ts right row would otherwise sort first and leak everywhere,
+    // and NULL-key rows would "join" inside the null window partition
+    val r = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(
+        Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
+          carried.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(payloadCols.map(col): _*).as("__r"): _*)
 
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payloadCols.foldLeft(l.unionByName(r)) { (d, p) =>
-      d.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 0).drop("__side")
-      .select(leftCols.map(col) ++ payloadCols.map(col): _*)
+    l.unionByName(r)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(leftCols.map(col) ++ payloadCols.map(p => col(s"__r.$p").as(p)): _*)
   }
 }

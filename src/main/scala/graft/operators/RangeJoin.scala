@@ -29,6 +29,8 @@ object RangeJoin {
       bucketWidth: Double
   ): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!points.columns.contains("__bucket") && !intervals.columns.contains("__bucket"),
+      "column name __bucket is reserved by the range-join implementation")
     val p = points.withColumn("__bucket", floor(col(pointCol) / bucketWidth))
     val iv = intervals.withColumn("__bucket",
       explode(sequence(

@@ -192,3 +192,30 @@ class RangeJoinSuite extends AnyFunSuite {
     assert(got === Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (3L, 30L)))
   }
 }
+
+class AsofJoinSemanticsSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asof: a most-recent right row with a NULL field yields that NULL, not a stale carry") {
+    // native ASOF JOIN semantics: the matched ROW's values, atomically
+    val left = Seq((1L, "k", 20L)).toDF("lid", "key", "ts")
+    val right = Seq(("k", 8L, Some(100L), Some(1.5)), ("k", 15L, Some(200L), None))
+      .toDF("key", "ts", "pid", "pval")
+    val r = graft.operators.AsofJoin.asof(left, right, "key", "ts", Seq("pid", "pval"))
+      .select("pid", "pval").head()
+    assert(r.getLong(0) === 200L) // the ts=15 row matched...
+    assert(r.isNullAt(1)) // ...and its pval is NULL — no tearing from ts=8
+  }
+
+  test("asof: NULL keys and NULL right timestamps never match") {
+    val left = Seq((1L, Option.empty[String], 20L), (2L, Some("k"), 20L))
+      .toDF("lid", "key", "ts")
+    val right = Seq((Option.empty[String], Some(8L), 100L), (Some("k"), None, 300L),
+      (Some("k"), Some(5L), 400L)).toDF("key", "ts", "pid")
+    val got = graft.operators.AsofJoin.asof(left, right, "key", "ts", Seq("pid"))
+      .select("lid", "pid").as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) === None) // NULL left key matches nothing
+    assert(got(2L) === Some(400L)) // NULL-ts right row never matches; real one does
+  }
+}
