@@ -304,13 +304,20 @@ object Dedup {
     * (id, v) with v normalized.
     */
   private def lshCandidateStream(vv: DataFrame, bits: Int, tables: Int): DataFrame = {
+    // plane dimensionality from the corpus itself — a hardcoded width
+    // would silently truncate higher-dimensional embeddings (vectors
+    // beyond the plane width stop influencing the signature)
+    val dim = vv.select(size(col("v"))).take(1) match {
+      case Array(r) if !r.isNullAt(0) => math.max(1, r.getInt(0))
+      case _                          => 64 // empty corpus: any width works
+    }
     // one fused expression computes every table's signature (same seeds/
     // values as per-table hyperplaneSignature calls, which at high table
     // counts would explode into tables×bits codegen subtrees)
     val sigged = vv.select(
       col("id"),
       posexplode(graft.functions.VectorOps.hyperplane_signatures(
-        col("v"), bits, math.max(1, tables))))
+        col("v"), bits, math.max(1, tables), dim)))
       .select(col("id"), col("pos").as("t"), col("col").as("sig"))
     sigged.alias("a")
       .join(sigged.alias("b"), Seq("t", "sig"))

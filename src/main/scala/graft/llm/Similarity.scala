@@ -158,12 +158,20 @@ object Similarity {
       nCells: Int = 16,
       nProbe: Int = 4,
       kmeansIters: Int = 2,
-      dim: Int = 64
+      /** embedding width; 0 (default) = detect from the corpus — a fixed
+        * width would silently truncate the Lloyd means for wider vectors */
+      dim0: Int = 0
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c0 = corpus.select(col(idCol).as("n_id"), normalize(col(vecCol)).as("n_vec"))
     val c = c0.localCheckpoint() // scanned by seeding, each Lloyd pass, and assignment
+    val dim =
+      if (dim0 > 0) dim0
+      else c.select(size(col("n_vec"))).take(1) match {
+        case Array(r) if !r.isNullAt(0) => math.max(1, r.getInt(0))
+        case _                          => 64
+      }
     var cents = seedCentroids(c, nCells)
     if (cents.isEmpty)
       return Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rank", "n_id", "cosine")
