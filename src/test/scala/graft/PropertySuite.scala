@@ -143,3 +143,33 @@ object SessionizeProps extends Properties("sessionize") {
       Prop(got == direct(ts)) :| s"got=$got expected=${direct(ts)} batches=$batches"
     }
 }
+
+/** Pure-kernel properties for the curation operators. */
+object CurationProps extends Properties("curation") {
+  import graft.operators.Sampling
+
+  property("sampling bucket is always in [0, P) and deterministic") =
+    forAll(Gen.choose(0L, Long.MaxValue / 2), Gen.long) { (key, seed) =>
+      val b = ((math.floorMod(key + seed, Sampling.P)) * Sampling.A + Sampling.B) % Sampling.P
+      b >= 0 && b < Sampling.P
+    }
+
+  property("minhash params are deterministic per seed and within [1,p)×[0,p)") =
+    forAll(Gen.choose(1, 64), Gen.long) { (k, seed) =>
+      val (a1, b1) = TextHashUtil.minhashParams(k, seed)
+      val (a2, b2) = TextHashUtil.minhashParams(k, seed)
+      val p = TextHashUtil.Mod
+      a1.sameElements(a2) && b1.sameElements(b2) &&
+        a1.forall(a => a >= 1 && a < p + 1) && b1.forall(b => b >= 0 && b < p)
+    }
+
+  property("hyperplane plane matrix is table-seed separable") =
+    forAll(Gen.choose(1, 8), Gen.choose(1, 4), Gen.choose(2, 16)) { (bits, tables, dim) =>
+      val m = graft.functions.HyperplaneSignatures.planeMatrix(bits, tables, dim, baseSeed = 7)
+      // table t's block equals a 1-table matrix built from seed 7+t
+      (0 until tables).forall { t =>
+        val single = graft.functions.HyperplaneSignatures.planeMatrix(bits, 1, dim, 7L + t)
+        m.slice(t * bits * dim, (t + 1) * bits * dim).sameElements(single)
+      }
+    }
+}
