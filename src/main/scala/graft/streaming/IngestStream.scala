@@ -28,14 +28,20 @@ object IngestStream {
       config: EngineConfig,
       checkpointLocation: String,
       transforms: Seq[DataFrame => DataFrame] = Nil,
-      triggerMs: Option[Long] = None
+      triggerMs: Option[Long] = None,
+      /** K11 — "topic-partition" keys assigned to this pipeline; when
+        * given, a batch missing data from any of them nulls the VTTS
+        * (the reference's silent-partition rule — see
+        * [[graft.sink.Ingest.run]]). */
+      assignedPartitions: Set[String] = Set.empty
   ): StreamingQuery = {
     val interval = triggerMs.getOrElse(config.commitIntervalMs)
     source.writeStream
       .option("checkpointLocation", checkpointLocation)
       .trigger(Trigger.ProcessingTime(interval))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Ingest.run(batch.sparkSession, batch, batchId, config, transforms)
+        Ingest.run(batch.sparkSession, batch, batchId, config, transforms,
+          assignedPartitions = assignedPartitions)
         ()
       }
       .start()
