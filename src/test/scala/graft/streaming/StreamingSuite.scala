@@ -163,3 +163,55 @@ class StreamingSuite extends AnyFunSuite {
     assert(rows === Set((100L, 9.0)))
   }
 }
+
+case class TsEv(event_id: Long, ts: java.sql.Timestamp, v: String)
+
+/** Watermark-state dedup: the behavior behind the `streaming_dedup`
+  * query, pinned across micro-batches (the query's SQL oracle can only
+  * check the final distinct set).
+  */
+class StreamingDedupSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("duplicates across batches within the watermark collapse; state is bounded by the delay") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ms = MemoryStream[TsEv]
+    val qn = s"sdedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .option("checkpointLocation", TestSpark.freshDir("sdedup-ckpt"))
+      .start()
+    try {
+      ms.addData(TsEv(1, ts(0), "a"), TsEv(2, ts(1), "b"))
+      q.processAllAvailable()
+      // batch 2: a cross-batch duplicate of id 1 (inside the delay) and a
+      // fresh id — only the fresh row may surface
+      ms.addData(TsEv(1, ts(2), "a-dup"), TsEv(3, ts(3), "c"))
+      q.processAllAvailable()
+      val got = spark.table(qn).select("event_id").as[Long].collect().sorted.toSeq
+      assert(got === Seq(1L, 2L, 3L), s"cross-batch duplicate leaked or row lost: $got")
+      // advance the watermark far past the old keys, then REUSE id 1:
+      // its state has expired, so the late reuse surfaces again — the
+      // state is a delay window, not stream history
+      ms.addData(TsEv(9, ts(40), "advance"))
+      q.processAllAvailable()
+      ms.addData(TsEv(1, ts(41), "a-after-expiry"))
+      q.processAllAvailable()
+      val after = spark.table(qn).select("event_id").as[Long].collect().sorted.toSeq
+      assert(after === Seq(1L, 1L, 2L, 3L, 9L),
+        s"expired key should re-emit (windowed state), got: $after")
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+    }
+  }
+}
