@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.config.{EngineConfig, TableConfig}
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Decontaminate, Dedup, Multimodal, Packing, Search, Similarity, TextAnalysis}
 import graft.operators.{Coercion, PartitionTransforms}
 import graft.sink.Ingest
 import graft.table.IceTable
@@ -881,6 +881,50 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: corpus docs sharing any word 4-gram with
+    * the benchmark slice (every 20th doc) — the eval-set index broadcasts,
+    * the corpus never self-joins (see [[graft.llm.Decontaminate]]).
+    */
+  private def qDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val benchmark = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    Decontaminate.overlapReport(corpus, benchmark, "doc_id", "text", n = 4)
+      .orderBy("id")
+  }
+
+  /** BM25 keyword search: corpus statistics reduce to one driver row,
+    * scoring is a map-side codegen'd pass, top-k never globally sorts
+    * (see [[graft.llm.Search]]). Scores exchanged as micro-units.
+    */
+  private def qSearchBm25(spark: SparkSession, sfDir: String): DataFrame =
+    Search.bm25TopK(t(spark, sfDir, "documents"), "doc_id", "text",
+      terms = Seq("spark", "join", "shuffle"), k = 10)
+      .orderBy("rank")
+
+  /** Training-sequence packing: next-fit within id-ordered shards, one
+    * repartition + sorted streaming pass (see [[graft.llm.Packing]]).
+    * Oracle replays the same discipline with a recursive CTE.
+    */
+  private def qPackSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    Packing.nextFitPack(docs, "doc_id", TextAnalysis.tokenCount(col("text")),
+      numShards = 8, budgetTokens = 256)
+      .orderBy("id")
+  }
+
+  /** Corpus n-gram count table: document frequency of word 3-grams, top
+    * 20 — one explode + partial-aggregated count, ranked without a global
+    * sort (TakeOrderedAndProject).
+    */
+  private def qNgramCounts(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(explode(Dedup.shingles(col("text"), 3)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("ngram"))
+      .limit(20)
+
   // ---- registry -------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
@@ -939,7 +983,11 @@ object SparkEntry {
       "sample_hash" -> wrap(qSampleHash),
       "sample_stratified" -> wrap(qSampleStratified),
       "mix_interleave" -> wrap(qMixInterleave),
-      "multimodal_features" -> wrap(qMultimodal)
+      "multimodal_features" -> wrap(qMultimodal),
+      "decontaminate" -> wrap(qDecontaminate),
+      "search_bm25" -> wrap(qSearchBm25),
+      "pack_sequences" -> wrap(qPackSequences),
+      "ngram_counts" -> wrap(qNgramCounts)
     )
   }
 
@@ -978,6 +1026,71 @@ object SparkEntry {
     * that SQL cannot reproduce — those get rows-only checks + unit tests).
     */
   def oracleSql: Map[String, String] = Map(
+    "decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+3], ' ') for i in range(1, len(ws)-2)])) AS ng
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+        |),
+        |bench AS (SELECT ng, min(doc_id) AS first_benchmark_id FROM sh WHERE doc_id % 20 = 0 GROUP BY ng),
+        |corp AS (SELECT doc_id AS id, ng FROM sh WHERE doc_id % 20 <> 0)
+        |SELECT c.id, count(*) AS hit_ngrams, min(b.first_benchmark_id) AS first_benchmark_id
+        |FROM corp c JOIN bench b USING (ng)
+        |GROUP BY c.id
+        |ORDER BY id""".stripMargin,
+    "search_bm25" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS dl,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'spark')) AS tf1,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'join')) AS tf2,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'shuffle')) AS tf3
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+        |    CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+        |  FROM w),
+        |scored AS (
+        |  SELECT doc_id AS id,
+        |    CAST(round((
+        |        ln(CAST(1.0 AS DOUBLE) + (n - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE))) * CAST(tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))
+        |      + ln(CAST(1.0 AS DOUBLE) + (n - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE))) * CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))
+        |      + ln(CAST(1.0 AS DOUBLE) + (n - df3 + CAST(0.5 AS DOUBLE)) / (df3 + CAST(0.5 AS DOUBLE))) * CAST(tf3 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(tf3 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))
+        |      ) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS bm25_fixed
+        |  FROM w, stats)
+        |SELECT id, bm25_fixed,
+        |  row_number() OVER (ORDER BY bm25_fixed DESC, id) AS rank
+        |FROM scored WHERE bm25_fixed > 0
+        |ORDER BY bm25_fixed DESC, id LIMIT 10""".stripMargin,
+    "pack_sequences" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tk
+        |  FROM documents),
+        |ord AS (
+        |  SELECT doc_id, shard, tk,
+        |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        |  FROM toks),
+        |packed AS (
+        |  SELECT doc_id, shard, tk, rn,
+        |    CAST(0 AS BIGINT) AS seq_no, CAST(0 AS BIGINT) AS seq_pos, tk AS used
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.shard, o.tk, o.rn,
+        |    CASE WHEN p.used + o.tk > 256 THEN p.seq_no + 1 ELSE p.seq_no END,
+        |    CASE WHEN p.used + o.tk > 256 THEN CAST(0 AS BIGINT) ELSE p.seq_pos + 1 END,
+        |    CASE WHEN p.used + o.tk > 256 THEN o.tk ELSE p.used + o.tk END
+        |  FROM ord o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1)
+        |SELECT doc_id AS id, shard, seq_no, seq_pos FROM packed ORDER BY id""".stripMargin,
+    "ngram_counts" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS ngram
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+        |)
+        |SELECT ngram, count(*) AS doc_freq FROM sh GROUP BY 1
+        |ORDER BY doc_freq DESC, ngram LIMIT 20""".stripMargin,
     "dedup_groups" ->
       s"""$groupPropagationSql
          |SELECT id AS doc_id, label AS group_id FROM l4 ORDER BY doc_id""".stripMargin,

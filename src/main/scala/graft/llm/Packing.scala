@@ -1,0 +1,63 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing: assign documents to fixed-token-budget
+  * sequences (the step that turns a curated corpus into the contiguous
+  * examples an LM trainer consumes). Next-fit discipline: docs are taken
+  * in id order; a doc that does not fit the open sequence closes it and
+  * opens the next (a doc larger than the whole budget gets a sequence of
+  * its own). Deterministic: (shard, id) totally orders the input.
+  *
+  * 100 TB shape: packing is inherently sequential, so the corpus is
+  * sharded (`shard = id % numShards`) and each shard packs independently —
+  * the classic "parallel between shards, sequential within" decomposition.
+  * The plan is one hash repartition on the shard key + a sort within
+  * partitions + a single streaming pass (typed `mapPartitions` holding
+  * O(1) state per shard, never materializing a shard in memory). At
+  * cluster scale numShards is sized to executor count; resulting sequence
+  * ids are (shard, seq_no) pairs, globally unique without coordination.
+  */
+object Packing {
+
+  /** Pack `df` rows into sequences of at most `budgetTokens` tokens.
+    * Returns (id, shard, seq_no, seq_pos): sequence index within the
+    * shard and the doc's position within its sequence.
+    */
+  def nextFitPack(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: org.apache.spark.sql.Column,
+      numShards: Int,
+      budgetTokens: Long
+  ): DataFrame = {
+    require(numShards > 0 && budgetTokens > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // hash-partitioned on shard, so a task owns whole shards; the scan
+    // below resets its running state at every shard boundary
+    val prepared = df
+      .select(
+        col(idCol).cast("long").as("id"),
+        pmod(col(idCol).cast("long"), lit(numShards.toLong)).as("shard"),
+        tokensCol.cast("long").as("toks"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "id")
+      .as[(Long, Long, Long)]
+    prepared.mapPartitions { it =>
+      var curShard = Long.MinValue
+      var seqNo = -1L
+      var seqPos = 0L
+      var used = Long.MaxValue
+      it.map { case (id, shard, toks) =>
+        if (shard != curShard) { curShard = shard; seqNo = -1L; used = Long.MaxValue }
+        // Long.MaxValue sentinel forces the first doc of a shard to open
+        // sequence 0 through the same does-not-fit branch
+        if (used > budgetTokens - toks) { seqNo += 1; seqPos = 0L; used = toks }
+        else { seqPos += 1; used += toks }
+        (id, shard, seqNo, seqPos)
+      }
+    }.toDF("id", "shard", "seq_no", "seq_pos")
+  }
+}
