@@ -125,6 +125,29 @@ class PlanAndOffsetsSuite extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in asof plan:\n$plan")
   }
 
+  test("decontaminate broadcasts the benchmark index — the corpus side never shuffles for the join") {
+    val plan = SparkEntry.queries("decontaminate")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark index not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for the benchmark join:\n$plan")
+  }
+
+  test("bm25 and ngram_counts rank via TakeOrderedAndProject, never a global sort") {
+    for (q <- Seq("search_bm25", "ngram_counts")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q top-k is not per-partition-heap + driver merge:\n$plan")
+    }
+  }
+
+  test("pack_sequences runs on ONE shard shuffle plus the output sort") {
+    val plan = SparkEntry.queries("pack_sequences")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"packing shuffles $exchanges times:\n$plan")
+  }
+
   test("corpus_stats aggregates partially before its one shuffle") {
     val plan = SparkEntry.queries("corpus_stats")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
