@@ -712,15 +712,42 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
-  /** IVF ANN top-5 (coarse-quantized scale path; no SQL oracle — recall
-    * vs brute force asserted in unit tests).
+  /** IVF ANN top-5, exchanged as per-query INVARIANTS. The partial-probe
+    * path is approximate, so its raw neighbor list has no SQL oracle;
+    * instead the query emits properties a correct IVF result must
+    * satisfy — each computed GENUINELY from the result joined back to the
+    * base table — and the oracle states their expected values:
+    *  - `n_returned`: exactly k (every probed region holds ≥ k candidates
+    *    at these cell counts)
+    *  - `ranks_ok`: rank is exactly 1..k by (cosine desc, n_id) — window
+    *    re-derived over the returned rows
+    *  - `cosine_exact`: the reported cosine bit-equals an independent
+    *    recomputation from the raw embeddings via the same
+    *    normalized-dot kernel (catches any kernel / join-plumbing drift)
+    *  - `self_excluded`: a query is never its own neighbor
+    * The machinery is hash-verified exactly by `knn_ivf_full`
+    * (nProbe == nCells ≡ brute force) and recall vs brute force is
+    * asserted in LlmSuite.
     */
   private def qKnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val e = t(spark, sfDir, "embeddings")
-    Similarity.ivfKnn(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5,
+    val res = Similarity.ivfKnn(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5,
       nCells = 16, nProbe = 4, kmeansIters = 2)
-      .select("q_id", "rank", "n_id")
-      .orderBy("q_id", "rank")
+    val qv = e.select(col("vec_id").as("q_id"), Similarity.normalize(col("embedding")).as("qv"))
+    val nv = e.select(col("vec_id").as("n_id"), Similarity.normalize(col("embedding")).as("nv"))
+    // result side is k·|Q| rows — broadcast it; the corpus is scanned once
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    nv.join(broadcast(qv.join(broadcast(res), "q_id")), "n_id")
+      .withColumn("cos2", Similarity.dot(col("qv"), col("nv")))
+      .withColumn("rk2", row_number().over(w))
+      .groupBy("q_id")
+      .agg(
+        count(lit(1)).as("n_returned"),
+        bool_and(col("rank") === col("rk2")).as("ranks_ok"),
+        bool_and(col("cosine") === col("cos2")).as("cosine_exact"),
+        bool_and(col("n_id") =!= col("q_id")).as("self_excluded"))
+      .orderBy("q_id")
   }
 
   /** IVF with nProbe == nCells probes every cell, so the machinery
@@ -1000,7 +1027,7 @@ object SparkEntry {
   private val groupPropagationSql: String =
     """WITH sh AS (
       |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh
-      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws FROM documents)
       |),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       |p0 AS (
@@ -1029,7 +1056,7 @@ object SparkEntry {
     "decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+3], ' ') for i in range(1, len(ws)-2)])) AS ng
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws FROM documents)
         |),
         |bench AS (SELECT ng, min(doc_id) AS first_benchmark_id FROM sh WHERE doc_id % 20 = 0 GROUP BY ng),
         |corp AS (SELECT doc_id AS id, ng FROM sh WHERE doc_id % 20 <> 0)
@@ -1087,7 +1114,7 @@ object SparkEntry {
     "ngram_counts" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS ngram
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws FROM documents)
         |)
         |SELECT ngram, count(*) AS doc_freq FROM sh GROUP BY 1
         |ORDER BY doc_freq DESC, ngram LIMIT 20""".stripMargin,
@@ -1142,8 +1169,8 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
         |ORDER BY p.event_id""".stripMargin,
     "corpus_stats" ->
-      """SELECT lang, source, count(*) AS docs, sum(n_chars) AS chars,
-        |  sum(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS words
+      """SELECT lang, source, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS BIGINT) AS words
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "mix_interleave" ->
       """SELECT doc_id, lang,
@@ -1404,10 +1431,17 @@ object SparkEntry {
         |  FROM embeddings q, embeddings n
         |  WHERE q.vec_id < 8 AND q.vec_id <> n.vec_id)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // Partial-probe IVF is approximate, so the exchange is the per-query
+    // invariant summary (see qKnnIvf): the oracle states the values a
+    // correct IVF must produce; the engine computes them genuinely.
+    "knn_ivf" ->
+      """SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned,
+        |  true AS ranks_ok, true AS cosine_exact, true AS self_excluded
+        |FROM embeddings WHERE vec_id < 8 ORDER BY q_id""".stripMargin,
     "pipeline_curate" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws FROM documents)
         |),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 5),

@@ -61,6 +61,16 @@ final case class EngineConfig(
     /** `iceberg.control.commit.interval-ms` (default 300 000,
       * IcebergSinkConfig.java:88-89) */
     commitIntervalMs: Long = 300000L,
+    /** `iceberg.control.commit.threads` — size of the multi-table parallel
+      * commit pool (default cores×2, IcebergSinkConfig.java:92,229-233). */
+    commitThreads: Int = Runtime.getRuntime.availableProcessors() * 2,
+    /** `iceberg.control.commit.timeout-ms` — accepted for config-file
+      * compatibility (default 30 000, IcebergSinkConfig.java:90-91) but
+      * INERT here: the reference uses it as the coordinator's wait for
+      * worker commit responses over the control topic; under Spark the
+      * driver is the only coordinator and a micro-batch has no partial
+      * commit to time out (K6 intentionally absent, DESIGN.md §1). */
+    commitTimeoutMs: Int = 30000,
     /** retries for table create / schema update (IcebergSinkConfig.java:103-104) */
     createRetries: Int = 3,
     /** R6 — skip kafka tombstones (null-value records). The reference always
@@ -146,6 +156,12 @@ object EngineConfig {
       format = props.getOrElse("iceberg.kafka.write.format.default", "parquet"),
       commitIntervalMs =
         props.get("iceberg.control.commit.interval-ms").map(_.toLong).getOrElse(300000L),
+      commitThreads = props
+        .get("iceberg.control.commit.threads")
+        .map(_.trim.toInt)
+        .getOrElse(Runtime.getRuntime.availableProcessors() * 2),
+      commitTimeoutMs =
+        props.get("iceberg.control.commit.timeout-ms").map(_.trim.toInt).getOrElse(30000),
       createRetries = 3,
       tombstoneDrop = bool("iceberg.tables.tombstone-drop-enabled", dflt = true),
       maxRecordsPerFile = props.get("write.target-file-records").map(_.toLong).getOrElse(0L)

@@ -8,6 +8,15 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 object WordShinglesUtil {
+  /** Whitespace contract: the ASCII `\s` class (space, \t, \n, \x0B, \f,
+    * \r) — the same class `TextAnalysis.tokens` and every DuckDB oracle
+    * split on. Deliberately NOT `Character.isWhitespace`: Unicode spaces
+    * (e.g. U+2028) are treated as word characters by all tokenizers in
+    * this engine so shingle-, token-count- and oracle-side tokenization
+    * agree byte for byte.
+    */
+  @inline private def isWs(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
+
   /** Distinct word n-gram shingles in one pass over the UTF-8 bytes.
     * Equivalent to split-on-\s+ → sliding(n) → join(" ") → distinct, but
     * without the per-index array slicing/allocation of the HOF
@@ -16,14 +25,13 @@ object WordShinglesUtil {
   def shingles(s: UTF8String, n: Int): ArrayData = {
     val str = s.toString
     val len = str.length
-    // tokenize (java \s semantics for the whitespace we expect)
     val starts = new java.util.ArrayList[Integer]()
     val ends = new java.util.ArrayList[Integer]()
     var i = 0
     while (i < len) {
-      while (i < len && Character.isWhitespace(str.charAt(i))) i += 1
+      while (i < len && isWs(str.charAt(i))) i += 1
       val st = i
-      while (i < len && !Character.isWhitespace(str.charAt(i))) i += 1
+      while (i < len && !isWs(str.charAt(i))) i += 1
       if (i > st) { starts.add(st); ends.add(i) }
     }
     val tokens = starts.size()

@@ -342,9 +342,10 @@ object Dedup {
     * groupBy on a pre-partitioned, lineage-truncated edge list; near-dup
     * graphs have tiny diameters (near-cliques of mutual duplicates), so
     * rounds stay in low single digits. For adversarial million-hop chains
-    * the round count degrades linearly — at that shape switch to
-    * star-contraction (alternating large-star/small-star, O(log n)
-    * rounds); the per-round dataflow here is the same building block.
+    * the round count degrades linearly — pass `starContraction = true` to
+    * run the alternating large-star/small-star contraction instead
+    * ([[starContractionComponents]], O(log n)-ish rounds regardless of
+    * diameter).
     *
     * Returns (id, group_id); nodes not present in `pairs` are absent
     * (callers left-join and coalesce to the row's own id).
@@ -360,7 +361,12 @@ object Dedup {
         * graphs are usually tiny relative to the corpus that produced
         * them, and the iterative path costs ~3 jobs per round. Above the
         * bound, distributed min-label propagation runs as before. */
-      driverEdgeThreshold: Long = 1L << 20
+      driverEdgeThreshold: Long = 1L << 20,
+      /** Use star-contraction for the distributed path: round count
+        * bounded by ~log(n) of the LARGEST COMPONENT's size rather than
+        * its diameter — the right choice for adversarial chain/path
+        * graphs where label propagation needs diameter rounds. */
+      starContraction: Boolean = false
   ): DataFrame = {
     // materialize the pair list once: it is usually the output of an
     // expensive near-dup join, and the edge construction below references
@@ -391,6 +397,7 @@ object Dedup {
       }
       return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "group_id")
     }
+    if (starContraction) return starContractionComponents(p, maxIters)._1
     val und = p.union(p.select(col("v").as("u"), col("u").as("v")))
     // self-loops fold each node's own label into the neighbor-min
     val nodes = und.select(col("u")).distinct()
@@ -422,6 +429,77 @@ object Dedup {
         s"connectedComponents did not converge within $maxIters rounds — " +
           "component diameter exceeds the bound; raise maxIters")
     labels.select(col("id"), col("label").as("group_id"))
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond" — the published distributed-CC algorithm whose round count
+    * grows with log of component SIZE, not diameter):
+    *
+    *  - large-star: every node points its larger neighbors at the minimum
+    *    of its neighborhood ∪ itself
+    *  - small-star: every node folds its smaller neighbors (and itself)
+    *    onto their minimum
+    *
+    * Each half-round is one groupBy + one join on the edge list; at the
+    * fixpoint the edge list is a star forest (every non-root holds exactly
+    * one edge to its component's minimum id). A 10^6-hop chain converges
+    * in ~log rounds where label propagation would need 10^6.
+    *
+    * `p` must be a (u, v) long pair DataFrame (both columns non-null).
+    * Returns (labels, rounds): labels = (id, group_id) covering every node
+    * in `p`, rounds = contraction rounds to the fixpoint (exposed so tests
+    * can assert the logarithmic bound). Throws on non-convergence within
+    * `maxIters`, like the label-propagation path.
+    */
+  private[graft] def starContractionComponents(
+      p: DataFrame,
+      maxIters: Int
+  ): (DataFrame, Int) = {
+    val nodes = p.select(col("u")).union(p.select(col("v").as("u"))).distinct()
+      .localCheckpoint()
+    // canonical directed form: (u big, v small); self-pairs drop (their
+    // nodes survive via `nodes`)
+    var edges = p
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var it = 0
+    var done = edges.isEmpty
+    while (!done && it < maxIters) {
+      it += 1
+      // large-star over the undirected adjacency: m(u) = min(Γ(u) ∪ {u});
+      // emit (v, m(u)) for v ∈ Γ(u), v > u  (v > u ≥ m ⇒ stays big-first)
+      val und = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mLarge = und.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = und.join(mLarge, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star over the directed (big → small) list: m(u) = min Γ⁻(u);
+      // emit (w, m) for each smaller neighbor w ≠ m, plus (u, m)
+      val mSmall = large.groupBy("u").agg(min("v").as("m"))
+      val next = large.join(mSmall, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mSmall.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint() // truncate lineage: iterative plans must not stack
+      // fixpoint = identical edge set (set containment + equal cardinality)
+      done = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"starContractionComponents did not converge within $maxIters rounds")
+    val labels = nodes
+      .join(edges.withColumnRenamed("u", "id").withColumnRenamed("v", "root"),
+        nodes("u") === col("id"), "left")
+      .select(nodes("u").as("id"), coalesce(col("root"), nodes("u")).as("group_id"))
+    (labels, it)
   }
 
   /** Distinct LSH candidate pairs before verification — the quantity whose

@@ -36,12 +36,16 @@ object Packing {
     val spark = df.sparkSession
     import spark.implicits._
     // hash-partitioned on shard, so a task owns whole shards; the scan
-    // below resets its running state at every shard boundary
+    // below resets its running state at every shard boundary.
+    // Null contract: rows with a null id cannot be sharded and are
+    // excluded; a null token count (e.g. null text) packs as 0 tokens —
+    // both would otherwise NPE in the primitive-tuple encoder below.
     val prepared = df
+      .filter(col(idCol).isNotNull)
       .select(
         col(idCol).cast("long").as("id"),
         pmod(col(idCol).cast("long"), lit(numShards.toLong)).as("shard"),
-        tokensCol.cast("long").as("toks"))
+        coalesce(tokensCol.cast("long"), lit(0L)).as("toks"))
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "id")
       .as[(Long, Long, Long)]

@@ -48,6 +48,13 @@ object Search {
         terms.map(t => sum(when(termFrequency(text, t) > 0, 1L).otherwise(0L)).as("df"))
     val statsRow = docs.agg(statCols.head, statCols.tail: _*).head()
     val n = statsRow.getLong(0)
+    if (n == 0L) {
+      // empty corpus: sum(dl) is NULL and avgdl would divide by zero —
+      // return zero rows with the output schema instead of crashing
+      return docs
+        .select(col(idCol).as("id"), lit(0L).as("bm25_fixed"), lit(0L).as("rank"))
+        .limit(0)
+    }
     val avgdl = statsRow.getLong(1).toDouble / n.toDouble
     val idf = terms.indices.map { i =>
       val df = statsRow.getLong(2 + i).toDouble

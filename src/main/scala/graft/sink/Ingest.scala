@@ -89,7 +89,7 @@ object Ingest {
         // from the driver, so per-table writes overlap their I/O
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
-        implicit val ec: scala.concurrent.ExecutionContext = commitEc
+        implicit val ec: scala.concurrent.ExecutionContext = commitEc(config.commitThreads)
         val fs = routed.map { case (tconf, tdf) =>
           Future(TableResult(tconf.name,
             writeTable(spark, tdf, batchId, tconf, config, bookkeeping)))
@@ -101,20 +101,29 @@ object Ingest {
     }
   }
 
-  /** K10 — shared driver-side pool for multi-table parallel commits
+  /** K10 — shared driver-side pools for multi-table parallel commits
     * (`channel/Coordinator.doCommit:141-168` keeps a cores×2 pool for the
     * connector's lifetime; a per-batch pool would be rebuilt every trigger).
-    * Daemon threads so an open pool never pins the JVM.
+    * Pool size comes from `iceberg.control.commit.threads`
+    * (IcebergSinkConfig.java:92,229-233); one shared pool per distinct
+    * configured size for the JVM's lifetime. Daemon threads so an open
+    * pool never pins the JVM.
     */
-  private lazy val commitEc: scala.concurrent.ExecutionContext =
-    scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(
-        Runtime.getRuntime.availableProcessors() * 2,
-        r => {
-          val t = new Thread(r, "graft-commit-pool")
-          t.setDaemon(true)
-          t
-        }))
+  private val commitPools =
+    new java.util.concurrent.ConcurrentHashMap[Int, scala.concurrent.ExecutionContext]()
+
+  private def commitEc(threads: Int): scala.concurrent.ExecutionContext =
+    commitPools.computeIfAbsent(
+      math.max(1, threads),
+      n =>
+        scala.concurrent.ExecutionContext.fromExecutorService(
+          java.util.concurrent.Executors.newFixedThreadPool(
+            n,
+            r => {
+              val t = new Thread(r, s"graft-commit-pool-$n")
+              t.setDaemon(true)
+              t
+            })))
 
   /** Decode the [[graft.functions.OffsetsAgg]] observe metric into
     * (next-offsets, vtts). Blocks until the first job over the observed

@@ -25,14 +25,20 @@ object FilePruning {
       hi: Option[String],
       numeric: Boolean = true
   ): Boolean = {
-    def cmp(a: String, b: String): Int =
-      if (numeric) java.lang.Double.compare(a.toDouble, b.toDouble) else a.compareTo(b)
+    // cmp = None when a recorded bound can't be compared under the
+    // requested mode (e.g. numeric=true against a string column's bounds):
+    // pruning must degrade to "may contain", never throw at plan time
+    def cmp(a: String, b: String): Option[Int] =
+      if (!numeric) Some(a.compareTo(b))
+      else
+        try Some(java.lang.Double.compare(a.toDouble, b.toDouble))
+        catch { case _: NumberFormatException => None }
     val belowHi = (hi, f.min.get(col)) match {
-      case (Some(h), Some(mn)) => cmp(mn, h) <= 0
+      case (Some(h), Some(mn)) => cmp(mn, h).forall(_ <= 0)
       case _                   => true
     }
     val aboveLo = (lo, f.max.get(col)) match {
-      case (Some(l), Some(mx)) => cmp(mx, l) >= 0
+      case (Some(l), Some(mx)) => cmp(mx, l).forall(_ >= 0)
       case _                   => true
     }
     belowHi && aboveLo

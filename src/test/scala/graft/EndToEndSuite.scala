@@ -279,7 +279,9 @@ class EndToEndSuite extends AnyFunSuite {
       "iceberg.tables.tombstone-drop-enabled" -> "false",
       "iceberg.tables.default-commit-branch" -> "audit",
       "iceberg.tables.auto-create-props.write.target-file-size-bytes" -> "4096",
-      "iceberg.control.commit.interval-ms" -> "60000"))
+      "iceberg.control.commit.interval-ms" -> "60000",
+      "iceberg.control.commit.threads" -> "7",
+      "iceberg.control.commit.timeout-ms" -> "45000"))
     assert(cfg.tables.map(_.name) === Seq("db.tbl1", "db.tbl2"))
     val t1 = cfg.tableConfig("db.tbl1")
     assert(t1.routeRegex === Some("t1"))
@@ -289,6 +291,13 @@ class EndToEndSuite extends AnyFunSuite {
     assert(cfg.upsertMode && cfg.autoCreate && cfg.evolveSchema)
     assert(!cfg.tombstoneDrop)
     assert(cfg.commitIntervalMs === 60000L)
+    // commit.threads sizes the K10 parallel-commit pool; commit.timeout-ms
+    // is accepted-but-inert (no partial commit to time out under Spark)
+    assert(cfg.commitThreads === 7)
+    assert(cfg.commitTimeoutMs === 45000)
+    val dflt = EngineConfig.fromProperties("/tmp/wh", Map.empty)
+    assert(dflt.commitThreads === Runtime.getRuntime.availableProcessors() * 2)
+    assert(dflt.commitTimeoutMs === 30000)
     // default branch applies to listed tables without their own and to
     // dynamically discovered ones; auto-create props flow to new tables
     assert(cfg.tableConfig("db.tbl2").commitBranch === "audit")

@@ -179,6 +179,40 @@ class DedupSuite extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("star contraction: O(log n) rounds on a 10^4-node chain (diameter-proof CC)") {
+    // a 10^4-hop path is the adversarial shape for label propagation
+    // (needs ~10^4 rounds = diameter); star contraction must finish in a
+    // logarithmic number of contraction rounds and still label every node
+    // with the component minimum
+    val n = 10000L
+    val chain = spark.range(0, n - 1).selectExpr("id AS u", "id + 1 AS v")
+    val (labels, rounds) = Dedup.starContractionComponents(chain, maxIters = 40)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === n)
+    assert(got.forall(_._2 == 0L), "every chain node must collapse to min id 0")
+    assert(rounds <= 30, s"star contraction took $rounds rounds — not logarithmic")
+  }
+
+  test("star contraction agrees with union-find on a 500-node random graph") {
+    val rnd = new scala.util.Random(11)
+    val n = 500
+    val edges = Seq.fill(700)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(id => id -> find(id.toInt).toLong).toMap
+    // through the public API: starContraction opts the distributed path in
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+        driverEdgeThreshold = 0, starContraction = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   test("fused HyperplaneSignatures matches the per-table reference formulation bit-for-bit") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), Similarity.normalize(col("embedding")).as("v"))

@@ -348,6 +348,10 @@ class IceTableSuite extends AnyFunSuite {
     assert(mayContainRange(f, "id", None, Some("99")) === false)
     // column without recorded bounds can never be skipped
     assert(mayContainRange(f, "other", Some("1"), Some("2")) === true)
+    // numeric mode against a string column's bounds must degrade to
+    // "may contain" (conservative), never throw at plan time
+    assert(mayContainRange(f, "name", Some("1"), Some("2"), numeric = true) === true)
+    assert(mayContainRange(f, "name", Some("1"), None, numeric = true) === true)
   }
 
   test("commit-log checkpoints consolidate history; reads = checkpoint + tail") {
