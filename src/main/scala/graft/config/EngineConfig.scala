@@ -41,6 +41,11 @@ final case class EngineConfig(
     schemaForceOptional: Boolean = false,
     /** `iceberg.tables.schema-case-insensitive` */
     schemaCaseInsensitive: Boolean = true,
+    /** `iceberg.tables.strict-coercion-enabled` — fail the batch when a
+      * non-null value would coerce to null (the reference's converters
+      * throw on unconvertible values; Spark's ANSI-off cast nulls them).
+      * Default false = permissive, matching prior engine behavior. */
+    strictCoercion: Boolean = false,
     /** `iceberg.tables.default-id-columns` */
     defaultIdColumns: Seq[String] = Nil,
     /** `iceberg.tables.default-partition-by` */
@@ -142,6 +147,7 @@ object EngineConfig {
       evolveSchema = bool("iceberg.tables.evolve-schema-enabled", dflt = false),
       schemaForceOptional = bool("iceberg.tables.schema-force-optional", dflt = false),
       schemaCaseInsensitive = bool("iceberg.tables.schema-case-insensitive", dflt = true),
+      strictCoercion = bool("iceberg.tables.strict-coercion-enabled", dflt = false),
       defaultIdColumns = list("iceberg.tables.default-id-columns"),
       defaultPartitionBy = list("iceberg.tables.default-partition-by"),
       defaultCommitBranch = defaultBranch,

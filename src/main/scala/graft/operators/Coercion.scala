@@ -30,19 +30,40 @@ object Coercion {
 
   /** Project `df` onto `target`. `extraCols` are carried through untouched
     * (used by the CDC path for op/order bookkeeping columns).
+    *
+    * `strict`: the reference surfaces a conversion error when a record
+    * value cannot coerce (`RecordConverter` throws from the leaf
+    * converters); Spark's ANSI-off casts null instead. With
+    * `strict = true` any TOP-LEVEL column whose non-null source value
+    * coerces to null fails the batch with a `raise_error` naming the
+    * column — matching the operator expectation that bad data stops the
+    * pipeline rather than silently degrading. (Nested-field nulling
+    * stays permissive: the check is per projected column.)
     */
   def project(
       df: DataFrame,
       target: StructType,
       nameMapping: Map[String, Seq[String]] = Map.empty,
       caseInsensitive: Boolean = true,
-      extraCols: Seq[String] = Nil
+      extraCols: Seq[String] = Nil,
+      strict: Boolean = false
   ): DataFrame = {
     val available = df.schema
     val cols = target.fields.toSeq.map { f =>
       resolveField(available, f.name, nameMapping, caseInsensitive) match {
-        case Some(src) => coerce(col(src.name), src.dataType, f.dataType).as(f.name)
-        case None      => lit(null).cast(f.dataType).as(f.name)
+        case Some(src) =>
+          val coerced = coerce(col(src.name), src.dataType, f.dataType)
+          val checked =
+            if (!strict) coerced
+            else
+              when(col(src.name).isNotNull && coerced.isNull,
+                raise_error(concat(
+                  lit(s"strict coercion: column '${src.name}' value '"),
+                  col(src.name).cast(StringType),
+                  lit(s"' does not convert to ${f.dataType.sql}"))).cast(f.dataType))
+                .otherwise(coerced)
+          checked.as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
       }
     } ++ extraCols.map(col)
     df.select(cols: _*)

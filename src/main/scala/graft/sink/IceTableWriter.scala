@@ -219,14 +219,18 @@ object IceTableWriter {
         .toMap
     }
 
-  /** Rows + size + per-top-level-column min/max bounds from one parquet
-    * footer (no data read). Bounds are recorded only for columns with
-    * valid statistics in EVERY row group; nested paths and raw binary are
-    * skipped — absence of a bound means "may contain anything" to the
-    * pruner, never a wrong skip.
+  /** Rows + size + per-top-level-column min/max bounds from one file
+    * footer (no data read). Parquet and ORC both carry footer statistics;
+    * other formats (avro) record size only — rows = -1 and no bounds, so
+    * pruning degrades to "may contain" and the byte-rolling estimate
+    * skips the file, never a wrong skip.
+    *
+    * Bounds are recorded only for columns with valid statistics in EVERY
+    * row group / stripe; nested paths and raw binary are skipped.
     */
   private[sink] def footerStats(p: Path, format: String): FooterStats = {
     val size = Files.size(p)
+    if (format == "orc") return orcStats(p, size)
     if (format != "parquet") return FooterStats(-1L, size, Map.empty, Map.empty)
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -280,6 +284,46 @@ object IceTableWriter {
         max = valid.map { case (k, s) => k -> enc(s.genericGetMax) }.toMap
       )
     } finally r.close()
+  }
+
+  /** ORC footer statistics (P5 three-format parity with the reference's
+    * symmetric parquet/ORC/avro appenders, `data/Utilities.java:162-167`):
+    * row count from the reader, per-top-level-column bounds from the
+    * file-level `ColumnStatistics`, string-encoded the same way as the
+    * parquet path so [[graft.table.FilePruning]] compares them uniformly.
+    * Only integer/floating/string stats are recorded (same conservative
+    * class as parquet); anything else simply carries no bound.
+    */
+  private[sink] def orcStats(p: Path, size: Long): FooterStats = {
+    import org.apache.orc.{OrcFile, TypeDescription}
+    val reader = OrcFile.createReader(
+      new org.apache.hadoop.fs.Path(p.toString), OrcFile.readerOptions(hadoopConf))
+    try {
+      val schema = reader.getSchema
+      val mins = scala.collection.mutable.LinkedHashMap[String, String]()
+      val maxs = scala.collection.mutable.LinkedHashMap[String, String]()
+      if (schema.getCategory == TypeDescription.Category.STRUCT) {
+        val stats = reader.getStatistics // indexed by column id; 0 = root struct
+        val names = schema.getFieldNames.asScala.toSeq
+        val children = schema.getChildren.asScala.toSeq
+        names.zip(children).foreach { case (name, child) =>
+          val s = stats(child.getId)
+          if (s != null && s.getNumberOfValues > 0) s match {
+            case i: org.apache.orc.IntegerColumnStatistics =>
+              mins(name) = String.valueOf(i.getMinimum)
+              maxs(name) = String.valueOf(i.getMaximum)
+            case d: org.apache.orc.DoubleColumnStatistics =>
+              mins(name) = String.valueOf(d.getMinimum)
+              maxs(name) = String.valueOf(d.getMaximum)
+            case st: org.apache.orc.StringColumnStatistics if st.getMinimum != null =>
+              mins(name) = st.getMinimum
+              maxs(name) = st.getMaximum
+            case _ => () // no bound recorded — pruner treats as "may contain"
+          }
+        }
+      }
+      FooterStats(reader.getNumberOfRows, size, mins.toMap, maxs.toMap)
+    } finally reader.close()
   }
 
   private def writeDeleteFiles(keysDf: DataFrame, table: IceTable): Seq[FileEntry] = {
@@ -352,16 +396,22 @@ object IceTableWriter {
   // tens of ms of XML parsing and dominated commit time at many files
   private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
 
-  /** Exact row count from the parquet footer (no data read). */
-  private def rowCount(p: Path, format: String): Long =
-    if (format != "parquet") -1L
-    else {
+  /** Exact row count from the file footer (no data read). */
+  private def rowCount(p: Path, format: String): Long = format match {
+    case "parquet" =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new org.apache.hadoop.fs.Path(p.toString), hadoopConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getRecordCount
       finally r.close()
-    }
+    case "orc" =>
+      val r = org.apache.orc.OrcFile.createReader(
+        new org.apache.hadoop.fs.Path(p.toString),
+        org.apache.orc.OrcFile.readerOptions(hadoopConf))
+      try r.getNumberOfRows
+      finally r.close()
+    case _ => -1L
+  }
 
   /** Recover `name=value` partition values from the staged hive layout. */
   private def partitionValues(

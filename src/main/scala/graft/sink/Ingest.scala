@@ -213,7 +213,8 @@ object Ingest {
       val coerced = Coercion.project(prepared, table.schema,
         nameMapping = nameMapping,
         caseInsensitive = config.schemaCaseInsensitive,
-        extraCols = Seq(CdcOps.OpCol, CdcOps.OrdCol))
+        extraCols = Seq(CdcOps.OpCol, CdcOps.OrdCol),
+        strict = config.strictCoercion)
       val (data, deleteKeys) = CdcOps.resolveBatch(coerced, keyCols)
       IceTableWriter.delta(spark, data, deleteKeys, table, batchId,
         offsets = bookkeeping()._1, vtts = bookkeeping()._2,
@@ -221,7 +222,8 @@ object Ingest {
     } else {
       val coerced = Coercion.project(tdf, table.schema,
         nameMapping = nameMapping,
-        caseInsensitive = config.schemaCaseInsensitive)
+        caseInsensitive = config.schemaCaseInsensitive,
+        strict = config.strictCoercion)
       IceTableWriter.append(spark, coerced, table, batchId,
         offsets = bookkeeping()._1, vtts = bookkeeping()._2,
         maxRecordsPerFile = config.maxRecordsPerFile)

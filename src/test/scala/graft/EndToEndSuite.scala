@@ -281,7 +281,8 @@ class EndToEndSuite extends AnyFunSuite {
       "iceberg.tables.auto-create-props.write.target-file-size-bytes" -> "4096",
       "iceberg.control.commit.interval-ms" -> "60000",
       "iceberg.control.commit.threads" -> "7",
-      "iceberg.control.commit.timeout-ms" -> "45000"))
+      "iceberg.control.commit.timeout-ms" -> "45000",
+      "iceberg.tables.strict-coercion-enabled" -> "true"))
     assert(cfg.tables.map(_.name) === Seq("db.tbl1", "db.tbl2"))
     val t1 = cfg.tableConfig("db.tbl1")
     assert(t1.routeRegex === Some("t1"))
@@ -295,6 +296,7 @@ class EndToEndSuite extends AnyFunSuite {
     // is accepted-but-inert (no partial commit to time out under Spark)
     assert(cfg.commitThreads === 7)
     assert(cfg.commitTimeoutMs === 45000)
+    assert(cfg.strictCoercion)
     val dflt = EngineConfig.fromProperties("/tmp/wh", Map.empty)
     assert(dflt.commitThreads === Runtime.getRuntime.availableProcessors() * 2)
     assert(dflt.commitTimeoutMs === 30000)

@@ -23,6 +23,20 @@ class PlanAndOffsetsSuite extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "dimension join is not broadcast")
   }
 
+  test("q3/q5 plans: lineitem⋈orders is the ONLY non-broadcast join") {
+    // every dimension (customer/nation/region) must broadcast; the single
+    // permitted shuffle join is the two-big-table lineitem⋈orders edge —
+    // one more shuffle join means a dimension lost its broadcast hint
+    for (q <- Seq("q3_topn", "q5_region")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      val shuffleJoins = plan.linesIterator.count(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      assert(shuffleJoins <= 1, s"$q has $shuffleJoins shuffle joins:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"$q broadcasts no dimension:\n$plan")
+    }
+  }
+
   test("q1 plan: scan prunes to the referenced columns only") {
     val plan = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

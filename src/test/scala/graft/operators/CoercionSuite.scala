@@ -216,4 +216,26 @@ class CoercionSuite extends AnyFunSuite {
     assert(out.columns.toSeq === Seq("id", "absent"))
     assert(out.head().isNullAt(1))
   }
+
+  test("strict mode fails the batch when a non-null value coerces to null") {
+    // the reference's converters THROW on unconvertible values
+    // (RecordConverter leaf converters); ANSI-off Spark nulls them —
+    // strict mode restores the fail-loudly contract
+    val target = StructType(Seq(StructField("n", IntegerType)))
+    val bad = Seq("12", "not-a-number").toDF("n")
+    val e = intercept[Exception] {
+      Coercion.project(bad, target, strict = true).collect()
+    }
+    assert(e.getMessage.contains("strict coercion") && e.getMessage.contains("not-a-number"),
+      s"unexpected error: ${e.getMessage}")
+    // permissive default keeps the old behavior: null, no throw
+    val permissive = Coercion.project(bad, target).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(permissive.toSet === Set(Some(12), None))
+    // valid values and genuine source nulls pass strict untouched
+    val ok = Seq(Some("7"), None).toDF("n")
+    val got = Coercion.project(ok, target, strict = true).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(got.toSet === Set(Some(7), None))
+  }
 }

@@ -396,9 +396,41 @@ class IceTableSuite extends AnyFunSuite {
     IceTableWriter.delta(spark, df((2L, "b2", 2.2)), Seq(2L).toDF("id"), t, 1)
     val c = t.log.commits().head
     assert(c.dataFiles.forall(_.path.endsWith(".orc")))
-    assert(c.dataFiles.forall(_.rows === -1L)) // row stats are parquet-only
+    // ORC footers carry stats like parquet: rows + column bounds recorded
+    assert(c.dataFiles.forall(_.rows > 0L) && c.dataFiles.map(_.rows).sum === 2L)
+    assert(c.dataFiles.map(_.min("id").toLong).min === 1L)
+    assert(c.dataFiles.map(_.max("id").toLong).max === 2L)
+    assert(c.dataFiles.map(_.min("name")).min === "a")
+    assert(c.dataFiles.map(_.max("name")).max === "b")
     val got = t.read(spark).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got === Seq((1L, "a"), (2L, "b2")))
+  }
+
+  test("P5: ORC bounds drive data-skipping exactly like parquet bounds") {
+    val dir = TestSpark.freshDir("t-orc-skip")
+    val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id"), format = "orc"))
+    // two disjoint id ranges in separate commits → separate files
+    IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0)), t, 0)
+    IceTableWriter.append(spark, df((100L, "x", 1.0), (200L, "y", 2.0)), t, 1)
+    val pruned = t.scan(spark, None,
+      filePred = Some(f => FilePruning.mayContainRange(f, "id", Some("50"), None)))
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq === Seq(100L, 200L))
+    // and the estimate seeder sees ORC rows (byte-rolling works for ORC)
+    assert(t.log.commits().flatMap(_.dataFiles).forall(f => f.rows > 0 && f.bytes > 0))
+  }
+
+  test("P5: avro format is wired but needs the spark-avro module (documented boundary)") {
+    // the reference writes parquet/ORC/avro symmetrically
+    // (data/Utilities.java:162-167); Spark treats avro as an external
+    // datasource module, absent from this environment — the engine
+    // surfaces Spark's own actionable error rather than corrupting state
+    val dir = TestSpark.freshDir("t-avro")
+    val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id"), format = "avro"))
+    val e = intercept[Exception] {
+      IceTableWriter.append(spark, df((1L, "a", 1.0)), t, 0)
+    }
+    assert(e.getMessage.contains("avro"), s"unexpected error: ${e.getMessage}")
+    assert(t.log.commits().isEmpty, "failed write must not publish a commit")
   }
 
   test("time travel: readAt(seq) reproduces an earlier snapshot") {
