@@ -714,6 +714,15 @@ object SparkEntry {
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
 
+  /** Span-level dedup (Lee et al. EXACTSUBSTR at token granularity):
+    * repeated 10-token spans removed everywhere except their first
+    * occurrence; documents rebuilt from surviving tokens.
+    */
+  private def qDedupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.dedupSpans(t(spark, sfDir, "documents"), "doc_id", "text", n = 10)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Brute-force top-5 cosine KNN for the first 8 vectors. */
   private def qKnnBrute(spark: SparkSession, sfDir: String): DataFrame = {
     val e = t(spark, sfDir, "embeddings")
@@ -1002,6 +1011,7 @@ object SparkEntry {
       "dedup_simhash" -> wrap(qDedupSimhash),
       "dedup_embedding" -> wrap(qDedupEmbedding),
       "dedup_embedding_lsh" -> wrap(qDedupEmbeddingLsh),
+      "dedup_spans" -> wrap(qDedupSpans),
       "knn_brute" -> wrap(qKnnBrute),
       "knn_ivf" -> wrap(qKnnIvf),
       "knn_ivf_full" -> wrap(qKnnIvfFull),
@@ -1425,6 +1435,39 @@ object SparkEntry {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    // Lee et al. EXACTSUBSTR at token granularity: canonical occurrence =
+    // min packed (doc_id * 2^20 + pos); parallel unnests zip positionally.
+    "dedup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(ws) - 8)) AS pos,
+        |    unnest([array_to_string(ws[i:i+9], ' ') for i in range(1, len(ws) - 8)]) AS g
+        |  FROM toks),
+        |dup AS (
+        |  SELECT g, min(doc_id * 1048576 + pos) AS canon
+        |  FROM occ GROUP BY g HAVING count(*) >= 2),
+        |removable AS (
+        |  SELECT o.doc_id, o.pos FROM occ o JOIN dup d USING (g)
+        |  WHERE o.doc_id * 1048576 + o.pos <> d.canon),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, t
+        |  FROM (SELECT doc_id, unnest(range(pos, pos + 10)) AS t FROM removable)),
+        |tok AS (
+        |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS t, unnest(ws) AS w FROM toks),
+        |kept AS (
+        |  SELECT k.doc_id, k.t, k.w FROM tok k
+        |  LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.t = k.t
+        |  WHERE c.t IS NULL),
+        |reb AS (
+        |  SELECT doc_id, string_agg(w, ' ' ORDER BY t) AS clean_text,
+        |         count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |       CAST(len(t.ws) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM toks t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""".stripMargin,
     "knn_brute" ->
       """SELECT q_id, rank, n_id FROM (
         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,

@@ -39,6 +39,77 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     graft.functions.WordShingles(text, n)
 
+  /** Positional (id, pos) key packed into one long for cross-engine-exact
+    * canonical-occurrence selection in [[dedupSpans]]. Caps documents at
+    * 2^20 tokens (a ~5 MB doc) and ids at 2^43 — both generous for
+    * web-corpus curation (documented contract).
+    */
+  private val SpanPosBase = 1L << 20
+
+  /** Span-level dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022 — the EXACTSUBSTR variant
+    * approximated at token granularity): any `n`-token span occurring
+    * more than once across the corpus is removed from every position
+    * except its canonical (first) occurrence = min (id, pos). Tokens
+    * covered by at least one removed occurrence are dropped; documents
+    * are rebuilt from the surviving tokens in order.
+    *
+    * Returns (id, clean_text, n_removed) for EVERY input row (a fully
+    * duplicated document comes back with clean_text = "" rather than
+    * vanishing — the caller decides whether to drop empties).
+    *
+    * 100 TB shape: strictly linear dataflow — positional n-grams explode
+    * to one row per (doc, pos); duplicated spans are found with ONE
+    * hash-partitioned aggregation on the span text (partial aggs collapse
+    * repeats map-side); removable occurrences come from one join of the
+    * occurrence stream against that (much smaller) duplicate table;
+    * coverage/rebuild shuffle on (id, token-pos) and id. No self-join
+    * anywhere, so a pathological span repeated k times costs k rows,
+    * never k².
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n > 1, "span length must be at least 2 tokens")
+    // tokenized docs, materialized once (feeds occurrences AND rebuild)
+    val toks = df
+      .select(col(idCol).cast("long").as("id"),
+        filter(split(trim(col(textCol)), "\\s+"), w => w =!= lit("")).as("ws"))
+      .localCheckpoint()
+    val posKey = col("id") * SpanPosBase + col("pos")
+    // positional n-gram occurrences, pos is 1-based
+    val occ = toks
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(1, greatest(size(ws) - ${n - 1}, 0)), " +
+          s"i -> array_join(slice(ws, i, $n), ' '))")))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("g"))
+    // duplicated spans + canonical occurrence in one aggregation
+    val dup = occ
+      .groupBy("g")
+      .agg(count(lit(1)).as("c"), min(posKey).as("canon"))
+      .filter(col("c") >= 2)
+      .select("g", "canon")
+    val removable = occ.join(dup, "g").filter(posKey =!= col("canon"))
+    val covered = removable
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("t"))
+      .distinct()
+    val tok = toks
+      .select(col("id"), posexplode(col("ws")))
+      .select(col("id"), (col("pos") + 1).as("t"), col("col").as("w"))
+    val rebuilt = tok
+      .join(covered, Seq("id", "t"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("t"), col("w")))),
+            s => s.getField("w")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    toks
+      .select(col("id"), size(col("ws")).cast("long").as("n_toks"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Exact n-gram Jaccard similarity pairs via a shingle inverted index:
     * explode distinct shingles, self-join on shingle, count intersections,
     * compute |A∩B| / (|A|+|B|-|A∩B|). Returns (idA, idB, intersect,

@@ -193,6 +193,29 @@ class DedupSuite extends AnyFunSuite {
     assert(rounds <= 30, s"star contraction took $rounds rounds — not logarithmic")
   }
 
+  test("dedupSpans removes repeated n-token spans everywhere but their first occurrence") {
+    // d1 shares the spans "a b c" and "b c d" with d0; d0 holds the
+    // canonical (first) occurrences, so only d1's tokens 2..5 are removed.
+    // d2 is untouched; d3 duplicates d0's span a third time and also loses it.
+    val docs = Seq(
+      (0L, "a b c d e x"),
+      (1L, "z a b c d q"),
+      (2L, "unique words only here"),
+      (3L, "a b c tail")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got(0) === ((0L, "a b c d e x", 0L)))
+    assert(got(1) === ((1L, "z q", 4L)))
+    assert(got(2) === ((2L, "unique words only here", 0L)))
+    assert(got(3) === ((3L, "tail", 3L)))
+    // a fully-duplicated doc comes back empty, not absent
+    val dup = Seq((0L, "p q r"), (5L, "p q r")).toDF("doc_id", "text")
+    val got2 = Dedup.dedupSpans(dup, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got2.toSeq === Seq((0L, "p q r", 0L), (5L, "", 3L)))
+  }
+
   test("star contraction agrees with union-find on a 500-node random graph") {
     val rnd = new scala.util.Random(11)
     val n = 500
