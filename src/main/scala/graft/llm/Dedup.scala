@@ -69,17 +69,25 @@ object Dedup {
     */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n > 1, "span length must be at least 2 tokens")
-    // tokenized docs, materialized once (feeds occurrences AND rebuild)
+    // tokenized docs, materialized once (feeds occurrences AND rebuild);
+    // same tokenizer as every other text op (whitespace contract)
     val toks = df
       .select(col(idCol).cast("long").as("id"),
-        filter(split(trim(col(textCol)), "\\s+"), w => w =!= lit("")).as("ws"))
+        TextAnalysis.tokens(col(textCol)).as("ws"))
       .localCheckpoint()
     val posKey = col("id") * SpanPosBase + col("pos")
-    // positional n-gram occurrences, pos is 1-based
+    // positional n-gram occurrences, pos is 1-based. A doc with fewer
+    // than n tokens emits NO occurrence (the CASE guard matters:
+    // sequence(1, 0) is the DESCENDING [1, 0], not empty, and slice at 0
+    // throws). Deliberately NOT materialized, unlike the jaccard inverted
+    // index: this stream is ~n× the corpus in bytes, so recomputing the
+    // codegen'd explode from the checkpointed `toks` for its two
+    // consumers is cheaper than writing an n×-corpus intermediate.
     val occ = toks
       .select(col("id"), posexplode(expr(
-        s"transform(sequence(1, greatest(size(ws) - ${n - 1}, 0)), " +
-          s"i -> array_join(slice(ws, i, $n), ' '))")))
+        s"CASE WHEN size(ws) >= $n THEN " +
+          s"transform(sequence(1, size(ws) - ${n - 1}), i -> array_join(slice(ws, i, $n), ' ')) " +
+          "ELSE CAST(array() AS array<string>) END")))
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("g"))
     // duplicated spans + canonical occurrence in one aggregation
     val dup = occ

@@ -37,14 +37,20 @@ object Packing {
     import spark.implicits._
     // hash-partitioned on shard, so a task owns whole shards; the scan
     // below resets its running state at every shard boundary.
-    // Null contract: rows with a null id cannot be sharded and are
-    // excluded; a null token count (e.g. null text) packs as 0 tokens —
-    // both would otherwise NPE in the primitive-tuple encoder below.
+    // Null contract: an id that is null (or fails the long cast) FAILS
+    // the job loudly — silently dropping rows from a packing pass is
+    // training-data loss with no signal. A null token count (e.g. null
+    // text) packs as 0 tokens: the doc keeps its slot, consumes no
+    // budget. (Either null would otherwise NPE in the primitive-tuple
+    // encoder below.)
+    val idc = col(idCol).cast("long")
+    val checkedId = when(idc.isNull,
+      raise_error(concat(lit(s"nextFitPack: null or non-numeric id in '$idCol': '"),
+        coalesce(col(idCol).cast("string"), lit("null")), lit("'")))).otherwise(idc)
     val prepared = df
-      .filter(col(idCol).isNotNull)
       .select(
-        col(idCol).cast("long").as("id"),
-        pmod(col(idCol).cast("long"), lit(numShards.toLong)).as("shard"),
+        checkedId.as("id"),
+        pmod(checkedId, lit(numShards.toLong)).as("shard"),
         coalesce(tokensCol.cast("long"), lit(0L)).as("toks"))
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "id")

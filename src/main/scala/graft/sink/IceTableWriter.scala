@@ -315,7 +315,11 @@ object IceTableWriter {
             case d: org.apache.orc.DoubleColumnStatistics =>
               mins(name) = String.valueOf(d.getMinimum)
               maxs(name) = String.valueOf(d.getMaximum)
-            case st: org.apache.orc.StringColumnStatistics if st.getMinimum != null =>
+            // BOTH sides must be present: ORC truncates string stats per
+            // side (values > 1024 bytes record only lower/upper bounds and
+            // the exact min/max return null independently)
+            case st: org.apache.orc.StringColumnStatistics
+                if st.getMinimum != null && st.getMaximum != null =>
               mins(name) = st.getMinimum
               maxs(name) = st.getMaximum
             case _ => () // no bound recorded — pruner treats as "may contain"

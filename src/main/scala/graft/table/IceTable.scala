@@ -26,10 +26,12 @@ object FilePruning {
       numeric: Boolean = true
   ): Boolean = {
     // cmp = None when a recorded bound can't be compared under the
-    // requested mode (e.g. numeric=true against a string column's bounds):
-    // pruning must degrade to "may contain", never throw at plan time
+    // requested mode (numeric=true against a string column's bounds, or a
+    // null bound from a legacy/partial-stats commit entry): pruning must
+    // degrade to "may contain", never throw at plan time
     def cmp(a: String, b: String): Option[Int] =
-      if (!numeric) Some(a.compareTo(b))
+      if (a == null || b == null) None
+      else if (!numeric) Some(a.compareTo(b))
       else
         try Some(java.lang.Double.compare(a.toDouble, b.toDouble))
         catch { case _: NumberFormatException => None }

@@ -121,6 +121,14 @@ class PlanAndOffsetsSuite extends AnyFunSuite {
     }
   }
 
+  test("dedup_spans stays linear: hash/merge joins only, partial aggregation present") {
+    val plan = SparkEntry.queries("dedup_spans")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"span dedup degenerated to a product join:\n$plan")
+    assert(plan.contains("partial"), s"span aggregation is not map-side combined:\n$plan")
+  }
+
   test("range_join plans as a hash join on buckets, never a nested loop") {
     val plan = SparkEntry.queries("range_join")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

@@ -108,6 +108,21 @@ class CurationOpsSuite extends AnyFunSuite {
       (16L, 0L, 1L, 0L)))
   }
 
+  test("packing fails loudly on null ids and packs null token counts as 0") {
+    // silent row drops from a packing pass are training-data loss — a
+    // null (or non-castable) id must fail the job, not vanish
+    val nullId = Seq((Some(1L), 10L), (None, 20L)).toDF("doc_id", "toks")
+    val e = intercept[Exception] {
+      Packing.nextFitPack(nullId, "doc_id", col("toks"), numShards = 2, budgetTokens = 64).collect()
+    }
+    assert(e.getMessage.contains("nextFitPack"), s"unexpected error: ${e.getMessage}")
+    // null token count (e.g. null text) keeps its slot at 0 budget
+    val nullToks = Seq((0L, Some(10L)), (2L, None)).toDF("doc_id", "toks")
+    val got = Packing.nextFitPack(nullToks, "doc_id", col("toks"), numShards = 2, budgetTokens = 64)
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 0L, 0L, 0L), (2L, 0L, 0L, 1L)))
+  }
+
   test("packing on the corpus: sequences stay within budget unless a single doc exceeds it") {
     val packed = Packing.nextFitPack(docs, "doc_id",
       TextAnalysis.tokenCount(col("text")), numShards = 8, budgetTokens = 256)

@@ -214,6 +214,13 @@ class DedupSuite extends AnyFunSuite {
     val got2 = Dedup.dedupSpans(dup, "doc_id", "text", n = 3)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
     assert(got2.toSeq === Seq((0L, "p q r", 0L), (5L, "", 3L)))
+    // docs SHORTER than the span length (incl. empty) pass through
+    // untouched — they can emit no occurrence (regression: sequence(1,0)
+    // is [1,0] descending, not empty)
+    val short = Seq((0L, "a b"), (1L, ""), (2L, "a b c d"), (3L, "a b c d")).toDF("doc_id", "text")
+    val got3 = Dedup.dedupSpans(short, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got3.toSeq === Seq((0L, "a b", 0L), (1L, "", 0L), (2L, "a b c d", 0L), (3L, "", 4L)))
   }
 
   test("star contraction agrees with union-find on a 500-node random graph") {

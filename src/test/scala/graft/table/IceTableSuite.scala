@@ -419,6 +419,22 @@ class IceTableSuite extends AnyFunSuite {
     assert(t.log.commits().flatMap(_.dataFiles).forall(f => f.rows > 0 && f.bytes > 0))
   }
 
+  test("P5: ORC truncated string stats (>1024B values) never record null bounds") {
+    // ORC truncates string statistics per side past 1024 bytes — the
+    // exact min/max return null independently; a null bound in the commit
+    // log would crash the pruner at plan time
+    val dir = TestSpark.freshDir("t-orc-trunc")
+    val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id"), format = "orc"))
+    IceTableWriter.append(spark, df((1L, "a" * 2000, 1.0), (2L, "b", 2.0)).coalesce(1), t, 0)
+    val files = t.log.commits().head.dataFiles
+    assert(files.forall(f => (f.min.values ++ f.max.values).forall(_ != null)),
+      "null bound recorded from truncated ORC statistics")
+    // and scanning with a range predicate on the affected column still works
+    val got = t.scan(spark, None,
+      filePred = Some(f => FilePruning.mayContainRange(f, "name", Some("a"), None, numeric = false)))
+    assert(got.count() === 2L)
+  }
+
   test("P5: avro format is wired but needs the spark-avro module (documented boundary)") {
     // the reference writes parquet/ORC/avro symmetrically
     // (data/Utilities.java:162-167); Spark treats avro as an external
