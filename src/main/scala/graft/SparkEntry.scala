@@ -820,6 +820,16 @@ object SparkEntry {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** Quality-weighted sampling: per-row keep probability ∝ doc length
+    * (n_chars / 400, clamped) — the "sample good documents more" step of
+    * a curation mix, deterministic and oracle-portable.
+    */
+  private def qSampleWeighted(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.weightedHashSample(t(spark, sfDir, "documents"), "doc_id",
+      col("n_chars").cast("double") / lit(400.0))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
   /** Stratified variant: per-language rates (a training-mix domain
     * reweighting), default rate elsewhere.
     */
@@ -1028,6 +1038,7 @@ object SparkEntry {
       "text_repetition" -> wrap(qTextRepetition),
       "dedup_groups" -> wrap(qDedupGroups),
       "sample_hash" -> wrap(qSampleHash),
+      "sample_weighted" -> wrap(qSampleWeighted),
       "sample_stratified" -> wrap(qSampleStratified),
       "mix_interleave" -> wrap(qMixInterleave),
       "multimodal_features" -> wrap(qMultimodal),
@@ -1158,6 +1169,14 @@ object SparkEntry {
       import graft.operators.Sampling.{A, B, P}
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ((doc_id % $P) * $A + $B) % $P < ${(0.1 * P).toLong}
+         |ORDER BY doc_id""".stripMargin
+    },
+    "sample_weighted" -> {
+      import graft.operators.Sampling.{A, B, P}
+      // same congruential bucket; per-row threshold = floor(clamp(n_chars/400)·P)
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ((doc_id % $P) * $A + $B) % $P <
+         |  CAST(floor(least(greatest(CAST(n_chars AS DOUBLE) / 400.0, 0.0), 1.0) * ${P.toDouble}) AS BIGINT)
          |ORDER BY doc_id""".stripMargin
     },
     "sample_stratified" -> {

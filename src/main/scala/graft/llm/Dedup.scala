@@ -46,6 +46,48 @@ object Dedup {
     */
   private val SpanPosBase = 1L << 20
 
+  /** Line-level dedup (the C4 curation rule: a LINE occurring more than
+    * once across the corpus is kept only at its first occurrence —
+    * boilerplate headers/footers/navigation collapse corpus-wide).
+    * Canonical occurrence = min (id, line-pos), same packed-key scheme as
+    * [[dedupSpans]]. Blank/whitespace-only lines are structure, not
+    * content: never deduplicated. Returns (id, clean_text, n_removed)
+    * for every input row; same linear no-self-join dataflow as
+    * [[dedupSpans]] with the line as the unit (one aggregation on line
+    * text + one occurrence join + ordered rebuild).
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).cast("long").as("id"), split(col(textCol), "\n").as("ls"))
+      .localCheckpoint()
+    val posKey = col("id") * SpanPosBase + col("pos")
+    val lines = toks
+      .select(col("id"), posexplode(col("ls")))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("line"))
+    val content = lines.filter(trim(col("line")) =!= "")
+    val dup = content
+      .groupBy("line")
+      .agg(count(lit(1)).as("c"), min(posKey).as("canon"))
+      .filter(col("c") >= 2)
+      .select("line", "canon")
+    val removable = content.join(dup, "line").filter(posKey =!= col("canon"))
+      .select("id", "pos")
+    val rebuilt = lines
+      .join(removable, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    toks
+      .select(col("id"), size(col("ls")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Span-level dedup (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better", ACL 2022 — the EXACTSUBSTR variant
     * approximated at token granularity): any `n`-token span occurring

@@ -62,6 +62,24 @@ object Sampling {
       (row_number().over(w) - 1).cast("double") / weightExpr)
   }
 
+  /** Quality-weighted variant: per-ROW keep probability from a column
+    * (e.g. a quality score — the "sample good documents more" step of a
+    * curation mix). `prob` is clamped to [0, 1]; NULL probabilities drop
+    * the row (an unscored doc is not silently kept). Same portable
+    * congruential bucket, so the exact selection reproduces in any SQL
+    * engine; still a pure map-side filter.
+    */
+  def weightedHashSample(
+      df: DataFrame,
+      keyCol: String,
+      prob: Column,
+      seed: Long = 0L
+  ): DataFrame = {
+    val clamped = least(greatest(prob.cast("double"), lit(0.0)), lit(1.0))
+    // floor() the per-row threshold so engine/oracle agree on boundaries
+    df.filter(hashBucket(col(keyCol), seed) < floor(clamped * lit(P.toDouble)).cast("long"))
+  }
+
   /** Stratified variant: per-stratum rates (e.g. per source/language
     * domain weights in a training mix), `defaultRate` elsewhere. The rate
     * lookup is a codegen'd CASE over the (small) strata map.

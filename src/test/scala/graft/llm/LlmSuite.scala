@@ -223,6 +223,26 @@ class DedupSuite extends AnyFunSuite {
     assert(got3.toSeq === Seq((0L, "a b", 0L), (1L, "", 0L), (2L, "a b c d", 0L), (3L, "", 4L)))
   }
 
+  test("dedupLines removes corpus-wide duplicated lines except the first occurrence") {
+    // the C4 boilerplate rule: the shared header/footer lines survive only
+    // in d0 (first occurrence); blank lines are structure and never dedup
+    val docs = Seq(
+      (0L, "SITE HEADER\nreal content zero\n\nSITE FOOTER"),
+      (1L, "SITE HEADER\nreal content one\nSITE FOOTER"),
+      (2L, "all original\n\nlines here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got(0) === ((0L, "SITE HEADER\nreal content zero\n\nSITE FOOTER", 0L)))
+    assert(got(1) === ((1L, "real content one", 2L)))
+    assert(got(2) === ((2L, "all original\n\nlines here", 0L)))
+    // a doc that is ONLY boilerplate comes back empty, not absent
+    val all = Seq((0L, "x\ny"), (9L, "x\ny")).toDF("doc_id", "text")
+    val got2 = Dedup.dedupLines(all, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got2.toSeq === Seq((0L, "x\ny", 0L), (9L, "", 2L)))
+  }
+
   test("star contraction agrees with union-find on a 500-node random graph") {
     val rnd = new scala.util.Random(11)
     val n = 500
@@ -278,6 +298,27 @@ class TextOpsSuite extends AnyFunSuite {
       .toSet
     assert(s1 === expect) // engine-portable formula
     assert(math.abs(s1.size - 1000) < 200, s"sample size ${s1.size} far from rate")
+  }
+
+  test("weighted sampling keeps each row at its own clamped probability") {
+    // prob 0 never keeps, prob >= 1 always keeps, nulls drop; mid-range
+    // reproduces the portable arithmetic exactly
+    val df = spark.range(10000).select(col("id"),
+      (col("id") % 4).cast("double").as("quarter"))
+    val out = Sampling.weightedHashSample(df, "id", col("quarter") / 2.0)
+      .select("id").as[Long].collect().toSet
+    val expect = (0L until 10000L).filter { id =>
+      val p = math.min(1.0, math.max(0.0, (id % 4).toDouble / 2.0))
+      ((id % Sampling.P) * Sampling.A + Sampling.B) % Sampling.P <
+        math.floor(p * Sampling.P.toDouble).toLong
+    }.toSet
+    assert(out === expect)
+    assert((0L until 10000L).filter(_ % 4 == 0).forall(id => !out.contains(id)), "p=0 kept a row")
+    assert((0L until 10000L).filter(_ % 4 >= 2).forall(out.contains), "p>=1 dropped a row")
+    // null probability drops the row rather than keeping it unscored
+    val withNull = Seq((1L, Some(1.0)), (2L, None)).toDF("id", "p")
+    assert(Sampling.weightedHashSample(withNull, "id", col("p"))
+      .select("id").as[Long].collect().toSeq === Seq(1L))
   }
 
   test("stratified sampling applies per-stratum rates") {
