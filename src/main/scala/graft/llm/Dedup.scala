@@ -46,46 +46,70 @@ object Dedup {
     */
   private val SpanPosBase = 1L << 20
 
+  /** Shared scaffold for positional-unit dedup ([[dedupSpans]],
+    * [[dedupLines]]): given the per-doc unit arrays and the stream of
+    * dedup-CANDIDATE occurrences (id, pos, g), find units duplicated
+    * corpus-wide, keep only the canonical = min packed (id, pos)
+    * occurrence, drop the `expand` unit positions each removed occurrence
+    * covers, and rebuild documents from the survivors joined with `sep`.
+    * One hash aggregation + one occurrence join + ordered rebuild — no
+    * self-join, so a unit repeated k times costs k rows, never k².
+    */
+  private def dedupPositionalUnits(
+      toks: DataFrame, // (id: long, us: array<string>) — materialized by caller
+      occ: DataFrame, // (id, pos, g) candidate occurrences, pos 1-based
+      expand: Int,
+      sep: String
+  ): DataFrame = {
+    val posKey = col("id") * SpanPosBase + col("pos")
+    val dup = occ
+      .groupBy("g")
+      .agg(count(lit(1)).as("c"), min(posKey).as("canon"))
+      .filter(col("c") >= 2)
+      .select("g", "canon")
+    val removable = occ.join(dup, "g").filter(posKey =!= col("canon"))
+    val covered = removable
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (expand - 1))).as("t"))
+      .distinct()
+    val unit = toks
+      .select(col("id"), posexplode(col("us")))
+      .select(col("id"), (col("pos") + 1).as("t"), col("col").as("w"))
+    val rebuilt = unit
+      .join(covered, Seq("id", "t"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("t"), col("w")))),
+            s => s.getField("w")), sep).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    toks
+      .select(col("id"), size(col("us")).cast("long").as("n_units"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_units") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Line-level dedup (the C4 curation rule: a LINE occurring more than
     * once across the corpus is kept only at its first occurrence —
     * boilerplate headers/footers/navigation collapse corpus-wide).
     * Canonical occurrence = min (id, line-pos), same packed-key scheme as
-    * [[dedupSpans]]. Blank/whitespace-only lines are structure, not
-    * content: never deduplicated. Returns (id, clean_text, n_removed)
-    * for every input row; same linear no-self-join dataflow as
-    * [[dedupSpans]] with the line as the unit (one aggregation on line
-    * text + one occurrence join + ordered rebuild).
+    * [[dedupSpans]]. Lines split on `\r?\n` (CRLF corpora match their LF
+    * twins; output joins with `\n`); whitespace-only lines (ASCII `\s`,
+    * the engine-wide contract) are structure, not content: never
+    * deduplicated. Null text = empty doc. Returns (id, clean_text,
+    * n_removed) for every input row.
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df
-      .select(col(idCol).cast("long").as("id"), split(col(textCol), "\n").as("ls"))
+      .select(col(idCol).cast("long").as("id"),
+        split(coalesce(col(textCol), lit("")), "\r?\n").as("us"))
       .localCheckpoint()
-    val posKey = col("id") * SpanPosBase + col("pos")
-    val lines = toks
-      .select(col("id"), posexplode(col("ls")))
-      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("line"))
-    val content = lines.filter(trim(col("line")) =!= "")
-    val dup = content
-      .groupBy("line")
-      .agg(count(lit(1)).as("c"), min(posKey).as("canon"))
-      .filter(col("c") >= 2)
-      .select("line", "canon")
-    val removable = content.join(dup, "line").filter(posKey =!= col("canon"))
-      .select("id", "pos")
-    val rebuilt = lines
-      .join(removable, Seq("id", "pos"), "left_anti")
-      .groupBy("id")
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-            s => s.getField("line")), "\n").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    toks
-      .select(col("id"), size(col("ls")).cast("long").as("n_lines"))
-      .join(rebuilt, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    val content = toks
+      .select(col("id"), posexplode(col("us")))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("g"))
+      .filter(col("g").rlike("\\S"))
+    dedupPositionalUnits(toks, content, expand = 1, sep = "\n")
   }
 
   /** Span-level dedup (Lee et al., "Deduplicating Training Data Makes
@@ -112,12 +136,12 @@ object Dedup {
   def dedupSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n > 1, "span length must be at least 2 tokens")
     // tokenized docs, materialized once (feeds occurrences AND rebuild);
-    // same tokenizer as every other text op (whitespace contract)
+    // same tokenizer as every other text op (whitespace contract); null
+    // text = empty doc
     val toks = df
       .select(col(idCol).cast("long").as("id"),
-        TextAnalysis.tokens(col(textCol)).as("ws"))
+        TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("us"))
       .localCheckpoint()
-    val posKey = col("id") * SpanPosBase + col("pos")
     // positional n-gram occurrences, pos is 1-based. A doc with fewer
     // than n tokens emits NO occurrence (the CASE guard matters:
     // sequence(1, 0) is the DESCENDING [1, 0], not empty, and slice at 0
@@ -127,37 +151,11 @@ object Dedup {
     // consumers is cheaper than writing an n×-corpus intermediate.
     val occ = toks
       .select(col("id"), posexplode(expr(
-        s"CASE WHEN size(ws) >= $n THEN " +
-          s"transform(sequence(1, size(ws) - ${n - 1}), i -> array_join(slice(ws, i, $n), ' ')) " +
+        s"CASE WHEN size(us) >= $n THEN " +
+          s"transform(sequence(1, size(us) - ${n - 1}), i -> array_join(slice(us, i, $n), ' ')) " +
           "ELSE CAST(array() AS array<string>) END")))
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("g"))
-    // duplicated spans + canonical occurrence in one aggregation
-    val dup = occ
-      .groupBy("g")
-      .agg(count(lit(1)).as("c"), min(posKey).as("canon"))
-      .filter(col("c") >= 2)
-      .select("g", "canon")
-    val removable = occ.join(dup, "g").filter(posKey =!= col("canon"))
-    val covered = removable
-      .select(col("id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("t"))
-      .distinct()
-    val tok = toks
-      .select(col("id"), posexplode(col("ws")))
-      .select(col("id"), (col("pos") + 1).as("t"), col("col").as("w"))
-    val rebuilt = tok
-      .join(covered, Seq("id", "t"), "left_anti")
-      .groupBy("id")
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("t"), col("w")))),
-            s => s.getField("w")), " ").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    toks
-      .select(col("id"), size(col("ws")).cast("long").as("n_toks"))
-      .join(rebuilt, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    dedupPositionalUnits(toks, occ, expand = n, sep = " ")
   }
 
   /** Exact n-gram Jaccard similarity pairs via a shingle inverted index:

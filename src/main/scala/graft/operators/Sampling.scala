@@ -64,10 +64,12 @@ object Sampling {
 
   /** Quality-weighted variant: per-ROW keep probability from a column
     * (e.g. a quality score — the "sample good documents more" step of a
-    * curation mix). `prob` is clamped to [0, 1]; NULL probabilities drop
-    * the row (an unscored doc is not silently kept). Same portable
-    * congruential bucket, so the exact selection reproduces in any SQL
-    * engine; still a pure map-side filter.
+    * curation mix). `prob` is clamped to [0, 1]; NULL and NaN
+    * probabilities drop the row (an unscorable doc is not silently kept
+    * — Spark's ordering would otherwise clamp NaN to 1.0 and keep every
+    * corrupt-scored row with certainty). Same portable congruential
+    * bucket, so the exact selection reproduces in any SQL engine; still
+    * a pure map-side filter.
     */
   def weightedHashSample(
       df: DataFrame,
@@ -75,7 +77,9 @@ object Sampling {
       prob: Column,
       seed: Long = 0L
   ): DataFrame = {
-    val clamped = least(greatest(prob.cast("double"), lit(0.0)), lit(1.0))
+    val p = prob.cast("double")
+    val clamped = when(isnan(p), lit(0.0))
+      .otherwise(least(greatest(p, lit(0.0)), lit(1.0)))
     // floor() the per-row threshold so engine/oracle agree on boundaries
     df.filter(hashBucket(col(keyCol), seed) < floor(clamped * lit(P.toDouble)).cast("long"))
   }

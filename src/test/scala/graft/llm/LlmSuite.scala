@@ -217,10 +217,12 @@ class DedupSuite extends AnyFunSuite {
     // docs SHORTER than the span length (incl. empty) pass through
     // untouched — they can emit no occurrence (regression: sequence(1,0)
     // is [1,0] descending, not empty)
-    val short = Seq((0L, "a b"), (1L, ""), (2L, "a b c d"), (3L, "a b c d")).toDF("doc_id", "text")
+    val short = Seq((0L, "a b"), (1L, ""), (2L, "a b c d"), (3L, "a b c d"), (4L, null))
+      .toDF("doc_id", "text")
     val got3 = Dedup.dedupSpans(short, "doc_id", "text", n = 3)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
-    assert(got3.toSeq === Seq((0L, "a b", 0L), (1L, "", 0L), (2L, "a b c d", 0L), (3L, "", 4L)))
+    assert(got3.toSeq === Seq((0L, "a b", 0L), (1L, "", 0L), (2L, "a b c d", 0L),
+      (3L, "", 4L), (4L, "", 0L)))
   }
 
   test("dedupLines removes corpus-wide duplicated lines except the first occurrence") {
@@ -241,6 +243,19 @@ class DedupSuite extends AnyFunSuite {
     val got2 = Dedup.dedupLines(all, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
     assert(got2.toSeq === Seq((0L, "x\ny", 0L), (9L, "", 2L)))
+    // CRLF lines match their LF twins; tab-only lines are structure (never
+    // dedup'd); null text = empty doc with n_removed 0, never -1
+    val mixed = Seq(
+      (0L, Some("HEAD\nbody zero\n\t")),
+      (1L, Some("HEAD\r\nbody one\r\n\t")),
+      (2L, None)
+    ).toDF("doc_id", "text")
+    val got3 = Dedup.dedupLines(mixed, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got3.toSeq === Seq(
+      (0L, "HEAD\nbody zero\n\t", 0L),
+      (1L, "body one\n\t", 1L),
+      (2L, "", 0L)))
   }
 
   test("star contraction agrees with union-find on a 500-node random graph") {
@@ -315,8 +330,9 @@ class TextOpsSuite extends AnyFunSuite {
     assert(out === expect)
     assert((0L until 10000L).filter(_ % 4 == 0).forall(id => !out.contains(id)), "p=0 kept a row")
     assert((0L until 10000L).filter(_ % 4 >= 2).forall(out.contains), "p>=1 dropped a row")
-    // null probability drops the row rather than keeping it unscored
-    val withNull = Seq((1L, Some(1.0)), (2L, None)).toDF("id", "p")
+    // null and NaN probabilities drop the row rather than keeping it
+    // unscored (Spark orders NaN above 1.0, so a naive clamp keeps it)
+    val withNull = Seq((1L, Some(1.0)), (2L, None), (3L, Some(Double.NaN))).toDF("id", "p")
     assert(Sampling.weightedHashSample(withNull, "id", col("p"))
       .select("id").as[Long].collect().toSeq === Seq(1L))
   }
