@@ -723,6 +723,21 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Line-level dedup (C4 boilerplate rule) exercised on derived
+    * multi-line docs (the corpus itself is single-line): every doc gains
+    * a corpus-wide shared FOOTER line and a per-language line, so the
+    * footer survives only in the globally-first doc and each language
+    * line only in that language's first doc — same synthetic-derivation
+    * pattern as `text_redact_pii`.
+    */
+  private def qDedupLines(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents").select(col("doc_id"),
+      concat(col("text"), lit("\nSHARED FOOTER line\n"), col("lang")).as("text"))
+    Dedup.dedupLines(docs, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Brute-force top-5 cosine KNN for the first 8 vectors. */
   private def qKnnBrute(spark: SparkSession, sfDir: String): DataFrame = {
     val e = t(spark, sfDir, "embeddings")
@@ -1022,6 +1037,7 @@ object SparkEntry {
       "dedup_embedding" -> wrap(qDedupEmbedding),
       "dedup_embedding_lsh" -> wrap(qDedupEmbeddingLsh),
       "dedup_spans" -> wrap(qDedupSpans),
+      "dedup_lines" -> wrap(qDedupLines),
       "knn_brute" -> wrap(qKnnBrute),
       "knn_ivf" -> wrap(qKnnIvf),
       "knn_ivf_full" -> wrap(qKnnIvfFull),
@@ -1454,6 +1470,33 @@ object SparkEntry {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    // C4 line rule on derived multi-line docs: canonical occurrence =
+    // min packed (doc_id * 2^20 + pos); whitespace-only lines exempt.
+    "dedup_lines" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text || chr(10) || 'SHARED FOOTER line' || chr(10) || lang AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split_regex(text, '\r?\n') AS ls FROM docs),
+        |lines AS (
+        |  SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, unnest(ls) AS line FROM toks),
+        |content AS (SELECT * FROM lines WHERE regexp_matches(line, '\S')),
+        |dup AS (
+        |  SELECT line, min(doc_id * 1048576 + pos) AS canon
+        |  FROM content GROUP BY line HAVING count(*) >= 2),
+        |removable AS (
+        |  SELECT c.doc_id, c.pos FROM content c JOIN dup d USING (line)
+        |  WHERE c.doc_id * 1048576 + c.pos <> d.canon),
+        |kept AS (
+        |  SELECT l.doc_id, l.pos, l.line FROM lines l
+        |  LEFT JOIN removable r ON r.doc_id = l.doc_id AND r.pos = l.pos
+        |  WHERE r.pos IS NULL),
+        |reb AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |         count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |       CAST(len(t.ls) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM toks t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""".stripMargin,
     // Lee et al. EXACTSUBSTR at token granularity: canonical occurrence =
     // min packed (doc_id * 2^20 + pos); parallel unnests zip positionally.
     "dedup_spans" ->
