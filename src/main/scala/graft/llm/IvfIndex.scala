@@ -1,0 +1,92 @@
+package graft.llm
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index — the cluster-grade form of [[Similarity.ivfKnn]]'s
+  * in-session index (whose `localCheckpoint` materialization is
+  * executor-local and not fault-tolerant; see DESIGN.md §2).
+  *
+  * Layout under `dir`:
+  * {{{
+  *   centroids.parquet/        (c_id, c_vec)            — nCells rows
+  *   assignments.parquet/      (n_id, n_vec) PARTITIONED BY c_id
+  * }}}
+  *
+  * The assignment table is hive-partitioned by cell id, so a query that
+  * probes `nProbe` of `nCells` cells reads ONLY those cells' files —
+  * Spark's partition pruning (`PartitionFilters: c_id IN (...)`) skips
+  * the rest at planning time, the same I/O story a FAISS IVF list layout
+  * gives a single node. Build once per corpus version, query many times;
+  * at 100 TB the build is one training pass (driver-held centroids, one
+  * shuffle per Lloyd iteration) plus one partitioned write.
+  */
+object IvfIndex {
+
+  /** Train the coarse quantizer on `corpus` and persist centroids +
+    * cell-partitioned normalized assignments under `dir`.
+    * Returns the number of cells actually written (≤ `nCells`; empty
+    * corpora produce an empty index).
+    */
+  def build(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      nCells: Int = 16,
+      kmeansIters: Int = 2
+  ): Int = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus
+      .select(col(idCol).cast("long").as("n_id"), Similarity.normalize(col(vecCol)).as("n_vec"))
+      .localCheckpoint() // training scans it repeatedly; the WRITE below is its durable form
+    val dim = Similarity.detectDim(c)
+    val cents = Similarity.trainCentroids(c, nCells, kmeansIters, dim)
+    Files.createDirectories(Paths.get(dir))
+    cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("c_id", "c_vec")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    if (cents.nonEmpty) {
+      c.withColumn("c_id", Similarity.nearestCentroid(col("n_vec"), cents).getField("c_id"))
+        .select("n_id", "n_vec", "c_id")
+        // cluster rows by cell so each cell's files hold only that cell
+        .repartition(col("c_id"))
+        .write.mode("overwrite").partitionBy("c_id").parquet(s"$dir/assignments.parquet")
+    }
+    cents.length
+  }
+
+  /** Top-k cosine ANN against a persisted index. Probed-cell routing
+    * happens on the (tiny, collected) centroid table; the assignment scan
+    * carries a `c_id IN (probed cells)` partition filter, so only the
+    * probed cells' files are ever opened.
+    */
+  def query(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+      .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
+      .sortBy(_._1)
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rank", "n_id", "cosine")
+    val probes = Similarity.probeCells(queries, idCol, vecCol, cents, nProbe)
+      .localCheckpoint() // evaluated twice: cell-set collect + the scan join
+    // the probed-cell union is query-count × nProbe small — collect it so
+    // the assignment scan prunes partitions with a LITERAL IN filter
+    val cellSet = probes.select("c_id").distinct().as[Long].collect().toSeq
+    val assigned = spark.read.parquet(s"$dir/assignments.parquet")
+      .filter(col("c_id").isin(cellSet: _*))
+    Similarity.scanProbed(assigned, probes, k)
+  }
+}

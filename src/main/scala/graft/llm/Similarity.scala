@@ -127,7 +127,7 @@ object Similarity {
     * the whole corpus by row id just to rank ≤ nCells candidates — this
     * form is shuffle-free and stays inside whole-stage codegen.
     */
-  private def nearestCentroid(vec: Column, cents: Array[(Long, Array[Double])]): Column = {
+  private[llm] def nearestCentroid(vec: Column, cents: Array[(Long, Array[Double])]): Column = {
     val entries = cents.map { case (id, v) =>
       struct(graft.functions.VectorOps.array_dot(vec, lit(v)).as("c_sim"),
         lit(-id).as("negc"))
@@ -149,6 +149,79 @@ object Similarity {
     * Refinement happens once per index build; at cluster scale the
     * assignment table would be the persisted IVF index.
     */
+  /** Train the coarse quantizer: [[seedCentroids]] then `kmeansIters`
+    * Lloyd refinements — assignment is the shuffle-free
+    * [[nearestCentroid]] argmax, so each iteration costs ONE shuffle (the
+    * partial-aggregated per-cell mean). `c` must carry (n_id, n_vec) with
+    * n_vec normalized, materialized by the caller (it is scanned by
+    * seeding plus each iteration).
+    */
+  private[llm] def trainCentroids(
+      c: DataFrame,
+      nCells: Int,
+      kmeansIters: Int,
+      dim: Int
+  ): Array[(Long, Array[Double])] = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    var cents = seedCentroids(c, nCells)
+    if (cents.isEmpty) return cents
+    for (_ <- 0 until kmeansIters) {
+      // per-cell spherical mean (dim column averages)
+      cents = c
+        .withColumn("c_id", nearestCentroid(col("n_vec"), cents).getField("c_id"))
+        .groupBy("c_id")
+        .agg(array((0 until dim).map(i => avg(col("n_vec").getItem(i))): _*).as("m"))
+        .select(col("c_id"), normalize(col("m")).as("c_vec"))
+        .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
+        .sortBy(_._1)
+    }
+    cents
+  }
+
+  /** Embedding width of (n_id, n_vec)-shaped `c`; 64 on an empty corpus. */
+  private[llm] def detectDim(c: DataFrame): Int =
+    c.select(size(col("n_vec"))).take(1) match {
+      case Array(r) if !r.isNullAt(0) => math.max(1, r.getInt(0))
+      case _                          => 64
+    }
+
+  /** Route each query to its `nProbe` nearest cells (query side is tiny;
+    * centroids broadcast). Returns (q_id, q_vec, c_id).
+    */
+  private[llm] def probeCells(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[(Long, Array[Double])],
+      nProbe: Int
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cb = broadcast(cents.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("c_id", "c_vec"))
+    val q = queries.select(col(idCol).as("q_id"), normalize(col(vecCol)).as("q_vec"))
+    val probeW = Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("c_id"))
+    q.crossJoin(cb)
+      .withColumn("c_sim", dot(col("q_vec"), col("c_vec")))
+      .withColumn("c_rank", row_number().over(probeW))
+      .filter(col("c_rank") <= nProbe)
+      .select("q_id", "q_vec", "c_id")
+  }
+
+  /** Top-k scan over the probed cells of an assigned corpus
+    * (n_id, n_vec, c_id). Same output shape as [[bruteForceKnn]].
+    */
+  private[llm] def scanProbed(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    assigned
+      .join(broadcast(probes), "c_id")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", dot(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cosine")
+  }
+
   def ivfKnn(
       corpus: DataFrame,
       queries: DataFrame,
@@ -166,51 +239,16 @@ object Similarity {
     import spark.implicits._
     val c0 = corpus.select(col(idCol).as("n_id"), normalize(col(vecCol)).as("n_vec"))
     val c = c0.localCheckpoint() // scanned by seeding, each Lloyd pass, and assignment
-    val dim =
-      if (dim0 > 0) dim0
-      else c.select(size(col("n_vec"))).take(1) match {
-        case Array(r) if !r.isNullAt(0) => math.max(1, r.getInt(0))
-        case _                          => 64
-      }
-    var cents = seedCentroids(c, nCells)
+    val dim = if (dim0 > 0) dim0 else detectDim(c)
+    val cents = trainCentroids(c, nCells, kmeansIters, dim)
     if (cents.isEmpty)
       return Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rank", "n_id", "cosine")
-    for (_ <- 0 until kmeansIters) {
-      // assign via the shuffle-free argmax expression, then per-cell
-      // spherical mean (dim column averages — ONE shuffle per iteration,
-      // the partial-aggregated groupBy, nothing else)
-      cents = c
-        .withColumn("c_id", nearestCentroid(col("n_vec"), cents).getField("c_id"))
-        .groupBy("c_id")
-        .agg(array((0 until dim).map(i => avg(col("n_vec").getItem(i))): _*).as("m"))
-        .select(col("c_id"), normalize(col("m")).as("c_vec"))
-        .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
-        .sortBy(_._1)
-    }
 
     // final corpus assignment — shuffle-free, whole-stage codegen
     val assigned = c
       .withColumn("c_id", nearestCentroid(col("n_vec"), cents).getField("c_id"))
       .select("n_id", "n_vec", "c_id")
 
-    // route each query to its nProbe nearest cells (query side is tiny)
-    val cb = broadcast(cents.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("c_id", "c_vec"))
-    val q = queries.select(col(idCol).as("q_id"), normalize(col(vecCol)).as("q_vec"))
-    val probeW = Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("c_id"))
-    val probes = q.crossJoin(cb)
-      .withColumn("c_sim", dot(col("q_vec"), col("c_vec")))
-      .withColumn("c_rank", row_number().over(probeW))
-      .filter(col("c_rank") <= nProbe)
-      .select("q_id", "q_vec", "c_id")
-
-    // scan only the probed cells
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
-    assigned
-      .join(broadcast(probes), "c_id")
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cosine", dot(col("q_vec"), col("n_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "n_id", "cosine")
+    scanProbed(assigned, probeCells(queries, idCol, vecCol, cents, nProbe), k)
   }
 }

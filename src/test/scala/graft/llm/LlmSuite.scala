@@ -447,6 +447,42 @@ class SimilaritySuite extends AnyFunSuite {
       "vec_id", "embedding", 5, nCells = 4, nProbe = 2, kmeansIters = 2)
     assert(got.count() === 0)
   }
+
+  test("persisted IVF index reproduces the in-session index exactly and prunes cells") {
+    val dir = graft.TestSpark.freshDir("ivf-index")
+    val written = IvfIndex.build(emb, "vec_id", "embedding", dir, nCells = 16, kmeansIters = 2)
+    assert(written === 16)
+    val queries = emb.filter(col("vec_id") < 8)
+    // identical deterministic training (same seeds, same Lloyd) ⇒ the
+    // persisted index answers EXACTLY like the in-session one, partial
+    // probe included
+    val fromIndex = IvfIndex.query(spark, dir, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().sorted.toSeq
+    val inSession = Similarity.ivfKnn(emb, queries, "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 4, kmeansIters = 2)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(fromIndex === inSession)
+    // full probe ≡ brute force, through the persisted path
+    val full = IvfIndex.query(spark, dir, queries, "vec_id", "embedding", k = 5, nProbe = 16)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().sorted.toSeq
+    val brute = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(full === brute)
+    // the probed scan must carry a c_id partition filter — only probed
+    // cells' files are opened (the I/O point of the IVF layout)
+    val plan = IvfIndex.query(spark, dir, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("c_id"),
+      s"assignment scan does not prune cells:\n$plan")
+  }
+
+  test("empty persisted IVF index answers empty, not crashing") {
+    val dir = graft.TestSpark.freshDir("ivf-index-empty")
+    val written = IvfIndex.build(emb.filter(col("vec_id") < 0), "vec_id", "embedding", dir)
+    assert(written === 0)
+    assert(IvfIndex.query(spark, dir, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 5, nProbe = 4).count() === 0)
+  }
 }
 
 class MultimodalSuite extends AnyFunSuite {
