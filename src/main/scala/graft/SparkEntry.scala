@@ -200,7 +200,7 @@ object SparkEntry {
     Ingest.run(spark, ev.filter(col("event_id") > maxId / 2), 1L, cfg)
     val table = IceTable.load(s"$wh/events_c")
     table.compact(spark)
-    table.gc()
+    table.gc(olderThanMs = 0L) // single-process demo: no concurrent writer can be mid-stage
     table.read(spark).select("event_id", "user_id", "value").orderBy("event_id")
   }
 
@@ -218,7 +218,7 @@ object SparkEntry {
     }
     val table = IceTable.load(s"$wh/events_b")
     table.compactSmallFiles(spark, targetFileBytes = 128L << 20)
-    table.gc()
+    table.gc(olderThanMs = 0L) // single-process demo: no concurrent writer can be mid-stage
     table.read(spark).select("event_id", "user_id", "value").orderBy("event_id")
   }
 

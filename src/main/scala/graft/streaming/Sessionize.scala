@@ -15,36 +15,70 @@ final case class Session(user_id: Long, session_id: Long, start_us: Long, end_us
   * the batch operator ([[graft.operators.Sessionize]]); a session is
   * EMITTED when a later event closes it (the still-open session stays in
   * state for the next batch).
+  *
+  * Two streaming-only rules keep state sane at scale:
+  *  - **Idle flush**: a key silent for `idleTimeoutMs` of processing time
+  *    has its open session emitted and its state REMOVED — without it,
+  *    one-off keys (a long-tail of single-visit users) accumulate state
+  *    forever and the final session of every key is never emitted.
+  *  - **Late-event clamp**: each batch sorts its own events, but an event
+  *    arriving in a LATER batch with an older timestamp than the open
+  *    session's `last` merges into that session (count only, `last`
+  *    never moves backwards). A backward-moving `last` would emit
+  *    sessions with end < start and mis-split on the next gap check.
+  *    (The batch operator sorts globally and has neither concern.)
   */
 object Sessionize {
 
-  def update(gapUs: Long)(
+  def update(gapUs: Long, idleTimeoutMs: Long)(
       user: Long,
       it: Iterator[(Long, Long)],
       state: GroupState[SessionState]
   ): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      // idle key: flush the open session, drop the state entry
+      val out = state.getOption
+        .filter(_.n > 0)
+        .map(st => Session(user, st.sid, st.start, st.last, st.n))
+        .iterator
+      state.remove()
+      return out
+    }
     val ts = it.map(_._2).toArray.sorted
     if (ts.isEmpty) return Iterator.empty
     val out = scala.collection.mutable.Buffer[Session]()
     var st = state.getOption.getOrElse(SessionState(0L, ts.head, ts.head, 0L))
     ts.foreach { t =>
       if (st.n == 0L) st = SessionState(st.sid, t, t, 1L)
+      else if (t <= st.last) st = st.copy(n = st.n + 1L) // late arrival: merge, never move back
       else if (t - st.last > gapUs) {
         out += Session(user, st.sid, st.start, st.last, st.n)
         st = SessionState(st.sid + 1L, t, t, 1L)
       } else st = st.copy(last = t, n = st.n + 1L)
     }
     state.update(st)
+    if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
     out.iterator
   }
 
-  /** `ds` = (key, event-time micros). Emits sessions as they close. */
+  /** `ds` = (key, event-time micros). Emits sessions as they close, plus
+    * an idle flush per key after `idleTimeoutMs` without events
+    * (processing time; 0 disables the flush AND state expiry — only for
+    * bounded test streams). With a timeout registered the engine runs
+    * no-data batches to fire expirations, so pair it with a trigger
+    * interval (`Trigger.ProcessingTime`) — an untriggered query would
+    * busy-loop those batches.
+    */
   def stream(
       ds: Dataset[(Long, Long)],
-      gapUs: Long = graft.operators.Sessionize.DefaultGapUs
+      gapUs: Long = graft.operators.Sessionize.DefaultGapUs,
+      idleTimeoutMs: Long = graft.operators.Sessionize.DefaultGapUs / 1000L
   ): Dataset[Session] = {
     import ds.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     ds.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(update(gapUs))
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(update(gapUs, idleTimeoutMs))
   }
 }

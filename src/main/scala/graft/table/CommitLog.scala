@@ -1,6 +1,6 @@
 package graft.table
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
@@ -86,8 +86,11 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
   private def commitPath(seq: Long): Path = root.resolve(f"v$seq%09d.json")
   private def ckptPath(seq: Long): Path = root.resolve(f"ckpt-v$seq%09d.json")
 
-  private def listNames(): Seq[String] =
-    Files.list(root).iterator().asScala.map(_.getFileName.toString).toSeq
+  private def listNames(): Seq[String] = {
+    val listing = Files.list(root) // close explicitly: an unclosed stream
+    try listing.iterator().asScala.map(_.getFileName.toString).toSeq // leaks one fd per commit
+    finally listing.close()
+  }
 
   private def seqOf(name: String, prefix: String): Long =
     name.stripPrefix(prefix).stripPrefix("v").stripSuffix(".json").toLong
@@ -109,7 +112,17 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
       .filter(seqOf(_, "") > from)
       .sorted
       .map(n => mapper.readValue(Files.readAllBytes(root.resolve(n)), classOf[Commit]))
-    base ++ tail
+    // Replay-artifact self-heal: batch ids commit in strictly increasing
+    // order, so a LATER entry whose batchId does not exceed the running
+    // max is a zombie's duplicate that crashed between link and rollback
+    // (see commit()'s post-link verify) — readers drop it, and the next
+    // checkpoint consolidation erases it for good.
+    var maxBatch = Long.MinValue
+    (base ++ tail).filter { c =>
+      if (c.batchId < 0) true
+      else if (c.batchId > maxBatch) { maxBatch = c.batchId; true }
+      else false
+    }
   }
 
   /** Highest claimed seq, from directory names only (no file reads). */
@@ -150,6 +163,16 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
       try {
         Files.createLink(commitPath(seq), tmp)
         Files.deleteIfExists(tmp)
+        // Post-link zombie verify (K8): if another writer committed this
+        // batchId first, its seq is LOWER than ours and its link was
+        // already visible when we computed seq = lastSeq+1 — so scanning
+        // below our claim always detects the duplicate deterministically
+        // (lower seq wins, we roll back). The pre-link fence above is
+        // check-then-act; this check closes its race.
+        if (batchId >= 0 && commits().exists(c => c.seq < seq && c.batchId == batchId)) {
+          Files.deleteIfExists(commitPath(seq))
+          return None
+        }
         if (checkpointInterval > 0 && seq % checkpointInterval == 0) checkpoint(seq)
         return Some(entry)
       } catch {

@@ -1,6 +1,6 @@
 package graft.table
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -125,18 +125,36 @@ final class IceTable private[table] (
 
   private def schemaDir: Path = dir.resolve("_schemas")
 
-  def schemaVersions: Seq[(Int, StructType)] =
-    Files
-      .list(schemaDir)
-      .iterator()
-      .asScala
-      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
-      .toSeq
-      .sortBy(_.getFileName.toString)
-      .map { p =>
-        val v = p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toInt
-        v -> DataType.fromJson(new String(Files.readAllBytes(p), "UTF-8")).asInstanceOf[StructType]
-      }
+  /** Parsed-schema cache: version files are immutable once linked, so a
+    * version only ever needs one read+parse per table handle — a scan
+    * over k version groups otherwise re-parses the same JSON O(k²) times.
+    * The directory is still listed each call (cheap) so concurrently
+    * committed versions are picked up.
+    */
+  @volatile private var schemaCache: Map[Int, StructType] = Map.empty
+
+  def schemaVersions: Seq[(Int, StructType)] = {
+    val listing = Files.list(schemaDir)
+    val versions =
+      try listing
+        .iterator()
+        .asScala
+        .map(_.getFileName.toString)
+        .filter(_.matches("v\\d+\\.json"))
+        .map(_.stripPrefix("v").stripSuffix(".json").toInt)
+        .toSeq
+      finally listing.close()
+    val cached = schemaCache
+    val parsed = versions.map { v =>
+      v -> cached.getOrElse(v,
+        DataType.fromJson(new String(
+          Files.readAllBytes(schemaDir.resolve(s"v$v.json")), "UTF-8")).asInstanceOf[StructType])
+    }.toMap
+    if (parsed.size != cached.size) schemaCache = parsed
+    // sort by the PARSED version: a name sort puts v10 before v2 and
+    // permanently wedges evolution at the 10th version
+    parsed.toSeq.sortBy(_._1)
+  }
 
   def currentSchemaVersion: Int = schemaVersions.last._1
   def schema: StructType = schemaVersions.last._2
@@ -277,7 +295,13 @@ final class IceTable private[table] (
     val parts = groups.map { case ((ver, fmt), entries) =>
       val written = versionSchema(ver)
       val df = spark.read.schema(written).format(fmt).load(entries.map(_._1.path): _*)
-      val seqRows = entries.map { case (f, s) => Row(IceTable.normalizePath(f.path), s) }
+      // key by the URI-ENCODED path: input_file_name() returns the scan's
+      // URL-encoded file path (space → %20, % → %25, via Path.toUri), so
+      // the metadata side must encode the same way or the inner join
+      // silently drops every row of a file whose path needs encoding
+      val seqRows = entries.map { case (f, s) =>
+        Row(IceTable.normalizePath(new org.apache.hadoop.fs.Path(f.path).toUri.toString), s)
+      }
       val seqDf = spark.createDataFrame(
         spark.sparkContext.parallelize(seqRows, 1),
         StructType(Seq(
@@ -383,7 +407,10 @@ final class IceTable private[table] (
     }
     val small = planFiles(None, filePred =
       Some(f => f.bytes >= 0 && f.bytes < targetFileBytes))
-    if (small.size < minInputFiles) return 0
+    // isEmpty guard is separate from the minInputFiles threshold: a caller
+    // passing minInputFiles <= 0 must still no-op (readAligned on zero
+    // files would reduce over an empty group list)
+    if (small.isEmpty || small.size < minInputFiles) return 0
     val cur = schema
     val df = readAligned(spark, small, cur, v => schemaAt(v)).drop(IceTable.SEQ)
     val totalBytes = small.map(_._1.bytes).sum
@@ -400,12 +427,23 @@ final class IceTable private[table] (
     * travel past the last rewrite for space — Iceberg's
     * expire-snapshots/remove-orphans rolled into one for this format.
     * Returns the number of deleted files.
+    *
+    * `olderThanMs`: only unreferenced files at least this old are removed
+    * (Iceberg remove-orphans' older-than rule): a concurrent writer
+    * stages files BEFORE publishing its commit entry, so an age-less gc
+    * racing an in-flight write would delete freshly staged data. Pass 0
+    * only when no writer can be active (tests, single-process demos).
     */
-  def gc(): Int = {
+  def gc(olderThanMs: Long = IceTable.DefaultGcOrphanAgeMs): Int = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
     val branchDirs = {
       val root = dir.resolve("_commits")
       if (!Files.isDirectory(root)) Nil
-      else Files.list(root).iterator().asScala.filter(Files.isDirectory(_)).toSeq
+      else {
+        val listing = Files.list(root)
+        try listing.iterator().asScala.filter(Files.isDirectory(_)).toSeq
+        finally listing.close()
+      }
     }
     val live = branchDirs.flatMap { bd =>
       val commits = new CommitLog(bd).commits()
@@ -421,11 +459,17 @@ final class IceTable private[table] (
     for (sub <- Seq("data", "deletes")) {
       val root = dir.resolve(sub)
       if (Files.isDirectory(root)) {
-        Files.walk(root).iterator().asScala.toSeq.reverse.foreach { p =>
-          if (Files.isRegularFile(p) && !live.contains(IceTable.normalizePath(p.toString))) {
+        val walk = Files.walk(root)
+        val entries = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+        entries.foreach { p =>
+          if (Files.isRegularFile(p) && !live.contains(IceTable.normalizePath(p.toString)) &&
+              Files.getLastModifiedTime(p).toMillis <= cutoff) {
             Files.delete(p)
             removed += 1
-          } else if (Files.isDirectory(p) && !Files.list(p).iterator().hasNext) {
+          } else if (Files.isDirectory(p) && {
+              val listing = Files.list(p)
+              try !listing.iterator().hasNext finally listing.close()
+            }) {
             Files.delete(p)
           }
         }
@@ -437,6 +481,10 @@ final class IceTable private[table] (
 
 object IceTable {
   private[graft] val SEQ = "__graft_seq"
+
+  /** Default orphan age before [[IceTable.gc]] may delete an unreferenced
+    * file — covers the stage-then-publish window of any in-flight writer. */
+  private[graft] val DefaultGcOrphanAgeMs: Long = 10L * 60 * 1000
 
   /** Broadcast the equality-delete side only below this compressed size
     * (64 MB on disk ≈ a few hundred MB in memory across the columnar →

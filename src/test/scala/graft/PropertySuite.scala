@@ -135,12 +135,45 @@ object SessionizeProps extends Properties("sessionize") {
           GroupStateTimeout.NoTimeout, 0L,
           org.apache.spark.api.java.Optional.empty[Long](),
           hasTimedOut = false)
-        emitted ++= Sessionize.update(Gap)(1L, b.map(t => (1L, t)).iterator, gs)
+        emitted ++= Sessionize.update(Gap, 0L)(1L, b.map(t => (1L, t)).iterator, gs)
         if (gs.exists) state = Some(gs.get)
       }
       val open = state.filter(_.n > 0).map(s => (s.start, s.last, s.n)).toList
       val got = emitted.map(s => (s.start_us, s.end_us, s.events)).toList ++ open
       Prop(got == direct(ts)) :| s"got=$got expected=${direct(ts)} batches=$batches"
+    }
+
+  property("idle timeout flushes the open session and removes state") =
+    forAll(Gen.choose(0L, 100L), Gen.choose(1L, 20L)) { (start, n) =>
+      val gs = TestGroupState.create[SessionState](
+        org.apache.spark.api.java.Optional.of(SessionState(3L, start, start + n, n)),
+        GroupStateTimeout.ProcessingTimeTimeout, 0L,
+        org.apache.spark.api.java.Optional.empty[Long](),
+        hasTimedOut = true)
+      val out = Sessionize.update(Gap, 1000L)(7L, Iterator.empty, gs).toList
+      Prop(out == List(Session(7L, 3L, start, start + n, n)) && gs.isRemoved) :|
+        s"timeout flush wrong: $out removed=${gs.isRemoved}"
+    }
+
+  property("cross-batch late events never move the open session backwards") =
+    forAll(Gen.choose(0L, 50L)) { late =>
+      // batch 1 advances to t=100; batch 2 delivers a LATE event then an
+      // in-order one within the gap — the session must keep end >= 100,
+      // count the late arrival, and not split
+      var gs = TestGroupState.create[SessionState](
+        org.apache.spark.api.java.Optional.empty[SessionState](),
+        GroupStateTimeout.NoTimeout, 0L,
+        org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+      Sessionize.update(Gap, 0L)(1L, Iterator((1L, 100L)), gs)
+      val st1 = gs.get
+      gs = TestGroupState.create[SessionState](
+        org.apache.spark.api.java.Optional.of(st1),
+        GroupStateTimeout.NoTimeout, 0L,
+        org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+      val out = Sessionize.update(Gap, 0L)(1L, Iterator((1L, late), (1L, 105L)), gs).toList
+      val st = gs.get
+      Prop(out.isEmpty && st.start == 100L && st.last == 105L && st.n == 3L) :|
+        s"late=$late emitted=$out state=$st"
     }
 }
 

@@ -120,7 +120,11 @@ class StreamingSuite extends AnyFunSuite {
     val batch2 = Seq((1L, 55L * min), (1L, 60L * min), (2L, 20L * min))
     val ms = MemoryStream[(Long, Long)]
     val qn = "sessions_out"
-    val q = Sessionize.stream(ms.toDS())
+    // idleTimeoutMs = 0: a registered processing-time timeout makes the
+    // untriggered engine run no-data batches back-to-back, so
+    // processAllAvailable never quiesces (production streams pair the
+    // timeout with a trigger interval)
+    val q = Sessionize.stream(ms.toDS(), idleTimeoutMs = 0L)
       .writeStream.outputMode("append").format("memory").queryName(qn).start()
     try {
       ms.addData(batch1); q.processAllAvailable()

@@ -78,6 +78,65 @@ class IceTableSuite extends AnyFunSuite {
     assert(t.evolveTo(v2) === 2)
   }
 
+  test("schema evolution survives past version 10 (parsed-version ordering)") {
+    // a filename sort puts v10.json before v2.json: version 10 would wedge
+    // evolution forever (regression test for the lexicographic-sort bug)
+    val dir = TestSpark.freshDir("t-v10")
+    val t = IceTable.create(dir, StructType(Seq(StructField("id", LongType))), TableMeta())
+    (1 to 11).foreach { i =>
+      val s = StructType(StructField("id", LongType) +:
+        (1 to i).map(j => StructField(s"c$j", StringType)))
+      assert(t.evolveTo(s) === i + 1)
+    }
+    assert(t.currentSchemaVersion === 12)
+    assert(t.schema.fieldNames.length === 12)
+    // idempotent re-evolve still resolves against the true latest
+    assert(t.evolveTo(t.schema) === 12)
+  }
+
+  test("paths needing URI encoding (space in warehouse dir) read back every row") {
+    // input_file_name() returns the URL-encoded path: a raw-path join key
+    // silently dropped all rows of such files (regression test)
+    val base = TestSpark.freshDir("t-space")
+    val dir = s"$base/ware house/t"
+    val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
+    IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0)), t, 0)
+    IceTableWriter.delta(spark, df((2L, "b2", 2.2)), Seq(2L).toDF("id"), t, 1)
+    val got = t.read(spark).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "b2")))
+  }
+
+  test("a zombie's duplicate batchId entry is dropped by readers (K8 self-heal)") {
+    val dir = TestSpark.freshDir("t-zombie")
+    val t = IceTable.create(dir, schema, TableMeta())
+    IceTableWriter.append(spark, df((1L, "a", 1.0)), t, batchId = 7)
+    // simulate a zombie that crashed between link and rollback: the same
+    // batchId linked again at a higher seq
+    val real = t.log.commits().head
+    val dup = real.copy(seq = real.seq + 1, commitId = "zombie")
+    java.nio.file.Files.write(
+      t.log.root.resolve(f"v${dup.seq}%09d.json"), CommitLog.mapper.writeValueAsBytes(dup))
+    val seen = t.log.commits()
+    assert(seen.map(_.commitId) === Seq(real.commitId), s"zombie entry not dropped: $seen")
+    assert(t.read(spark).count() === 1) // data not doubled
+    // and the live commit() path refuses the replay outright
+    assert(t.log.commit(7L, s => Commit(s, 7L, "again", 0L, 1)).isEmpty)
+  }
+
+  test("gc age threshold protects freshly staged (not yet committed) files") {
+    val dir = TestSpark.freshDir("t-gc-age")
+    val t = IceTable.create(dir, schema, TableMeta())
+    IceTableWriter.append(spark, df((1L, "a", 1.0)), t, 0)
+    // stage an orphan the way an in-flight writer would (data file present,
+    // commit entry not yet linked)
+    val staged = t.dir.resolve("data").resolve("inflight-uuid")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.write(staged.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    assert(t.gc() === 0, "age-guarded gc deleted a freshly staged file")
+    assert(java.nio.file.Files.exists(staged.resolve("part-0.parquet")))
+    assert(t.gc(olderThanMs = 0L) >= 1) // explicit opt-out collects it
+  }
+
   test("optimistic commit: concurrent writers race on seq, none lost") {
     val dir = TestSpark.freshDir("t-race")
     val t = IceTable.create(dir, schema, TableMeta())
@@ -172,13 +231,13 @@ class IceTableSuite extends AnyFunSuite {
     // ...and gc must NOT reclaim them (they back that time travel; it may
     // still sweep writer bookkeeping like _SUCCESS/.crc)
     val originals = before.map(_._1.path)
-    t.gc()
+    t.gc(olderThanMs = 0L)
     assert(originals.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
     assert(t.readAt(spark, 5).count() === before.map(_._1.rows).sum)
     // a later FULL compaction truncates the window; gc then reclaims the
     // packed-away originals along with every other superseded file
     t.compact(spark)
-    t.gc()
+    t.gc(olderThanMs = 0L)
     assert(originals.forall(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
     assert(t.read(spark).count() === 4 + 20000)
   }
@@ -468,11 +527,11 @@ class IceTableSuite extends AnyFunSuite {
       java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
         .count(p => p.getFileName.toString.endsWith(".parquet"))
     }
-    t.gc() // only writer bookkeeping (_SUCCESS/.crc) is orphaned pre-compaction
+    t.gc(olderThanMs = 0L) // only writer bookkeeping (_SUCCESS/.crc) is orphaned pre-compaction
     val before = parquetFiles()
     assert(t.read(spark).count() === 2)
     t.compact(spark)
-    t.gc() // pre-compaction data/delete files now unreachable
+    t.gc(olderThanMs = 0L) // pre-compaction data/delete files now unreachable
     assert(parquetFiles() < before + 2) // old files gone despite compaction adding new ones
     val got = t.read(spark).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got === Seq((1L, "a"), (2L, "b2")))
