@@ -101,13 +101,17 @@ object Coercion {
       case (_, BinaryType)          => in.cast(BinaryType)
 
       // ---- temporal (C6): epoch numbers are MILLIS in the reference ----
-      case (IntegerType | LongType | ShortType, TimestampType)    => timestamp_millis(in.cast(LongType))
-      case (IntegerType | LongType | ShortType, TimestampNTZType) =>
+      // ANY Number is epoch millis there (RecordConverter.java:407-495
+      // calls .longValue()); a bare Spark cast would read numerics as
+      // epoch SECONDS (fractional sources 1000x off), so every numeric
+      // source routes through the millis arm
+      case (_: NumericType, TimestampType) => timestamp_millis(in.cast(LongType))
+      case (_: NumericType, TimestampNTZType) =>
         timestamp_millis(in.cast(LongType)).cast(TimestampNTZType)
       case (StringType, TimestampType)    => lenientTimestamp(in).cast(TimestampType)
       case (StringType, TimestampNTZType) => lenientTimestamp(in).cast(TimestampNTZType)
-      case (IntegerType | LongType | ShortType, DateType) => date_from_unix_date(in.cast(IntegerType))
-      case (StringType, DateType)                         => to_date(in)
+      case (_: NumericType, DateType) => date_from_unix_date(in.cast(IntegerType))
+      case (StringType, DateType)     => to_date(in)
 
       // ---- nested recursion (C1) ----
       case (f: StructType, t: StructType) =>

@@ -83,27 +83,34 @@ object PartitionTransforms {
 
   private val TransformRegex = """(\w+)\((.+)\)""".r
 
-  /** Parse one partition-by token against the table schema. */
+  /** Parse one partition-by token against the table schema. EVERY
+    * transform validates its source column at parse time — parseSpec is
+    * the check behind Ingest's auto-create unpartitioned fallback
+    * (IcebergWriterFactory:69-117); a transform that defers validation to
+    * write time would let a broken spec through table creation and then
+    * fail every batch forever.
+    */
   def parse(token: String, schema: StructType): PartitionTransform = {
     def typeOf(c: String): DataType =
       schema.fields
         .find(_.name.equalsIgnoreCase(c))
         .map(_.dataType)
         .getOrElse(throw new IllegalArgumentException(s"partition column $c not in schema"))
+    def checked(c: String): String = { typeOf(c); c }
     token.trim match {
       case TransformRegex(fn, args) =>
         val parts = args.split(",").map(_.trim)
         fn.toLowerCase match {
-          case "identity" => Identity(parts(0))
-          case "year"     => Year(parts(0))
-          case "month"    => Month(parts(0))
-          case "day"      => Day(parts(0))
-          case "hour"     => Hour(parts(0))
-          case "bucket"   => Bucket(parts(0), parts(1).toInt)
+          case "identity" => Identity(checked(parts(0)))
+          case "year"     => Year(checked(parts(0)))
+          case "month"    => Month(checked(parts(0)))
+          case "day"      => Day(checked(parts(0)))
+          case "hour"     => Hour(checked(parts(0)))
+          case "bucket"   => Bucket(checked(parts(0)), parts(1).toInt)
           case "truncate" => Truncate(parts(0), parts(1).toInt, typeOf(parts(0)))
           case other      => throw new IllegalArgumentException(s"unknown transform $other")
         }
-      case bare => Identity(bare)
+      case bare => Identity(checked(bare))
     }
   }
 

@@ -28,9 +28,19 @@ object Sampling {
   val A: Long = 1103515245L
   val B: Long = 12345L
 
-  /** Bucket in [0, P): `((key mod P) * A + B) mod P`, seed-shifted. */
-  def hashBucket(key: Column, seed: Long = 0L): Column =
-    pmod(pmod(key.cast("long") + lit(seed), lit(P)) * lit(A) + lit(B), lit(P))
+  /** Bucket in [0, P): `((key mod P) * A + B) mod P`, seed-shifted.
+    * The key must be numeric (or a numeric string): a null or
+    * non-castable key FAILS the job — `cast` would null it, `null <
+    * threshold` filters to null, and the "sample" silently returns zero
+    * rows with no signal.
+    */
+  def hashBucket(key: Column, seed: Long = 0L): Column = {
+    val k = key.cast("long")
+    val checked = when(k.isNull,
+      raise_error(concat(lit("sampling key is null or non-numeric: '"),
+        coalesce(key.cast("string"), lit("null")), lit("'")))).otherwise(k)
+    pmod(pmod(checked + lit(seed), lit(P)) * lit(A) + lit(B), lit(P))
+  }
 
   /** Keep ~`rate` of rows, deterministically by `key`. */
   def hashSample(df: DataFrame, keyCol: String, rate: Double, seed: Long = 0L): DataFrame =

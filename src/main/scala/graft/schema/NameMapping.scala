@@ -3,7 +3,7 @@ package graft.schema
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.spark.sql.types.{StructType, StructField}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** E4 — `schema.name-mapping.default` table property, the Iceberg name
   * mapping the reference reads in `data/RecordConverter.java:100-103` and
@@ -52,25 +52,39 @@ object NameMapping {
     } else Map.empty
   }
 
-  /** Iceberg fresh-id assignment: number a struct's direct fields first,
-    * then recurse into each field in order. Returns id → dotted path
-    * (top-level fields have undotted paths).
+  /** Iceberg fresh-id assignment (TypeUtil.assignFreshIds order): number a
+    * struct's direct fields first, then recurse into each field's type in
+    * order — where LIST element and MAP key/value also consume ids
+    * (Iceberg gives every nested type an id; skipping them would shift
+    * every id after the first array/map and bind aliases to the wrong
+    * columns). Returns id → dotted path; element/key/value ids use
+    * Iceberg's names ("tags.element") — not projectable, but they must
+    * hold their id slots.
     */
   private[schema] def assignFreshIds(schema: StructType): Map[Int, String] = {
     val out = Map.newBuilder[Int, String]
     var next = 1
+    def visitType(dt: DataType, prefix: String): Unit = dt match {
+      case st: StructType => struct(st, prefix)
+      case ArrayType(et, _) =>
+        val id = next; next += 1
+        out += id -> (prefix + "element")
+        visitType(et, prefix + "element.")
+      case MapType(kt, vt, _) =>
+        val kid = next; next += 1
+        out += kid -> (prefix + "key")
+        val vid = next; next += 1
+        out += vid -> (prefix + "value")
+        visitType(kt, prefix + "key.")
+        visitType(vt, prefix + "value.")
+      case _ => ()
+    }
     def struct(s: StructType, prefix: String): Unit = {
-      val ids = s.fields.map { f =>
+      s.fields.foreach { f =>
         val id = next; next += 1
         out += id -> (prefix + f.name)
-        (f, id)
       }
-      ids.foreach { case (f: StructField, _) =>
-        f.dataType match {
-          case st: StructType => struct(st, prefix + f.name + ".")
-          case _              => ()
-        }
-      }
+      s.fields.foreach(f => visitType(f.dataType, prefix + f.name + "."))
     }
     struct(schema, "")
     out.result()

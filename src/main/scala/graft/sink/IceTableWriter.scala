@@ -1,6 +1,5 @@
 package graft.sink
 
-import java.net.URLDecoder
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
@@ -417,7 +416,12 @@ object IceTableWriter {
     case _ => -1L
   }
 
-  /** Recover `name=value` partition values from the staged hive layout. */
+  /** Recover `name=value` partition values from the staged hive layout.
+    * Decode with Spark's own `unescapePathName` (the exact inverse of the
+    * writer's Hive-style escaping) — URLDecoder would additionally turn a
+    * literal '+' into a space, corrupting the recorded value and breaking
+    * partition-pruning predicates against it.
+    */
   private def partitionValues(
       root: Path,
       file: Path,
@@ -432,7 +436,8 @@ object IceTableWriter {
       .filter(_.contains("="))
       .flatMap { seg =>
         val Array(k, v) = seg.split("=", 2)
-        writeToField.get(k).map(_ -> URLDecoder.decode(v, "UTF-8"))
+        writeToField.get(k).map(_ ->
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v))
       }
       .toMap
   }

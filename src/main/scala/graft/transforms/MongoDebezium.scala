@@ -126,7 +126,14 @@ object MongoDebezium {
       case other => other
     }
 
-  def mongoDebezium(arrayHandlingMode: String = "array")(df: DataFrame): DataFrame = {
+  def mongoDebezium(
+      arrayHandlingMode: String = "array",
+      /** records sampled for schema inference per batch (same bounded-scan
+        * trade-off as [[Transforms.jsonExpand]]'s inferLimit — unbounded
+        * inference is a second full 2-3× scan of the batch every trigger);
+        * <= 0 opts into exact whole-batch inference */
+      inferLimit: Int = Transforms.DefaultJsonInferLimit
+  )(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
     val hasUpdate = df.columns.contains("updateDescription")
 
@@ -142,11 +149,14 @@ object MongoDebezium {
       if (hasUpdate) prep(col("updateDescription.updatedFields"))
       else lit(null).cast(StringType)
 
-    // infer one typed schema across every document image we may read
+    // infer one typed schema across every document image we may read;
+    // bounded to inferLimit source records (late-appearing fields ride
+    // schema evolution on the next batch, as with jsonExpand)
+    val sampleSrc = if (inferLimit > 0) df.limit(inferLimit) else df
     val samples =
       if (hasUpdate)
-        df.select(explode(array(beforeJ, afterJ, updJ)).as("j"))
-      else df.select(explode(array(beforeJ, afterJ)).as("j"))
+        sampleSrc.select(explode(array(beforeJ, afterJ, updJ)).as("j"))
+      else sampleSrc.select(explode(array(beforeJ, afterJ)).as("j"))
     val schema = df.sparkSession.read
       .json(samples.filter(col("j").isNotNull).as[String]).schema
     val clean = StructType(schema.fields.filterNot(_.name.startsWith("_corrupt")))

@@ -93,9 +93,15 @@ object Transforms {
     val sample = if (inferLimit > 0) base.limit(inferLimit) else base
     val schema = df.sparkSession.read.json(sample.as[String]).schema
     val cleaned = StructType(schema.fields.filterNot(_.name.startsWith("_corrupt")))
+    // the payload IS the record: a promoted field REPLACES a same-named
+    // existing column (keeping both would make every downstream
+    // col("name") ambiguous); names are backtick-escaped so a JSON key
+    // containing '.' stays one field instead of parsing as a nested path
+    val promoted = cleaned.fieldNames.toIndexedSeq
+    val keep = df.columns.toIndexedSeq
+      .filterNot(c => promoted.exists(_.equalsIgnoreCase(c)))
     df.withColumn("__j", from_json(col(jsonCol), cleaned))
-      .select(col("*") +: cleaned.fieldNames.toIndexedSeq.map(f => col(s"__j.$f").as(f)): _*)
-      .drop("__j")
+      .select(keep.map(col) ++ promoted.map(f => col(s"__j.`$f`").as(f)): _*)
   }
 
   /** Debezium envelope flattener (`transforms/DebeziumTransform.java:75-178`).
@@ -120,9 +126,11 @@ object Transforms {
     val target = cdcTargetPattern match {
       case None | Some("") => concat_ws(".", db, tbl)
       case Some(p) =>
-        var e: Column = lit(p)
-        e = regexp_replace(e, lit("\\{db\\}"), db)
-        regexp_replace(e, lit("\\{table\\}"), tbl)
+        // literal replace, not regexp_replace: the db/table VALUES are the
+        // replacement, and Java regex replacement treats '$'/'\' as group
+        // references — a db named "corp$audit" would throw at runtime
+        // (the reference uses plain String.replace, DebeziumTransform:209-213)
+        replace(replace(lit(p), lit("{db}"), db), lit("{table}"), tbl)
     }
     val opMapped = when(col("op") === "u", "U").when(col("op") === "d", "D").otherwise("I")
     val payload = when(opMapped === "D", col("before")).otherwise(col("after"))
@@ -173,7 +181,10 @@ object Transforms {
           copyValue(p("source.field").get, p("target.field").get) _
         case t if t.endsWith("KafkaMetadataTransform") =>
           kafkaMetadata(
-            nested = p("field_name").isEmpty || !p("flatten").contains("true"),
+            // reference key `nested`, DEFAULT FALSE (flattened prefix
+            // columns; KafkaMetadataTransform.java:109-113) — independent
+            // of whether field_name is configured
+            nested = p("nested").exists(_.trim.toBoolean),
             keyName = p("field_name").getOrElse("_kafka_metadata"),
             externalField = p("external_field").map { kv =>
               val Array(k, v) = kv.split(",", 2); (k, v)
@@ -186,7 +197,8 @@ object Transforms {
               p("json.infer-limit").map(_.toInt).getOrElse(DefaultJsonInferLimit)) _
         case t if t.endsWith("MongoDebeziumTransform") =>
           MongoDebezium.mongoDebezium(
-            p("array_handling_mode").getOrElse("array")) _
+            p("array_handling_mode").getOrElse("array"),
+            p("json.infer-limit").map(_.toInt).getOrElse(DefaultJsonInferLimit)) _
         case t if t.endsWith("DebeziumTransform") =>
           debezium(p("cdc.target.pattern")) _
         case t if t.endsWith("DmsTransform") =>

@@ -315,6 +315,19 @@ class TextOpsSuite extends AnyFunSuite {
     assert(math.abs(s1.size - 1000) < 200, s"sample size ${s1.size} far from rate")
   }
 
+  test("sampling fails loudly on null / non-numeric keys instead of emptying the sample") {
+    // cast-to-null keys previously made `bucket < threshold` null and the
+    // filter silently dropped every row — an empty "sample" with no error
+    val bad = Seq(("url-a", "en"), ("url-b", "de")).toDF("doc_key", "lang")
+    val e = intercept[Exception] {
+      Sampling.hashSample(bad, "doc_key", 0.5).collect()
+    }
+    assert(e.getMessage.contains("non-numeric"), s"unexpected error: ${e.getMessage}")
+    // numeric strings still hash fine (stable portable key)
+    val ok = Seq(("123", "en"), ("456", "de")).toDF("doc_key", "lang")
+    Sampling.hashSample(ok, "doc_key", 1.0).collect() // must not throw
+  }
+
   test("weighted sampling keeps each row at its own clamped probability") {
     // prob 0 never keeps, prob >= 1 always keeps, nulls drop; mid-range
     // reproduces the portable arithmetic exactly

@@ -217,6 +217,41 @@ class CoercionSuite extends AnyFunSuite {
     assert(out.head().isNullAt(1))
   }
 
+  test("EVERY numeric source is epoch MILLIS for timestamps (C6, incl. fractional)") {
+    // the reference calls Number.longValue() on any numeric
+    // (RecordConverter.java:407-495); a bare Spark cast would read
+    // double/decimal as epoch SECONDS — 1000x off
+    val target = StructType(Seq(StructField("ts", TimestampType)))
+    val expect = java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(1490716800000L))
+    for (src <- Seq(
+        Seq(1490716800000.0).toDF("ts"), // double
+        Seq(BigDecimal(1490716800000L)).toDF("ts"), // decimal
+        Seq(1490716800000L).toDF("ts"))) { // long (control)
+      val got = one(src, target).getTimestamp(0)
+      assert(got === expect, s"epoch-millis mismatch for ${src.schema("ts").dataType}: $got")
+    }
+  }
+
+  test("name-mapping fresh ids reserve slots for list elements and map keys/values") {
+    import graft.schema.NameMapping
+    // Iceberg: tags=1, user=2, tags.element=3, user.name=4 — skipping the
+    // element id would bind field-id 4 to nothing and 3 to user.name
+    val schema = StructType(Seq(
+      StructField("tags", ArrayType(StringType)),
+      StructField("user", StructType(Seq(StructField("name", StringType))))))
+    val json = """[ {"field-id": 1, "names": ["labels"]},
+                 |  {"field-id": 2, "names": [], "fields": [
+                 |     {"field-id": 4, "names": ["username"]} ]} ]""".stripMargin
+    assert(NameMapping.parse(json, schema) ===
+      Map("tags" -> Seq("labels"), "user.name" -> Seq("username")))
+    // and a map consumes key+value ids: m=1, after=2, m.key=3, m.value=4
+    val schema2 = StructType(Seq(
+      StructField("m", MapType(StringType, StringType)),
+      StructField("after", LongType)))
+    val json2 = """[ {"field-id": 2, "names": ["after_alias"]} ]"""
+    assert(NameMapping.parse(json2, schema2) === Map("after" -> Seq("after_alias")))
+  }
+
   test("strict mode fails the batch when a non-null value coerces to null") {
     // the reference's converters THROW on unconvertible values
     // (RecordConverter leaf converters); ANSI-off Spark nulls them —

@@ -19,13 +19,24 @@ class PartitionTransformsSuite extends AnyFunSuite {
     StructField("d", DecimalType(10, 2)), StructField("ts", TimestampType)))
 
   test("parse: bare name is identity; regex form matches the reference pattern") {
-    assert(PartitionTransforms.parse("event_type", schema) ===
-      PartitionTransforms.Identity("event_type"))
+    assert(PartitionTransforms.parse("s", schema) ===
+      PartitionTransforms.Identity("s"))
     assert(PartitionTransforms.parse("bucket(i,16)", schema) ===
       PartitionTransforms.Bucket("i", 16))
     assert(PartitionTransforms.parse("truncate(s,4)", schema) ===
       PartitionTransforms.Truncate("s", 4, StringType))
     assertThrows[IllegalArgumentException](PartitionTransforms.parse("cube(i)", schema))
+  }
+
+  test("parse validates the source column for EVERY transform (auto-create fallback contract)") {
+    // Ingest's auto-create wraps parseSpec in try/catch to fall back to an
+    // unpartitioned table (IcebergWriterFactory:69-117); a transform that
+    // defers validation to write time would create a permanently broken
+    // table instead
+    for (spec <- Seq("missing", "identity(missing)", "year(missing)", "month(missing)",
+        "day(missing)", "hour(missing)", "bucket(missing,4)", "truncate(missing,2)")) {
+      assertThrows[IllegalArgumentException](PartitionTransforms.parse(spec, schema))
+    }
   }
 
   test("truncate: integers floor to width multiple (incl. negatives), strings prefix, decimals floor unscaled") {

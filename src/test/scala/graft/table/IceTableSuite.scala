@@ -94,6 +94,19 @@ class IceTableSuite extends AnyFunSuite {
     assert(t.evolveTo(t.schema) === 12)
   }
 
+  test("partition values with '+' and spaces survive the hive-layout round trip") {
+    // the writer Hive-escapes partition dirs; URLDecoder would turn a
+    // literal '+' into a space on recovery, corrupting the recorded value
+    // and mis-pruning scans (regression test)
+    val dir = TestSpark.freshDir("t-plus")
+    val t = IceTable.create(dir, schema, TableMeta(partitionBy = Seq("name")))
+    IceTableWriter.append(spark, df((1L, "a+b", 1.0), (2L, "c d", 2.0)), t, 0)
+    val parts = t.log.commits().head.dataFiles.map(_.partition("name")).toSet
+    assert(parts === Set("a+b", "c d"), s"partition values corrupted: $parts")
+    val pruned = t.scan(spark, Some(pv => pv("name") == "a+b"))
+    assert(pruned.select("id").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("paths needing URI encoding (space in warehouse dir) read back every row") {
     // input_file_name() returns the URL-encoded path: a raw-path join key
     // silently dropped all rows of such files (regression test)

@@ -105,6 +105,42 @@ class TransformsSuite extends AnyFunSuite {
     assert(r.getSeq[Double](1) === Seq(1.0, 2.5))
   }
 
+  test("debezium target pattern is literal-substituted ('$' in db name must not throw)") {
+    val df = spark.sql(
+      """SELECT 'u' AS op, named_struct('id', 1) AS before, named_struct('id', 2) AS after,
+        |  named_struct('db', 'corp$audit', 'table', 'users') AS source,
+        |  CAST(0 AS LONG) AS ts_ms""".stripMargin)
+    val out = Transforms.debezium(Some("lake_{db}.{table}"))(df)
+      .select(col("_cdc.target")).head()
+    assert(out.getString(0) === "lake_corp$audit.users")
+  }
+
+  test("jsonExpand: payload field replaces a same-named column; dotted keys stay one field") {
+    val df = Seq((7L, "orig", """{"value": "payload-wins", "a.b": 5}""")).toDF("id", "value", "props")
+    val out = Transforms.jsonExpand("props")(df)
+    // exactly one 'value' column (the payload's) — two would make every
+    // downstream col("value") ambiguous
+    assert(out.columns.count(_ == "value") === 1)
+    val r = out.select(col("id"), col("value"), col("`a.b`")).head()
+    assert(r.getLong(0) === 7L && r.getString(1) === "payload-wins" && r.getLong(2) === 5L)
+  }
+
+  test("fromConfig kafka metadata: reference `nested` key, default FALSE (flattened)") {
+    val df = Seq((1L, "t", 0, 5L, 99L)).toDF("id", "topic", "partition", "offset", "timestamp")
+    def build(extra: (String, String)*) = Transforms.fromConfig(Map(
+      "transforms" -> "km",
+      "transforms.km.type" -> "o.a.KafkaMetadataTransform") ++ extra.map {
+      case (k, v) => s"transforms.km.$k" -> v
+    }).head(df)
+    // default: flattened prefix columns (KafkaMetadataTransform.java:109-113)
+    assert(build().columns.contains("_kafka_metadata_topic"))
+    // nested=true opts into the struct — independent of field_name
+    assert(build("nested" -> "true").schema("_kafka_metadata").dataType
+      .isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(build("nested" -> "true", "field_name" -> "_m").columns.contains("_m"))
+    assert(build("field_name" -> "_m").columns.contains("_m_topic"))
+  }
+
   test("config-driven transform registry composes an SMT chain (§2.9)") {
     val props = Map(
       "transforms" -> "cv",
