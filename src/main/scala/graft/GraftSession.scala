@@ -25,10 +25,17 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
-  /** Settings applied when reusing an externally created session. */
+  /** Settings applied when reusing an externally created session — the
+    * full set the builder configures (an external session missing
+    * nanosAsLong crashes on ns-timestamp parquet; one missing the
+    * extension registrations lacks every graft SQL function).
+    */
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    GraftExtensions.register(spark)
     spark
   }
 }

@@ -125,14 +125,19 @@ object EngineConfig {
       props.get(key).map(_.trim.toBoolean).getOrElse(dflt)
 
     val defaultBranch = props.getOrElse("iceberg.tables.default-commit-branch", "main")
+    val defaultIds = list("iceberg.tables.default-id-columns")
+    val defaultParts = list("iceberg.tables.default-partition-by")
     val tableNames = list("iceberg.tables")
     val tables = tableNames.map { t =>
       def tprop(suffix: String) = props.get(s"iceberg.table.$t.$suffix")
+      // LISTED tables inherit the iceberg.tables.default-* properties too
+      // (the reference applies them to every table without its own
+      // setting, not just dynamically discovered ones)
       TableConfig(
         name = t,
         routeRegex = tprop("route-regex"),
-        idColumns = tprop("id-columns").map(splitTopLevel).getOrElse(Nil),
-        partitionBy = tprop("partition-by").map(splitTopLevel).getOrElse(Nil),
+        idColumns = tprop("id-columns").map(splitTopLevel).getOrElse(defaultIds),
+        partitionBy = tprop("partition-by").map(splitTopLevel).getOrElse(defaultParts),
         commitBranch = tprop("commit-branch").getOrElse(defaultBranch)
       )
     }
@@ -148,8 +153,8 @@ object EngineConfig {
       schemaForceOptional = bool("iceberg.tables.schema-force-optional", dflt = false),
       schemaCaseInsensitive = bool("iceberg.tables.schema-case-insensitive", dflt = true),
       strictCoercion = bool("iceberg.tables.strict-coercion-enabled", dflt = false),
-      defaultIdColumns = list("iceberg.tables.default-id-columns"),
-      defaultPartitionBy = list("iceberg.tables.default-partition-by"),
+      defaultIdColumns = defaultIds,
+      defaultPartitionBy = defaultParts,
       defaultCommitBranch = defaultBranch,
       autoCreateProps = props.collect {
         case (k, v) if k.startsWith("iceberg.tables.auto-create-props.") =>

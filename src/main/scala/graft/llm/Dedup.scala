@@ -298,6 +298,11 @@ object Dedup {
   ): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
+    // maxDist=0 ⇒ one 64-bit chunk: (1L << 64) constant-folds to 1 (JVM
+    // masks shift counts mod 64), which would zero the mask and bucket
+    // EVERY row together — the exact all-pairs join this banding exists
+    // to prevent
+    val chunkMask = if (bitsPer >= 64) -1L else (1L << bitsPer) - 1
     val sigs = df.select(col(idCol).as("id"), TextHashes.simhash64(col(textCol)).as("sig"))
     val banded = sigs.select(
       col("id"),
@@ -306,7 +311,7 @@ object Dedup {
         struct(
           lit(c).as("chunk"),
           shiftrightunsigned(col("sig"), c * bitsPer)
-            .bitwiseAND(lit((1L << bitsPer) - 1)).as("ch")
+            .bitwiseAND(lit(chunkMask)).as("ch")
         )
       }: _*)).as("bb")
     )
@@ -425,11 +430,9 @@ object Dedup {
   private def lshCandidateStream(vv: DataFrame, bits: Int, tables: Int): DataFrame = {
     // plane dimensionality from the corpus itself — a hardcoded width
     // would silently truncate higher-dimensional embeddings (vectors
-    // beyond the plane width stop influencing the signature)
-    val dim = vv.select(size(col("v"))).take(1) match {
-      case Array(r) if !r.isNullAt(0) => math.max(1, r.getInt(0))
-      case _                          => 64 // empty corpus: any width works
-    }
+    // beyond the plane width stop influencing the signature); shares
+    // Similarity's detection contract
+    val dim = Similarity.detectDim(vv.select(col("v").as("n_vec")))
     // one fused expression computes every table's signature (same seeds/
     // values as per-table hyperplaneSignature calls, which at high table
     // counts would explode into tables×bits codegen subtrees)

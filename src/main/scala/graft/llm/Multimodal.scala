@@ -55,6 +55,18 @@ object Multimodal {
     (bytes.length.toLong, sum, hist)
   }
 
+  /** Null/non-castable ids FAIL the job: Row.getLong would silently unbox
+    * a null id to 0L and attribute the row's features to document 0 —
+    * same fail-loudly contract as [[Packing.nextFitPack]].
+    */
+  private def checkedId(df: DataFrame, idCol: String): org.apache.spark.sql.Column = {
+    val idc = col(idCol).cast(LongType)
+    when(idc.isNull,
+      raise_error(concat(lit(s"multimodal: null or non-numeric id in '$idCol': '"),
+        coalesce(col(idCol).cast(StringType), lit("null")), lit("'")))).otherwise(idc)
+      .as("id")
+  }
+
   private val FeatureSchema = StructType(Seq(
     StructField("id", LongType),
     StructField("byte_len", LongType),
@@ -67,8 +79,7 @@ object Multimodal {
     * constant memory, no shuffle. `idCol` must be long, `mediaCol` binary.
     */
   def extractFeatures(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val input = df.select(col(idCol).cast(LongType), col(mediaCol).cast(BinaryType))
+    val input = df.select(checkedId(df, idCol), col(mediaCol).cast(BinaryType))
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(FeatureSchema))
     input.mapPartitions { rows =>
       rows.map { r =>
@@ -92,13 +103,12 @@ object Multimodal {
       frameBytes: Int = 256,
       everyN: Int = 4
   ): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("id", LongType),
       StructField("frame_idx", IntegerType),
       StructField("frame", BinaryType)
     ))
-    val input = df.select(col(idCol).cast(LongType), col(mediaCol).cast(BinaryType))
+    val input = df.select(checkedId(df, idCol), col(mediaCol).cast(BinaryType))
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     input.mapPartitions { rows =>
       rows.flatMap { r =>

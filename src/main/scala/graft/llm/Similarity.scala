@@ -89,7 +89,7 @@ object Similarity {
     import spark.implicits._
     val cands: Array[(Long, Array[Double])] = c
       .orderBy(xxhash64(col("n_id")), col("n_id"))
-      .limit(math.max(nCells, 4 * nCells))
+      .limit(4 * nCells)
       .select(col("n_id"), col("n_vec"))
       .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
     if (cands.isEmpty) // empty corpus: no cells, queries degrade to empty output
@@ -100,22 +100,31 @@ object Similarity {
       s
     }
     val chosen = scala.collection.mutable.ArrayBuffer(cands.head)
+    val taken = Array.fill(cands.length)(false) // O(1) check, not a chosen-list scan
+    taken(0) = true
     // bestSim(i) = max dot(cands(i), chosen) so far; vectors are normalized
     val bestSim = Array.fill(cands.length)(Double.NegativeInfinity)
-    while (chosen.size < math.min(nCells, cands.length)) {
+    var exhausted = false
+    while (!exhausted && chosen.size < math.min(nCells, cands.length)) {
       val last = chosen.last._2
       var argmin = -1; var minSim = Double.PositiveInfinity
       var i = 0
       while (i < cands.length) {
         val s = math.max(bestSim(i), dot(cands(i)._2, last))
         bestSim(i) = s
-        val taken = chosen.exists(_._1 == cands(i)._1)
-        if (!taken && (s < minSim || (s == minSim && argmin >= 0 && cands(i)._1 < cands(argmin)._1))) {
+        if (!taken(i) && (s < minSim || (s == minSim && argmin >= 0 && cands(i)._1 < cands(argmin)._1))) {
           minSim = s; argmin = i
         }
         i += 1
       }
-      chosen += cands(argmin)
+      // argmin stays -1 when every untaken candidate compares as NaN
+      // (zero vectors normalize to NaN): stop with the cells selected so
+      // far instead of indexing at -1
+      if (argmin < 0) exhausted = true
+      else {
+        chosen += cands(argmin)
+        taken(argmin) = true
+      }
     }
     chosen.toArray
   }
@@ -155,6 +164,14 @@ object Similarity {
     * partial-aggregated per-cell mean). `c` must carry (n_id, n_vec) with
     * n_vec normalized, materialized by the caller (it is scanned by
     * seeding plus each iteration).
+    *
+    * Determinism: seeding is fully deterministic (hash-ordered sample +
+    * farthest-point, ties by id). The Lloyd means use floating `avg`,
+    * which is exact-deterministic for a FIXED partition layout (what the
+    * persisted-vs-in-session equality test pins) but may differ at the
+    * ulp level across different partitionings — acceptable for a coarse
+    * quantizer, whose cell boundaries are heuristic; the driver-facing
+    * knn_ivf correctness exchange is invariant-based for this reason.
     */
   private[llm] def trainCentroids(
       c: DataFrame,

@@ -188,11 +188,12 @@ object Ingest {
     // tables too, not just auto-created ones (Utilities.java:160)
     val table = table0.withWriteProps(config.writeProps)
 
-    // E1/E2 — evolve schema from the batch, once, up front
+    // E1/E2 — evolve schema from the batch, once, up front (retry budget
+    // mirrors the reference's SCHEMA_UPDATE_RETRIES constant, 3 attempts)
     if (config.evolveSchema) {
       SchemaEvolution
         .evolve(table.schema, incomingSchema, config.schemaCaseInsensitive)
-        .foreach(table.evolveTo(_))
+        .foreach(table.evolveTo(_, maxRetries = config.createRetries))
     }
 
     // E4 — `schema.name-mapping.default` table property → alias lookup

@@ -282,7 +282,9 @@ class EndToEndSuite extends AnyFunSuite {
       "iceberg.control.commit.interval-ms" -> "60000",
       "iceberg.control.commit.threads" -> "7",
       "iceberg.control.commit.timeout-ms" -> "45000",
-      "iceberg.tables.strict-coercion-enabled" -> "true"))
+      "iceberg.tables.strict-coercion-enabled" -> "true",
+      "iceberg.tables.default-id-columns" -> "uid",
+      "iceberg.tables.default-partition-by" -> "day(ts)"))
     assert(cfg.tables.map(_.name) === Seq("db.tbl1", "db.tbl2"))
     val t1 = cfg.tableConfig("db.tbl1")
     assert(t1.routeRegex === Some("t1"))
@@ -304,6 +306,12 @@ class EndToEndSuite extends AnyFunSuite {
     // dynamically discovered ones; auto-create props flow to new tables
     assert(cfg.tableConfig("db.tbl2").commitBranch === "audit")
     assert(cfg.tableConfig("nosuch").commitBranch === "audit")
+    // default-id-columns / default-partition-by apply to LISTED tables
+    // without their own setting (tbl1 overrides ids, inherits partition)
+    assert(cfg.tableConfig("db.tbl1").idColumns === Seq("id", "ts"))
+    assert(cfg.tableConfig("db.tbl2").idColumns === Seq("uid"))
+    assert(cfg.tableConfig("db.tbl2").partitionBy === Seq("day(ts)"))
+    assert(cfg.tableConfig("nosuch").idColumns === Seq("uid"))
     assert(cfg.autoCreateProps === Map("write.target-file-size-bytes" -> "4096"))
   }
 }

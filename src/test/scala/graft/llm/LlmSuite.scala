@@ -315,6 +315,20 @@ class TextOpsSuite extends AnyFunSuite {
     assert(math.abs(s1.size - 1000) < 200, s"sample size ${s1.size} far from rate")
   }
 
+  test("simhashPairs(maxDist=0) finds exact-signature pairs without degenerating") {
+    // chunks=1 means one 64-bit chunk: (1L << 64) folds to 1 on the JVM,
+    // which zeroed the chunk mask and bucketed EVERY row together (the
+    // all-pairs join the banding exists to avoid) — regression test
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // identical text = identical simhash
+      (3L, "completely different words entirely here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
   test("sampling fails loudly on null / non-numeric keys instead of emptying the sample") {
     // cast-to-null keys previously made `bucket < threshold` null and the
     // filter silently dropped every row — an empty "sample" with no error
@@ -518,5 +532,18 @@ class MultimodalSuite extends AnyFunSuite {
     // 200 bytes → 4 frames → keep idx 0,2 → 2 ; 2 bytes → 1 frame → keep idx 0 → 1
     assert(frames(0).getLong(1) === 2L)
     assert(frames(1).getLong(1) === 1L)
+  }
+
+  test("multimodal ops fail loudly on null ids (no silent attribution to id 0)") {
+    val df = Seq((Some(1L), "abcd"), (None, "efgh")).toDF("id", "payload")
+    val media = Multimodal.asMedia(df, "payload", "image", "image/fake")
+    val e = intercept[Exception] {
+      Multimodal.extractFeatures(media, "id", "media").collect()
+    }
+    assert(e.getMessage.contains("null or non-numeric id"), s"unexpected: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      Multimodal.sampleFrames(media, "id", "media").collect()
+    }
+    assert(e2.getMessage.contains("null or non-numeric id"), s"unexpected: ${e2.getMessage}")
   }
 }
