@@ -296,6 +296,9 @@ object Dedup {
       textCol: String,
       maxDist: Int = 3
   ): DataFrame = {
+    // 64-bit signature: distances >= 64 are meaningless AND would give
+    // bitsPer = 0 (mask 0, one bucket = all-pairs join)
+    require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64): $maxDist")
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
     // maxDist=0 ⇒ one 64-bit chunk: (1L << 64) constant-folds to 1 (JVM

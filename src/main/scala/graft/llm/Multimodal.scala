@@ -59,7 +59,7 @@ object Multimodal {
     * a null id to 0L and attribute the row's features to document 0 —
     * same fail-loudly contract as [[Packing.nextFitPack]].
     */
-  private def checkedId(df: DataFrame, idCol: String): org.apache.spark.sql.Column = {
+  private def checkedId(idCol: String): org.apache.spark.sql.Column = {
     val idc = col(idCol).cast(LongType)
     when(idc.isNull,
       raise_error(concat(lit(s"multimodal: null or non-numeric id in '$idCol': '"),
@@ -79,7 +79,7 @@ object Multimodal {
     * constant memory, no shuffle. `idCol` must be long, `mediaCol` binary.
     */
   def extractFeatures(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
-    val input = df.select(checkedId(df, idCol), col(mediaCol).cast(BinaryType))
+    val input = df.select(checkedId(idCol), col(mediaCol).cast(BinaryType))
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(FeatureSchema))
     input.mapPartitions { rows =>
       rows.map { r =>
@@ -108,7 +108,7 @@ object Multimodal {
       StructField("frame_idx", IntegerType),
       StructField("frame", BinaryType)
     ))
-    val input = df.select(checkedId(df, idCol), col(mediaCol).cast(BinaryType))
+    val input = df.select(checkedId(idCol), col(mediaCol).cast(BinaryType))
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     input.mapPartitions { rows =>
       rows.flatMap { r =>

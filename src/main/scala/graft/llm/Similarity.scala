@@ -92,7 +92,11 @@ object Similarity {
       .limit(4 * nCells)
       .select(col("n_id"), col("n_vec"))
       .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
-    if (cands.isEmpty) // empty corpus: no cells, queries degrade to empty output
+      // zero vectors normalize to all-NaN: as candidates they poison every
+      // dot product (a NaN FIRST candidate would collapse seeding to one
+      // cell) — they can never be useful centroids, drop them up front
+      .filter(!_._2.exists(_.isNaN))
+    if (cands.isEmpty) // empty/degenerate corpus: queries degrade to empty output
       return Array.empty
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0

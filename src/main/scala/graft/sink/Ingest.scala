@@ -205,7 +205,11 @@ object Ingest {
 
     val cdcMode = config.cdcField.isDefined || config.upsertMode
     if (cdcMode) {
-      val keyCols = if (tconf.idColumns.nonEmpty) tconf.idColumns else config.defaultIdColumns
+      // defaults are applied ONCE, at the config layer (fromProperties /
+      // tableConfig pre-fill default-id-columns into every TableConfig);
+      // re-applying them here would override a table's explicit
+      // empty-id-columns opt-out
+      val keyCols = tconf.idColumns
       val op = CdcOps.opColumn(config.cdcField, config.upsertMode)
       val ord =
         if (tdf.columns.contains("offset")) col("offset").cast("long")

@@ -150,9 +150,14 @@ object MongoDebezium {
       else lit(null).cast(StringType)
 
     // infer one typed schema across every document image we may read;
-    // bounded to inferLimit source records (late-appearing fields ride
-    // schema evolution on the next batch, as with jsonExpand)
-    val sampleSrc = if (inferLimit > 0) df.limit(inferLimit) else df
+    // bounded to inferLimit records WITH at least one image (a run of
+    // image-less deletes must not consume the budget and empty the
+    // schema — jsonExpand filters nulls before limiting for the same
+    // reason); late-appearing fields ride schema evolution next batch
+    val hasImage = col("before").isNotNull || col("after").isNotNull ||
+      (if (hasUpdate) col("updateDescription.updatedFields").isNotNull else lit(false))
+    val sampleSrc0 = df.filter(hasImage)
+    val sampleSrc = if (inferLimit > 0) sampleSrc0.limit(inferLimit) else sampleSrc0
     val samples =
       if (hasUpdate)
         sampleSrc.select(explode(array(beforeJ, afterJ, updJ)).as("j"))

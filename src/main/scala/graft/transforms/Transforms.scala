@@ -101,7 +101,10 @@ object Transforms {
     val keep = df.columns.toIndexedSeq
       .filterNot(c => promoted.exists(_.equalsIgnoreCase(c)))
     df.withColumn("__j", from_json(col(jsonCol), cleaned))
-      .select(keep.map(col) ++ promoted.map(f => col(s"__j.`$f`").as(f)): _*)
+      // kept names are backtick-escaped too: an input column named "a.b"
+      // (e.g. produced by an EARLIER jsonExpand in the SMT chain) must
+      // re-select as a literal column, not parse as a nested path
+      .select(keep.map(c => col(s"`$c`")) ++ promoted.map(f => col(s"__j.`$f`").as(f)): _*)
   }
 
   /** Debezium envelope flattener (`transforms/DebeziumTransform.java:75-178`).

@@ -123,6 +123,11 @@ class TransformsSuite extends AnyFunSuite {
     assert(out.columns.count(_ == "value") === 1)
     val r = out.select(col("id"), col("value"), col("`a.b`")).head()
     assert(r.getLong(0) === 7L && r.getString(1) === "payload-wins" && r.getLong(2) === 5L)
+    // a SECOND expand over a frame that already carries a dotted column
+    // must re-select it literally, not parse it as a nested path
+    val out2 = Transforms.jsonExpand("props")(out.withColumn("props", lit("""{"k": 1}""")))
+    val r2 = out2.select(col("`a.b`"), col("k")).head()
+    assert(r2.getLong(0) === 5L && r2.getLong(1) === 1L)
   }
 
   test("fromConfig kafka metadata: reference `nested` key, default FALSE (flattened)") {
