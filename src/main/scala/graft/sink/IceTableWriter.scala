@@ -350,6 +350,12 @@ object IceTableWriter {
       props: Map[String, String],
       removedPaths: Seq[String] = Nil
   ): Option[Commit] = {
+    // K7 defensive file-level dedup (channel/Deduplicated.java:79-148):
+    // Spark's exactly-once batch protocol makes duplicate file listings
+    // near-impossible, but a path listed twice would double-read — drop
+    // duplicates by path before the entry is written, like the reference
+    val dedupData = dataFiles.distinctBy(_.path)
+    val dedupDeletes = deleteFiles.distinctBy(_.path)
     val committed = table.log.commit(
       batchId,
       seq =>
@@ -359,8 +365,8 @@ object IceTableWriter {
           commitId = java.util.UUID.randomUUID().toString,
           timestampMs = System.currentTimeMillis(),
           schemaVersion = table.currentSchemaVersion,
-          dataFiles = dataFiles,
-          deleteFiles = deleteFiles,
+          dataFiles = dedupData,
+          deleteFiles = dedupDeletes,
           offsets = offsets,
           vtts = vtts,
           props = props,
