@@ -369,6 +369,28 @@ object Dedup {
     math.max(1, math.min(maxTables.toDouble, need).toInt)
   }
 
+  /** Largest bit count whose [[sizedLshTables]] requirement fits UNDER the
+    * table cap — i.e. the most selective signature at which the per-pair
+    * miss guarantee still holds. The fully-auto path takes
+    * `min(volume-sized bits, this)`: above this bit count the cap would
+    * bind and recall would degrade SILENTLY (measured at sf0.1: volume
+    * bits 9 → recall 0.95; feasible bits 6 → recall 1.0). The price is
+    * candidate volume: past the scale where the volume-sized bits exceed
+    * this bound, per-table buckets grow with n — at that point raise the
+    * threshold, the miss tolerance, or maxTables, or pass explicit bits.
+    */
+  def recallFeasibleBits(
+      threshold: Double,
+      missProb: Double = 0.01,
+      maxTables: Int = 64
+  ): Int = {
+    val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    // p^bits >= ln(1/missProb)/maxTables  ⇔  bits <= ln(budget)/ln(p)
+    val budget = math.log(1.0 / missProb) / maxTables
+    if (p <= 0.0 || p >= 1.0 || budget >= 1.0) 1
+    else math.max(1, math.floor(math.log(budget) / math.log(p)).toInt)
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold over normalized vectors.
     * `lshBits > 0` switches to random-hyperplane bucketing (sign-bit
     * signatures), bounding the self-join at scale; 0 = exact brute pairs;
@@ -412,7 +434,14 @@ object Dedup {
       // vectors are re-read by the candidate-verify join — materialize the
       // normalized form once (cluster scale: a persisted vector table)
       val vv = v.localCheckpoint()
-      val bits = if (lshBits > 0) lshBits else sizedLshBits(vv.count(), targetBucketSize)
+      val bitsVolume = if (lshBits > 0) lshBits else sizedLshBits(vv.count(), targetBucketSize)
+      // fully-auto mode honors the recall contract FIRST: bits are capped
+      // at the recall-feasible bound so the sized table count actually
+      // delivers the per-pair miss guarantee (volume-sized bits past the
+      // bound made the table cap bind and recall degrade silently)
+      val bits =
+        if (lshBits > 0 || lshTables > 0) bitsVolume
+        else math.min(bitsVolume, recallFeasibleBits(threshold))
       val tables = if (lshTables > 0) lshTables else sizedLshTables(threshold, bits)
       val candidates0 = lshCandidateStream(vv, bits, tables)
       val candidates = if (dedupCandidates) candidates0.distinct() else candidates0

@@ -109,16 +109,28 @@ class DedupSuite extends AnyFunSuite {
     assert(c1 > 0 && c2 > 0)
   }
 
-  test("sized tables buy recall back at sf0.1 where sized bits alone would miss") {
+  test("fully-auto LSH matches brute exactly at sf0.1 (recall-feasible bits bound)") {
+    // volume-sized bits (9) made the 64-table cap bind and silently
+    // missed 7 of 144 near-threshold pairs; the auto path now caps bits
+    // at the recall-feasible bound (6 at threshold 0.45) so the sized
+    // table count delivers its miss guarantee
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val brute = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.45)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val lsh = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.45,
       lshBits = Dedup.AutoSize, lshTables = Dedup.AutoSize)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(lsh.subsetOf(brute)) // verify step kills false positives
-    val recall = (lsh & brute).size.toDouble / brute.size
-    assert(recall >= 0.95, s"sized-path recall too low at sf0.1: $recall")
+    assert(lsh === brute, s"auto LSH missed ${(brute -- lsh).size} pairs")
+  }
+
+  test("recall-feasible bits rule: largest bits whose table need fits the cap") {
+    // threshold 0.45: p=0.6486, ln(100)/64 budget → bits 6 (needs 62 ≤ 64)
+    assert(Dedup.recallFeasibleBits(0.45) === 6)
+    assert(Dedup.sizedLshTables(0.45, 6) <= 64)
+    // one more bit would overflow the cap
+    assert(math.ceil(math.log(100.0) / math.pow(1.0 - math.acos(0.45) / math.Pi, 7)) > 64)
+    // tighter thresholds afford far more selective signatures
+    assert(Dedup.recallFeasibleBits(0.9) > Dedup.recallFeasibleBits(0.45))
   }
 
   test("connectedComponents labels every node with its component min (vs union-find reference)") {
