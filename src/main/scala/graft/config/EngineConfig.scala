@@ -86,13 +86,24 @@ final case class EngineConfig(
     /** approximation of write.target-file-size-bytes via records/file */
     maxRecordsPerFile: Long = 0L
 ) {
+  /** Effective per-table config: a listed table with EMPTY idColumns /
+    * partitionBy inherits the `default-*` values (so a programmatically
+    * constructed `EngineConfig(tables = Seq(TableConfig("t")),
+    * defaultIdColumns = ...)` behaves like the property-parsed path, which
+    * pre-fills defaults in [[EngineConfig.fromProperties]]). Empty is
+    * "inherit", not "opt out" — matching the reference, where a table
+    * without its own `id-columns` setting gets the default.
+    */
   def tableConfig(name: String): TableConfig =
-    tables
-      .find(_.name == name)
-      .getOrElse(
+    tables.find(_.name == name) match {
+      case Some(t) =>
+        t.copy(
+          idColumns = if (t.idColumns.nonEmpty) t.idColumns else defaultIdColumns,
+          partitionBy = if (t.partitionBy.nonEmpty) t.partitionBy else defaultPartitionBy)
+      case None =>
         TableConfig(name, idColumns = defaultIdColumns, partitionBy = defaultPartitionBy,
           commitBranch = defaultCommitBranch)
-      )
+    }
 }
 
 object EngineConfig {

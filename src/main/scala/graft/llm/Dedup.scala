@@ -61,7 +61,17 @@ object Dedup {
       expand: Int,
       sep: String
   ): DataFrame = {
-    val posKey = col("id") * SpanPosBase + col("pos")
+    // Packed-key contract enforced at runtime: |id| < 2^43 and pos < 2^20,
+    // else id*2^20+pos overflows/collides and canonical-occurrence
+    // selection silently picks wrong winners (e.g. xxhash64-derived ids
+    // span the full signed 64-bit range). Fail loudly instead.
+    val idCap = 1L << 43
+    val posKey = when(
+      col("id") >= idCap || col("id") <= -idCap || col("pos") >= SpanPosBase,
+      raise_error(format_string(
+        "dedupPositionalUnits packed-key contract violated (|id| < 2^43, pos < 2^20): id=%d pos=%d",
+        col("id"), col("pos"))).cast("long")
+    ).otherwise(col("id") * SpanPosBase + col("pos"))
     val dup = occ
       .groupBy("g")
       .agg(count(lit(1)).as("c"), min(posKey).as("canon"))

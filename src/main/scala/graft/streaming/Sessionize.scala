@@ -63,16 +63,22 @@ object Sessionize {
 
   /** `ds` = (key, event-time micros). Emits sessions as they close, plus
     * an idle flush per key after `idleTimeoutMs` without events
-    * (processing time; 0 disables the flush AND state expiry — only for
-    * bounded test streams). With a timeout registered the engine runs
-    * no-data batches to fire expirations, so pair it with a trigger
-    * interval (`Trigger.ProcessingTime`) — an untriggered query would
-    * busy-loop those batches.
+    * (processing time).
+    *
+    * The idle flush is OPT-IN (`idleTimeoutMs = 0` default = no timeout):
+    * registering a processing-time timeout makes the engine run no-data
+    * batches to fire expirations, and an UNTRIGGERED query busy-loops
+    * those batches (silent CPU spin, and `processAllAvailable()` never
+    * returns). A long-running production query should pass a non-zero
+    * timeout (e.g. `gapUs / 1000`) AND pair it with a trigger interval
+    * (`Trigger.ProcessingTime`) — without the flush, one-off keys
+    * accumulate state forever and each key's final session is never
+    * emitted.
     */
   def stream(
       ds: Dataset[(Long, Long)],
       gapUs: Long = graft.operators.Sessionize.DefaultGapUs,
-      idleTimeoutMs: Long = graft.operators.Sessionize.DefaultGapUs / 1000L
+      idleTimeoutMs: Long = 0L
   ): Dataset[Session] = {
     import ds.sparkSession.implicits._
     val timeoutConf =

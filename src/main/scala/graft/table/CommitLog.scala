@@ -95,6 +95,15 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
   private def seqOf(name: String, prefix: String): Long =
     name.stripPrefix(prefix).stripPrefix("v").stripSuffix(".json").toLong
 
+  /** Read a listed commit file, tolerating it vanishing in between: a
+    * deleted entry is by definition a zombie that its writer rolled back
+    * (see commit()'s post-link verify), which the batchId self-heal filter
+    * would drop anyway — skipping it is equivalent and race-free.
+    */
+  private def readCommitOpt(p: Path): Option[Commit] =
+    try Some(mapper.readValue(Files.readAllBytes(p), classOf[Commit]))
+    catch { case _: java.nio.file.NoSuchFileException => None }
+
   def commits(): Seq[Commit] = {
     if (!Files.isDirectory(root)) return Nil
     val names = listNames()
@@ -111,7 +120,7 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
       .filter(_.matches("v\\d+\\.json"))
       .filter(seqOf(_, "") > from)
       .sorted
-      .map(n => mapper.readValue(Files.readAllBytes(root.resolve(n)), classOf[Commit]))
+      .flatMap(n => readCommitOpt(root.resolve(n)))
     // Replay-artifact self-heal: batch ids commit in strictly increasing
     // order, so a LATER entry whose batchId does not exceed the running
     // max is a zombie's duplicate that crashed between link and rollback
@@ -138,11 +147,13 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
   def lastBatchId(): Option[Long] = {
     val last = lastSeq()
     if (last == 0L) None
-    else {
-      val c = mapper.readValue(Files.readAllBytes(commitPath(last)), classOf[Commit])
-      if (c.batchId >= 0) Some(c.batchId)
-      else commits().filter(_.batchId >= 0).lastOption.map(_.batchId)
-    }
+    else
+      readCommitOpt(commitPath(last)) match {
+        case Some(c) if c.batchId >= 0 => Some(c.batchId)
+        // batchId < 0, or the last entry was a zombie rolled back between
+        // the directory listing and the read — fall back to the full log
+        case _ => commits().filter(_.batchId >= 0).lastOption.map(_.batchId)
+      }
   }
 
   /** Atomically commit; returns None if the batchId was already committed

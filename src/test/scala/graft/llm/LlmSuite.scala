@@ -270,6 +270,26 @@ class DedupSuite extends AnyFunSuite {
       (2L, "", 0L)))
   }
 
+  test("positional dedup fails loudly when ids overflow the packed (id,pos) key") {
+    // xxhash64-derived ids span the full signed 64-bit range; silently
+    // overflowing id*2^20+pos would corrupt canonical-occurrence selection
+    val docs = Seq(
+      (1L << 43, "dup line\nbody a"),
+      (7L, "dup line\nbody b")
+    ).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.dedupLines(docs, "doc_id", "text").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("packed-key contract")), s"unexpected error: $e")
+    // negative ids within range stay legal (canonical = min packed key)
+    val neg = Seq((-5L, "x\nsame"), (3L, "y\nsame")).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(neg, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq === Seq((-5L, "x\nsame"), (3L, "y")))
+  }
+
   test("star contraction agrees with union-find on a 500-node random graph") {
     val rnd = new scala.util.Random(11)
     val n = 500

@@ -53,6 +53,19 @@ class RoutingSuite extends AnyFunSuite {
     ("orders", 1), ("orders_eu", 2), ("shipments", 3), (null.asInstanceOf[String], 4)
   ).toDF("dest", "id")
 
+  test("programmatic EngineConfig: listed tables inherit default id/partition columns") {
+    // fromProperties pre-fills defaults; a directly constructed config must
+    // behave the same (empty = inherit, not opt-out)
+    val cfg = EngineConfig("/tmp/x",
+      tables = Seq(TableConfig("t"), TableConfig("u", idColumns = Seq("k"))),
+      defaultIdColumns = Seq("id"), defaultPartitionBy = Seq("day(ts)"))
+    assert(cfg.tableConfig("t").idColumns === Seq("id"))
+    assert(cfg.tableConfig("t").partitionBy === Seq("day(ts)"))
+    assert(cfg.tableConfig("u").idColumns === Seq("k")) // own setting wins
+    assert(cfg.tableConfig("u").partitionBy === Seq("day(ts)"))
+    assert(cfg.tableConfig("v").idColumns === Seq("id")) // unlisted path unchanged
+  }
+
   test("no route field broadcasts to all tables (R1)") {
     val cfg = EngineConfig("/tmp/x", tables = Seq(TableConfig("a"), TableConfig("b")))
     val routed = Routing.route(df, cfg)

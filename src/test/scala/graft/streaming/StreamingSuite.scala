@@ -120,11 +120,12 @@ class StreamingSuite extends AnyFunSuite {
     val batch2 = Seq((1L, 55L * min), (1L, 60L * min), (2L, 20L * min))
     val ms = MemoryStream[(Long, Long)]
     val qn = "sessions_out"
-    // idleTimeoutMs = 0: a registered processing-time timeout makes the
-    // untriggered engine run no-data batches back-to-back, so
-    // processAllAvailable never quiesces (production streams pair the
-    // timeout with a trigger interval)
-    val q = Sessionize.stream(ms.toDS(), idleTimeoutMs = 0L)
+    // default idleTimeoutMs = 0 (no timeout) — this untriggered query
+    // quiescing at processAllAvailable IS the regression test: a
+    // registered processing-time timeout would make the engine run
+    // no-data batches back-to-back and never quiesce (production streams
+    // opt into the idle flush AND pair it with a trigger interval)
+    val q = Sessionize.stream(ms.toDS())
       .writeStream.outputMode("append").format("memory").queryName(qn).start()
     try {
       ms.addData(batch1); q.processAllAvailable()

@@ -136,6 +136,42 @@ class IceTableSuite extends AnyFunSuite {
     assert(t.log.commit(7L, s => Commit(s, 7L, "again", 0L, 1)).isEmpty)
   }
 
+  test("readers tolerate a zombie rollback deleting a listed commit file") {
+    // two writers race the same batchId while readers scan continuously:
+    // the loser's post-link rollback deletes a v*.json a reader may have
+    // already listed — commits()/lastBatchId() must skip it, not crash
+    val dir = TestSpark.freshDir("t-vanish")
+    val t = IceTable.create(dir, schema, TableMeta())
+    assert(t.log.commit(1L, s => Commit(s, 1L, "seed", 0L, 1)).isDefined)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      import scala.jdk.CollectionConverters._
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val readerErr = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+      val readers = (0 until 2).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try while (!stop.get()) { t.log.commits(); t.log.lastBatchId(); () }
+            catch { case e: Throwable => readerErr.set(e); stop.set(true) }
+        })
+      }
+      for (b <- 2L to 40L if !stop.get()) {
+        val writes = (0 until 2).map { i =>
+          new java.util.concurrent.Callable[Option[graft.table.Commit]] {
+            def call() = t.log.commit(b, s => Commit(s, b, s"w$i-$b", 0L, 1), maxRetries = 50)
+          }
+        }
+        val done = pool.invokeAll(writes.asJava).asScala.map(_.get())
+        assert(done.count(_.isDefined) === 1, s"batch $b committed ${done.count(_.isDefined)}x")
+      }
+      stop.set(true)
+      readers.foreach(_.get())
+      assert(readerErr.get() === null,
+        s"reader crashed on a vanished commit file: ${readerErr.get()}")
+      assert(t.log.commits().map(_.batchId) === (1L to 40L))
+    } finally pool.shutdown()
+  }
+
   test("gc age threshold protects freshly staged (not yet committed) files") {
     val dir = TestSpark.freshDir("t-gc-age")
     val t = IceTable.create(dir, schema, TableMeta())
