@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.config.{EngineConfig, TableConfig}
-import graft.llm.{Decontaminate, Dedup, Multimodal, Packing, Search, Similarity, TextAnalysis}
+import graft.llm.{Decontaminate, Dedup, Embeddings, LshIndex, Multimodal, Packing, Search, Similarity, TextAnalysis}
 import graft.operators.{Coercion, PartitionTransforms}
 import graft.sink.Ingest
 import graft.table.IceTable
@@ -996,6 +996,65 @@ object SparkEntry {
       .orderBy(col("doc_freq").desc, col("ngram"))
       .limit(20)
 
+  /** Sliding-window chunking: 40-token chunks, stride 32 (8-token
+    * overlap) — the context-window split step of a training pipeline.
+    */
+  private def qChunkDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.chunk(t(spark, sfDir, "documents"), "doc_id", "text",
+      chunkSize = 40, stride = 32)
+      .orderBy("doc_id", "chunk_id")
+
+  /** Symmetric int8 scalar quantization of the embedding column,
+    * long-form (vec_id, pos, q, scale_micros) — integer cells exchange
+    * exactly; the scale rides as fixed-point micros.
+    */
+  private def qEmbedQuantize(spark: SparkSession, sfDir: String): DataFrame =
+    Embeddings.quantizeInt8(t(spark, sfDir, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id", "pos")
+
+  /** Per-label prototype embeddings (elementwise mean), long-form with
+    * fixed-point micros absorbing float sum-order variation.
+    */
+  private def qEmbedCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Embeddings.groupCentroids(t(spark, sfDir, "embeddings"), "label", "embedding")
+      .select(col("group").as("grp"), col("pos"), col("centroid_micros"), col("n_members"))
+      .orderBy("grp", "pos")
+
+  /** Spherical k-means to convergence, exchanged as INVARIANTS (the
+    * knn_ivf pattern — centroid floats don't cross engines):
+    *  - `n_assigned`: every embedding got exactly one cluster
+    *  - `one_cluster_per_vec`: assignments are keyed by vec id
+    *  - `clusters_le_k`: at most k clusters materialized
+    *  - `fixed_point_ok`: with centroids RECOMPUTED from the final
+    *    assignments, every vector's cluster is the argmax-cosine choice —
+    *    the Lloyd fixed point, checked genuinely from (assignments ∪
+    *    embeddings)
+    *  - `converged`: the fixed point was reached within maxIters
+    * Clustering quality (inertia decrease, seed spread) is asserted in
+    * LlmSuite.
+    */
+  private def qClusterKmeans(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.kmeansReport(t(spark, sfDir, "embeddings"), "vec_id", "embedding",
+      k = 8, maxIters = 60)
+
+  /** Incremental dedup: docs with id % 10 == 0 arrive as the "new batch"
+    * and are deduped against a persisted LSH index built over the other
+    * 90% — no corpus rescan, no corpus self-join. 64 hashes / 32 bands at
+    * threshold 0.5 (same recall margin as `dedup_groups`); candidates are
+    * verified with exact Jaccard, so the oracle is the exact cross-set
+    * pair list.
+    */
+  private def qDedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = t(spark, sfDir, "documents")
+    val dir = freshDir("lsh_index")
+    LshIndex.build(d.filter(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text", dir,
+      n = 3, numHashes = 64, bands = 32)
+    LshIndex.queryBatch(spark, dir, d.filter(pmod(col("doc_id"), lit(10)) === 0),
+      "doc_id", "text", threshold = 0.5)
+      .select(col("id_new"), col("id_indexed"), col("isect").cast("long").as("isect"))
+      .orderBy("id_new", "id_indexed")
+  }
+
   // ---- registry -------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
@@ -1061,7 +1120,12 @@ object SparkEntry {
       "decontaminate" -> wrap(qDecontaminate),
       "search_bm25" -> wrap(qSearchBm25),
       "pack_sequences" -> wrap(qPackSequences),
-      "ngram_counts" -> wrap(qNgramCounts)
+      "ngram_counts" -> wrap(qNgramCounts),
+      "chunk_documents" -> wrap(qChunkDocuments),
+      "embed_quantize" -> wrap(qEmbedQuantize),
+      "embed_centroids" -> wrap(qEmbedCentroids),
+      "cluster_kmeans" -> wrap(qClusterKmeans),
+      "dedup_incremental" -> wrap(qDedupIncremental)
     )
   }
 
@@ -1100,6 +1164,59 @@ object SparkEntry {
     * that SQL cannot reproduce — those get rows-only checks + unit tests).
     */
   def oracleSql: Map[String, String] = Map(
+    "chunk_documents" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |s AS (SELECT doc_id, ws, unnest(range(0, len(ws), 32)) AS st FROM w WHERE len(ws) > 0)
+        |SELECT doc_id, st // 32 AS chunk_id,
+        |  array_to_string(ws[st+1:st+40], ' ') AS chunk_text,
+        |  CAST(least(40, len(ws) - st) AS BIGINT) AS n_tokens
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "embed_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM v),
+        |q AS (SELECT vec_id,
+        |    CAST(floor(amax/127.0*1e6 + 0.5) AS BIGINT) AS scale_micros,
+        |    CASE WHEN amax = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(e, x -> CAST(floor(x/(amax/127.0) + 0.5) AS BIGINT)) END AS qs
+        |  FROM m)
+        |SELECT vec_id, CAST(unnest(generate_series(1, len(qs))) - 1 AS BIGINT) AS pos,
+        |  unnest(qs) AS q, scale_micros
+        |FROM q ORDER BY vec_id, pos""".stripMargin,
+    "embed_centroids" ->
+      """WITH x AS (
+        |  SELECT label AS grp,
+        |    CAST(unnest(generate_series(1, len(embedding))) - 1 AS BIGINT) AS pos,
+        |    unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS val
+        |  FROM embeddings)
+        |SELECT grp, pos, CAST(floor(avg(val)*1e6 + 0.5) AS BIGINT) AS centroid_micros,
+        |  CAST(count(*) AS BIGINT) AS n_members
+        |FROM x GROUP BY grp, pos ORDER BY grp, pos""".stripMargin,
+    // Converged k-means is exchanged as its invariant summary (see
+    // qClusterKmeans): the oracle states the values a Lloyd fixed point
+    // must produce; the engine computes each genuinely from the
+    // assignments joined back to the base table.
+    "cluster_kmeans" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_assigned, true AS one_cluster_per_vec,
+        |  true AS clusters_le_k, true AS fixed_point_ok, true AS converged
+        |FROM embeddings""".stripMargin,
+    "dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT b.doc_id AS id_new, c.doc_id AS id_indexed, count(*) AS isect
+        |  FROM sh b JOIN sh c ON b.sh = c.sh
+        |  WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT id_new, id_indexed, CAST(isect AS BIGINT) AS isect
+        |FROM pairs JOIN sizes sa ON sa.doc_id = id_new JOIN sizes sb ON sb.doc_id = id_indexed
+        |WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.5
+        |ORDER BY id_new, id_indexed""".stripMargin,
     "decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+3], ' ') for i in range(1, len(ws)-2)])) AS ng

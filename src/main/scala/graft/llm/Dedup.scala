@@ -242,6 +242,17 @@ object Dedup {
   def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
     minhashSignatureFromHashes(shingleHashes(text, n), numHashes)
 
+  /** LSH band buckets of a minhash signature: array of (band, bh) structs,
+    * bh = hash of the band's `r` signature rows. Shared by the in-session
+    * pair search ([[minhashLshPairs]]) and the persisted index
+    * ([[LshIndex]]) so their bucket keys are always compatible.
+    */
+  private[llm] def bandBuckets(sig: Column, bands: Int, r: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", slice(sig, b * r + 1, r))).as("bh"))
+    }: _*)
+
   /** MinHash + LSH near-dup pairs: signatures → band buckets → candidate
     * pairs within buckets → verified with exact n-gram Jaccard. Bands/rows
     * trade recall vs candidate volume (b bands of r rows, k = b*r).
@@ -267,11 +278,7 @@ object Dedup {
       .select(col("id"), minhashSignatureFromHashes(col("hh"), numHashes).as("sig"))
     val banded = sig.select(
       col("id"),
-      explode(
-        array((0 until bands).map { b =>
-          struct(lit(b).as("band"), xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, r))).as("bh"))
-        }: _*)
-      ).as("bb")
+      explode(bandBuckets(col("sig"), bands, r)).as("bb")
     ).localCheckpoint()
     val candidates = banded
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))

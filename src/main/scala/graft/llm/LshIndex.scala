@@ -1,0 +1,128 @@
+package graft.llm
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH dedup index — the INCREMENTAL form of
+  * [[Dedup.minhashLshPairs]]: build the banded-bucket index over the
+  * existing corpus ONCE, then dedup each new crawl/batch against it
+  * without ever rescanning or self-joining the corpus. This is the shape
+  * a 100 TB curation pipeline actually runs (the corpus is petabyte-class
+  * and static between snapshots; arriving batches are small), where the
+  * in-session pair search would re-shingle and re-bucket the whole corpus
+  * per batch.
+  *
+  * Layout under `dir`:
+  * {{{
+  *   meta.properties        shingle n / numHashes / bands (compatibility)
+  *   buckets.parquet/       (id, band, bh)   — the LSH candidate index
+  *   shingles.parquet/      (id, shset)      — exact-Jaccard verify sets
+  * }}}
+  *
+  * Query cost at scale: the new batch's bucket keys are broadcast into a
+  * join against the bucket index (corpus side never shuffles), candidate
+  * pairs are verified with exact Jaccard against the stored shingle sets
+  * (no false positives survive), and only candidate corpus rows are
+  * fetched from `shingles.parquet`.
+  */
+object LshIndex {
+
+  private def metaPath(dir: String) = Paths.get(dir, "meta.properties")
+
+  private def writeMeta(dir: String, n: Int, numHashes: Int, bands: Int): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("n", n.toString)
+    p.setProperty("numHashes", numHashes.toString)
+    p.setProperty("bands", bands.toString)
+    val out = Files.newOutputStream(metaPath(dir))
+    try p.store(out, "graft LshIndex parameters")
+    finally out.close()
+  }
+
+  private def readMeta(dir: String): (Int, Int, Int) = {
+    val p = new java.util.Properties()
+    val in = Files.newInputStream(metaPath(dir))
+    try p.load(in)
+    finally in.close()
+    (p.getProperty("n").toInt, p.getProperty("numHashes").toInt, p.getProperty("bands").toInt)
+  }
+
+  /** Index `corpus` under `dir`. Returns the number of documents indexed.
+    * Same signature parameters as [[Dedup.minhashLshPairs]] — the stored
+    * bucket keys are byte-compatible with the in-session path.
+    */
+  def build(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32
+  ): Long = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    Files.createDirectories(Paths.get(dir))
+    writeMeta(dir, n, numHashes, bands)
+    val withSets = corpus
+      .select(col(idCol).cast("long").as("id"), Dedup.shingles(col(textCol), n).as("shset"))
+    // the verify sets are the durable form of the shingle pass — write
+    // them first, then derive buckets from the WRITTEN table so the
+    // (expensive) shingling runs exactly once
+    withSets.write.mode("overwrite").parquet(s"$dir/shingles.parquet")
+    val spark = corpus.sparkSession
+    val stored = spark.read.parquet(s"$dir/shingles.parquet")
+    stored
+      .select(col("id"), transform(col("shset"), s => abs(xxhash64(s))).as("hh"))
+      .select(col("id"), Dedup.minhashSignatureFromHashes(col("hh"), numHashes).as("sig"))
+      .select(col("id"), explode(Dedup.bandBuckets(col("sig"), bands, r)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .write.mode("overwrite").parquet(s"$dir/buckets.parquet")
+    stored.count()
+  }
+
+  /** Near-duplicate pairs between `batch` and the indexed corpus:
+    * (id_new, id_indexed, isect) for exact n-gram Jaccard ≥ `threshold`,
+    * candidates restricted to LSH bucket collisions (recall follows the
+    * same band/row trade-off as [[Dedup.minhashLshPairs]]). Within-batch
+    * duplicates are NOT reported — run the in-session pair search on the
+    * batch for those, or fold the batch into the index.
+    */
+  def queryBatch(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val (n, numHashes, bands) = readMeta(dir)
+    val r = numHashes / bands
+    val newSets = batch
+      .select(col(idCol).cast("long").as("id_new"), Dedup.shingles(col(textCol), n).as("set_new"))
+      .localCheckpoint() // feeds the bucket probe AND the verify join
+    val newBuckets = newSets
+      .select(col("id_new"), transform(col("set_new"), s => abs(xxhash64(s))).as("hh"))
+      .select(col("id_new"), Dedup.minhashSignatureFromHashes(col("hh"), numHashes).as("sig"))
+      .select(col("id_new"), explode(Dedup.bandBuckets(col("sig"), bands, r)).as("bb"))
+      .select(col("id_new"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val index = spark.read.parquet(s"$dir/buckets.parquet")
+    // batch side broadcast: the corpus-sized index never shuffles
+    val candidates = index
+      .join(broadcast(newBuckets), Seq("band", "bh"))
+      .select(col("id_new"), col("id").as("id_indexed"))
+      .distinct()
+    val storedSets = spark.read.parquet(s"$dir/shingles.parquet")
+      .select(col("id").as("id_indexed"), col("shset").as("set_indexed"))
+    candidates
+      .join(broadcast(newSets), "id_new")
+      .join(storedSets, "id_indexed")
+      .withColumn("isect", size(array_intersect(col("set_new"), col("set_indexed"))))
+      .withColumn("union_sz", size(col("set_new")) + size(col("set_indexed")) - col("isect"))
+      .withColumn("jaccard", col("isect").cast("double") / col("union_sz").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_new", "id_indexed", "isect")
+  }
+}

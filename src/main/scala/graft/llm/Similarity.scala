@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
   * inverted-file/coarse-quantizer layout); hyperplane LSH turns the
   * all-pairs problem into bucket-equality joins.
   */
+/** Result of [[Similarity.kmeans]]: per-vector assignments
+  * (id, cluster), the final centroid set, whether the Lloyd fixed point
+  * was reached, and how many iterations ran.
+  */
+final case class KmeansResult(
+    assignments: DataFrame,
+    centroids: Array[(Long, Array[Double])],
+    converged: Boolean,
+    iterations: Int
+)
+
 object Similarity {
 
   /** dot(a,b) with double accumulation — a fused codegen'd kernel (see
@@ -177,27 +188,137 @@ object Similarity {
     * quantizer, whose cell boundaries are heuristic; the driver-facing
     * knn_ivf correctness exchange is invariant-based for this reason.
     */
+  /** One Lloyd step: assign every vector to its nearest centroid
+    * (shuffle-free [[nearestCentroid]] argmax), then take the per-cell
+    * spherical mean (dim column averages, normalized) — ONE shuffle.
+    * `dropNaN` discards degenerate cells whose mean normalizes to NaN (a
+    * zero-mean cell): Spark orders NaN as the LARGEST double, so a NaN
+    * centroid would win every subsequent argmax.
+    */
+  private def lloydStep(
+      c: DataFrame,
+      cents: Array[(Long, Array[Double])],
+      dim: Int,
+      dropNaN: Boolean
+  ): Array[(Long, Array[Double])] = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val next = c
+      .withColumn("c_id", nearestCentroid(col("n_vec"), cents).getField("c_id"))
+      .groupBy("c_id")
+      .agg(array((0 until dim).map(i => avg(col("n_vec").getItem(i))): _*).as("m"))
+      .select(col("c_id"), normalize(col("m")).as("c_vec"))
+      .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
+      .sortBy(_._1)
+    if (dropNaN) next.filter(!_._2.exists(_.isNaN)) else next
+  }
+
   private[llm] def trainCentroids(
       c: DataFrame,
       nCells: Int,
       kmeansIters: Int,
       dim: Int
   ): Array[(Long, Array[Double])] = {
-    val spark = c.sparkSession
-    import spark.implicits._
     var cents = seedCentroids(c, nCells)
     if (cents.isEmpty) return cents
-    for (_ <- 0 until kmeansIters) {
-      // per-cell spherical mean (dim column averages)
-      cents = c
-        .withColumn("c_id", nearestCentroid(col("n_vec"), cents).getField("c_id"))
-        .groupBy("c_id")
-        .agg(array((0 until dim).map(i => avg(col("n_vec").getItem(i))): _*).as("m"))
-        .select(col("c_id"), normalize(col("m")).as("c_vec"))
-        .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
-        .sortBy(_._1)
-    }
+    for (_ <- 0 until kmeansIters) cents = lloydStep(c, cents, dim, dropNaN = false)
     cents
+  }
+
+  /** Spherical k-means (cosine Lloyd) run to EXACT convergence: iterate
+    * until two consecutive centroid sets are bit-identical (assignments
+    * stopped changing — the Lloyd fixed point) or `maxIters`. Returns the
+    * per-vector assignments, the final centroids, and whether the fixed
+    * point was reached.
+    *
+    * Determinism & cost: seeding is deterministic ([[seedCentroids]]);
+    * each iteration costs one shuffle over the (materialized) normalized
+    * corpus. The fixed point makes the result EXACTLY verifiable: with
+    * assignments A and centroids C(A) recomputed from them, every
+    * vector's assigned cluster is the argmax-cosine cluster under C(A) —
+    * a property an independent engine can check from (assignments ∪ base
+    * table) alone, no float-sum ordering in the exchange.
+    *
+    * 100 TB: cap `maxIters` (each pass is a full-corpus job); an
+    * unconverged run still returns useful clusters, with
+    * `converged = false` so callers relying on the fixed-point invariant
+    * can fail loudly.
+    */
+  def kmeans(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxIters: Int = 40
+  ): KmeansResult = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus
+      .select(col(idCol).cast("long").as("id"), normalize(col(vecCol)).as("n_vec"))
+      .localCheckpoint() // scanned by seeding + every Lloyd pass + final assignment
+    val dim = detectDim(c)
+    var cents = seedCentroids(c.select(col("id").as("n_id"), col("n_vec")), k)
+      .filter(!_._2.exists(_.isNaN))
+    var converged = cents.isEmpty
+    var it = 0
+    while (!converged && it < maxIters) {
+      val next = lloydStep(c.select(col("id").as("n_id"), col("n_vec")), cents, dim, dropNaN = true)
+      converged = next.length == cents.length &&
+        next.zip(cents).forall { case ((i1, v1), (i2, v2)) =>
+          i1 == i2 && java.util.Arrays.equals(v1, v2)
+        }
+      cents = next
+      it += 1
+    }
+    val assigned =
+      if (cents.isEmpty)
+        Seq.empty[(Long, Long)].toDF("id", "cluster")
+      else
+        c.withColumn("cluster", nearestCentroid(col("n_vec"), cents).getField("c_id"))
+          .select(col("id"), col("cluster"))
+    KmeansResult(assigned, cents, converged, it)
+  }
+
+  /** One-row invariant summary of a converged [[kmeans]] run, each value
+    * computed GENUINELY from the assignments joined back to the corpus
+    * (the exchange pattern approximate/float-centroid ops use — see the
+    * knn_ivf scaladoc in SparkEntry):
+    * (n_assigned, one_cluster_per_vec, clusters_le_k, fixed_point_ok,
+    * converged). `fixed_point_ok` RECOMPUTES centroids from the final
+    * assignments and re-derives every vector's argmax-cosine cluster —
+    * true iff the assignment is the Lloyd fixed point of itself.
+    */
+  def kmeansReport(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxIters: Int = 40
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val res = kmeans(corpus, idCol, vecCol, k, maxIters)
+    val c = corpus
+      .select(col(idCol).cast("long").as("id"), normalize(col(vecCol)).as("n_vec"))
+    val withVec = c.join(broadcast(res.assignments), "id").localCheckpoint()
+    val dim = detectDim(withVec.select(col("n_vec")))
+    // centroids recomputed FROM the emitted assignments (not from the
+    // training loop's state) — the quantity the fixed point is defined on
+    val cents2 = withVec
+      .groupBy(col("cluster").as("c_id"))
+      .agg(array((0 until dim).map(i => avg(col("n_vec").getItem(i))): _*).as("m"))
+      .select(col("c_id"), normalize(col("m")).as("c_vec"))
+      .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
+      .sortBy(_._1)
+      .filter(!_._2.exists(_.isNaN))
+    withVec
+      .withColumn("c2", nearestCentroid(col("n_vec"), cents2).getField("c_id"))
+      .agg(
+        count(lit(1)).as("n_assigned"),
+        (count(lit(1)) === count_distinct(col("id"))).as("one_cluster_per_vec"),
+        (count_distinct(col("cluster")) <= k).as("clusters_le_k"),
+        bool_and(col("cluster") === col("c2")).as("fixed_point_ok"))
+      .withColumn("converged", lit(res.converged))
   }
 
   /** Embedding width of (n_id, n_vec)-shaped `c`; 64 on an empty corpus. */

@@ -92,6 +92,44 @@ object TextAnalysis {
     regexp_replace(i, lit(PhonePattern), lit("[PHONE]"))
   }
 
+  /** Sliding-window document chunking — the "split long documents into
+    * context-window-sized pieces with overlap" step of a training-data
+    * pipeline. Tokens are the engine-wide whitespace contract
+    * ([[tokens]]); chunk `i` covers token positions
+    * `[i*stride, i*stride + size)` (0-based), clamped at the document end,
+    * so consecutive chunks share `size - stride` tokens. Every chunk start
+    * strictly below the token count emits a chunk (the tail chunk may be
+    * shorter than `size`); empty/null documents emit nothing.
+    *
+    * Returns (doc_id, chunk_id, chunk_text, n_tokens).
+    *
+    * 100 TB shape: pure map-side explode inside whole-stage codegen — no
+    * shuffle, no state; output size is input size × (1 + overlap ratio).
+    */
+  def chunk(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int
+  ): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize: chunkSize=$chunkSize stride=$stride")
+    val ws = tokens(coalesce(col(textCol), lit("")))
+    df.select(col(idCol).as("doc_id"), ws.as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .select(
+        col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("__ws")) - 1, lit(stride)),
+          s => slice(col("__ws"), s + 1, lit(chunkSize)))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        array_join(col("col"), " ").as("chunk_text"),
+        size(col("col")).cast("long").as("n_tokens"))
+  }
+
   /** n-gram-heuristic language ID: count language-marker stopword hits per
     * candidate language plus a CJK character-class check; argmax with a
     * deterministic tie-break (en > de > es > fr by marker count ordering).

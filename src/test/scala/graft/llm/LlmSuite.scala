@@ -270,6 +270,31 @@ class DedupSuite extends AnyFunSuite {
       (2L, "", 0L)))
   }
 
+  test("persisted LSH index: incremental batch query matches the in-session cross pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val dir = TestSpark.freshDir("lsh-index")
+    val indexed = LshIndex.build(corpus, "doc_id", "text", dir,
+      n = 3, numHashes = 64, bands = 32)
+    assert(indexed === corpus.count())
+    val got = LshIndex.queryBatch(spark, dir, batch, "doc_id", "text", threshold = 0.5)
+      .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
+    // same params/seed as the in-session search ⇒ identical buckets ⇒ the
+    // batch query returns exactly the union's verified pairs that cross
+    // the batch/corpus boundary (within-batch pairs are out of scope)
+    val batchIds = batch.select(col("doc_id")).as[Long].collect().toSet
+    val expect = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) =>
+        if (batchIds(a) && !batchIds(b)) Some((a, b))
+        else if (batchIds(b) && !batchIds(a)) Some((b, a))
+        else None
+      }.toSet
+    assert(got === expect, s"cross-pair mismatch: got ${got.size}, expected ${expect.size}")
+  }
+
   test("positional dedup fails loudly when ids overflow the packed (id,pos) key") {
     // xxhash64-derived ids span the full signed 64-bit range; silently
     // overflowing id*2^20+pos would corrupt canonical-occurrence selection
@@ -345,6 +370,24 @@ class TextOpsSuite extends AnyFunSuite {
       .toSet
     assert(s1 === expect) // engine-portable formula
     assert(math.abs(s1.size - 1000) < 200, s"sample size ${s1.size} far from rate")
+  }
+
+  test("chunking covers every token with the configured overlap") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "a b"), // shorter than one chunk
+      (3L, ""), // empty: no chunks
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(docs, "doc_id", "text", chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got === Seq(
+      (1L, 0L, "t0 t1 t2 t3", 4L),
+      (1L, 1L, "t3 t4 t5 t6", 4L), // one-token overlap (stride 3 of 4)
+      (1L, 2L, "t6 t7 t8 t9", 4L),
+      (1L, 3L, "t9", 1L), // tail chunk, clamped
+      (2L, 0L, "a b", 2L)))
   }
 
   test("simhashPairs(maxDist=0) finds exact-signature pairs without degenerating") {
@@ -541,6 +584,92 @@ class SimilaritySuite extends AnyFunSuite {
     assert(written === 0)
     assert(IvfIndex.query(spark, dir, emb.filter(col("vec_id") < 3),
       "vec_id", "embedding", k = 5, nProbe = 4).count() === 0)
+  }
+
+  test("kmeans reaches the Lloyd fixed point and the report proves it") {
+    val res = Similarity.kmeans(emb, "vec_id", "embedding", k = 8, maxIters = 60)
+    assert(res.converged, s"did not converge in ${res.iterations} iterations")
+    assert(res.centroids.length <= 8 && res.centroids.nonEmpty)
+    assert(res.assignments.count() === 500)
+    val rep = Similarity.kmeansReport(emb, "vec_id", "embedding", k = 8, maxIters = 60).head()
+    assert(rep.getLong(rep.fieldIndex("n_assigned")) === 500L)
+    assert(rep.getBoolean(rep.fieldIndex("one_cluster_per_vec")))
+    assert(rep.getBoolean(rep.fieldIndex("clusters_le_k")))
+    assert(rep.getBoolean(rep.fieldIndex("fixed_point_ok")))
+    assert(rep.getBoolean(rep.fieldIndex("converged")))
+  }
+
+  test("kmeans recovers well-separated synthetic clusters exactly") {
+    // three orthogonal directions with small deterministic jitter: every
+    // point's nearest true center is its own, so a correct spherical
+    // k-means must separate them perfectly
+    val pts = (0 until 90).map { i =>
+      val g = i % 3
+      val base = Array.fill(4)(0.0f)
+      base(g) = 1.0f
+      base((g + 1) % 4) = 0.01f * (i / 3 % 7) // jitter, deterministic
+      (i.toLong, base.toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val res = Similarity.kmeans(df, "vec_id", "embedding", k = 3, maxIters = 30)
+    assert(res.converged)
+    val byCluster = res.assignments.as[(Long, Long)].collect()
+      .groupBy(_._2).values.map(_.map(_._1 % 3).toSet).toSeq
+    assert(byCluster.size === 3, s"expected 3 clusters: $byCluster")
+    assert(byCluster.forall(_.size === 1), s"clusters mix ground-truth groups: $byCluster")
+  }
+}
+
+class EmbeddingsSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("int8 quantization stays in [-127,127] and reconstructs within half a step") {
+    val q = Embeddings.quantizeInt8(emb, "vec_id", "embedding")
+    val joined = q.join(
+      emb.select(col("vec_id"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("pos", "x"))),
+      Seq("vec_id", "pos"))
+      .withColumn("scale", col("scale_micros").cast("double") / 1e6)
+      .agg(
+        max(abs(col("q"))).as("qmax"),
+        // |q*scale - x| <= scale/2 + micros-rounding slack on scale (127 steps)
+        max(abs(col("q") * col("scale") - col("x")) - col("scale") * 0.5 - lit(127 * 5e-7))
+          .as("worst"))
+      .head()
+    assert(joined.getLong(0) <= 127L)
+    assert(joined.getDouble(1) <= 0.0, s"reconstruction error over bound by ${joined.getDouble(1)}")
+  }
+
+  test("zero vectors quantize to all-zero with scale 0; empty vectors emit nothing") {
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f)),
+      (2L, Seq.empty[Float]),
+      (3L, Seq(1.0f, -2.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Embeddings.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(x => (x._1, x._2))
+    assert(got.filter(_._1 == 1L).toSeq === Seq((1L, 0L, 0L, 0L), (1L, 1L, 0L, 0L), (1L, 2L, 0L, 0L)))
+    assert(!got.exists(_._1 == 2L)) // empty vector: no cells
+    val v3 = got.filter(_._1 == 3L)
+    assert(v3.map(_._3).toSeq === Seq(64L, -127L)) // 1/ (2/127) = 63.5 → 64; -2 → -127
+  }
+
+  test("group centroids match a hand-computed elementwise mean") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), "a"),
+      (2L, Seq(3.0f, 6.0f), "a"),
+      (3L, Seq(10.0f, 0.0f), "b")
+    ).toDF("vec_id", "embedding", "label")
+    val got = Embeddings.groupCentroids(df, "label", "embedding")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got === Seq(
+      ("a", 0L, 2000000L, 2L), ("a", 1L, 4000000L, 2L),
+      ("b", 0L, 10000000L, 1L), ("b", 1L, 0L, 1L)))
   }
 }
 
