@@ -249,7 +249,16 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      maxIters: Int = 40
+      maxIters: Int = 40,
+      /** corpora at or below this many rows run the Lloyd loop on the
+        * driver over the collected (normalized) vectors — the iteration
+        * is pure arithmetic, so paying one Spark job of scheduling
+        * overhead PER ITERATION for index-build-sized data is pure waste
+        * (the same size gate [[Dedup.connectedComponents]] applies to
+        * union-find). Above the gate the loop runs distributed: one
+        * shuffle per iteration, centroids on the driver. 2^17 rows × 64
+        * dims ≈ 64 MB of doubles — comfortably driver-sized. */
+      driverPointThreshold: Long = 1L << 17
   ): KmeansResult = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -261,14 +270,32 @@ object Similarity {
       .filter(!_._2.exists(_.isNaN))
     var converged = cents.isEmpty
     var it = 0
-    while (!converged && it < maxIters) {
-      val next = lloydStep(c.select(col("id").as("n_id"), col("n_vec")), cents, dim, dropNaN = true)
-      converged = next.length == cents.length &&
-        next.zip(cents).forall { case ((i1, v1), (i2, v2)) =>
-          i1 == i2 && java.util.Arrays.equals(v1, v2)
+    if (!converged && c.count() <= driverPointThreshold) {
+      // driver path: one collect, then in-memory Lloyd to ASSIGNMENT
+      // convergence (integer comparison — no float-equality subtleties)
+      val pts = c.as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
+        .sortBy(_._1)
+      var prev: Array[Long] = null
+      while (!converged && it < maxIters) {
+        val assign = pts.map { case (_, v) => nearestCentroidLocal(v, cents) }
+        converged = prev != null && java.util.Arrays.equals(assign, prev)
+        prev = assign
+        if (!converged) {
+          cents = localMeans(pts, assign, dim)
+          it += 1
         }
-      cents = next
-      it += 1
+      }
+    } else {
+      while (!converged && it < maxIters) {
+        val next =
+          lloydStep(c.select(col("id").as("n_id"), col("n_vec")), cents, dim, dropNaN = true)
+        converged = next.length == cents.length &&
+          next.zip(cents).forall { case ((i1, v1), (i2, v2)) =>
+            i1 == i2 && java.util.Arrays.equals(v1, v2)
+          }
+        cents = next
+        it += 1
+      }
     }
     val assigned =
       if (cents.isEmpty)
@@ -277,6 +304,49 @@ object Similarity {
         c.withColumn("cluster", nearestCentroid(col("n_vec"), cents).getField("c_id"))
           .select(col("id"), col("cluster"))
     KmeansResult(assigned, cents, converged, it)
+  }
+
+  /** Driver twin of [[nearestCentroid]]: argmax dot, ties to the LOWEST
+    * centroid id (identical semantics to the codegen'd expression, which
+    * maxes over (sim, -id) structs).
+    */
+  private def nearestCentroidLocal(v: Array[Double], cents: Array[(Long, Array[Double])]): Long = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      val cv = cents(i)._2
+      var s = 0.0; var j = 0
+      while (j < v.length) { s += v(j) * cv(j); j += 1 }
+      if (s > bestSim || (s == bestSim && cents(i)._1 < cents(best)._1)) { best = i; bestSim = s }
+      i += 1
+    }
+    cents(best)._1
+  }
+
+  /** Driver twin of the Lloyd mean step: per-cluster elementwise mean
+    * (members in ascending-id order), normalized; NaN cells dropped.
+    */
+  private def localMeans(
+      pts: Array[(Long, Array[Double])],
+      assign: Array[Long],
+      dim: Int
+  ): Array[(Long, Array[Double])] = {
+    val sums = scala.collection.mutable.LinkedHashMap[Long, (Array[Double], Long)]()
+    var i = 0
+    while (i < pts.length) {
+      val (s, n) = sums.getOrElseUpdate(assign(i), (Array.fill(dim)(0.0), 0L))
+      val v = pts(i)._2
+      var j = 0
+      while (j < dim && j < v.length) { s(j) += v(j); j += 1 }
+      sums(assign(i)) = (s, n + 1)
+      i += 1
+    }
+    sums.toArray.sortBy(_._1).map { case (cid, (s, n)) =>
+      val m = s.map(_ / n)
+      val norm = math.sqrt(m.map(x => x * x).sum)
+      (cid, m.map(_ / norm))
+    }.filter(!_._2.exists(_.isNaN))
   }
 
   /** One-row invariant summary of a converged [[kmeans]] run, each value
