@@ -1055,6 +1055,49 @@ object SparkEntry {
       .orderBy("id_new", "id_indexed")
   }
 
+  /** Best-k-per-domain curation: top 3 documents per source by length,
+    * ties to the lowest doc id. The rank filter triggers Spark's
+    * WindowGroupLimit map-side prune (asserted in the plan suite).
+    */
+  private def qSampleTopK(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.topKPerGroup(
+      t(spark, sfDir, "documents").select("doc_id", "source", "n_chars"),
+      "source", Seq(col("n_chars").desc, col("doc_id")), k = 3)
+      .orderBy("source", "rk")
+
+  /** SemDeDup semantic dedup, exchanged as INVARIANTS (cluster-bounded
+    * search is approximate-by-construction; assignments don't cross
+    * engines):
+    *  - `n_exact_pairs`: the full brute-force pair count at the
+    *    threshold, recomputed DISTRIBUTED by the engine — the oracle
+    *    states it independently from the base table, pinning the cosine
+    *    kernel and the threshold boundary across engines
+    *  - `reported_subset_of_exact`: no reported pair is missing from the
+    *    exact pair set (no false positives)
+    *  - `cosines_exact`: each reported cosine bit-equals an independent
+    *    recomputation from the raw embeddings
+    * Recall vs brute is asserted in LlmSuite (clustering-dependent, so
+    * not a cross-SF constant).
+    */
+  private def qDedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = t(spark, sfDir, "embeddings")
+    val pairs = Dedup.semanticNearDupPairs(e, "vec_id", "embedding", 0.45, k = 8)
+      .localCheckpoint()
+    val brute = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.45)
+      .select(col("id_a"), col("id_b"), col("cosine").as("cos2"))
+    val joined = pairs.join(brute, Seq("id_a", "id_b"), "left")
+    // coalesce: bool_and over ZERO reported pairs is null, and the empty
+    // report satisfies both invariants vacuously
+    joined.agg(
+      count(lit(1)).as("n_reported"),
+      coalesce(bool_and(col("cos2").isNotNull), lit(true)).as("reported_subset_of_exact"),
+      coalesce(bool_and(coalesce(col("cosine") === col("cos2"), lit(false))), lit(true))
+        .as("cosines_exact"))
+      .crossJoin(brute.agg(count(lit(1)).as("n_exact_pairs")))
+      .select(col("n_exact_pairs"), (col("n_reported") <= col("n_exact_pairs")).as("count_le_exact"),
+        col("reported_subset_of_exact"), col("cosines_exact"))
+  }
+
   // ---- registry -------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
@@ -1125,7 +1168,9 @@ object SparkEntry {
       "embed_quantize" -> wrap(qEmbedQuantize),
       "embed_centroids" -> wrap(qEmbedCentroids),
       "cluster_kmeans" -> wrap(qClusterKmeans),
-      "dedup_incremental" -> wrap(qDedupIncremental)
+      "dedup_incremental" -> wrap(qDedupIncremental),
+      "sample_topk" -> wrap(qSampleTopK),
+      "dedup_semantic" -> wrap(qDedupSemantic)
     )
   }
 
@@ -1202,6 +1247,22 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_assigned, true AS one_cluster_per_vec,
         |  true AS clusters_le_k, true AS fixed_point_ok, true AS converged
         |FROM embeddings""".stripMargin,
+    "sample_topk" ->
+      """SELECT doc_id, source, n_chars, rk FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+    // Cluster-bounded semantic dedup is approximate-by-construction; the
+    // exchange is its invariant summary (see qDedupSemantic). n_exact_pairs
+    // is a REAL cross-engine value: both engines count the full exact pair
+    // set at the threshold independently.
+    "dedup_semantic" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, true AS count_le_exact,
+        |  true AS reported_subset_of_exact, true AS cosines_exact
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
     "dedup_incremental" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh

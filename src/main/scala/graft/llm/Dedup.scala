@@ -302,6 +302,39 @@ object Dedup {
       .select("id_a", "id_b", "isect")
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): cluster the embeddings with spherical k-means
+    * ([[Similarity.kmeans]]), then search cosine pairs WITHIN each
+    * cluster only. Returns (id_a, id_b, cosine) with id_a < id_b and
+    * exact cosine ≥ `threshold` — candidates are bounded, but every
+    * reported pair is exact (no false positives); pairs straddling a
+    * cluster boundary are the recall loss, shrinking as `threshold → 1`.
+    *
+    * 100 TB shape: the within-cluster self-join shuffles on cluster id,
+    * so candidate volume is Σ|cluster|² ≈ n²/k instead of n² — pick k so
+    * n/k fits a task's working set (SemDeDup's published runs use
+    * k ~ 10⁴-10⁵ on billions of points). Skewed clusters are the
+    * operational hazard: re-run with larger k or sub-cluster the giants.
+    */
+  def semanticNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      k: Int,
+      maxIters: Int = 40
+  ): DataFrame = {
+    val res = Similarity.kmeans(df, idCol, vecCol, k, maxIters)
+    val v = df.select(col(idCol).cast("long").as("id"), Similarity.normalize(col(vecCol)).as("v"))
+    val withC = v.join(res.assignments, "id")
+    withC.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
+      .join(withC.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b")), "cluster")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Similarity.dot(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, using
     * pigeonhole banding: split the 64-bit signature into maxDist+1 chunks —
     * any pair within distance shares at least one exact chunk, so the

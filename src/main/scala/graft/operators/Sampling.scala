@@ -94,6 +94,31 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), seed) < floor(clamped * lit(P.toDouble)).cast("long"))
   }
 
+  /** Keep the best `k` rows of each group under `ordering` (e.g. top-k
+    * documents per source by quality score) — the "select the best
+    * documents per domain" curation step. Pass a fully deterministic
+    * ordering (break score ties on the row key) or the survivors are
+    * partition-order dependent.
+    *
+    * 100 TB shape: the rank-filter pattern triggers Spark's
+    * WindowGroupLimit optimization — each input partition is pre-pruned
+    * to ≤ k rows per group BEFORE the window shuffle, so the exchange
+    * carries k×partitions candidates per group, not the whole corpus
+    * (asserted on the physical plan in the test suite).
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      ordering: Seq[Column],
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(ordering: _*)
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Stratified variant: per-stratum rates (e.g. per source/language
     * domain weights in a training mix), `defaultRate` elsewhere. The rate
     * lookup is a codegen'd CASE over the (small) strata map.

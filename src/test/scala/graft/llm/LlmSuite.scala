@@ -372,6 +372,36 @@ class TextOpsSuite extends AnyFunSuite {
     assert(math.abs(s1.size - 1000) < 200, s"sample size ${s1.size} far from rate")
   }
 
+  test("topKPerGroup keeps the best k per group and pre-prunes map-side") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L), (4L, "a", 30L),
+      (5L, "b", 5L)
+    ).toDF("id", "grp", "score")
+    val got = Sampling.topKPerGroup(df, "grp", Seq(col("score").desc, col("id")), k = 2)
+      .select("id", "grp", "rk").as[(Long, String, Long)].collect().toSet
+    // score ties (ids 2 and 4 at 30) break on the lower id
+    assert(got === Set((2L, "a", 1L), (4L, "a", 2L), (5L, "b", 1L)))
+    // the rank filter must trigger the map-side group-limit prune — at
+    // scale this is what keeps the window shuffle k-bounded per partition
+    val plan = Sampling.topKPerGroup(df, "grp", Seq(col("score").desc, col("id")), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no map-side group limit in plan:\n$plan")
+  }
+
+  test("semantic dedup reports only exact pairs and finds most of brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sem = Dedup.semanticNearDupPairs(emb, "vec_id", "embedding", 0.45, k = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sem.subsetOf(brute), s"false positives: ${sem -- brute}")
+    // near-dup pairs (cosine >= 0.45) mostly co-cluster at k=8; the
+    // boundary-straddling remainder is SemDeDup's documented recall loss
+    assert(brute.nonEmpty)
+    val recall = (sem & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"semantic recall too low: $recall ($sem of $brute)")
+  }
+
   test("chunking covers every token with the configured overlap") {
     val docs = Seq(
       (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
