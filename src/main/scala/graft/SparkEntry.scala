@@ -1083,8 +1083,11 @@ object SparkEntry {
     val e = t(spark, sfDir, "embeddings")
     val pairs = Dedup.semanticNearDupPairs(e, "vec_id", "embedding", 0.45, k = 8)
       .localCheckpoint()
+    // checkpoint: the O(n²) brute pass feeds BOTH the subset verify and
+    // the n_exact_pairs count — without it the cross join runs twice
     val brute = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.45)
       .select(col("id_a"), col("id_b"), col("cosine").as("cos2"))
+      .localCheckpoint()
     val joined = pairs.join(brute, Seq("id_a", "id_b"), "left")
     // coalesce: bool_and over ZERO reported pairs is null, and the empty
     // report satisfies both invariants vacuously
@@ -1246,7 +1249,9 @@ object SparkEntry {
     "cluster_kmeans" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_assigned, true AS one_cluster_per_vec,
         |  true AS clusters_le_k, true AS fixed_point_ok, true AS converged
-        |FROM embeddings""".stripMargin,
+        |FROM embeddings
+        |WHERE embedding IS NOT NULL AND len(embedding) > 0
+        |  AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) > 0""".stripMargin,
     "sample_topk" ->
       """SELECT doc_id, source, n_chars, rk FROM (
         |  SELECT doc_id, source, n_chars,

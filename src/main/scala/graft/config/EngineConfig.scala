@@ -16,8 +16,12 @@ final case class TableConfig(
     /** `iceberg.table.<name>.partition-by` — Iceberg partition transforms,
       * e.g. `day(ts)`, `bucket(user_id,16)`, `truncate(name,4)` */
     partitionBy: Seq[String] = Nil,
-    /** `iceberg.table.<name>.commit-branch` */
-    commitBranch: String = "main"
+    /** `iceberg.table.<name>.commit-branch`; "" = inherit the config's
+      * `default-commit-branch` (resolved by [[EngineConfig.tableConfig]] /
+      * [[EngineConfig.resolvedTables]], which every route/write path goes
+      * through)
+      */
+    commitBranch: String = ""
 )
 
 final case class EngineConfig(
@@ -86,20 +90,32 @@ final case class EngineConfig(
     /** approximation of write.target-file-size-bytes via records/file */
     maxRecordsPerFile: Long = 0L
 ) {
-  /** Effective per-table config: a listed table with EMPTY idColumns /
-    * partitionBy inherits the `default-*` values (so a programmatically
+  /** Defaults applied to a listed table: EMPTY idColumns / partitionBy /
+    * commitBranch inherit the `default-*` values (so a programmatically
     * constructed `EngineConfig(tables = Seq(TableConfig("t")),
     * defaultIdColumns = ...)` behaves like the property-parsed path, which
     * pre-fills defaults in [[EngineConfig.fromProperties]]). Empty is
     * "inherit", not "opt out" — matching the reference, where a table
     * without its own `id-columns` setting gets the default.
     */
+  private def resolved(t: TableConfig): TableConfig =
+    t.copy(
+      idColumns = if (t.idColumns.nonEmpty) t.idColumns else defaultIdColumns,
+      partitionBy = if (t.partitionBy.nonEmpty) t.partitionBy else defaultPartitionBy,
+      commitBranch = if (t.commitBranch.nonEmpty) t.commitBranch else defaultCommitBranch)
+
+  /** The listed tables with defaults applied — routing/write paths consume
+    * THIS, never raw `tables` (a raw entry may carry empty = inherit
+    * markers).
+    */
+  def resolvedTables: Seq[TableConfig] = tables.map(resolved)
+
+  /** Effective config of one table (defaults applied; synthesized for
+    * unlisted names — the dynamic-routing path).
+    */
   def tableConfig(name: String): TableConfig =
     tables.find(_.name == name) match {
-      case Some(t) =>
-        t.copy(
-          idColumns = if (t.idColumns.nonEmpty) t.idColumns else defaultIdColumns,
-          partitionBy = if (t.partitionBy.nonEmpty) t.partitionBy else defaultPartitionBy)
+      case Some(t) => resolved(t)
       case None =>
         TableConfig(name, idColumns = defaultIdColumns, partitionBy = defaultPartitionBy,
           commitBranch = defaultCommitBranch)

@@ -1,7 +1,5 @@
 package graft.llm
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -29,24 +27,21 @@ import org.apache.spark.sql.functions._
   */
 object LshIndex {
 
-  private def metaPath(dir: String) = Paths.get(dir, "meta.properties")
-
-  private def writeMeta(dir: String, n: Int, numHashes: Int, bands: Int): Unit = {
-    val p = new java.util.Properties()
-    p.setProperty("n", n.toString)
-    p.setProperty("numHashes", numHashes.toString)
-    p.setProperty("bands", bands.toString)
-    val out = Files.newOutputStream(metaPath(dir))
-    try p.store(out, "graft LshIndex parameters")
-    finally out.close()
+  // meta rides as a 1-row parquet THROUGH Spark's filesystem layer, like
+  // the data tables — a driver-local java.nio file would split the index
+  // across two filesystems on any cluster whose default FS isn't local
+  // (the sibling IvfIndex persists everything the same way)
+  private def writeMeta(
+      spark: SparkSession, dir: String, n: Int, numHashes: Int, bands: Int): Unit = {
+    import spark.implicits._
+    Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/meta.parquet")
   }
 
-  private def readMeta(dir: String): (Int, Int, Int) = {
-    val p = new java.util.Properties()
-    val in = Files.newInputStream(metaPath(dir))
-    try p.load(in)
-    finally in.close()
-    (p.getProperty("n").toInt, p.getProperty("numHashes").toInt, p.getProperty("bands").toInt)
+  private def readMeta(spark: SparkSession, dir: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$dir/meta.parquet").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2))
   }
 
   /** Index `corpus` under `dir`. Returns the number of documents indexed.
@@ -64,15 +59,20 @@ object LshIndex {
   ): Long = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    Files.createDirectories(Paths.get(dir))
-    writeMeta(dir, n, numHashes, bands)
+    val spark = corpus.sparkSession
+    writeMeta(spark, dir, n, numHashes, bands)
     val withSets = corpus
       .select(col(idCol).cast("long").as("id"), Dedup.shingles(col(textCol), n).as("shset"))
+      // docs shorter than n tokens have EMPTY shingle sets: their minhash
+      // signatures are all identical, so every such doc would collide with
+      // every other in all bands — a quadratic candidate blow-up whose
+      // pairs the 0/0-Jaccard verify discards anyway. They are
+      // unindexable by this similarity measure; skip them.
+      .filter(size(col("shset")) > 0)
     // the verify sets are the durable form of the shingle pass — write
     // them first, then derive buckets from the WRITTEN table so the
     // (expensive) shingling runs exactly once
     withSets.write.mode("overwrite").parquet(s"$dir/shingles.parquet")
-    val spark = corpus.sparkSession
     val stored = spark.read.parquet(s"$dir/shingles.parquet")
     stored
       .select(col("id"), transform(col("shset"), s => abs(xxhash64(s))).as("hh"))
@@ -98,10 +98,11 @@ object LshIndex {
       textCol: String,
       threshold: Double
   ): DataFrame = {
-    val (n, numHashes, bands) = readMeta(dir)
+    val (n, numHashes, bands) = readMeta(spark, dir)
     val r = numHashes / bands
     val newSets = batch
       .select(col(idCol).cast("long").as("id_new"), Dedup.shingles(col(textCol), n).as("set_new"))
+      .filter(size(col("set_new")) > 0) // sub-n-token docs: see build()
       .localCheckpoint() // feeds the bucket probe AND the verify join
     val newBuckets = newSets
       .select(col("id_new"), transform(col("set_new"), s => abs(xxhash64(s))).as("hh"))

@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   */
 /** Result of [[Similarity.kmeans]]: per-vector assignments
   * (id, cluster), the final centroid set, whether the Lloyd fixed point
-  * was reached, and how many iterations ran.
+  * was reached, and how many iterations ran. Unclusterable vectors
+  * (null/empty/zero — no direction on the unit sphere) are excluded
+  * from the assignments.
   */
 final case class KmeansResult(
     assignments: DataFrame,
@@ -42,6 +44,16 @@ object Similarity {
   }
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** True iff a NORMALIZED vector is a usable unit direction: non-null,
+    * non-empty, first element neither NULL (a zero vector — SQL x/0 is
+    * NULL) nor NaN (a NaN input element makes the whole vector NaN).
+    * Degenerate inputs fail ALL elements at once, so probing element 1
+    * decides for the vector.
+    */
+  private[llm] def clusterable(nVec: Column): Column =
+    nVec.isNotNull && size(nVec) > 0 &&
+      element_at(nVec, 1).isNotNull && !isnan(element_at(nVec, 1))
 
   /** Sign-bit signature against `bits` deterministic pseudo-random
     * hyperplanes (seeded per index): bucket key for cosine LSH. `seed`
@@ -99,13 +111,15 @@ object Similarity {
     val spark = c.sparkSession
     import spark.implicits._
     val cands: Array[(Long, Array[Double])] = c
+      // degenerate vectors (zero → all-NULL elements under SQL division,
+      // NaN input → all-NaN) can never be useful centroids, and a NULL
+      // element would even fail the non-nullable Seq[Double] collect —
+      // drop them BEFORE sampling
+      .filter(clusterable(col("n_vec")))
       .orderBy(xxhash64(col("n_id")), col("n_id"))
       .limit(4 * nCells)
       .select(col("n_id"), col("n_vec"))
       .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
-      // zero vectors normalize to all-NaN: as candidates they poison every
-      // dot product (a NaN FIRST candidate would collapse seeding to one
-      // cell) — they can never be useful centroids, drop them up front
       .filter(!_._2.exists(_.isNaN))
     if (cands.isEmpty) // empty/degenerate corpus: queries degrade to empty output
       return Array.empty
@@ -264,6 +278,13 @@ object Similarity {
     import spark.implicits._
     val c = corpus
       .select(col(idCol).cast("long").as("id"), normalize(col(vecCol)).as("n_vec"))
+      // a null/empty/zero vector has no direction: it normalizes to
+      // null / empty / all-NULL (SQL x/0 is NULL, not NaN; a NaN INPUT
+      // element yields all-NaN) and CANNOT be clustered — left in, it
+      // poisons its cluster's mean each iteration (one cluster dies per
+      // pass and convergence never fires). Excluded rows are absent from
+      // the assignments, by contract.
+      .filter(clusterable(col("n_vec")))
       .localCheckpoint() // scanned by seeding + every Lloyd pass + final assignment
     val dim = detectDim(c)
     var cents = seedCentroids(c.select(col("id").as("n_id"), col("n_vec")), k)
@@ -370,7 +391,11 @@ object Similarity {
     val res = kmeans(corpus, idCol, vecCol, k, maxIters)
     val c = corpus
       .select(col(idCol).cast("long").as("id"), normalize(col(vecCol)).as("n_vec"))
-    val withVec = c.join(broadcast(res.assignments), "id").localCheckpoint()
+    // inner join: unclusterable rows (absent from the assignments) drop
+    // out here too. No broadcast hint — assignments are corpus-sized, so
+    // the join must stay a shuffle join at scale (AQE will still
+    // broadcast when the plan proves it small).
+    val withVec = c.join(res.assignments, "id").localCheckpoint()
     val dim = detectDim(withVec.select(col("n_vec")))
     // centroids recomputed FROM the emitted assignments (not from the
     // training loop's state) — the quantity the fixed point is defined on

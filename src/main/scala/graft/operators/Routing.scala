@@ -22,13 +22,13 @@ object Routing {
       // R1 — no route field: broadcast every record to all tables
       // (`Worker.java:103-113`)
       case None =>
-        config.tables.map(t => t -> df)
+        config.resolvedTables.map(t => t -> df)
 
       case Some(field) if !config.dynamicRouting =>
         // R2 — static regex routing (`Worker.java:115-133`); the reference
         // uses Matcher.matches() = full match, hence the ^(?:...)$ wrap.
         // R7 — null route values are dropped (`Worker.java:116-117`).
-        config.tables.flatMap { t =>
+        config.resolvedTables.flatMap { t =>
           t.routeRegex.map { re =>
             t -> df.filter(col(field).isNotNull && col(field).rlike(s"^(?:$re)$$"))
           }

@@ -113,6 +113,8 @@ object Sampling {
       k: Int
   ): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    require(!df.columns.contains("rk"),
+      "input already has an 'rk' column — topKPerGroup emits the rank as 'rk' and would overwrite it")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(ordering: _*)
     df.withColumn("rk", row_number().over(w).cast("long"))

@@ -295,6 +295,19 @@ class DedupSuite extends AnyFunSuite {
     assert(got === expect, s"cross-pair mismatch: got ${got.size}, expected ${expect.size}")
   }
 
+  test("LSH index skips sub-n-token docs (empty shingle sets) on both sides") {
+    // empty shingle sets share one signature: without the filter every
+    // short doc collides with every other in all bands (quadratic
+    // candidates that the 0/0-Jaccard verify then throws away)
+    val corpus = Seq((1L, "too short"), (2L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val batch = Seq((10L, "tiny"), (20L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val dir = TestSpark.freshDir("lsh-index-short")
+    assert(LshIndex.build(corpus, "doc_id", "text", dir, n = 3) === 1L) // doc 1 unindexable
+    val got = LshIndex.queryBatch(spark, dir, batch, "doc_id", "text", threshold = 0.5)
+      .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
+    assert(got === Set((20L, 2L))) // the real near-dup; no short-doc pair, no crash
+  }
+
   test("positional dedup fails loudly when ids overflow the packed (id,pos) key") {
     // xxhash64-derived ids span the full signed 64-bit range; silently
     // overflowing id*2^20+pos would corrupt canonical-occurrence selection
@@ -627,6 +640,41 @@ class SimilaritySuite extends AnyFunSuite {
     assert(rep.getBoolean(rep.fieldIndex("clusters_le_k")))
     assert(rep.getBoolean(rep.fieldIndex("fixed_point_ok")))
     assert(rep.getBoolean(rep.fieldIndex("converged")))
+  }
+
+  test("IVF seeding survives zero vectors in the sampled candidates") {
+    // a zero vector normalizes to all-NULL elements (SQL x/0 is NULL, not
+    // NaN) — unfiltered, it crashed the seed sample's non-nullable
+    // Seq[Double] collect before candidate selection even ran
+    val withZero = emb.union(
+      Seq((9999L, Seq.fill(64)(0.0f), 0)).toDF("vec_id", "embedding", "label"))
+    val got = Similarity.ivfKnn(withZero, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 5, nCells = 4, nProbe = 4, kmeansIters = 1)
+    assert(got.groupBy("q_id").count().collect().forall(_.getLong(1) === 5L))
+  }
+
+  test("kmeans excludes unclusterable (zero/empty/null) vectors instead of crashing") {
+    // a zero vector normalizes to all-NaN; left in, it poisoned its
+    // cluster's mean every iteration (one cluster died per pass, then an
+    // empty-centroid index crash) — regression test
+    val df = Seq(
+      (0L, Some(Seq(0.0f, 0.0f, 0.0f, 0.0f))), // zero: no direction
+      (1L, Some(Seq.empty[Float])), // empty
+      (2L, None), // null
+      (3L, Some(Seq(1.0f, 0.0f, 0.0f, 0.1f))),
+      (4L, Some(Seq(0.9f, 0.1f, 0.0f, 0.0f))),
+      (5L, Some(Seq(0.0f, 0.0f, 1.0f, 0.0f))),
+      (6L, Some(Seq(0.1f, 0.0f, 0.9f, 0.0f)))
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.kmeans(df, "vec_id", "embedding", k = 2, maxIters = 20)
+    assert(res.converged, s"did not converge in ${res.iterations} iterations")
+    val got = res.assignments.as[(Long, Long)].collect().toMap
+    assert(got.keySet === Set(3L, 4L, 5L, 6L)) // unclusterable rows absent
+    assert(got(3L) === got(4L) && got(5L) === got(6L) && got(3L) != got(5L))
+    // and the report's invariants hold on the same data
+    val rep = Similarity.kmeansReport(df, "vec_id", "embedding", k = 2, maxIters = 20).head()
+    assert(rep.getLong(rep.fieldIndex("n_assigned")) === 4L)
+    assert(rep.getBoolean(rep.fieldIndex("fixed_point_ok")))
   }
 
   test("kmeans recovers well-separated synthetic clusters exactly") {
