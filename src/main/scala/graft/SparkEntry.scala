@@ -1055,6 +1055,13 @@ object SparkEntry {
       .orderBy("id_new", "id_indexed")
   }
 
+  /** N-gram rarity: per-doc distinct-shingle count + summed corpus df,
+    * exchanged as exact integers.
+    */
+  private def qTextRarity(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.ngramRarity(t(spark, sfDir, "documents"), "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+
   /** Best-k-per-domain curation: top 3 documents per source by length,
     * ties to the lowest doc id. The rank filter triggers Spark's
     * WindowGroupLimit map-side prune (asserted in the plan suite).
@@ -1173,7 +1180,8 @@ object SparkEntry {
       "cluster_kmeans" -> wrap(qClusterKmeans),
       "dedup_incremental" -> wrap(qDedupIncremental),
       "sample_topk" -> wrap(qSampleTopK),
-      "dedup_semantic" -> wrap(qDedupSemantic)
+      "dedup_semantic" -> wrap(qDedupSemantic),
+      "text_rarity" -> wrap(qTextRarity)
     )
   }
 
@@ -1252,6 +1260,19 @@ object SparkEntry {
         |FROM embeddings
         |WHERE embedding IS NOT NULL AND len(embedding) > 0
         |  AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) > 0""".stripMargin,
+    "text_rarity" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+        |),
+        |dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+        |per AS (
+        |  SELECT s.doc_id, count(*) AS n_shingles, sum(df) AS sum_df
+        |  FROM sh s JOIN dfreq USING (sh) GROUP BY s.doc_id)
+        |SELECT d.doc_id AS doc_id, CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(sum_df, 0) AS BIGINT) AS sum_df
+        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "sample_topk" ->
       """SELECT doc_id, source, n_chars, rk FROM (
         |  SELECT doc_id, source, n_chars,

@@ -92,6 +92,37 @@ object TextAnalysis {
     regexp_replace(i, lit(PhonePattern), lit("[PHONE]"))
   }
 
+  /** N-gram rarity signals — the novelty/commonness score of a curation
+    * pipeline (a document whose shingles all have high corpus document
+    * frequency is boilerplate-like; rare shingles mark novel content).
+    * Returns one row per input document: (doc_id, n_shingles, sum_df)
+    * where `sum_df` sums the corpus-wide document frequency of the doc's
+    * distinct `n`-gram shingles — mean df is `sum_df / n_shingles`,
+    * kept as two exact integers so the exchange never touches floats.
+    * Documents shorter than `n` tokens report (0, 0).
+    *
+    * 100 TB shape: the same inverted-index dataflow as the Jaccard
+    * pair search WITHOUT its self-join — one shingle explode, one
+    * hash-partitioned df aggregation, one join back on the shingle, one
+    * per-doc aggregation. Strictly linear; the exploded index is
+    * materialized once for its two consumers.
+    */
+  def ngramRarity(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc_id"), explode(Dedup.shingles(col(textCol), n)).as("sh"))
+      .localCheckpoint() // feeds the df table AND the per-doc join
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val perDoc = sh
+      .join(dfreq, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), sum("df").as("sum_df"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("sum_df"), lit(0L)).as("sum_df"))
+  }
+
   /** Sliding-window document chunking — the "split long documents into
     * context-window-sized pieces with overlap" step of a training-data
     * pipeline. Tokens are the engine-wide whitespace contract

@@ -121,6 +121,30 @@ class PlanAndOffsetsSuite extends AnyFunSuite {
     }
   }
 
+  test("chunking and quantization stay map-side: no exchange in the plan") {
+    for (q <- Seq("chunk_documents", "embed_quantize")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      // one global sort for the ordered output; the operator itself is a
+      // codegen'd explode that must not shuffle
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 1, s"$q has $exchanges exchanges:\n$plan")
+    }
+  }
+
+  test("embed_centroids aggregates partially before its one shuffle") {
+    val plan = SparkEntry.queries("embed_centroids")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), s"centroid mean is not map-side combined:\n$plan")
+  }
+
+  test("sample_topk pre-prunes each partition via WindowGroupLimit") {
+    val plan = SparkEntry.queries("sample_topk")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter did not trigger the map-side group limit:\n$plan")
+  }
+
   test("dedup_spans stays linear: hash/merge joins only, partial aggregation present") {
     val plan = SparkEntry.queries("dedup_spans")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

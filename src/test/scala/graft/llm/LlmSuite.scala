@@ -385,6 +385,18 @@ class TextOpsSuite extends AnyFunSuite {
     assert(math.abs(s1.size - 1000) < 200, s"sample size ${s1.size} far from rate")
   }
 
+  test("ngramRarity sums corpus document frequencies per doc, exactly") {
+    val docs = Seq(
+      (1L, "a b c d"), // shingles: "a b c"(df2), "b c d"(df2)
+      (2L, "a b c d e"), // "a b c"(2), "b c d"(2), "c d e"(1)
+      (3L, "x y"), // too short: no shingles
+      (4L, "p q r") // "p q r"(1)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramRarity(docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, 2L, 4L), (2L, 3L, 5L), (3L, 0L, 0L), (4L, 1L, 1L)))
+  }
+
   test("topKPerGroup keeps the best k per group and pre-prunes map-side") {
     val df = Seq(
       (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L), (4L, "a", 30L),
