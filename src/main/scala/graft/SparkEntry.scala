@@ -1254,12 +1254,20 @@ object SparkEntry {
     // qClusterKmeans): the oracle states the values a Lloyd fixed point
     // must produce; the engine computes each genuinely from the
     // assignments joined back to the base table.
+    // WHERE mirrors Similarity.clusterable exactly: drop null/empty
+    // vectors, any-NULL-element vectors, and vectors whose squared norm
+    // is 0 (zero vector → SQL x/0 nulls), NaN (a NaN element), or Inf
+    // (an Infinity element) — all of which the engine excludes because
+    // they normalize to NULL/NaN slots.
     "cluster_kmeans" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_assigned, true AS one_cluster_per_vec,
         |  true AS clusters_le_k, true AS fixed_point_ok, true AS converged
-        |FROM embeddings
-        |WHERE embedding IS NOT NULL AND len(embedding) > 0
-        |  AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) > 0""".stripMargin,
+        |FROM (
+        |  SELECT list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS sq
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+        |WHERE isfinite(sq) AND sq > 0""".stripMargin,
     "text_rarity" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh

@@ -19,10 +19,12 @@ object TextNormUtil {
   def normalizeText(s: UTF8String): UTF8String = {
     // regex end-strip rather than String.trim: trim also eats control
     // chars (≤ U+0020) that `\s` does not, which would silently diverge
-    // from the SQL formulation of the same pipeline
+    // from the SQL formulation of the same pipeline. The class is RE2's
+    // `\s` (no \x0B — Java's `\s` includes it, the RE2 oracles don't;
+    // WordShinglesUtil documents the engine-wide contract).
     val collapsed = s.toString
-      .replaceAll("^\\s+|\\s+$", "")
-      .replaceAll("\\s+", " ")
+      .replaceAll("^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+$", "")
+      .replaceAll("[ \\t\\n\\f\\r]+", " ")
       .toLowerCase(java.util.Locale.ROOT)
     UTF8String.fromString(
       java.text.Normalizer.normalize(collapsed, java.text.Normalizer.Form.NFC))

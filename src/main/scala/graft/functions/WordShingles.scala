@@ -8,14 +8,17 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 object WordShinglesUtil {
-  /** Whitespace contract: the ASCII `\s` class (space, \t, \n, \x0B, \f,
-    * \r) — the same class `TextAnalysis.tokens` and every DuckDB oracle
-    * split on. Deliberately NOT `Character.isWhitespace`: Unicode spaces
-    * (e.g. U+2028) are treated as word characters by all tokenizers in
-    * this engine so shingle-, token-count- and oracle-side tokenization
-    * agree byte for byte.
+  /** Engine-wide whitespace contract: RE2's `\s` class — space, \t, \n,
+    * \f, \r and NOTHING else. Deliberately NOT Java's `\s` (which adds
+    * \x0B) and NOT `Character.isWhitespace` (which adds Unicode spaces
+    * like U+2028): the DuckDB oracles tokenize with RE2 `\s`, and every
+    * tokenizer in this engine (`TextAnalysis.tokens`, the BPE/punct
+    * classes, `TextNormalize`, line-content tests) uses this exact set so
+    * engine- and oracle-side tokenization agree byte for byte — \x0B and
+    * Unicode spaces are word characters everywhere.
     */
-  @inline private def isWs(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   /** Distinct word n-gram shingles in one pass over the UTF-8 bytes.
     * Equivalent to split-on-\s+ → sliding(n) → join(" ") → distinct, but

@@ -105,9 +105,10 @@ object Dedup {
     * boilerplate headers/footers/navigation collapse corpus-wide).
     * Canonical occurrence = min (id, line-pos), same packed-key scheme as
     * [[dedupSpans]]. Lines split on `\r?\n` (CRLF corpora match their LF
-    * twins; output joins with `\n`); whitespace-only lines (ASCII `\s`,
-    * the engine-wide contract) are structure, not content: never
-    * deduplicated. Null text = empty doc. Returns (id, clean_text,
+    * twins; output joins with `\n`); whitespace-only lines (RE2 `\s`,
+    * the engine-wide contract — see
+    * [[graft.functions.WordShinglesUtil]]) are structure, not content:
+    * never deduplicated. Null text = empty doc. Returns (id, clean_text,
     * n_removed) for every input row.
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -118,7 +119,7 @@ object Dedup {
     val content = toks
       .select(col("id"), posexplode(col("us")))
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("g"))
-      .filter(col("g").rlike("\\S"))
+      .filter(col("g").rlike("[^ \\t\\n\\f\\r]")) // RE2 \S (Java \S would also exclude \x0B)
     dedupPositionalUnits(toks, content, expand = 1, sep = "\n")
   }
 

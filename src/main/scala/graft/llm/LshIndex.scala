@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * in-session pair search would re-shingle and re-bucket the whole corpus
   * per batch.
   *
-  * Layout under `dir`:
+  * Layout under `dir` (all written through Spark's filesystem layer, so
+  * the index lives on the cluster's shared FS):
   * {{{
-  *   meta.properties        shingle n / numHashes / bands (compatibility)
+  *   meta.parquet/          shingle n / numHashes / bands (compatibility)
   *   buckets.parquet/       (id, band, bh)   — the LSH candidate index
   *   shingles.parquet/      (id, shset)      — exact-Jaccard verify sets
   * }}}

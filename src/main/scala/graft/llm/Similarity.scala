@@ -46,14 +46,15 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** True iff a NORMALIZED vector is a usable unit direction: non-null,
-    * non-empty, first element neither NULL (a zero vector — SQL x/0 is
-    * NULL) nor NaN (a NaN input element makes the whole vector NaN).
-    * Degenerate inputs fail ALL elements at once, so probing element 1
-    * decides for the vector.
+    * non-empty, and EVERY element non-NULL and non-NaN. Degeneracy is
+    * per-element, not just whole-vector: a zero vector normalizes to
+    * all-NULL (SQL x/0), but a single NULL input element nulls only its
+    * own slot, and an Infinity input element turns into NaN while finite
+    * siblings become 0 — so the whole vector must be scanned.
     */
   private[llm] def clusterable(nVec: Column): Column =
     nVec.isNotNull && size(nVec) > 0 &&
-      element_at(nVec, 1).isNotNull && !isnan(element_at(nVec, 1))
+      size(filter(nVec, x => x.isNull || isnan(x))) === 0
 
   /** Sign-bit signature against `bits` deterministic pseudo-random
     * hyperplanes (seeded per index): bucket key for cosine LSH. `seed`
@@ -296,8 +297,11 @@ object Similarity {
       // convergence (integer comparison — no float-equality subtleties)
       val pts = c.as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
         .sortBy(_._1)
+      // cents.nonEmpty guard: antipodal degenerate data can kill EVERY
+      // cell in one pass (all means zero → NaN → dropped) — iterate on,
+      // and the next argmax would index an empty centroid array
       var prev: Array[Long] = null
-      while (!converged && it < maxIters) {
+      while (!converged && it < maxIters && cents.nonEmpty) {
         val assign = pts.map { case (_, v) => nearestCentroidLocal(v, cents) }
         converged = prev != null && java.util.Arrays.equals(assign, prev)
         prev = assign
@@ -307,7 +311,7 @@ object Similarity {
         }
       }
     } else {
-      while (!converged && it < maxIters) {
+      while (!converged && it < maxIters && cents.nonEmpty) {
         val next =
           lloydStep(c.select(col("id").as("n_id"), col("n_vec")), cents, dim, dropNaN = true)
         converged = next.length == cents.length &&

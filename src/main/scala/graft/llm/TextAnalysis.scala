@@ -11,20 +11,26 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** The engine-wide whitespace class: RE2's `\s` (see the contract note
+    * on [[graft.functions.WordShinglesUtil]]) — Java regex `\s` would add
+    * \x0B and silently diverge from the RE2-based oracles.
+    */
+  val Ws = " \\t\\n\\f\\r"
+
   /** Whitespace tokenization (empty-token safe). */
   def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    filter(split(trim(text), s"[$Ws]+"), t => length(t) > 0)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword-boundary token count: letter runs, digit runs, and
     * single non-alphanumeric marks — the classic pre-tokenizer regex.
     */
-  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  val BpeTokenPattern = s"[A-Za-z]+|[0-9]+|[^A-Za-z0-9$Ws]"
   def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpeTokenPattern))
 
   def charCount(text: Column): Column = length(text)
-  def punctCount(text: Column): Column = regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+  def punctCount(text: Column): Column = regexp_count(text, lit(s"[^A-Za-z0-9$Ws]"))
   def digitCount(text: Column): Column = regexp_count(text, lit("[0-9]"))
 
   /** Small multilingual stopword marker lists (public common-word lists). */

@@ -113,7 +113,10 @@ object Sampling {
       k: Int
   ): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    require(!df.columns.contains("rk"),
+    // case-insensitive: withColumn resolves case-insensitively under the
+    // default spark.sql.caseSensitive=false, so an "RK" column would be
+    // silently replaced too
+    require(!df.columns.exists(_.equalsIgnoreCase("rk")),
       "input already has an 'rk' column — topKPerGroup emits the rank as 'rk' and would overwrite it")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(ordering: _*)

@@ -385,6 +385,24 @@ class TextOpsSuite extends AnyFunSuite {
     assert(math.abs(s1.size - 1000) < 200, s"sample size ${s1.size} far from rate")
   }
 
+  test("vertical tab is a WORD character, matching the RE2 oracles") {
+    // Java \\s includes \\x0B, RE2 \\s (DuckDB) does not -- the engine
+    // standardizes on the RE2 set, so "a<VT>b" is ONE token everywhere
+    val vt = "\u000B"
+    val docs = Seq((1L, s"a${vt}b c d")).toDF("doc_id", "text")
+    val toks = docs.select(TextAnalysis.tokens(col("text"))).head().getSeq[String](0)
+    assert(toks === Seq(s"a${vt}b", "c", "d"))
+    val sh = docs.select(Dedup.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(sh === Seq(s"a${vt}b c d")) // 3 tokens -> exactly one trigram
+    // \\x0B counts as a mark, not whitespace, in the punct class too
+    assert(docs.select(TextAnalysis.punctCount(col("text"))).head().getInt(0) === 1)
+    // and a VT-only line is CONTENT for line dedup (RE2 \\S matches it)
+    val lines = Seq((1L, s"$vt\nx"), (2L, s"$vt\ny")).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(lines, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, s"$vt\nx"), (2L, "y"))) // dup VT line removed from doc 2
+  }
+
   test("ngramRarity sums corpus document frequencies per doc, exactly") {
     val docs = Seq(
       (1L, "a b c d"), // shingles: "a b c"(df2), "b c d"(df2)
