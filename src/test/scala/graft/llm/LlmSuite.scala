@@ -403,6 +403,50 @@ class TextOpsSuite extends AnyFunSuite {
     assert(got === Seq((1L, s"$vt\nx"), (2L, "y"))) // dup VT line removed from doc 2
   }
 
+  test("chunking matches the sliding-window model on 60 random documents") {
+    val rnd = new scala.util.Random(13)
+    val docs = (0 until 60).map { i =>
+      val n = rnd.nextInt(50) // 0..49 tokens
+      (i.toLong, (0 until n).map(j => s"w$j").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((size, stride) <- Seq((4, 3), (7, 7), (5, 2))) {
+      val got = TextAnalysis.chunk(df, "doc_id", "text", size, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val expect = (0 until toks.length by stride).zipWithIndex.map { case (st, ci) =>
+          val slice = toks.slice(st, st + size)
+          (id, ci.toLong, slice.mkString(" "), slice.length.toLong)
+        }
+        assert(got.getOrElse(id, Seq.empty) === expect,
+          s"doc $id (${toks.length} tokens, size=$size stride=$stride)")
+      }
+    }
+  }
+
+  test("int8 quantization model-checks on 60 random vectors") {
+    val rnd = new scala.util.Random(17)
+    val vecs = (0 until 60).map { i =>
+      val dim = 1 + rnd.nextInt(8)
+      (i.toLong, Seq.fill(dim)((rnd.nextFloat() - 0.5f) * rnd.nextInt(100)))
+    }
+    val got = Embeddings.quantizeInt8(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    vecs.foreach { case (id, v) =>
+      val amax = v.map(x => math.abs(x.toDouble)).max
+      val scale = amax / 127.0
+      val expect = v.zipWithIndex.map { case (x, pos) =>
+        val q = if (amax == 0.0) 0L else math.floor(x.toDouble / scale + 0.5).toLong
+        (id, pos.toLong, q, math.floor(scale * 1e6 + 0.5).toLong)
+      }
+      assert(got(id) === expect, s"vec $id: $v")
+      assert(got(id).forall(c => math.abs(c._3) <= 127L), s"q out of int8 range for $id")
+    }
+  }
+
   test("ngramRarity sums corpus document frequencies per doc, exactly") {
     val docs = Seq(
       (1L, "a b c d"), // shingles: "a b c"(df2), "b c d"(df2)
