@@ -138,6 +138,13 @@ class PlanAndOffsetsSuite extends AnyFunSuite {
     assert(plan.contains("partial"), s"centroid mean is not map-side combined:\n$plan")
   }
 
+  test("incremental LSH probe broadcasts the batch side — the index never shuffles for it") {
+    val plan = SparkEntry.queries("dedup_incremental")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket probe is not a broadcast join:\n$plan")
+  }
+
   test("sample_topk pre-prunes each partition via WindowGroupLimit") {
     val plan = SparkEntry.queries("sample_topk")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
