@@ -41,6 +41,35 @@ class StreamingSuite extends AnyFunSuite {
     assert(new java.io.File(s"$ckpt/offsets").list().nonEmpty)
   }
 
+  test("streaming dynamic routing discovers and creates tables per micro-batch (R3 under K1)") {
+    // exercises the foreachBatch + persist-before-discovery + auto-create
+    // interplay: the batch is persisted, distinct route values collected,
+    // tables created on first sight, later batches appending to both
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val wh = TestSpark.freshDir("stream-dyn")
+    val ckpt = TestSpark.freshDir("stream-dyn-ckpt")
+    val cfg = EngineConfig(warehouse = wh,
+      routeField = Some("event_type"), dynamicRouting = true, autoCreate = true)
+
+    val ms = MemoryStream[Ev]
+    val q = IngestStream.start(ms.toDF(), cfg, ckpt, triggerMs = Some(50))
+    try {
+      ms.addData(Ev(1, 10, "click", 1.0), Ev(2, 11, "view", 2.0))
+      q.processAllAvailable()
+      ms.addData(Ev(3, 12, "click", 3.0)) // second batch: "click" exists, "view" silent
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val click = IceTable.load(s"$wh/click")
+    val view = IceTable.load(s"$wh/view")
+    assert(click.read(spark).select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    assert(view.read(spark).select("event_id").as[Long].collect().toSeq === Seq(2L))
+    // batch 1 committed to both tables; batch 2 only to click
+    assert(click.log.commits().map(_.batchId) === Seq(0L, 1L))
+    assert(view.log.commits().map(_.batchId) === Seq(0L))
+  }
+
   test("restart from checkpoint resumes without duplicating commits (S4/K8)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
