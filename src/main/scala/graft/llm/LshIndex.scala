@@ -84,6 +84,38 @@ object LshIndex {
     stored.count()
   }
 
+  /** Fold a batch into the index (parquet append of its shingle sets and
+    * bucket rows, same stored parameters) — the step after
+    * [[queryBatch]] keeps the survivors: query the new crawl against the
+    * corpus, drop the near-dups, append the rest, and the NEXT crawl
+    * dedups against corpus + this batch without any rebuild. Ids must be
+    * new (the index never rewrites existing entries — appending an
+    * already-indexed id duplicates its bucket rows). Returns the number
+    * of documents appended.
+    */
+  def append(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String
+  ): Long = {
+    val (n, numHashes, bands) = readMeta(spark, dir)
+    val r = numHashes / bands
+    val withSets = batch
+      .select(col(idCol).cast("long").as("id"), Dedup.shingles(col(textCol), n).as("shset"))
+      .filter(size(col("shset")) > 0) // sub-n-token docs: see build()
+      .localCheckpoint() // feeds both appends + the count
+    withSets.write.mode("append").parquet(s"$dir/shingles.parquet")
+    withSets
+      .select(col("id"), transform(col("shset"), s => abs(xxhash64(s))).as("hh"))
+      .select(col("id"), Dedup.minhashSignatureFromHashes(col("hh"), numHashes).as("sig"))
+      .select(col("id"), explode(Dedup.bandBuckets(col("sig"), bands, r)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .write.mode("append").parquet(s"$dir/buckets.parquet")
+    withSets.count()
+  }
+
   /** Near-duplicate pairs between `batch` and the indexed corpus:
     * (id_new, id_indexed, isect) for exact n-gram Jaccard ≥ `threshold`,
     * candidates restricted to LSH bucket collisions (recall follows the

