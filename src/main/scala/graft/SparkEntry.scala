@@ -1802,7 +1802,7 @@ object SparkEntry {
         |FROM b ORDER BY o_orderkey""".stripMargin,
     "dedup_simhash" ->
       """WITH tok AS (
-        |  SELECT doc_id, unnest([t for t in string_split_regex(text, '[ \n\t\r]+') if len(t) > 0]) AS tok
+        |  SELECT doc_id, unnest([t for t in string_split_regex(text, '[ \t\n\f\r]+') if len(t) > 0]) AS tok
         |  FROM documents),
         |th AS (
         |  SELECT doc_id,
@@ -1832,7 +1832,7 @@ object SparkEntry {
     // list_reduce folds (ASCII corpus => ascii(ch) == utf8 byte)
     "text_fingerprint" ->
       """WITH tok AS (
-        |  SELECT doc_id, unnest([t for t in string_split_regex(text, '[ \n\t\r]+') if len(t) > 0]) AS tok
+        |  SELECT doc_id, unnest([t for t in string_split_regex(text, '[ \t\n\f\r]+') if len(t) > 0]) AS tok
         |  FROM documents),
         |th AS (
         |  SELECT doc_id,

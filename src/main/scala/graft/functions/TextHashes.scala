@@ -83,8 +83,10 @@ object TextHashUtil {
     sig
   }
 
+  // the engine-wide RE2 \s contract (see WordShinglesUtil) — must match
+  // the '[ \t\n\f\r]+' split in the simhash/fingerprint oracle SQL
   @inline private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\n' || b == '\t' || b == '\r'
+    b == ' ' || b == '\n' || b == '\t' || b == '\f' || b == '\r'
 
   /** The (a, b) universal-hash parameter sequence for MinHash permutations
     * — deterministic from `seed`, identical to drawing per-permutation

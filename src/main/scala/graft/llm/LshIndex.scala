@@ -45,6 +45,21 @@ object LshIndex {
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
 
+  /** THE shingle-set → (id, band, bh) bucket derivation — the byte-level
+    * compatibility contract between the stored index and every probe.
+    * One definition shared by build/append/queryBatch so the three can
+    * never drift apart. `sets` must carry (<idName>, <setName>).
+    */
+  private def bucketRows(
+      sets: DataFrame, idName: String, setName: String, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    sets
+      .select(col(idName), transform(col(setName), s => abs(xxhash64(s))).as("hh"))
+      .select(col(idName), Dedup.minhashSignatureFromHashes(col("hh"), numHashes).as("sig"))
+      .select(col(idName), explode(Dedup.bandBuckets(col("sig"), bands, r)).as("bb"))
+      .select(col(idName), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   /** Index `corpus` under `dir`. Returns the number of documents indexed.
     * Same signature parameters as [[Dedup.minhashLshPairs]] — the stored
     * bucket keys are byte-compatible with the in-session path.
@@ -59,7 +74,6 @@ object LshIndex {
       bands: Int = 32
   ): Long = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
     val spark = corpus.sparkSession
     writeMeta(spark, dir, n, numHashes, bands)
     val withSets = corpus
@@ -75,11 +89,7 @@ object LshIndex {
     // (expensive) shingling runs exactly once
     withSets.write.mode("overwrite").parquet(s"$dir/shingles.parquet")
     val stored = spark.read.parquet(s"$dir/shingles.parquet")
-    stored
-      .select(col("id"), transform(col("shset"), s => abs(xxhash64(s))).as("hh"))
-      .select(col("id"), Dedup.minhashSignatureFromHashes(col("hh"), numHashes).as("sig"))
-      .select(col("id"), explode(Dedup.bandBuckets(col("sig"), bands, r)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    bucketRows(stored, "id", "shset", numHashes, bands)
       .write.mode("overwrite").parquet(s"$dir/buckets.parquet")
     stored.count()
   }
@@ -89,9 +99,16 @@ object LshIndex {
     * [[queryBatch]] keeps the survivors: query the new crawl against the
     * corpus, drop the near-dups, append the rest, and the NEXT crawl
     * dedups against corpus + this batch without any rebuild. Ids must be
-    * new (the index never rewrites existing entries — appending an
-    * already-indexed id duplicates its bucket rows). Returns the number
+    * new (the index never rewrites existing entries). Returns the number
     * of documents appended.
+    *
+    * Failure semantics: buckets are appended FIRST, shingle sets second.
+    * A crash between the two leaves ids with bucket rows but no verify
+    * set — such candidates drop out of queryBatch's verify join (missed
+    * pairs until re-append, never wrong ones), and RE-APPENDING the same
+    * batch only duplicates bucket rows, which the candidate `distinct()`
+    * absorbs. The reverse order would duplicate shingle rows on retry,
+    * and duplicated verify sets emit duplicate result pairs.
     */
   def append(
       spark: SparkSession,
@@ -101,18 +118,13 @@ object LshIndex {
       textCol: String
   ): Long = {
     val (n, numHashes, bands) = readMeta(spark, dir)
-    val r = numHashes / bands
     val withSets = batch
       .select(col(idCol).cast("long").as("id"), Dedup.shingles(col(textCol), n).as("shset"))
       .filter(size(col("shset")) > 0) // sub-n-token docs: see build()
       .localCheckpoint() // feeds both appends + the count
-    withSets.write.mode("append").parquet(s"$dir/shingles.parquet")
-    withSets
-      .select(col("id"), transform(col("shset"), s => abs(xxhash64(s))).as("hh"))
-      .select(col("id"), Dedup.minhashSignatureFromHashes(col("hh"), numHashes).as("sig"))
-      .select(col("id"), explode(Dedup.bandBuckets(col("sig"), bands, r)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    bucketRows(withSets, "id", "shset", numHashes, bands)
       .write.mode("append").parquet(s"$dir/buckets.parquet")
+    withSets.write.mode("append").parquet(s"$dir/shingles.parquet")
     withSets.count()
   }
 
@@ -132,16 +144,11 @@ object LshIndex {
       threshold: Double
   ): DataFrame = {
     val (n, numHashes, bands) = readMeta(spark, dir)
-    val r = numHashes / bands
     val newSets = batch
       .select(col(idCol).cast("long").as("id_new"), Dedup.shingles(col(textCol), n).as("set_new"))
       .filter(size(col("set_new")) > 0) // sub-n-token docs: see build()
       .localCheckpoint() // feeds the bucket probe AND the verify join
-    val newBuckets = newSets
-      .select(col("id_new"), transform(col("set_new"), s => abs(xxhash64(s))).as("hh"))
-      .select(col("id_new"), Dedup.minhashSignatureFromHashes(col("hh"), numHashes).as("sig"))
-      .select(col("id_new"), explode(Dedup.bandBuckets(col("sig"), bands, r)).as("bb"))
-      .select(col("id_new"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val newBuckets = bucketRows(newSets, "id_new", "set_new", numHashes, bands)
     val index = spark.read.parquet(s"$dir/buckets.parquet")
     // batch side broadcast: the corpus-sized index never shuffles
     val candidates = index

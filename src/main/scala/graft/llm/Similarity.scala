@@ -46,15 +46,19 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** True iff a NORMALIZED vector is a usable unit direction: non-null,
-    * non-empty, and EVERY element non-NULL and non-NaN. Degeneracy is
-    * per-element, not just whole-vector: a zero vector normalizes to
-    * all-NULL (SQL x/0), but a single NULL input element nulls only its
-    * own slot, and an Infinity input element turns into NaN while finite
-    * siblings become 0 — so the whole vector must be scanned.
+    * non-empty, EVERY element non-NULL and non-NaN, and at least one
+    * element non-zero. Degeneracy is per-element, not just whole-vector:
+    * a zero vector normalizes to all-NULL (SQL x/0); a single NULL input
+    * element nulls only its own slot; an Infinity ELEMENT turns into NaN
+    * while finite siblings become 0; and an all-FINITE vector whose
+    * squared norm overflows to +Inf normalizes to all-zeros (finite/Inf)
+    * with no NULL or NaN anywhere — the nonzero clause catches that last
+    * case (a true unit vector always has a nonzero element).
     */
   private[llm] def clusterable(nVec: Column): Column =
     nVec.isNotNull && size(nVec) > 0 &&
-      size(filter(nVec, x => x.isNull || isnan(x))) === 0
+      size(filter(nVec, x => x.isNull || isnan(x))) === 0 &&
+      size(filter(nVec, x => x =!= 0.0)) > 0
 
   /** Sign-bit signature against `bits` deterministic pseudo-random
     * hyperplanes (seeded per index): bucket key for cosine LSH. `seed`

@@ -113,10 +113,16 @@ object Sampling {
       k: Int
   ): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    // case-insensitive: withColumn resolves case-insensitively under the
-    // default spark.sql.caseSensitive=false, so an "RK" column would be
-    // silently replaced too
-    require(!df.columns.exists(_.equalsIgnoreCase("rk")),
+    // collision check matches the analyzer's resolution: case-insensitive
+    // under the default spark.sql.caseSensitive=false (an "RK" column
+    // would be silently replaced), exact under case-sensitive sessions
+    // (where withColumn("rk") ADDS a distinct column beside "RK")
+    val caseSensitive =
+      df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    val collides =
+      if (caseSensitive) df.columns.contains("rk")
+      else df.columns.exists(_.equalsIgnoreCase("rk"))
+    require(!collides,
       "input already has an 'rk' column — topKPerGroup emits the rank as 'rk' and would overwrite it")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(ordering: _*)

@@ -4,6 +4,9 @@ package graft.tools
   * Warms each query at sf0.001, then times 3 runs at sf0.1.
   */
 object Scratch {
+  private def tmpDir(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.builder("local[32]", shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -14,11 +17,11 @@ object Scratch {
       val corpus = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
       val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
       // warm
-      val wdir = TestSpark0.fresh("lshprof-warm")
+      val wdir = tmpDir("lshprof-warm")
       graft.llm.LshIndex.build(corpus.limit(200), "doc_id", "text", wdir)
       graft.llm.LshIndex.queryBatch(spark, wdir, batch.limit(50), "doc_id", "text", 0.5).count()
       (1 to 3).foreach { i =>
-        val dir = TestSpark0.fresh(s"lshprof$i")
+        val dir = tmpDir(s"lshprof$i")
         val t0 = System.nanoTime()
         graft.llm.LshIndex.build(corpus, "doc_id", "text", dir)
         val t1 = System.nanoTime()
@@ -42,9 +45,4 @@ object Scratch {
   }
 }
 
-object TestSpark0 {
-  def fresh(name: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(name)
-    d.toString
-  }
-}
+

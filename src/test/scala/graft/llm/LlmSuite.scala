@@ -298,7 +298,16 @@ class DedupSuite extends AnyFunSuite {
   test("LSH index append folds a batch in; the next query dedups against it") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = docs.filter(pmod(col("doc_id"), lit(10)).isin(1, 2, 3, 4))
+      .select("doc_id", "text") // align columns with the synthetic-row union below
+    // plant a guaranteed cross-wave near-dup: a wave1 doc carrying the
+    // text of a wave2 doc, so "appended docs are live index entries" is
+    // falsifiable regardless of the corpus' organic near-dups
+    val firstWave2 = docs.filter(pmod(col("doc_id"), lit(10)).isin(7, 8))
+      .orderBy("doc_id").select("doc_id", "text")
+      .as[(Long, String)].head()
     val wave1 = docs.filter(pmod(col("doc_id"), lit(10)).isin(5, 6))
+      .select("doc_id", "text")
+      .union(Seq((999995L, firstWave2._2)).toDF("doc_id", "text"))
     val wave2 = docs.filter(pmod(col("doc_id"), lit(10)).isin(7, 8))
     val dir = TestSpark.freshDir("lsh-index-append")
     LshIndex.build(corpus, "doc_id", "text", dir, n = 3, numHashes = 64, bands = 32)
@@ -313,9 +322,10 @@ class DedupSuite extends AnyFunSuite {
     val expect = LshIndex.queryBatch(spark, freshDir, wave2, "doc_id", "text", threshold = 0.5)
       .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
     assert(got === expect)
-    assert((got.map(_._2) intersect
-      wave1.select("doc_id").as[Long].collect().toSet).nonEmpty ||
-      got === expect) // appended docs are live index entries
+    // the planted twin proves appended rows are live: identical text ⇒
+    // Jaccard 1 ⇒ the pair MUST surface through the appended entries
+    assert(got.contains((firstWave2._1, 999995L)),
+      s"planted wave1 twin not found via the appended index: $got")
   }
 
   test("LSH index skips sub-n-token docs (empty shingle sets) on both sides") {
