@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.config.{EngineConfig, TableConfig}
-import graft.llm.{Decontaminate, Dedup, Embeddings, LshIndex, Multimodal, Packing, Search, Similarity, TextAnalysis}
+import graft.llm.{Decontaminate, Dedup, EmbIndex, Embeddings, LshIndex, Multimodal, Packing, Search, Similarity, TextAnalysis}
 import graft.operators.{Coercion, PartitionTransforms}
 import graft.sink.Ingest
 import graft.table.IceTable
@@ -1055,6 +1055,24 @@ object SparkEntry {
       .orderBy("id_new", "id_indexed")
   }
 
+  /** Incremental EMBEDDING dedup: vectors with id % 10 == 0 arrive as
+    * the new batch and are deduped against a persisted hyperplane-LSH
+    * index over the other 90% (auto-sized bits/tables honor the recall
+    * guarantee at this threshold, reaching recall 1 on the fixed test
+    * data); candidates are verified with the exact cosine, so the oracle
+    * is the exact cross-set pair list.
+    */
+  private def qDedupEmbeddingIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = t(spark, sfDir, "embeddings")
+    val dir = freshDir("emb_index")
+    EmbIndex.build(e.filter(pmod(col("vec_id"), lit(10)) =!= 0), "vec_id", "embedding", dir,
+      threshold = 0.45)
+    EmbIndex.queryBatch(spark, dir, e.filter(pmod(col("vec_id"), lit(10)) === 0),
+      "vec_id", "embedding", threshold = 0.45)
+      .select("id_new", "id_indexed")
+      .orderBy("id_new", "id_indexed")
+  }
+
   /** N-gram rarity: per-doc distinct-shingle count + summed corpus df,
     * exchanged as exact integers.
     */
@@ -1181,7 +1199,8 @@ object SparkEntry {
       "dedup_incremental" -> wrap(qDedupIncremental),
       "sample_topk" -> wrap(qSampleTopK),
       "dedup_semantic" -> wrap(qDedupSemantic),
-      "text_rarity" -> wrap(qTextRarity)
+      "text_rarity" -> wrap(qTextRarity),
+      "dedup_embedding_incremental" -> wrap(qDedupEmbeddingIncremental)
     )
   }
 
@@ -1268,6 +1287,12 @@ object SparkEntry {
         |  WHERE embedding IS NOT NULL AND len(embedding) > 0
         |    AND len(list_filter(embedding, x -> x IS NULL)) = 0)
         |WHERE isfinite(sq) AND sq > 0""".stripMargin,
+    "dedup_embedding_incremental" ->
+      """SELECT b.vec_id AS id_new, c.vec_id AS id_indexed
+        |FROM embeddings b, embeddings c
+        |WHERE b.vec_id % 10 = 0 AND c.vec_id % 10 <> 0
+        |  AND list_cosine_similarity(b.embedding, c.embedding) >= 0.45
+        |ORDER BY id_new, id_indexed""".stripMargin,
     "text_rarity" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh

@@ -736,6 +736,34 @@ class SimilaritySuite extends AnyFunSuite {
       "vec_id", "embedding", k = 5, nProbe = 4).count() === 0)
   }
 
+  test("persisted embedding index: batch query equals brute cross pairs; append folds in") {
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val dir = graft.TestSpark.freshDir("emb-index")
+    val indexed = EmbIndex.build(corpus, "vec_id", "embedding", dir, threshold = 0.45)
+    assert(indexed === corpus.count())
+    val got = EmbIndex.queryBatch(spark, dir, batch, "vec_id", "embedding", 0.45)
+      .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
+    // auto-sized bits/tables reach recall 1 on this data (the in-session
+    // LSH path proves the same bound), and the exact-cosine verify kills
+    // false positives — so the result IS the brute cross-pair set
+    val cb = corpus.select(col("vec_id").as("id_c"), Similarity.normalize(col("embedding")).as("vc"))
+    val bb = batch.select(col("vec_id").as("id_b"), Similarity.normalize(col("embedding")).as("vb"))
+    val brute = bb.crossJoin(cb)
+      .filter(Similarity.dot(col("vb"), col("vc")) >= 0.45)
+      .select("id_b", "id_c").as[(Long, Long)].collect().toSet
+    assert(got === brute, s"got ${got.size} pairs, brute ${brute.size}")
+    // plant a twin of a batch vector, append it, and the pair must appear
+    val twin = batch.orderBy("vec_id").limit(1)
+      .select(lit(999997L).as("vec_id"), col("embedding"))
+    assert(EmbIndex.append(spark, dir, twin, "vec_id", "embedding") === 1L)
+    val got2 = EmbIndex.queryBatch(spark, dir, batch, "vec_id", "embedding", 0.45)
+      .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
+    val firstBatchId = batch.orderBy("vec_id").select("vec_id").as[Long].head()
+    assert(got2.contains((firstBatchId, 999997L)), s"appended twin not live: $got2")
+    assert(brute.subsetOf(got2))
+  }
+
   test("kmeans reaches the Lloyd fixed point and the report proves it") {
     val res = Similarity.kmeans(emb, "vec_id", "embedding", k = 8, maxIters = 60)
     assert(res.converged, s"did not converge in ${res.iterations} iterations")
