@@ -764,6 +764,27 @@ class SimilaritySuite extends AnyFunSuite {
     assert(brute.subsetOf(got2))
   }
 
+  test("embedding index skips degenerate vectors and answers empty on an empty index") {
+    val dir = graft.TestSpark.freshDir("emb-index-edge")
+    // zero/empty vectors are unindexable (their cosine can never verify)
+    val weird = Seq(
+      (1L, Seq.fill(4)(0.0f)), // zero
+      (2L, Seq.empty[Float]), // empty
+      (3L, Seq(1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    assert(EmbIndex.build(weird, "vec_id", "embedding", dir, threshold = 0.9) === 1L)
+    val batch = Seq((10L, Seq(1.0f, 0.01f, 0.0f, 0.0f)), (11L, Seq.fill(4)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = EmbIndex.queryBatch(spark, dir, batch, "vec_id", "embedding", 0.9)
+      .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 3L))) // the real neighbor; no zero-vector pairs
+    // an index over nothing answers empty rather than crashing
+    val emptyDir = graft.TestSpark.freshDir("emb-index-empty")
+    assert(EmbIndex.build(weird.filter(col("vec_id") < 0), "vec_id", "embedding",
+      emptyDir, threshold = 0.9) === 0L)
+    assert(EmbIndex.queryBatch(spark, emptyDir, batch, "vec_id", "embedding", 0.9).count() === 0L)
+  }
+
   test("kmeans reaches the Lloyd fixed point and the report proves it") {
     val res = Similarity.kmeans(emb, "vec_id", "embedding", k = 8, maxIters = 60)
     assert(res.converged, s"did not converge in ${res.iterations} iterations")
