@@ -1287,10 +1287,20 @@ object SparkEntry {
         |  WHERE embedding IS NOT NULL AND len(embedding) > 0
         |    AND len(list_filter(embedding, x -> x IS NULL)) = 0)
         |WHERE isfinite(sq) AND sq > 0""".stripMargin,
+    // the `ok` guard mirrors EmbIndex.usable (Similarity.clusterable):
+    // degenerate vectors — null/empty, null elements, zero/NaN/Inf norms
+    // — are unindexable on the engine side and must not pair here either
     "dedup_embedding_incremental" ->
-      """SELECT b.vec_id AS id_new, c.vec_id AS id_indexed
-        |FROM embeddings b, embeddings c
+      """WITH ok AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS sq
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+        |SELECT b.vec_id AS id_new, c.vec_id AS id_indexed
+        |FROM ok b, ok c
         |WHERE b.vec_id % 10 = 0 AND c.vec_id % 10 <> 0
+        |  AND isfinite(b.sq) AND b.sq > 0 AND isfinite(c.sq) AND c.sq > 0
         |  AND list_cosine_similarity(b.embedding, c.embedding) >= 0.45
         |ORDER BY id_new, id_indexed""".stripMargin,
     "text_rarity" ->

@@ -510,20 +510,29 @@ object Dedup {
     * per colliding (table, bucket) pair, NOT distinct. `vv` must carry
     * (id, v) with v normalized.
     */
+  /** THE normalized-vector → (id, t, sig) hyperplane-signature
+    * derivation — one fused expression computes every table's signature
+    * (same seeds/values as per-table hyperplaneSignature calls, which at
+    * high table counts would explode into tables×bits codegen subtrees).
+    * Shared by the in-session candidate stream and the persisted
+    * [[EmbIndex]] so their signatures can never drift apart.
+    */
+  private[llm] def hyperplaneSigRows(
+      vecs: DataFrame, idName: String, vecName: String,
+      bits: Int, tables: Int, dim: Int): DataFrame =
+    vecs.select(
+        col(idName),
+        posexplode(graft.functions.VectorOps.hyperplane_signatures(
+          col(vecName), bits, math.max(1, tables), dim)))
+      .select(col(idName), col("pos").as("t"), col("col").as("sig"))
+
   private def lshCandidateStream(vv: DataFrame, bits: Int, tables: Int): DataFrame = {
     // plane dimensionality from the corpus itself — a hardcoded width
     // would silently truncate higher-dimensional embeddings (vectors
     // beyond the plane width stop influencing the signature); shares
     // Similarity's detection contract
     val dim = Similarity.detectDim(vv.select(col("v").as("n_vec")))
-    // one fused expression computes every table's signature (same seeds/
-    // values as per-table hyperplaneSignature calls, which at high table
-    // counts would explode into tables×bits codegen subtrees)
-    val sigged = vv.select(
-      col("id"),
-      posexplode(graft.functions.VectorOps.hyperplane_signatures(
-        col("v"), bits, math.max(1, tables), dim)))
-      .select(col("id"), col("pos").as("t"), col("col").as("sig"))
+    val sigged = hyperplaneSigRows(vv, "id", "v", bits, tables, dim)
     sigged.alias("a")
       .join(sigged.alias("b"), Seq("t", "sig"))
       .filter(col("a.id") < col("b.id"))

@@ -38,20 +38,14 @@ object EmbIndex {
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
 
-  /** THE vector → (id, t, sig) signature derivation — the compatibility
-    * contract between the stored index and every probe (same fused
-    * kernel, seeds, and table layout as the in-session candidate
-    * stream). `vecs` must carry (<idName>, <vecName>) with the vector
-    * already normalized.
+  /** The signature derivation IS [[Dedup.hyperplaneSigRows]] — one shared
+    * definition, so the stored index and the in-session candidate stream
+    * can never drift apart.
     */
   private def sigRows(
       vecs: DataFrame, idName: String, vecName: String,
       bits: Int, tables: Int, dim: Int): DataFrame =
-    vecs.select(
-        col(idName),
-        posexplode(graft.functions.VectorOps.hyperplane_signatures(
-          col(vecName), bits, math.max(1, tables), dim)))
-      .select(col(idName), col("pos").as("t"), col("col").as("sig"))
+    Dedup.hyperplaneSigRows(vecs, idName, vecName, bits, tables, dim)
 
   /** Normalized, dedup-able vectors of a frame: degenerate embeddings
     * (null/empty/zero/NaN/Inf) can never verify as near-dups — their
@@ -83,9 +77,9 @@ object EmbIndex {
     val vv = usable(corpus, idCol, vecCol, "id")
     vv.write.mode("overwrite").parquet(s"$dir/vectors.parquet")
     val stored = spark.read.parquet(s"$dir/vectors.parquet")
+    val n = stored.count() // one job: sizes the bits AND is the return value
     val dim = Similarity.detectDim(stored.select(col("v").as("n_vec")))
-    val bitsVolume =
-      if (bits > 0) bits else Dedup.sizedLshBits(stored.count())
+    val bitsVolume = if (bits > 0) bits else Dedup.sizedLshBits(n)
     val useBits =
       if (bits > 0 || tables > 0) bitsVolume
       else math.min(bitsVolume, Dedup.recallFeasibleBits(threshold))
@@ -93,7 +87,7 @@ object EmbIndex {
     writeMeta(spark, dir, useBits, useTables, dim)
     sigRows(stored, "id", "v", useBits, useTables, dim)
       .write.mode("overwrite").parquet(s"$dir/buckets.parquet")
-    stored.count()
+    n
   }
 
   /** Near-duplicate pairs between `batch` and the indexed corpus:
@@ -123,8 +117,10 @@ object EmbIndex {
       .distinct()
     val storedVecs = spark.read.parquet(s"$dir/vectors.parquet")
       .select(col("id").as("id_indexed"), col("v").as("v_idx"))
-    candidates
-      .join(broadcast(newVecs), "id_new")
+    // the verify side stays batch-×-candidates sized — broadcast it so
+    // the corpus-sized vector table never shuffles either (the doc's
+    // cost contract; an unhinted join would sort-merge the whole table)
+    broadcast(candidates.join(broadcast(newVecs), "id_new"))
       .join(storedVecs, "id_indexed")
       .select(col("id_new"), col("id_indexed"),
         Similarity.dot(col("v_new"), col("v_idx")).as("cosine"))

@@ -157,8 +157,9 @@ object LshIndex {
       .distinct()
     val storedSets = spark.read.parquet(s"$dir/shingles.parquet")
       .select(col("id").as("id_indexed"), col("shset").as("set_indexed"))
-    candidates
-      .join(broadcast(newSets), "id_new")
+    // the verify side stays batch-×-candidates sized — broadcast it so
+    // the corpus-sized shingle table never shuffles either
+    broadcast(candidates.join(broadcast(newSets), "id_new"))
       .join(storedSets, "id_indexed")
       .withColumn("isect", size(array_intersect(col("set_new"), col("set_indexed"))))
       .withColumn("union_sz", size(col("set_new")) + size(col("set_indexed")) - col("isect"))

@@ -138,15 +138,17 @@ class PlanAndOffsetsSuite extends AnyFunSuite {
     assert(plan.contains("partial"), s"centroid mean is not map-side combined:\n$plan")
   }
 
-  test("incremental LSH probe broadcasts the batch side — the index never shuffles for it") {
-    val plan = SparkEntry.queries("dedup_incremental")(spark, "/root/testdata/sf0.001")
-      .queryExecution.executedPlan.toString
-    // BOTH hinted joins (bucket probe + new-set verify) must plan as
-    // broadcasts — a single match could come from the other hint or AQE
-    // while the probe regressed to shuffling the corpus-sized index
-    val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
-    assert(broadcasts >= 2,
-      s"expected >=2 broadcast joins (probe + verify), got $broadcasts:\n$plan")
+  test("incremental index probes broadcast the batch side — the corpus never shuffles") {
+    // ALL THREE hinted joins (bucket probe, new-side verify, candidate
+    // verify against the stored table) must plan as broadcasts — fewer
+    // matches mean some corpus-sized side regressed to a shuffle
+    for (q <- Seq("dedup_incremental", "dedup_embedding_incremental")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+      assert(broadcasts >= 3,
+        s"$q: expected >=3 broadcast joins, got $broadcasts:\n$plan")
+    }
   }
 
   test("sample_topk pre-prunes each partition via WindowGroupLimit") {
