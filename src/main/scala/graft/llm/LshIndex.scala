@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
 
 /** Persisted MinHash-LSH dedup index — the INCREMENTAL form of
   * [[Dedup.minhashLshPairs]]: build the banded-bucket index over the
@@ -13,11 +14,15 @@ import org.apache.spark.sql.functions._
   * per batch.
   *
   * Layout under `dir` (all written through Spark's filesystem layer, so
-  * the index lives on the cluster's shared FS):
+  * the index lives on the cluster's shared FS). Both data tables are
+  * hive-partitioned by the WRITER'S BATCH (-1 = the base build and
+  * non-replayable appends; `appendBatch` writes its micro-batch id), so a
+  * replayed streaming batch REPLACES its own partition instead of
+  * duplicating rows — the index's exactly-once story:
   * {{{
   *   meta.parquet/          shingle n / numHashes / bands (compatibility)
-  *   buckets.parquet/       (id, band, bh)   — the LSH candidate index
-  *   shingles.parquet/      (id, shset)      — exact-Jaccard verify sets
+  *   buckets.parquet/batch=<b>/   (id, band, bh)  — the LSH candidate index
+  *   shingles.parquet/batch=<b>/  (id, shset)     — exact-Jaccard verify sets
   * }}}
   *
   * Query cost at scale: the new batch's bucket keys are broadcast into a
@@ -27,6 +32,20 @@ import org.apache.spark.sql.functions._
   * fetched from `shingles.parquet`.
   */
 object LshIndex {
+
+  /** `batch` partition value for the base build and plain appends. */
+  private val BaseBatch = -1L
+
+  private val shinglesSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("shset", ArrayType(StringType)),
+    StructField("batch", LongType)))
+
+  private val bucketsSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("band", org.apache.spark.sql.types.IntegerType),
+    StructField("bh", LongType),
+    StructField("batch", LongType)))
 
   // meta rides as a 1-row parquet THROUGH Spark's filesystem layer, like
   // the data tables — a driver-local java.nio file would split the index
@@ -40,10 +59,23 @@ object LshIndex {
       .write.mode("overwrite").parquet(s"$dir/meta.parquet")
   }
 
-  private def readMeta(spark: SparkSession, dir: String): (Int, Int, Int) = {
+  /** (shingle n, numHashes, bands) an index was built with — the
+    * signature parameters a caller must reuse for any in-session search
+    * whose results should be consistent with the index (e.g. the
+    * within-batch pass of [[graft.streaming.DedupStream]]).
+    */
+  def params(spark: SparkSession, dir: String): (Int, Int, Int) = {
     val r = spark.read.parquet(s"$dir/meta.parquet").head()
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
+
+  // explicit schemas: a partition dir with zero data files (empty build)
+  // must read as an empty frame, not fail schema inference
+  private def readShingles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(shinglesSchema).parquet(s"$dir/shingles.parquet")
+
+  private def readBuckets(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(bucketsSchema).parquet(s"$dir/buckets.parquet")
 
   /** THE shingle-set → (id, band, bh) bucket derivation — the byte-level
     * compatibility contract between the stored index and every probe.
@@ -59,6 +91,15 @@ object LshIndex {
       .select(col(idName), explode(Dedup.bandBuckets(col("sig"), bands, r)).as("bb"))
       .select(col(idName), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
+
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), Dedup.shingles(col(textCol), n).as("shset"))
+      // docs shorter than n tokens have EMPTY shingle sets: their minhash
+      // signatures are all identical, so every such doc would collide with
+      // every other in all bands — a quadratic candidate blow-up whose
+      // pairs the 0/0-Jaccard verify discards anyway. They are
+      // unindexable by this similarity measure; skip them.
+      .filter(size(col("shset")) > 0)
 
   /** Index `corpus` under `dir`. Returns the number of documents indexed.
     * Same signature parameters as [[Dedup.minhashLshPairs]] — the stored
@@ -76,21 +117,16 @@ object LshIndex {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val spark = corpus.sparkSession
     writeMeta(spark, dir, n, numHashes, bands)
-    val withSets = corpus
-      .select(col(idCol).cast("long").as("id"), Dedup.shingles(col(textCol), n).as("shset"))
-      // docs shorter than n tokens have EMPTY shingle sets: their minhash
-      // signatures are all identical, so every such doc would collide with
-      // every other in all bands — a quadratic candidate blow-up whose
-      // pairs the 0/0-Jaccard verify discards anyway. They are
-      // unindexable by this similarity measure; skip them.
-      .filter(size(col("shset")) > 0)
     // the verify sets are the durable form of the shingle pass — write
     // them first, then derive buckets from the WRITTEN table so the
     // (expensive) shingling runs exactly once
-    withSets.write.mode("overwrite").parquet(s"$dir/shingles.parquet")
-    val stored = spark.read.parquet(s"$dir/shingles.parquet")
+    shingleSets(corpus, idCol, textCol, n)
+      .withColumn("batch", lit(BaseBatch))
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/shingles.parquet")
+    val stored = readShingles(spark, dir)
     bucketRows(stored, "id", "shset", numHashes, bands)
-      .write.mode("overwrite").parquet(s"$dir/buckets.parquet")
+      .withColumn("batch", lit(BaseBatch))
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/buckets.parquet")
     stored.count()
   }
 
@@ -108,7 +144,9 @@ object LshIndex {
     * pairs until re-append, never wrong ones), and RE-APPENDING the same
     * batch only duplicates bucket rows, which the candidate `distinct()`
     * absorbs. The reverse order would duplicate shingle rows on retry,
-    * and duplicated verify sets emit duplicate result pairs.
+    * and duplicated verify sets emit duplicate result pairs. For a
+    * REPLAYABLE writer (streaming), use [[appendBatch]], which is fully
+    * idempotent per batch id.
     */
   def append(
       spark: SparkSession,
@@ -117,14 +155,46 @@ object LshIndex {
       idCol: String,
       textCol: String
   ): Long = {
-    val (n, numHashes, bands) = readMeta(spark, dir)
-    val withSets = batch
-      .select(col(idCol).cast("long").as("id"), Dedup.shingles(col(textCol), n).as("shset"))
-      .filter(size(col("shset")) > 0) // sub-n-token docs: see build()
+    val (n, numHashes, bands) = params(spark, dir)
+    val withSets = shingleSets(batch, idCol, textCol, n)
       .localCheckpoint() // feeds both appends + the count
     bucketRows(withSets, "id", "shset", numHashes, bands)
-      .write.mode("append").parquet(s"$dir/buckets.parquet")
-    withSets.write.mode("append").parquet(s"$dir/shingles.parquet")
+      .withColumn("batch", lit(BaseBatch))
+      .write.mode("append").partitionBy("batch").parquet(s"$dir/buckets.parquet")
+    withSets
+      .withColumn("batch", lit(BaseBatch))
+      .write.mode("append").partitionBy("batch").parquet(s"$dir/shingles.parquet")
+    withSets.count()
+  }
+
+  /** Idempotent, replay-safe variant of [[append]] for streaming
+    * micro-batches: rows land in the `batch=<batchId>` partition via
+    * DYNAMIC partition overwrite, so re-running the same batch (Spark
+    * replays micro-batches after failures) REPLACES that partition
+    * rather than duplicating rows — however the previous attempt died.
+    * `batchId` must be ≥ 0 (negative values are the index's own base
+    * partition) and each id must appear in only one batch.
+    */
+  def appendBatch(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      batchId: Long
+  ): Long = {
+    require(batchId >= 0, s"appendBatch needs a non-negative batch id: $batchId")
+    val (n, numHashes, bands) = params(spark, dir)
+    val withSets = shingleSets(batch, idCol, textCol, n)
+      .localCheckpoint()
+    bucketRows(withSets, "id", "shset", numHashes, bands)
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$dir/buckets.parquet")
+    withSets
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$dir/shingles.parquet")
     withSets.count()
   }
 
@@ -143,19 +213,18 @@ object LshIndex {
       textCol: String,
       threshold: Double
   ): DataFrame = {
-    val (n, numHashes, bands) = readMeta(spark, dir)
-    val newSets = batch
-      .select(col(idCol).cast("long").as("id_new"), Dedup.shingles(col(textCol), n).as("set_new"))
-      .filter(size(col("set_new")) > 0) // sub-n-token docs: see build()
+    val (n, numHashes, bands) = params(spark, dir)
+    val newSets = shingleSets(batch, idCol, textCol, n)
+      .select(col("id").as("id_new"), col("shset").as("set_new"))
       .localCheckpoint() // feeds the bucket probe AND the verify join
     val newBuckets = bucketRows(newSets, "id_new", "set_new", numHashes, bands)
-    val index = spark.read.parquet(s"$dir/buckets.parquet")
+    val index = readBuckets(spark, dir)
     // batch side broadcast: the corpus-sized index never shuffles
     val candidates = index
       .join(broadcast(newBuckets), Seq("band", "bh"))
       .select(col("id_new"), col("id").as("id_indexed"))
       .distinct()
-    val storedSets = spark.read.parquet(s"$dir/shingles.parquet")
+    val storedSets = readShingles(spark, dir)
       .select(col("id").as("id_indexed"), col("shset").as("set_indexed"))
     // the verify side stays batch-×-candidates sized — broadcast it so
     // the corpus-sized shingle table never shuffles either

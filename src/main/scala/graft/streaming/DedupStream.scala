@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.llm.{Dedup, LshIndex}
+
+/** Exactly-once streaming corpus dedup over a persisted LSH index — the
+  * "continuously curate arriving crawls" pipeline:
+  *
+  * each micro-batch
+  *  1. drops documents near-duplicating the INDEXED corpus
+  *     ([[LshIndex.queryBatch]] — broadcast bucket probe, exact-Jaccard
+  *     verified, no corpus rescan),
+  *  2. resolves WITHIN-batch duplicates with the in-session pair search
+  *     at the index's own signature parameters + connected components
+  *     (component-min id survives),
+  *  3. folds the survivors into the index IDEMPOTENTLY
+  *     ([[LshIndex.appendBatch]] — the micro-batch id keys a dynamic
+  *     partition overwrite, so Spark's failure replay rewrites the same
+  *     partition instead of duplicating index rows),
+  *  4. hands the survivors to `sink(df, batchId)` — pair it with a
+  *     batchId-fenced writer ([[graft.sink.Ingest.run]] / the IceTable
+  *     commit-log replay guard) and the whole pipeline is exactly-once
+  *     end to end.
+  *
+  * 100 TB shape: per batch, cost is the batch's own shingle pass, one
+  * broadcast probe of the bucket index, and a batch-local pair search —
+  * the corpus is never rescanned, reshingled, or shuffled.
+  */
+object DedupStream {
+
+  def start(
+      source: DataFrame,
+      indexDir: String,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      checkpointLocation: String,
+      sink: (DataFrame, Long) => Unit,
+      triggerMs: Long = 1000L
+  ): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val (n, numHashes, bands) = LshIndex.params(spark, indexDir)
+        val b = batch.localCheckpoint() // scanned by cross-probe, pair search, anti-joins
+        // 1. cross-batch: anything near-duplicating the indexed corpus goes
+        val crossDup = LshIndex.queryBatch(spark, indexDir, b, idCol, textCol, threshold)
+          .select(col("id_new").as("__dup_id")).distinct()
+        val afterCross = b.join(crossDup,
+          b(idCol).cast("long") === col("__dup_id"), "left_anti")
+        // 2. within-batch: same signature parameters as the index, losers =
+        // every component member except the min id
+        val pairs = Dedup.minhashLshPairs(afterCross, idCol, textCol,
+          n = n, numHashes = numHashes, bands = bands, threshold = threshold)
+        val losers = Dedup.connectedComponents(pairs)
+          .filter(col("id") =!= col("group_id"))
+          .select(col("id").as("__loser_id"))
+        val survivors = afterCross.join(losers,
+          afterCross(idCol).cast("long") === col("__loser_id"), "left_anti")
+          .localCheckpoint() // feeds the index fold AND the sink
+        // 3. idempotent index fold, THEN 4. the (batchId-fenced) sink — if
+        // the sink's commit fence rejects a replay, the index partition was
+        // already rewritten identically, so the two stay consistent
+        LshIndex.appendBatch(spark, indexDir, survivors, idCol, textCol, batchId)
+        sink(survivors, batchId)
+      }
+      .start()
+}

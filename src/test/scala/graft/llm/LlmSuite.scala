@@ -328,6 +328,22 @@ class DedupSuite extends AnyFunSuite {
       s"planted wave1 twin not found via the appended index: $got")
   }
 
+  test("appendBatch is idempotent: replaying a micro-batch never duplicates pairs") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val wave = Seq((10L, "alpha beta gamma delta zeta")).toDF("doc_id", "text")
+    val probe = Seq((20L, "alpha beta gamma delta eta")).toDF("doc_id", "text")
+    val dir = TestSpark.freshDir("lsh-index-replay")
+    LshIndex.build(corpus, "doc_id", "text", dir, n = 3, numHashes = 64, bands = 32)
+    // the same batch lands twice (Spark replays micro-batches on failure)
+    assert(LshIndex.appendBatch(spark, dir, wave, "doc_id", "text", batchId = 5L) === 1L)
+    assert(LshIndex.appendBatch(spark, dir, wave, "doc_id", "text", batchId = 5L) === 1L)
+    val got = LshIndex.queryBatch(spark, dir, probe, "doc_id", "text", threshold = 0.4)
+      .select("id_new", "id_indexed").as[(Long, Long)].collect().toSeq
+    // ONE row per (probe, indexed) pair — a duplicated shingle partition
+    // would emit (20,10) twice
+    assert(got.sorted === Seq((20L, 1L), (20L, 10L)), s"got $got")
+  }
+
   test("LSH index skips sub-n-token docs (empty shingle sets) on both sides") {
     // empty shingle sets share one signature: without the filter every
     // short doc collides with every other in all bands (quadratic

@@ -70,6 +70,49 @@ class StreamingSuite extends AnyFunSuite {
     assert(view.log.commits().map(_.batchId) === Seq(0L))
   }
 
+  test("streaming incremental dedup: batches dedup against corpus + earlier batches, exactly-once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val indexDir = TestSpark.freshDir("dedup-stream-idx")
+    val wh = TestSpark.freshDir("dedup-stream-wh")
+    val ckpt = TestSpark.freshDir("dedup-stream-ckpt")
+    // seed corpus: two documents the stream must never re-admit
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs today")
+    ).toDF("doc_id", "text")
+    graft.llm.LshIndex.build(corpus, "doc_id", "text", indexDir,
+      n = 3, numHashes = 64, bands = 32)
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("curated")),
+      autoCreate = true)
+    val ms = MemoryStream[(Long, String)]
+    val q = DedupStream.start(ms.toDF().toDF("doc_id", "text"), indexDir,
+      "doc_id", "text", threshold = 0.5, ckpt,
+      sink = (df, batchId) => { graft.sink.Ingest.run(spark, df, batchId, cfg); () },
+      triggerMs = 50)
+    try {
+      // batch 0: a corpus dup, a new doc, and a within-batch dup of it
+      ms.addData(
+        (10L, "the quick brown fox jumps over the lazy dog"), // dup of corpus 1
+        (11L, "completely novel text about spark and catalyst engines"),
+        (12L, "completely novel text about spark and catalyst motors")) // near-dup of 11
+      q.processAllAvailable()
+      // batch 1: a dup of batch 0's survivor, plus one more new doc
+      ms.addData(
+        (20L, "completely novel text about spark and catalyst engines"), // dup of 11
+        (21L, "an entirely different sentence mentioning warehouses and lakes"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val curated = IceTable.load(s"$wh/curated").read(spark)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(curated === Seq(11L, 21L),
+      s"curated table should hold exactly the unique survivors: $curated")
+    // and the index fenced both batches (partition per micro-batch id)
+    val idxIds = spark.read.parquet(s"$indexDir/shingles.parquet")
+      .select("id").as[Long].collect().toSet
+    assert(idxIds === Set(1L, 2L, 11L, 21L), s"index contents: $idxIds")
+  }
+
   test("restart from checkpoint resumes without duplicating commits (S4/K8)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
