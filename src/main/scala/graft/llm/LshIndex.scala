@@ -51,10 +51,17 @@ object LshIndex {
   // the data tables — a driver-local java.nio file would split the index
   // across two filesystems on any cluster whose default FS isn't local
   // (the sibling IvfIndex persists everything the same way)
+  /** On-disk layout version (bumped when the table structure changes —
+    * v2 = batch-partitioned data tables). [[params]] rejects an index
+    * whose layout this code cannot read, instead of failing later with
+    * Spark's conflicting-directory-structures error.
+    */
+  private val LayoutVersion = 2
+
   private def writeMeta(
       spark: SparkSession, dir: String, n: Int, numHashes: Int, bands: Int): Unit = {
     import spark.implicits._
-    Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands")
+    Seq((n, numHashes, bands, LayoutVersion)).toDF("n", "num_hashes", "bands", "layout")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/meta.parquet")
   }
@@ -65,7 +72,12 @@ object LshIndex {
     * within-batch pass of [[graft.streaming.DedupStream]]).
     */
   def params(spark: SparkSession, dir: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$dir/meta.parquet").head()
+    val meta = spark.read.parquet(s"$dir/meta.parquet")
+    val layout =
+      if (meta.columns.contains("layout")) meta.select("layout").head().getInt(0) else 1
+    require(layout == LayoutVersion,
+      s"LshIndex at $dir has layout v$layout; this build reads v$LayoutVersion — rebuild the index")
+    val r = meta.select("n", "num_hashes", "bands").head()
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
 
@@ -167,13 +179,31 @@ object LshIndex {
     withSets.count()
   }
 
+  /** Remove one batch's partition directory from a data table — the
+    * replace half of [[appendBatch]]'s delete-then-write. An explicit
+    * delete (not dynamic partition overwrite) because dynamic overwrite
+    * only touches partitions PRESENT in the output: a replay that
+    * legitimately computes fewer or zero rows would leave the first
+    * attempt's stale rows alive.
+    */
+  private def dropBatchPartition(spark: SparkSession, table: String, batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$table/batch=$batchId")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+
   /** Idempotent, replay-safe variant of [[append]] for streaming
-    * micro-batches: rows land in the `batch=<batchId>` partition via
-    * DYNAMIC partition overwrite, so re-running the same batch (Spark
-    * replays micro-batches after failures) REPLACES that partition
-    * rather than duplicating rows — however the previous attempt died.
-    * `batchId` must be ≥ 0 (negative values are the index's own base
-    * partition) and each id must appear in only one batch.
+    * micro-batches: the `batch=<batchId>` partition is DELETED and
+    * rewritten, so re-running the same batch (Spark replays
+    * micro-batches after failures) REPLACES that partition rather than
+    * duplicating rows — even when the replay computes fewer or zero
+    * rows. `batchId` must be ≥ 0 (negative values are the index's own
+    * base partition) and each id must appear in only one batch.
+    *
+    * Ordering mirrors [[append]]: buckets replace first, shingles
+    * second — any crash window costs recall (candidates without verify
+    * sets drop out), never duplicate or stale verify rows.
     */
   def appendBatch(
       spark: SparkSession,
@@ -184,17 +214,29 @@ object LshIndex {
       batchId: Long
   ): Long = {
     require(batchId >= 0, s"appendBatch needs a non-negative batch id: $batchId")
-    val (n, numHashes, bands) = params(spark, dir)
+    appendBatchWith(spark, dir, batch, idCol, textCol, batchId, params(spark, dir))
+  }
+
+  private[graft] def appendBatchWith(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      batchId: Long,
+      meta: (Int, Int, Int)
+  ): Long = {
+    val (n, numHashes, bands) = meta
     val withSets = shingleSets(batch, idCol, textCol, n)
       .localCheckpoint()
+    dropBatchPartition(spark, s"$dir/buckets.parquet", batchId)
     bucketRows(withSets, "id", "shset", numHashes, bands)
       .withColumn("batch", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch").parquet(s"$dir/buckets.parquet")
+      .write.mode("append").partitionBy("batch").parquet(s"$dir/buckets.parquet")
+    dropBatchPartition(spark, s"$dir/shingles.parquet", batchId)
     withSets
       .withColumn("batch", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch").parquet(s"$dir/shingles.parquet")
+      .write.mode("append").partitionBy("batch").parquet(s"$dir/shingles.parquet")
     withSets.count()
   }
 
@@ -204,6 +246,12 @@ object LshIndex {
     * same band/row trade-off as [[Dedup.minhashLshPairs]]). Within-batch
     * duplicates are NOT reported — run the in-session pair search on the
     * batch for those, or fold the batch into the index.
+    *
+    * `excludeBatch`: skip one writer-batch partition of the index — a
+    * REPLAYED streaming batch must not match its own previous
+    * [[appendBatch]] rows (every survivor would self-match at Jaccard 1
+    * and be dropped, silently losing the batch). Partition pruning makes
+    * the exclusion a planning-time file skip.
     */
   def queryBatch(
       spark: SparkSession,
@@ -211,20 +259,36 @@ object LshIndex {
       batch: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double
+      threshold: Double,
+      excludeBatch: Option[Long] = None
+  ): DataFrame =
+    queryBatchWith(spark, dir, batch, idCol, textCol, threshold, excludeBatch,
+      params(spark, dir))
+
+  private[graft] def queryBatchWith(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      excludeBatch: Option[Long],
+      meta: (Int, Int, Int)
   ): DataFrame = {
-    val (n, numHashes, bands) = params(spark, dir)
+    val (n, numHashes, bands) = meta
+    def visible(df: DataFrame): DataFrame =
+      excludeBatch.fold(df)(b => df.filter(col("batch") =!= b))
     val newSets = shingleSets(batch, idCol, textCol, n)
       .select(col("id").as("id_new"), col("shset").as("set_new"))
       .localCheckpoint() // feeds the bucket probe AND the verify join
     val newBuckets = bucketRows(newSets, "id_new", "set_new", numHashes, bands)
-    val index = readBuckets(spark, dir)
+    val index = visible(readBuckets(spark, dir))
     // batch side broadcast: the corpus-sized index never shuffles
     val candidates = index
       .join(broadcast(newBuckets), Seq("band", "bh"))
       .select(col("id_new"), col("id").as("id_indexed"))
       .distinct()
-    val storedSets = readShingles(spark, dir)
+    val storedSets = visible(readShingles(spark, dir))
       .select(col("id").as("id_indexed"), col("shset").as("set_indexed"))
     // the verify side stays batch-×-candidates sized — broadcast it so
     // the corpus-sized shingle table never shuffles either

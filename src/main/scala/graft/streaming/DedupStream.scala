@@ -40,16 +40,24 @@ object DedupStream {
       checkpointLocation: String,
       sink: (DataFrame, Long) => Unit,
       triggerMs: Long = 1000L
-  ): StreamingQuery =
+  ): StreamingQuery = {
+    // the index's signature parameters are immutable — read once, not
+    // three Spark jobs per trigger
+    val meta = LshIndex.params(source.sparkSession, indexDir)
+    val (n, numHashes, bands) = meta
     source.writeStream
       .option("checkpointLocation", checkpointLocation)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val (n, numHashes, bands) = LshIndex.params(spark, indexDir)
         val b = batch.localCheckpoint() // scanned by cross-probe, pair search, anti-joins
-        // 1. cross-batch: anything near-duplicating the indexed corpus goes
-        val crossDup = LshIndex.queryBatch(spark, indexDir, b, idCol, textCol, threshold)
+        // 1. cross-batch: anything near-duplicating the indexed corpus
+        // goes. The probe EXCLUDES this batch id's own index partition:
+        // on a replay (first attempt died after its appendBatch), the
+        // survivors would otherwise self-match at Jaccard 1 and the
+        // replay would sink an empty batch — silent data loss.
+        val crossDup = LshIndex.queryBatchWith(spark, indexDir, b, idCol, textCol,
+          threshold, excludeBatch = Some(batchId), meta)
           .select(col("id_new").as("__dup_id")).distinct()
         val afterCross = b.join(crossDup,
           b(idCol).cast("long") === col("__dup_id"), "left_anti")
@@ -63,11 +71,11 @@ object DedupStream {
         val survivors = afterCross.join(losers,
           afterCross(idCol).cast("long") === col("__loser_id"), "left_anti")
           .localCheckpoint() // feeds the index fold AND the sink
-        // 3. idempotent index fold, THEN 4. the (batchId-fenced) sink — if
-        // the sink's commit fence rejects a replay, the index partition was
-        // already rewritten identically, so the two stay consistent
-        LshIndex.appendBatch(spark, indexDir, survivors, idCol, textCol, batchId)
+        // 3. replay-safe index fold (delete-then-write of this batch's
+        // partition), THEN 4. the (batchId-fenced) sink
+        LshIndex.appendBatchWith(spark, indexDir, survivors, idCol, textCol, batchId, meta)
         sink(survivors, batchId)
       }
       .start()
+  }
 }

@@ -344,6 +344,26 @@ class DedupSuite extends AnyFunSuite {
     assert(got.sorted === Seq((20L, 1L), (20L, 10L)), s"got $got")
   }
 
+  test("a replayed batch neither self-matches its prior partition nor keeps stale rows") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val batch = Seq((10L, "totally fresh words nobody wrote before")).toDF("doc_id", "text")
+    val dir = TestSpark.freshDir("lsh-index-selfmatch")
+    LshIndex.build(corpus, "doc_id", "text", dir, n = 3, numHashes = 64, bands = 32)
+    // first attempt appended the survivors, then the sink died pre-commit
+    assert(LshIndex.appendBatch(spark, dir, batch, "doc_id", "text", batchId = 3L) === 1L)
+    // the replay's probe must EXCLUDE batch 3: without the exclusion the
+    // survivor self-matches at Jaccard 1 and the replay sinks nothing
+    assert(LshIndex.queryBatch(spark, dir, batch, "doc_id", "text", 0.5).count() === 1L)
+    assert(LshIndex.queryBatch(spark, dir, batch, "doc_id", "text", 0.5,
+      excludeBatch = Some(3L)).count() === 0L)
+    // and a replay that computes FEWER rows truly replaces the partition
+    // (dynamic partition overwrite would have left the stale row alive)
+    assert(LshIndex.appendBatch(spark, dir, batch.limit(0), "doc_id", "text", batchId = 3L) === 0L)
+    val left = spark.read.parquet(s"$dir/shingles.parquet")
+      .filter(col("batch") === 3L).count()
+    assert(left === 0L, s"stale rows survived the shrinking replay: $left")
+  }
+
   test("LSH index skips sub-n-token docs (empty shingle sets) on both sides") {
     // empty shingle sets share one signature: without the filter every
     // short doc collides with every other in all bands (quadratic
