@@ -18,11 +18,22 @@ object Bench {
     // than JVM + generated-code compilation (standard warmup-then-measure)
     try SparkEntry.entry(spark).count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    // ~2×|queries| executions share this JVM: every localCheckpoint()
+    // pins blocks in the block manager until GC-driven cleanup, so
+    // without an explicit release the storage region fills as the run
+    // progresses and LATER queries pay eviction pressure their
+    // standalone runs never see. Released between queries, outside the
+    // timed region.
+    def dropPinnedBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
+    }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count()
       catch {
         case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
+      dropPinnedBlocks()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -31,7 +42,9 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropPinnedBlocks()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
