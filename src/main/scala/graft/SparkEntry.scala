@@ -1080,6 +1080,53 @@ object SparkEntry {
     TextAnalysis.ngramRarity(t(spark, sfDir, "documents"), "doc_id", "text", n = 3)
       .orderBy("doc_id")
 
+  /** CCNet-style LM quality score from a self-trained unigram LM.
+    * Exchange is exact integers: per-TERM log-probs round to micros
+    * first, then integer-sum per doc (order-independent, so float
+    * reduction order can never flip the hash).
+    */
+  private def qQualityLm(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.unigramLogProb(t(spark, sfDir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Corpus-frequency boilerplate-line removal on the same derived
+    * multi-line docs as `dedup_lines`: the shared footer (df = every
+    * doc) and each language's marker line (df = that language's docs)
+    * vanish from EVERY document — RefinedWeb's remove-everywhere rule vs
+    * C4/dedup_lines' keep-first rule, distinguished on the same data.
+    */
+  private def qLinesBoilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents").select(col("doc_id"),
+      concat(col("text"), lit("\nSHARED FOOTER line\n"), col("lang")).as("text"))
+    Dedup.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 10)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget capping per source domain: deterministic hash order,
+    * running n_chars total capped at 10 000 per source — the auditable
+    * "cap each domain's token share" step of a training-mix spec.
+    */
+  private def qSampleBudget(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.budgetSample(
+      t(spark, sfDir, "documents").select("doc_id", "source", "n_chars"),
+      "doc_id", "source", col("n_chars"), budget = 10000L)
+      .select("doc_id", "source", "cum_cost")
+      .orderBy("doc_id")
+
+  /** Bloom-prefiltered decontamination (3-grams, ≥2 hits): identical
+    * result to the exact path — the oracle is plain exact SQL — which IS
+    * the check that the Bloom prune loses nothing (no false negatives)
+    * and the verify join kills its false positives.
+    */
+  private def qDecontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val benchmark = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    Decontaminate.overlapReportBloom(corpus, benchmark, "doc_id", "text", n = 3, minHits = 2)
+      .orderBy("id")
+  }
+
   /** Best-k-per-domain curation: top 3 documents per source by length,
     * ties to the lowest doc id. The rank filter triggers Spark's
     * WindowGroupLimit map-side prune (asserted in the plan suite).
@@ -1200,7 +1247,11 @@ object SparkEntry {
       "sample_topk" -> wrap(qSampleTopK),
       "dedup_semantic" -> wrap(qDedupSemantic),
       "text_rarity" -> wrap(qTextRarity),
-      "dedup_embedding_incremental" -> wrap(qDedupEmbeddingIncremental)
+      "dedup_embedding_incremental" -> wrap(qDedupEmbeddingIncremental),
+      "quality_lm" -> wrap(qQualityLm),
+      "lines_boilerplate" -> wrap(qLinesBoilerplate),
+      "sample_budget" -> wrap(qSampleBudget),
+      "decontaminate_bloom" -> wrap(qDecontaminateBloom)
     )
   }
 
@@ -1347,6 +1398,58 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON sa.doc_id = id_new JOIN sizes sb ON sb.doc_id = id_indexed
         |WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.5
         |ORDER BY id_new, id_indexed""".stripMargin,
+    "quality_lm" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |tf AS (SELECT w, count(*) AS tf FROM tk GROUP BY w),
+        |n AS (SELECT count(*) AS total FROM tk),
+        |lp AS (SELECT w, CAST(round(ln(CAST(tf AS DOUBLE) / total) * 1e6) AS BIGINT) AS lpm FROM tf, n),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_tokens, sum(lpm) AS logprob_micros
+        |  FROM tk JOIN lp USING (w) GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id, CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(per.logprob_micros, 0) AS BIGINT) AS logprob_micros
+        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "lines_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || chr(10) || 'SHARED FOOTER line' || chr(10) || lang AS text FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS us FROM d),
+        |l AS (SELECT doc_id, unnest(us) AS g, unnest(range(1, len(us)+1)) AS pos FROM ls),
+        |boiler AS (
+        |  SELECT g FROM l WHERE regexp_matches(g, '\S') GROUP BY g HAVING count(DISTINCT doc_id) >= 10),
+        |surv AS (SELECT doc_id, pos, g FROM l ANTI JOIN boiler USING (g)),
+        |reb AS (
+        |  SELECT doc_id, string_agg(g, chr(10) ORDER BY pos) AS clean_text, count(*) AS n_kept
+        |  FROM surv GROUP BY doc_id)
+        |SELECT ls.doc_id AS doc_id, coalesce(reb.clean_text, '') AS clean_text,
+        |  CAST(len(ls.us) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM ls LEFT JOIN reb ON reb.doc_id = ls.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "sample_budget" -> {
+      import graft.operators.Sampling.{A, B, P}
+      s"""SELECT doc_id, source, cum_cost FROM (
+         |  SELECT doc_id, source,
+         |    CAST(sum(n_chars) OVER (PARTITION BY source
+         |      ORDER BY ((doc_id % $P) * $A + $B) % $P, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cost
+         |  FROM documents)
+         |WHERE cum_cost <= 10000
+         |ORDER BY doc_id""".stripMargin
+    },
+    "decontaminate_bloom" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS ng
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws FROM documents)
+        |),
+        |bench AS (SELECT ng, min(doc_id) AS first_benchmark_id FROM sh WHERE doc_id % 20 = 0 GROUP BY ng),
+        |corp AS (SELECT doc_id AS id, ng FROM sh WHERE doc_id % 20 <> 0)
+        |SELECT c.id, count(*) AS hit_ngrams, min(b.first_benchmark_id) AS first_benchmark_id
+        |FROM corp c JOIN bench b USING (ng)
+        |GROUP BY c.id
+        |HAVING count(*) >= 2
+        |ORDER BY id""".stripMargin,
     "decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+3], ' ') for i in range(1, len(ws)-2)])) AS ng

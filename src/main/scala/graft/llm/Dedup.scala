@@ -123,6 +123,59 @@ object Dedup {
     dedupPositionalUnits(toks, content, expand = 1, sep = "\n")
   }
 
+  /** Corpus-frequency boilerplate-line removal (the RefinedWeb/CCNet
+    * corpus-level rule): any line occurring in at least `minDocs`
+    * DISTINCT documents is boilerplate (navigation, footers, cookie
+    * banners) and removed from EVERY document — unlike [[dedupLines]]
+    * (C4's keep-first rule), no canonical occurrence survives.
+    * Whitespace-only lines are structure, not content: never counted,
+    * never removed. Same line contract as [[dedupLines]] (`\r?\n` split,
+    * `\n` rebuild, null text = empty doc). Returns (id, clean_text,
+    * n_removed) for every input row.
+    *
+    * 100 TB shape: one line explode, one hash-partitioned
+    * distinct-doc-frequency aggregation, one anti-join on the line (the
+    * boilerplate side holds only lines with ≥ `minDocs` distinct docs —
+    * at most corpus_lines / minDocs rows, and in practice the tiny
+    * heavy-hitter set, so AQE broadcasts it), one per-doc rebuild. No
+    * self-join: a line repeated k times costs k rows, never k².
+    */
+  def removeBoilerplateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int
+  ): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (1 would remove every non-blank line): $minDocs")
+    val toks = df
+      .select(col(idCol).cast("long").as("id"),
+        split(coalesce(col(textCol), lit("")), "\r?\n").as("us"))
+      .localCheckpoint() // feeds the frequency pass AND the rebuild
+    val lines = toks
+      .select(col("id"), posexplode(col("us")))
+      .select(col("id"), col("pos"), col("col").as("g"))
+    val boiler = lines
+      .filter(col("g").rlike("[^ \\t\\n\\f\\r]")) // RE2 \S (Java \S would also exclude \x0B)
+      .groupBy("g")
+      .agg(count_distinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("g")
+    val rebuilt = lines
+      .join(boiler, Seq("g"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("g")))),
+            s => s.getField("g")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    toks
+      .select(col("id"), size(col("us")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Span-level dedup (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better", ACL 2022 — the EXACTSUBSTR variant
     * approximated at token granularity): any `n`-token span occurring

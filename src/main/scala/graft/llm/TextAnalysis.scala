@@ -167,6 +167,47 @@ object TextAnalysis {
         size(col("col")).cast("long").as("n_tokens"))
   }
 
+  /** CCNet-style LM quality score from a self-trained unigram LM: each
+    * token occurrence scores `ln(tf(w) / N)` where `tf` is the corpus
+    * term frequency and `N` the corpus token count; a document's score is
+    * the sum over its occurrences (higher = more typical of the corpus,
+    * very low = junk/rare-token soup — the perplexity-bucket signal of a
+    * quality-filter pipeline, with the corpus itself as the LM).
+    *
+    * Exchange discipline: each TERM's log-prob is rounded to micros
+    * FIRST, then summed as exact integers — integer summation is
+    * order-independent, so engines agree bit-exactly regardless of
+    * partition/summation order (a post-sum rounding would be at the
+    * mercy of float reduction order). Returns one row per input doc:
+    * (doc_id, n_tokens, logprob_micros); empty docs report (0, 0).
+    *
+    * 100 TB shape: one token explode (map-side), one hash-partitioned
+    * term-frequency aggregation, one join back on the term (vocabulary
+    * is Zipf-small relative to the corpus — AQE broadcasts it when it
+    * fits), one per-doc aggregation. Strictly linear, no self-join; the
+    * exploded tokens are materialized once for their two consumers. The
+    * corpus token count is a single driver scalar (index-build-sized,
+    * like the BM25 stats row).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+      .localCheckpoint() // feeds the tf table AND the per-doc join
+    val total = toks.count()
+    val tf = toks.groupBy("w").agg(count(lit(1)).as("tf"))
+    val scored = tf.withColumn("lp_micros",
+      round(log(col("tf").cast("double") / lit(total.toDouble)) * lit(1e6)).cast("long"))
+    val perDoc = toks
+      .join(scored, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lp_micros").as("logprob_micros"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("logprob_micros"), lit(0L)).as("logprob_micros"))
+  }
+
   /** n-gram-heuristic language ID: count language-marker stopword hits per
     * candidate language plus a CJK character-class check; argmax with a
     * deterministic tie-break (en > de > es > fr by marker count ordering).

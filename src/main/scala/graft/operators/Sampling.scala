@@ -130,6 +130,39 @@ object Sampling {
       .filter(col("rk") <= k)
   }
 
+  /** Token-budget capping per stratum (the "cap each domain at N tokens"
+    * step of a training-mix spec): orders each stratum's rows by the
+    * portable congruential hash (then by key, so the order is total and
+    * reproducible) and keeps rows while the running `cost` total stays
+    * within `budget`. Deterministic, oracle-portable, and
+    * prefix-monotone: re-running on a grown corpus keeps a prefix of the
+    * same hash order, so the selection is stable under appends that hash
+    * later. Emits the running total as `cum_cost`.
+    *
+    * 100 TB shape: one window shuffle partitioned by stratum. A running
+    * sum cannot use the rank-filter group-limit prune (every row's
+    * predecessor set matters), so a single giant domain serializes into
+    * one task — pre-splitting such a domain into hash sub-strata and
+    * budgeting each at budget/k is the documented escape hatch.
+    */
+  def budgetSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      cost: Column,
+      budget: Long,
+      seed: Long = 0L
+  ): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(hashBucket(col(keyCol), seed), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_cost", sum(cost).over(w).cast("long"))
+      .filter(col("cum_cost") <= budget)
+  }
+
   /** Stratified variant: per-stratum rates (e.g. per source/language
     * domain weights in a training mix), `defaultRate` elsewhere. The rate
     * lookup is a codegen'd CASE over the (small) strata map.

@@ -141,4 +141,134 @@ class CurationOpsSuite extends AnyFunSuite {
       .orderBy("id").collect()
     assert(packed.orderBy("id").collect().toSeq === again.toSeq)
   }
+
+  // ---- unigram LM quality score ---------------------------------------
+
+  test("unigramLogProb matches hand-computed per-term micros sums") {
+    val df = Seq((1L, "a a b"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // tf: a=2 b=2 c=1, N=5; per-term micros round BEFORE summation
+    val lpA = math.round(math.log(2.0 / 5.0) * 1e6) // = lpB
+    val lpC = math.round(math.log(1.0 / 5.0) * 1e6)
+    assert(got === Seq(
+      (1L, 3L, 2 * lpA + lpA), // a a b
+      (2L, 2L, lpA + lpC), // b c
+      (3L, 0L, 0L))) // empty doc
+  }
+
+  test("unigramLogProb on the corpus: singleton-token docs score below common-token docs") {
+    val scored = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+    // every doc's token count matches the direct column computation
+    val direct = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val got = scored.as[(Long, Long, Long)].collect()
+    assert(got.forall { case (id, n, _) => direct(id) == n })
+    // log-probs are strictly negative for non-empty docs (tf < N always here)
+    assert(got.forall { case (_, n, lp) => n == 0 || lp < 0 })
+  }
+
+  // ---- boilerplate-line removal ---------------------------------------
+
+  test("removeBoilerplateLines drops high-df lines everywhere, keeps blanks and rare lines") {
+    val df = Seq(
+      (1L, "keep1\nFOO\n\nbar"),
+      (2L, "FOO\nkeep2"),
+      (3L, "FOO")
+    ).toDF("id", "text")
+    val got = Dedup.removeBoilerplateLines(df, "id", "text", minDocs = 3)
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    // FOO hits 3 distinct docs -> removed from EVERY doc (no canonical
+    // survivor, unlike dedupLines); the blank line is structure and stays
+    assert(got === Seq(
+      (1L, "keep1\n\nbar", 1L),
+      (2L, "keep2", 1L),
+      (3L, "", 1L)))
+    // below the threshold nothing is removed
+    val none = Dedup.removeBoilerplateLines(df, "id", "text", minDocs = 4)
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(none.map(_._3).forall(_ == 0L))
+    assert(none.map(_._2) === Seq("keep1\nFOO\n\nbar", "FOO\nkeep2", "FOO"))
+    // minDocs < 2 would remove every non-blank line: rejected loudly
+    intercept[IllegalArgumentException] {
+      Dedup.removeBoilerplateLines(df, "id", "text", minDocs = 1)
+    }
+  }
+
+  test("removeBoilerplateLines counts DISTINCT docs (within-doc repeats don't cross the bar)") {
+    val df = Seq(
+      (1L, "X\nX\nX"), // X repeats within one doc only
+      (2L, "y\nz")
+    ).toDF("id", "text")
+    val got = Dedup.removeBoilerplateLines(df, "id", "text", minDocs = 2)
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "X\nX\nX", 0L), (2L, "y\nz", 0L)))
+  }
+
+  // ---- token-budget sampling ------------------------------------------
+
+  test("budgetSample keeps exactly the hash-order prefix within budget per stratum") {
+    import graft.operators.Sampling
+    val rows = (1L to 12L).map(i => (i, if (i % 2 == 0) "even" else "odd", 10L * i))
+    val df = rows.toDF("id", "grp", "cost")
+    val budget = 150L
+    val got = Sampling.budgetSample(df, "id", "grp", col("cost"), budget)
+      .select("id", "grp", "cum_cost").as[(Long, String, Long)].collect().toSet
+    // replay the exact selection rule in Scala: the running sum includes
+    // EVERY row in hash order (an overflowing row is dropped but its cost
+    // stays in the total — a strict prefix, not a skip-and-refill knapsack)
+    def hb(k: Long) = ((k % Sampling.P) * Sampling.A + Sampling.B) % Sampling.P
+    val strictPrefix = rows.groupBy(_._2).flatMap { case (grp, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (hb(r._1), r._1)).flatMap { case (id, _, cost) =>
+        cum += cost
+        if (cum <= budget) Some((id, grp, cum)) else None
+      }
+    }.toSet
+    assert(got === strictPrefix)
+    // every kept row is within budget
+    assert(got.forall(_._3 <= budget))
+  }
+
+  test("budgetSample is deterministic and null-key-loud") {
+    import graft.operators.Sampling
+    val a = Sampling.budgetSample(docs.select("doc_id", "source", "n_chars"),
+      "doc_id", "source", col("n_chars"), 5000L).orderBy("doc_id").collect().toSeq
+    val b = Sampling.budgetSample(docs.select("doc_id", "source", "n_chars"),
+      "doc_id", "source", col("n_chars"), 5000L).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+    val nullKey = Seq((Option.empty[Long], "s", 10L)).toDF("id", "grp", "cost")
+    val e = intercept[Exception] {
+      Sampling.budgetSample(nullKey, "id", "grp", col("cost"), 100L).collect()
+    }
+    assert(e.getMessage.contains("sampling key"), s"unexpected: ${e.getMessage}")
+  }
+
+  // ---- Bloom-prefiltered decontamination ------------------------------
+
+  test("overlapReportBloom equals the exact overlapReport bit for bit") {
+    val bench = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(25)) =!= 0)
+    val exact = Decontaminate.overlapReport(corpus, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val bloom = Decontaminate.overlapReportBloom(corpus, bench, "doc_id", "text", n = 3)
+    // the probe plan actually carries the Bloom predicate
+    assert(bloom.queryExecution.executedPlan.toString.contains("might_contain"),
+      "Bloom probe predicate missing from the physical plan")
+    assert(bloom.as[(Long, Long, Long)].collect().toSet === exact)
+  }
+
+  test("overlapReportBloom: empty benchmark flags nothing; minHits respected") {
+    val bench = docs.filter(lit(false))
+    val corpus = docs.limit(20)
+    assert(Decontaminate.overlapReportBloom(corpus, bench, "doc_id", "text", n = 3).count() === 0)
+    val bench2 = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+    val exact2 = Decontaminate.overlapReport(corpus, bench2, "doc_id", "text", n = 3, minHits = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val bloom2 = Decontaminate.overlapReportBloom(corpus, bench2, "doc_id", "text", n = 3, minHits = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bloom2 === exact2)
+  }
 }
