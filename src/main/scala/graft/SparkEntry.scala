@@ -1127,6 +1127,30 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Target-mix rebalancing: compile shares (src0=0.5, src1=0.3,
+    * src2=0.2) into deterministic per-stratum keep rates — the largest
+    * without-replacement subcorpus matching the mix in expectation;
+    * every other source drops.
+    */
+  private def qMixRebalance(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.rebalanceToTargetMix(
+      t(spark, sfDir, "documents").select("doc_id", "source"),
+      "doc_id", "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      .orderBy("doc_id")
+
+  /** Exact-k uniform sample per stratum: reproducible k=5 docs per
+    * source by portable-hash order — deterministic "random" selection
+    * with exact output counts (and the WindowGroupLimit map-side prune,
+    * same as `sample_topk`).
+    */
+  private def qSampleExactK(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.topKPerGroup(
+      t(spark, sfDir, "documents").select("doc_id", "source"),
+      "source",
+      Seq(graft.operators.Sampling.hashBucket(col("doc_id")), col("doc_id")), k = 5)
+      .select("doc_id", "source", "rk")
+      .orderBy("source", "rk")
+
   /** Best-k-per-domain curation: top 3 documents per source by length,
     * ties to the lowest doc id. The rank filter triggers Spark's
     * WindowGroupLimit map-side prune (asserted in the plan suite).
@@ -1251,7 +1275,9 @@ object SparkEntry {
       "quality_lm" -> wrap(qQualityLm),
       "lines_boilerplate" -> wrap(qLinesBoilerplate),
       "sample_budget" -> wrap(qSampleBudget),
-      "decontaminate_bloom" -> wrap(qDecontaminateBloom)
+      "decontaminate_bloom" -> wrap(qDecontaminateBloom),
+      "mix_rebalance" -> wrap(qMixRebalance),
+      "sample_exact_k" -> wrap(qSampleExactK)
     )
   }
 
@@ -1427,6 +1453,31 @@ object SparkEntry {
         |  CAST(len(ls.us) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
         |FROM ls LEFT JOIN reb ON reb.doc_id = ls.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // replicates rebalanceToTargetMix's exact double arithmetic:
+    // t = min(cnt / share); threshold = trunc((t * share / cnt) * P) —
+    // every step is IEEE-exact and association-order-matched, so the
+    // boundary row set is identical in both engines
+    "mix_rebalance" -> {
+      import graft.operators.Sampling.{A, B, P}
+      s"""WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+         |w(source, tw) AS (VALUES
+         |  ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)), ('src2', CAST(0.2 AS DOUBLE))),
+         |r AS (SELECT c.source, cnt, tw FROM c JOIN w USING (source)),
+         |tv AS (SELECT min(cnt / tw) AS t FROM r),
+         |thr AS (SELECT source, CAST(floor(t * tw / cnt * $P) AS BIGINT) AS cap FROM r, tv)
+         |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+         |WHERE ((doc_id % $P) * $A + $B) % $P < cap
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    "sample_exact_k" -> {
+      import graft.operators.Sampling.{A, B, P}
+      s"""SELECT doc_id, source, rk FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ((doc_id % $P) * $A + $B) % $P, doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+    },
     "sample_budget" -> {
       import graft.operators.Sampling.{A, B, P}
       s"""SELECT doc_id, source, cum_cost FROM (

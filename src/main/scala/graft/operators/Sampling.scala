@@ -163,6 +163,46 @@ object Sampling {
       .filter(col("cum_cost") <= budget)
   }
 
+  /** Target-mix rebalancing (the DoReMi-style "compile a domain-weight
+    * spec into keep rates" step): given target SHARES per stratum
+    * (used as-is — pass them normalized; they are deliberately not
+    * re-normalized here, because a floating sum's value depends on
+    * iteration order and the selection must reproduce bit-exactly in
+    * any SQL engine), computes the largest without-replacement
+    * subcorpus whose expected mix matches the target: the scarcest
+    * stratum relative to its share binds the output size
+    * `t = min_s(count_s / share_s)`, and each stratum keeps
+    * `t * share_s / count_s` of its rows deterministically by the
+    * portable congruential hash. Strata absent from `targets` are
+    * dropped; a target stratum absent from the corpus fails loudly
+    * (the requested mix is infeasible, not approximately achievable).
+    *
+    * 100 TB shape: one count aggregation whose result is
+    * stratum-cardinality-sized (a driver map, like the dynamic router's
+    * distinct values), then a pure map-side hash filter — no shuffle
+    * touches the corpus itself.
+    */
+  def rebalanceToTargetMix(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      targets: Map[String, Double],
+      seed: Long = 0L
+  ): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      s"target shares must be positive: $targets")
+    // stratum cardinality = small (domains/languages); driver-sized map
+    val counts = df.groupBy(col(strataCol).cast("string").as("s"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = targets.keys.filterNot(s => counts.getOrElse(s, 0L) > 0L)
+    require(missing.isEmpty,
+      s"target strata absent from the corpus (mix infeasible): ${missing.mkString(", ")}")
+    val t = targets.map { case (s, share) => counts(s) / share }.min
+    val rates = targets.map { case (s, share) => s -> t * share / counts(s) }
+    stratifiedHashSample(df, keyCol, strataCol, rates, defaultRate = 0.0, seed)
+  }
+
   /** Stratified variant: per-stratum rates (e.g. per source/language
     * domain weights in a training mix), `defaultRate` elsewhere. The rate
     * lookup is a codegen'd CASE over the (small) strata map.

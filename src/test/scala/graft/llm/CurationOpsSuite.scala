@@ -246,6 +246,32 @@ class CurationOpsSuite extends AnyFunSuite {
     assert(e.getMessage.contains("sampling key"), s"unexpected: ${e.getMessage}")
   }
 
+  // ---- target-mix rebalancing -----------------------------------------
+
+  test("rebalanceToTargetMix keeps the scarcest stratum whole and scales the rest") {
+    import graft.operators.Sampling
+    // 40 "web", 10 "code"; target 50/50 -> code binds: t = 10/0.5 = 20,
+    // so code keeps all 10 (rate 1.0) and web keeps rate 20*0.5/40 = 0.25
+    val df = ((1L to 40L).map(i => (i, "web")) ++ (41L to 50L).map(i => (i, "code")))
+      .toDF("id", "grp")
+    val got = Sampling.rebalanceToTargetMix(df, "id", "grp", Map("web" -> 0.5, "code" -> 0.5))
+      .as[(Long, String)].collect().toSet
+    def hb(k: Long) = ((k % Sampling.P) * Sampling.A + Sampling.B) % Sampling.P
+    val expected =
+      (41L to 50L).map(i => (i, "code")).toSet ++
+        (1L to 40L).filter(i => hb(i) < (0.25 * Sampling.P).toLong).map(i => (i, "web")).toSet
+    assert(got === expected)
+    assert(got.count(_._2 == "code") === 10)
+    // a target stratum with no corpus rows is an infeasible mix: loud
+    intercept[IllegalArgumentException] {
+      Sampling.rebalanceToTargetMix(df, "id", "grp", Map("web" -> 0.5, "books" -> 0.5))
+    }
+    // non-target strata drop entirely
+    val webOnly = Sampling.rebalanceToTargetMix(df, "id", "grp", Map("web" -> 1.0))
+      .as[(Long, String)].collect()
+    assert(webOnly.forall(_._2 == "web") && webOnly.length === 40)
+  }
+
   // ---- Bloom-prefiltered decontamination ------------------------------
 
   test("overlapReportBloom equals the exact overlapReport bit for bit") {
