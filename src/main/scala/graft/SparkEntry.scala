@@ -1464,7 +1464,9 @@ object SparkEntry {
          |  ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)), ('src2', CAST(0.2 AS DOUBLE))),
          |r AS (SELECT c.source, cnt, tw FROM c JOIN w USING (source)),
          |tv AS (SELECT min(cnt / tw) AS t FROM r),
-         |thr AS (SELECT source, CAST(floor(t * tw / cnt * $P) AS BIGINT) AS cap FROM r, tv)
+         |thr AS (SELECT source,
+         |  CASE WHEN cnt / tw = t THEN CAST($P AS BIGINT)
+         |       ELSE CAST(floor(t * tw / cnt * $P) AS BIGINT) END AS cap FROM r, tv)
          |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
          |WHERE ((doc_id % $P) * $A + $B) % $P < cap
          |ORDER BY d.doc_id""".stripMargin

@@ -83,13 +83,29 @@ object Dedup {
       .distinct()
     val unit = toks
       .select(col("id"), posexplode(col("us")))
-      .select(col("id"), (col("pos") + 1).as("t"), col("col").as("w"))
-    val rebuilt = unit
-      .join(covered, Seq("id", "t"), "left_anti")
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("w"))
+    rebuildFromSurvivors(toks,
+      unit.join(covered.withColumnRenamed("t", "pos"), Seq("id", "pos"), "left_anti"), sep)
+  }
+
+  /** Shared document-rebuild tail for unit-removal operators
+    * ([[dedupPositionalUnits]], [[removeBoilerplateLines]]): surviving
+    * (id, pos, w) unit rows rejoin with `sep` in position order; EVERY
+    * input doc is restored (zero survivors rebuild as ""), with
+    * `n_removed` = total units minus survivors. Keeping this tail in one
+    * place keeps the unit contract (ordered rebuild, empty-doc
+    * restoration, removal accounting) from drifting between operators.
+    */
+  private def rebuildFromSurvivors(
+      toks: DataFrame, // (id, us: array<string>) — every input doc
+      survivors: DataFrame, // (id, pos, w) units that remain
+      sep: String
+  ): DataFrame = {
+    val rebuilt = survivors
       .groupBy("id")
       .agg(
         array_join(
-          transform(array_sort(collect_list(struct(col("t"), col("w")))),
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
             s => s.getField("w")), sep).as("clean_text"),
         count(lit(1)).as("n_kept"))
     toks
@@ -160,20 +176,10 @@ object Dedup {
       .agg(count_distinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select("g")
-    val rebuilt = lines
+    val survivors = lines
       .join(boiler, Seq("g"), "left_anti")
-      .groupBy("id")
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("g")))),
-            s => s.getField("g")), "\n").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    toks
-      .select(col("id"), size(col("us")).cast("long").as("n_lines"))
-      .join(rebuilt, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .select(col("id"), col("pos"), col("g").as("w"))
+    rebuildFromSurvivors(toks, survivors, "\n")
   }
 
   /** Span-level dedup (Lee et al., "Deduplicating Training Data Makes

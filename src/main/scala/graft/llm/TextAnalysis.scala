@@ -113,20 +113,41 @@ object TextAnalysis {
     * per-doc aggregation. Strictly linear; the exploded index is
     * materialized once for its two consumers.
     */
-  def ngramRarity(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("doc_id"), explode(Dedup.shingles(col(textCol), n)).as("sh"))
-      .localCheckpoint() // feeds the df table AND the per-doc join
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val perDoc = sh
-      .join(dfreq, "sh")
+  def ngramRarity(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    perDocUnitSignal(df, idCol, Dedup.shingles(col(textCol), n),
+      freq => freq.select(col("u"), col("freq").as("wt")),
+      "n_shingles", "sum_df")
+
+  /** Shared inverted-unit scaffold for corpus-frequency document signals
+    * ([[ngramRarity]], [[unigramLogProb]]): explode `unit` per doc,
+    * materialize the exploded stream once (it feeds the frequency table
+    * AND the per-doc join), weight each occurrence by a per-distinct-unit
+    * value derived from the (u, freq) table, and restore EVERY input doc
+    * with (count, weight-sum) — zeros for unit-less docs. One explode,
+    * one frequency aggregation, one join back, one per-doc aggregation:
+    * strictly linear, no self-join.
+    */
+  private def perDocUnitSignal(
+      df: DataFrame,
+      idCol: String,
+      unit: Column,
+      weigh: DataFrame => DataFrame, // (u, freq) -> (u, wt)
+      nCol: String,
+      sumCol: String
+  ): DataFrame = {
+    val us = df
+      .select(col(idCol).as("doc_id"), explode(unit).as("u"))
+      .localCheckpoint()
+    val weighted = weigh(us.groupBy("u").agg(count(lit(1)).as("freq")))
+    val perDoc = us
+      .join(weighted, "u")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"), sum("df").as("sum_df"))
+      .agg(count(lit(1)).as(nCol), sum("wt").as(sumCol))
     df.select(col(idCol).as("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
-        coalesce(col("sum_df"), lit(0L)).as("sum_df"))
+        coalesce(col(nCol), lit(0L)).as(nCol),
+        coalesce(col(sumCol), lit(0L)).as(sumCol))
   }
 
   /** Sliding-window document chunking — the "split long documents into
@@ -176,37 +197,33 @@ object TextAnalysis {
     *
     * Exchange discipline: each TERM's log-prob is rounded to micros
     * FIRST, then summed as exact integers — integer summation is
-    * order-independent, so engines agree bit-exactly regardless of
-    * partition/summation order (a post-sum rounding would be at the
-    * mercy of float reduction order). Returns one row per input doc:
-    * (doc_id, n_tokens, logprob_micros); empty docs report (0, 0).
+    * order-independent, so partition/summation order can never move the
+    * result (a post-sum rounding would be at the mercy of float
+    * reduction order). The residual cross-engine exposure is libm: a
+    * term whose `ln` lands within an ulp of a .5-micros boundary could
+    * round differently under a different `log` implementation
+    * (~1e-9/term — the same accepted exposure as the BM25 oracle's
+    * `ln`). Returns one row per input doc: (doc_id, n_tokens,
+    * logprob_micros); empty docs report (0, 0).
     *
-    * 100 TB shape: one token explode (map-side), one hash-partitioned
-    * term-frequency aggregation, one join back on the term (vocabulary
-    * is Zipf-small relative to the corpus — AQE broadcasts it when it
-    * fits), one per-doc aggregation. Strictly linear, no self-join; the
-    * exploded tokens are materialized once for their two consumers. The
-    * corpus token count is a single driver scalar (index-build-sized,
-    * like the BM25 stats row).
+    * 100 TB shape: the [[perDocUnitSignal]] scaffold (one explode, one
+    * term-frequency aggregation, one join back — vocabulary is
+    * Zipf-small, AQE broadcasts it when it fits — one per-doc
+    * aggregation). The corpus token count is a single driver scalar
+    * (index-build-sized, like the BM25 stats row).
     */
-  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
-      .localCheckpoint() // feeds the tf table AND the per-doc join
-    val total = toks.count()
-    val tf = toks.groupBy("w").agg(count(lit(1)).as("tf"))
-    val scored = tf.withColumn("lp_micros",
-      round(log(col("tf").cast("double") / lit(total.toDouble)) * lit(1e6)).cast("long"))
-    val perDoc = toks
-      .join(scored, "w")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("lp_micros").as("logprob_micros"))
-    df.select(col(idCol).as("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("logprob_micros"), lit(0L)).as("logprob_micros"))
-  }
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    perDocUnitSignal(df, idCol, tokens(col(textCol)),
+      freq => {
+        // sum over an empty vocabulary is NULL; 0 keeps the (empty)
+        // select well-formed — no row ever evaluates the division
+        val totalRow = freq.agg(sum("freq")).head()
+        val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+        freq.select(col("u"),
+          round(log(col("freq").cast("double") / lit(total.toDouble)) * lit(1e6))
+            .cast("long").as("wt"))
+      },
+      "n_tokens", "logprob_micros")
 
   /** n-gram-heuristic language ID: count language-marker stopword hits per
     * candidate language plus a CJK character-class check; argmax with a

@@ -154,12 +154,19 @@ object Sampling {
       seed: Long = 0L
   ): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    // cost contract enforced loudly (the hashBucket null-key discipline):
+    // a NULL cost would ride along free (window sum skips NULLs) and a
+    // negative cost breaks the prefix property (later rows could re-enter
+    // under the budget) — both corrupt the selection silently otherwise
+    val checkedCost = when(cost.isNull || cost < 0,
+      raise_error(concat(lit("budgetSample cost is null or negative: '"),
+        coalesce(cost.cast("string"), lit("null")), lit("'")))).otherwise(cost)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))
       .orderBy(hashBucket(col(keyCol), seed), col(keyCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("cum_cost", sum(cost).over(w).cast("long"))
+    df.withColumn("cum_cost", sum(checkedCost).over(w).cast("long"))
       .filter(col("cum_cost") <= budget)
   }
 
@@ -199,7 +206,14 @@ object Sampling {
     require(missing.isEmpty,
       s"target strata absent from the corpus (mix infeasible): ${missing.mkString(", ")}")
     val t = targets.map { case (s, share) => counts(s) / share }.min
-    val rates = targets.map { case (s, share) => s -> t * share / counts(s) }
+    // a BINDING stratum (cnt/share == t) keeps rate exactly 1.0 — the
+    // round trip fl(fl(t * share) / cnt) can land just below 1.0 and
+    // silently drop a row whose hash bucket is P-1; pinning the binding
+    // stratum makes "the scarcest stratum is kept whole" exact (the
+    // oracle mirrors this with the same double-equality CASE)
+    val rates = targets.map { case (s, share) =>
+      s -> (if (counts(s) / share == t) 1.0 else t * share / counts(s))
+    }
     stratifiedHashSample(df, keyCol, strataCol, rates, defaultRate = 0.0, seed)
   }
 

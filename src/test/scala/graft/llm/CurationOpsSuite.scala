@@ -244,6 +244,18 @@ class CurationOpsSuite extends AnyFunSuite {
       Sampling.budgetSample(nullKey, "id", "grp", col("cost"), 100L).collect()
     }
     assert(e.getMessage.contains("sampling key"), s"unexpected: ${e.getMessage}")
+    // a NULL cost would ride free and a negative cost breaks the prefix
+    // property — both fail loudly instead
+    val nullCost = Seq((1L, "s", Some(10L)), (2L, "s", Option.empty[Long])).toDF("id", "grp", "cost")
+    val e2 = intercept[Exception] {
+      Sampling.budgetSample(nullCost, "id", "grp", col("cost"), 100L).collect()
+    }
+    assert(e2.getMessage.contains("budgetSample cost"), s"unexpected: ${e2.getMessage}")
+    val negCost = Seq((1L, "s", 10L), (2L, "s", -5L)).toDF("id", "grp", "cost")
+    val e3 = intercept[Exception] {
+      Sampling.budgetSample(negCost, "id", "grp", col("cost"), 100L).collect()
+    }
+    assert(e3.getMessage.contains("budgetSample cost"), s"unexpected: ${e3.getMessage}")
   }
 
   // ---- target-mix rebalancing -----------------------------------------
@@ -270,6 +282,26 @@ class CurationOpsSuite extends AnyFunSuite {
     val webOnly = Sampling.rebalanceToTargetMix(df, "id", "grp", Map("web" -> 1.0))
       .as[(Long, String)].collect()
     assert(webOnly.forall(_._2 == "web") && webOnly.length === 40)
+    // the binding stratum is kept WHOLE even when the rate round-trip
+    // fl(fl(t*share)/cnt) lands just below 1.0 (share = 0.61:
+    // 10/0.61*0.61/10 < 1.0 in doubles) — the rate pin makes "scarcest
+    // stratum binds" exact. Distinguishing row: the id whose hash bucket
+    // is exactly P-1, which an un-pinned threshold of
+    // (0.99999…*P).toLong = P-1 would drop.
+    assert((10.0 / 0.61) * 0.61 / 10.0 < 1.0) // the hazard this pins against
+    val maxBucketId =
+      ((BigInt(Sampling.P) - 1 - Sampling.B) * BigInt(Sampling.A).modInverse(BigInt(Sampling.P)))
+        .mod(BigInt(Sampling.P)).toLong
+    def hb2(k: Long) = ((k % Sampling.P) * Sampling.A + Sampling.B) % Sampling.P
+    assert(hb2(maxBucketId) === Sampling.P - 1)
+    val df2 = ((1L to 9L).map(i => (i, "bind")) :+ ((maxBucketId, "bind")))
+      .++((101L to 140L).map(i => (i, "rest"))).toDF("id", "grp")
+    val pinned = Sampling.rebalanceToTargetMix(df2, "id", "grp",
+      Map("bind" -> 0.61, "rest" -> 0.39))
+      .as[(Long, String)].collect()
+    // bind binds (10/0.61 < 40/0.39): ALL 10 rows survive, including hb = P-1
+    assert(pinned.count(_._2 == "bind") === 10)
+    assert(pinned.exists(_._1 == maxBucketId))
   }
 
   // ---- Bloom-prefiltered decontamination ------------------------------
