@@ -158,6 +158,40 @@ class PlanAndOffsetsSuite extends AnyFunSuite {
       s"rank filter did not trigger the map-side group limit:\n$plan")
   }
 
+  test("sample_exact_k pre-prunes via WindowGroupLimit like sample_topk") {
+    val plan = SparkEntry.queries("sample_exact_k")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"hash-order rank filter did not trigger the map-side group limit:\n$plan")
+  }
+
+  test("sample_budget: one per-stratum window shuffle plus the output sort, nothing else") {
+    val plan = SparkEntry.queries("sample_budget")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"running-sum window missing:\n$plan")
+    // partitioned window: the running sum must NOT collapse to one task
+    assert(!plan.contains("No Partition Defined"),
+      s"budget window lost its stratum partitioning:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"sample_budget has $exchanges exchanges:\n$plan")
+  }
+
+  test("mix_rebalance is a pure map-side filter once rates are compiled") {
+    val plan = SparkEntry.queries("mix_rebalance")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // one global sort for the ordered output; the selection itself is a
+    // codegen'd CASE threshold directly above the scan
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"mix_rebalance has $exchanges exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"rate lookup leaked a join into the plan:\n$plan")
+  }
+
+  test("decontaminate_bloom: the Bloom predicate prunes the corpus before any join") {
+    val df = SparkEntry.queries("decontaminate_bloom")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"Bloom probe predicate missing:\n$plan")
+  }
+
   test("dedup_spans stays linear: hash/merge joins only, partial aggregation present") {
     val plan = SparkEntry.queries("dedup_spans")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
