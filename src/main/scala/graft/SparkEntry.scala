@@ -345,6 +345,50 @@ object SparkEntry {
     spark.table(qn).orderBy("event_id")
   }
 
+  /** Streaming curation gate: the BATCH curation operators
+    * (qualitySignals filter, PII redaction, language ID) applied
+    * unchanged inside a micro-batch stream — pure map-side column
+    * expressions compose into readStream with zero code changes, and the
+    * result is bit-identical to the batch pipeline (the oracle is the
+    * plain batch SQL). The continuous-ingest twin of `pipeline_curate`.
+    */
+  private def qStreamingCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = t(spark, sfDir, "documents").schema
+    val src = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val qn = s"stream_curate_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val curated = TextAnalysis.qualitySignals(src, "text")
+      .filter(col("is_quality"))
+      .select(col("doc_id"), col("word_count"), col("stopword_count"),
+        TextAnalysis.redactPii(col("text")).as("clean_text"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+    val q = curated.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .option("checkpointLocation", freshDir("streaming_curate_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn).orderBy("doc_id")
+  }
+
+  /** Exact per-domain length quantiles (p50/p90/p99 of n_chars), the
+    * distribution report a corpus audit reads. Spark's exact `percentile`
+    * and the oracle's `quantile_cont` share the linear-interpolation
+    * definition; values exchange as fixed-point micros.
+    */
+  private def qCorpusQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .groupBy("source")
+      .agg(expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("qs"))
+      .select(col("source"), posexplode(col("qs")))
+      .select(col("source"), col("pos").cast("long").as("q_idx"),
+        round(col("col") * lit(1e6)).cast("long").as("q_micros"))
+      .orderBy("source", "q_idx")
+
   /** Corpus reporting: per-domain (lang × source) doc/char/token totals —
     * the partial-aggregated map-side rollup a mix audit reads.
     */
@@ -1277,7 +1321,9 @@ object SparkEntry {
       "sample_budget" -> wrap(qSampleBudget),
       "decontaminate_bloom" -> wrap(qDecontaminateBloom),
       "mix_rebalance" -> wrap(qMixRebalance),
-      "sample_exact_k" -> wrap(qSampleExactK)
+      "sample_exact_k" -> wrap(qSampleExactK),
+      "streaming_curate" -> wrap(qStreamingCurate),
+      "corpus_quantiles" -> wrap(qCorpusQuantiles)
     )
   }
 
@@ -2077,6 +2123,45 @@ object SparkEntry {
     "multimodal_features" ->
       """SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS byte_len,
         |       ((length(text) + 63) // 64 + 1) // 2 AS frames_kept
-        |FROM documents ORDER BY id""".stripMargin
+        |FROM documents ORDER BY id""".stripMargin,
+    // the batch formulation of the streaming curation gate: same signal
+    // SQL as text_stats, same redaction chain as text_redact_pii
+    "streaming_curate" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS word_count,
+        |    len(regexp_extract_all(lower(text), '\b(?:the|a|and|of|to|in|is|that|it|for)\b')) AS stopword_count,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct_count,
+        |    length(text) AS char_count,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+        |      '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS clean_text,
+        |    CASE
+        |      WHEN len(regexp_extract_all(text, '[一-鿿぀-ヿ가-힯]')) > 0 THEN 'cjk'
+        |      WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+        |      WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+        |      WHEN es >= fr AND es > 0 THEN 'es'
+        |      WHEN fr > 0 THEN 'fr'
+        |      ELSE 'und' END AS lang_pred
+        |  FROM (
+        |    SELECT *,
+        |      len(regexp_extract_all(lower(text), '\b(?:the|a|and|of|to|in|is|that|it|for)\b')) AS en,
+        |      len(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist|nicht|ein|mit|auf|zu)\b')) AS de,
+        |      len(regexp_extract_all(lower(text), '\b(?:el|la|de|que|y|en|un|una|es|por)\b')) AS es,
+        |      len(regexp_extract_all(lower(text), '\b(?:le|la|les|et|de|un|une|est|que|pour)\b')) AS fr
+        |    FROM documents))
+        |SELECT doc_id, word_count, stopword_count, clean_text, lang_pred
+        |FROM s
+        |WHERE word_count BETWEEN 5 AND 100000
+        |  AND punct_count * 5 < char_count AND stopword_count > 0
+        |ORDER BY doc_id""".stripMargin,
+    "corpus_quantiles" ->
+      """WITH q AS (
+        |  SELECT source, quantile_cont(n_chars, [0.5, 0.9, 0.99]) AS qs
+        |  FROM documents GROUP BY source)
+        |SELECT source, CAST(unnest(generate_series(1, len(qs))) - 1 AS BIGINT) AS q_idx,
+        |  CAST(round(unnest(qs) * 1e6) AS BIGINT) AS q_micros
+        |FROM q ORDER BY source, q_idx""".stripMargin
   )
 }
