@@ -27,6 +27,10 @@ object Bench {
     def dropPinnedBlocks(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.sharedState.cacheManager.clearCache()
+      // memory-sink temp views from streaming queries pin their full
+      // result rows on the driver for the session lifetime — drop them
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
     }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count()

@@ -1358,6 +1358,40 @@ object SparkEntry {
       |l3 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l2 l ON l.id = e.v GROUP BY e.u),
       |l4 AS (SELECT e.u AS id, min(l.label) AS label FROM e JOIN l3 l ON l.id = e.v GROUP BY e.u)""".stripMargin
 
+  /** Shared DuckDB formulations of the text-signal expressions
+    * (`TextAnalysis.qualitySignals` / `langId` / `redactPii` /
+    * `bpeTokenCount`) used by the text_stats, streaming_curate, and
+    * text_redact_pii oracles — one definition per expression so the
+    * oracles cannot drift from each other or from the Scala operators.
+    */
+  private val wordCountSql =
+    """len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))"""
+  private val punctCountSql = """len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))"""
+  private val stopwordCountSql =
+    """len(regexp_extract_all(lower(text), '\b(?:the|a|and|of|to|in|is|that|it|for)\b'))"""
+  private val bpeTokensSql =
+    """len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"""
+  /** Per-language marker counts, aliased en/de/es/fr for [[langCaseSql]]. */
+  private val langMarkerSql =
+    """len(regexp_extract_all(lower(text), '\b(?:the|a|and|of|to|in|is|that|it|for)\b')) AS en,
+      |    len(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist|nicht|ein|mit|auf|zu)\b')) AS de,
+      |    len(regexp_extract_all(lower(text), '\b(?:el|la|de|que|y|en|un|una|es|por)\b')) AS es,
+      |    len(regexp_extract_all(lower(text), '\b(?:le|la|les|et|de|un|une|est|que|pour)\b')) AS fr""".stripMargin
+  private val langCaseSql =
+    """CASE
+      |    WHEN len(regexp_extract_all(text, '[一-鿿぀-ヿ가-힯]')) > 0 THEN 'cjk'
+      |    WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+      |    WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+      |    WHEN es >= fr AND es > 0 THEN 'es'
+      |    WHEN fr > 0 THEN 'fr'
+      |    ELSE 'und' END""".stripMargin
+  private def redactSql(inner: String): String =
+    raw"""regexp_replace(regexp_replace(regexp_replace(
+         |    $inner,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+         |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g')""".stripMargin
+
   /** DuckDB oracle SQL per query (omitted for hash-construction queries
     * that SQL cannot reproduce — those get rows-only checks + unit tests).
     */
@@ -1687,13 +1721,9 @@ object SparkEntry {
         |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'))) AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_redact_pii" ->
-      """SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(
-        |    text || ' contact user' || doc_id || '@mail.example.com from 10.0.' || (doc_id % 256) || '.7',
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
-        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS redacted
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  ${redactSql("text || ' contact user' || doc_id || '@mail.example.com from 10.0.' || (doc_id % 256) || '.7'")} AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH w AS (
         |  SELECT doc_id,
@@ -2095,67 +2125,47 @@ object SparkEntry {
         |       THEN s - CAST('18446744073709551616' AS HUGEINT) ELSE COALESCE(s, 0) END AS BIGINT) AS simhash
         |FROM fp LEFT JOIN sig ON fp.doc_id = sig.doc_id ORDER BY doc_id""".stripMargin,
     "text_stats" ->
-      """SELECT doc_id,
-        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS word_count,
-        |  length(text) AS char_count,
-        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct_count,
-        |  len(regexp_extract_all(text, '[0-9]')) AS digit_count,
-        |  len(regexp_extract_all(lower(text), '\b(?:the|a|and|of|to|in|is|that|it|for)\b')) AS stopword_count,
-        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
-        |  (len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) BETWEEN 5 AND 100000
-        |    AND len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 5 < length(text)
-        |    AND len(regexp_extract_all(lower(text), '\b(?:the|a|and|of|to|in|is|that|it|for)\b')) > 0) AS is_quality,
-        |  CASE
-        |    WHEN len(regexp_extract_all(text, '[一-鿿぀-ヿ가-힯]')) > 0 THEN 'cjk'
-        |    WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
-        |    WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
-        |    WHEN es >= fr AND es > 0 THEN 'es'
-        |    WHEN fr > 0 THEN 'fr'
-        |    ELSE 'und' END AS lang_pred
-        |FROM (
-        |  SELECT *,
-        |    len(regexp_extract_all(lower(text), '\b(?:the|a|and|of|to|in|is|that|it|for)\b')) AS en,
-        |    len(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist|nicht|ein|mit|auf|zu)\b')) AS de,
-        |    len(regexp_extract_all(lower(text), '\b(?:el|la|de|que|y|en|un|una|es|por)\b')) AS es,
-        |    len(regexp_extract_all(lower(text), '\b(?:le|la|les|et|de|un|une|est|que|pour)\b')) AS fr
-        |  FROM documents)
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  $wordCountSql AS word_count,
+         |  length(text) AS char_count,
+         |  $punctCountSql AS punct_count,
+         |  len(regexp_extract_all(text, '[0-9]')) AS digit_count,
+         |  $stopwordCountSql AS stopword_count,
+         |  $bpeTokensSql AS bpe_tokens,
+         |  ($wordCountSql BETWEEN 5 AND 100000
+         |    AND $punctCountSql * 5 < length(text)
+         |    AND $stopwordCountSql > 0) AS is_quality,
+         |  $langCaseSql AS lang_pred
+         |FROM (
+         |  SELECT *,
+         |    $langMarkerSql
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS byte_len,
         |       ((length(text) + 63) // 64 + 1) // 2 AS frames_kept
         |FROM documents ORDER BY id""".stripMargin,
-    // the batch formulation of the streaming curation gate: same signal
-    // SQL as text_stats, same redaction chain as text_redact_pii
+    // the batch formulation of the streaming curation gate: the same
+    // shared signal fragments as text_stats, the same redaction chain
+    // as text_redact_pii
     "streaming_curate" ->
-      """WITH s AS (
-        |  SELECT doc_id,
-        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS word_count,
-        |    len(regexp_extract_all(lower(text), '\b(?:the|a|and|of|to|in|is|that|it|for)\b')) AS stopword_count,
-        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct_count,
-        |    length(text) AS char_count,
-        |    regexp_replace(regexp_replace(regexp_replace(text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
-        |      '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS clean_text,
-        |    CASE
-        |      WHEN len(regexp_extract_all(text, '[一-鿿぀-ヿ가-힯]')) > 0 THEN 'cjk'
-        |      WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
-        |      WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
-        |      WHEN es >= fr AND es > 0 THEN 'es'
-        |      WHEN fr > 0 THEN 'fr'
-        |      ELSE 'und' END AS lang_pred
-        |  FROM (
-        |    SELECT *,
-        |      len(regexp_extract_all(lower(text), '\b(?:the|a|and|of|to|in|is|that|it|for)\b')) AS en,
-        |      len(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist|nicht|ein|mit|auf|zu)\b')) AS de,
-        |      len(regexp_extract_all(lower(text), '\b(?:el|la|de|que|y|en|un|una|es|por)\b')) AS es,
-        |      len(regexp_extract_all(lower(text), '\b(?:le|la|les|et|de|un|une|est|que|pour)\b')) AS fr
-        |    FROM documents))
-        |SELECT doc_id, word_count, stopword_count, clean_text, lang_pred
-        |FROM s
-        |WHERE word_count BETWEEN 5 AND 100000
-        |  AND punct_count * 5 < char_count AND stopword_count > 0
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    $wordCountSql AS word_count,
+         |    $stopwordCountSql AS stopword_count,
+         |    $punctCountSql AS punct_count,
+         |    length(text) AS char_count,
+         |    ${redactSql("text")} AS clean_text,
+         |    $langCaseSql AS lang_pred
+         |  FROM (
+         |    SELECT *,
+         |    $langMarkerSql
+         |    FROM documents))
+         |SELECT doc_id, word_count, stopword_count, clean_text, lang_pred
+         |FROM s
+         |WHERE word_count BETWEEN 5 AND 100000
+         |  AND punct_count * 5 < char_count AND stopword_count > 0
+         |ORDER BY doc_id""".stripMargin,
     "corpus_quantiles" ->
       """WITH q AS (
         |  SELECT source, quantile_cont(n_chars, [0.5, 0.9, 0.99]) AS qs

@@ -115,7 +115,7 @@ object TextAnalysis {
     */
   def ngramRarity(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     perDocUnitSignal(df, idCol, Dedup.shingles(col(textCol), n),
-      freq => freq.select(col("u"), col("freq").as("wt")),
+      (freq, _) => freq.select(col("u"), col("freq").as("wt")),
       "n_shingles", "sum_df")
 
   /** Shared inverted-unit scaffold for corpus-frequency document signals
@@ -131,14 +131,17 @@ object TextAnalysis {
       df: DataFrame,
       idCol: String,
       unit: Column,
-      weigh: DataFrame => DataFrame, // (u, freq) -> (u, wt)
+      // (u, freq) table -> (u, wt); the thunk yields the corpus-wide
+      // occurrence total as a cheap count over the CHECKPOINTED explode
+      // (never a second frequency aggregation)
+      weigh: (DataFrame, () => Long) => DataFrame,
       nCol: String,
       sumCol: String
   ): DataFrame = {
     val us = df
       .select(col(idCol).as("doc_id"), explode(unit).as("u"))
       .localCheckpoint()
-    val weighted = weigh(us.groupBy("u").agg(count(lit(1)).as("freq")))
+    val weighted = weigh(us.groupBy("u").agg(count(lit(1)).as("freq")), () => us.count())
     val perDoc = us
       .join(weighted, "u")
       .groupBy("doc_id")
@@ -214,13 +217,12 @@ object TextAnalysis {
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame =
     perDocUnitSignal(df, idCol, tokens(col(textCol)),
-      freq => {
-        // sum over an empty vocabulary is NULL; 0 keeps the (empty)
-        // select well-formed — no row ever evaluates the division
-        val totalRow = freq.agg(sum("freq")).head()
-        val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+      (freq, total) => {
+        // total() = 0 on an empty corpus keeps the (empty) select
+        // well-formed — no row ever evaluates the division
+        val n = total()
         freq.select(col("u"),
-          round(log(col("freq").cast("double") / lit(total.toDouble)) * lit(1e6))
+          round(log(col("freq").cast("double") / lit(n.toDouble)) * lit(1e6))
             .cast("long").as("wt"))
       },
       "n_tokens", "logprob_micros")

@@ -155,11 +155,14 @@ object Sampling {
   ): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     // cost contract enforced loudly (the hashBucket null-key discipline):
-    // a NULL cost would ride along free (window sum skips NULLs) and a
+    // a NULL cost would ride along free (window sum skips NULLs), a
     // negative cost breaks the prefix property (later rows could re-enter
-    // under the budget) — both corrupt the selection silently otherwise
-    val checkedCost = when(cost.isNull || cost < 0,
-      raise_error(concat(lit("budgetSample cost is null or negative: '"),
+    // under the budget), and a NaN cost poisons the running sum — NaN is
+    // neither null nor < 0, the sum goes NaN from that row on, and the
+    // non-ANSI long cast turns NaN into 0 so EVERY later row passes the
+    // budget filter. All three corrupt the selection silently otherwise.
+    val checkedCost = when(cost.isNull || cost < 0 || isnan(cost.cast("double")),
+      raise_error(concat(lit("budgetSample cost is null, negative or NaN: '"),
         coalesce(cost.cast("string"), lit("null")), lit("'")))).otherwise(cost)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))

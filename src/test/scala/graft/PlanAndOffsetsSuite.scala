@@ -169,8 +169,9 @@ class PlanAndOffsetsSuite extends AnyFunSuite {
     val plan = SparkEntry.queries("sample_budget")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
     assert(plan.contains("Window"), s"running-sum window missing:\n$plan")
-    // partitioned window: the running sum must NOT collapse to one task
-    assert(!plan.contains("No Partition Defined"),
+    // partitioned window: the running sum must NOT collapse to one task —
+    // the window's exchange has to hash on the stratum column
+    assert(plan.contains("hashpartitioning(source"),
       s"budget window lost its stratum partitioning:\n$plan")
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 2, s"sample_budget has $exchanges exchanges:\n$plan")

@@ -256,6 +256,14 @@ class CurationOpsSuite extends AnyFunSuite {
       Sampling.budgetSample(negCost, "id", "grp", col("cost"), 100L).collect()
     }
     assert(e3.getMessage.contains("budgetSample cost"), s"unexpected: ${e3.getMessage}")
+    // NaN is neither null nor < 0 but poisons the running sum (NaN→0
+    // under the non-ANSI long cast would disable the budget entirely)
+    val nanCost = Seq((1L, "s", 10.0), (2L, "s", Double.NaN), (3L, "s", 999999.0))
+      .toDF("id", "grp", "cost")
+    val e4 = intercept[Exception] {
+      Sampling.budgetSample(nanCost, "id", "grp", col("cost"), 100L).collect()
+    }
+    assert(e4.getMessage.contains("budgetSample cost"), s"unexpected: ${e4.getMessage}")
   }
 
   // ---- target-mix rebalancing -----------------------------------------
