@@ -1195,6 +1195,22 @@ object SparkEntry {
       .select("doc_id", "source", "rk")
       .orderBy("source", "rk")
 
+  /** Persisted-index decontamination: build the benchmark's n-gram +
+    * Bloom index once on disk, then screen the corpus against it — must
+    * reproduce the broadcast path bit for bit (the oracle is the same
+    * exact SQL as `decontaminate`), proving the index round trip and the
+    * stored-bitmap prune lose nothing.
+    */
+  private def qDecontaminateIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val benchmark = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val dir = freshDir("decontaminate_indexed")
+    Decontaminate.buildIndex(benchmark, "doc_id", "text", n = 4, dir)
+    Decontaminate.overlapReportIndexed(spark, dir, corpus, "doc_id", "text")
+      .orderBy("id")
+  }
+
   /** Best-k-per-domain curation: top 3 documents per source by length,
     * ties to the lowest doc id. The rank filter triggers Spark's
     * WindowGroupLimit map-side prune (asserted in the plan suite).
@@ -1323,7 +1339,8 @@ object SparkEntry {
       "mix_rebalance" -> wrap(qMixRebalance),
       "sample_exact_k" -> wrap(qSampleExactK),
       "streaming_curate" -> wrap(qStreamingCurate),
-      "corpus_quantiles" -> wrap(qCorpusQuantiles)
+      "corpus_quantiles" -> wrap(qCorpusQuantiles),
+      "decontaminate_indexed" -> wrap(qDecontaminateIndexed)
     )
   }
 
@@ -1391,6 +1408,22 @@ object SparkEntry {
          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
          |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
          |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g')""".stripMargin
+
+  /** Exact 4-gram overlap vs the doc_id%20 benchmark split — the oracle
+    * for BOTH decontamination paths (broadcast and persisted-index),
+    * which must answer identically.
+    */
+  private val decontaminateSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+3], ' ') for i in range(1, len(ws)-2)])) AS ng
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws FROM documents)
+      |),
+      |bench AS (SELECT ng, min(doc_id) AS first_benchmark_id FROM sh WHERE doc_id % 20 = 0 GROUP BY ng),
+      |corp AS (SELECT doc_id AS id, ng FROM sh WHERE doc_id % 20 <> 0)
+      |SELECT c.id, count(*) AS hit_ngrams, min(b.first_benchmark_id) AS first_benchmark_id
+      |FROM corp c JOIN bench b USING (ng)
+      |GROUP BY c.id
+      |ORDER BY id""".stripMargin
 
   /** DuckDB oracle SQL per query (omitted for hash-construction queries
     * that SQL cannot reproduce — those get rows-only checks + unit tests).
@@ -1583,17 +1616,10 @@ object SparkEntry {
         |GROUP BY c.id
         |HAVING count(*) >= 2
         |ORDER BY id""".stripMargin,
-    "decontaminate" ->
-      """WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+3], ' ') for i in range(1, len(ws)-2)])) AS ng
-        |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws FROM documents)
-        |),
-        |bench AS (SELECT ng, min(doc_id) AS first_benchmark_id FROM sh WHERE doc_id % 20 = 0 GROUP BY ng),
-        |corp AS (SELECT doc_id AS id, ng FROM sh WHERE doc_id % 20 <> 0)
-        |SELECT c.id, count(*) AS hit_ngrams, min(b.first_benchmark_id) AS first_benchmark_id
-        |FROM corp c JOIN bench b USING (ng)
-        |GROUP BY c.id
-        |ORDER BY id""".stripMargin,
+    "decontaminate" -> decontaminateSql,
+    // the persisted-index path must answer EXACTLY like the broadcast
+    // path — same oracle, same parameters
+    "decontaminate_indexed" -> decontaminateSql,
     "search_bm25" ->
       """WITH w AS (
         |  SELECT doc_id,

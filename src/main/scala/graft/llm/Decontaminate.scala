@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, GraftInternal}
+import org.apache.spark.sql.{DataFrame, GraftInternal, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
@@ -114,6 +114,89 @@ object Decontaminate {
           min("first_benchmark_id").as("first_benchmark_id"))
         .filter(col("hit_ngrams") >= minHits)
     }
+  }
+
+  /** On-disk layout version for the persisted index ([[buildIndex]]). */
+  private val LayoutVersion = 1
+
+  /** Persist the benchmark's decontamination index — the INCREMENTAL form
+    * of [[overlapReportBloom]], completing the persisted-index family
+    * (LshIndex / EmbIndex / IvfIndex): an eval set changes rarely, so a
+    * pipeline builds its n-gram index + Bloom bitmap ONCE and screens
+    * every arriving corpus batch against it without re-shingling the
+    * benchmark. Layout under `dir` (everything through Spark's filesystem
+    * layer, so the index lives on the cluster's shared FS):
+    * {{{
+    *   meta.parquet/    n / layout / bf (the Bloom bitmap, one binary row)
+    *   ngrams.parquet/  (ng, first_benchmark_id) — the exact verify index
+    * }}}
+    */
+  def buildIndex(
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      dir: String,
+      fpp: Double = 0.01
+  ): Unit = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    val benchNg = benchmark
+      .select(col(idCol).as("b_id"), explode(Dedup.shingles(col(textCol), n)).as("ng"))
+      .localCheckpoint() // feeds the Bloom build AND the exact index
+    val est = math.min(math.max(benchNg.count(), 1L), 4000000L)
+    val numBits = math.min(
+      math.max((-est * math.log(fpp) / (math.log(2) * math.log(2))).toLong, 64L), 1L << 26)
+    val bloomRow = benchNg.select(
+      GraftInternal.column(new BloomFilterAggregate(
+        GraftInternal.expression(xxhash64(col("ng"))),
+        GraftInternal.expression(lit(est)),
+        GraftInternal.expression(lit(numBits))).toAggregateExpression()).as("bf"))
+      .head()
+    val bf = if (bloomRow.isNullAt(0)) null else bloomRow.getAs[Array[Byte]](0)
+    benchNg.groupBy("ng").agg(min("b_id").as("first_benchmark_id"))
+      .write.mode("overwrite").parquet(s"$dir/ngrams.parquet")
+    Seq((n, LayoutVersion, bf)).toDF("n", "layout", "bf")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+  }
+
+  /** Screen a corpus batch against a persisted index: the stored Bloom
+    * bitmap prunes the batch's n-grams map-side, the stored exact index
+    * removes the Bloom's false positives — same result as
+    * [[overlapReport]] against the original benchmark, bit for bit,
+    * without touching the benchmark again. A null bitmap (the benchmark
+    * had no n-grams) short-circuits to an empty report.
+    */
+  def overlapReportIndexed(
+      spark: SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      minHits: Int = 1
+  ): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+    val layout = meta.getAs[Int]("layout")
+    require(layout == LayoutVersion,
+      s"decontamination index at $dir has layout v$layout; this build reads v$LayoutVersion")
+    val n = meta.getAs[Int]("n")
+    val bf = meta.getAs[Array[Byte]]("bf")
+    val corpusNgrams = corpus
+      .select(col(idCol).as("id"), explode(Dedup.shingles(col(textCol), n)).as("ng"))
+    val pruned =
+      if (bf == null) corpusNgrams.filter(lit(false))
+      else corpusNgrams.filter(GraftInternal.column(new BloomFilterMightContain(
+        GraftInternal.expression(lit(bf)),
+        GraftInternal.expression(xxhash64(col("ng"))))))
+    pruned
+      .join(spark.read.parquet(s"$dir/ngrams.parquet"), "ng")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("hit_ngrams"), // shingles are distinct per doc
+        min("first_benchmark_id").as("first_benchmark_id"))
+      .filter(col("hit_ngrams") >= minHits)
   }
 
   /** The removal composition: corpus minus contaminated docs (broadcast

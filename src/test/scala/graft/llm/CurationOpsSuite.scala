@@ -326,6 +326,31 @@ class CurationOpsSuite extends AnyFunSuite {
     assert(bloom.as[(Long, Long, Long)].collect().toSet === exact)
   }
 
+  test("persisted decontamination index reproduces the broadcast path bit for bit") {
+    val bench = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(25)) =!= 0)
+    val dir = graft.TestSpark.freshDir("decon_idx")
+    Decontaminate.buildIndex(bench, "doc_id", "text", n = 3, dir)
+    val exact = Decontaminate.overlapReport(corpus, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val indexed = Decontaminate.overlapReportIndexed(spark, dir, corpus, "doc_id", "text")
+    assert(indexed.queryExecution.executedPlan.toString.contains("might_contain"),
+      "stored Bloom bitmap missing from the probe plan")
+    assert(indexed.as[(Long, Long, Long)].collect().toSet === exact)
+    // the index answers without the benchmark: a second screen over a
+    // different batch reuses the same on-disk index
+    val batch2 = docs.filter(pmod(col("doc_id"), lit(25)) === 1)
+    val exact2 = Decontaminate.overlapReport(batch2, bench, "doc_id", "text", n = 3, minHits = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val indexed2 = Decontaminate.overlapReportIndexed(spark, dir, batch2, "doc_id", "text", minHits = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(indexed2 === exact2)
+    // empty benchmark: null bitmap short-circuits to an empty report
+    val dirEmpty = graft.TestSpark.freshDir("decon_idx_empty")
+    Decontaminate.buildIndex(docs.filter(lit(false)), "doc_id", "text", n = 3, dirEmpty)
+    assert(Decontaminate.overlapReportIndexed(spark, dirEmpty, corpus, "doc_id", "text").count() === 0)
+  }
+
   test("overlapReportBloom: empty benchmark flags nothing; minHits respected") {
     val bench = docs.filter(lit(false))
     val corpus = docs.limit(20)
