@@ -42,9 +42,16 @@ object SparkEntry {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Scratch root for per-query warehouses/checkpoints: `GRAFT_WORK_DIR`
+    * if set, else `.work` under the process working directory (the repo
+    * root when launched via sbt) — no absolute paths baked in.
+    */
+  private[graft] lazy val workRoot: String =
+    sys.env.getOrElse("GRAFT_WORK_DIR", Paths.get(sys.props("user.dir"), ".work").toString)
+
   /** Per-query scratch warehouse (wiped per run, idempotent re-execution). */
-  private def freshDir(name: String): String = {
-    val d = Paths.get("/root/repo/.work", name)
+  private[graft] def freshDir(name: String): String = {
+    val d = Paths.get(workRoot, name)
     if (Files.exists(d)) {
       Files.walk(d).sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
     }

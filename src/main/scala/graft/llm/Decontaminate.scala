@@ -69,22 +69,19 @@ object Decontaminate {
     * when the benchmark index does fit, AQE broadcasts it on its own;
     * when it doesn't, the shuffle join only sees Bloom survivors.
     */
-  def overlapReportBloom(
-      corpus: DataFrame,
-      benchmark: DataFrame,
-      idCol: String,
-      textCol: String,
-      n: Int,
-      minHits: Int = 1,
-      fpp: Double = 0.01
-  ): DataFrame = {
+  /** Distributed Bloom construction over a benchmark n-gram stream — the
+    * ONE definition both [[overlapReportBloom]] and [[buildIndex]] build
+    * from (a sizing or fpp tweak must reach both paths). Spark's codegen'd
+    * `BloomFilterAggregate` tree-reduces per-partition bitmaps; only the
+    * final bitmap lands on the driver. `None` = the stream was empty.
+    *
+    * Spark caps BloomFilterAggregate at 4M items / 2^26 bits; an eval set
+    * is orders of magnitude below both, and past the item cap the filter
+    * just degrades to a higher fp rate (still no false negatives). The
+    * probe side must key on the same `xxhash64(ng)` this build uses.
+    */
+  private def buildBloom(benchNg: DataFrame, fpp: Double): Option[Array[Byte]] = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
-    val benchNg = benchmark
-      .select(col(idCol).as("b_id"), explode(Dedup.shingles(col(textCol), n)).as("ng"))
-      .localCheckpoint() // feeds the Bloom build AND the exact index
-    // Spark caps BloomFilterAggregate at 4M items / 2^26 bits; an eval
-    // set is orders of magnitude below both, and past the item cap the
-    // filter just degrades to a higher fp rate (still no false negatives)
     val est = math.min(math.max(benchNg.count(), 1L), 4000000L)
     // m = -n ln(p) / ln(2)^2, the standard Bloom sizing
     val numBits = math.min(
@@ -95,24 +92,39 @@ object Decontaminate {
         GraftInternal.expression(lit(est)),
         GraftInternal.expression(lit(numBits))).toAggregateExpression()).as("bf"))
       .head()
-    if (bloomRow.isNullAt(0)) {
-      // empty benchmark: nothing to match — the exact path is already free
-      overlapReport(corpus, benchmark, idCol, textCol, n, minHits)
-    } else {
-      val bloomBytes = bloomRow.getAs[Array[Byte]](0)
-      val benchIndex = benchNg.groupBy("ng").agg(min("b_id").as("first_benchmark_id"))
-      val mightContain = GraftInternal.column(new BloomFilterMightContain(
-        GraftInternal.expression(lit(bloomBytes)),
-        GraftInternal.expression(xxhash64(col("ng")))))
-      corpus
-        .select(col(idCol).as("id"), explode(Dedup.shingles(col(textCol), n)).as("ng"))
-        .filter(mightContain)
-        .join(benchIndex, "ng")
-        .groupBy("id")
-        .agg(
-          count(lit(1)).as("hit_ngrams"), // shingles are distinct per doc
-          min("first_benchmark_id").as("first_benchmark_id"))
-        .filter(col("hit_ngrams") >= minHits)
+    if (bloomRow.isNullAt(0)) None else Some(bloomRow.getAs[Array[Byte]](0))
+  }
+
+  def overlapReportBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minHits: Int = 1,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val benchNg = benchmark
+      .select(col(idCol).as("b_id"), explode(Dedup.shingles(col(textCol), n)).as("ng"))
+      .localCheckpoint() // feeds the Bloom build AND the exact index
+    buildBloom(benchNg, fpp) match {
+      case None =>
+        // empty benchmark: nothing to match — the exact path is already free
+        overlapReport(corpus, benchmark, idCol, textCol, n, minHits)
+      case Some(bloomBytes) =>
+        val benchIndex = benchNg.groupBy("ng").agg(min("b_id").as("first_benchmark_id"))
+        val mightContain = GraftInternal.column(new BloomFilterMightContain(
+          GraftInternal.expression(lit(bloomBytes)),
+          GraftInternal.expression(xxhash64(col("ng")))))
+        corpus
+          .select(col(idCol).as("id"), explode(Dedup.shingles(col(textCol), n)).as("ng"))
+          .filter(mightContain)
+          .join(benchIndex, "ng")
+          .groupBy("id")
+          .agg(
+            count(lit(1)).as("hit_ngrams"), // shingles are distinct per doc
+            min("first_benchmark_id").as("first_benchmark_id"))
+          .filter(col("hit_ngrams") >= minHits)
     }
   }
 
@@ -139,22 +151,12 @@ object Decontaminate {
       dir: String,
       fpp: Double = 0.01
   ): Unit = {
-    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
     val spark = benchmark.sparkSession
     import spark.implicits._
     val benchNg = benchmark
       .select(col(idCol).as("b_id"), explode(Dedup.shingles(col(textCol), n)).as("ng"))
       .localCheckpoint() // feeds the Bloom build AND the exact index
-    val est = math.min(math.max(benchNg.count(), 1L), 4000000L)
-    val numBits = math.min(
-      math.max((-est * math.log(fpp) / (math.log(2) * math.log(2))).toLong, 64L), 1L << 26)
-    val bloomRow = benchNg.select(
-      GraftInternal.column(new BloomFilterAggregate(
-        GraftInternal.expression(xxhash64(col("ng"))),
-        GraftInternal.expression(lit(est)),
-        GraftInternal.expression(lit(numBits))).toAggregateExpression()).as("bf"))
-      .head()
-    val bf = if (bloomRow.isNullAt(0)) null else bloomRow.getAs[Array[Byte]](0)
+    val bf = buildBloom(benchNg, fpp).orNull
     benchNg.groupBy("ng").agg(min("b_id").as("first_benchmark_id"))
       .write.mode("overwrite").parquet(s"$dir/ngrams.parquet")
     Seq((n, LayoutVersion, bf)).toDF("n", "layout", "bf")

@@ -545,13 +545,17 @@ object Dedup {
       // normalized form once (cluster scale: a persisted vector table)
       val vv = v.localCheckpoint()
       val bitsVolume = if (lshBits > 0) lshBits else sizedLshBits(vv.count(), targetBucketSize)
-      // fully-auto mode honors the recall contract FIRST: bits are capped
-      // at the recall-feasible bound so the sized table count actually
-      // delivers the per-pair miss guarantee (volume-sized bits past the
-      // bound made the table cap bind and recall degrade silently)
+      // auto-sized bits ALWAYS honor the recall contract FIRST: bits are
+      // capped at the recall-feasible bound so the table count in play
+      // actually delivers the per-pair miss guarantee (volume-sized bits
+      // past the bound made the table cap bind and recall degrade
+      // silently). With EXPLICIT tables the bound is the bits at which
+      // that many tables still meets the miss tolerance; only explicit
+      // bits waive the cap (the caller took over the trade-off).
       val bits =
-        if (lshBits > 0 || lshTables > 0) bitsVolume
-        else math.min(bitsVolume, recallFeasibleBits(threshold))
+        if (lshBits > 0) bitsVolume
+        else math.min(bitsVolume, recallFeasibleBits(threshold,
+          maxTables = if (lshTables > 0) lshTables else 64))
       val tables = if (lshTables > 0) lshTables else sizedLshTables(threshold, bits)
       val candidates0 = lshCandidateStream(vv, bits, tables)
       val candidates = if (dedupCandidates) candidates0.distinct() else candidates0

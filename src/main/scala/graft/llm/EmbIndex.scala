@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Persisted hyperplane-LSH embedding index — the vector twin of
   * [[LshIndex]]: build the signature buckets over the existing corpus
@@ -12,11 +13,16 @@ import org.apache.spark.sql.functions._
   * pair list (recall follows the same auto-sized bits/tables trade-off
   * as [[Dedup.embeddingNearDupPairs]]'s in-session path).
   *
-  * Layout under `dir` (all through Spark's filesystem layer):
+  * Layout under `dir` (all through Spark's filesystem layer). The data
+  * tables are hive-partitioned by the WRITER'S BATCH exactly like
+  * [[LshIndex]] (-1 = base build and non-replayable appends;
+  * [[appendBatch]] writes its micro-batch id), so a replayed streaming
+  * batch REPLACES its own partition, and each row carries its writer
+  * batch again as `src_batch` so [[compact]]-folded rows stay excludable:
   * {{{
-  *   meta.parquet/       bits / tables / dim (signature compatibility)
-  *   vectors.parquet/    (id, v)            — normalized verify vectors
-  *   buckets.parquet/    (id, t, sig)       — per-table LSH signatures
+  *   meta.parquet/       bits / tables / dim / layout / compacted_through
+  *   vectors.parquet/batch=<b>/   (id, v, src_batch)    — normalized verify vectors
+  *   buckets.parquet/batch=<b>/   (id, t, sig, src_batch) — per-table LSH signatures
   * }}}
   *
   * Query cost at scale: the batch's (table, signature) keys broadcast
@@ -25,18 +31,77 @@ import org.apache.spark.sql.functions._
   */
 object EmbIndex {
 
-  private def writeMeta(spark: SparkSession, dir: String, bits: Int, tables: Int, dim: Int)
-      : Unit = {
+  /** `batch` partition value for the base build and plain appends. */
+  private val BaseBatch = -1L
+
+  /** Probe-side broadcast hint gate (rows) — same contract as
+    * [[LshIndex.ProbeBroadcastRowLimit]]: hint only genuinely
+    * broadcast-sized batches, let AQE handle bulk backfills.
+    */
+  val ProbeBroadcastRowLimit: Long = 1L << 17
+
+  /** On-disk layout version (v1 = the unpartitioned original, no longer
+    * readable; v2 = batch-partitioned tables + `src_batch` +
+    * `compacted_through`, matching [[LshIndex]] v3). [[params]] rejects a
+    * layout this code cannot read instead of failing later with Spark's
+    * conflicting-directory-structures error — the loud-versioning
+    * discipline LshIndex and the decontamination index already follow.
+    */
+  private val LayoutVersion = 2
+
+  private val vectorsSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", ArrayType(DoubleType)),
+    StructField("src_batch", LongType),
+    StructField("batch", LongType)))
+
+  private val bucketsSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("t", IntegerType),
+    StructField("sig", LongType),
+    StructField("src_batch", LongType),
+    StructField("batch", LongType)))
+
+  /** Full meta row (internal): signature params + compaction watermark. */
+  private[graft] final case class EmbMeta(
+      bits: Int, tables: Int, dim: Int, compactedThrough: Long)
+
+  private def writeMeta(spark: SparkSession, dir: String, bits: Int, tables: Int, dim: Int,
+      compactedThrough: Long = -1L): Unit = {
     import spark.implicits._
-    Seq((bits, tables, dim)).toDF("bits", "tables", "dim")
+    Seq((bits, tables, dim, LayoutVersion, compactedThrough))
+      .toDF("bits", "tables", "dim", "layout", "compacted_through")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/meta.parquet")
   }
 
-  private def readMeta(spark: SparkSession, dir: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$dir/meta.parquet").head()
-    (r.getInt(0), r.getInt(1), r.getInt(2))
+  private[graft] def readMeta(spark: SparkSession, dir: String): EmbMeta = {
+    val meta = spark.read.parquet(s"$dir/meta.parquet")
+    val layout =
+      if (meta.columns.contains("layout")) meta.select("layout").head().getInt(0) else 1
+    require(layout == LayoutVersion,
+      s"EmbIndex at $dir has layout v$layout; this build reads v$LayoutVersion — rebuild the index")
+    val r = meta.select("bits", "tables", "dim", "compacted_through").head()
+    EmbMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
   }
+
+  /** (bits, tables, dim) the index was built with — the signature
+    * parameters a caller must reuse for any in-session search whose
+    * results should be consistent with the index (e.g. the within-batch
+    * pass of [[graft.streaming.EmbDedupStream]]).
+    */
+  def params(spark: SparkSession, dir: String): (Int, Int, Int) = {
+    val m = readMeta(spark, dir)
+    (m.bits, m.tables, m.dim)
+  }
+
+  // explicit schemas: a partition dir with zero data files (empty build)
+  // must read as an empty frame, not fail schema inference
+  private def readVectors(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(vectorsSchema).parquet(s"$dir/vectors.parquet")
+
+  private def readBuckets(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(bucketsSchema).parquet(s"$dir/buckets.parquet")
 
   /** The signature derivation IS [[Dedup.hyperplaneSigRows]] — one shared
     * definition, so the stored index and the in-session candidate stream
@@ -75,18 +140,27 @@ object EmbIndex {
   ): Long = {
     val spark = corpus.sparkSession
     val vv = usable(corpus, idCol, vecCol, "id")
-    vv.write.mode("overwrite").parquet(s"$dir/vectors.parquet")
-    val stored = spark.read.parquet(s"$dir/vectors.parquet")
+      .withColumn("src_batch", lit(BaseBatch))
+      .withColumn("batch", lit(BaseBatch))
+    vv.write.mode("overwrite").partitionBy("batch").parquet(s"$dir/vectors.parquet")
+    val stored = readVectors(spark, dir)
     val n = stored.count() // one job: sizes the bits AND is the return value
     val dim = Similarity.detectDim(stored.select(col("v").as("n_vec")))
-    val bitsVolume = if (bits > 0) bits else Dedup.sizedLshBits(n)
+    // auto-sized bits are ALWAYS capped at the recall-feasible bound (with
+    // explicit tables: the bits at which THAT table count still meets the
+    // per-pair miss tolerance) — only explicit bits waive the guarantee;
+    // same policy as Dedup.embeddingNearDupPairs so the persisted and
+    // in-session paths size identically
     val useBits =
-      if (bits > 0 || tables > 0) bitsVolume
-      else math.min(bitsVolume, Dedup.recallFeasibleBits(threshold))
+      if (bits > 0) bits
+      else math.min(Dedup.sizedLshBits(n), Dedup.recallFeasibleBits(threshold,
+        maxTables = if (tables > 0) tables else 64))
     val useTables = if (tables > 0) tables else Dedup.sizedLshTables(threshold, useBits)
     writeMeta(spark, dir, useBits, useTables, dim)
     sigRows(stored, "id", "v", useBits, useTables, dim)
-      .write.mode("overwrite").parquet(s"$dir/buckets.parquet")
+      .withColumn("src_batch", lit(BaseBatch))
+      .withColumn("batch", lit(BaseBatch))
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/buckets.parquet")
     n
   }
 
@@ -95,6 +169,17 @@ object EmbIndex {
     * candidates restricted to signature collisions in any table.
     * Within-batch duplicates are NOT reported — run the in-session pair
     * search on the batch, or fold it in with [[append]].
+    *
+    * `excludeBatch`: skip one writer-batch's index rows (a REPLAYED
+    * streaming batch must not self-match its own previous [[appendBatch]]
+    * rows — every survivor would match at cosine 1 and be dropped,
+    * silently losing the batch). Partition pruning skips live partitions
+    * at planning time; rows folded by [[compact]] are excluded by their
+    * per-row `src_batch`.
+    *
+    * `broadcastRowLimit`: batches at or below this many rows take the
+    * broadcast-hinted probe (the corpus side never shuffles); larger ones
+    * (bulk backfills) drop the hints and let AQE choose.
     */
   def queryBatch(
       spark: SparkSession,
@@ -102,25 +187,46 @@ object EmbIndex {
       batch: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double
+      threshold: Double,
+      excludeBatch: Option[Long] = None,
+      broadcastRowLimit: Long = ProbeBroadcastRowLimit
+  ): DataFrame =
+    queryBatchWith(spark, dir, batch, idCol, vecCol, threshold, excludeBatch,
+      readMeta(spark, dir), broadcastRowLimit)
+
+  private[graft] def queryBatchWith(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      excludeBatch: Option[Long],
+      meta: EmbMeta,
+      broadcastRowLimit: Long = ProbeBroadcastRowLimit
   ): DataFrame = {
-    val (bits, tables, dim) = readMeta(spark, dir)
+    def visible(df: DataFrame): DataFrame =
+      excludeBatch.fold(df)(b => df.filter(col("batch") =!= b && col("src_batch") =!= b))
     val newVecs = usable(batch, idCol, vecCol, "id_new")
       .withColumnRenamed("v", "v_new")
       .localCheckpoint() // feeds the signature probe AND the verify join
-    val newSigs = sigRows(newVecs, "id_new", "v_new", bits, tables, dim)
-    val index = spark.read.parquet(s"$dir/buckets.parquet")
+    // size gate on the materialized batch — only hint when the batch side
+    // is genuinely broadcast-sized (see ProbeBroadcastRowLimit)
+    val hinted = newVecs.count() <= broadcastRowLimit
+    def maybeBroadcast(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
+    val newSigs = sigRows(newVecs, "id_new", "v_new", meta.bits, meta.tables, meta.dim)
+    val index = visible(readBuckets(spark, dir))
     // batch side broadcast: the corpus-sized index never shuffles
     val candidates = index
-      .join(broadcast(newSigs), Seq("t", "sig"))
+      .join(maybeBroadcast(newSigs), Seq("t", "sig"))
       .select(col("id_new"), col("id").as("id_indexed"))
       .distinct()
-    val storedVecs = spark.read.parquet(s"$dir/vectors.parquet")
+    val storedVecs = visible(readVectors(spark, dir))
       .select(col("id").as("id_indexed"), col("v").as("v_idx"))
     // the verify side stays batch-×-candidates sized — broadcast it so
     // the corpus-sized vector table never shuffles either (the doc's
     // cost contract; an unhinted join would sort-merge the whole table)
-    broadcast(candidates.join(broadcast(newVecs), "id_new"))
+    maybeBroadcast(candidates.join(maybeBroadcast(newVecs), "id_new"))
       .join(storedVecs, "id_indexed")
       .select(col("id_new"), col("id_indexed"),
         Similarity.dot(col("v_new"), col("v_idx")).as("cosine"))
@@ -141,11 +247,93 @@ object EmbIndex {
       idCol: String,
       vecCol: String
   ): Long = {
-    val (bits, tables, dim) = readMeta(spark, dir)
+    val meta = readMeta(spark, dir)
     val vv = usable(batch, idCol, vecCol, "id").localCheckpoint()
-    sigRows(vv, "id", "v", bits, tables, dim)
-      .write.mode("append").parquet(s"$dir/buckets.parquet")
-    vv.write.mode("append").parquet(s"$dir/vectors.parquet")
+    sigRows(vv, "id", "v", meta.bits, meta.tables, meta.dim)
+      .withColumn("src_batch", lit(BaseBatch))
+      .withColumn("batch", lit(BaseBatch))
+      .write.mode("append").partitionBy("batch").parquet(s"$dir/buckets.parquet")
+    vv
+      .withColumn("src_batch", lit(BaseBatch))
+      .withColumn("batch", lit(BaseBatch))
+      .write.mode("append").partitionBy("batch").parquet(s"$dir/vectors.parquet")
     vv.count()
+  }
+
+  /** Remove one batch's partition directory — see
+    * [[LshIndex]]: an explicit delete (not dynamic partition overwrite)
+    * because dynamic overwrite only touches partitions PRESENT in the
+    * output, leaving stale rows alive when a replay computes fewer or
+    * zero rows.
+    */
+  private def dropBatchPartition(spark: SparkSession, table: String, batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$table/batch=$batchId")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+
+  /** Idempotent, replay-safe append for streaming micro-batches — the
+    * exact semantics of [[LshIndex.appendBatch]]: the `batch=<batchId>`
+    * partition is DELETED and rewritten, so a Spark micro-batch replay
+    * REPLACES its partition rather than duplicating rows, even when the
+    * replay computes fewer or zero rows. Buckets replace first, vectors
+    * second — any crash window costs recall, never duplicate or stale
+    * verify rows. A batch at or below the [[compact]] watermark no-ops
+    * (its rows are already folded into the base partition).
+    */
+  def appendBatch(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      batchId: Long
+  ): Long = {
+    require(batchId >= 0, s"appendBatch needs a non-negative batch id: $batchId")
+    appendBatchWith(spark, dir, batch, idCol, vecCol, batchId, readMeta(spark, dir))
+  }
+
+  private[graft] def appendBatchWith(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      batchId: Long,
+      meta: EmbMeta
+  ): Long = {
+    // already folded into base by compact — a replay's rows are present
+    // and no longer partition-addressable; rewriting would duplicate them
+    if (batchId <= meta.compactedThrough) return 0L
+    val vv = usable(batch, idCol, vecCol, "id").localCheckpoint()
+    dropBatchPartition(spark, s"$dir/buckets.parquet", batchId)
+    sigRows(vv, "id", "v", meta.bits, meta.tables, meta.dim)
+      .withColumn("src_batch", lit(batchId))
+      .withColumn("batch", lit(batchId))
+      .write.mode("append").partitionBy("batch").parquet(s"$dir/buckets.parquet")
+    dropBatchPartition(spark, s"$dir/vectors.parquet", batchId)
+    vv
+      .withColumn("src_batch", lit(batchId))
+      .withColumn("batch", lit(batchId))
+      .write.mode("append").partitionBy("batch").parquet(s"$dir/vectors.parquet")
+    vv.count()
+  }
+
+  /** Fold aged batch partitions (0 ≤ b ≤ `upToBatch`) of both data tables
+    * into the base partition and advance the meta watermark — identical
+    * contract and crash story to [[LshIndex.compact]] (see
+    * [[IndexMaintenance]]): only compact batches below the stream's
+    * committed checkpoint; afterwards replayed `appendBatch` no-ops and
+    * `queryBatch(excludeBatch)` still excludes folded rows by
+    * `src_batch`, so probe results are bit-identical across compaction.
+    */
+  def compact(spark: SparkSession, dir: String, upToBatch: Long): Unit = {
+    require(upToBatch >= 0, s"compact needs a non-negative batch watermark: $upToBatch")
+    val m = readMeta(spark, dir) // layout check up front
+    IndexMaintenance.compactTable(spark, s"$dir/buckets.parquet", bucketsSchema, upToBatch)
+    IndexMaintenance.compactTable(spark, s"$dir/vectors.parquet", vectorsSchema, upToBatch)
+    writeMeta(spark, dir, m.bits, m.tables, m.dim,
+      math.max(m.compactedThrough, upToBatch))
   }
 }

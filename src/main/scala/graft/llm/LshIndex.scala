@@ -36,15 +36,27 @@ object LshIndex {
   /** `batch` partition value for the base build and plain appends. */
   private val BaseBatch = -1L
 
+  /** Probe-side broadcast hint gate (rows): at or below this many batch
+    * rows the probe/verify joins are broadcast-hinted — the corpus-sized
+    * index tables never shuffle, the streaming fast path. ABOVE it the
+    * hints are dropped and AQE picks the join strategy: a bulk-backfill
+    * "batch" can be corpus-sized, and an unconditional hint there is a
+    * driver OOM, not a slow plan. Same size-based strategy switch as
+    * [[Dedup.connectedComponents]]'s driverEdgeThreshold.
+    */
+  val ProbeBroadcastRowLimit: Long = 1L << 17
+
   private val shinglesSchema = StructType(Seq(
     StructField("id", LongType),
     StructField("shset", ArrayType(StringType)),
+    StructField("src_batch", LongType),
     StructField("batch", LongType)))
 
   private val bucketsSchema = StructType(Seq(
     StructField("id", LongType),
     StructField("band", org.apache.spark.sql.types.IntegerType),
     StructField("bh", LongType),
+    StructField("src_batch", LongType),
     StructField("batch", LongType)))
 
   // meta rides as a 1-row parquet THROUGH Spark's filesystem layer, like
@@ -52,18 +64,39 @@ object LshIndex {
   // across two filesystems on any cluster whose default FS isn't local
   // (the sibling IvfIndex persists everything the same way)
   /** On-disk layout version (bumped when the table structure changes —
-    * v2 = batch-partitioned data tables). [[params]] rejects an index
-    * whose layout this code cannot read, instead of failing later with
-    * Spark's conflicting-directory-structures error.
+    * v2 = batch-partitioned data tables; v3 = per-row `src_batch` + the
+    * meta `compacted_through` watermark that make [[compact]] safe).
+    * [[params]] rejects an index whose layout this code cannot read,
+    * instead of failing later with Spark's
+    * conflicting-directory-structures error.
     */
-  private val LayoutVersion = 2
+  private val LayoutVersion = 3
+
+  /** Full meta row (internal): signature params + the compaction
+    * watermark. `compactedThrough` = largest batch id folded into the
+    * base partition (-1 = never compacted).
+    */
+  private[graft] final case class LshMeta(
+      n: Int, numHashes: Int, bands: Int, compactedThrough: Long)
 
   private def writeMeta(
-      spark: SparkSession, dir: String, n: Int, numHashes: Int, bands: Int): Unit = {
+      spark: SparkSession, dir: String, n: Int, numHashes: Int, bands: Int,
+      compactedThrough: Long = -1L): Unit = {
     import spark.implicits._
-    Seq((n, numHashes, bands, LayoutVersion)).toDF("n", "num_hashes", "bands", "layout")
+    Seq((n, numHashes, bands, LayoutVersion, compactedThrough))
+      .toDF("n", "num_hashes", "bands", "layout", "compacted_through")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+  }
+
+  private[graft] def readMeta(spark: SparkSession, dir: String): LshMeta = {
+    val meta = spark.read.parquet(s"$dir/meta.parquet")
+    val layout =
+      if (meta.columns.contains("layout")) meta.select("layout").head().getInt(0) else 1
+    require(layout == LayoutVersion,
+      s"LshIndex at $dir has layout v$layout; this build reads v$LayoutVersion — rebuild the index")
+    val r = meta.select("n", "num_hashes", "bands", "compacted_through").head()
+    LshMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
   }
 
   /** (shingle n, numHashes, bands) an index was built with — the
@@ -72,13 +105,8 @@ object LshIndex {
     * within-batch pass of [[graft.streaming.DedupStream]]).
     */
   def params(spark: SparkSession, dir: String): (Int, Int, Int) = {
-    val meta = spark.read.parquet(s"$dir/meta.parquet")
-    val layout =
-      if (meta.columns.contains("layout")) meta.select("layout").head().getInt(0) else 1
-    require(layout == LayoutVersion,
-      s"LshIndex at $dir has layout v$layout; this build reads v$LayoutVersion — rebuild the index")
-    val r = meta.select("n", "num_hashes", "bands").head()
-    (r.getInt(0), r.getInt(1), r.getInt(2))
+    val m = readMeta(spark, dir)
+    (m.n, m.numHashes, m.bands)
   }
 
   // explicit schemas: a partition dir with zero data files (empty build)
@@ -133,10 +161,12 @@ object LshIndex {
     // them first, then derive buckets from the WRITTEN table so the
     // (expensive) shingling runs exactly once
     shingleSets(corpus, idCol, textCol, n)
+      .withColumn("src_batch", lit(BaseBatch))
       .withColumn("batch", lit(BaseBatch))
       .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/shingles.parquet")
     val stored = readShingles(spark, dir)
     bucketRows(stored, "id", "shset", numHashes, bands)
+      .withColumn("src_batch", lit(BaseBatch))
       .withColumn("batch", lit(BaseBatch))
       .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/buckets.parquet")
     stored.count()
@@ -171,9 +201,11 @@ object LshIndex {
     val withSets = shingleSets(batch, idCol, textCol, n)
       .localCheckpoint() // feeds both appends + the count
     bucketRows(withSets, "id", "shset", numHashes, bands)
+      .withColumn("src_batch", lit(BaseBatch))
       .withColumn("batch", lit(BaseBatch))
       .write.mode("append").partitionBy("batch").parquet(s"$dir/buckets.parquet")
     withSets
+      .withColumn("src_batch", lit(BaseBatch))
       .withColumn("batch", lit(BaseBatch))
       .write.mode("append").partitionBy("batch").parquet(s"$dir/shingles.parquet")
     withSets.count()
@@ -214,7 +246,7 @@ object LshIndex {
       batchId: Long
   ): Long = {
     require(batchId >= 0, s"appendBatch needs a non-negative batch id: $batchId")
-    appendBatchWith(spark, dir, batch, idCol, textCol, batchId, params(spark, dir))
+    appendBatchWith(spark, dir, batch, idCol, textCol, batchId, readMeta(spark, dir))
   }
 
   private[graft] def appendBatchWith(
@@ -224,17 +256,26 @@ object LshIndex {
       idCol: String,
       textCol: String,
       batchId: Long,
-      meta: (Int, Int, Int)
+      meta: LshMeta
   ): Long = {
-    val (n, numHashes, bands) = meta
-    val withSets = shingleSets(batch, idCol, textCol, n)
+    // a batch at or below the compaction watermark was already FOLDED into
+    // the base partition: its rows are in the index but no longer
+    // partition-addressable, so the delete-then-write below would
+    // duplicate them. A replay of such a batch is a no-op — exactly-once
+    // means its effect is present, and [[compact]]'s contract (only
+    // compact below the stream's committed batch) means this guard only
+    // ever fires defensively.
+    if (batchId <= meta.compactedThrough) return 0L
+    val withSets = shingleSets(batch, idCol, textCol, meta.n)
       .localCheckpoint()
     dropBatchPartition(spark, s"$dir/buckets.parquet", batchId)
-    bucketRows(withSets, "id", "shset", numHashes, bands)
+    bucketRows(withSets, "id", "shset", meta.numHashes, meta.bands)
+      .withColumn("src_batch", lit(batchId))
       .withColumn("batch", lit(batchId))
       .write.mode("append").partitionBy("batch").parquet(s"$dir/buckets.parquet")
     dropBatchPartition(spark, s"$dir/shingles.parquet", batchId)
     withSets
+      .withColumn("src_batch", lit(batchId))
       .withColumn("batch", lit(batchId))
       .write.mode("append").partitionBy("batch").parquet(s"$dir/shingles.parquet")
     withSets.count()
@@ -247,11 +288,17 @@ object LshIndex {
     * duplicates are NOT reported — run the in-session pair search on the
     * batch for those, or fold the batch into the index.
     *
-    * `excludeBatch`: skip one writer-batch partition of the index — a
-    * REPLAYED streaming batch must not match its own previous
-    * [[appendBatch]] rows (every survivor would self-match at Jaccard 1
-    * and be dropped, silently losing the batch). Partition pruning makes
-    * the exclusion a planning-time file skip.
+    * `excludeBatch`: skip one writer-batch's index rows — a REPLAYED
+    * streaming batch must not match its own previous [[appendBatch]] rows
+    * (every survivor would self-match at Jaccard 1 and be dropped,
+    * silently losing the batch). Partition pruning makes the exclusion a
+    * planning-time file skip for live partitions; rows already folded by
+    * [[compact]] are excluded by their per-row `src_batch`.
+    *
+    * `broadcastRowLimit`: batches at or below this many rows take the
+    * broadcast-hinted probe (the corpus side never shuffles); larger ones
+    * (bulk backfills) drop the hints and let AQE choose — see
+    * [[ProbeBroadcastRowLimit]].
     */
   def queryBatch(
       spark: SparkSession,
@@ -260,10 +307,11 @@ object LshIndex {
       idCol: String,
       textCol: String,
       threshold: Double,
-      excludeBatch: Option[Long] = None
+      excludeBatch: Option[Long] = None,
+      broadcastRowLimit: Long = ProbeBroadcastRowLimit
   ): DataFrame =
     queryBatchWith(spark, dir, batch, idCol, textCol, threshold, excludeBatch,
-      params(spark, dir))
+      readMeta(spark, dir), broadcastRowLimit)
 
   private[graft] def queryBatchWith(
       spark: SparkSession,
@@ -273,31 +321,60 @@ object LshIndex {
       textCol: String,
       threshold: Double,
       excludeBatch: Option[Long],
-      meta: (Int, Int, Int)
+      meta: LshMeta,
+      broadcastRowLimit: Long = ProbeBroadcastRowLimit
   ): DataFrame = {
-    val (n, numHashes, bands) = meta
     def visible(df: DataFrame): DataFrame =
-      excludeBatch.fold(df)(b => df.filter(col("batch") =!= b))
-    val newSets = shingleSets(batch, idCol, textCol, n)
+      excludeBatch.fold(df)(b => df.filter(col("batch") =!= b && col("src_batch") =!= b))
+    val newSets = shingleSets(batch, idCol, textCol, meta.n)
       .select(col("id").as("id_new"), col("shset").as("set_new"))
       .localCheckpoint() // feeds the bucket probe AND the verify join
-    val newBuckets = bucketRows(newSets, "id_new", "set_new", numHashes, bands)
+    // size gate on the materialized batch (the count is one cheap scan of
+    // checkpointed blocks): only hint the joins when the batch side is
+    // genuinely broadcast-sized
+    val hinted = newSets.count() <= broadcastRowLimit
+    def maybeBroadcast(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
+    val newBuckets = bucketRows(newSets, "id_new", "set_new", meta.numHashes, meta.bands)
     val index = visible(readBuckets(spark, dir))
     // batch side broadcast: the corpus-sized index never shuffles
     val candidates = index
-      .join(broadcast(newBuckets), Seq("band", "bh"))
+      .join(maybeBroadcast(newBuckets), Seq("band", "bh"))
       .select(col("id_new"), col("id").as("id_indexed"))
       .distinct()
     val storedSets = visible(readShingles(spark, dir))
       .select(col("id").as("id_indexed"), col("shset").as("set_indexed"))
     // the verify side stays batch-×-candidates sized — broadcast it so
     // the corpus-sized shingle table never shuffles either
-    broadcast(candidates.join(broadcast(newSets), "id_new"))
+    maybeBroadcast(candidates.join(maybeBroadcast(newSets), "id_new"))
       .join(storedSets, "id_indexed")
       .withColumn("isect", size(array_intersect(col("set_new"), col("set_indexed"))))
       .withColumn("union_sz", size(col("set_new")) + size(col("set_indexed")) - col("isect"))
       .withColumn("jaccard", col("isect").cast("double") / col("union_sz").cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_new", "id_indexed", "isect")
+  }
+
+  /** Fold the aged streaming batch partitions (0 ≤ b ≤ `upToBatch`) of
+    * both data tables into the base partition and advance the meta
+    * watermark — the index-family bin-pack (see [[IndexMaintenance]] for
+    * the full crash/replay story). Contract: `upToBatch` must be strictly
+    * below the stream checkpoint's last COMMITTED batch id, so no folded
+    * batch can ever be replayed. Afterwards a (contract-violating)
+    * replayed `appendBatch(b ≤ upToBatch)` no-ops instead of duplicating
+    * rows, and `queryBatch(excludeBatch = b)` still excludes the folded
+    * rows via their `src_batch` — probe results are bit-identical before
+    * and after compaction.
+    */
+  def compact(spark: SparkSession, dir: String, upToBatch: Long): Unit = {
+    require(upToBatch >= 0, s"compact needs a non-negative batch watermark: $upToBatch")
+    val m = readMeta(spark, dir) // layout check up front
+    IndexMaintenance.compactTable(spark, s"$dir/buckets.parquet", bucketsSchema, upToBatch)
+    IndexMaintenance.compactTable(spark, s"$dir/shingles.parquet", shinglesSchema, upToBatch)
+    // watermark last: a crash before this line leaves folded partitions
+    // with a stale watermark — the defensive appendBatch no-op guard is
+    // briefly narrower, but the contract (only compact committed batches)
+    // already rules the replay out; re-running compact repairs the meta
+    writeMeta(spark, dir, m.n, m.numHashes, m.bands,
+      math.max(m.compactedThrough, upToBatch))
   }
 }

@@ -219,17 +219,40 @@ object Similarity {
       cents: Array[(Long, Array[Double])],
       dim: Int,
       dropNaN: Boolean
-  ): Array[(Long, Array[Double])] = {
+  ): Array[(Long, Array[Double])] = lloydStepSig(c, cents, dim, dropNaN)._1
+
+  /** [[lloydStep]] plus a per-cell MEMBERSHIP signature computed in the
+    * same aggregation pass: (c_id, member count, XOR of xxhash64(id)).
+    * Two iterations with identical signatures assigned identical member
+    * sets to identical cells — the integer-exact convergence witness the
+    * distributed loop compares (the float centroid bits are NOT a safe
+    * witness: partial-avg merge order varies across shuffles, so a true
+    * fixed point can re-derive ulp-different means forever). XOR over
+    * the per-cell ids (distinct within a cell) is order-independent and
+    * cannot overflow, so the comparison is deterministic.
+    */
+  private def lloydStepSig(
+      c: DataFrame,
+      cents: Array[(Long, Array[Double])],
+      dim: Int,
+      dropNaN: Boolean
+  ): (Array[(Long, Array[Double])], Array[(Long, Long, Long)]) = {
     val spark = c.sparkSession
     import spark.implicits._
-    val next = c
+    val rows = c
       .withColumn("c_id", nearestCentroid(col("n_vec"), cents).getField("c_id"))
       .groupBy("c_id")
-      .agg(array((0 until dim).map(i => avg(col("n_vec").getItem(i))): _*).as("m"))
-      .select(col("c_id"), normalize(col("m")).as("c_vec"))
-      .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
+      .agg(
+        array((0 until dim).map(i => avg(col("n_vec").getItem(i))): _*).as("m"),
+        count(lit(1)).as("n_members"),
+        bit_xor(xxhash64(col("n_id"))).as("member_sig"))
+      .select(col("c_id"), normalize(col("m")).as("c_vec"),
+        col("n_members"), col("member_sig"))
+      .as[(Long, Seq[Double], Long, Long)].collect()
       .sortBy(_._1)
-    if (dropNaN) next.filter(!_._2.exists(_.isNaN)) else next
+    val next = rows.map { case (id, v, _, _) => (id, v.toArray) }
+    val sig = rows.map { case (id, _, n, s) => (id, n, s) }
+    (if (dropNaN) next.filter(!_._2.exists(_.isNaN)) else next, sig)
   }
 
   private[llm] def trainCentroids(
@@ -245,10 +268,10 @@ object Similarity {
   }
 
   /** Spherical k-means (cosine Lloyd) run to EXACT convergence: iterate
-    * until two consecutive centroid sets are bit-identical (assignments
-    * stopped changing — the Lloyd fixed point) or `maxIters`. Returns the
-    * per-vector assignments, the final centroids, and whether the fixed
-    * point was reached.
+    * until the ASSIGNMENTS stop changing (the Lloyd fixed point — an
+    * integer-exact test on both the driver and the distributed path) or
+    * `maxIters`. Returns the per-vector assignments, the final centroids,
+    * and whether the fixed point was reached.
     *
     * Determinism & cost: seeding is deterministic ([[seedCentroids]]);
     * each iteration costs one shuffle over the (materialized) normalized
@@ -315,15 +338,26 @@ object Similarity {
         }
       }
     } else {
+      // distributed path: converge on ASSIGNMENT equality (the integer
+      // comparison the driver path uses), witnessed by per-cell membership
+      // signatures computed inside the Lloyd aggregation itself — no extra
+      // job. Centroid float bits are deliberately not compared: Spark's
+      // partial-avg merge order is not deterministic across iterations, so
+      // a bit-equality test can spin at a true fixed point until maxIters
+      // and report converged = false.
+      var prevSig: Array[(Long, Long, Long)] = null
       while (!converged && it < maxIters && cents.nonEmpty) {
-        val next =
-          lloydStep(c.select(col("id").as("n_id"), col("n_vec")), cents, dim, dropNaN = true)
-        converged = next.length == cents.length &&
-          next.zip(cents).forall { case ((i1, v1), (i2, v2)) =>
-            i1 == i2 && java.util.Arrays.equals(v1, v2)
-          }
-        cents = next
-        it += 1
+        val (next, sig) =
+          lloydStepSig(c.select(col("id").as("n_id"), col("n_vec")), cents, dim, dropNaN = true)
+        converged = prevSig != null && sig.sameElements(prevSig)
+        prevSig = sig
+        if (!converged) {
+          // on convergence cents stay as-is: they are the means of exactly
+          // these (unchanged) assignments, so the fixed-point invariant
+          // argmax(C(A)) = A holds for the final assignment pass below
+          cents = next
+          it += 1
+        }
       }
     }
     val assigned =
@@ -392,11 +426,12 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      maxIters: Int = 40
+      maxIters: Int = 40,
+      driverPointThreshold: Long = 1L << 17
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val res = kmeans(corpus, idCol, vecCol, k, maxIters)
+    val res = kmeans(corpus, idCol, vecCol, k, maxIters, driverPointThreshold)
     val c = corpus
       .select(col(idCol).cast("long").as("id"), normalize(col(vecCol)).as("n_vec"))
     // inner join: unclusterable rows (absent from the assignments) drop

@@ -94,6 +94,23 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), seed) < floor(clamped * lit(P.toDouble)).cast("long"))
   }
 
+  /** Loud output-column collision check for operators that emit a fixed
+    * derived column (`rk`, `cum_cost`): the check matches the analyzer's
+    * resolution — case-insensitive under the default
+    * `spark.sql.caseSensitive=false` (where withColumn would silently
+    * REPLACE the caller's same-named column), exact under case-sensitive
+    * sessions (where withColumn ADDS a distinct column beside it).
+    */
+  private def requireFreshColumn(df: DataFrame, name: String, op: String): Unit = {
+    val caseSensitive =
+      df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    val collides =
+      if (caseSensitive) df.columns.contains(name)
+      else df.columns.exists(_.equalsIgnoreCase(name))
+    require(!collides,
+      s"input already has a '$name' column — $op emits '$name' and would overwrite it")
+  }
+
   /** Keep the best `k` rows of each group under `ordering` (e.g. top-k
     * documents per source by quality score) — the "select the best
     * documents per domain" curation step. Pass a fully deterministic
@@ -113,17 +130,7 @@ object Sampling {
       k: Int
   ): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    // collision check matches the analyzer's resolution: case-insensitive
-    // under the default spark.sql.caseSensitive=false (an "RK" column
-    // would be silently replaced), exact under case-sensitive sessions
-    // (where withColumn("rk") ADDS a distinct column beside "RK")
-    val caseSensitive =
-      df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
-    val collides =
-      if (caseSensitive) df.columns.contains("rk")
-      else df.columns.exists(_.equalsIgnoreCase("rk"))
-    require(!collides,
-      "input already has an 'rk' column — topKPerGroup emits the rank as 'rk' and would overwrite it")
+    requireFreshColumn(df, "rk", "topKPerGroup")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(ordering: _*)
     df.withColumn("rk", row_number().over(w).cast("long"))
@@ -154,6 +161,7 @@ object Sampling {
       seed: Long = 0L
   ): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    requireFreshColumn(df, "cum_cost", "budgetSample")
     // cost contract enforced loudly (the hashBucket null-key discipline):
     // a NULL cost would ride along free (window sum skips NULLs), a
     // negative cost breaks the prefix property (later rows could re-enter

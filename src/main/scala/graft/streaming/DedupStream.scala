@@ -42,9 +42,10 @@ object DedupStream {
       triggerMs: Long = 1000L
   ): StreamingQuery = {
     // the index's signature parameters are immutable — read once, not
-    // three Spark jobs per trigger
-    val meta = LshIndex.params(source.sparkSession, indexDir)
-    val (n, numHashes, bands) = meta
+    // three Spark jobs per trigger (the cached compaction watermark is
+    // safe: compact only folds batches below this stream's own committed
+    // checkpoint, never one it could still replay)
+    val meta = LshIndex.readMeta(source.sparkSession, indexDir)
     source.writeStream
       .option("checkpointLocation", checkpointLocation)
       .trigger(Trigger.ProcessingTime(triggerMs))
@@ -64,7 +65,7 @@ object DedupStream {
         // 2. within-batch: same signature parameters as the index, losers =
         // every component member except the min id
         val pairs = Dedup.minhashLshPairs(afterCross, idCol, textCol,
-          n = n, numHashes = numHashes, bands = bands, threshold = threshold)
+          n = meta.n, numHashes = meta.numHashes, bands = meta.bands, threshold = threshold)
         val losers = Dedup.connectedComponents(pairs)
           .filter(col("id") =!= col("group_id"))
           .select(col("id").as("__loser_id"))

@@ -264,6 +264,18 @@ class CurationOpsSuite extends AnyFunSuite {
       Sampling.budgetSample(nanCost, "id", "grp", col("cost"), 100L).collect()
     }
     assert(e4.getMessage.contains("budgetSample cost"), s"unexpected: ${e4.getMessage}")
+    // an input that already carries cum_cost would be silently overwritten
+    // (the same loud guard topKPerGroup applies to 'rk')
+    val collide = Seq((1L, "s", 10L, 0L)).toDF("id", "grp", "cost", "cum_cost")
+    val e5 = intercept[IllegalArgumentException] {
+      Sampling.budgetSample(collide, "id", "grp", col("cost"), 100L)
+    }
+    assert(e5.getMessage.contains("cum_cost"), s"unexpected: ${e5.getMessage}")
+    val collideCase = Seq((1L, "s", 10L, 0L)).toDF("id", "grp", "cost", "CUM_COST")
+    val e6 = intercept[IllegalArgumentException] {
+      Sampling.budgetSample(collideCase, "id", "grp", col("cost"), 100L)
+    }
+    assert(e6.getMessage.contains("cum_cost"), s"unexpected: ${e6.getMessage}")
   }
 
   // ---- target-mix rebalancing -----------------------------------------

@@ -397,6 +397,85 @@ class DedupSuite extends AnyFunSuite {
     assert(got.toSeq === Seq((-5L, "x\nsame"), (3L, "y")))
   }
 
+  test("LSH index compaction folds aged batches: probes bit-identical, replay stays safe") {
+    val dir = TestSpark.freshDir("lsh-index-compact")
+    LshIndex.build(Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, n = 3, numHashes = 64, bands = 32)
+    LshIndex.appendBatch(spark, dir,
+      Seq((10L, "red green blue yellow purple")).toDF("doc_id", "text"),
+      "doc_id", "text", batchId = 0L)
+    LshIndex.appendBatch(spark, dir,
+      Seq((11L, "one two three four five")).toDF("doc_id", "text"),
+      "doc_id", "text", batchId = 1L)
+    LshIndex.appendBatch(spark, dir,
+      Seq((12L, "cat dog bird fish mouse")).toDF("doc_id", "text"),
+      "doc_id", "text", batchId = 2L)
+    // probes near-duplicating each indexed doc: every pair crosses one batch
+    val probe = Seq(
+      (20L, "alpha beta gamma delta zeta"),
+      (21L, "red green blue yellow pink"),
+      (22L, "one two three four six"),
+      (23L, "cat dog bird fish gerbil")).toDF("doc_id", "text")
+    def pairs(exclude: Option[Long] = None): Set[(Long, Long)] =
+      LshIndex.queryBatch(spark, dir, probe, "doc_id", "text", threshold = 0.5,
+        excludeBatch = exclude)
+        .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
+    val before = pairs()
+    assert(before === Set((20L, 1L), (21L, 10L), (22L, 11L), (23L, 12L)))
+    LshIndex.compact(spark, dir, upToBatch = 1L)
+    val batches = spark.read.parquet(s"$dir/shingles.parquet")
+      .select("batch").distinct().as[Long].collect().toSet
+    assert(batches === Set(-1L, 2L), s"unexpected partitions after compact: $batches")
+    // probe results bit-identical across the fold
+    assert(pairs() === before)
+    // a (contract-violating) replay of a folded batch: appendBatch no-ops
+    // instead of duplicating, and excludeBatch still hides the folded
+    // rows via their src_batch — no self-match, no data loss
+    assert(LshIndex.appendBatch(spark, dir,
+      Seq((11L, "one two three four five")).toDF("doc_id", "text"),
+      "doc_id", "text", batchId = 1L) === 0L)
+    assert(pairs() === before, "replay after compaction duplicated index rows")
+    assert(pairs(exclude = Some(1L)) === before - ((22L, 11L)),
+      "excludeBatch lost track of a compacted batch's rows")
+    // idempotent re-compaction folding the rest
+    LshIndex.compact(spark, dir, upToBatch = 2L)
+    assert(pairs() === before)
+    assert(spark.read.parquet(s"$dir/shingles.parquet")
+      .select("batch").distinct().as[Long].collect().toSet === Set(-1L))
+  }
+
+  test("probe broadcast hints are size-gated: an over-limit batch falls back to shuffle joins") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val dir = TestSpark.freshDir("lsh-index-gate")
+    LshIndex.build(corpus, "doc_id", "text", dir, n = 3, numHashes = 64, bands = 32)
+    val hinted = LshIndex.queryBatch(spark, dir, batch, "doc_id", "text", threshold = 0.5)
+    // broadcastRowLimit = 0 models a corpus-sized backfill batch: the
+    // hints must disappear from the plan (AQE then decides), because an
+    // unconditional broadcast of a corpus-sized side is a driver OOM
+    val gated = LshIndex.queryBatch(spark, dir, batch, "doc_id", "text", threshold = 0.5,
+      broadcastRowLimit = 0L)
+    assert(hinted.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "expected the small-batch path to carry broadcast hints")
+    assert(!gated.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "over-limit batch still carries broadcast hints")
+    // and with auto-broadcast off, the gated plan really is shuffle joins
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = LshIndex.queryBatch(spark, dir, batch, "doc_id", "text", threshold = 0.5,
+        broadcastRowLimit = 0L).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), s"gated probe still broadcasts:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"gated probe shows no shuffle join:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // identical pairs either way
+    val a = hinted.select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
+    val b = gated.select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
   test("star contraction agrees with union-find on a 500-node random graph") {
     val rnd = new scala.util.Random(11)
     val n = 500
@@ -887,6 +966,98 @@ class SimilaritySuite extends AnyFunSuite {
       .groupBy(_._2).values.map(_.map(_._1 % 3).toSet).toSeq
     assert(byCluster.size === 3, s"expected 3 clusters: $byCluster")
     assert(byCluster.forall(_.size === 1), s"clusters mix ground-truth groups: $byCluster")
+  }
+
+  test("kmeans distributed path converges on assignment equality, not centroid float bits") {
+    // driverPointThreshold = 0 forces the distributed Lloyd loop, which
+    // must reach (and REPORT) the fixed point via the integer membership
+    // signatures — float centroid-bit comparison could spin to maxIters
+    // at a true fixed point because partial-avg merge order varies. The
+    // report then proves the genuine fixed point from the emitted
+    // assignments, the invariant the cluster_kmeans oracle hard-codes.
+    val rep = Similarity.kmeansReport(emb, "vec_id", "embedding", k = 8, maxIters = 60,
+      driverPointThreshold = 0L).head()
+    assert(rep.getBoolean(rep.fieldIndex("converged")),
+      "distributed Lloyd loop did not report convergence within maxIters")
+    assert(rep.getBoolean(rep.fieldIndex("fixed_point_ok")))
+    assert(rep.getLong(rep.fieldIndex("n_assigned")) === 500L)
+  }
+
+  test("EmbIndex appendBatch replays idempotently; excludeBatch prevents self-match") {
+    val corpus = Seq((1L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val batch = Seq((10L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val dir = graft.TestSpark.freshDir("emb-index-replay")
+    EmbIndex.build(corpus, "vec_id", "embedding", dir, threshold = 0.9)
+    // the same micro-batch lands twice (Spark replays after failures)
+    assert(EmbIndex.appendBatch(spark, dir, batch, "vec_id", "embedding", 5L) === 1L)
+    assert(EmbIndex.appendBatch(spark, dir, batch, "vec_id", "embedding", 5L) === 1L)
+    val probe = Seq((20L, Seq(0.0f, 1.0f, 0.01f, 0.0f))).toDF("vec_id", "embedding")
+    val got = EmbIndex.queryBatch(spark, dir, probe, "vec_id", "embedding", 0.9)
+      .select("id_new", "id_indexed").as[(Long, Long)].collect().toSeq
+    // ONE row — a duplicated vector partition would emit (20,10) twice
+    assert(got === Seq((20L, 10L)), s"got $got")
+    // a replay's probe must be able to EXCLUDE its own prior partition
+    assert(EmbIndex.queryBatch(spark, dir, batch, "vec_id", "embedding", 0.9).count() === 1L)
+    assert(EmbIndex.queryBatch(spark, dir, batch, "vec_id", "embedding", 0.9,
+      excludeBatch = Some(5L)).count() === 0L)
+    // and a shrinking replay truly replaces the partition
+    assert(EmbIndex.appendBatch(spark, dir, batch.limit(0), "vec_id", "embedding", 5L) === 0L)
+    assert(spark.read.parquet(s"$dir/vectors.parquet")
+      .filter(col("batch") === 5L).count() === 0L)
+  }
+
+  test("EmbIndex compaction folds aged batches: probes bit-identical, replay stays safe") {
+    def vec(axis: Int, jitter: Float = 0.0f): Seq[Float] = {
+      val a = Array.fill(4)(0.0f); a(axis) = 1.0f; a((axis + 1) % 4) = jitter; a.toSeq
+    }
+    val dir = graft.TestSpark.freshDir("emb-index-compact")
+    EmbIndex.build(Seq((1L, vec(0))).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, threshold = 0.9)
+    EmbIndex.appendBatch(spark, dir,
+      Seq((10L, vec(1))).toDF("vec_id", "embedding"), "vec_id", "embedding", 0L)
+    EmbIndex.appendBatch(spark, dir,
+      Seq((11L, vec(2))).toDF("vec_id", "embedding"), "vec_id", "embedding", 1L)
+    EmbIndex.appendBatch(spark, dir,
+      Seq((12L, vec(3))).toDF("vec_id", "embedding"), "vec_id", "embedding", 2L)
+    // probes near each indexed direction: every pair crosses one batch
+    val probe = Seq((20L, vec(0, 0.01f)), (21L, vec(1, 0.01f)),
+      (22L, vec(2, 0.01f)), (23L, vec(3, 0.01f))).toDF("vec_id", "embedding")
+    def pairs(exclude: Option[Long] = None): Set[(Long, Long)] =
+      EmbIndex.queryBatch(spark, dir, probe, "vec_id", "embedding", 0.9,
+        excludeBatch = exclude)
+        .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
+    val before = pairs()
+    assert(before === Set((20L, 1L), (21L, 10L), (22L, 11L), (23L, 12L)))
+    EmbIndex.compact(spark, dir, upToBatch = 1L)
+    // aged partitions folded into base; the live one untouched
+    val batches = spark.read.parquet(s"$dir/vectors.parquet")
+      .select("batch").distinct().as[Long].collect().toSet
+    assert(batches === Set(-1L, 2L), s"unexpected partitions: $batches")
+    // probe results bit-identical across the fold
+    assert(pairs() === before)
+    // a (contract-violating) replay of a folded batch neither duplicates
+    // rows nor matches itself: appendBatch no-ops, excludeBatch still
+    // hides the folded rows via src_batch
+    assert(EmbIndex.appendBatch(spark, dir,
+      Seq((11L, vec(2))).toDF("vec_id", "embedding"), "vec_id", "embedding", 1L) === 0L)
+    assert(pairs() === before, "replay after compaction duplicated index rows")
+    assert(pairs(exclude = Some(1L)) === before - ((22L, 11L)),
+      "excludeBatch lost track of a compacted batch's rows")
+    // compacting further is idempotent and folds the remaining batch
+    EmbIndex.compact(spark, dir, upToBatch = 2L)
+    assert(pairs() === before)
+    assert(spark.read.parquet(s"$dir/vectors.parquet")
+      .select("batch").distinct().as[Long].collect().toSet === Set(-1L))
+  }
+
+  test("EmbIndex auto bits honor the per-pair miss guarantee under explicit table counts") {
+    val dir = graft.TestSpark.freshDir("emb-index-cap")
+    EmbIndex.build(emb, "vec_id", "embedding", dir, threshold = 0.45, tables = 4)
+    val (bits, tables, _) = EmbIndex.params(spark, dir)
+    assert(tables === 4)
+    assert(bits <= Dedup.recallFeasibleBits(0.45, maxTables = 4),
+      s"auto bits $bits exceed the recall-feasible bound at 4 tables — the " +
+        "miss guarantee the scaladoc promises would silently degrade")
   }
 }
 
