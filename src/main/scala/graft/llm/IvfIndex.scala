@@ -60,6 +60,47 @@ object IvfIndex {
     cents.length
   }
 
+  /** Incremental append — assign new vectors to the EXISTING centroids
+    * and append them to their cells' partitions, the standard IVF add
+    * path (FAISS adds to trained lists the same way): no retrain, one
+    * map-side assignment pass, one partitioned append; queries see the
+    * new vectors immediately through the same partition-pruned scan.
+    *
+    * The coarse quantizer is deliberately left untouched: centroids are
+    * the ROUTING structure, and moving them would strand previously
+    * assigned vectors in cells a query no longer probes for them. The
+    * cost is centroid drift — as appended data shifts the distribution,
+    * cell occupancy skews and recall-per-nProbe decays — and the remedy
+    * is a periodic [[build]] rebuild (retrain + reassign), exactly the
+    * re-cluster trigger FAISS documents for drifting corpora. Ids must
+    * be new; degenerate vectors (null/empty/zero/NaN) are skipped like
+    * everywhere else in the vector family. Returns the number of
+    * vectors appended.
+    */
+  def append(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): Long = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+      .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
+      .sortBy(_._1)
+    require(cents.nonEmpty,
+      s"IvfIndex at $dir has no centroids — build the index before appending")
+    val vv = batch
+      .select(col(idCol).cast("long").as("n_id"), Similarity.normalize(col(vecCol)).as("n_vec"))
+      .filter(Similarity.clusterable(col("n_vec")))
+      .localCheckpoint() // feeds the partitioned write AND the count
+    vv.withColumn("c_id", Similarity.nearestCentroid(col("n_vec"), cents).getField("c_id"))
+      .select("n_id", "n_vec", "c_id")
+      .repartition(col("c_id"))
+      .write.mode("append").partitionBy("c_id").parquet(s"$dir/assignments.parquet")
+    vv.count()
+  }
+
   /** Top-k cosine ANN against a persisted index. Probed-cell routing
     * happens on the (tiny, collected) centroid table; the assignment scan
     * carries a `c_id IN (probed cells)` partition filter, so only the

@@ -843,6 +843,36 @@ class SimilaritySuite extends AnyFunSuite {
       s"assignment scan does not prune cells:\n$plan")
   }
 
+  test("IVF append assigns new vectors to existing cells; full probe stays exact") {
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val extra = emb.filter(col("vec_id") % 10 === 0)
+    val dir = graft.TestSpark.freshDir("ivf-index-append")
+    IvfIndex.build(base, "vec_id", "embedding", dir, nCells = 16, kmeansIters = 2)
+    assert(IvfIndex.append(spark, dir, extra, "vec_id", "embedding") === extra.count())
+    val queries = emb.filter(col("vec_id") < 8)
+    // nProbe == nCells scans every cell, so the machinery over
+    // base + appended must reproduce brute force over the UNION exactly —
+    // appended vectors are live, routed, and ranked like built ones
+    val full = IvfIndex.query(spark, dir, queries, "vec_id", "embedding", k = 5, nProbe = 16)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().sorted.toSeq
+    val brute = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(full === brute)
+    // partial probe still prunes partitions (appended files joined their
+    // cells' partitions, no stray layout)
+    val plan = IvfIndex.query(spark, dir, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("c_id"),
+      s"assignment scan does not prune cells after append:\n$plan")
+    // appending to an untrained index fails loudly (no centroids to route)
+    val emptyDir = graft.TestSpark.freshDir("ivf-index-append-empty")
+    IvfIndex.build(emb.filter(col("vec_id") < 0), "vec_id", "embedding", emptyDir)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.append(spark, emptyDir, extra, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("centroids"))
+  }
+
   test("empty persisted IVF index answers empty, not crashing") {
     val dir = graft.TestSpark.freshDir("ivf-index-empty")
     val written = IvfIndex.build(emb.filter(col("vec_id") < 0), "vec_id", "embedding", dir)

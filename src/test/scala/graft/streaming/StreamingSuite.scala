@@ -113,6 +113,47 @@ class StreamingSuite extends AnyFunSuite {
     assert(idxIds === Set(1L, 2L, 11L, 21L), s"index contents: $idxIds")
   }
 
+  test("streaming embedding dedup: batches dedup against corpus + earlier batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val indexDir = TestSpark.freshDir("embdedup-stream-idx")
+    val ckpt = TestSpark.freshDir("embdedup-stream-ckpt")
+    def vec(axis: Int, jitter: Float = 0.0f): Seq[Float] = {
+      val a = Array.fill(4)(0.0f); a(axis) = 1.0f; a((axis + 1) % 4) = jitter; a.toSeq
+    }
+    // seed corpus: two directions the stream must never re-admit
+    graft.llm.EmbIndex.build(
+      Seq((1L, vec(0)), (2L, vec(1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", indexDir, threshold = 0.9)
+    val sunk = scala.collection.mutable.Map[Long, Seq[Long]]()
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = EmbDedupStream.start(ms.toDF().toDF("vec_id", "embedding"), indexDir,
+      "vec_id", "embedding", threshold = 0.9, ckpt,
+      sink = (df, batchId) => {
+        sunk(batchId) = df.select("vec_id").as[Long].collect().sorted.toSeq; ()
+      },
+      triggerMs = 50)
+    try {
+      // batch 0: a corpus dup, a new direction, and a within-batch dup of it
+      ms.addData(
+        (10L, vec(0, 0.01f)), // near-dup of corpus 1
+        (11L, vec(2)), // new
+        (12L, vec(2, 0.01f))) // within-batch near-dup of 11
+      q.processAllAvailable()
+      // batch 1: a dup of batch 0's survivor, plus one more new direction
+      ms.addData(
+        (20L, vec(2, 0.02f)), // dup of 11 via the appended index rows
+        (21L, vec(3))) // new
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sunk.toMap === Map(0L -> Seq(11L), 1L -> Seq(21L)),
+      s"survivors per batch: $sunk")
+    // the index fenced both batches: base corpus + one partition per batch
+    val idxIds = spark.read.parquet(s"$indexDir/vectors.parquet")
+      .select("id").as[Long].collect().toSet
+    assert(idxIds === Set(1L, 2L, 11L, 21L), s"index contents: $idxIds")
+  }
+
   test("restart from checkpoint resumes without duplicating commits (S4/K8)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
