@@ -39,26 +39,59 @@ object Bench {
       }
       dropPinnedBlocks()
     }
+    // (name, seconds, ok) — a thrown query records ok=false and is NEVER
+    // folded into the total: time-to-throw is not a benchmark number, and
+    // r7 shipped broken queries as "fast" because this loop swallowed them.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
-      }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       dropPinnedBlocks()
-      name -> dt
+      (name, dt, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // also drop the JSON in a file so consumers don't have to parse it out
-    // of sbt's stdout framing
+    // split timing for the slowest index query — build (O(corpus)) vs
+    // probe (O(batch)) — recorded as extra file-only entries so trend
+    // tooling can tell which side moved (VERDICT r7 §perf)
+    val split: Seq[(String, Double, Boolean)] =
+      try {
+        val tB = System.nanoTime()
+        val dir = SparkEntry.embIncrementalBuild(spark, sfDir)
+        val build = (System.nanoTime() - tB) / 1e9
+        val tP = System.nanoTime()
+        SparkEntry.embIncrementalProbe(spark, sfDir, dir).count()
+        val probe = (System.nanoTime() - tP) / 1e9
+        dropPinnedBlocks()
+        Seq(("dedup_embedding_incremental_build", build, true),
+          ("dedup_embedding_incremental_probe", probe, true))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] emb-incremental split FAILED: ${e.getMessage}")
+          Seq(("dedup_embedding_incremental_build", 0.0, false),
+            ("dedup_embedding_incremental_probe", 0.0, false))
+      }
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = (results ++ split).map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) r3(v) else "null")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (n, _, false) => n }
+    val total = results.collect { case (_, v, true) => v }.sum
+    val nOk = results.count(_._3)
+    // stdout line stays SHORT (the driver tails ~2.2 KB): total + counts
+    // only; the per-query map lives in BENCH_out.json.
+    val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":$nOk,"n_err":${failed.size},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":$nOk,"n_err":${failed.size},"errors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
+    println(short)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_out.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] FAILED ${failed.size}/${results.size}: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -20,15 +20,18 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      // the driver's synthetic events table carries ns timestamps, which
-      // Spark's parquet reader only supports as epoch-nanos longs
+      // harmless compatibility shim: on Spark builds that still read
+      // ns-precision parquet timestamps as a hard error, this turns them
+      // into epoch-nanos longs. On this Spark 4.1.2 install the conf is a
+      // silent no-op — consumers must NOT rely on it; all event-time access
+      // goes through the schema-adaptive SparkEntry.tsMicros/tsTimestamp.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   /** Settings applied when reusing an externally created session — the
-    * full set the builder configures (an external session missing
-    * nanosAsLong crashes on ns-timestamp parquet; one missing the
-    * extension registrations lacks every graft SQL function).
+    * full set the builder configures (a session missing the extension
+    * registrations lacks every graft SQL function; UTC makes the
+    * TIMESTAMP_NTZ→TIMESTAMP cast in SparkEntry.tsMicros instant-exact).
     */
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.ansi.enabled", "false")

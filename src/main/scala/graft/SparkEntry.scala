@@ -22,8 +22,10 @@ import graft.transforms.Transforms
   * (`round(x*scale)` summed as BIGINT — order-independent and
   * representation-exact across engines; never DECIMAL or HUGEINT at the
   * boundary); timestamps are exchanged as epoch longs or formatted
-  * strings (the synthetic `events.ts` is ns-precision, read by Spark as
-  * epoch-nanos long via `parquet.nanosAsLong`).
+  * strings. The synthetic `events.ts` physical type has DRIFTED across
+  * driver regenerations (ns → us, long vs TIMESTAMP_NTZ) — every access
+  * goes through the schema-adaptive [[SparkEntry.tsMicros]] /
+  * [[SparkEntry.tsTimestamp]] helpers, never a hard-coded `ts div 1000`.
   */
 /** Row shape for the streaming-ingest query's MemoryStream source. */
 case class StreamEvent(event_id: Long, user_id: Long, event_type: String, value: Double)
@@ -59,11 +61,44 @@ object SparkEntry {
     d.toString
   }
 
-  /** events with a micros-precision timestamp column derived from the ns
-    * long (Spark TimestampType is micros).
+  /** Epoch-micros projection of an event-time column, adaptive to how this
+    * Spark build materializes the parquet TIMESTAMP physical type. Known
+    * environments: epoch-nanos long (legacy `nanosAsLong` path on ns data),
+    * TIMESTAMP_NTZ (Spark 4.1 default for isAdjustedToUTC=false), and
+    * session-zoned TIMESTAMP. With the engine's UTC session timezone the
+    * NTZ→TZ cast is instant-preserving, so all three branches yield the
+    * same epoch-micros values. Any other resolved type fails LOUDLY here
+    * (analysis time) instead of producing silently-shifted epochs — the
+    * guard against the next parquet-timestamp behavior drift.
     */
-  private def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "events").withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+  private[graft] def tsMicros(df: DataFrame, name: String = "ts"): Column =
+    df.schema(name).dataType match {
+      case LongType                          => expr(s"`$name` div 1000")
+      case TimestampNTZType | TimestampType  => unix_micros(col(name).cast(TimestampType))
+      case dt => throw new IllegalStateException(
+        s"events column `$name` resolved as $dt — expected epoch-nanos LONG, " +
+          "TIMESTAMP_NTZ, or TIMESTAMP. Spark's parquet timestamp resolution " +
+          "changed; teach SparkEntry.tsMicros the new shape.")
+    }
+
+  /** TimestampType projection of an event-time column (micros precision),
+    * same adaptivity as [[tsMicros]].
+    */
+  private[graft] def tsTimestamp(df: DataFrame, name: String = "ts"): Column =
+    df.schema(name).dataType match {
+      case LongType                          => timestamp_micros(expr(s"`$name` div 1000"))
+      case TimestampNTZType | TimestampType  => col(name).cast(TimestampType)
+      case dt => throw new IllegalStateException(
+        s"events column `$name` resolved as $dt — expected epoch-nanos LONG, " +
+          "TIMESTAMP_NTZ, or TIMESTAMP. Spark's parquet timestamp resolution " +
+          "changed; teach SparkEntry.tsTimestamp the new shape.")
+    }
+
+  /** events with a micros-precision TimestampType `ts_t` column. */
+  private def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    ev.withColumn("ts_t", tsTimestamp(ev))
+  }
 
   // ---- flagship -------------------------------------------------------
 
@@ -82,8 +117,9 @@ object SparkEntry {
     val wh = freshDir("ingest_append")
     val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("events_sink")), autoCreate = true)
     Ingest.run(spark, t(spark, sfDir, "events"), 0L, cfg)
-    IceTable.load(s"$wh/events_sink").read(spark)
-      .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"),
+    val back = IceTable.load(s"$wh/events_sink").read(spark)
+    back
+      .select(col("event_id"), tsMicros(back).as("ts_us"), col("user_id"),
         col("event_type"), col("value"), col("props"))
       .orderBy("event_id")
   }
@@ -302,7 +338,7 @@ object SparkEntry {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = stream
-        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts_t", tsTimestamp(stream))
         .withWatermark("ts_t", "1 hour")
         .groupBy(window(col("ts_t"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
@@ -335,8 +371,9 @@ object SparkEntry {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8") // state partition count
     try {
-      val q = src.union(src)
-        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      val unioned = src.union(src)
+      val q = unioned
+        .withColumn("ts_t", tsTimestamp(unioned))
         .withWatermark("ts_t", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
         .select("event_id", "user_id", "event_type")
@@ -414,7 +451,8 @@ object SparkEntry {
     * so the whole operator semantics are cross-checked engine-to-engine.
     */
   private def qAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = t(spark, sfDir, "events").withColumn("ts_us", expr("ts div 1000"))
+    val evRaw = t(spark, sfDir, "events")
+    val ev = evRaw.withColumn("ts_us", tsMicros(evRaw))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts_us")
     // unique right representative per (user, ts): deterministic arg-max
@@ -448,8 +486,8 @@ object SparkEntry {
     * flatMapGroupsWithState state in graft.streaming.Sessionize).
     */
   private def qSessionize(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = t(spark, sfDir, "events")
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    val evRaw = t(spark, sfDir, "events")
+    val ev = evRaw.select(col("user_id"), tsMicros(evRaw).as("ts_us"))
     graft.operators.Sessionize.sessions(ev, "user_id", "ts_us")
       .orderBy("user_id", "session_id")
   }
@@ -462,13 +500,14 @@ object SparkEntry {
     */
   private def qIngestKafkaShaped(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = freshDir("ingest_kafka_shaped")
-    val kafka = t(spark, sfDir, "events").select(
+    val evRaw = t(spark, sfDir, "events")
+    val kafka = evRaw.select(
       to_json(struct(col("event_id"), col("user_id"), col("event_type"),
         col("value").as("amount"))).as("value"),
       lit("events").as("topic"),
       (col("user_id") % 4).cast(IntegerType).as("partition"),
       col("event_id").as("offset"),
-      timestamp_micros(expr("ts div 1000")).as("timestamp")
+      tsTimestamp(evRaw).as("timestamp")
     )
     val tombstone = spark.range(1).select(
       lit(null).cast(StringType).as("value"),
@@ -506,9 +545,10 @@ object SparkEntry {
       .withColumn("partition", col("user_id") % 4)
       .withColumn("offset", col("event_id"))
       .withColumn("timestamp", col("ts"))
-    Transforms.kafkaMetadata(nested = false, keyName = "_kafka")(kafkaShaped)
+    val out = Transforms.kafkaMetadata(nested = false, keyName = "_kafka")(kafkaShaped)
+    out
       .select(col("event_id"), col("_kafka_topic"), col("_kafka_partition"),
-        col("_kafka_offset"), expr("_kafka_timestamp div 1000").as("_kafka_ts_us"))
+        col("_kafka_offset"), tsMicros(out, "_kafka_timestamp").as("_kafka_ts_us"))
       .orderBy("event_id")
   }
 
@@ -527,11 +567,12 @@ object SparkEntry {
     * [[Coercion.project]] against a target schema.
     */
   private def qCoerceTypes(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = t(spark, sfDir, "events").select(
+    val evRaw = t(spark, sfDir, "events")
+    val src = evRaw.select(
       col("event_id"),
       col("event_id").cast(StringType).as("id_parsed"),
-      expr("ts div 1000000").as("ts_ms"),
-      date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+      floor(tsMicros(evRaw) / 1000).as("ts_ms"),
+      date_format(tsTimestamp(evRaw), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
       col("value").cast(StringType).as("val_parsed")
     )
     val target = StructType(Seq(
@@ -582,18 +623,20 @@ object SparkEntry {
   }
 
   /** S2+K11: per-partition next-offset bookkeeping. */
-  private def qEventsOffsets(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "events")
-      .groupBy((col("user_id") % 4).as("part"))
-      .agg((max("event_id") + 1).as("next_offset"), expr("max(ts) div 1000").as("max_ts"))
+  private def qEventsOffsets(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    ev.groupBy((col("user_id") % 4).as("part"))
+      .agg((max("event_id") + 1).as("next_offset"), max(tsMicros(ev)).as("max_ts"))
       .orderBy("part")
+  }
 
   /** K11: VTTS = min over partitions of max event timestamp. */
-  private def qEventsVtts(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "events")
-      .groupBy((col("user_id") % 4).as("part"))
-      .agg(expr("max(ts) div 1000").as("mt"))
+  private def qEventsVtts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    ev.groupBy((col("user_id") % 4).as("part"))
+      .agg(max(tsMicros(ev)).as("mt"))
       .agg(min("mt").as("vtts"))
+  }
 
   // ---- analytics (bench headliners; decimal-exact) --------------------
 
@@ -1113,11 +1156,24 @@ object SparkEntry {
     * data); candidates are verified with the exact cosine, so the oracle
     * is the exact cross-set pair list.
     */
-  private def qDedupEmbeddingIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+  private def qDedupEmbeddingIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    embIncrementalProbe(spark, sfDir, embIncrementalBuild(spark, sfDir))
+
+  /** Build phase of [[qDedupEmbeddingIncremental]], exposed separately so
+    * Bench can time index construction and probe as distinct entries
+    * (they scale differently: build is O(corpus), probe O(batch)).
+    */
+  private[graft] def embIncrementalBuild(spark: SparkSession, sfDir: String): String = {
     val e = t(spark, sfDir, "embeddings")
     val dir = freshDir("emb_index")
     EmbIndex.build(e.filter(pmod(col("vec_id"), lit(10)) =!= 0), "vec_id", "embedding", dir,
       threshold = 0.45)
+    dir
+  }
+
+  /** Probe phase of [[qDedupEmbeddingIncremental]] against a built index. */
+  private[graft] def embIncrementalProbe(spark: SparkSession, sfDir: String, dir: String): DataFrame = {
+    val e = t(spark, sfDir, "embeddings")
     EmbIndex.queryBatch(spark, dir, e.filter(pmod(col("vec_id"), lit(10)) === 0),
       "vec_id", "embedding", threshold = 0.45)
       .select("id_new", "id_indexed")

@@ -15,11 +15,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a thrown query is recorded (and the process exits non-zero at the
+    // end) — r7 shipped 11 broken queries because failures were swallowed
+    // here, leaving the driver's correctness board silently short.
+    val failed = scala.collection.mutable.Buffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }
       // streaming queries leave their memory-sink temp view (full result
       // rows pinned on the driver) behind — release between queries
@@ -42,5 +47,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] FAILED ${failed.size}/${SparkEntry.queries.size}: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
