@@ -590,6 +590,41 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** C8: Debezium-Mongo CDC flattening, driver-verified. A deterministic
+    * envelope stream is synthesized from events — `event_id % 3` picks
+    * insert (after-image only), partial update (before-image +
+    * `updateDescription` patching `v` and removing `tag`), or delete
+    * (before-image only) — with the document id riding a BSON
+    * extended-JSON `$numberLong` wrapper so the unwrapping path is
+    * exercised, not just plain JSON. The oracle replays the reference's
+    * merge rules (`MongoDebeziumTransform.java:148-190`) directly against
+    * the base table: update → patched v / removed tag, delete → before
+    * image, else after image. `v` is exchanged as integer cents (the ×2
+    * patch and the JSON shortest-round-trip rendering are both
+    * double-exact, so the cents are engine-identical).
+    */
+  private def qMongoCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val payload = to_json(struct(
+      struct(col("event_id").cast(StringType).as("$numberLong")).as("id"),
+      col("value").as("v"),
+      col("event_type").as("tag")))
+    val patch = to_json(struct((col("value") * 2).as("v")))
+    val m = pmod(col("event_id"), lit(3))
+    val env = ev.select(
+      when(m === 0, lit(null).cast(StringType)).otherwise(payload).as("before"),
+      when(m === 0, payload).as("after"),
+      when(m === 1, struct(patch.as("updatedFields"),
+        array(lit("tag")).as("removedFields"))).as("updateDescription"),
+      when(m === 0, "c").when(m === 1, "u").otherwise("d").as("op"),
+      floor(tsMicros(ev) / 1000).as("ts_ms"),
+      struct(lit("app").as("db"), lit("events").as("collection")).as("source"))
+    graft.transforms.MongoDebezium.mongoDebezium()(env)
+      .select(col("id"), (round(col("v") * 100)).cast(LongType).as("v_cents"),
+        col("tag"), col("_cdc.op").as("op"))
+      .orderBy("id")
+  }
+
   /** P1: partition-transform derivation (year/month/day/hour/truncate). */
   private def qPartitionTransforms(spark: SparkSession, sfDir: String): DataFrame = {
     val o = t(spark, sfDir, "orders")
@@ -1343,6 +1378,7 @@ object SparkEntry {
       "transform_copy_value" -> wrap(qCopyValue),
       "transform_kafka_metadata" -> wrap(qKafkaMetadata),
       "transform_json_expand" -> wrap(qJsonExpand),
+      "transform_mongo_cdc" -> wrap(qMongoCdc),
       "coerce_types" -> wrap(qCoerceTypes),
       "partition_transforms" -> wrap(qPartitionTransforms),
       "partition_bucket" -> wrap(qPartitionBucket),
@@ -1917,6 +1953,12 @@ object SparkEntry {
       """SELECT event_id,
         |       CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
         |       regexp_extract(props, '"k": (\d+)', 1) AS k_str
+        |FROM events ORDER BY event_id""".stripMargin,
+    "transform_mongo_cdc" ->
+      """SELECT event_id AS id,
+        |       CAST(round(CASE WHEN event_id % 3 = 1 THEN value * 2 ELSE value END * 100) AS BIGINT) AS v_cents,
+        |       CASE WHEN event_id % 3 = 1 THEN NULL ELSE event_type END AS tag,
+        |       CASE event_id % 3 WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op
         |FROM events ORDER BY event_id""".stripMargin,
     "coerce_types" ->
       """SELECT event_id,

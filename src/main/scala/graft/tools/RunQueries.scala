@@ -14,12 +14,14 @@ object RunQueries {
   def main(args: Array[String]): Unit = {
     var sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     var repeat = 1
+    var dump: Option[String] = None
     val names = scala.collection.mutable.Buffer[String]()
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--sf"     => sfDir = args(i + 1); i += 2
         case "--repeat" => repeat = args(i + 1).toInt; i += 2
+        case "--dump"   => dump = Some(args(i + 1)); i += 2
         case n          => names += n; i += 1
       }
     }
@@ -32,7 +34,13 @@ object RunQueries {
     for (r <- 1 to repeat; (name, fn) <- selected) {
       val t0 = System.nanoTime()
       try {
-        val c = fn(spark, sfDir).count()
+        val df = fn(spark, sfDir)
+        val c = dump match {
+          case Some(dir) =>
+            df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+            spark.read.parquet(s"$dir/$name").count()
+          case None => df.count()
+        }
         println(f"OK   $name%-30s rows=$c%-8d ${(System.nanoTime() - t0) / 1e9}%.3fs")
       } catch {
         case e: Throwable =>

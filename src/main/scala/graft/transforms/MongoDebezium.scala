@@ -53,6 +53,9 @@ object MongoDebezium {
     e = regexp_replace(e, """\{\s*"\$numberLong"\s*:\s*"(-?\d+)"\s*\}""", "$1")
     e = regexp_replace(e, """\{\s*"\$numberInt"\s*:\s*"(-?\d+)"\s*\}""", "$1")
     e = regexp_replace(e, """\{\s*"\$numberDecimal"\s*:\s*"(-?[0-9.eE+]+)"\s*\}""", "$1")
+    // canonical-mode double (DOUBLE arm): numeric payloads unwrap; the
+    // "NaN"/"Infinity" renderings stay wrapped (no JSON literal exists)
+    e = regexp_replace(e, """\{\s*"\$numberDouble"\s*:\s*"(-?[0-9][0-9.eE+-]*)"\s*\}""", "$1")
     e = regexp_replace(e, """\{\s*"\$date"\s*:\s*(-?\d+)\s*\}""", "$1")
     e = regexp_replace(e, """\{\s*"\$date"\s*:\s*"([^"]+)"\s*\}""", "\"$1\"")
     // BSON timestamp: seconds + increment → epoch millis (reference

@@ -75,11 +75,12 @@ class MongoDebeziumSuite extends AnyFunSuite {
     assert(r.getString(3) === "d29ybGQ=")
   }
 
-  test("$oid, $date, $numberInt and $numberDecimal wrappers unwrap") {
+  test("$oid, $date, $numberInt, $numberDecimal and $numberDouble wrappers unwrap") {
     val doc = """{"_id": {"$oid": "635019a078be67426d7cf4d2"},
                  | "created": {"$date": 1490716800000},
                  | "updated": {"$date": "2023-01-15T10:30:00Z"},
                  | "count": {"$numberInt": "42"},
+                 | "ratio": {"$numberDouble": "-2.5e3"},
                  | "price": {"$numberDecimal": "19.99"}}""".stripMargin.replace("\n", "")
     val df = spark.sql(
       s"""SELECT * FROM VALUES
@@ -87,12 +88,13 @@ class MongoDebeziumSuite extends AnyFunSuite {
          |   named_struct('db', 'appdb', 'collection', 'orders'), CAST(1000 AS LONG))
          |AS t(op, before, after, source, ts_ms)""".stripMargin)
     val r = MongoDebezium.mongoDebezium()(df)
-      .select("_id", "created", "updated", "count", "price").head()
+      .select("_id", "created", "updated", "count", "ratio", "price").head()
     assert(r.getString(0) === "635019a078be67426d7cf4d2") // OBJECT_ID arm → string
     assert(r.getLong(1) === 1490716800000L) // DATE_TIME numeric → epoch millis (C6 coerces)
     assert(r.getString(2) === "2023-01-15T10:30:00Z") // ISO form stays a parseable string
     assert(r.getLong(3) === 42L) // INT32 arm (long under JSON inference)
-    assert(r.getDouble(4) === 19.99) // DECIMAL128 arm (double in the JSON domain)
+    assert(r.getDouble(4) === -2500.0) // DOUBLE arm (canonical $numberDouble)
+    assert(r.getDouble(5) === 19.99) // DECIMAL128 arm (double in the JSON domain)
   }
 
   test("$code, $regularExpression/$regex and $symbol wrappers unwrap (residual BSON arms)") {
