@@ -389,6 +389,44 @@ object SparkEntry {
     spark.table(qn).orderBy("event_id")
   }
 
+  /** Streaming sessionization — the flatMapGroupsWithState custom-state
+    * surface, driver-verified. Sessions are EMITTED when a later event
+    * closes them; with AvailableNow over the whole table each user's
+    * final session stays open in state, so the oracle is the batch
+    * session list minus each user's last session. Same gap rule and
+    * session numbering as the batch operator
+    * ([[graft.operators.Sessionize]]), so the two formulations
+    * cross-check each other through independent engines.
+    */
+  private def qStreamingSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = t(spark, sfDir, "events").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val keyed = stream
+      .select(col("user_id"), tsMicros(stream).as("ts_us"))
+      .as[(Long, Long)]
+    val qn = s"stream_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8") // state partition count
+    try {
+      val q = graft.streaming.Sessionize.stream(keyed)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qn)
+        .option("checkpointLocation", freshDir("streaming_sessionize_ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    spark.table(qn)
+      .select(col("user_id"), col("session_id"), col("start_us"), col("end_us"), col("events"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Streaming curation gate: the BATCH curation operators
     * (qualitySignals filter, PII redaction, language ID) applied
     * unchanged inside a micro-batch stream — pure map-side column
@@ -1370,6 +1408,7 @@ object SparkEntry {
       "streaming_ingest" -> wrap(qStreamingIngest),
       "streaming_window" -> wrap(qStreamingWindow),
       "sessionize" -> wrap(qSessionize),
+      "streaming_sessionize" -> wrap(qStreamingSessionize),
       "scan_skipping" -> wrap(qScanSkipping),
       "route_static" -> wrap(qRouteStatic),
       "route_dynamic" -> wrap(qRouteDynamic),
@@ -1905,6 +1944,25 @@ object SparkEntry {
         |       min(ts_us) AS start_us, max(ts_us) AS end_us,
         |       CAST(count(*) AS BIGINT) AS events
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "streaming_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |         min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |         CAST(count(*) AS BIGINT) AS events
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, session_id, start_us, end_us, events FROM g
+        |WHERE session_id < (SELECT max(session_id) FROM g g2 WHERE g2.user_id = g.user_id)
+        |ORDER BY user_id, session_id""".stripMargin,
     "route_static" ->
       """SELECT * FROM (
         |  SELECT 'purchases' AS sink, event_id, event_type FROM events
