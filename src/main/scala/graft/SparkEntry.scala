@@ -265,6 +265,35 @@ object SparkEntry {
     table.read(spark).select("event_id", "user_id", "value").orderBy("event_id")
   }
 
+  /** Z-order maintenance rewrite (Iceberg/Delta `rewrite … zorder by`
+    * analogue): events rewritten along a Morton curve over
+    * (user_id, value), then a 2-D box scan that prunes files on BOTH
+    * dimensions via per-file min/max bounds before any file opens. The
+    * pruning advantage over a 1-D sorted layout is asserted in
+    * ZOrderSuite; result parity with a plain predicate is the oracle.
+    * Bounds derive from the data (max/4..max/2 per dimension) so the
+    * query is scale-factor independent.
+    */
+  private def qMaintenanceZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("maintenance_zorder")
+    val ev = t(spark, sfDir, "events").select("event_id", "user_id", "event_type", "value")
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("events_z")), autoCreate = true)
+    Ingest.run(spark, ev, 0L, cfg)
+    val table = IceTable.load(s"$wh/events_z")
+    table.compactZOrder(spark, Seq("user_id", "value"), sortPartitions = 16)
+    table.gc(olderThanMs = 0L) // single-process demo: no concurrent writer can be mid-stage
+    val mx = ev.agg(max("user_id"), max("value")).head()
+    val (uLo, uHi) = (mx.getLong(0) / 4, mx.getLong(0) / 2)
+    val (vLo, vHi) = (mx.getDouble(1) / 4, mx.getDouble(1) / 2)
+    table
+      .scan(spark, None, filePred = Some(f =>
+        graft.table.FilePruning.mayContainRange(f, "user_id", Some(uLo.toString), Some(uHi.toString)) &&
+          graft.table.FilePruning.mayContainRange(f, "value", Some(vLo.toString), Some(vHi.toString))))
+      .filter(col("user_id").between(uLo, uHi) && col("value").between(vLo, vHi))
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   /** K1/S4: true Structured-Streaming ingestion — two MemoryStream
     * micro-batches through the foreachBatch shell with a checkpoint, then
     * the committed table read back.
@@ -1405,6 +1434,7 @@ object SparkEntry {
       "ingest_kafka_shaped" -> wrap(qIngestKafkaShaped),
       "maintenance_compact" -> wrap(qMaintenanceCompact),
       "maintenance_binpack" -> wrap(qMaintenanceBinpack),
+      "maintenance_zorder" -> wrap(qMaintenanceZorder),
       "streaming_ingest" -> wrap(qStreamingIngest),
       "streaming_window" -> wrap(qStreamingWindow),
       "sessionize" -> wrap(qSessionize),
@@ -1915,6 +1945,15 @@ object SparkEntry {
       """SELECT event_id, user_id, value FROM events ORDER BY event_id""".stripMargin,
     "maintenance_binpack" ->
       """SELECT event_id, user_id, value FROM events ORDER BY event_id""".stripMargin,
+    "maintenance_zorder" ->
+      """WITH b AS (
+        |  SELECT max(user_id) // 4 AS u_lo, max(user_id) // 2 AS u_hi,
+        |         max(value) / 4 AS v_lo, max(value) / 2 AS v_hi
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, value
+        |FROM events, b
+        |WHERE user_id BETWEEN u_lo AND u_hi AND value BETWEEN v_lo AND v_hi
+        |ORDER BY event_id""".stripMargin,
     "streaming_ingest" ->
       """SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id""".stripMargin,
     "scan_skipping" ->

@@ -55,9 +55,14 @@ object IceTableWriter {
       maxRecordsPerFile: Long = 0L,
       compaction: Boolean = false,
       sortBy: Seq[String] = Nil,
-      sortPartitions: Int = 0
+      sortPartitions: Int = 0,
+      /** sort-clustering by arbitrary expressions over table columns (the
+        * z-order rewrite path) — same range-partition+sort treatment as
+        * `sortBy`, which it extends
+        */
+      sortExprs: Seq[org.apache.spark.sql.Column] = Nil
   ): Option[Commit] = {
-    val deltas = writeFiles(df, table, maxRecordsPerFile, sortBy, sortPartitions)
+    val deltas = writeFiles(df, table, maxRecordsPerFile, sortBy, sortPartitions, sortExprs)
     publish(table, batchId, deltas, Nil, offsets, vtts,
       if (compaction) props + ("compaction" -> "true") else props)
   }
@@ -103,7 +108,8 @@ object IceTableWriter {
       table: IceTable,
       maxRecords: Long,
       sortBy: Seq[String] = Nil,
-      sortPartitions: Int = 0): Seq[FileEntry] = {
+      sortPartitions: Int = 0,
+      sortExprs: Seq[org.apache.spark.sql.Column] = Nil): Seq[FileEntry] = {
     val meta = table.meta
     val schema = table.schema
     val schemaVersion = table.currentSchemaVersion
@@ -142,8 +148,8 @@ object IceTableWriter {
     // output file covers a disjoint sort-key range WITHIN its partition —
     // a rebalance here would scatter the sort clustering it exists for.
     val withParts =
-      if (sortBy.nonEmpty) {
-        val cluster = transforms.map(t => col(t.writeName)) ++ sortBy.map(col)
+      if (sortBy.nonEmpty || sortExprs.nonEmpty) {
+        val cluster = transforms.map(t => col(t.writeName)) ++ sortBy.map(col) ++ sortExprs
         val ranged =
           if (sortPartitions > 0) withParts0.repartitionByRange(sortPartitions, cluster: _*)
           else withParts0.repartitionByRange(cluster: _*)

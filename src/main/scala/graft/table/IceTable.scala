@@ -379,6 +379,40 @@ final class IceTable private[table] (
       compaction = true, sortBy = sortBy, sortPartitions = sortPartitions)
   }
 
+  /** Z-order rewrite (Iceberg/Delta `rewrite … zorder by` analogue):
+    * rewrite current state clustered along a Morton curve over `cols`
+    * (2 or 3 numeric columns), so per-file min/max bounds are tight in
+    * EVERY listed dimension and multi-dimensional box scans prune files
+    * on all of them — a 1-D sorted rewrite only ever prunes its sort
+    * column. Normalization bounds come from one tiny min/max agg; the
+    * z-value is pure codegen'd built-ins ([[graft.functions.ZOrder]]),
+    * evaluated inside the rewrite's range-partition + sort, never stored.
+    */
+  def compactZOrder(
+      spark: SparkSession,
+      cols: Seq[String],
+      bits: Int = 16,
+      sortPartitions: Int = 0
+  ): Unit = {
+    require(cols.size == 2 || cols.size == 3,
+      s"z-order needs 2 or 3 columns, got ${cols.mkString(", ")}")
+    require(bits >= 1 && bits <= (if (cols.size == 2) 31 else 21),
+      s"bits=$bits out of range for ${cols.size} dimensions")
+    val df = read(spark)
+    // one k-row agg for normalization bounds (k = dimension count)
+    val bounds = df.select(cols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"${c}__mn"),
+        max(col(c).cast("double")).as(s"${c}__mx"))): _*).head()
+    if (bounds.anyNull) { compact(spark, sortPartitions = sortPartitions); return }
+    val normalized = cols.zipWithIndex.map { case (c, i) =>
+      graft.functions.ZOrder.normalize(col(c),
+        bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1), bits)
+    }
+    val z = graft.functions.ZOrder.interleave(normalized)
+    graft.sink.IceTableWriter.append(spark, df, this, batchId = -1,
+      compaction = true, sortExprs = Seq(z), sortPartitions = sortPartitions)
+  }
+
   /** Bin-packing small-file compaction (Iceberg rewrite-data-files
     * analogue): coalesce live data files smaller than `targetFileBytes`
     * into ~target-sized ones, superseding the originals via
