@@ -121,6 +121,20 @@ class PlanAndOffsetsSuite extends AnyFunSuite {
     }
   }
 
+  test("mongo CDC flattening stays map-side: patch merge is pure projection") {
+    // the envelope → typed-payload reconstruction (image selection, patch
+    // coalesce, removed-field nulling) must compile to column expressions
+    // over one scan — only the final ordered-output sort may shuffle.
+    // (Schema inference runs as separate bounded driver-side jobs and is
+    // not part of this plan.)
+    val plan = SparkEntry.queries("transform_mongo_cdc")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"transform_mongo_cdc has $exchanges exchanges:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLUDF"),
+      s"non-codegen eval in mongo cdc plan:\n$plan")
+  }
+
   test("chunking and quantization stay map-side: no exchange in the plan") {
     for (q <- Seq("chunk_documents", "embed_quantize")) {
       val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
