@@ -1112,6 +1112,20 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Multimodal resize stage: media wrap → batched (stub) resize →
+    * re-extract features; the oracle verifies the downscale's length
+    * arithmetic on every document (byte-exact sampling behavior is pinned
+    * in MultimodalSuite — the codec itself is the documented stub).
+    */
+  private def qMultimodalResize(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = t(spark, sfDir, "documents")
+    val media = Multimodal.asMedia(d, "text", "image", "image/fake")
+    val resized = Multimodal.resize(media, "doc_id", "media", targetBytes = 64)
+    Multimodal.extractFeatures(resized, "id", "media")
+      .select(col("id"), col("byte_len").as("resized_len"))
+      .orderBy("id")
+  }
+
   /** Composed curation pipeline — the end-to-end training-data use case:
     * near-dup removal (keep the lowest doc_id of each duplicate pair)
     * followed by the quality gate, over one shared scan.
@@ -1487,6 +1501,7 @@ object SparkEntry {
       "sample_stratified" -> wrap(qSampleStratified),
       "mix_interleave" -> wrap(qMixInterleave),
       "multimodal_features" -> wrap(qMultimodal),
+      "multimodal_resize" -> wrap(qMultimodalResize),
       "decontaminate" -> wrap(qDecontaminate),
       "search_bm25" -> wrap(qSearchBm25),
       "pack_sequences" -> wrap(qPackSequences),
@@ -2372,6 +2387,9 @@ object SparkEntry {
     "multimodal_features" ->
       """SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS byte_len,
         |       ((length(text) + 63) // 64 + 1) // 2 AS frames_kept
+        |FROM documents ORDER BY id""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT doc_id AS id, CAST(LEAST(length(text), 64) AS BIGINT) AS resized_len
         |FROM documents ORDER BY id""".stripMargin,
     // the batch formulation of the streaming curation gate: the same
     // shared signal fragments as text_stats, the same redaction chain

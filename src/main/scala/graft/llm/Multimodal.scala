@@ -92,6 +92,57 @@ object Multimodal {
     }
   }
 
+  /** === STUB === resize: a real implementation decodes the image, scales
+    * to a target resolution, re-encodes. The fake subsamples evenly-spaced
+    * bytes down to `targetBytes` (identity when already smaller) —
+    * deterministic, so the plumbing (payload replaced, metadata byte_len
+    * updated, partition-local, no shuffle) is exactly verifiable.
+    */
+  def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (bytes.length <= targetBytes) bytes
+    else {
+      val out = new Array[Byte](targetBytes)
+      var i = 0
+      while (i < targetBytes) {
+        // evenly spaced source offsets, first byte always kept
+        out(i) = bytes((i.toLong * bytes.length / targetBytes).toInt)
+        i += 1
+      }
+      out
+    }
+
+  /** Batched media resize — same `mapPartitions` shape as
+    * [[extractFeatures]]: one partition = one batch stream, constant
+    * memory, no shuffle. Output: (id, media resized, media_meta with the
+    * new byte_len; kind/mime carried through from `metaCol`).
+    */
+  def resize(
+      df: DataFrame,
+      idCol: String,
+      mediaCol: String,
+      targetBytes: Int,
+      metaCol: String = "media_meta"
+  ): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("media", BinaryType),
+      StructField("media_meta", MediaMetaType)
+    ))
+    val input = df.select(checkedId(idCol), col(mediaCol).cast(BinaryType),
+      col(s"$metaCol.kind"), col(s"$metaCol.mime"))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(1)) Row(r.getLong(0), null, Row(r.getString(2), r.getString(3), 0L))
+        else {
+          val resized = resizeStub(r.getAs[Array[Byte]](1), targetBytes)
+          Row(r.getLong(0), resized,
+            Row(r.getString(2), r.getString(3), resized.length.toLong))
+        }
+      }
+    }
+  }
+
   /** === STUB === frame sampling: a real implementation would seek video
     * keyframes; the fake slices the payload into fixed-size "frames" and
     * keeps every `everyN`-th — same schema and fan-out as the real op.

@@ -49,6 +49,8 @@ class ZOrderSuite extends AnyFunSuite {
     }
     val df = rows.toDF("id", "u", "v")
 
+    // (total files, files surviving a v-ONLY range pred, rows matching a
+    // 2-D box through metadata pruning + the residual filter)
     def buildAndCount(zorder: Boolean): (Int, Int, Long) = {
       val wh = TestSpark.freshDir(if (zorder) "zorder-t" else "sorted-t")
       val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("t")), autoCreate = true)
@@ -58,15 +60,18 @@ class ZOrderSuite extends AnyFunSuite {
       else t.compact(spark, sortBy = Seq("u"), sortPartitions = 16)
       t.gc(olderThanMs = 0L)
       val all = t.planFiles(None).size
-      val pruned = t.planFiles(None, filePred = Some(f =>
-        FilePruning.mayContainRange(f, "u", Some("100"), Some("199")) &&
-          FilePruning.mayContainRange(f, "v", Some("100"), Some("199")))).size
+      // the predicate constrains ONLY v — the dimension the 1-D layout
+      // did not sort by. Its per-file v-bounds are ~the full domain
+      // (every file holds all v values), so it can prune nothing; the
+      // z-ordered files each cover a fraction of the v-domain.
+      val prunedV = t.planFiles(None, filePred = Some(f =>
+        FilePruning.mayContainRange(f, "v", Some("100"), Some("199")))).size
       val matched = t.scan(spark, None, filePred = Some(f =>
         FilePruning.mayContainRange(f, "u", Some("100"), Some("199")) &&
           FilePruning.mayContainRange(f, "v", Some("100"), Some("199"))))
         .filter(col("u").between(100, 199) && col("v").between(100, 199))
         .count()
-      (all, pruned, matched)
+      (all, prunedV, matched)
     }
 
     val (allZ, prunedZ, matchedZ) = buildAndCount(zorder = true)
@@ -77,12 +82,14 @@ class ZOrderSuite extends AnyFunSuite {
     }.toLong
     assert(matchedZ === expected)
     assert(matchedS === expected)
-    // the box is ~1% of the space: z-order must prune a real majority of
-    // files; the 1-D sort prunes only its own dimension (~10% selective),
-    // so z-order must strictly beat it
+    // v is 10% selective: the u-sorted layout's v-bounds cannot prune
+    // (uniform independent v ⇒ every file spans ~the full v-domain),
+    // while z-ordered files each cover a bounded v-slice. Margins are
+    // loose because repartitionByRange samples boundaries randomly.
     assert(allZ >= 8, s"too few files to make pruning meaningful ($allZ)")
-    assert(prunedZ * 2 <= allZ, s"z-order pruned only $prunedZ of $allZ files")
-    assert(prunedZ.toDouble / allZ < prunedS.toDouble / allS,
-      s"z-order ($prunedZ/$allZ) should out-prune 1-D sort ($prunedS/$allS)")
+    assert(prunedZ * 2 <= allZ, s"z-order kept $prunedZ of $allZ files on a v-only range")
+    assert(prunedS * 2 > allS, s"u-sorted layout implausibly pruned v: $prunedS of $allS")
+    assert(prunedZ < prunedS,
+      s"z-order ($prunedZ/$allZ) should out-prune 1-D sort ($prunedS/$allS) on the unsorted dim")
   }
 }

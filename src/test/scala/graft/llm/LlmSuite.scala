@@ -1166,6 +1166,25 @@ class MultimodalSuite extends AnyFunSuite {
     assert(frames(1).getLong(1) === 1L)
   }
 
+  test("resize stub: deterministic downscale, identity below target, metadata updated") {
+    val df = Seq((1L, "abcdefgh" * 32), (2L, "tiny")).toDF("id", "payload") // 256B and 4B
+    val media = Multimodal.asMedia(df, "payload", "image", "image/fake")
+    val resized = Multimodal.resize(media, "id", "media", targetBytes = 64)
+      .orderBy("id").collect()
+    // large payload downsampled to exactly the target; small one untouched
+    assert(resized(0).getAs[Array[Byte]](1).length === 64)
+    assert(resized(0).getStruct(2).getLong(2) === 64L)
+    assert(resized(1).getAs[Array[Byte]](1).toSeq === "tiny".getBytes.toSeq)
+    assert(resized(1).getStruct(2).getLong(2) === 4L)
+    // kind/mime carried through; first byte preserved (offset-0 sample)
+    assert(resized(0).getStruct(2).getString(0) === "image")
+    assert(resized(0).getAs[Array[Byte]](1)(0) === 'a'.toByte)
+    // deterministic: same input → same bytes
+    val again = Multimodal.resize(media, "id", "media", targetBytes = 64)
+      .orderBy("id").collect()
+    assert(again(0).getAs[Array[Byte]](1).toSeq === resized(0).getAs[Array[Byte]](1).toSeq)
+  }
+
   test("multimodal ops fail loudly on null ids (no silent attribution to id 0)") {
     val df = Seq((Some(1L), "abcd"), (None, "efgh")).toDF("id", "payload")
     val media = Multimodal.asMedia(df, "payload", "image", "image/fake")
