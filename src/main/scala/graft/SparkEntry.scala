@@ -294,6 +294,30 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Incremental append scan: events land in four quartile commits and a
+    * downstream consumer reads only the window between commit 1 and
+    * commit 3 — quartiles 2 and 3, never rescanning rows it already saw
+    * (the checkpoint-the-last-seq consumption pattern; rewrite-skip and
+    * in-window delete semantics are pinned in IceTableSuite).
+    */
+  private def qIncrementalRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("incremental_read")
+    val ev = t(spark, sfDir, "events").select("event_id", "user_id", "event_type", "value")
+    val q = ev.agg(max("event_id")).head().getLong(0) / 4
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("events_i")), autoCreate = true)
+    (0 until 4).foreach { i =>
+      val part =
+        if (i < 3) ev.filter(col("event_id") > i * q && col("event_id") <= (i + 1) * q)
+        else ev.filter(col("event_id") > 3 * q)
+      Ingest.run(spark, part, i.toLong, cfg)
+    }
+    val table = IceTable.load(s"$wh/events_i")
+    val seqs = table.log.commits().map(_.seq)
+    table.readIncremental(spark, seqs(0), seqs(2))
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   /** K1/S4: true Structured-Streaming ingestion — two MemoryStream
     * micro-batches through the foreachBatch shell with a checkpoint, then
     * the committed table read back.
@@ -1449,6 +1473,7 @@ object SparkEntry {
       "maintenance_compact" -> wrap(qMaintenanceCompact),
       "maintenance_binpack" -> wrap(qMaintenanceBinpack),
       "maintenance_zorder" -> wrap(qMaintenanceZorder),
+      "incremental_read" -> wrap(qIncrementalRead),
       "streaming_ingest" -> wrap(qStreamingIngest),
       "streaming_window" -> wrap(qStreamingWindow),
       "sessionize" -> wrap(qSessionize),
@@ -1960,6 +1985,12 @@ object SparkEntry {
       """SELECT event_id, user_id, value FROM events ORDER BY event_id""".stripMargin,
     "maintenance_binpack" ->
       """SELECT event_id, user_id, value FROM events ORDER BY event_id""".stripMargin,
+    "incremental_read" ->
+      """WITH b AS (SELECT max(event_id) // 4 AS q FROM events)
+        |SELECT event_id, user_id, event_type, value
+        |FROM events, b
+        |WHERE event_id > q AND event_id <= 3 * q
+        |ORDER BY event_id""".stripMargin,
     "maintenance_zorder" ->
       """WITH b AS (
         |  SELECT max(user_id) // 4 AS u_lo, max(user_id) // 2 AS u_hi,

@@ -222,26 +222,69 @@ final class IceTable private[table] (
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cur)
 
     val data = readAligned(spark, dataFiles, cur, v => schemaAt(v))
-    val result =
-      if (delFiles.isEmpty || keyCols.isEmpty) data
-      else {
-        val keySchema = StructType(cur.fields.filter(f => keyCols.contains(f.name)))
-        val dels = readAligned(spark, delFiles, keySchema, v => keyProjection(schemaAt(v), keyCols))
-        // broadcast the delete side only while its on-disk bytes stay small:
-        // row counts mis-size wide composite keys (5M rows of fat keys can
-        // blow the broadcast limit), bytes don't. Entries without recorded
-        // sizes (pre-stats commits) estimate from their row count, so a
-        // legacy 50M-row delete file still shuffles; entries with neither
-        // get a conservative per-file constant.
-        val delBytes = delFiles.map { case (f, _) => IceTable.deleteSideBytes(f) }.sum
-        val rhs0 = dels.withColumnRenamed(SEQ, "__graft_dseq")
-        val rhs = if (delBytes < IceTable.DeleteBroadcastBytes) broadcast(rhs0) else rhs0
-        val cond = keyCols
-          .map(k => data(k) <=> rhs(k))
-          .reduce(_ && _) && rhs("__graft_dseq") > data(SEQ)
-        data.join(rhs, cond, "left_anti")
-      }
-    result.drop(SEQ)
+    applyEqualityDeletes(spark, data, delFiles, cur).drop(SEQ)
+  }
+
+  /** Anti-join `data` (carrying [[IceTable.SEQ]]) against equality-delete
+    * key files; a delete at seq d removes rows with seq < d (Iceberg v2
+    * sequence rule). Broadcast the delete side only while its on-disk
+    * bytes stay small: row counts mis-size wide composite keys (5M rows
+    * of fat keys can blow the broadcast limit), bytes don't. Entries
+    * without recorded sizes (pre-stats commits) estimate from their row
+    * count, so a legacy 50M-row delete file still shuffles; entries with
+    * neither get a conservative per-file constant.
+    */
+  private def applyEqualityDeletes(
+      spark: SparkSession,
+      data: DataFrame,
+      delFiles: Seq[(FileEntry, Long)],
+      cur: StructType): DataFrame = {
+    val keyCols = meta.idColumns
+    if (delFiles.isEmpty || keyCols.isEmpty) return data
+    val keySchema = StructType(cur.fields.filter(f => keyCols.contains(f.name)))
+    val dels = readAligned(spark, delFiles, keySchema, v => keyProjection(schemaAt(v), keyCols))
+    val delBytes = delFiles.map { case (f, _) => IceTable.deleteSideBytes(f) }.sum
+    val rhs0 = dels.withColumnRenamed(SEQ, "__graft_dseq")
+    val rhs = if (delBytes < IceTable.DeleteBroadcastBytes) broadcast(rhs0) else rhs0
+    val cond = keyCols
+      .map(k => data(k) <=> rhs(k))
+      .reduce(_ && _) && rhs("__graft_dseq") > data(SEQ)
+    data.join(rhs, cond, "left_anti")
+  }
+
+  /** Incremental append scan (Iceberg incremental-read analogue): the
+    * rows ADDED by commits with `fromSeq < seq <= toSeq`, aligned to the
+    * current schema — the consume-only-what's-new primitive an
+    * incremental downstream pipeline polls a table with (checkpoint the
+    * last seen seq, read forward from it).
+    *
+    * Rewrite commits (full compaction, bin-pack, z-order) are SKIPPED —
+    * they move bytes, not logical rows, so a consumer that already saw
+    * the data must not see it again. Delta commits contribute their new
+    * data files; their equality deletes apply WITHIN the window (the
+    * standard seq rule), while deletes aimed at pre-window rows are
+    * invisible here — append-scan semantics, matching Iceberg's
+    * incremental scan (which refuses replace commits outright; skipping
+    * is the more useful contract and is documented loudly instead).
+    */
+  def readIncremental(spark: SparkSession, fromSeq: Long, toSeq: Long): DataFrame = {
+    require(fromSeq <= toSeq, s"readIncremental: fromSeq $fromSeq > toSeq $toSeq")
+    val cur = schema
+    val window = log.commits()
+      .filter(c => c.seq > fromSeq && c.seq <= toSeq)
+      .filterNot(c => c.props.keys.exists(_.startsWith("compaction")))
+    // window files are read as committed, even if a LATER rewrite
+    // superseded them for current-state reads — they are still the
+    // window's logical rows. After gc removes superseded originals the
+    // read fails loudly on the missing file, exactly like readAt past
+    // the gc horizon: incremental consumers are expected to stay ahead
+    // of maintenance, and a silent row drop here would be corruption.
+    val dataFiles = window.flatMap(c => c.dataFiles.map(f => (f, c.seq)))
+    if (dataFiles.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cur)
+    val data = readAligned(spark, dataFiles, cur, v => schemaAt(v))
+    val delFiles = window.flatMap(c => c.deleteFiles.map(f => (f, c.seq)))
+    applyEqualityDeletes(spark, data, delFiles, cur).drop(SEQ)
   }
 
   /** Live commit chain at `maxSeq`: everything after the last compaction

@@ -566,6 +566,30 @@ class IceTableSuite extends AnyFunSuite {
     assert(t.readAt(spark, 2).select("name").as[String].collect().toSeq === Seq("a2"))
   }
 
+  test("readIncremental returns only the window's added rows; rewrites are skipped") {
+    val dir = TestSpark.freshDir("t9b")
+    val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
+    IceTableWriter.append(spark, df((1L, "a", 1.0)), t, 0) // seq 1
+    IceTableWriter.append(spark, df((2L, "b", 2.0)), t, 1) // seq 2
+    // delta in-window: upserts id 2 (delete key + new row)      seq 3
+    IceTableWriter.delta(spark, df((2L, "b2", 2.2)), Seq(2L).toDF("id"), t, 2)
+    val seqs = t.log.commits().map(_.seq)
+    assert(seqs === Seq(1L, 2L, 3L))
+    // window (1, 3]: commit 2's append + commit 3's upsert; commit 3's
+    // delete removes the WINDOW's earlier copy of id 2 (seq rule)
+    val inc = t.readIncremental(spark, 1L, 3L)
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(inc === Set((2L, "b2")))
+    // full window from zero = current state reconstruction for appends
+    assert(t.readIncremental(spark, 0L, 3L).select("id", "name")
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b2")))
+    // a compaction rewrite moves bytes, not rows: its commit is invisible
+    t.compact(spark) // seq 4
+    assert(t.readIncremental(spark, 3L, t.log.commits().last.seq).count() === 0L)
+    // empty window
+    assert(t.readIncremental(spark, 1L, 1L).count() === 0L)
+  }
+
   test("gc removes files superseded by compaction, keeps live state readable") {
     val dir = TestSpark.freshDir("t10")
     val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
