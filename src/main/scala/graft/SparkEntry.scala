@@ -318,6 +318,66 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Snapshot time travel: two appends land, then the table is read AS OF
+    * the first commit — `readAt(seq)` replans from the commit-log prefix,
+    * so the second commit's files are never opened (metadata-time
+    * exclusion, not a post-read filter).
+    */
+  private def qTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("time_travel")
+    val ev = t(spark, sfDir, "events").select("event_id", "user_id", "event_type", "value")
+    val h = ev.agg(max("event_id")).head().getLong(0) / 2
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("events_t")), autoCreate = true)
+    Ingest.run(spark, ev.filter(col("event_id") <= h), 0L, cfg)
+    Ingest.run(spark, ev.filter(col("event_id") > h), 1L, cfg)
+    val table = IceTable.load(s"$wh/events_t")
+    val firstSeq = table.log.commits().map(_.seq).min
+    table.readAt(spark, firstSeq)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  /** `snapshots` metadata table (Iceberg analogue): commit history as a
+    * queryable DataFrame — operation kind and added-row counts per commit,
+    * straight from the log with no data file opened. Two appends then a
+    * delete-carrying delta commit give all the operation kinds the oracle
+    * can reproduce from the source table.
+    */
+  private def qMetaSnapshots(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("meta_snapshots")
+    val ev = t(spark, sfDir, "events").select("event_id", "user_id", "event_type", "value")
+    val h = ev.agg(max("event_id")).head().getLong(0) / 2
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("events_m")), autoCreate = true)
+    Ingest.run(spark, ev.filter(col("event_id") <= h), 0L, cfg)
+    Ingest.run(spark, ev.filter(col("event_id") > h), 1L, cfg)
+    IceTable.load(s"$wh/events_m").snapshots(spark)
+      .select(col("seq"), col("operation"), col("added_rows"))
+      .orderBy("seq")
+  }
+
+  /** `files` metadata table (Iceberg analogue): the planner's live-file
+    * view as a DataFrame. Four single-file quartile commits → four rows
+    * whose (seq, rows, has_bounds) the oracle reproduces from the source;
+    * paths/bytes are environment-dependent and stay out of the contract.
+    */
+  private def qMetaFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("meta_files")
+    val ev = t(spark, sfDir, "events").select("event_id", "user_id", "event_type", "value")
+    val q = ev.agg(max("event_id")).head().getLong(0) / 4
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("events_f")), autoCreate = true)
+    (0 until 4).foreach { i =>
+      val part =
+        if (i < 3) ev.filter(col("event_id") > i * q && col("event_id") <= (i + 1) * q)
+        else ev.filter(col("event_id") > 3 * q)
+      Ingest.run(spark, part.coalesce(1), i.toLong, cfg)
+    }
+    IceTable.load(s"$wh/events_f").filesMeta(spark)
+      .select(col("seq"), col("rows"),
+        element_at(col("lower_bounds"), "event_id").cast("long").as("min_event_id"),
+        element_at(col("upper_bounds"), "event_id").cast("long").as("max_event_id"))
+      .orderBy("seq")
+  }
+
   /** K1/S4: true Structured-Streaming ingestion — two MemoryStream
     * micro-batches through the foreachBatch shell with a checkpoint, then
     * the committed table read back.
@@ -874,6 +934,19 @@ object SparkEntry {
       .groupBy("text")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
       .select("doc_id", "dup_count")
+      .orderBy("doc_id")
+
+  /** Canonical selection: within each exact-duplicate group keep the BEST
+    * copy (highest n_chars, ties to lowest doc_id) rather than the
+    * arbitrary lowest-id one — the keep-the-best-copy curation policy.
+    * Single map-side-combinable aggregate (see [[Dedup.keepBest]]); the
+    * oracle's window rank states the same selection declaratively.
+    */
+  private def qDedupKeepBest(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.keepBest(t(spark, sfDir, "documents"),
+        idCol = "doc_id", keyCols = Seq("text"), scoreCol = "n_chars",
+        carryCols = Seq("lang"))
+      .select("doc_id", "lang", "n_chars", "dup_count")
       .orderBy("doc_id")
 
   /** Exact word-3-gram Jaccard near-dup pairs (inverted-index join), with
@@ -1474,6 +1547,9 @@ object SparkEntry {
       "maintenance_binpack" -> wrap(qMaintenanceBinpack),
       "maintenance_zorder" -> wrap(qMaintenanceZorder),
       "incremental_read" -> wrap(qIncrementalRead),
+      "time_travel" -> wrap(qTimeTravel),
+      "meta_snapshots" -> wrap(qMetaSnapshots),
+      "meta_files" -> wrap(qMetaFiles),
       "streaming_ingest" -> wrap(qStreamingIngest),
       "streaming_window" -> wrap(qStreamingWindow),
       "sessionize" -> wrap(qSessionize),
@@ -1499,6 +1575,7 @@ object SparkEntry {
       "q5_region" -> wrap(qQ5Region),
       "window_running" -> wrap(qWindowRunning),
       "dedup_exact" -> wrap(qDedupExact),
+      "dedup_keep_best" -> wrap(qDedupKeepBest),
       "dedup_jaccard" -> wrap(qDedupJaccard),
       "dedup_minhash" -> wrap(qDedupMinhash),
       "dedup_simhash" -> wrap(qDedupSimhash),
@@ -1991,6 +2068,29 @@ object SparkEntry {
         |FROM events, b
         |WHERE event_id > q AND event_id <= 3 * q
         |ORDER BY event_id""".stripMargin,
+    "time_travel" ->
+      """WITH b AS (SELECT max(event_id) // 2 AS h FROM events)
+        |SELECT event_id, user_id, event_type, value
+        |FROM events, b WHERE event_id <= h
+        |ORDER BY event_id""".stripMargin,
+    "meta_snapshots" ->
+      """WITH b AS (SELECT max(event_id) // 2 AS h FROM events)
+        |SELECT CAST(1 AS BIGINT) AS seq, 'append' AS operation,
+        |       CAST(count(*) AS BIGINT) AS added_rows
+        |FROM events, b WHERE event_id <= h
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'append', CAST(count(*) AS BIGINT)
+        |FROM events, b WHERE event_id > h
+        |ORDER BY seq""".stripMargin,
+    "meta_files" ->
+      """WITH b AS (SELECT max(event_id) // 4 AS q FROM events),
+        |g AS (
+        |  SELECT CAST(LEAST((event_id - 1) // q, 3) + 1 AS BIGINT) AS seq,
+        |         event_id
+        |  FROM events, b WHERE event_id > 0)
+        |SELECT seq, CAST(count(*) AS BIGINT) AS rows,
+        |       min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        |FROM g GROUP BY seq ORDER BY seq""".stripMargin,
     "maintenance_zorder" ->
       """WITH b AS (
         |  SELECT max(user_id) // 4 AS u_lo, max(user_id) // 2 AS u_hi,
@@ -2181,6 +2281,13 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      """SELECT doc_id, lang, n_chars, dup_count FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         count(*) OVER (PARTITION BY text) AS dup_count,
+        |         row_number() OVER (PARTITION BY text ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh

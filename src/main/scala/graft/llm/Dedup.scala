@@ -33,6 +33,38 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Canonical-document selection: one survivor per duplicate group — the
+    * highest-`scoreCol` member, ties broken toward the lowest `idCol`
+    * (the "keep the best copy" policy a curation pipeline applies after
+    * grouping dups, rather than [[exact]]'s keep-lowest-id). `carryCols`
+    * ride along on the survivor; `dup_count` is appended.
+    *
+    * One hash aggregate, map-side combinable: the winner is
+    * `max(struct(score, -id, payload))` — struct comparison resolves on
+    * (score desc, id asc) before ever touching the payload, so each
+    * partition ships one candidate row per group. Deliberately NOT a
+    * window rank, which would shuffle and sort every member of every
+    * group; at 100 TB the agg moves one row per group instead.
+    * Numeric-id contract (the negation trick) is enforced at analysis
+    * time.
+    */
+  def keepBest(
+      df: DataFrame,
+      idCol: String,
+      keyCols: Seq[String],
+      scoreCol: String,
+      carryCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"keepBest tie-break negates `$idCol` — numeric id required, found ${df.schema(idCol).dataType}")
+    val payload = struct((idCol +: carryCols).map(col): _*)
+    val cand = struct(col(scoreCol).as("s"), (-col(idCol)).as("negid"), payload.as("row"))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max(cand).as("b"), count(lit(1)).as("dup_count"))
+      .select((idCol +: carryCols).map(c => col(s"b.row.$c").as(c)) :+
+        col("b.s").as(scoreCol) :+ col("dup_count"): _*)
+  }
+
   /** Word n-gram shingles of a text column (distinct) — single-pass
     * codegen'd expression (see [[graft.functions.WordShingles]]).
     */

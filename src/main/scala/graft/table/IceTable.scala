@@ -371,6 +371,69 @@ final class IceTable private[table] (
     parts.reduce(_.unionByName(_))
   }
 
+  // ---- metadata tables ------------------------------------------------
+
+  /** Iceberg `snapshots`-metadata-table analogue: one row per commit on
+    * this branch, straight from the commit log — metadata only, no data
+    * file is opened, so the cost is O(commits) regardless of table size.
+    * `operation` mirrors Iceberg's summary: compaction rewrites are
+    * `replace`, commits carrying equality deletes `overwrite`, plain
+    * appends `append`.
+    */
+  def snapshots(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = log.commits().map { c =>
+      val op =
+        if (c.props.keys.exists(_.startsWith("compaction"))) "replace"
+        else if (c.deleteFiles.nonEmpty) "overwrite"
+        else "append"
+      Row(c.seq, c.batchId, c.commitId, c.timestampMs, op,
+        c.dataFiles.size.toLong, c.dataFiles.map(_.rows).sum,
+        c.dataFiles.map(f => math.max(f.bytes, 0L)).sum,
+        c.deleteFiles.size.toLong, c.removedPaths.size.toLong,
+        c.vtts.map(long2Long).orNull)
+    }
+    val schema = StructType(Seq(
+      StructField("seq", LongType, nullable = false),
+      StructField("batch_id", LongType, nullable = false),
+      StructField("commit_id", StringType, nullable = false),
+      StructField("committed_at_ms", LongType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("added_files", LongType, nullable = false),
+      StructField("added_rows", LongType, nullable = false),
+      StructField("added_bytes", LongType, nullable = false),
+      StructField("delete_files", LongType, nullable = false),
+      StructField("removed_files", LongType, nullable = false),
+      StructField("vtts_us", LongType, nullable = true)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Iceberg `files`-metadata-table analogue: one row per LIVE data file
+    * (current state — post-rewrite chain, superseded paths excluded),
+    * carrying the commit seq it arrived in and its recorded stats. The
+    * planner's view of the table, exposed as a queryable DataFrame for
+    * operational checks (small-file ratios, partition balance, stats
+    * coverage) without touching any data file.
+    */
+  def filesMeta(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = planFiles(None).map { case (f, seq) =>
+      Row(f.path, seq, f.rows, f.bytes,
+        if (f.format.nonEmpty) f.format else rawMeta.format,
+        f.partition, f.min, f.max)
+    }
+    val schema = StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("seq", LongType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("partition", MapType(StringType, StringType), nullable = false),
+      StructField("lower_bounds", MapType(StringType, StringType), nullable = false),
+      StructField("upper_bounds", MapType(StringType, StringType), nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Fast-forward THIS branch to include `from`'s newer commits — the
     * write-audit-publish pattern (Iceberg branch fast_forward): ingest
     * into an audit branch (`iceberg.table.<t>.commit-branch`), validate,

@@ -17,6 +17,27 @@ class DedupSuite extends AnyFunSuite {
     assert(got.toSeq === Seq(1L, 2L))
   }
 
+  test("keepBest keeps the highest-score member per group, ties to lowest id") {
+    val df = Seq(
+      (1L, "a", 10L, "en"), (2L, "a", 30L, "zh"), (3L, "a", 30L, "fr"),
+      (4L, "b", 5L, "en")
+    ).toDF("id", "text", "score", "lang")
+    val got = Dedup.keepBest(df, "id", Seq("text"), "score", Seq("lang"))
+      .select("id", "lang", "score", "dup_count")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // group "a": score 30 tie between ids 2 and 3 → id 2 wins, carry kept in sync
+    assert(got === Set((2L, "zh", 30L, 3L), (4L, "en", 5L, 1L)))
+    // plan shape: one aggregate, no window exchange-and-sort per member
+    val plan = Dedup.keepBest(df, "id", Seq("text"), "score", Seq("lang"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"keepBest must not plan a window:\n$plan")
+    // non-numeric id fails loudly at analysis time
+    val e = intercept[IllegalArgumentException] {
+      Dedup.keepBest(df.withColumn("sid", col("id").cast("string")), "sid", Seq("text"), "score")
+    }
+    assert(e.getMessage.contains("numeric id"))
+  }
+
   test("shingles: distinct word n-grams") {
     val got = Seq("a b c d a b c d").toDF("t")
       .select(Dedup.shingles(col("t"), 3)).head().getSeq[String](0)

@@ -566,6 +566,35 @@ class IceTableSuite extends AnyFunSuite {
     assert(t.readAt(spark, 2).select("name").as[String].collect().toSeq === Seq("a2"))
   }
 
+  test("snapshots/files metadata tables reflect the commit log without opening data") {
+    val dir = TestSpark.freshDir("t9m")
+    val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
+    IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0)).coalesce(1), t, 0) // seq 1
+    IceTableWriter.delta(spark, df((2L, "b2", 2.2)).coalesce(1), Seq(2L).toDF("id"), t, 1) // seq 2
+    t.compact(spark) // seq 3: replace
+
+    val snaps = t.snapshots(spark)
+      .select("seq", "operation", "added_rows", "delete_files")
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(snaps.map(s => (s._1, s._2)) === Seq((1L, "append"), (2L, "overwrite"), (3L, "replace")))
+    assert(snaps(0)._3 === 2L) // two rows appended
+    assert(snaps(1)._4 === 1L) // one equality-delete file
+    assert(snaps(2)._3 === 2L) // rewrite re-adds current state (a, b2)
+
+    // files view is the LIVE plan: only the rewrite's output remains
+    val files = t.filesMeta(spark)
+      .select("seq", "rows", "format").as[(Long, Long, String)].collect().toSeq
+    assert(files.forall(_._1 === 3L), s"live files must all come from the rewrite: $files")
+    assert(files.map(_._2).sum === 2L)
+    assert(files.forall(_._3 === "parquet"))
+    // bounds ride through: id min/max over live files span 1..2
+    val bounds = t.filesMeta(spark)
+      .select(element_at(col("lower_bounds"), "id").cast("long"),
+        element_at(col("upper_bounds"), "id").cast("long"))
+      .as[(Long, Long)].collect()
+    assert(bounds.map(_._1).min === 1L && bounds.map(_._2).max === 2L)
+  }
+
   test("readIncremental returns only the window's added rows; rewrites are skipped") {
     val dir = TestSpark.freshDir("t9b")
     val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
