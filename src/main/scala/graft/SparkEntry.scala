@@ -318,6 +318,29 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Point lookup through a bloom-filtered table: `user_id` is
+    * high-cardinality and unsorted relative to the file layout, so per-file
+    * min/max bounds can't prune a needle lookup — the per-column parquet
+    * bloom (auto-create property
+    * `write.parquet.bloom-filter-enabled.column.user_id`) lets the reader
+    * skip row groups instead, through the standard pushed `=` predicate.
+    * Footer presence and no-bloom-on-unlisted-columns are pinned in
+    * IceTableSuite; this query is the end-to-end correctness row.
+    */
+  private def qScanBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("scan_bloom")
+    val ev = t(spark, sfDir, "events").select("event_id", "user_id", "event_type", "value")
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("events_bl")),
+      autoCreate = true,
+      autoCreateProps = Map(graft.sink.IceTableWriter.BloomPropPrefix + "user_id" -> "true"))
+    Ingest.run(spark, ev, 0L, cfg)
+    val needle = ev.filter(col("event_id") === 1).head().getLong(1)
+    IceTable.load(s"$wh/events_bl").read(spark)
+      .filter(col("user_id") === needle)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   /** Snapshot time travel: two appends land, then the table is read AS OF
     * the first commit — `readAt(seq)` replans from the commit-log prefix,
     * so the second commit's files are never opened (metadata-time
@@ -1548,6 +1571,7 @@ object SparkEntry {
       "maintenance_zorder" -> wrap(qMaintenanceZorder),
       "incremental_read" -> wrap(qIncrementalRead),
       "time_travel" -> wrap(qTimeTravel),
+      "scan_bloom" -> wrap(qScanBloom),
       "meta_snapshots" -> wrap(qMetaSnapshots),
       "meta_files" -> wrap(qMetaFiles),
       "streaming_ingest" -> wrap(qStreamingIngest),
@@ -2072,6 +2096,11 @@ object SparkEntry {
       """WITH b AS (SELECT max(event_id) // 2 AS h FROM events)
         |SELECT event_id, user_id, event_type, value
         |FROM events, b WHERE event_id <= h
+        |ORDER BY event_id""".stripMargin,
+    "scan_bloom" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE user_id = (SELECT user_id FROM events WHERE event_id = 1)
         |ORDER BY event_id""".stripMargin,
     "meta_snapshots" ->
       """WITH b AS (SELECT max(event_id) // 2 AS h FROM events)

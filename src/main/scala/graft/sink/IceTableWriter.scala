@@ -37,6 +37,10 @@ final case class FooterStats(
   */
 object IceTableWriter {
 
+  /** Table-property prefix enabling a per-column parquet bloom filter
+    * (`write.parquet.bloom-filter-enabled.column.<col> = true`). */
+  val BloomPropPrefix = "write.parquet.bloom-filter-enabled.column."
+
   /** Append `df` (already coerced to the table schema) as a new commit.
     * Returns None if `batchId` was already committed (replayed batch).
     */
@@ -159,6 +163,23 @@ object IceTableWriter {
     var w = withParts.write.format(meta.format).mode("append")
     if (transforms.nonEmpty) w = w.partitionBy(transforms.map(_.writeName): _*)
     if (effectiveMax > 0) w = w.option("maxRecordsPerFile", effectiveMax)
+    // Parquet bloom filters for point-lookup row-group skipping (Iceberg
+    // `write.parquet.bloom-filter-enabled.column.<col>` property parity):
+    // the writer embeds a split-block bloom per row group for each listed
+    // column, and parquet-mr's row-group filter consults it for pushed
+    // `=`/IN predicates at read time — skipping groups that min/max can
+    // never exclude on high-cardinality UNSORTED columns (every group's
+    // range spans the domain, but the bloom knows the needle isn't there).
+    // Pure write-path metadata: file contents and all readers stay
+    // unchanged, so the property can be enabled on an existing table.
+    if (meta.format == "parquet") {
+      meta.props.foreach { case (k, v) =>
+        if (k.startsWith(IceTableWriter.BloomPropPrefix) && v.equalsIgnoreCase("true"))
+          w = w.option(
+            s"parquet.bloom.filter.enabled#${k.stripPrefix(IceTableWriter.BloomPropPrefix)}",
+            "true")
+      }
+    }
     w.save(outDir.toString)
 
     val files = listDataFiles(outDir, meta.format)

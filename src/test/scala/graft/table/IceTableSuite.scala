@@ -566,6 +566,43 @@ class IceTableSuite extends AnyFunSuite {
     assert(t.readAt(spark, 2).select("name").as[String].collect().toSeq === Seq("a2"))
   }
 
+  test("bloom-filter table property embeds a parquet bloom; reads stay exact") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    def blooms(dir: String): Seq[(String, Boolean)] = {
+      val t = IceTable.load(dir)
+      t.planFiles(None).flatMap { case (f, _) =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.path), new org.apache.hadoop.conf.Configuration()))
+        try r.getFooter.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala.map { c =>
+            (c.getPath.toDotString, r.getBloomFilterDataReader(b).readBloomFilter(c) != null)
+          }
+        }.toSeq
+        finally r.close()
+      }
+    }
+    val rows = (1L to 2000L).map(i => (i, s"name_$i", i.toDouble)).toDF("id", "name", "v")
+
+    val plain = TestSpark.freshDir("tb0")
+    val t0 = IceTable.create(plain, schema, TableMeta())
+    IceTableWriter.append(spark, rows.coalesce(1), t0, 0)
+    assert(blooms(plain).forall(!_._2), "no bloom expected without the property")
+
+    val dir = TestSpark.freshDir("tb1")
+    val t1 = IceTable.create(dir, schema, TableMeta(props = Map(
+      IceTableWriter.BloomPropPrefix + "id" -> "true")))
+    IceTableWriter.append(spark, rows.coalesce(1), t1, 0)
+    val byCol = blooms(dir).groupBy(_._1)
+    assert(byCol("id").forall(_._2), "id must carry a bloom filter")
+    assert(byCol("name").forall(!_._2), "unlisted columns must not pay for blooms")
+    // point lookup through the bloom-filtered file stays exact
+    val hit = t1.read(spark).filter(col("id") === 1234L).select("name").as[String].collect()
+    assert(hit.toSeq === Seq("name_1234"))
+    assert(t1.read(spark).filter(col("id") === -5L).count() === 0L)
+  }
+
   test("snapshots/files metadata tables reflect the commit log without opening data") {
     val dir = TestSpark.freshDir("t9m")
     val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
