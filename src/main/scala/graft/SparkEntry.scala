@@ -639,6 +639,43 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Shared left/right sides of the as-of family: purchases joined to a
+    * unique-per-(user, ts) click representative.
+    */
+  private def asofSides(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val evRaw = t(spark, sfDir, "events")
+    val ev = evRaw.withColumn("ts_us", tsMicros(evRaw))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts_us")
+      .agg(max("event_id").as("click_id"), expr("max_by(value, event_id)").as("click_value"))
+    (purchases, clicks)
+  }
+
+  /** As-of with a match band (pandas `merge_asof` tolerance): a prior
+    * click counts only within 1 hour of the purchase — a stale match
+    * yields NULL, never a far-away row. Same one-key-shuffle plan; the
+    * band is a post-carry column compare.
+    */
+  private def qAsofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    val (purchases, clicks) = asofSides(spark, sfDir)
+    graft.operators.AsofJoin.asof(purchases, clicks, "user_id", "ts_us",
+        Seq("click_id", "click_value"), tolerance = Some(3600000000L))
+      .orderBy("event_id")
+  }
+
+  /** Forward as-of: the EARLIEST click at-or-after each purchase (the
+    * "next interaction" direction) — the same single-shuffle pass over
+    * reversed time.
+    */
+  private def qAsofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val (purchases, clicks) = asofSides(spark, sfDir)
+    graft.operators.AsofJoin.asof(purchases, clicks, "user_id", "ts_us",
+        Seq("click_id", "click_value"), direction = "forward")
+      .orderBy("event_id")
+  }
+
   /** Range join: events matched to every overlapping value band from a
     * deterministic interval grid — bucketized into a hash join (see
     * [[graft.operators.RangeJoin]]); the oracle runs the same join as a
@@ -1616,6 +1653,8 @@ object SparkEntry {
       "text_fingerprint" -> wrap(qTextFingerprint),
       "streaming_dedup" -> wrap(qStreamingDedup),
       "asof_join" -> wrap(qAsofJoin),
+      "asof_tolerance" -> wrap(qAsofTolerance),
+      "asof_forward" -> wrap(qAsofForward),
       "range_join" -> wrap(qRangeJoin),
       "corpus_stats" -> wrap(qCorpusStats),
       "text_normalize" -> wrap(qTextNormalize),
@@ -2040,6 +2079,30 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
         |SELECT p.event_id, p.user_id, p.ts_us, c.prior_click_id, c.prior_click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
+        |ORDER BY p.event_id""".stripMargin,
+    "asof_tolerance" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_id,
+        |         max_by(value, event_id) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  CASE WHEN p.ts_us - c.ts_us <= 3600000000 THEN c.click_id END AS click_id,
+        |  CASE WHEN p.ts_us - c.ts_us <= 3600000000 THEN c.click_value END AS click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
+        |ORDER BY p.event_id""".stripMargin,
+    "asof_forward" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_id,
+        |         max_by(value, event_id) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts_us, c.click_id, c.click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts_us >= p.ts_us
         |ORDER BY p.event_id""".stripMargin,
     "corpus_stats" ->
       """SELECT lang, source, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars,

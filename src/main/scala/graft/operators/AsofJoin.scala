@@ -4,17 +4,23 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (temporal) join — for each left row, the single most recent
-  * right row with `right.ts <= left.ts` on the same key. The operator
-  * Spark famously lacks; DuckDB/kdb expose it natively (`ASOF JOIN`),
-  * which is exactly what the oracle uses.
+/** As-of (temporal) join — for each left row, the single closest right
+  * row on the same key: the most recent with `right.ts <= left.ts`
+  * (`direction = "backward"`, the default) or the earliest with
+  * `right.ts >= left.ts` (`"forward"`). The operator Spark famously
+  * lacks; DuckDB/kdb expose it natively (`ASOF JOIN`), which is exactly
+  * what the oracle uses. An optional `tolerance` bounds how far the
+  * match may be from the left timestamp (pandas `merge_asof` semantics):
+  * a match outside the band yields NULL payload, never a far-away row.
   *
   * Shape: ONE hash shuffle on the key. Both sides are tagged and
   * unioned, sorted within each key by (ts, side) — right rows first at
-  * equal timestamps, giving `<=` semantics — and the latest right
-  * payload is carried forward with `last(ignoreNulls)` over a running
-  * window. Never a range cross-join (quadratic per key), never a per-key
-  * collect; skew in left-row counts spreads across the sort naturally.
+  * equal timestamps, giving `<=`/`>=` semantics; forward direction is
+  * the same pass over reversed time — and the latest right payload is
+  * carried forward with `last(ignoreNulls)` over a running window. Never
+  * a range cross-join (quadratic per key), never a per-key collect; skew
+  * in left-row counts spreads across the sort naturally. The tolerance
+  * is a post-carry column compare — it costs nothing extra.
   *
   * The right side must be unique per (key, ts) — pre-aggregate to a
   * deterministic representative first (e.g. `max_by`), or the "most
@@ -27,8 +33,14 @@ object AsofJoin {
       right: DataFrame,
       keyCol: String,
       tsCol: String,
-      payloadCols: Seq[String]
+      payloadCols: Seq[String],
+      direction: String = "backward",
+      /** max |left.ts - right.ts| for a match to count, in the ts
+        * column's own units; None = unbounded (classic as-of) */
+      tolerance: Option[Long] = None
   ): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asof direction must be backward|forward, got '$direction'")
     val leftCols = left.columns.toSeq
     require(payloadCols.intersect(leftCols).isEmpty,
       s"right payload columns ${payloadCols.intersect(leftCols)} collide with left columns")
@@ -40,9 +52,11 @@ object AsofJoin {
     // the payload rides as ONE struct so the carry is atomic per right
     // ROW: a most-recent right row with a NULL field must yield that
     // NULL, never a stale value torn from an older row (per-column
-    // last(ignoreNulls) would do exactly that)
+    // last(ignoreNulls) would do exactly that). The matched right ts
+    // rides in the same struct for the tolerance compare.
     val rStructType = org.apache.spark.sql.types.StructType(
-      payloadCols.map(p => right.schema(p).copy(name = p)))
+      payloadCols.map(p => right.schema(p).copy(name = p)) :+
+        right.schema(tsCol).copy(name = "__asof_ts"))
     val l = left.select(
       Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
         carried.map(col) :+
@@ -55,14 +69,26 @@ object AsofJoin {
       .select(
         Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
           carried.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-          struct(payloadCols.map(col): _*).as("__r"): _*)
+          struct(payloadCols.map(col) :+ col(tsCol).as("__asof_ts"): _*).as("__r"): _*)
 
+    val order =
+      if (direction == "backward") Seq(col(tsCol).asc, col("__side").desc)
+      else Seq(col(tsCol).desc, col("__side").desc)
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol), col("__side").desc)
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBand = tolerance match {
+      case None => lit(true)
+      case Some(t) =>
+        val gap =
+          if (direction == "backward") col(tsCol) - col("__r.__asof_ts")
+          else col("__r.__asof_ts") - col(tsCol)
+        gap <= t
+    }
     l.unionByName(r)
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 0)
-      .select(leftCols.map(col) ++ payloadCols.map(p => col(s"__r.$p").as(p)): _*)
+      .select(leftCols.map(col) ++
+        payloadCols.map(p => when(inBand, col(s"__r.$p")).as(p)): _*)
   }
 }

@@ -179,6 +179,38 @@ class AsofJoinSuite extends AnyFunSuite {
     assert(got(4L) === None) // key with no right rows at all
   }
 
+  test("asof forward: earliest right at-or-after each left ts") {
+    val left = Seq((1L, "k", 10L), (2L, "k", 20L), (3L, "k", 5L), (4L, "k", 16L))
+      .toDF("lid", "key", "ts")
+    val right = Seq(("k", 8L, "a"), ("k", 10L, "b"), ("k", 15L, "c"))
+      .toDF("key", "ts", "payload")
+    val got = graft.operators.AsofJoin
+      .asof(left, right, "key", "ts", Seq("payload"), direction = "forward")
+      .select("lid", "payload").as[(Long, Option[String])].collect().toMap
+    assert(got(1L) === Some("b")) // equal ts qualifies (>= semantics)
+    assert(got(2L) === None)      // nothing at-or-after 20
+    assert(got(3L) === Some("a")) // earliest at-or-after 5
+    assert(got(4L) === None)      // 16 > last right ts
+  }
+
+  test("asof tolerance: matches outside the band yield NULL payload") {
+    val left = Seq((1L, "k", 10L), (2L, "k", 100L)).toDF("lid", "key", "ts")
+    val right = Seq(("k", 8L, "a"), ("k", 15L, "c")).toDF("key", "ts", "payload")
+    val back = graft.operators.AsofJoin
+      .asof(left, right, "key", "ts", Seq("payload"), tolerance = Some(5L))
+      .select("lid", "payload").as[(Long, Option[String])].collect().toMap
+    assert(back(1L) === Some("a")) // gap 2 <= 5
+    assert(back(2L) === None)      // gap 85 > 5 — match discarded, not the far row
+    val fwd = graft.operators.AsofJoin
+      .asof(left, right, "key", "ts", Seq("payload"), direction = "forward", tolerance = Some(5L))
+      .select("lid", "payload").as[(Long, Option[String])].collect().toMap
+    assert(fwd(1L) === Some("c")) // gap 5 <= 5 (inclusive band)
+    assert(fwd(2L) === None)
+    intercept[IllegalArgumentException] {
+      graft.operators.AsofJoin.asof(left, right, "key", "ts", Seq("payload"), direction = "sideways")
+    }
+  }
+
   test("asof: rejects payload names that collide with left columns") {
     val l = Seq((1L, "k", 1L, "x")).toDF("lid", "key", "ts", "v")
     val r = Seq(("k", 1L, "y")).toDF("key", "ts", "v")
