@@ -491,6 +491,50 @@ object SparkEntry {
     spark.table(qn).orderBy("day_us", "event_type")
   }
 
+  /** Stream-stream interval join (Spark's watermarked two-stream join):
+    * each purchase pairs with the same user's clicks in the hour BEFORE
+    * it. Both sides are unbounded streams; the watermarks plus the time
+    * bound let Spark expire buffered rows instead of holding each side's
+    * history — the state contract that makes the join feasible on an
+    * unbounded feed. With file-stream replay + AvailableNow the emitted
+    * pairs equal the batch interval join the oracle states in SQL.
+    */
+  private def qStreamingJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = t(spark, sfDir, "events").schema
+    def src = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val ps = src
+    val p = ps.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), tsTimestamp(ps).as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val cs = src
+    val c = cs.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), tsTimestamp(cs).as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val qn = s"stream_join_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8") // state partition count
+    try {
+      val q = p
+        .join(c,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"))
+        .select("purchase_id", "click_id")
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qn)
+        .option("checkpointLocation", freshDir("streaming_join_ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    spark.table(qn).orderBy("purchase_id", "click_id")
+  }
+
   /** Streaming exactly-once event dedup: at-least-once delivery collapsed
     * by key with watermark-bounded state (`dropDuplicatesWithinWatermark`
     * — state expires as the watermark passes, so it holds a delay-window
@@ -1615,6 +1659,7 @@ object SparkEntry {
       "streaming_window" -> wrap(qStreamingWindow),
       "sessionize" -> wrap(qSessionize),
       "streaming_sessionize" -> wrap(qStreamingSessionize),
+      "streaming_join" -> wrap(qStreamingJoin),
       "scan_skipping" -> wrap(qScanSkipping),
       "route_static" -> wrap(qRouteStatic),
       "route_dynamic" -> wrap(qRouteDynamic),
@@ -2194,6 +2239,13 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "streaming_ingest" ->
       """SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id""".stripMargin,
+    "streaming_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "scan_skipping" ->
       """WITH b AS (SELECT max(event_id) // 4 AS q FROM events)
         |SELECT event_id, user_id, event_type, value FROM events, b
