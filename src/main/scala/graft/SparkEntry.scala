@@ -1053,6 +1053,41 @@ object SparkEntry {
       .select("doc_id", "lang", "n_chars", "dup_count")
       .orderBy("doc_id")
 
+  /** Holistic aggregation under skew: per-type sorted event-id arrays via
+    * the salted two-phase collect ([[graft.operators.Skew.collectSorted]])
+    * — 5 event types over the whole table is exactly the hot-key shape
+    * where a direct collect_list serializes on one task per type.
+    */
+  private def qAggCollect(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Skew.collectSorted(
+        t(spark, sfDir, "events"), Seq("event_type"), "event_id", "event_ids")
+      .orderBy("event_type")
+
+  /** Hierarchical totals in ONE pass: ROLLUP over (lang, source) computes
+    * per-(lang, source), per-lang, and grand totals in a single shuffle
+    * (Spark's Expand feeds one aggregate) — at 100 TB that's one scan
+    * instead of three. Char sums ride as exact BIGINTs.
+    */
+  private def qAggRollup(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+      .select("lang", "source", "docs", "chars")
+      .orderBy(col("lang"), col("source"))
+
+  /** Wide reporting pivot: per-source doc counts by language, with the
+    * pivot values given EXPLICITLY — the scale-correct form (an implicit
+    * pivot runs a whole extra distinct job just to learn the columns,
+    * and an unbounded value domain would explode the row width).
+    */
+  private def qPivotCounts(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .groupBy("source")
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("de", "en", "es", "fr", "zh"))
+      .orderBy("source")
+
   /** Exact word-3-gram Jaccard near-dup pairs (inverted-index join), with
     * the hot-shingle DF guard ON (`maxShingleDf = 5`) — the path that
     * survives 100 TB, where one stop-word shingle would otherwise make the
@@ -1675,6 +1710,9 @@ object SparkEntry {
       "events_offsets" -> wrap(qEventsOffsets),
       "events_vtts" -> wrap(qEventsVtts),
       "agg_distinct" -> wrap(qAggDistinct),
+      "agg_rollup" -> wrap(qAggRollup),
+      "agg_collect" -> wrap(qAggCollect),
+      "pivot_counts" -> wrap(qPivotCounts),
       "part_supplier" -> wrap(qPartSupplier),
       "q1_agg" -> wrap(qQ1Agg),
       "q3_topn" -> wrap(qQ3TopN),
@@ -2374,6 +2412,21 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS events,
         |       CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS big_values
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_rollup" ->
+      """SELECT lang, source, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang, source""".stripMargin,
+    "agg_collect" ->
+      """SELECT event_type, list_sort(list(event_id)) AS event_ids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "pivot_counts" ->
+      """SELECT source,
+        |  count(*) FILTER (lang = 'de') AS de,
+        |  count(*) FILTER (lang = 'en') AS en,
+        |  count(*) FILTER (lang = 'es') AS es,
+        |  count(*) FILTER (lang = 'fr') AS fr,
+        |  count(*) FILTER (lang = 'zh') AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "part_supplier" ->
       """SELECT * FROM (
         |  SELECT n_name AS grp, count(*) AS cnt,

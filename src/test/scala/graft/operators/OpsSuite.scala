@@ -220,6 +220,27 @@ class AsofJoinSuite extends AnyFunSuite {
   }
 }
 
+class SkewSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted collectSorted equals a direct sorted collect; salt spreads the hot key") {
+    val df = ((1 to 500).map(i => ("hot", i.toLong)) ++ Seq(("cold", 900L), ("cold", 901L)))
+      .toDF("k", "v")
+    val got = graft.operators.Skew.collectSorted(df, Seq("k"), "v", "vs", saltBuckets = 8)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got("hot") === (1L to 500L))
+    assert(got("cold") === Seq(900L, 901L))
+    // the hot key's rows really spread: >1 distinct salt bucket
+    val spread = df.filter($"k" === "hot")
+      .select(graft.operators.Skew.salt(col("v"), 8)).distinct().count()
+    assert(spread > 1, s"salt must spread a hot key, got $spread bucket(s)")
+    // deterministic: same salt for the same value across evaluations
+    assert(df.select(graft.operators.Skew.salt(col("v"), 8)).collect().toSeq ===
+      df.select(graft.operators.Skew.salt(col("v"), 8)).collect().toSeq)
+  }
+}
+
 class RangeJoinSuite extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
