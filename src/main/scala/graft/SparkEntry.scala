@@ -1053,6 +1053,30 @@ object SparkEntry {
       .select("doc_id", "lang", "n_chars", "dup_count")
       .orderBy("doc_id")
 
+  /** Dead-letter routing (`errors.tolerance=all` + DLQ analogue): every
+    * 7th record's JSON payload is corrupted in flight; the one-pass split
+    * sends parseable rows onward with the payload extracted and typed,
+    * and poison rows to the DLQ slice — the batch itself never fails.
+    * Validity comes from `try_parse_json` (real JSON parse, not a regex).
+    */
+  private def qRouteDeadLetter(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    // corruption is PREPENDED: Spark's JSON parse tolerates trailing
+    // garbage after a complete value, so only a leading break reliably
+    // poisons the record in every engine
+    val withPayload = ev.withColumn("payload",
+      when(pmod(col("event_id"), lit(7)) === 0, concat(lit("{"), col("props")))
+        .otherwise(col("props")))
+    val (ok, dead) = graft.operators.Routing.deadLetterSplit(withPayload,
+      try_parse_json(col("payload")).isNotNull, lit("malformed json"))
+    ok.select(col("event_id"),
+        get_json_object(col("payload"), "$.k").cast("long").as("k"),
+        lit("ok").as("route"))
+      .unionByName(dead.select(col("event_id"),
+        lit(null).cast("long").as("k"), lit("dead").as("route")))
+      .orderBy("event_id")
+  }
+
   /** Holistic aggregation under skew: per-type sorted event-id arrays via
     * the salted two-phase collect ([[graft.operators.Skew.collectSorted]])
     * — 5 event types over the whole table is exactly the hot-key shape
@@ -1698,6 +1722,7 @@ object SparkEntry {
       "scan_skipping" -> wrap(qScanSkipping),
       "route_static" -> wrap(qRouteStatic),
       "route_dynamic" -> wrap(qRouteDynamic),
+      "route_dead_letter" -> wrap(qRouteDeadLetter),
       "cdc_upsert" -> wrap(qCdcUpsert),
       "schema_evolution" -> wrap(qSchemaEvolution),
       "transform_copy_value" -> wrap(qCopyValue),
@@ -2341,6 +2366,12 @@ object SparkEntry {
     "route_dynamic" ->
       """SELECT lower(event_type) AS sink, event_id, user_id FROM events
         |ORDER BY sink, event_id""".stripMargin,
+    "route_dead_letter" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 7 <> 0
+        |       THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
+        |  CASE WHEN event_id % 7 = 0 THEN 'dead' ELSE 'ok' END AS route
+        |FROM events ORDER BY event_id""".stripMargin,
     "cdc_upsert" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, value,

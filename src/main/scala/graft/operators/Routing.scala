@@ -52,6 +52,26 @@ object Routing {
         }
     }
 
+  /** Dead-letter split (Kafka Connect `errors.tolerance=all` +
+    * dead-letter-queue analogue — in the reference deployment this is
+    * the Connect framework's job, so a Spark user needs it from the
+    * engine): one pass over the batch yields the valid slice and the
+    * dead slice, the latter annotated with a `_dlq` struct (reason +
+    * rejection timestamp). Both outputs are filters over the SAME scan —
+    * no shuffle, no second read; route the dead slice to its own table
+    * and the batch never fails on a poison record.
+    */
+  def deadLetterSplit(
+      df: DataFrame,
+      valid: org.apache.spark.sql.Column,
+      reason: org.apache.spark.sql.Column
+  ): (DataFrame, DataFrame) = {
+    val ok = df.filter(valid)
+    val dead = df.filter(!coalesce(valid, lit(false)))
+      .withColumn("_dlq", struct(reason.as("reason"), current_timestamp().as("rejected_at")))
+    (ok, dead)
+  }
+
   /** R6 — tombstone filter: kafka-shaped records (topic/partition/offset
     * columns present) whose value column is null are skipped
     * (`data/IcebergWriter.java:66-76` ignores null-value records).

@@ -102,6 +102,19 @@ class RoutingSuite extends AnyFunSuite {
     val plain = Seq((1, "x"), (2, null.asInstanceOf[String])).toDF("id", "value")
     assert(Routing.dropTombstones(plain).count() === 2)
   }
+
+  test("deadLetterSplit: poison AND null-validity rows land in the DLQ slice") {
+    val df = Seq((1L, """{"a":1}"""), (2L, "not json"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "payload")
+    val (ok, dead) = Routing.deadLetterSplit(df,
+      try_parse_json(col("payload")).isNotNull, lit("bad json"))
+    assert(ok.select("id").as[Long].collect().toSeq === Seq(1L))
+    // row 3's validity is NULL (null payload) — it must be dead, not lost
+    assert(dead.select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    assert(dead.select("_dlq.reason").as[String].collect().forall(_ == "bad json"))
+    // the two slices partition the batch: nothing dropped, nothing doubled
+    assert(ok.count() + dead.count() === df.count())
+  }
 }
 
 class SchemaEvolutionSuite extends AnyFunSuite {
