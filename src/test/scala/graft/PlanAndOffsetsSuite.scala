@@ -233,6 +233,44 @@ class PlanAndOffsetsSuite extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in asof plan:\n$plan")
   }
 
+  test("asof variants keep the single-shuffle shape of the base operator") {
+    for (q <- Seq("asof_forward", "asof_tolerance")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 3, s"$q shuffles $exchanges times:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in $q plan:\n$plan")
+    }
+  }
+
+  test("agg_rollup expands once into a single partially-aggregated pass") {
+    val plan = SparkEntry.queries("agg_rollup")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"rollup without Expand (multi-scan?):\n$plan")
+    assert(plan.linesIterator.count(_.contains("Expand")) == 1, s"rollup expanded twice:\n$plan")
+    // one agg shuffle + the output sort, never one scan per grouping set
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"rollup shuffles $exchanges times:\n$plan")
+  }
+
+  test("agg_collect (salted) keeps uniform first-stage keys: two exchanges, no window") {
+    val plan = SparkEntry.queries("agg_collect")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    // (key,salt) agg + key agg + output sort
+    assert(exchanges <= 3, s"salted collect shuffles $exchanges times:\n$plan")
+    assert(!plan.contains("Window"), s"salted collect must not plan a window:\n$plan")
+  }
+
+  test("route_dead_letter stays map-side: both slices are filters over one scan shape") {
+    val plan = SparkEntry.queries("route_dead_letter")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the union of the two filtered slices needs no shuffle; only the
+    // output sort exchanges
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"dead-letter split shuffles $exchanges times:\n$plan")
+  }
+
   test("decontaminate broadcasts the benchmark index — the corpus side never shuffles for the join") {
     val plan = SparkEntry.queries("decontaminate")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
