@@ -209,6 +209,37 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  /** Change data feed over the CDC table: the same two CDC batches as
+    * `cdc_upsert`, read back as row-level change EVENTS (insert/delete
+    * per commit, un-netted) rather than final state — what a downstream
+    * incremental materialization replays. Delete events carry the key
+    * (user_id) with NULL payload, exactly what the equality-delete files
+    * store.
+    */
+  private def qCdcChangelog(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("cdc_changelog")
+    val ev = t(spark, sfDir, "events")
+      .withColumn("op_col",
+        when(col("event_type") === "error", "D")
+          .when(col("event_type") === "purchase", "U")
+          .otherwise("I"))
+      .withColumn("offset", col("event_id"))
+    val maxId = ev.agg(max("event_id")).head().getLong(0)
+    val split = maxId / 2
+    val cfg = EngineConfig(
+      warehouse = wh,
+      tables = Seq(TableConfig("state", idColumns = Seq("user_id"))),
+      cdcField = Some("op_col"),
+      autoCreate = true
+    )
+    Ingest.run(spark, ev.filter(col("event_id") <= split), 0L, cfg)
+    Ingest.run(spark, ev.filter(col("event_id") > split), 1L, cfg)
+    val table = IceTable.load(s"$wh/state")
+    table.readChanges(spark, 0L, table.log.commits().map(_.seq).max)
+      .select("event_id", "user_id", "event_type", "value", "_change_type", "_commit_seq")
+      .orderBy("_commit_seq", "_change_type", "user_id", "event_id")
+  }
+
   /** E1/E2: auto-create from a narrow first batch, then widen int→long,
     * float→double and add a column in batch 2; read back aligned.
     */
@@ -1724,6 +1755,7 @@ object SparkEntry {
       "route_dynamic" -> wrap(qRouteDynamic),
       "route_dead_letter" -> wrap(qRouteDeadLetter),
       "cdc_upsert" -> wrap(qCdcUpsert),
+      "cdc_changelog" -> wrap(qCdcChangelog),
       "schema_evolution" -> wrap(qSchemaEvolution),
       "transform_copy_value" -> wrap(qCopyValue),
       "transform_kafka_metadata" -> wrap(qKafkaMetadata),
@@ -2389,6 +2421,29 @@ object SparkEntry {
         |SELECT d.event_id, d.user_id, d.event_type, d.value FROM data d
         |WHERE NOT EXISTS (SELECT 1 FROM del x WHERE x.user_id = d.user_id AND x.b > d.b)
         |ORDER BY d.user_id, d.event_id""".stripMargin,
+    "cdc_changelog" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'D'
+        |         WHEN event_type = 'purchase' THEN 'U' ELSE 'I' END AS op,
+        |    CASE WHEN event_id <= (SELECT max(event_id) // 2 FROM events)
+        |         THEN 0 ELSE 1 END AS b
+        |  FROM events),
+        |last AS (
+        |  SELECT * FROM (
+        |    SELECT e.*, row_number() OVER (PARTITION BY user_id, b ORDER BY event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |ins AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         'insert' AS _change_type, CAST(b + 1 AS BIGINT) AS _commit_seq
+        |  FROM last WHERE op <> 'D'),
+        |del AS (
+        |  SELECT CAST(NULL AS BIGINT) AS event_id, user_id,
+        |         CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS DOUBLE) AS value,
+        |         'delete' AS _change_type, CAST(b + 1 AS BIGINT) AS _commit_seq
+        |  FROM last WHERE op IN ('U', 'D'))
+        |SELECT * FROM ins UNION ALL SELECT * FROM del
+        |ORDER BY _commit_seq, _change_type, user_id, event_id""".stripMargin,
     "schema_evolution" ->
       """WITH s AS (SELECT max(event_id) // 2 AS m FROM events)
         |SELECT event_id, CAST(user_id AS BIGINT) AS user_id,

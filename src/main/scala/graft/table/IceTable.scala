@@ -287,6 +287,51 @@ final class IceTable private[table] (
     applyEqualityDeletes(spark, data, delFiles, cur).drop(SEQ)
   }
 
+  /** Change data feed (Iceberg changelog-scan / Delta CDF analogue): the
+    * row-level change events committed in `(fromSeq, toSeq]` — appended
+    * rows as `insert` changes, equality-delete keys as `delete` changes
+    * (key columns populated, the rest NULL: the delete file stores keys,
+    * not row images). Changes are NOT netted: an in-window insert later
+    * deleted in-window shows both events, ordered by `_commit_seq` — the
+    * shape a downstream incremental materialization replays. Rewrites
+    * are skipped (they move bytes, not logical rows), same contract as
+    * [[readIncremental]].
+    */
+  def readChanges(spark: SparkSession, fromSeq: Long, toSeq: Long): DataFrame = {
+    require(fromSeq <= toSeq, s"readChanges: fromSeq $fromSeq > toSeq $toSeq")
+    val cur = schema
+    val window = log.commits()
+      .filter(c => c.seq > fromSeq && c.seq <= toSeq)
+      .filterNot(c => c.props.keys.exists(_.startsWith("compaction")))
+    val keyCols = meta.idColumns
+    val dataFiles = window.flatMap(c => c.dataFiles.map(f => (f, c.seq)))
+    val inserts =
+      if (dataFiles.isEmpty) None
+      else Some(readAligned(spark, dataFiles, cur, v => schemaAt(v))
+        .withColumn("_change_type", lit("insert")))
+    val delFiles = window.flatMap(c => c.deleteFiles.map(f => (f, c.seq)))
+    val deletes =
+      if (delFiles.isEmpty || keyCols.isEmpty) None
+      else {
+        val keySchema = StructType(cur.fields.filter(f => keyCols.contains(f.name)))
+        val keys = readAligned(spark, delFiles, keySchema, v => keyProjection(schemaAt(v), keyCols))
+        val widened: Seq[Column] = cur.fields.toSeq.map { f =>
+          if (keyCols.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        } :+ col(SEQ)
+        Some(keys.select(widened: _*).withColumn("_change_type", lit("delete")))
+      }
+    val outSchema = StructType(cur.fields.toSeq :+
+      org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType) :+
+      org.apache.spark.sql.types.StructField("_commit_seq", org.apache.spark.sql.types.LongType))
+    (inserts.toSeq ++ deletes.toSeq) match {
+      case Nil => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+      case parts => parts.reduce(_.unionByName(_))
+        .select(cur.fieldNames.toIndexedSeq.map(col) :+
+          col("_change_type") :+ col(SEQ).as("_commit_seq"): _*)
+    }
+  }
+
   /** Live commit chain at `maxSeq`: everything after the last compaction
     * rewrite (old files stay on disk for time travel / GC).
     */

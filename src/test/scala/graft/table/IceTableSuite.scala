@@ -656,6 +656,26 @@ class IceTableSuite extends AnyFunSuite {
     assert(t.readIncremental(spark, 1L, 1L).count() === 0L)
   }
 
+  test("readChanges emits un-netted insert/delete events in commit order; rewrites skipped") {
+    val dir = TestSpark.freshDir("t9c")
+    val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
+    IceTableWriter.append(spark, df((1L, "a", 1.0)), t, 0) // seq 1
+    // seq 2: upsert id 1 → delete key + new row (both must appear)
+    IceTableWriter.delta(spark, df((1L, "a2", 1.1)), Seq(1L).toDF("id"), t, 1)
+    val ch = t.readChanges(spark, 0L, 2L)
+      .select("id", "name", "_change_type", "_commit_seq")
+      .as[(Long, Option[String], String, Long)].collect().toSet
+    assert(ch === Set(
+      (1L, Some("a"), "insert", 1L),
+      (1L, Some("a2"), "insert", 2L),
+      (1L, None, "delete", 2L))) // delete carries the KEY; name is null
+    // window below the delta: only the first insert
+    assert(t.readChanges(spark, 0L, 1L).count() === 1L)
+    // a rewrite contributes no change events
+    t.compact(spark) // seq 3
+    assert(t.readChanges(spark, 2L, t.log.commits().last.seq).count() === 0L)
+  }
+
   test("gc removes files superseded by compaction, keeps live state readable") {
     val dir = TestSpark.freshDir("t10")
     val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
