@@ -151,6 +151,17 @@ object IceTableWriter {
     // range-partition + sort on (partition values, sort columns) so every
     // output file covers a disjoint sort-key range WITHIN its partition —
     // a rebalance here would scatter the sort clustering it exists for.
+    // `write.distribution-mode` (Iceberg property parity) picks the
+    // pre-write clustering for partitioned tables: `hash` (default) is
+    // the AQE rebalance above — skew-split, tiny-partition coalesce;
+    // `range` orders partition values across tasks so output files carry
+    // tight, disjoint partition-column bounds (better file pruning,
+    // costs a range-boundary sample job); `none` skips clustering — each
+    // task fans out to every partition it holds (Iceberg's none mode:
+    // cheapest write, most files — for pre-clustered input).
+    val distMode = meta.props.getOrElse("write.distribution-mode", "hash")
+    require(Set("none", "hash", "range").contains(distMode),
+      s"write.distribution-mode must be none|hash|range, got '$distMode'")
     val withParts =
       if (sortBy.nonEmpty || sortExprs.nonEmpty) {
         val cluster = transforms.map(t => col(t.writeName)) ++ sortBy.map(col) ++ sortExprs
@@ -159,7 +170,11 @@ object IceTableWriter {
           else withParts0.repartitionByRange(cluster: _*)
         ranged.sortWithinPartitions(cluster: _*)
       } else if (transforms.isEmpty) withParts0
-      else withParts0.hint("rebalance", transforms.map(t => col(t.writeName)): _*)
+      else distMode match {
+        case "none"  => withParts0
+        case "range" => withParts0.repartitionByRange(transforms.map(t => col(t.writeName)): _*)
+        case _       => withParts0.hint("rebalance", transforms.map(t => col(t.writeName)): _*)
+      }
     var w = withParts.write.format(meta.format).mode("append")
     if (transforms.nonEmpty) w = w.partitionBy(transforms.map(_.writeName): _*)
     if (effectiveMax > 0) w = w.option("maxRecordsPerFile", effectiveMax)

@@ -566,6 +566,39 @@ class IceTableSuite extends AnyFunSuite {
     assert(t.readAt(spark, 2).select("name").as[String].collect().toSeq === Seq("a2"))
   }
 
+  test("write.distribution-mode drives pre-write clustering (none fans out, hash clusters)") {
+    import org.apache.spark.sql.types.{StructField, StructType, LongType, StringType}
+    val pschema = StructType(Seq(StructField("id", LongType), StructField("cat", StringType)))
+    val rows = (1L to 200L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "cat").repartition(4) // interleaved partition values in 4 tasks
+    def fileCount(mode: String): Int = {
+      val dir = TestSpark.freshDir(s"tdm-$mode")
+      val t = IceTable.create(dir, pschema,
+        TableMeta(partitionBy = Seq("cat"), props = Map("write.distribution-mode" -> mode)))
+      IceTableWriter.append(spark, rows, t, 0)
+      val files = t.planFiles(None)
+      // content identical under every mode
+      assert(t.read(spark).count() === 200L)
+      files.size
+    }
+    val none = fileCount("none")
+    val hash = fileCount("hash")
+    // none: every task writes every partition value it holds (≈ tasks × 2);
+    // hash: rebalance clusters each value into few tasks
+    assert(none > hash, s"none=$none should fan out more files than hash=$hash")
+    assert(hash <= 4, s"hash clustering produced $hash files for 2 partition values")
+    // range mode writes and reads back correctly too
+    assert(fileCount("range") >= 2)
+    // unknown mode fails loudly at write time
+    val bad = TestSpark.freshDir("tdm-bad")
+    val tb = IceTable.create(bad, pschema,
+      TableMeta(partitionBy = Seq("cat"), props = Map("write.distribution-mode" -> "mystery")))
+    val e = intercept[IllegalArgumentException] {
+      IceTableWriter.append(spark, rows, tb, 0)
+    }
+    assert(e.getMessage.contains("distribution-mode"))
+  }
+
   test("bloom-filter table property embeds a parquet bloom; reads stay exact") {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
