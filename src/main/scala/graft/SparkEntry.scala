@@ -1084,6 +1084,15 @@ object SparkEntry {
       .select("doc_id", "lang", "n_chars", "dup_count")
       .orderBy("doc_id")
 
+  /** Bigram-LM document quality (one order above `quality_lm`'s unigram
+    * model — the CCNet-style perplexity signal): interpolated
+    * `log(0.9·P(w2|w1) + 0.1·P(w2))` summed per doc as exact integer
+    * micros. The oracle retrains the same LM in SQL.
+    */
+  private def qQualityLm2(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.bigramLogProb(t(spark, sfDir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Dead-letter routing (`errors.tolerance=all` + DLQ analogue): every
     * 7th record's JSON payload is corrupted in flight; the one-pass split
     * sends parseable rows onward with the payload extracted and typed,
@@ -1821,6 +1830,7 @@ object SparkEntry {
       "text_rarity" -> wrap(qTextRarity),
       "dedup_embedding_incremental" -> wrap(qDedupEmbeddingIncremental),
       "quality_lm" -> wrap(qQualityLm),
+      "quality_lm2" -> wrap(qQualityLm2),
       "lines_boilerplate" -> wrap(qLinesBoilerplate),
       "sample_budget" -> wrap(qSampleBudget),
       "decontaminate_bloom" -> wrap(qDecontaminateBloom),
@@ -2036,6 +2046,31 @@ object SparkEntry {
         |  SELECT doc_id, count(*) AS n_tokens, sum(lpm) AS logprob_micros
         |  FROM tk JOIN lp USING (w) GROUP BY doc_id)
         |SELECT d.doc_id AS doc_id, CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(per.logprob_micros, 0) AS BIGINT) AS logprob_micros
+        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "quality_lm2" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |tk AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |uni AS (SELECT w, count(*) AS cu FROM tk GROUP BY w),
+        |n AS (SELECT count(*) AS total FROM tk),
+        |bp AS (
+        |  SELECT doc_id, unnest([ws[i] for i in range(1, len(ws))]) AS w1,
+        |         unnest([ws[i+1] for i in range(1, len(ws))]) AS w2
+        |  FROM t),
+        |bcnt AS (SELECT w1, w2, count(*) AS cb FROM bp GROUP BY 1, 2),
+        |wt AS (
+        |  SELECT w1, w2, CAST(round(ln(
+        |      0.9 * CAST(cb AS DOUBLE) / CAST(c1.cu AS DOUBLE)
+        |      + (1.0 - 0.9) * CAST(c2.cu AS DOUBLE) / CAST(total AS DOUBLE)
+        |    ) * 1e6) AS BIGINT) AS wt
+        |  FROM bcnt JOIN uni c1 ON c1.w = bcnt.w1 JOIN uni c2 ON c2.w = bcnt.w2, n),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_bigrams, sum(wt) AS logprob_micros
+        |  FROM bp JOIN wt USING (w1, w2) GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id, CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
         |  CAST(coalesce(per.logprob_micros, 0) AS BIGINT) AS logprob_micros
         |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,

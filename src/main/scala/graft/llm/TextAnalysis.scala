@@ -227,6 +227,66 @@ object TextAnalysis {
       },
       "n_tokens", "logprob_micros")
 
+  /** Interpolated bigram-LM document score — the CCNet-style "KenLM
+    * perplexity" quality signal, one order up from [[unigramLogProb]]:
+    * each bigram occurrence contributes
+    * `log(λ·P(w2|w1) + (1−λ)·P(w2))` with `P(w2|w1) = c(w1w2)/c(w1)`,
+    * `P(w2) = c(w2)/N` — the unigram interpolation floors unseen-ish
+    * continuations exactly like a backoff LM. Per-distinct-bigram micros
+    * are rounded BEFORE the per-doc integer sum (the engine-wide
+    * exact-exchange rule, same as unigram). Returns
+    * (doc_id, n_bigrams, logprob_micros) for EVERY input doc, zeros for
+    * docs under two tokens.
+    *
+    * 100 TB shape: one token explode (checkpointed — feeds the unigram
+    * table AND nothing else twice), one bigram explode (checkpointed —
+    * feeds the bigram table AND the per-doc join), two Zipf-small
+    * frequency tables joined back (AQE broadcasts them when they fit),
+    * one per-doc aggregation. Strictly linear, no self-join.
+    */
+  def bigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lambda: Double = 0.9
+  ): DataFrame = {
+    // bigram occurrences WITH multiplicity ([[Dedup.shingles]] is
+    // distinct — wrong for an LM); slice+zip keeps it one codegen'd map:
+    // pairs (ws[i], ws[i+1]) for i in 0..size-2, empty under two tokens
+    val ws = tokens(col(textCol))
+    val pairs = when(size(ws) >= 2,
+      arrays_zip(
+        slice(ws, lit(1), size(ws) - 1).as("w1"),
+        slice(ws, lit(2), size(ws) - 1).as("w2")))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val toks = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("u"))
+      .localCheckpoint()
+    val uni = toks.groupBy("u").agg(count(lit(1)).as("cu"))
+    val total = toks.count()
+    val bg = df.select(col(idCol).as("doc_id"), explode(pairs).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint()
+    val bcnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    // (1 - lambda) is computed in DOUBLE on both engines — never a
+    // decimal literal the oracle can't reproduce bit-for-bit
+    val weighted = bcnt
+      .join(uni.select(col("u").as("w1"), col("cu").as("c1")), "w1")
+      .join(uni.select(col("u").as("w2"), col("cu").as("c2")), "w2")
+      .select(col("w1"), col("w2"),
+        round(log(
+          lit(lambda) * col("cb").cast("double") / col("c1").cast("double") +
+            lit(1.0 - lambda) * col("c2").cast("double") / lit(total.toDouble)
+        ) * lit(1e6)).cast("long").as("wt"))
+    val perDoc = bg.join(weighted, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("wt").as("logprob_micros"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logprob_micros"), lit(0L)).as("logprob_micros"))
+  }
+
   /** n-gram-heuristic language ID: count language-marker stopword hits per
     * candidate language plus a CJK character-class check; argmax with a
     * deterministic tie-break (en > de > es > fr by marker count ordering).

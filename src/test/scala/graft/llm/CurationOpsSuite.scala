@@ -157,6 +157,20 @@ class CurationOpsSuite extends AnyFunSuite {
       (3L, 0L, 0L))) // empty doc
   }
 
+  test("bigramLogProb matches hand-computed interpolated micros; short docs get zeros") {
+    val df = Seq((1L, "a b a"), (2L, "b"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // tokens: a b a b → N=4, cu(a)=2, cu(b)=2; bigrams (a,b)=1, (b,a)=1
+    // identical double ops to the operator: (λ·cb)/c1 + ((1−λ)·c2)/N
+    def wt(cb: Long, c1: Long, c2: Long): Long =
+      math.round(math.log(0.9 * cb / c1.toDouble + (1.0 - 0.9) * c2 / 4.0) * 1e6)
+    assert(got === Seq(
+      (1L, 2L, wt(1, 2, 2) + wt(1, 2, 2)), // (a,b) + (b,a): symmetric counts here
+      (2L, 0L, 0L), // single token: no bigram
+      (3L, 0L, 0L))) // empty doc
+  }
+
   test("unigramLogProb on the corpus: singleton-token docs score below common-token docs") {
     val scored = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
     // every doc's token count matches the direct column computation
