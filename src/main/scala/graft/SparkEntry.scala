@@ -784,6 +784,24 @@ object SparkEntry {
     * A synthetic tombstone (null value) rides along and must be skipped
     * (R6), so the oracle is unchanged by its presence.
     */
+  /** Sessionization via Spark's BUILT-IN `session_window` (the native
+    * session-assembly operator, one aggregate — no window-function pass):
+    * semantics differ from [[graft.operators.Sessionize]] exactly at the
+    * gap boundary (the built-in merges strictly-closer-than-gap, the
+    * custom operator merges at-the-gap), and the oracle states the strict
+    * rule — so the two queries pin BOTH conventions independently.
+    */
+  private def qSessionizeWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val evRaw = t(spark, sfDir, "events")
+    val ev = evRaw.select(col("user_id"), tsTimestamp(evRaw).as("ts_t"))
+    ev.groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes").as("w"))
+      .agg(unix_micros(min(col("ts_t"))).as("start_us"),
+        unix_micros(max(col("ts_t"))).as("end_us"),
+        count(lit(1)).as("events"))
+      .select("user_id", "start_us", "end_us", "events")
+      .orderBy("user_id", "start_us")
+  }
+
   private def qIngestKafkaShaped(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = freshDir("ingest_kafka_shaped")
     val evRaw = t(spark, sfDir, "events")
@@ -1650,6 +1668,27 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Temperature-scaled language mixing weights (the multilingual
+    * up/down-sampling rule: share ∝ count^(1/T), T=3): the standard
+    * "flatten the language distribution" step before interleaving. The
+    * pow output is anchored to integer micros BEFORE normalizing —
+    * normalization then divides exact integers, so both engines round
+    * identically regardless of their floating sum order.
+    */
+  private def qMixTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t(spark, sfDir, "documents").groupBy("lang").agg(count(lit(1)).as("docs"))
+    val wi = round(pow(col("docs").cast("double"), lit(1.0 / 3.0)) * lit(1e6)).cast("long")
+    counts.withColumn("wi", wi)
+      // one unpartitioned window over k language rows — k is the language
+      // count, never the corpus
+      .withColumn("total", sum(col("wi")).over(Window.partitionBy()))
+      .select(col("lang"), col("docs"),
+        round(col("wi").cast("double") * lit(1e6) / col("total").cast("double"))
+          .cast("long").as("weight_micros"))
+      .orderBy("lang")
+  }
+
   /** Target-mix rebalancing: compile shares (src0=0.5, src1=0.3,
     * src2=0.2) into deterministic per-stratum keep rates — the largest
     * without-replacement subcorpus matching the mix in expectation;
@@ -1757,6 +1796,7 @@ object SparkEntry {
       "streaming_ingest" -> wrap(qStreamingIngest),
       "streaming_window" -> wrap(qStreamingWindow),
       "sessionize" -> wrap(qSessionize),
+      "sessionize_window" -> wrap(qSessionizeWindow),
       "streaming_sessionize" -> wrap(qStreamingSessionize),
       "streaming_join" -> wrap(qStreamingJoin),
       "scan_skipping" -> wrap(qScanSkipping),
@@ -1835,6 +1875,7 @@ object SparkEntry {
       "sample_budget" -> wrap(qSampleBudget),
       "decontaminate_bloom" -> wrap(qDecontaminateBloom),
       "mix_rebalance" -> wrap(qMixRebalance),
+      "mix_temperature" -> wrap(qMixTemperature),
       "sample_exact_k" -> wrap(qSampleExactK),
       "streaming_curate" -> wrap(qStreamingCurate),
       "corpus_quantiles" -> wrap(qCorpusQuantiles),
@@ -2107,6 +2148,15 @@ object SparkEntry {
          |WHERE ((doc_id % $P) * $A + $B) % $P < cap
          |ORDER BY d.doc_id""".stripMargin
     },
+    "mix_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS docs FROM documents GROUP BY lang),
+        |w AS (SELECT lang, docs,
+        |        CAST(round(pow(CAST(docs AS DOUBLE), 1.0/3.0) * 1e6) AS BIGINT) AS wi
+        |      FROM c),
+        |t AS (SELECT sum(wi) AS total FROM w)
+        |SELECT lang, CAST(docs AS BIGINT) AS docs,
+        |  CAST(round(CAST(wi AS DOUBLE) * 1e6 / CAST(total AS DOUBLE)) AS BIGINT) AS weight_micros
+        |FROM w, t ORDER BY lang""".stripMargin,
     "sample_exact_k" -> {
       import graft.operators.Sampling.{A, B, P}
       s"""SELECT doc_id, source, rk FROM (
@@ -2403,6 +2453,20 @@ object SparkEntry {
         |       min(ts_us) AS start_us, max(ts_us) AS end_us,
         |       CAST(count(*) AS BIGINT) AS events
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "sessionize_window" ->
+      """WITH m AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) >= 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |       CAST(count(*) AS BIGINT) AS events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
     "streaming_sessionize" ->
       """WITH m AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us,
