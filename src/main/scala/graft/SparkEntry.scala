@@ -1668,6 +1668,21 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Contamination stripping: the REMOVAL step after `decontaminate`'s
+    * flagging — every token position covered by a benchmark 3-gram is
+    * dropped and documents are rebuilt from the survivors (empty text
+    * when fully contaminated). Same corpus/benchmark split as the report
+    * queries.
+    */
+  private def qDecontaminateStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val benchmark = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    Decontaminate.stripOverlaps(corpus, benchmark, "doc_id", "text", n = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Temperature-scaled language mixing weights (the multilingual
     * up/down-sampling rule: share ∝ count^(1/T), T=3): the standard
     * "flatten the language distribution" step before interleaving. The
@@ -1879,7 +1894,8 @@ object SparkEntry {
       "sample_exact_k" -> wrap(qSampleExactK),
       "streaming_curate" -> wrap(qStreamingCurate),
       "corpus_quantiles" -> wrap(qCorpusQuantiles),
-      "decontaminate_indexed" -> wrap(qDecontaminateIndexed)
+      "decontaminate_indexed" -> wrap(qDecontaminateIndexed),
+      "decontaminate_strip" -> wrap(qDecontaminateStrip)
     )
   }
 
@@ -2190,6 +2206,28 @@ object SparkEntry {
         |HAVING count(*) >= 2
         |ORDER BY id""".stripMargin,
     "decontaminate" -> decontaminateSql,
+    "decontaminate_strip" ->
+      """WITH b AS (
+        |  SELECT DISTINCT unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS g
+        |  FROM (SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |        FROM documents WHERE doc_id % 20 = 0)),
+        |corp AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents WHERE doc_id % 20 <> 0),
+        |occ AS (
+        |  SELECT doc_id, unnest(range(1, len(ws)-1)) AS pos,
+        |         unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS g
+        |  FROM corp),
+        |cov AS (
+        |  SELECT DISTINCT occ.doc_id, occ.pos + d.d AS pos
+        |  FROM occ JOIN b USING (g), (SELECT unnest(range(0, 3)) AS d) d),
+        |toks AS (SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws)+1)) AS pos FROM corp),
+        |surv AS (SELECT t.doc_id, t.pos, t.w FROM toks t ANTI JOIN cov USING (doc_id, pos)),
+        |reb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text, count(*) AS n_kept
+        |        FROM surv GROUP BY doc_id)
+        |SELECT c.doc_id AS doc_id, coalesce(reb.clean_text, '') AS clean_text,
+        |       CAST(len(c.ws) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM corp c LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
     // the persisted-index path must answer EXACTLY like the broadcast
     // path — same oracle, same parameters
     "decontaminate_indexed" -> decontaminateSql,

@@ -51,6 +51,47 @@ object Decontaminate {
       .filter(col("hit_ngrams") >= minHits)
   }
 
+  /** Contamination STRIPPING — the removal step after [[overlapReport]]'s
+    * flagging: every token position covered by any word `n`-gram that
+    * also appears in the benchmark set is dropped, and each corpus doc is
+    * rebuilt from its surviving tokens (Lee-et-al-style span removal
+    * aimed at eval overlap instead of self-duplication). Returns
+    * (id, clean_text, n_removed) for EVERY corpus doc — clean_text is ""
+    * when the whole doc was contaminated.
+    *
+    * Shape: the benchmark n-gram set rides as a broadcast semi-join
+    * filter over the corpus's positional occurrence stream (never a
+    * corpus shuffle for the probe); covered positions expand n rows per
+    * CONTAMINATED occurrence only (bounded by n × hits, not the corpus);
+    * the rebuild is the shared anti-join + ordered per-doc aggregation
+    * tail ([[Dedup.rebuildFromSurvivors]]).
+    */
+  def stripOverlaps(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame = {
+    val benchNg = benchmark
+      .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .distinct()
+    val toks = corpus
+      .select(col(idCol).cast("long").as("id"),
+        graft.llm.TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("us"))
+      .localCheckpoint()
+    val contaminated = Dedup.positionalNgrams(toks, n)
+      .join(broadcast(benchNg), "g")
+    val covered = contaminated
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val unit = toks
+      .select(col("id"), posexplode(col("us")))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("w"))
+    Dedup.rebuildFromSurvivors(toks,
+      unit.join(covered, Seq("id", "pos"), "left_anti"), sep = " ")
+  }
+
   /** Bloom-prefiltered overlap report — same result as [[overlapReport]]
     * bit for bit (a Bloom filter admits no false negatives, and the exact
     * index join removes its false positives), built for the scale where

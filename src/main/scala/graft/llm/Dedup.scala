@@ -128,7 +128,7 @@ object Dedup {
     * place keeps the unit contract (ordered rebuild, empty-doc
     * restoration, removal accounting) from drifting between operators.
     */
-  private def rebuildFromSurvivors(
+  private[llm] def rebuildFromSurvivors(
       toks: DataFrame, // (id, us: array<string>) — every input doc
       survivors: DataFrame, // (id, pos, w) units that remain
       sep: String
@@ -251,14 +251,25 @@ object Dedup {
     // index: this stream is ~n× the corpus in bytes, so recomputing the
     // codegen'd explode from the checkpointed `toks` for its two
     // consumers is cheaper than writing an n×-corpus intermediate.
-    val occ = toks
+    dedupPositionalUnits(toks, positionalNgrams(toks, n), expand = n, sep = " ")
+  }
+
+  /** Positional word n-gram occurrences (id, pos, g), pos 1-based, over a
+    * tokenized (id, us) frame. A doc with fewer than n tokens emits NO
+    * occurrence (the CASE guard matters: sequence(1, 0) is the DESCENDING
+    * [1, 0], not empty, and slice at 0 throws). Deliberately not
+    * materialized: this stream is ~n× the corpus in bytes, so recomputing
+    * the codegen'd explode from the checkpointed `toks` per consumer is
+    * cheaper than writing an n×-corpus intermediate. Shared by
+    * [[dedupSpans]] and [[Decontaminate.stripOverlaps]].
+    */
+  private[llm] def positionalNgrams(toks: DataFrame, n: Int): DataFrame =
+    toks
       .select(col("id"), posexplode(expr(
         s"CASE WHEN size(us) >= $n THEN " +
           s"transform(sequence(1, size(us) - ${n - 1}), i -> array_join(slice(us, i, $n), ' ')) " +
           "ELSE CAST(array() AS array<string>) END")))
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("g"))
-    dedupPositionalUnits(toks, occ, expand = n, sep = " ")
-  }
 
   /** Exact n-gram Jaccard similarity pairs via a shingle inverted index:
     * explode distinct shingles, self-join on shingle, count intersections,

@@ -157,6 +157,21 @@ class CurationOpsSuite extends AnyFunSuite {
       (3L, 0L, 0L))) // empty doc
   }
 
+  test("stripOverlaps removes covered spans, keeps clean docs byte-identical") {
+    val bench = Seq((100L, "secret eval answer")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the secret eval answer is here"), // 3-gram hit covers tokens 2-4
+      (2L, "completely clean document text"),
+      (3L, "secret eval answer")             // fully contaminated → empty
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.stripOverlaps(corpus, bench, "doc_id", "text", 3)
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "the is here", 3L),
+      (2L, "completely clean document text", 0L),
+      (3L, "", 3L)))
+  }
+
   test("bigramLogProb matches hand-computed interpolated micros; short docs get zeros") {
     val df = Seq((1L, "a b a"), (2L, "b"), (3L, "")).toDF("doc_id", "text")
     val got = TextAnalysis.bigramLogProb(df, "doc_id", "text")
