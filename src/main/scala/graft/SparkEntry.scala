@@ -857,6 +857,22 @@ object SparkEntry {
   }
 
   /** C7: JSON value → typed columns (inferred) + string-map mode. */
+  /** C7 on the VARIANT path (Spark 4's native semi-structured type): the
+    * JSON payload is parsed ONCE into a binary variant and fields are
+    * extracted typed via `variant_get` — the modern replacement for
+    * per-field `get_json_object` re-parsing (each call re-reads the
+    * string; the variant parse is paid once and extraction is
+    * offset-based). Poison payloads ride `try_parse_json` → NULL.
+    */
+  private def qJsonVariant(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    ev.select(col("event_id"), try_parse_json(col("props")).as("v"))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.k", "bigint").as("k"),
+        variant_get(col("v"), "$.k", "string").as("k_str"))
+      .orderBy("event_id")
+  }
+
   private def qJsonExpand(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = t(spark, sfDir, "events")
     val expanded = Transforms.jsonExpand("props")(ev)
@@ -1824,6 +1840,7 @@ object SparkEntry {
       "transform_copy_value" -> wrap(qCopyValue),
       "transform_kafka_metadata" -> wrap(qKafkaMetadata),
       "transform_json_expand" -> wrap(qJsonExpand),
+      "transform_json_variant" -> wrap(qJsonVariant),
       "transform_mongo_cdc" -> wrap(qMongoCdc),
       "coerce_types" -> wrap(qCoerceTypes),
       "partition_transforms" -> wrap(qPartitionTransforms),
@@ -2601,6 +2618,11 @@ object SparkEntry {
       """SELECT event_id,
         |       CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
         |       regexp_extract(props, '"k": (\d+)', 1) AS k_str
+        |FROM events ORDER BY event_id""".stripMargin,
+    "transform_json_variant" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       json_extract_string(props, '$.k') AS k_str
         |FROM events ORDER BY event_id""".stripMargin,
     "transform_mongo_cdc" ->
       """SELECT event_id AS id,

@@ -129,6 +129,35 @@ object MongoDebezium {
       case other => other
     }
 
+  /** C8 over the raw binary envelope: `before`/`after` (and
+    * `updateDescription.updatedFields` when present) arrive as BSON
+    * *bytes* rather than extended-JSON strings. Decodes them through
+    * [[Bson.bson_to_json]] and reuses the string-path flattener verbatim,
+    * so both input encodings share one type-dispatch and patch-merge
+    * implementation (the reference's binary path,
+    * `MongoDataConverter.java:43-260`, collapses to decode + the same
+    * dataflow).
+    */
+  def mongoDebeziumBinary(
+      arrayHandlingMode: String = "array",
+      inferLimit: Int = Transforms.DefaultJsonInferLimit
+  )(df: DataFrame): DataFrame = {
+    var decoded = df
+      .withColumn("before", Bson.bson_to_json(col("before")))
+      .withColumn("after", Bson.bson_to_json(col("after")))
+    if (df.columns.contains("updateDescription")) {
+      val ud = df.schema("updateDescription").dataType.asInstanceOf[StructType]
+      val fields = ud.fieldNames.toIndexedSeq.map {
+        case "updatedFields" =>
+          Bson.bson_to_json(col("updateDescription.updatedFields")).as("updatedFields")
+        case other => col(s"updateDescription.$other").as(other)
+      }
+      decoded = decoded.withColumn("updateDescription",
+        when(col("updateDescription").isNotNull, struct(fields: _*)))
+    }
+    mongoDebezium(arrayHandlingMode, inferLimit)(decoded)
+  }
+
   def mongoDebezium(
       arrayHandlingMode: String = "array",
       /** records sampled for schema inference per batch (same bounded-scan

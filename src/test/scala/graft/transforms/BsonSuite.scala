@@ -131,15 +131,32 @@ class BsonSuite extends AnyFunSuite {
       (img("ada", 36), img("ada", 37), "u", 2000L)
     ).toDF("before_raw", "after_raw", "op", "ts_ms")
       .withColumn("source", struct(lit("db").as("db"), lit("people").as("collection")))
-    val jsonified = rows
-      .withColumn("before", Bson.bson_to_json(col("before_raw")))
-      .withColumn("after", Bson.bson_to_json(col("after_raw")))
-      .drop("before_raw", "after_raw")
-    val out = MongoDebezium.mongoDebezium()(jsonified)
+    val binary = rows
+      .withColumnRenamed("before_raw", "before")
+      .withColumnRenamed("after_raw", "after")
+    val out = MongoDebezium.mongoDebeziumBinary()(binary)
       .select("_id", "name", "age", "_cdc.op")
       .as[(String, String, Long, String)].collect().toSet
     assert(out === Set(
       ("5f0c1a2b3c4d5e6f70819203", "ada", 36L, "I"),
       ("5f0c1a2b3c4d5e6f70819203", "ada", 37L, "U")))
+  }
+
+  test("binary partial update: BSON updatedFields patch-merges through the shared flattener") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def img(name: String, age: Int) =
+      new Doc().string("name", name).int32("age", age).bytes
+    val patch = new Doc().int32("age", 41).bytes
+    val rows = Seq((img("bob", 40), null.asInstanceOf[Array[Byte]], patch, "u", 2000L))
+      .toDF("before", "after", "upd_raw", "op", "ts_ms")
+      .withColumn("updateDescription",
+        struct(col("upd_raw").as("updatedFields"),
+          array(lit("city")).as("removedFields")))
+      .drop("upd_raw")
+      .withColumn("source", struct(lit("db").as("db"), lit("people").as("collection")))
+    val r = MongoDebezium.mongoDebeziumBinary()(rows)
+      .select("name", "age", "_cdc.op").head()
+    assert(r.getString(0) === "bob" && r.getLong(1) === 41L && r.getString(2) === "U")
   }
 }
