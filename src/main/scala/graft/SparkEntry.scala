@@ -432,6 +432,25 @@ object SparkEntry {
       .orderBy("seq")
   }
 
+  /** `partitions` metadata table (Iceberg analogue): live files rolled up
+    * per partition tuple, metadata-only. Row counts per identity
+    * partition are data-derived and oracle-checkable; file/byte counts
+    * depend on task layout and stay out of the contract.
+    */
+  private def qMetaPartitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("meta_partitions")
+    val ev = t(spark, sfDir, "events").select("event_id", "user_id", "event_type", "value")
+    val cfg = EngineConfig(
+      warehouse = wh,
+      tables = Seq(TableConfig("events_p", partitionBy = Seq("event_type"))),
+      autoCreate = true)
+    Ingest.run(spark, ev, 0L, cfg)
+    IceTable.load(s"$wh/events_p").partitionsMeta(spark)
+      .select(element_at(col("partition"), "event_type").as("event_type"),
+        col("row_count"))
+      .orderBy("event_type")
+  }
+
   /** K1/S4: true Structured-Streaming ingestion — two MemoryStream
     * micro-batches through the foreachBatch shell with a checkpoint, then
     * the committed table read back.
@@ -1684,6 +1703,24 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** JSONL export round-trip — the training-data delivery format: curated
+    * docs written as JSON-lines shards (one object per line, unicode and
+    * newlines JSON-escaped) and read back schema-pinned (no inference
+    * job). The oracle is the source selection: export is correct iff the
+    * round trip is lossless.
+    */
+  private def qExportJsonl(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = freshDir("export_jsonl")
+    val docs = t(spark, sfDir, "documents").select("doc_id", "lang", "text")
+    docs.coalesce(4).write.mode("overwrite").json(s"$out/shards")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    spark.read.schema(schema).json(s"$out/shards")
+      .select("doc_id", "lang", "text")
+      .orderBy("doc_id")
+  }
+
   /** Contamination stripping: the REMOVAL step after `decontaminate`'s
     * flagging — every token position covered by a benchmark 3-gram is
     * dropped and documents are rebuilt from the survivors (empty text
@@ -1824,6 +1861,7 @@ object SparkEntry {
       "scan_bloom" -> wrap(qScanBloom),
       "meta_snapshots" -> wrap(qMetaSnapshots),
       "meta_files" -> wrap(qMetaFiles),
+      "meta_partitions" -> wrap(qMetaPartitions),
       "streaming_ingest" -> wrap(qStreamingIngest),
       "streaming_window" -> wrap(qStreamingWindow),
       "sessionize" -> wrap(qSessionize),
@@ -1912,7 +1950,8 @@ object SparkEntry {
       "streaming_curate" -> wrap(qStreamingCurate),
       "corpus_quantiles" -> wrap(qCorpusQuantiles),
       "decontaminate_indexed" -> wrap(qDecontaminateIndexed),
-      "decontaminate_strip" -> wrap(qDecontaminateStrip)
+      "decontaminate_strip" -> wrap(qDecontaminateStrip),
+      "export_jsonl" -> wrap(qExportJsonl)
     )
   }
 
@@ -2223,6 +2262,8 @@ object SparkEntry {
         |HAVING count(*) >= 2
         |ORDER BY id""".stripMargin,
     "decontaminate" -> decontaminateSql,
+    "export_jsonl" ->
+      """SELECT doc_id, lang, text FROM documents ORDER BY doc_id""".stripMargin,
     "decontaminate_strip" ->
       """WITH b AS (
         |  SELECT DISTINCT unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS g
@@ -2463,6 +2504,9 @@ object SparkEntry {
         |SELECT seq, CAST(count(*) AS BIGINT) AS rows,
         |       min(event_id) AS min_event_id, max(event_id) AS max_event_id
         |FROM g GROUP BY seq ORDER BY seq""".stripMargin,
+    "meta_partitions" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS row_count
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "maintenance_zorder" ->
       """WITH b AS (
         |  SELECT max(user_id) // 4 AS u_lo, max(user_id) // 2 AS u_hi,

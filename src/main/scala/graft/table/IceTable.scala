@@ -479,6 +479,20 @@ final class IceTable private[table] (
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** Iceberg `partitions`-metadata-table analogue: [[filesMeta]] rolled
+    * up per partition tuple — file/row/byte counts from recorded stats,
+    * still metadata-only. The map key is grouped via its sorted entry
+    * array (Spark cannot group a MapType directly) and restored for the
+    * output.
+    */
+  def partitionsMeta(spark: SparkSession): DataFrame =
+    filesMeta(spark)
+      .groupBy(array_sort(map_entries(col("partition"))).as("p"))
+      .agg(count(lit(1)).as("files"), sum("rows").as("row_count"),
+        sum(greatest(col("bytes"), lit(0L))).as("bytes"))
+      .select(map_from_entries(col("p")).as("partition"),
+        col("files"), col("row_count"), col("bytes"))
+
   /** Fast-forward THIS branch to include `from`'s newer commits — the
     * write-audit-publish pattern (Iceberg branch fast_forward): ingest
     * into an audit branch (`iceberg.table.<t>.commit-branch`), validate,
