@@ -240,6 +240,32 @@ object SparkEntry {
       .orderBy("_commit_seq", "_change_type", "user_id", "event_id")
   }
 
+  /** Declarative MERGE: a base state (last event per user in the first
+    * half) merged with a source (last event per user in the second half)
+    * keyed on user_id — source rows upsert, `error`-typed source rows
+    * delete the user, untouched users survive. One delta commit, no
+    * target read at merge time.
+    */
+  private def qMergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("merge_upsert")
+    val ev = t(spark, sfDir, "events").select("event_id", "user_id", "event_type", "value")
+    val h = ev.agg(max("event_id")).head().getLong(0) / 2
+    def lastPerUser(df: DataFrame): DataFrame =
+      df.groupBy("user_id").agg(
+        max(struct(col("event_id"), col("event_type"), col("value"))).as("m"))
+        .select(col("m.event_id").as("event_id"), col("user_id"),
+          col("m.event_type").as("event_type"), col("m.value").as("value"))
+    val cfg = EngineConfig(warehouse = wh,
+      tables = Seq(TableConfig("state", idColumns = Seq("user_id"))), autoCreate = true)
+    Ingest.run(spark, lastPerUser(ev.filter(col("event_id") <= h)), 0L, cfg)
+    val table = IceTable.load(s"$wh/state")
+    table.merge(spark, lastPerUser(ev.filter(col("event_id") > h)),
+      deleteWhen = Some(col("event_type") === "error"), batchId = 1L)
+    table.read(spark)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
   /** E1/E2: auto-create from a narrow first batch, then widen int→long,
     * float→double and add a column in batch 2; read back aligned.
     */
@@ -1874,6 +1900,7 @@ object SparkEntry {
       "route_dead_letter" -> wrap(qRouteDeadLetter),
       "cdc_upsert" -> wrap(qCdcUpsert),
       "cdc_changelog" -> wrap(qCdcChangelog),
+      "merge_upsert" -> wrap(qMergeUpsert),
       "schema_evolution" -> wrap(qSchemaEvolution),
       "transform_copy_value" -> wrap(qCopyValue),
       "transform_kafka_metadata" -> wrap(qKafkaMetadata),
@@ -2619,6 +2646,19 @@ object SparkEntry {
         |SELECT d.event_id, d.user_id, d.event_type, d.value FROM data d
         |WHERE NOT EXISTS (SELECT 1 FROM del x WHERE x.user_id = d.user_id AND x.b > d.b)
         |ORDER BY d.user_id, d.event_id""".stripMargin,
+    "merge_upsert" ->
+      """WITH h AS (SELECT max(event_id) // 2 AS m FROM events),
+        |b AS (SELECT event_id, user_id, event_type, value FROM (
+        |  SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events e, h WHERE event_id <= m) WHERE rn = 1),
+        |s AS (SELECT event_id, user_id, event_type, value FROM (
+        |  SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events e, h WHERE event_id > m) WHERE rn = 1)
+        |SELECT event_id, user_id, event_type, value FROM b
+        |WHERE user_id NOT IN (SELECT user_id FROM s)
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value FROM s WHERE event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     "cdc_changelog" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, value,

@@ -522,6 +522,50 @@ final class IceTable private[table] (
     newer.size
   }
 
+  /** Declarative MERGE (Delta/Iceberg `MERGE INTO` analogue) over the
+    * delta-commit primitive: every source row keyed on this table's
+    * id-columns replaces the table's row of the same key (equality
+    * delete + insert); rows satisfying `deleteWhen` delete the key
+    * without inserting; unmatched keys simply insert. One delta commit —
+    * the same shuffle-free write shape as CDC ingestion, no read of the
+    * target table at merge time (the delete applies at READ, the
+    * Iceberg v2 lazy-merge trade: merge cost is O(source), scan cost
+    * carries the anti-join).
+    *
+    * The source must be unique per key — MERGE on an ambiguous source is
+    * an error in every engine (Delta's
+    * DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE); enforced
+    * here with one aggregation when `validateUnique` (on by default,
+    * skippable when the caller just deduplicated).
+    */
+  def merge(
+      spark: SparkSession,
+      source: DataFrame,
+      deleteWhen: Option[Column] = None,
+      batchId: Long = -1L,
+      validateUnique: Boolean = true
+  ): Option[Commit] = {
+    val keyCols = meta.idColumns
+    require(keyCols.nonEmpty, "merge requires id-columns on the table")
+    if (validateUnique) {
+      val dups = source.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1).limit(1).collect()
+      require(dups.isEmpty,
+        s"merge source has multiple rows for key ${dups.headOption.map(_.toString).getOrElse("")} — " +
+          "deduplicate the source first (every engine rejects ambiguous MERGE sources)")
+    }
+    // the source may carry extra columns the deleteWhen predicate needs
+    // (e.g. an op marker); the insert payload is the table schema's
+    // projection, taken AFTER the predicate filters
+    val cols = schema.fieldNames.toSeq
+    val missing = cols.filterNot(source.columns.contains)
+    require(missing.isEmpty, s"merge source is missing table columns: ${missing.mkString(", ")}")
+    val del = deleteWhen.getOrElse(lit(false))
+    val data = source.filter(!coalesce(del, lit(false))).select(cols.map(col): _*)
+    val deleteKeys = source.select(keyCols.map(col): _*)
+    graft.sink.IceTableWriter.delta(spark, data, deleteKeys, this, batchId)
+  }
+
   // ---- maintenance ----------------------------------------------------
 
   /** Rewrite current state as a single fresh append (applies accumulated

@@ -689,6 +689,23 @@ class IceTableSuite extends AnyFunSuite {
     assert(t.readIncremental(spark, 1L, 1L).count() === 0L)
   }
 
+  test("merge: source rows upsert by key, deleteWhen removes, ambiguous source rejected") {
+    val dir = TestSpark.freshDir("t9mg")
+    val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
+    IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), t, 0)
+    // 1 updated, 3 deleted, 4 inserted, 2 untouched
+    val src = Seq((1L, "a2", 1.1, false), (3L, "c", 0.0, true), (4L, "d", 4.0, false))
+      .toDF("id", "name", "v", "del")
+    t.merge(spark, src, deleteWhen = Some(col("del") === true), batchId = 1)
+    val got = t.read(spark).select("id", "name").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a2"), (2L, "b"), (4L, "d")))
+    val dup = Seq((7L, "x", 0.0), (7L, "y", 0.0)).toDF("id", "name", "v")
+    val e = intercept[IllegalArgumentException] { t.merge(spark, dup, batchId = 2) }
+    assert(e.getMessage.contains("multiple rows"))
+    // validation failure must not have committed anything
+    assert(t.log.commits().size === 2)
+  }
+
   test("readChanges emits un-netted insert/delete events in commit order; rewrites skipped") {
     val dir = TestSpark.freshDir("t9c")
     val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
