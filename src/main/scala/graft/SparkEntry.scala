@@ -1143,6 +1143,23 @@ object SparkEntry {
   // ---- LLM-pipeline extensions ----------------------------------------
 
   /** Exact dedup: winner (lowest doc_id) + group size per distinct text. */
+  /** Ranking-window family (rank / quartile ntile / percent_rank) per
+    * event type, deterministic via the (value, event_id) unique ordering;
+    * percent_rank rides as rounded micros. Top-100 per type keeps the
+    * contract size-stable across scale factors.
+    */
+  private def qWindowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    t(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        rank().over(w).cast("long").as("rnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w) * lit(1e6)).cast("long").as("pct_micros"))
+      .filter(col("rnk") <= 100)
+      .orderBy("event_type", "rnk")
+  }
+
   private def qDedupExact(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "documents")
       .groupBy("text")
@@ -1921,6 +1938,7 @@ object SparkEntry {
       "q3_topn" -> wrap(qQ3TopN),
       "q5_region" -> wrap(qQ5Region),
       "window_running" -> wrap(qWindowRunning),
+      "window_rank" -> wrap(qWindowRank),
       "dedup_exact" -> wrap(qDedupExact),
       "dedup_keep_best" -> wrap(qDedupKeepBest),
       "dedup_jaccard" -> wrap(qDedupJaccard),
@@ -2804,6 +2822,15 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT))
         |       OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS running_value_c
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "window_rank" ->
+      """SELECT * FROM (
+        |  SELECT event_id, event_type, value,
+        |    CAST(rank() OVER w AS BIGINT) AS rnk,
+        |    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |    CAST(round(percent_rank() OVER w * 1e6) AS BIGINT) AS pct_micros
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
+        |WHERE rnk <= 100 ORDER BY event_type, rnk""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
