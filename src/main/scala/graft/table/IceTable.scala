@@ -665,6 +665,54 @@ final class IceTable private[table] (
     small.size
   }
 
+  /** fsck-style integrity audit of the LIVE table state: every referenced
+    * data/delete file must exist on disk with its recorded byte size and
+    * (for footer-bearing formats) its recorded row count. Returns one row
+    * per problem — an empty result is a healthy table. Metadata + footer
+    * reads only, never data; run it before trusting a restored/copied
+    * warehouse.
+    */
+  def fsck(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val live = liveCommits(None)
+    val removed = live.flatMap(_.removedPaths).map(IceTable.normalizePath).toSet
+    val entries: Seq[(FileEntry, Long, String)] =
+      live.flatMap(c =>
+        c.dataFiles.filterNot(f => removed.contains(IceTable.normalizePath(f.path)))
+          .map(f => (f, c.seq, "data")) ++
+          c.deleteFiles.map(f => (f, c.seq, "delete")))
+    val problems = entries.flatMap { case (f, seq, kind) =>
+      val p = Paths.get(IceTable.normalizePath(f.path))
+      if (!Files.exists(p))
+        Some(Row(f.path, seq, kind, "missing", s"file not found"))
+      else {
+        val sz = Files.size(p)
+        if (f.bytes >= 0 && sz != f.bytes)
+          Some(Row(f.path, seq, kind, "size-mismatch", s"recorded ${f.bytes} bytes, found $sz"))
+        else if (f.rows >= 0 && f.format == "parquet") {
+          val actual =
+            try {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(p.toString),
+                new org.apache.hadoop.conf.Configuration())
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getRecordCount finally r.close()
+            } catch { case _: Exception => -1L }
+          if (actual != f.rows)
+            Some(Row(f.path, seq, kind, "row-mismatch", s"recorded ${f.rows} rows, footer has $actual"))
+          else None
+        } else None
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("seq", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("problem", StringType, nullable = false),
+      StructField("detail", StringType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(problems, 1), schema)
+  }
+
   /** Remove data/delete files no branch can still reach (i.e. referenced
     * only by commits superseded by a compaction rewrite). Trades time
     * travel past the last rewrite for space — Iceberg's

@@ -689,6 +689,23 @@ class IceTableSuite extends AnyFunSuite {
     assert(t.readIncremental(spark, 1L, 1L).count() === 0L)
   }
 
+  test("fsck: healthy table is empty; missing and corrupted files are reported") {
+    val dir = TestSpark.freshDir("t9f")
+    val t = IceTable.create(dir, schema, TableMeta())
+    IceTableWriter.append(spark, df((1L, "a", 1.0)).coalesce(1), t, 0)
+    IceTableWriter.append(spark, df((2L, "b", 2.0)).coalesce(1), t, 1)
+    assert(t.fsck(spark).count() === 0L)
+    // delete one referenced file → missing; truncate the other → size-mismatch
+    val paths = t.planFiles(None).map(_._1.path).sorted
+    java.nio.file.Files.delete(java.nio.file.Paths.get(paths.head))
+    val raf = new java.io.RandomAccessFile(paths.last, "rw")
+    try raf.setLength(raf.length() - 1) finally raf.close()
+    val problems = t.fsck(spark).select("file_path", "problem")
+      .as[(String, String)].collect().toMap
+    assert(problems(paths.head) === "missing")
+    assert(problems(paths.last) === "size-mismatch")
+  }
+
   test("merge: source rows upsert by key, deleteWhen removes, ambiguous source rejected") {
     val dir = TestSpark.freshDir("t9mg")
     val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
