@@ -1180,6 +1180,33 @@ object SparkEntry {
       .select("doc_id", "lang", "n_chars", "dup_count")
       .orderBy("doc_id")
 
+  /** Dead-letter INGEST (`iceberg.tables.dead-letter-enabled`): a string
+    * payload column targets a LONG table column; rows whose value cannot
+    * coerce land in `<table>__dlq` with the record JSON and a reason,
+    * while the batch commits the clean slice — the full
+    * errors.tolerance=all path through coercion, not just the standalone
+    * split operator.
+    */
+  private def qIngestDeadLetter(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("ingest_dead_letter")
+    val src = t(spark, sfDir, "events").select(
+      col("event_id"),
+      when(pmod(col("event_id"), lit(7)) === 0, lit("oops"))
+        .otherwise(get_json_object(col("props"), "$.k")).as("k"))
+    val target = StructType(Seq(
+      StructField("event_id", LongType), StructField("k", LongType)))
+    IceTable.create(s"$wh/typed", target)
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("typed")),
+      deadLetterEnabled = true)
+    Ingest.run(spark, src, 0L, cfg)
+    val ok = IceTable.load(s"$wh/typed").read(spark)
+      .select(col("event_id"), col("k"), lit("ok").as("route"))
+    val dead = IceTable.load(s"$wh/typed__dlq").read(spark)
+      .select(get_json_object(col("record"), "$.event_id").cast("long").as("event_id"),
+        lit(null).cast("long").as("k"), lit("dead").as("route"))
+    ok.unionByName(dead).orderBy("event_id")
+  }
+
   /** Bigram-LM document quality (one order above `quality_lm`'s unigram
     * model — the CCNet-style perplexity signal): interpolated
     * `log(0.9·P(w2|w1) + 0.1·P(w2))` summed per doc as exact integer
@@ -1915,6 +1942,7 @@ object SparkEntry {
       "route_static" -> wrap(qRouteStatic),
       "route_dynamic" -> wrap(qRouteDynamic),
       "route_dead_letter" -> wrap(qRouteDeadLetter),
+      "ingest_dead_letter" -> wrap(qIngestDeadLetter),
       "cdc_upsert" -> wrap(qCdcUpsert),
       "cdc_changelog" -> wrap(qCdcChangelog),
       "merge_upsert" -> wrap(qMergeUpsert),
@@ -2642,6 +2670,12 @@ object SparkEntry {
       """SELECT lower(event_type) AS sink, event_id, user_id FROM events
         |ORDER BY sink, event_id""".stripMargin,
     "route_dead_letter" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 7 <> 0
+        |       THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
+        |  CASE WHEN event_id % 7 = 0 THEN 'dead' ELSE 'ok' END AS route
+        |FROM events ORDER BY event_id""".stripMargin,
+    "ingest_dead_letter" ->
       """SELECT event_id,
         |  CASE WHEN event_id % 7 <> 0
         |       THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,

@@ -50,6 +50,12 @@ final case class EngineConfig(
       * throw on unconvertible values; Spark's ANSI-off cast nulls them).
       * Default false = permissive, matching prior engine behavior. */
     strictCoercion: Boolean = false,
+    /** `iceberg.tables.dead-letter-enabled` — Kafka Connect
+      * `errors.tolerance=all` + DLQ semantics on the append path: rows
+      * whose non-null values would coerce to null are written to
+      * `<table>__dlq` (record JSON + reason + timestamp) instead of
+      * failing the batch (strict) or silently nulling (permissive). */
+    deadLetterEnabled: Boolean = false,
     /** `iceberg.tables.default-id-columns` */
     defaultIdColumns: Seq[String] = Nil,
     /** `iceberg.tables.default-partition-by` */
@@ -180,6 +186,7 @@ object EngineConfig {
       schemaForceOptional = bool("iceberg.tables.schema-force-optional", dflt = false),
       schemaCaseInsensitive = bool("iceberg.tables.schema-case-insensitive", dflt = true),
       strictCoercion = bool("iceberg.tables.strict-coercion-enabled", dflt = false),
+      deadLetterEnabled = bool("iceberg.tables.dead-letter-enabled", dflt = false),
       defaultIdColumns = defaultIds,
       defaultPartitionBy = defaultParts,
       defaultCommitBranch = defaultBranch,

@@ -69,6 +69,31 @@ object Coercion {
     df.select(cols: _*)
   }
 
+  /** Per-row violation reason for the dead-letter path: the FIRST
+    * projected column whose non-null source value would coerce to null,
+    * as a message column (NULL = the row is clean). Same per-column
+    * condition as [[project]]'s strict arm, but as data instead of a
+    * batch-failing `raise_error` — `errors.tolerance=all` semantics:
+    * split on this, route the dead slice, keep the batch alive.
+    */
+  def violationReason(
+      df: DataFrame,
+      target: StructType,
+      nameMapping: Map[String, Seq[String]] = Map.empty,
+      caseInsensitive: Boolean = true
+  ): Column = {
+    val available = df.schema
+    val checks: Seq[Column] = target.fields.toSeq.flatMap { f =>
+      resolveField(available, f.name, nameMapping, caseInsensitive).map { src =>
+        val coerced = coerce(col(src.name), src.dataType, f.dataType)
+        when(col(src.name).isNotNull && coerced.isNull,
+          concat(lit(s"column '${src.name}' value '"), col(src.name).cast(StringType),
+            lit(s"' does not convert to ${f.dataType.sql}")))
+      }
+    }
+    coalesce(checks :+ lit(null).cast(StringType): _*)
+  }
+
   /** Field lookup: exact name, case-insensitive name, then name-mapping
     * aliases (`RecordConverter.java:245-271`, E3/E4).
     */

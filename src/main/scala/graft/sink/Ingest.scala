@@ -225,10 +225,34 @@ object Ingest {
         offsets = bookkeeping()._1, vtts = bookkeeping()._2,
         maxRecordsPerFile = config.maxRecordsPerFile)
     } else {
-      val coerced = Coercion.project(tdf, table.schema,
+      // errors.tolerance=all + DLQ: split off rows whose values can't
+      // coerce BEFORE projection — they land in `<table>__dlq` as
+      // (record JSON, reason, rejected_at) and the batch proceeds. One
+      // scan shape: both slices are filters over the same frame
+      // (Routing.deadLetterSplit), and the DLQ write only materializes
+      // the dead slice.
+      val toWrite =
+        if (!config.deadLetterEnabled) tdf
+        else {
+          val reason = Coercion.violationReason(tdf, table.schema,
+            nameMapping = nameMapping, caseInsensitive = config.schemaCaseInsensitive)
+          val (ok, dead) = graft.operators.Routing.deadLetterSplit(tdf, reason.isNull, reason)
+          val dlqRows = dead.select(
+            to_json(struct(tdf.columns.map(col).toIndexedSeq: _*)).as("record"),
+            col("_dlq.reason").as("reason"),
+            col("_dlq.rejected_at").as("rejected_at"))
+          val dlqTable = IceTable.loadOrCreate(
+            s"${config.warehouse}/${tconf.name}__dlq", dlqRows.schema,
+            graft.table.TableMeta())
+          IceTableWriter.append(spark, dlqRows, dlqTable, batchId)
+          ok
+        }
+      val coerced = Coercion.project(toWrite, table.schema,
         nameMapping = nameMapping,
         caseInsensitive = config.schemaCaseInsensitive,
-        strict = config.strictCoercion)
+        // dead-letter mode subsumes strict: violations were already
+        // routed away, so the projection must not re-throw on them
+        strict = config.strictCoercion && !config.deadLetterEnabled)
       IceTableWriter.append(spark, coerced, table, batchId,
         offsets = bookkeeping()._1, vtts = bookkeeping()._2,
         maxRecordsPerFile = config.maxRecordsPerFile)

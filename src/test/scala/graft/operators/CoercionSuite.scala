@@ -273,4 +273,22 @@ class CoercionSuite extends AnyFunSuite {
       if (r.isNullAt(0)) None else Some(r.getInt(0)))
     assert(got.toSet === Set(Some(7), None))
   }
+
+  test("violationReason names the bad column per ROW; nulls and clean rows pass") {
+    import org.apache.spark.sql.functions.col
+    val target = StructType(Seq(
+      StructField("n", IntegerType), StructField("s", StringType)))
+    val df = Seq(
+      (Some("12"), "a"),   // clean
+      (Some("bad"), "b"),  // n violates
+      (None, "c")          // source null is not a violation
+    ).toDF("n", "s")
+    val reasons = df.select(Coercion.violationReason(df, target).as("r"), col("s"))
+      .collect().map(r => (r.getString(1), Option(r.getString(0)))).toMap
+    assert(reasons("a").isEmpty && reasons("c").isEmpty)
+    assert(reasons("b").exists(m => m.contains("'n'") && m.contains("bad")))
+    // a target with no resolvable columns is all-clean, not an error
+    val none = StructType(Seq(StructField("zzz", IntegerType)))
+    assert(df.select(Coercion.violationReason(df, none)).collect().forall(_.isNullAt(0)))
+  }
 }
