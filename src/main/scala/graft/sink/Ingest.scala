@@ -244,6 +244,9 @@ object Ingest {
           val dlqTable = IceTable.loadOrCreate(
             s"${config.warehouse}/${tconf.name}__dlq", dlqRows.schema,
             graft.table.TableMeta())
+          // a clean batch writes an empty (zero-file) DLQ commit rather
+          // than paying an extra emptiness-probe scan per trigger; the
+          // commit log's checkpoint consolidation bounds the entry count
           IceTableWriter.append(spark, dlqRows, dlqTable, batchId)
           ok
         }

@@ -681,14 +681,20 @@ final class IceTable private[table] (
         c.dataFiles.filterNot(f => removed.contains(IceTable.normalizePath(f.path)))
           .map(f => (f, c.seq, "data")) ++
           c.deleteFiles.map(f => (f, c.seq, "delete")))
-    val problems = entries.flatMap { case (f, seq, kind) =>
+    // footer opens dominate; run them in parallel on the driver pool —
+    // the same I/O shape as the writer's stats collection (at genuinely
+    // huge file counts, run fsck per-branch/partition subset; the check
+    // itself stays metadata-only either way)
+    val problemList = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    entries.asJava.parallelStream().forEach { case (f, seq, kind) =>
       val p = Paths.get(IceTable.normalizePath(f.path))
       if (!Files.exists(p))
-        Some(Row(f.path, seq, kind, "missing", s"file not found"))
+        problemList.add(Row(f.path, seq, kind, "missing", "file not found"))
       else {
         val sz = Files.size(p)
         if (f.bytes >= 0 && sz != f.bytes)
-          Some(Row(f.path, seq, kind, "size-mismatch", s"recorded ${f.bytes} bytes, found $sz"))
+          problemList.add(Row(f.path, seq, kind, "size-mismatch",
+            s"recorded ${f.bytes} bytes, found $sz"))
         else if (f.rows >= 0 && f.format == "parquet") {
           val actual =
             try {
@@ -699,11 +705,12 @@ final class IceTable private[table] (
               try r.getRecordCount finally r.close()
             } catch { case _: Exception => -1L }
           if (actual != f.rows)
-            Some(Row(f.path, seq, kind, "row-mismatch", s"recorded ${f.rows} rows, footer has $actual"))
-          else None
-        } else None
+            problemList.add(Row(f.path, seq, kind, "row-mismatch",
+              s"recorded ${f.rows} rows, footer has $actual"))
+        }
       }
     }
+    val problems = problemList.asScala.toSeq
     val schema = StructType(Seq(
       StructField("file_path", StringType, nullable = false),
       StructField("seq", LongType, nullable = false),
