@@ -1606,6 +1606,19 @@ object SparkEntry {
       terms = Seq("spark", "join", "shuffle"), k = 10)
       .orderBy("rank")
 
+  /** BM25 answered from the PERSISTED index ([[Search.buildIndex]] /
+    * [[Search.topKIndexed]]): the probe reads only the query terms'
+    * postings (bucket pruning + term pushdown) — the corpus is never
+    * rescanned. Per-posting fixed-point rounding makes the score
+    * independent of float-sum order; the oracle applies the same rule.
+    */
+  private def qSearchBm25Indexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = freshDir("bm25_index")
+    Search.buildIndex(t(spark, sfDir, "documents"), "doc_id", "text", dir)
+    Search.topKIndexed(spark, dir, Seq("spark", "join", "shuffle"), k = 10)
+      .orderBy("rank")
+  }
+
   /** Training-sequence packing: next-fit within id-ordered shards, one
     * repartition + sorted streaming pass (see [[graft.llm.Packing]]).
     * Oracle replays the same discipline with a recursive CTE.
@@ -2001,6 +2014,7 @@ object SparkEntry {
       "multimodal_resize" -> wrap(qMultimodalResize),
       "decontaminate" -> wrap(qDecontaminate),
       "search_bm25" -> wrap(qSearchBm25),
+      "search_bm25_indexed" -> wrap(qSearchBm25Indexed),
       "pack_sequences" -> wrap(qPackSequences),
       "ngram_counts" -> wrap(qNgramCounts),
       "chunk_documents" -> wrap(qChunkDocuments),
@@ -2384,6 +2398,32 @@ object SparkEntry {
         |      + ln(CAST(1.0 AS DOUBLE) + (n - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE))) * CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))
         |      + ln(CAST(1.0 AS DOUBLE) + (n - df3 + CAST(0.5 AS DOUBLE)) / (df3 + CAST(0.5 AS DOUBLE))) * CAST(tf3 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(tf3 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))
         |      ) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS bm25_fixed
+        |  FROM w, stats)
+        |SELECT id, bm25_fixed,
+        |  row_number() OVER (ORDER BY bm25_fixed DESC, id) AS rank
+        |FROM scored WHERE bm25_fixed > 0
+        |ORDER BY bm25_fixed DESC, id LIMIT 10""".stripMargin,
+    "search_bm25_indexed" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS dl,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'spark')) AS tf1,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'join')) AS tf2,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'shuffle')) AS tf3
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+        |    CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+        |  FROM w),
+        |scored AS (
+        |  SELECT doc_id AS id,
+        |      CAST(round(ln(CAST(1.0 AS DOUBLE) + (n - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE))) * CAST(tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl)) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+        |    + CAST(round(ln(CAST(1.0 AS DOUBLE) + (n - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE))) * CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl)) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+        |    + CAST(round(ln(CAST(1.0 AS DOUBLE) + (n - df3 + CAST(0.5 AS DOUBLE)) / (df3 + CAST(0.5 AS DOUBLE))) * CAST(tf3 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(tf3 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl)) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+        |      AS bm25_fixed
         |  FROM w, stats)
         |SELECT id, bm25_fixed,
         |  row_number() OVER (ORDER BY bm25_fixed DESC, id) AS rank

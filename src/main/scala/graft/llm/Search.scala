@@ -21,6 +21,105 @@ object Search {
   def termFrequency(text: Column, term: String): Column =
     size(filter(TextAnalysis.tokens(text), t => t === lit(term)))
 
+  /** Persisted BM25 index layout version (bump on layout change — probes
+    * refuse to read a layout they weren't built for). */
+  val IndexVersion = 1
+
+  /** Build a persisted BM25 index: a postings table (term, id, tf)
+    * partitioned by a term-hash bucket (vocabulary is too large for
+    * one directory per term; the bucket gives partition pruning on the
+    * probe's literal bucket set), a doc-length table, and a stats file
+    * (N, Σdl). One tokenize + one aggregation — the index build IS the
+    * stats pass [[bm25TopK]] repeats per query, paid once.
+    */
+  def buildIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      termBuckets: Int = 64
+  ): Unit = {
+    require(termBuckets >= 1, s"termBuckets must be >= 1: $termBuckets")
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/postings")
+    docs.select(col(idCol).as("id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/doclen")
+    val s = docs.agg(count(lit(1)).as("n"),
+      sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("sumdl")).head()
+    val json = s"""{"version":$IndexVersion,"termBuckets":$termBuckets,""" +
+      s""""n":${s.getLong(0)},"sumdl":${if (s.isNullAt(1)) 0L else s.getLong(1)}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir).resolve("stats.json"), json)
+  }
+
+  /** BM25 top-k answered FROM the persisted index: the corpus is never
+    * rescanned — the probe reads only the query terms' postings (bucket
+    * partition pruning + term predicate pushdown), joins doc lengths,
+    * and top-ks. Scoring is fixed-point per POSTING (each term's
+    * contribution rounds to micros before the integer per-doc sum), so
+    * the result is independent of float-summation order — the contract
+    * an index answering across sessions needs. Returns
+    * (id, bm25_fixed, rank) like [[bm25TopK]] (same formula; the two
+    * differ only in where the per-term rounding happens).
+    */
+  def topKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(terms.nonEmpty, "at least one query term")
+    val statsJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir).resolve("stats.json"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val stats = mapper.readTree(statsJson)
+    require(stats.get("version").asInt() == IndexVersion,
+      s"BM25 index at $dir has layout version ${stats.get("version").asInt()}, " +
+        s"this engine reads $IndexVersion — rebuild the index")
+    val n = stats.get("n").asLong()
+    val termBuckets = stats.get("termBuckets").asLong()
+    if (n == 0L)
+      return spark.range(0).select(col("id"), lit(0L).as("bm25_fixed"), lit(0L).as("rank"))
+    val avgdl = stats.get("sumdl").asLong().toDouble / n.toDouble
+    // bucket ids via the SAME engine hash the build used (one k-term job)
+    val buckets = spark.range(1).select(
+      terms.map(t => pmod(xxhash64(lit(t)), lit(termBuckets)).as(t)): _*).head()
+      .toSeq.map(_.asInstanceOf[Long]).distinct
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+    // per-term document frequencies: reads only the probed postings
+    val dfByTerm = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = terms.map { t =>
+      val df = dfByTerm.getOrElse(t, 0L).toDouble
+      t -> math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    }
+    val idfCol = idf.tail.foldLeft(
+      when(col("term") === idf.head._1, lit(idf.head._2))) {
+      case (acc, (t, w)) => acc.when(col("term") === t, lit(w))
+    }
+    val doclen = spark.read.parquet(s"$dir/doclen")
+    val tf = col("tf").cast("double")
+    val dl = col("dl").cast("double")
+    val contrib = idfCol * tf * lit(k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
+    postings.join(doclen, "id")
+      .select(col("id"), round(contrib * lit(1e6)).cast("long").as("m"))
+      .groupBy("id").agg(sum("m").as("bm25_fixed"))
+      .filter(col("bm25_fixed") > 0)
+      .orderBy(col("bm25_fixed").desc, col("id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25_fixed").desc, col("id"))).cast("long"))
+  }
+
   /** BM25 top-k: the `k` highest-scoring docs for `terms`, scored in
     * fixed-point micro-units (`bm25_fixed = round(score * 1e6)` — the
     * cross-engine-exact exchange form used throughout the oracle

@@ -157,6 +157,32 @@ class CurationOpsSuite extends AnyFunSuite {
       (3L, 0L, 0L))) // empty doc
   }
 
+  test("persisted BM25 index answers like the direct scorer; probe prunes term buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Search.buildIndex(docs, "doc_id", "text", dir, termBuckets = 16)
+    val terms = Seq("spark", "join", "shuffle")
+    val indexed = Search.topKIndexed(spark, dir, terms, k = 10)
+      .select("id", "rank").as[(Long, Long)].collect().toSeq
+    val direct = Search.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+      .select("id", "rank").as[(Long, Long)].collect().toSeq
+    // same docs in the same order (scores differ only in where the
+    // per-term micros rounding lands — never enough to reorder here)
+    assert(indexed === direct)
+    // the probe's postings scan reads only the query terms' buckets
+    val plan = Search.topKIndexed(spark, dir, terms, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("tb"), s"no bucket predicate in probe plan:\n$plan")
+    // layout-version guard fails loudly
+    val statsPath = java.nio.file.Paths.get(dir).resolve("stats.json")
+    val tampered = java.nio.file.Files.readString(statsPath)
+      .replace("\"version\":1", "\"version\":99")
+    java.nio.file.Files.writeString(statsPath, tampered)
+    val e = intercept[IllegalArgumentException] {
+      Search.topKIndexed(spark, dir, terms, k = 10)
+    }
+    assert(e.getMessage.contains("layout version"))
+  }
+
   test("stripOverlaps removes covered spans, keeps clean docs byte-identical") {
     val bench = Seq((100L, "secret eval answer")).toDF("doc_id", "text")
     val corpus = Seq(
