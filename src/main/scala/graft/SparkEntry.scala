@@ -417,6 +417,28 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Write-audit-publish: ingestion targets an AUDIT branch
+    * (`iceberg.table.<t>.commit-branch`); main stays invisible until the
+    * audited commits fast-forward onto it — data files shared by path,
+    * never copied. The published main serves exactly the audited rows.
+    */
+  private def qBranchPublish(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("branch_publish")
+    val ev = t(spark, sfDir, "events").select("event_id", "user_id", "event_type", "value")
+    val h = ev.agg(max("event_id")).head().getLong(0) / 2
+    val cfg = EngineConfig(
+      warehouse = wh,
+      tables = Seq(TableConfig("events_wap", commitBranch = "audit")),
+      autoCreate = true)
+    Ingest.run(spark, ev.filter(col("event_id") <= h), 0L, cfg)
+    Ingest.run(spark, ev.filter(col("event_id") > h), 1L, cfg)
+    val main = IceTable.load(s"$wh/events_wap") // branch "main"
+    main.fastForwardFrom("audit")
+    main.read(spark)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   /** `snapshots` metadata table (Iceberg analogue): commit history as a
     * queryable DataFrame — operation kind and added-row counts per commit,
     * straight from the log with no data file opened. Two appends then a
@@ -1945,6 +1967,7 @@ object SparkEntry {
       "meta_snapshots" -> wrap(qMetaSnapshots),
       "meta_files" -> wrap(qMetaFiles),
       "meta_partitions" -> wrap(qMetaPartitions),
+      "branch_publish" -> wrap(qBranchPublish),
       "streaming_ingest" -> wrap(qStreamingIngest),
       "streaming_window" -> wrap(qStreamingWindow),
       "sessionize" -> wrap(qSessionize),
@@ -2620,6 +2643,9 @@ object SparkEntry {
     "meta_partitions" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS row_count
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "branch_publish" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "maintenance_zorder" ->
       """WITH b AS (
         |  SELECT max(user_id) // 4 AS u_lo, max(user_id) // 2 AS u_hi,
