@@ -1628,6 +1628,17 @@ object SparkEntry {
       terms = Seq("spark", "join", "shuffle"), k = 10)
       .orderBy("rank")
 
+  /** Exact phrase match: a token-boundary n-gram phrase is a SHINGLE
+    * membership test (`array_contains` over the codegen'd shingle
+    * expression) — no regex, no per-char scan, and the same whitespace
+    * token contract as every other text operator.
+    */
+  private def qSearchPhrase(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .filter(array_contains(Dedup.shingles(col("text"), 2), "the spark"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   /** BM25 answered from the PERSISTED index ([[Search.buildIndex]] /
     * [[Search.topKIndexed]]): the probe reads only the query terms'
     * postings (bucket pruning + term pushdown) — the corpus is never
@@ -2038,6 +2049,7 @@ object SparkEntry {
       "decontaminate" -> wrap(qDecontaminate),
       "search_bm25" -> wrap(qSearchBm25),
       "search_bm25_indexed" -> wrap(qSearchBm25Indexed),
+      "search_phrase" -> wrap(qSearchPhrase),
       "pack_sequences" -> wrap(qPackSequences),
       "ngram_counts" -> wrap(qNgramCounts),
       "chunk_documents" -> wrap(qChunkDocuments),
@@ -2426,6 +2438,14 @@ object SparkEntry {
         |  row_number() OVER (ORDER BY bm25_fixed DESC, id) AS rank
         |FROM scored WHERE bm25_fixed > 0
         |ORDER BY bm25_fixed DESC, id LIMIT 10""".stripMargin,
+    "search_phrase" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents)
+        |WHERE len(list_filter([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))],
+        |                      s -> s = 'the spark')) > 0
+        |ORDER BY doc_id""".stripMargin,
     "search_bm25_indexed" ->
       """WITH w AS (
         |  SELECT doc_id,
