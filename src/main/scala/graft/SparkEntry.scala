@@ -1639,6 +1639,19 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Phrase search FROM the positional index: slot postings join on doc
+    * id and a start position must line up across slots — no corpus scan,
+    * no re-tokenization. Same result set as the scan-based
+    * `search_phrase`; its oracle states the scan formulation.
+    */
+  private def qSearchPhraseIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = freshDir("phrase_index")
+    Search.buildIndex(t(spark, sfDir, "documents"), "doc_id", "text", dir)
+    Search.phraseIndexed(spark, dir, Seq("the", "spark"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** BM25 answered from the PERSISTED index ([[Search.buildIndex]] /
     * [[Search.topKIndexed]]): the probe reads only the query terms'
     * postings (bucket pruning + term pushdown) — the corpus is never
@@ -2050,6 +2063,7 @@ object SparkEntry {
       "search_bm25" -> wrap(qSearchBm25),
       "search_bm25_indexed" -> wrap(qSearchBm25Indexed),
       "search_phrase" -> wrap(qSearchPhrase),
+      "search_phrase_indexed" -> wrap(qSearchPhraseIndexed),
       "pack_sequences" -> wrap(qPackSequences),
       "ngram_counts" -> wrap(qNgramCounts),
       "chunk_documents" -> wrap(qChunkDocuments),
@@ -2441,6 +2455,14 @@ object SparkEntry {
     "search_phrase" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents)
+        |WHERE len(list_filter([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))],
+        |                      s -> s = 'the spark')) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "search_phrase_indexed" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id,
         |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
         |  FROM documents)
         |WHERE len(list_filter([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))],

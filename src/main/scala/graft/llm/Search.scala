@@ -22,15 +22,18 @@ object Search {
     size(filter(TextAnalysis.tokens(text), t => t === lit(term)))
 
   /** Persisted BM25 index layout version (bump on layout change — probes
-    * refuse to read a layout they weren't built for). */
-  val IndexVersion = 1
+    * refuse to read a layout they weren't built for). v2 added positional
+    * postings (phrase probes). */
+  val IndexVersion = 2
 
-  /** Build a persisted BM25 index: a postings table (term, id, tf)
-    * partitioned by a term-hash bucket (vocabulary is too large for
-    * one directory per term; the bucket gives partition pruning on the
-    * probe's literal bucket set), a doc-length table, and a stats file
-    * (N, Σdl). One tokenize + one aggregation — the index build IS the
-    * stats pass [[bm25TopK]] repeats per query, paid once.
+  /** Build a persisted full-text index: a POSITIONAL postings table
+    * (term, id, tf, sorted positions) partitioned by a term-hash bucket
+    * (vocabulary is too large for one directory per term; the bucket
+    * gives partition pruning on the probe's literal bucket set), a
+    * doc-length table, and a stats file (N, Σdl). One tokenize + one
+    * aggregation — the index build IS the stats pass [[bm25TopK]]
+    * repeats per query, paid once; positions add phrase capability for
+    * ~one extra int per token of index bytes.
     */
   def buildIndex(
       docs: DataFrame,
@@ -40,9 +43,11 @@ object Search {
       termBuckets: Int = 64
   ): Unit = {
     require(termBuckets >= 1, s"termBuckets must be >= 1: $termBuckets")
-    val toks = docs.select(col(idCol).as("id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("term"))
-    toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val toks = docs
+      .select(col(idCol).as("id"), posexplode(TextAnalysis.tokens(col(textCol))))
+      .select(col("id"), (col("pos") + 1).as("p"), col("col").as("term"))
+    toks.groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("p"))).as("positions"))
       .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/postings")
     docs.select(col(idCol).as("id"),
@@ -75,24 +80,14 @@ object Search {
       b: Double = 0.75
   ): DataFrame = {
     require(terms.nonEmpty, "at least one query term")
-    val statsJson = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(dir).resolve("stats.json"))
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val stats = mapper.readTree(statsJson)
-    require(stats.get("version").asInt() == IndexVersion,
-      s"BM25 index at $dir has layout version ${stats.get("version").asInt()}, " +
-        s"this engine reads $IndexVersion — rebuild the index")
+    val stats = readStats(dir)
     val n = stats.get("n").asLong()
     val termBuckets = stats.get("termBuckets").asLong()
     if (n == 0L)
       return spark.range(0).select(col("id"), lit(0L).as("bm25_fixed"), lit(0L).as("rank"))
     val avgdl = stats.get("sumdl").asLong().toDouble / n.toDouble
     // bucket ids via the SAME engine hash the build used (one k-term job)
-    val buckets = spark.range(1).select(
-      terms.map(t => pmod(xxhash64(lit(t)), lit(termBuckets)).as(t)): _*).head()
-      .toSeq.map(_.asInstanceOf[Long]).distinct
-    val postings = spark.read.parquet(s"$dir/postings")
-      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+    val postings = probePostings(spark, dir, terms, termBuckets)
     // per-term document frequencies: reads only the probed postings
     val dfByTerm = postings.groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -118,6 +113,60 @@ object Search {
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("bm25_fixed").desc, col("id"))).cast("long"))
+  }
+
+  /** Stats file with the layout-version guard every probe shares. */
+  private def readStats(dir: String): com.fasterxml.jackson.databind.JsonNode = {
+    val statsJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir).resolve("stats.json"))
+    val stats = new com.fasterxml.jackson.databind.ObjectMapper().readTree(statsJson)
+    require(stats.get("version").asInt() == IndexVersion,
+      s"BM25 index at $dir has layout version ${stats.get("version").asInt()}, " +
+        s"this engine reads $IndexVersion — rebuild the index")
+    stats
+  }
+
+  /** Postings rows for the probed terms: bucket partition pruning (the
+    * terms' hash buckets as a literal IN) plus the term predicate pushed
+    * into the parquet scan — the corpus itself is never touched.
+    */
+  private def probePostings(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      terms: Seq[String],
+      termBuckets: Long
+  ): DataFrame = {
+    // bucket ids via the SAME engine hash the build used (one k-term job)
+    val buckets = spark.range(1).select(
+      terms.distinct.map(t => pmod(xxhash64(lit(t)), lit(termBuckets)).as(t)): _*).head()
+      .toSeq.map(_.asInstanceOf[Long]).distinct
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms.distinct: _*))
+  }
+
+  /** Exact phrase search FROM the index: each phrase slot's postings join
+    * on the doc id and a start position must line up across every slot
+    * (`positions` are sorted token positions, so slot i must contain
+    * start + i). Reads only the phrase terms' postings — no corpus scan,
+    * no text re-tokenization; k-1 joins over term-sized inputs. Returns
+    * matching doc ids.
+    */
+  def phraseIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      phrase: Seq[String]
+  ): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val stats = readStats(dir)
+    val postings = probePostings(spark, dir, phrase, stats.get("termBuckets").asLong())
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      postings.filter(col("term") === t).select(col("id"), col("positions").as(s"p$i"))
+    }
+    val joined = slots.reduce(_.join(_, "id"))
+    val starts = phrase.indices.tail.foldLeft(col("p0")) { (acc, i) =>
+      filter(acc, p => array_contains(col(s"p$i"), p + i))
+    }
+    joined.filter(size(starts) > 0).select("id")
   }
 
   /** BM25 top-k: the `k` highest-scoring docs for `terms`, scored in

@@ -172,10 +172,18 @@ class CurationOpsSuite extends AnyFunSuite {
     val plan = Search.topKIndexed(spark, dir, terms, k = 10)
       .queryExecution.executedPlan.toString
     assert(plan.contains("tb"), s"no bucket predicate in probe plan:\n$plan")
+    // phrase probe from the SAME index: agrees with a direct shingle scan
+    val phrase = Seq("the", "spark")
+    val viaIndex = Search.phraseIndexed(spark, dir, phrase)
+      .as[Long].collect().sorted.toSeq
+    val viaScan = docs
+      .filter(array_contains(Dedup.shingles(col("text"), 2), phrase.mkString(" ")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaIndex === viaScan)
     // layout-version guard fails loudly
     val statsPath = java.nio.file.Paths.get(dir).resolve("stats.json")
     val tampered = java.nio.file.Files.readString(statsPath)
-      .replace("\"version\":1", "\"version\":99")
+      .replace(s""""version":${Search.IndexVersion}""", "\"version\":99")
     java.nio.file.Files.writeString(statsPath, tampered)
     val e = intercept[IllegalArgumentException] {
       Search.topKIndexed(spark, dir, terms, k = 10)
