@@ -417,6 +417,28 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Dynamic partition overwrite: the `click` partition is re-written
+    * with corrected rows (negated values) while every other partition's
+    * files stay untouched — the INSERT OVERWRITE write disposition, one
+    * commit via `removedPaths`.
+    */
+  private def qOverwritePartitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("overwrite_partitions")
+    val ev = t(spark, sfDir, "events").select("event_id", "user_id", "event_type", "value")
+    val cfg = EngineConfig(
+      warehouse = wh,
+      tables = Seq(TableConfig("events_o", partitionBy = Seq("event_type"))),
+      autoCreate = true)
+    Ingest.run(spark, ev, 0L, cfg)
+    val table = IceTable.load(s"$wh/events_o")
+    val corrected = ev.filter(col("event_type") === "click")
+      .withColumn("value", -col("value"))
+    graft.sink.IceTableWriter.overwritePartitions(spark, corrected, table, batchId = 1L)
+    table.read(spark)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   /** Write-audit-publish: ingestion targets an AUDIT branch
     * (`iceberg.table.<t>.commit-branch`); main stays invisible until the
     * audited commits fast-forward onto it — data files shared by path,
@@ -1992,6 +2014,7 @@ object SparkEntry {
       "meta_files" -> wrap(qMetaFiles),
       "meta_partitions" -> wrap(qMetaPartitions),
       "branch_publish" -> wrap(qBranchPublish),
+      "overwrite_partitions" -> wrap(qOverwritePartitions),
       "streaming_ingest" -> wrap(qStreamingIngest),
       "streaming_window" -> wrap(qStreamingWindow),
       "sessionize" -> wrap(qSessionize),
@@ -2687,6 +2710,10 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "branch_publish" ->
       """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "overwrite_partitions" ->
+      """SELECT event_id, user_id, event_type,
+        |  CASE WHEN event_type = 'click' THEN -value ELSE value END AS value
         |FROM events ORDER BY event_id""".stripMargin,
     "maintenance_zorder" ->
       """WITH b AS (

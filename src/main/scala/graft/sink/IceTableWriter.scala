@@ -86,6 +86,37 @@ object IceTableWriter {
     publish(table, batchId = -1L, files, Nil, Map.empty, None, props, removedPaths)
   }
 
+  /** Dynamic partition overwrite (Spark `INSERT OVERWRITE` with
+    * `partitionOverwriteMode=dynamic` / Iceberg `overwritePartitions`):
+    * the batch's rows replace EXACTLY the partitions they touch —
+    * untouched partitions keep their files, and on an unpartitioned
+    * table the whole state is replaced (standard overwrite semantics).
+    * One commit: new files plus the superseded paths via `removedPaths`;
+    * time travel below the commit still sees the old partitions. An
+    * empty batch overwrites nothing and publishes no commit (dynamic
+    * mode's no-op, never an accidental truncate). NOTE
+    * [[graft.table.IceTable.readIncremental]] surfaces the overwrite's
+    * rows as ADDED — the replaced rows emit no retraction there, same
+    * documented boundary as deletes aimed at pre-window rows.
+    */
+  def overwritePartitions(
+      spark: SparkSession,
+      df: DataFrame,
+      table: IceTable,
+      batchId: Long,
+      offsets: => Map[String, Long] = Map.empty,
+      vtts: => Option[Long] = None,
+      props: Map[String, String] = Map.empty
+  ): Option[Commit] = {
+    val files = writeFiles(df, table, maxRecords = 0L)
+    if (files.isEmpty) return None
+    val newParts = files.map(_.partition).toSet
+    val removed = table.planFiles(None)
+      .collect { case (f, _) if newParts.contains(f.partition) => f.path }
+    publish(table, batchId, files, Nil, offsets, vtts,
+      props + ("overwrite-partitions" -> "true"), removedPaths = removed)
+  }
+
   /** Delta commit (D2): new data files plus equality-delete key files that
     * apply to all *earlier* commits of the same keys.
     */

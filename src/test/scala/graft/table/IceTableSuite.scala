@@ -689,6 +689,33 @@ class IceTableSuite extends AnyFunSuite {
     assert(t.readIncremental(spark, 1L, 1L).count() === 0L)
   }
 
+  test("dynamic partition overwrite replaces only touched partitions; time travel intact") {
+    import org.apache.spark.sql.types.{StructField, StructType, LongType, StringType}
+    val pschema = StructType(Seq(StructField("id", LongType), StructField("cat", StringType)))
+    val dir = TestSpark.freshDir("t-ovw")
+    val t = IceTable.create(dir, pschema, TableMeta(partitionBy = Seq("cat")))
+    IceTableWriter.append(spark,
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "cat"), t, 0)
+    // overwrite partition "a" only
+    IceTableWriter.overwritePartitions(spark,
+      Seq((10L, "a")).toDF("id", "cat"), t, 1)
+    val got = t.read(spark).as[(Long, String)].collect().toSet
+    assert(got === Set((10L, "a"), (3L, "b"))) // b untouched, a replaced
+    // time travel below the overwrite still sees the old partition
+    assert(t.readAt(spark, 1).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "a"), (3L, "b")))
+    // empty batch = no-op, no commit published
+    assert(IceTableWriter.overwritePartitions(spark,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pschema),
+      t, 2).isEmpty)
+    assert(t.log.commits().size === 2)
+    // unpartitioned table: overwrite replaces the whole state
+    val u = IceTable.create(TestSpark.freshDir("t-ovw-u"), schema, TableMeta())
+    IceTableWriter.append(spark, df((1L, "x", 1.0)), u, 0)
+    IceTableWriter.overwritePartitions(spark, df((2L, "y", 2.0)), u, 1)
+    assert(u.read(spark).select("id").as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("fsck: healthy table is empty; missing and corrupted files are reported") {
     val dir = TestSpark.freshDir("t9f")
     val t = IceTable.create(dir, schema, TableMeta())
