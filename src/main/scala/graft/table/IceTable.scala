@@ -291,16 +291,20 @@ final class IceTable private[table] (
     * row-level change events committed in `(fromSeq, toSeq]` — appended
     * rows as `insert` changes, equality-delete keys as `delete` changes
     * (key columns populated, the rest NULL: the delete file stores keys,
-    * not row images). Changes are NOT netted: an in-window insert later
-    * deleted in-window shows both events, ordered by `_commit_seq` — the
-    * shape a downstream incremental materialization replays. Rewrites
-    * are skipped (they move bytes, not logical rows), same contract as
+    * not row images), and partition-overwrite commits as full-row
+    * `delete` retractions of the replaced files plus inserts of the new
+    * ones (exact payloads — the superseded files exist until gc).
+    * Changes are NOT netted: an in-window insert later deleted in-window
+    * shows both events, ordered by `_commit_seq` — the shape a
+    * downstream incremental materialization replays. Rewrites are
+    * skipped (they move bytes, not logical rows), same contract as
     * [[readIncremental]].
     */
   def readChanges(spark: SparkSession, fromSeq: Long, toSeq: Long): DataFrame = {
     require(fromSeq <= toSeq, s"readChanges: fromSeq $fromSeq > toSeq $toSeq")
     val cur = schema
-    val window = log.commits()
+    val all = log.commits()
+    val window = all
       .filter(c => c.seq > fromSeq && c.seq <= toSeq)
       .filterNot(c => c.props.keys.exists(_.startsWith("compaction")))
     val keyCols = meta.idColumns
@@ -321,10 +325,24 @@ final class IceTable private[table] (
         } :+ col(SEQ)
         Some(keys.select(widened: _*).withColumn("_change_type", lit("delete")))
       }
+    // overwrite commits RETRACT the rows of the files they supersede —
+    // full-row delete events (the replaced files still exist until gc, so
+    // the payload is exact, not key-only). The original FileEntry (schema
+    // version, format) is recovered from the commit that added the path.
+    val byPath: Map[String, (FileEntry, Long)] =
+      all.flatMap(c => c.dataFiles.map(f => IceTable.normalizePath(f.path) -> ((f, c.seq)))).toMap
+    val retractedFiles = window
+      .filter(_.props.contains("overwrite-partitions"))
+      .flatMap(c => c.removedPaths.flatMap(p =>
+        byPath.get(IceTable.normalizePath(p)).map { case (f, _) => (f, c.seq) }))
+    val retractions =
+      if (retractedFiles.isEmpty) None
+      else Some(readAligned(spark, retractedFiles, cur, v => schemaAt(v))
+        .withColumn("_change_type", lit("delete")))
     val outSchema = StructType(cur.fields.toSeq :+
       org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType) :+
       org.apache.spark.sql.types.StructField("_commit_seq", org.apache.spark.sql.types.LongType))
-    (inserts.toSeq ++ deletes.toSeq) match {
+    (inserts.toSeq ++ deletes.toSeq ++ retractions.toSeq) match {
       case Nil => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
       case parts => parts.reduce(_.unionByName(_))
         .select(cur.fieldNames.toIndexedSeq.map(col) :+

@@ -770,6 +770,23 @@ class IceTableSuite extends AnyFunSuite {
     assert(t.readChanges(spark, 2L, t.log.commits().last.seq).count() === 0L)
   }
 
+  test("readChanges retracts replaced rows of a partition overwrite with full payloads") {
+    import org.apache.spark.sql.types.{StructField, StructType, LongType, StringType}
+    val pschema = StructType(Seq(StructField("id", LongType), StructField("cat", StringType)))
+    val dir = TestSpark.freshDir("t9co")
+    val t = IceTable.create(dir, pschema, TableMeta(partitionBy = Seq("cat")))
+    IceTableWriter.append(spark,
+      Seq((1L, "a"), (3L, "b")).toDF("id", "cat"), t, 0) // seq 1
+    IceTableWriter.overwritePartitions(spark,
+      Seq((10L, "a")).toDF("id", "cat"), t, 1) // seq 2: replaces partition a
+    val ch = t.readChanges(spark, 1L, 2L)
+      .select("id", "cat", "_change_type", "_commit_seq")
+      .as[(Long, String, String, Long)].collect().toSet
+    // the overwrite inserts its new row AND retracts the replaced row —
+    // full payload, at the overwrite's commit seq; partition b untouched
+    assert(ch === Set((10L, "a", "insert", 2L), (1L, "a", "delete", 2L)))
+  }
+
   test("gc removes files superseded by compaction, keeps live state readable") {
     val dir = TestSpark.freshDir("t10")
     val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
