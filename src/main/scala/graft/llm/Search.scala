@@ -27,7 +27,7 @@ object Search {
   val IndexVersion = 2
 
   /** Build a persisted full-text index: a POSITIONAL postings table
-    * (term, id, tf, sorted positions) partitioned by a term-hash bucket
+    * (term, id, tf, position set) partitioned by a term-hash bucket
     * (vocabulary is too large for one directory per term; the bucket
     * gives partition pruning on the probe's literal bucket set), a
     * doc-length table, and a stats file (N, Σdl). One tokenize + one
@@ -46,8 +46,10 @@ object Search {
     val toks = docs
       .select(col(idCol).as("id"), posexplode(TextAnalysis.tokens(col(textCol))))
       .select(col("id"), (col("pos") + 1).as("p"), col("col").as("term"))
+    // positions are an unordered SET for the probe's membership tests —
+    // sorting them per posting would buy nothing and cost a per-group sort
     toks.groupBy("id", "term")
-      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("p"))).as("positions"))
+      .agg(count(lit(1)).as("tf"), collect_list(col("p")).as("positions"))
       .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/postings")
     docs.select(col(idCol).as("id"),
@@ -146,8 +148,8 @@ object Search {
 
   /** Exact phrase search FROM the index: each phrase slot's postings join
     * on the doc id and a start position must line up across every slot
-    * (`positions` are sorted token positions, so slot i must contain
-    * start + i). Reads only the phrase terms' postings — no corpus scan,
+    * (slot i's position set must contain start + i). Reads only the
+    * phrase terms' postings — no corpus scan,
     * no text re-tokenization; k-1 joins over term-sized inputs. Returns
     * matching doc ids.
     */
