@@ -41,6 +41,10 @@ object IceTableWriter {
     * (`write.parquet.bloom-filter-enabled.column.<col> = true`). */
   val BloomPropPrefix = "write.parquet.bloom-filter-enabled.column."
 
+  /** Table property selecting the parquet compression codec for new
+    * files (`write.parquet.compression-codec = zstd|snappy|gzip|lz4|...`). */
+  val CompressionProp = "write.parquet.compression-codec"
+
   /** Append `df` (already coerced to the table schema) as a new commit.
     * Returns None if `batchId` was already committed (replayed batch).
     */
@@ -224,6 +228,13 @@ object IceTableWriter {
           w = w.option(
             s"parquet.bloom.filter.enabled#${k.stripPrefix(IceTableWriter.BloomPropPrefix)}",
             "true")
+      }
+      // `write.parquet.compression-codec` (Iceberg property parity):
+      // per-table codec choice — zstd for cold storage, snappy/lz4 for
+      // hot read paths — applied to NEW files only; existing files keep
+      // the codec they were written with (parquet is self-describing)
+      meta.props.get(IceTableWriter.CompressionProp).foreach { codec =>
+        w = w.option("compression", codec.toLowerCase(java.util.Locale.ROOT))
       }
     }
     w.save(outDir.toString)

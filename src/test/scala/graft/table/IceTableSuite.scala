@@ -636,6 +636,30 @@ class IceTableSuite extends AnyFunSuite {
     assert(t1.read(spark).filter(col("id") === -5L).count() === 0L)
   }
 
+  test("compression-codec table property drives new-file codecs; mixed codecs read fine") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    def codecs(t: IceTable): Set[String] =
+      t.planFiles(None).flatMap { case (f, _) =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.path), new org.apache.hadoop.conf.Configuration()))
+        try r.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala.map(_.getCodec.name())).toSet
+        finally r.close()
+      }.toSet
+    val dir = TestSpark.freshDir("t-codec")
+    val t = IceTable.create(dir, schema, TableMeta(props = Map(
+      IceTableWriter.CompressionProp -> "zstd")))
+    IceTableWriter.append(spark, df((1L, "a", 1.0)).coalesce(1), t, 0)
+    assert(codecs(t) === Set("ZSTD"))
+    // overlay switches NEW files only; the zstd file reads back unchanged
+    val t2 = t.withWriteProps(Map(IceTableWriter.CompressionProp -> "snappy"))
+    IceTableWriter.append(spark, df((2L, "b", 2.0)).coalesce(1), t2, 1)
+    assert(codecs(t2) === Set("ZSTD", "SNAPPY"))
+    assert(t2.read(spark).count() === 2L)
+  }
+
   test("snapshots/files metadata tables reflect the commit log without opening data") {
     val dir = TestSpark.freshDir("t9m")
     val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
