@@ -1306,6 +1306,16 @@ object SparkEntry {
       .select("lang", "source", "docs", "chars")
       .orderBy(col("lang"), col("source"))
 
+  /** CUBE twin of `agg_rollup`: all four grouping sets — (lang, source),
+    * (lang), (source), () — still ONE Expand-fed aggregate pass.
+    */
+  private def qAggCube(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+      .select("lang", "source", "docs", "chars")
+      .orderBy(col("lang"), col("source"))
+
   /** Wide reporting pivot: per-source doc counts by language, with the
     * pivot values given EXPLICITLY — the scale-correct form (an implicit
     * pivot runs a whole extra distinct job just to learn the columns,
@@ -2042,6 +2052,7 @@ object SparkEntry {
       "events_vtts" -> wrap(qEventsVtts),
       "agg_distinct" -> wrap(qAggDistinct),
       "agg_rollup" -> wrap(qAggRollup),
+      "agg_cube" -> wrap(qAggCube),
       "agg_collect" -> wrap(qAggCollect),
       "pivot_counts" -> wrap(qPivotCounts),
       "part_supplier" -> wrap(qPartSupplier),
@@ -2931,6 +2942,10 @@ object SparkEntry {
     "agg_rollup" ->
       """SELECT lang, source, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang, source""".stripMargin,
+    "agg_cube" ->
+      """SELECT lang, source, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY CUBE (lang, source)
         |ORDER BY lang, source""".stripMargin,
     "agg_collect" ->
       """SELECT event_type, list_sort(list(event_id)) AS event_ids
