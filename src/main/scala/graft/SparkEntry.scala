@@ -1897,6 +1897,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split (80/10/10) by the portable
+    * congruential hash: membership is a pure function of doc_id —
+    * reproducible across runs and engines, and stable as data grows.
+    */
+  private def qSampleSplit(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.splitByHash(t(spark, sfDir, "documents"),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+
   /** Temperature-scaled language mixing weights (the multilingual
     * up/down-sampling rule: share ∝ count^(1/T), T=3): the standard
     * "flatten the language distribution" step before interleaving. The
@@ -2117,6 +2127,7 @@ object SparkEntry {
       "mix_rebalance" -> wrap(qMixRebalance),
       "mix_temperature" -> wrap(qMixTemperature),
       "sample_exact_k" -> wrap(qSampleExactK),
+      "sample_split" -> wrap(qSampleSplit),
       "streaming_curate" -> wrap(qStreamingCurate),
       "corpus_quantiles" -> wrap(qCorpusQuantiles),
       "decontaminate_indexed" -> wrap(qDecontaminateIndexed),
@@ -2389,6 +2400,16 @@ object SparkEntry {
          |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
          |WHERE ((doc_id % $P) * $A + $B) % $P < cap
          |ORDER BY d.doc_id""".stripMargin
+    },
+    "sample_split" -> {
+      import graft.operators.Sampling.{A, B, P}
+      val hi1 = (0.8 * P).toLong
+      val hi2 = ((0.8 + 0.1) * P).toLong
+      s"""SELECT doc_id,
+         |  CASE WHEN ((doc_id % $P) * $A + $B) % $P < $hi1 THEN 'train'
+         |       WHEN ((doc_id % $P) * $A + $B) % $P < $hi2 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
     },
     "mix_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS docs FROM documents GROUP BY lang),

@@ -46,6 +46,38 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, rate: Double, seed: Long = 0L): DataFrame =
     df.filter(hashBucket(col(keyCol), seed) < lit((rate * P).toLong))
 
+  /** Deterministic dataset split — the train/val/test partition every
+    * training pipeline starts with: each row's [[hashBucket]] falls into
+    * one of the share bands, so membership is a pure function of the key
+    * (reproducible across runs, engines, and re-shards; adding data
+    * never moves an existing row between splits). Shares must sum to
+    * ≤ 1; any remainder goes to the LAST split, so `Seq(0.8, 0.1, 0.1)`
+    * wastes nothing to rounding. Appends `split` with the given names.
+    * Pure map-side column arithmetic — no shuffle, no RNG.
+    */
+  def splitByHash(
+      df: DataFrame,
+      keyCol: String,
+      shares: Seq[(String, Double)],
+      seed: Long = 0L
+  ): DataFrame = {
+    require(shares.nonEmpty && shares.forall(_._2 > 0),
+      s"split shares must be positive: $shares")
+    require(shares.map(_._2).sum <= 1.0 + 1e-9,
+      s"split shares sum to ${shares.map(_._2).sum} > 1: $shares")
+    val bucket = hashBucket(col(keyCol), seed)
+    // integer band edges: cumulative share × P, truncated — the same
+    // fixed-point rule hashSample applies, so split("train", r) keeps
+    // exactly the rows hashSample(r) would
+    val edges = shares.scanLeft(0.0) { case (acc, (_, s)) => acc + s }
+      .tail.map(c => (c * P).toLong)
+    val expr = shares.init.zip(edges.init).foldRight(
+      lit(shares.last._1): Column) { case (((name, _), hi), acc) =>
+      when(bucket < hi, name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Deterministic weighted interleave (training-mix epoch composition):
     * row r of stratum s lands at position `(r-1) / w_s`, so reading the
     * output ordered by position yields each stratum at a rate ∝ its

@@ -554,6 +554,23 @@ class TextOpsSuite extends AnyFunSuite {
     assert(math.abs(s1.size - 1000) < 200, s"sample size ${s1.size} far from rate")
   }
 
+  test("splitByHash partitions every row; train band equals hashSample at the same rate") {
+    val df = spark.range(10000).toDF("id")
+    val split = Sampling.splitByHash(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, String)].collect()
+    assert(split.length === 10000) // a partition, not a sample: nothing dropped
+    val byName = split.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(math.abs(byName("train") - 8000) < 300, s"train share off: $byName")
+    assert(math.abs(byName("val") - 1000) < 200 && math.abs(byName("test") - 1000) < 200, byName.toString)
+    // band consistency: the train split IS hashSample(0.8)'s keep set
+    val sampled = Sampling.hashSample(df, "id", 0.8).select("id").as[Long].collect().toSet
+    assert(split.filter(_._2 == "train").map(_._1).toSet === sampled)
+    // invalid shares fail loudly
+    intercept[IllegalArgumentException] {
+      Sampling.splitByHash(df, "id", Seq("a" -> 0.8, "b" -> 0.4))
+    }
+  }
+
   test("vertical tab is a WORD character, matching the RE2 oracles") {
     // Java \\s includes \\x0B, RE2 \\s (DuckDB) does not -- the engine
     // standardizes on the RE2 set, so "a<VT>b" is ONE token everywhere
