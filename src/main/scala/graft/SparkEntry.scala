@@ -30,6 +30,11 @@ import graft.transforms.Transforms
 /** Row shape for the streaming-ingest query's MemoryStream source. */
 case class StreamEvent(event_id: Long, user_id: Long, event_type: String, value: Double)
 
+/** Row shape for the streaming dead-letter query: `k` arrives as a string
+  * against a LONG table column, so poison values exercise the DLQ path.
+  */
+case class DlqEvent(event_id: Long, k: String)
+
 object SparkEntry {
 
   // ---- helpers --------------------------------------------------------
@@ -1251,6 +1256,47 @@ object SparkEntry {
     ok.unionByName(dead).orderBy("event_id")
   }
 
+  /** Streaming dead-letter ingestion: the DLQ split runs INSIDE the
+    * exactly-once foreachBatch shell — each micro-batch's poison rows
+    * commit to `<table>__dlq` under the same batch-id fence as the clean
+    * slice, so a replayed trigger cannot double them. Same contract as
+    * `ingest_dead_letter`, driven through a real two-batch stream.
+    */
+  private def qStreamingDeadLetter(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = freshDir("streaming_dead_letter")
+    val ckpt = freshDir("streaming_dead_letter_ckpt")
+    val rows = {
+      val ev = t(spark, sfDir, "events")
+      ev.select(col("event_id"),
+          when(pmod(col("event_id"), lit(7)) === 0, lit("oops"))
+            .otherwise(get_json_object(col("props"), "$.k")).as("k"))
+        .as[DlqEvent].collect()
+    }
+    val target = StructType(Seq(
+      StructField("event_id", LongType), StructField("k", LongType)))
+    IceTable.create(s"$wh/typed", target)
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("typed")),
+      deadLetterEnabled = true)
+    val (b0, b1) = rows.splitAt(rows.length / 2)
+    val ms = MemoryStream[DlqEvent]
+    val q = graft.streaming.IngestStream.start(ms.toDF(), cfg, ckpt, triggerMs = Some(20))
+    try {
+      ms.addData(b0.toIndexedSeq)
+      q.processAllAvailable()
+      ms.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val ok = IceTable.load(s"$wh/typed").read(spark)
+      .select(col("event_id"), col("k"), lit("ok").as("route"))
+    val dead = IceTable.load(s"$wh/typed__dlq").read(spark)
+      .select(get_json_object(col("record"), "$.event_id").cast("long").as("event_id"),
+        lit(null).cast("long").as("k"), lit("dead").as("route"))
+    ok.unionByName(dead).orderBy("event_id")
+  }
+
   /** Bigram-LM document quality (one order above `quality_lm`'s unigram
     * model — the CCNet-style perplexity signal): interpolated
     * `log(0.9·P(w2|w1) + 0.1·P(w2))` summed per doc as exact integer
@@ -2046,6 +2092,7 @@ object SparkEntry {
       "route_dynamic" -> wrap(qRouteDynamic),
       "route_dead_letter" -> wrap(qRouteDeadLetter),
       "ingest_dead_letter" -> wrap(qIngestDeadLetter),
+      "streaming_dead_letter" -> wrap(qStreamingDeadLetter),
       "cdc_upsert" -> wrap(qCdcUpsert),
       "cdc_changelog" -> wrap(qCdcChangelog),
       "merge_upsert" -> wrap(qMergeUpsert),
@@ -2843,6 +2890,12 @@ object SparkEntry {
         |  CASE WHEN event_id % 7 = 0 THEN 'dead' ELSE 'ok' END AS route
         |FROM events ORDER BY event_id""".stripMargin,
     "ingest_dead_letter" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 7 <> 0
+        |       THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
+        |  CASE WHEN event_id % 7 = 0 THEN 'dead' ELSE 'ok' END AS route
+        |FROM events ORDER BY event_id""".stripMargin,
+    "streaming_dead_letter" ->
       """SELECT event_id,
         |  CASE WHEN event_id % 7 <> 0
         |       THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
