@@ -74,8 +74,27 @@ object Bench {
           Seq(("dedup_embedding_incremental_build", 0.0, false),
             ("dedup_embedding_incremental_probe", 0.0, false))
       }
+    // same split for the bigram LM — the slowest query trains AND scores
+    // in one blob; at scale the LM trains once and scores many batches,
+    // so the trend tooling needs to see which side moves (VERDICT r8 §4)
+    val lmSplit: Seq[(String, Double, Boolean)] =
+      try {
+        val tT = System.nanoTime()
+        val lm = SparkEntry.lm2Train(spark, sfDir)
+        lm.count() // materialize the checkpoint inside the timed region
+        val train = (System.nanoTime() - tT) / 1e9
+        val tS = System.nanoTime()
+        SparkEntry.lm2Score(spark, sfDir, lm).count()
+        val score = (System.nanoTime() - tS) / 1e9
+        dropPinnedBlocks()
+        Seq(("quality_lm2_train", train, true), ("quality_lm2_score", score, true))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] lm2 split FAILED: ${e.getMessage}")
+          Seq(("quality_lm2_train", 0.0, false), ("quality_lm2_score", 0.0, false))
+      }
     def r3(v: Double): String = f"$v%.3f"
-    val qs = (results ++ split).map { case (k, v, ok) =>
+    val qs = (results ++ split ++ lmSplit).map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) r3(v) else "null")
     }.mkString("{", ",", "}")
     val failed = results.collect { case (n, _, false) => n }

@@ -309,6 +309,28 @@ object SparkEntry {
     table.read(spark).select("event_id", "user_id", "value").orderBy("event_id")
   }
 
+  /** Metadata-vs-filesystem audit (`fsck`): every live data/delete file's
+    * existence, byte size, and parquet-footer row count checked against
+    * the commit log's recorded stats ([[graft.table.IceTable.fsck]]).
+    * A freshly-written healthy table must report ZERO problems over a
+    * known file count — the corruption arms (missing file, truncation,
+    * row mismatch) are pinned in IceTableSuite, where seeding damage is
+    * possible.
+    */
+  private def qTableFsck(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("table_fsck")
+    val ev = t(spark, sfDir, "events").select("event_id", "user_id", "event_type", "value")
+    val h = ev.agg(max("event_id")).head().getLong(0) / 2
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("events_k")), autoCreate = true)
+    Ingest.run(spark, ev.filter(col("event_id") <= h).coalesce(1), 0L, cfg)
+    Ingest.run(spark, ev.filter(col("event_id") > h).coalesce(1), 1L, cfg)
+    val table = IceTable.load(s"$wh/events_k")
+    val checked = table.planFiles(None).size.toLong
+    table.fsck(spark)
+      .agg(count(lit(1)).as("problems"))
+      .select(lit(checked).as("files_checked"), col("problems"))
+  }
+
   /** Bin-packing small-file compaction: many tiny commits packed into
     * ~target-size files (large files untouched, originals superseded via
     * removedPaths), content bit-identical after the rewrite + GC.
@@ -1306,6 +1328,19 @@ object SparkEntry {
     TextAnalysis.bigramLogProb(t(spark, sfDir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Train phase of [[qQualityLm2]], exposed separately so Bench can time
+    * LM training and scoring as distinct entries (they scale differently:
+    * train is O(corpus) once, score O(batch) many times).
+    */
+  private[graft] def lm2Train(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.bigramLmTrain(t(spark, sfDir, "documents"), "doc_id", "text")
+      .localCheckpoint()
+
+  /** Score phase of [[qQualityLm2]] against an already-trained LM. */
+  private[graft] def lm2Score(spark: SparkSession, sfDir: String,
+      lm: org.apache.spark.sql.DataFrame): DataFrame =
+    TextAnalysis.bigramLmScore(t(spark, sfDir, "documents"), "doc_id", "text", lm)
+
   /** Dead-letter routing (`errors.tolerance=all` + DLQ analogue): every
     * 7th record's JSON payload is corrupted in flight; the one-pass split
     * sends parseable rows onward with the payload extracted and typed,
@@ -1334,10 +1369,15 @@ object SparkEntry {
     * the salted two-phase collect ([[graft.operators.Skew.collectSorted]])
     * — 5 event types over the whole table is exactly the hot-key shape
     * where a direct collect_list serializes on one task per type.
+    * The array is serialized to a CSV string at the very end (a k-row
+    * projection — the salted plan underneath is unchanged): the driver's
+    * pandas comparator cannot sort array cells, so the contract output is
+    * scalar on both engines.
     */
   private def qAggCollect(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Skew.collectSorted(
         t(spark, sfDir, "events"), Seq("event_type"), "event_id", "event_ids")
+      .withColumn("event_ids", concat_ws(",", col("event_ids")))
       .orderBy("event_type")
 
   /** Hierarchical totals in ONE pass: ROLLUP over (lang, source) computes
@@ -2071,6 +2111,7 @@ object SparkEntry {
       "ingest_partitioned" -> wrap(qIngestPartitioned),
       "ingest_kafka_shaped" -> wrap(qIngestKafkaShaped),
       "maintenance_compact" -> wrap(qMaintenanceCompact),
+      "table_fsck" -> wrap(qTableFsck),
       "maintenance_binpack" -> wrap(qMaintenanceBinpack),
       "maintenance_zorder" -> wrap(qMaintenanceZorder),
       "incremental_read" -> wrap(qIncrementalRead),
@@ -2748,6 +2789,8 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
     "maintenance_compact" ->
       """SELECT event_id, user_id, value FROM events ORDER BY event_id""".stripMargin,
+    "table_fsck" ->
+      """SELECT CAST(2 AS BIGINT) AS files_checked, CAST(0 AS BIGINT) AS problems""".stripMargin,
     "maintenance_binpack" ->
       """SELECT event_id, user_id, value FROM events ORDER BY event_id""".stripMargin,
     "incremental_read" ->
@@ -3022,7 +3065,7 @@ object SparkEntry {
         |FROM documents GROUP BY CUBE (lang, source)
         |ORDER BY lang, source""".stripMargin,
     "agg_collect" ->
-      """SELECT event_type, list_sort(list(event_id)) AS event_ids
+      """SELECT event_type, array_to_string(list_sort(list(event_id)), ',') AS event_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "pivot_counts" ->
       """SELECT source,

@@ -1,9 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType, StructField}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Top-level columns the driver's pandas comparator cannot sort:
+    * array/map/struct cells become numpy objects and `sort_values`
+    * throws "unhashable type" BEFORE comparing — the query then ships
+    * with no oracle signal at all (the r8 `agg_collect` failure class).
+    * Every query output must be scalar-columned; serialize nested values
+    * (concat_ws / to_json) at the final projection.
+    */
+  def nestedTopLevelCols(schema: StructType): Seq[String] =
+    schema.fields.toSeq.collect {
+      case StructField(n, _: ArrayType, _, _)  => n
+      case StructField(n, _: MapType, _, _)    => n
+      case StructField(n, _: StructType, _, _) => n
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -20,9 +36,20 @@ object Verify {
     // here, leaving the driver's correctness board silently short.
     val failed = scala.collection.mutable.Buffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val nested = nestedTopLevelCols(df.schema)
+        if (nested.nonEmpty)
+          throw new IllegalStateException(
+            s"output has non-scalar top-level column(s) ${nested.mkString(", ")} — " +
+              "the driver's pandas comparator cannot sort these; serialize them " +
+              "(concat_ws/to_json) in the final projection")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // schema sidecar: the EXACT Catalyst schema of the dumped result,
+        // so a schema check never has to depend on parquet type-inference
+        // quirks (the r7 TIMESTAMP_NTZ episode in a different guise)
+        Files.writeString(Paths.get(s"$outDir/$name.schema.json"), df.schema.json)
+      } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }

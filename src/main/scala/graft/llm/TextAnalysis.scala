@@ -250,26 +250,67 @@ object TextAnalysis {
       textCol: String,
       lambda: Double = 0.9
   ): DataFrame = {
-    // bigram occurrences WITH multiplicity ([[Dedup.shingles]] is
-    // distinct — wrong for an LM); slice+zip keeps it one codegen'd map:
-    // pairs (ws[i], ws[i+1]) for i in 0..size-2, empty under two tokens
+    // the combined (train-on-self, score-self) path shares ONE token
+    // explode and ONE bigram explode between the LM tables and the
+    // per-doc join via localCheckpoint
+    val toks = df.select(explode(tokens(col(textCol))).as("u")).localCheckpoint()
+    val bg = bigramOccurrences(df, idCol, textCol).localCheckpoint()
+    scoreOccurrences(df, idCol, bg, lmFromOccurrences(toks, bg, lambda))
+  }
+
+  /** Train the interpolated bigram LM alone: (w1, w2, wt) with `wt` the
+    * rounded-micros `log(λ·P(w2|w1) + (1−λ)·P(w2))` weight per DISTINCT
+    * bigram. At scale the LM is trained once on a reference corpus and
+    * [[bigramLmScore]] applied to many batches — persist this output.
+    */
+  def bigramLmTrain(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lambda: Double = 0.9
+  ): DataFrame = {
+    val toks = df.select(explode(tokens(col(textCol))).as("u")).localCheckpoint()
+    lmFromOccurrences(toks, bigramOccurrences(df, idCol, textCol), lambda)
+  }
+
+  /** Score documents against an ALREADY-TRAINED bigram LM (the output of
+    * [[bigramLmTrain]]): O(batch) work — one bigram explode over the
+    * batch, one join against the (Zipf-small, AQE-broadcastable) LM,
+    * one per-doc aggregation. Bigrams unseen at training time contribute
+    * nothing (inner join) — the interpolation floor lives in the trained
+    * weights. Returns (doc_id, n_bigrams, logprob_micros); `n_bigrams`
+    * counts SCORED (in-LM) bigram occurrences.
+    */
+  def bigramLmScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lm: DataFrame
+  ): DataFrame =
+    scoreOccurrences(df, idCol, bigramOccurrences(df, idCol, textCol), lm)
+
+  /** Bigram occurrences WITH multiplicity ([[Dedup.shingles]] is
+    * distinct — wrong for an LM); slice+zip keeps it one codegen'd map:
+    * pairs (ws[i], ws[i+1]) for i in 0..size-2, empty under two tokens.
+    */
+  private def bigramOccurrences(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = tokens(col(textCol))
     val pairs = when(size(ws) >= 2,
       arrays_zip(
         slice(ws, lit(1), size(ws) - 1).as("w1"),
         slice(ws, lit(2), size(ws) - 1).as("w2")))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val toks = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("u"))
-      .localCheckpoint()
+    df.select(col(idCol).as("doc_id"), explode(pairs).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+  }
+
+  private def lmFromOccurrences(toks: DataFrame, bg: DataFrame, lambda: Double): DataFrame = {
     val uni = toks.groupBy("u").agg(count(lit(1)).as("cu"))
     val total = toks.count()
-    val bg = df.select(col(idCol).as("doc_id"), explode(pairs).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .localCheckpoint()
     val bcnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     // (1 - lambda) is computed in DOUBLE on both engines — never a
     // decimal literal the oracle can't reproduce bit-for-bit
-    val weighted = bcnt
+    bcnt
       .join(uni.select(col("u").as("w1"), col("cu").as("c1")), "w1")
       .join(uni.select(col("u").as("w2"), col("cu").as("c2")), "w2")
       .select(col("w1"), col("w2"),
@@ -277,7 +318,11 @@ object TextAnalysis {
           lit(lambda) * col("cb").cast("double") / col("c1").cast("double") +
             lit(1.0 - lambda) * col("c2").cast("double") / lit(total.toDouble)
         ) * lit(1e6)).cast("long").as("wt"))
-    val perDoc = bg.join(weighted, Seq("w1", "w2"))
+  }
+
+  private def scoreOccurrences(
+      df: DataFrame, idCol: String, bg: DataFrame, lm: DataFrame): DataFrame = {
+    val perDoc = bg.join(lm, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("wt").as("logprob_micros"))
     df.select(col(idCol).as("doc_id"))

@@ -47,6 +47,11 @@ object AsofJoin {
     require(!leftCols.contains("__side") && !leftCols.contains("__r") &&
       !payloadCols.contains("__side") && !payloadCols.contains("__r"),
       "column names __side/__r are reserved by the as-of implementation")
+    // a payload column named __asof_ts would create a duplicate struct
+    // field, and the tolerance compare could silently resolve to the
+    // payload copy — wrong in-band decisions instead of an error
+    require(!payloadCols.contains("__asof_ts"),
+      "payload column name __asof_ts is reserved by the as-of implementation")
     val carried = leftCols.filterNot(c => c == keyCol || c == tsCol)
 
     // the payload rides as ONE struct so the carry is atomic per right

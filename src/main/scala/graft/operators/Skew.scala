@@ -25,15 +25,37 @@ object Skew {
 
   /** Deterministic salt for a value expression: stable across runs (hash
     * of the value, not the partition), near-uniform for non-constant
-    * values.
+    * values. CAVEAT: a constant (or low-cardinality) value column hashes
+    * to one (or few) bucket(s) — no spread. Use [[spreadSalt]] when the
+    * value distribution is unknown.
     */
   def salt(value: Column, buckets: Int): Column =
     pmod(xxhash64(value), lit(buckets.toLong))
+
+  /** Salt with GUARANTEED spread regardless of the value distribution:
+    * hashes the value together with the row's position id, so even a
+    * constant value column (collecting a status flag per hot key) fans
+    * out over all `buckets`. Position-dependent, so not stable across
+    * repartitions — only safe where bucket assignment doesn't affect the
+    * result (e.g. [[collectSorted]], whose final array is sorted).
+    * Must be materialized via `withColumn` before a groupBy (Spark
+    * rejects nondeterministic grouping expressions).
+    */
+  def spreadSalt(value: Column, buckets: Int): Column =
+    pmod(xxhash64(value, monotonically_increasing_id()), lit(buckets.toLong))
 
   /** Two-phase salted `collect_list`, returned SORTED (deterministic
     * output — a distributed collect has no stable arrival order, so an
     * unsorted result would differ run to run). Output: `keyCols` plus
     * `outCol` = sorted array of `valueCol`.
+    *
+    * Salting uses [[spreadSalt]] (value ⊕ row position), not a pure
+    * value hash: the classic hot-key shape collects a LOW-cardinality
+    * value (a status flag) under one hot key, and a value-only hash
+    * would land every row of that key in a single salt bucket —
+    * serializing the first stage exactly as an unsalted collect would.
+    * Bucket assignment never reaches the result (the final array is
+    * sorted), so the position-dependence is safe.
     */
   def collectSorted(
       df: DataFrame,
@@ -43,9 +65,11 @@ object Skew {
       saltBuckets: Int = 32
   ): DataFrame = {
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
-    require(!keyCols.contains("__salt") && valueCol != "__salt" && !df.columns.contains("__part"),
+    require(!keyCols.contains("__salt") && valueCol != "__salt" &&
+      !df.columns.contains("__salt") && !df.columns.contains("__part"),
       "column names __salt/__part are reserved by the salted collect")
-    df.groupBy(keyCols.map(col) :+ salt(col(valueCol), saltBuckets).as("__salt"): _*)
+    df.withColumn("__salt", spreadSalt(col(valueCol), saltBuckets))
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(collect_list(col(valueCol)).as("__part"))
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(flatten(collect_list(col("__part")))).as(outCol))

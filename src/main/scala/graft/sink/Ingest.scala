@@ -241,9 +241,14 @@ object Ingest {
             to_json(struct(tdf.columns.map(col).toIndexedSeq: _*)).as("record"),
             col("_dlq.reason").as("reason"),
             col("_dlq.rejected_at").as("rejected_at"))
+          // the DLQ follows the SAME naming rule as its main table
+          // (dots → path separators) and inherits branch + write-props —
+          // a dotted name (db.events) must not scatter data at wh/db/events
+          // but its DLQ at wh/db.events__dlq
           val dlqTable = IceTable.loadOrCreate(
-            s"${config.warehouse}/${tconf.name}__dlq", dlqRows.schema,
-            graft.table.TableMeta())
+            tablePath(config, tconf.name + "__dlq"), dlqRows.schema,
+            graft.table.TableMeta(format = config.format),
+            tconf.commitBranch).withWriteProps(config.writeProps)
           // a clean batch writes an empty (zero-file) DLQ commit rather
           // than paying an extra emptiness-probe scan per trigger; the
           // commit log's checkpoint consolidation bounds the entry count

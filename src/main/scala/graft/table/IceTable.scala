@@ -293,7 +293,8 @@ final class IceTable private[table] (
     * (key columns populated, the rest NULL: the delete file stores keys,
     * not row images), and partition-overwrite commits as full-row
     * `delete` retractions of the replaced files plus inserts of the new
-    * ones (exact payloads — the superseded files exist until gc).
+    * ones (exact payloads — the superseded files exist until gc; rows
+    * already equality-deleted before the overwrite are NOT re-retracted).
     * Changes are NOT netted: an in-window insert later deleted in-window
     * shows both events, ordered by `_commit_seq` — the shape a
     * downstream incremental materialization replays. Rewrites are
@@ -331,18 +332,33 @@ final class IceTable private[table] (
     // version, format) is recovered from the commit that added the path.
     val byPath: Map[String, (FileEntry, Long)] =
       all.flatMap(c => c.dataFiles.map(f => IceTable.normalizePath(f.path) -> ((f, c.seq)))).toMap
-    val retractedFiles = window
+    // Retraction reads first apply the equality deletes committed BETWEEN
+    // a file's original append and the overwrite: a row equality-deleted
+    // in a prior delta commit was no longer live, and emitting a second
+    // full-row delete for it would make a downstream replay double-delete
+    // (count goes negative). Each retracted file is stamped with its
+    // ORIGINAL add-seq so applyEqualityDeletes' sequence rule
+    // (delete seq > data seq) selects exactly the in-between deletes; the
+    // surviving (still-live) rows are then re-stamped to the overwrite
+    // commit's seq for `_commit_seq`.
+    val retractions: Seq[DataFrame] = window
       .filter(_.props.contains("overwrite-partitions"))
-      .flatMap(c => c.removedPaths.flatMap(p =>
-        byPath.get(IceTable.normalizePath(p)).map { case (f, _) => (f, c.seq) }))
-    val retractions =
-      if (retractedFiles.isEmpty) None
-      else Some(readAligned(spark, retractedFiles, cur, v => schemaAt(v))
-        .withColumn("_change_type", lit("delete")))
+      .flatMap { c =>
+        val files = c.removedPaths.flatMap(p => byPath.get(IceTable.normalizePath(p)))
+        if (files.isEmpty) None
+        else {
+          val raw = readAligned(spark, files, cur, v => schemaAt(v))
+          val preDels = all.filter(_.seq <= c.seq)
+            .flatMap(d => d.deleteFiles.map(f => (f, d.seq)))
+          Some(applyEqualityDeletes(spark, raw, preDels, cur)
+            .withColumn(SEQ, lit(c.seq))
+            .withColumn("_change_type", lit("delete")))
+        }
+      }
     val outSchema = StructType(cur.fields.toSeq :+
       org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType) :+
       org.apache.spark.sql.types.StructField("_commit_seq", org.apache.spark.sql.types.LongType))
-    (inserts.toSeq ++ deletes.toSeq ++ retractions.toSeq) match {
+    (inserts.toSeq ++ deletes.toSeq ++ retractions) match {
       case Nil => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
       case parts => parts.reduce(_.unionByName(_))
         .select(cur.fieldNames.toIndexedSeq.map(col) :+

@@ -220,6 +220,21 @@ class CurationOpsSuite extends AnyFunSuite {
       (3L, 0L, 0L))) // empty doc
   }
 
+  test("bigramLmTrain + bigramLmScore on the same corpus equals the combined bigramLogProb") {
+    val lm = TextAnalysis.bigramLmTrain(docs, "doc_id", "text")
+    val split = TextAnalysis.bigramLmScore(docs, "doc_id", "text", lm)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val combined = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(split === combined)
+    // a persisted-then-reloaded LM scores an UNSEEN doc with only its
+    // in-LM bigrams (inner join — unseen bigrams contribute nothing)
+    val unseen = Seq((99L, "zzzq zzzq zzzq")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(unseen, "doc_id", "text", lm)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((99L, 0L, 0L)))
+  }
+
   test("unigramLogProb on the corpus: singleton-token docs score below common-token docs") {
     val scored = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
     // every doc's token count matches the direct column computation

@@ -252,6 +252,20 @@ class SkewSuite extends AnyFunSuite {
     assert(df.select(graft.operators.Skew.salt(col("v"), 8)).collect().toSeq ===
       df.select(graft.operators.Skew.salt(col("v"), 8)).collect().toSeq)
   }
+
+  test("constant-value hot key still spreads and collects correctly") {
+    // the worst case for a value-only salt: one hot key, ONE value —
+    // spreadSalt must fan it out, and the result must still be exact
+    val df = (1 to 400).map(_ => ("hot", 7L)).toDF("k", "v")
+      .repartition(8) // monotonically_increasing_id varies within+across partitions
+    val spread = df
+      .withColumn("__s", graft.operators.Skew.spreadSalt(col("v"), 8))
+      .select("__s").distinct().count()
+    assert(spread > 1, s"spreadSalt must fan out a constant value, got $spread bucket(s)")
+    val got = graft.operators.Skew.collectSorted(df, Seq("k"), "v", "vs", saltBuckets = 8)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got("hot") === Seq.fill(400)(7L))
+  }
 }
 
 class RangeJoinSuite extends AnyFunSuite {

@@ -811,6 +811,28 @@ class IceTableSuite extends AnyFunSuite {
     assert(ch === Set((10L, "a", "insert", 2L), (1L, "a", "delete", 2L)))
   }
 
+  test("overwrite retractions skip rows already equality-deleted before the overwrite") {
+    import org.apache.spark.sql.types.{StructField, StructType, LongType, StringType}
+    val pschema = StructType(Seq(StructField("id", LongType), StructField("cat", StringType)))
+    val dir = TestSpark.freshDir("t9cod")
+    val t = IceTable.create(dir, pschema, TableMeta(idColumns = Seq("id"), partitionBy = Seq("cat")))
+    IceTableWriter.append(spark,
+      Seq((1L, "a"), (2L, "a")).toDF("id", "cat"), t, 0) // seq 1
+    // seq 2: equality-delete id 1 — it is no longer live after this commit
+    IceTableWriter.delta(spark,
+      Seq((4L, "b")).toDF("id", "cat"), Seq(1L).toDF("id"), t, 1)
+    // seq 3: overwrite partition a (replaces the seq-1 file holding ids 1 and 2)
+    IceTableWriter.overwritePartitions(spark,
+      Seq((10L, "a")).toDF("id", "cat"), t, 2)
+    val ch = t.readChanges(spark, 2L, 3L)
+      .select("id", "cat", "_change_type", "_commit_seq")
+      .as[(Long, String, String, Long)].collect().toSet
+    // id 1 was dead before the overwrite: a second full-row delete event
+    // would make a downstream replay double-delete it — only the
+    // still-live id 2 is retracted
+    assert(ch === Set((10L, "a", "insert", 3L), (2L, "a", "delete", 3L)))
+  }
+
   test("gc removes files superseded by compaction, keeps live state readable") {
     val dir = TestSpark.freshDir("t10")
     val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
