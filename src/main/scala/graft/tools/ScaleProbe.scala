@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe: runs the heaviest pipeline family — MinHash-LSH
+  * candidate pairs → connected components → canonical-copy curation (the
+  * `dedup_minhash` → `dedup_groups` → `pipeline_dedup_curate` chain) — at
+  * 1×, 3×, and 10× the sf0.1 documents table and reports the wall-clock
+  * scaling exponent `log(t_k/t_1)/log(k)` per step-up. An exponent near
+  * 1.0 is linear scaling (the design claim); ≥1.5 would flag a
+  * super-linear term (candidate-pair blowup, driver funnel) before a real
+  * cluster ever sees it. Results are recorded in SCALE.md.
+  *
+  * The k× corpus is k letter-ROTATED copies of sf0.1 (`translate` over
+  * the alphabet): rotation changes every token, so copies never near-dup
+  * against each other, and the duplicate STRUCTURE — the thing LSH work
+  * actually scales with — grows linearly with k. Naive duplication
+  * (k identical copies) would instead grow every duplicate group k-fold
+  * and the within-group pair count k²-fold: a skew stress test, not a
+  * corpus-growth model.
+  *
+  * `sbt "runMain graft.tools.ScaleProbe"` (~2 GiB peak, a few minutes).
+  */
+object ScaleProbe {
+  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  def scaled(base: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      val r = i % 26
+      val rot = Alpha.drop(r) + Alpha.take(r)
+      base.select(
+        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        translate(col("text"), Alpha, rot).as("text"))
+    }.reduce(_.unionByName(_))
+
+  /** The measured chain; returns (curated survivor count, dup-pair count). */
+  def chain(docs: DataFrame): (Long, Long) = {
+    val pairs = graft.llm.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 32, threshold = 0.5).localCheckpoint()
+    val nPairs = pairs.count()
+    val groups = graft.llm.Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    val withGroup = docs.join(groups, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))
+    val canonical = withGroup.filter(col("doc_id") === col("group_id"))
+    val n = graft.llm.TextAnalysis.qualitySignals(canonical, "text")
+      .filter(col("is_quality")).count()
+    (n, nPairs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.builder("local[32]", shufflePartitions = 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    chain(scaled(base, 1)) // warm JIT/codegen outside the measured runs
+    val ks = args.headOption.map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 3, 10))
+    val results = ks.map { k =>
+      val docs = scaled(base, k).localCheckpoint() // input materialized OUTSIDE the timing
+      val rows = docs.count()
+      val t0 = System.nanoTime()
+      val (n, nPairs) = chain(docs)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"k=$k%2d rows=$rows%8d dup_pairs=$nPairs%8d curated=$n%8d time=$dt%7.2f s")
+      (k, rows, nPairs, n, dt)
+    }
+    val t1 = results.head._5
+    results.tail.foreach { case (k, _, _, _, dt) =>
+      val exp = math.log(dt / t1) / math.log(k.toDouble / results.head._1)
+      println(f"scaling exponent ${results.head._1}x -> ${k}x: $exp%.2f (1.0 = linear)")
+    }
+    spark.stop()
+  }
+}
