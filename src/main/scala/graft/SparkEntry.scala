@@ -187,6 +187,67 @@ object SparkEntry {
     }.reduce(_.unionByName(_)).orderBy("sink", "event_id")
   }
 
+  /** R1: broadcast routing — no route field configured, so EVERY record
+    * lands in EVERY configured table (`channel/Worker.java:103-113`): the
+    * fan-out is N filters-free writes over ONE persisted batch, not N
+    * scans. The oracle is the cross join of events with the sink list.
+    */
+  private def qRouteBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("route_broadcast")
+    val cfg = EngineConfig(
+      warehouse = wh,
+      tables = Seq(TableConfig("hot"), TableConfig("archive")),
+      autoCreate = true
+    )
+    Ingest.run(spark,
+      t(spark, sfDir, "events").select("event_id", "user_id", "event_type"), 0L, cfg)
+    Seq("hot", "archive").map { s =>
+      IceTable.load(s"$wh/$s").read(spark)
+        .select(lit(s).as("sink"), col("event_id"), col("user_id"), col("event_type"))
+    }.reduce(_.unionByName(_)).orderBy("sink", "event_id")
+  }
+
+  /** E3: case-insensitive field resolution — the batch arrives with
+    * SHOUTED column names against a lowercase table schema and every
+    * value still lands in its column (`RecordConverter`'s
+    * case-insensitive lookup; `iceberg.tables.schema-case-insensitive`).
+    */
+  private def qIngestCaseInsensitive(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("ingest_case_insensitive")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    IceTable.create(s"$wh/events_ci", schema, graft.table.TableMeta())
+    val shouted = t(spark, sfDir, "events")
+      .select(col("event_id").as("EVENT_ID"), col("user_id").as("USER_ID"),
+        col("event_type").as("Event_Type"))
+    Ingest.run(spark, shouted, 0L,
+      EngineConfig(warehouse = wh, tables = Seq(TableConfig("events_ci"))))
+    IceTable.load(s"$wh/events_ci").read(spark)
+      .select("event_id", "user_id", "event_type").orderBy("event_id")
+  }
+
+  /** E4: name-mapping aliases — the table carries
+    * `schema.name-mapping.default` (the Iceberg property the reference
+    * reads in `RecordConverter.java:100-103`), so a batch using the
+    * legacy alias `uid` for `user_id` still lands in the right column
+    * while unmapped columns resolve by name as usual.
+    */
+  private def qIngestNameMapping(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("ingest_name_mapping")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    IceTable.create(s"$wh/events_nm", schema, graft.table.TableMeta(
+      props = Map("schema.name-mapping.default" -> """{"user_id": ["uid"]}""")))
+    val legacy = t(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id").as("uid"), col("event_type"))
+    Ingest.run(spark, legacy, 0L,
+      EngineConfig(warehouse = wh, tables = Seq(TableConfig("events_nm"))))
+    IceTable.load(s"$wh/events_nm").read(spark)
+      .select("event_id", "user_id", "event_type").orderBy("event_id")
+  }
+
   /** D1-D4+K9: two-batch CDC upsert/delete keyed on user_id; equality
     * deletes from batch 1 erase batch-0 rows; read = anti-join on the
     * delete files.
@@ -1425,6 +1486,34 @@ object SparkEntry {
       maxShingleDf = 5)
       .orderBy("id_a", "id_b")
 
+  /** Asymmetric containment dedup (`|A∩B|/|A|` ≥ 0.6): directed
+    * contained-in-container pairs — the quote/excerpt shape symmetric
+    * Jaccard structurally misses. Same inverted-index plan as
+    * `dedup_jaccard` (one occurrence self-join, hot-shingle capped); both
+    * directions tested from ONE undirected intersection computation.
+    */
+  private def qDedupContainment(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.containmentPairs(t(spark, sfDir, "documents"), "doc_id", "text", 3, 0.6,
+      maxShingleDf = 5)
+      .orderBy("id_contained", "id_container")
+
+  /** Hybrid retrieval via reciprocal-rank fusion: BM25 lexical top-20 and
+    * embedding-cosine top-20 (query = vector 0) fused as
+    * `Σ 1/(60+rank)` ([[graft.llm.Search.rrfFuse]]) — rank-based, so the
+    * modalities' incomparable raw scores never mix. The per-modality
+    * retrievals are the already-verified distributed plans; the fusion
+    * itself touches only the two k-row lists.
+    */
+  private def qSearchHybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val lex = Search.bm25TopK(t(spark, sfDir, "documents"), "doc_id", "text",
+      terms = Seq("spark", "join", "shuffle"), k = 20)
+      .select("id", "rank")
+    val e = t(spark, sfDir, "embeddings")
+    val sem = Similarity.bruteForceKnn(e, e.filter(col("vec_id") === 0), "vec_id", "embedding", 20)
+      .select(col("n_id").as("id"), col("rank"))
+    Search.rrfFuse(Seq(lex, sem), k0 = 60, topK = 10).orderBy("rank")
+  }
+
   /** MinHash+LSH near-dup pairs. Candidates from banded signature buckets
     * are verified with EXACT Jaccard over the full shingle sets, so there
     * are no false positives — and with 16 bands of 2 rows, banding recall
@@ -2131,6 +2220,9 @@ object SparkEntry {
       "scan_skipping" -> wrap(qScanSkipping),
       "route_static" -> wrap(qRouteStatic),
       "route_dynamic" -> wrap(qRouteDynamic),
+      "route_broadcast" -> wrap(qRouteBroadcast),
+      "ingest_case_insensitive" -> wrap(qIngestCaseInsensitive),
+      "ingest_name_mapping" -> wrap(qIngestNameMapping),
       "route_dead_letter" -> wrap(qRouteDeadLetter),
       "ingest_dead_letter" -> wrap(qIngestDeadLetter),
       "streaming_dead_letter" -> wrap(qStreamingDeadLetter),
@@ -2162,6 +2254,8 @@ object SparkEntry {
       "dedup_exact" -> wrap(qDedupExact),
       "dedup_keep_best" -> wrap(qDedupKeepBest),
       "dedup_jaccard" -> wrap(qDedupJaccard),
+      "dedup_containment" -> wrap(qDedupContainment),
+      "search_hybrid_rrf" -> wrap(qSearchHybridRrf),
       "dedup_minhash" -> wrap(qDedupMinhash),
       "dedup_simhash" -> wrap(qDedupSimhash),
       "dedup_embedding" -> wrap(qDedupEmbedding),
@@ -2926,6 +3020,14 @@ object SparkEntry {
     "route_dynamic" ->
       """SELECT lower(event_type) AS sink, event_id, user_id FROM events
         |ORDER BY sink, event_id""".stripMargin,
+    "route_broadcast" ->
+      """SELECT s.sink, e.event_id, e.user_id, e.event_type
+        |FROM events e CROSS JOIN (VALUES ('hot'), ('archive')) AS s(sink)
+        |ORDER BY s.sink, e.event_id""".stripMargin,
+    "ingest_case_insensitive" ->
+      """SELECT event_id, user_id, event_type FROM events ORDER BY event_id""".stripMargin,
+    "ingest_name_mapping" ->
+      """SELECT event_id, user_id, event_type FROM events ORDER BY event_id""".stripMargin,
     "route_dead_letter" ->
       """SELECT event_id,
         |  CASE WHEN event_id % 7 <> 0
@@ -3158,6 +3260,70 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 5),
+        |shf AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
+        |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b, isect, sa.sz AS size_a, sb.sz AS size_b
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+        |SELECT id_contained, id_container, isect, size_contained FROM (
+        |  SELECT id_a AS id_contained, id_b AS id_container, isect, size_a AS size_contained
+        |  FROM j WHERE CAST(isect AS DOUBLE) / CAST(size_a AS DOUBLE) >= 0.6
+        |  UNION ALL
+        |  SELECT id_b, id_a, isect, size_b FROM j
+        |  WHERE CAST(isect AS DOUBLE) / CAST(size_b AS DOUBLE) >= 0.6)
+        |ORDER BY id_contained, id_container""".stripMargin,
+    "search_hybrid_rrf" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS dl,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'spark')) AS tf1,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'join')) AS tf2,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'shuffle')) AS tf3
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+        |    CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+        |  FROM w),
+        |scored AS (
+        |  SELECT doc_id AS id,
+        |    CAST(round((
+        |        ln(CAST(1.0 AS DOUBLE) + (n - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE))) * CAST(tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))
+        |      + ln(CAST(1.0 AS DOUBLE) + (n - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE))) * CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))
+        |      + ln(CAST(1.0 AS DOUBLE) + (n - df3 + CAST(0.5 AS DOUBLE)) / (df3 + CAST(0.5 AS DOUBLE))) * CAST(tf3 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(tf3 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))
+        |      ) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS bm25_fixed
+        |  FROM w, stats),
+        |lex AS (
+        |  SELECT id, row_number() OVER (ORDER BY bm25_fixed DESC, id) AS lex_rank
+        |  FROM scored WHERE bm25_fixed > 0
+        |  ORDER BY bm25_fixed DESC, id LIMIT 20),
+        |sem AS (
+        |  SELECT id, rank AS sem_rank FROM (
+        |    SELECT n.vec_id AS id,
+        |      row_number() OVER (ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC, n.vec_id) AS rank
+        |    FROM embeddings q, embeddings n
+        |    WHERE q.vec_id = 0 AND n.vec_id <> 0)
+        |  WHERE rank <= 20),
+        |f AS (
+        |  SELECT coalesce(lex.id, sem.id) AS id,
+        |    coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(lex_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+        |      + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(sem_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS s
+        |  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
+        |SELECT id, CAST(round(s * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS rrf_micros,
+        |  row_number() OVER (ORDER BY s DESC, id) AS rank
+        |FROM f ORDER BY s DESC, id LIMIT 10""".stripMargin,
     "dedup_minhash" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh

@@ -322,6 +322,59 @@ object Dedup {
       .select("id_a", "id_b", "isect", "size_a", "size_b")
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs (Broder's containment
+    * coefficient `|A∩B| / |A|`): flags a document whose distinct-shingle
+    * set lies mostly inside another's — quotes, excerpts, boilerplate
+    * wrappers, and expanded re-publications that symmetric Jaccard
+    * structurally misses (a fully-quoted 100-word doc inside a
+    * 10k-word doc has Jaccard ≈ 0.01 but containment = 1.0). Emits
+    * DIRECTED pairs (id_contained, id_container) — one undirected
+    * shingle-intersection computation, both directions tested from it.
+    *
+    * Same scale shape as [[ngramJaccardPairs]]: one inverted-index
+    * occurrence self-join bounded by shingle document frequency (the
+    * optional `maxShingleDf` hot-shingle cap), intersection counts from
+    * ONE hash aggregation, sizes joined back — never an all-pairs text
+    * comparison. Exchanged columns are exact integers.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Long = 0L
+  ): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .localCheckpoint()
+    val sizes = sh.groupBy("id").agg(count("*").as("sz"))
+    val joinSide =
+      if (maxShingleDf <= 0) sh
+      else {
+        val hot = sh.groupBy("sh").agg(count("*").as("df"))
+          .filter(col("df") > maxShingleDf).select("sh")
+        sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+    val pairs = joinSide
+      .withColumnRenamed("id", "id_a")
+      .join(joinSide.withColumnRenamed("id", "id_b"), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count("*").as("isect"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("size_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("size_b")), "id_b")
+    val aInB = pairs
+      .filter(col("isect").cast("double") / col("size_a").cast("double") >= threshold)
+      .select(col("id_a").as("id_contained"), col("id_b").as("id_container"),
+        col("isect"), col("size_a").as("size_contained"))
+    val bInA = pairs
+      .filter(col("isect").cast("double") / col("size_b").cast("double") >= threshold)
+      .select(col("id_b").as("id_contained"), col("id_a").as("id_container"),
+        col("isect"), col("size_b").as("size_contained"))
+    aInB.unionByName(bInA)
+  }
+
   /** MinHash signature: k permutations approximated as (a*h+b) mod p over
     * xxhash64 shingle hashes (standard universal-hash construction;
     * parameter stream in [[graft.functions.TextHashUtil.minhashParams]]).

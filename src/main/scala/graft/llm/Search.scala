@@ -227,4 +227,42 @@ object Search {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("bm25_fixed").desc, col("id"))).cast("long"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., the standard hybrid-retrieval
+    * combiner): given N per-modality rankings — each (id, rank), e.g. BM25
+    * lexical top-k and embedding-cosine top-k — score every id seen in any
+    * list as `Σ 1/(k0 + rank_i)` (absent lists contribute 0) and return
+    * the fused top-k. Rank-based, so the modalities' incomparable raw
+    * scores never mix; `k0 = 60` is the published default.
+    *
+    * Scale shape: the inputs are ALREADY top-k lists (k rows each, by
+    * construction of the upstream retrievers), so the N-way full-outer
+    * join and the single-partition ranking window touch O(N·k) rows —
+    * driver-trivial — while the heavy per-modality retrieval underneath
+    * stays distributed. Never feed full corpus rankings through this; cut
+    * to top-k first (that's also what makes RRF scores stable).
+    *
+    * Output: (id, rrf_micros, rank) — the fused score exchanged as exact
+    * micros (`round(score·1e6)`), ties broken by id.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking")
+    val renamed = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col("id"), col("rank").cast("long").as(s"__rank_$i"))
+    }
+    val joined = renamed.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    // identical term ORDER on both engines: doubles are deterministic
+    // under a fixed operation order, so the micros match bit-for-bit
+    val score = rankings.indices
+      .map(i => coalesce(lit(1.0) / (lit(k0.toDouble) + col(s"__rank_$i").cast("double")), lit(0.0)))
+      .reduce(_ + _)
+    joined
+      .withColumn("__s", score)
+      .orderBy(col("__s").desc, col("id"))
+      .limit(topK)
+      .select(col("id"),
+        round(col("__s") * lit(1e6)).cast("long").as("rrf_micros"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__s").desc, col("id"))).cast("long").as("rank"))
+  }
 }

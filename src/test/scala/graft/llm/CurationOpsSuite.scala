@@ -220,6 +220,42 @@ class CurationOpsSuite extends AnyFunSuite {
       (3L, 0L, 0L))) // empty doc
   }
 
+  test("containmentPairs flags an excerpt inside a larger doc that Jaccard misses") {
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")   // 38 distinct 3-grams
+    val quote = (5 to 12).map(i => s"w$i").mkString(" ") // 6 3-grams, all inside big
+    val df = Seq((1L, big), (2L, quote), (3L, "totally different words here four five"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.8)
+      .select("id_contained", "id_container", "isect", "size_contained")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((2L, 1L, 6L, 6L))) // containment 6/6 = 1.0, directed
+    // symmetric Jaccard misses the same pair at the same threshold:
+    // isect/(union) = 6/38 ≈ 0.16
+    assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.8).count() === 0L)
+  }
+
+  test("containmentPairs emits BOTH directions for mutual near-identical docs") {
+    val a = (1 to 20).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, a), (2L, a)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.9)
+      .select("id_contained", "id_container").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("rrfFuse combines ranked lists with 1/(k0+rank) and breaks ties by id") {
+    val l1 = Seq((10L, 1L), (20L, 2L)).toDF("id", "rank")
+    val l2 = Seq((20L, 1L), (30L, 2L)).toDF("id", "rank")
+    val got = Search.rrfFuse(Seq(l1, l2), k0 = 60, topK = 10)
+      .select("id", "rrf_micros", "rank").as[(Long, Long, Long)].collect().toSeq
+    def m(x: Double) = math.round(x * 1e6)
+    assert(got === Seq(
+      (20L, m(1.0 / 62 + 1.0 / 61), 1L), // in both lists: terms summed in list order
+      (10L, m(1.0 / 61), 2L),            // lex-only
+      (30L, m(1.0 / 62), 3L)))           // sem-only; same raw score class → id tiebreak
+    // topK truncates the fused list, not the inputs
+    assert(Search.rrfFuse(Seq(l1, l2), topK = 1).count() === 1L)
+  }
+
   test("bigramLmTrain + bigramLmScore on the same corpus equals the combined bigramLogProb") {
     val lm = TextAnalysis.bigramLmTrain(docs, "doc_id", "text")
     val split = TextAnalysis.bigramLmScore(docs, "doc_id", "text", lm)
