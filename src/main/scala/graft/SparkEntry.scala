@@ -637,6 +637,86 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** C1 end-to-end: NESTED coercion through a real table write — the
+    * batch carries struct/array/map columns whose LEAF types are wrong
+    * (longs and doubles arriving as strings) against a typed nested
+    * table schema; `Coercion.coerce`'s recursion must fix every leaf.
+    * The read-back flattens to scalars for the driver comparator.
+    */
+  private def qIngestNested(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("ingest_nested")
+    val target = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user", StructType(Seq(
+        StructField("id", LongType), StructField("kind", StringType)))),
+      StructField("vals", ArrayType(DoubleType)),
+      StructField("attrs", MapType(StringType, StringType))))
+    IceTable.create(s"$wh/events_n", target, graft.table.TableMeta())
+    val src = t(spark, sfDir, "events").select(
+      col("event_id"),
+      struct(col("user_id").cast("string").as("id"),
+        upper(col("event_type")).as("kind")).as("user"),
+      array(col("value").cast("string"), (col("value") * lit(2.0)).cast("string")).as("vals"),
+      map(lit("t"), col("event_type")).as("attrs"))
+    Ingest.run(spark, src, 0L,
+      EngineConfig(warehouse = wh, tables = Seq(TableConfig("events_n"))))
+    IceTable.load(s"$wh/events_n").read(spark).select(
+      col("event_id"),
+      col("user.id").as("uid"),
+      col("user.kind").as("kind"),
+      round(element_at(col("vals"), 1) * lit(1e6)).cast("long").as("v1_micros"),
+      round(element_at(col("vals"), 2) * lit(1e6)).cast("long").as("v2_micros"),
+      element_at(col("attrs"), "t").as("t"))
+      .orderBy("event_id")
+  }
+
+  /** K12 driver check: the commit-lifecycle listener observed through a
+    * real two-batch stream — one started event, one non-empty
+    * commit-complete per batch (empty 20 ms trigger ticks are filtered:
+    * their count is timing-dependent, their row counts are not), one
+    * terminated event. The listener bus is drained deterministically:
+    * progress events are ordered before the terminated event on the
+    * single bus thread, so polling until `terminated` guarantees both
+    * commits are in the buffer.
+    */
+  private def qCommitLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = freshDir("commit_lifecycle")
+    val ckpt = freshDir("commit_lifecycle_ckpt")
+    val rows = t(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamEvent].collect()
+    val (b0, b1) = rows.splitAt(rows.length / 2)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new graft.streaming.IngestStream.CommitListener(s => buf.add(s))
+    spark.streams.addListener(listener)
+    try {
+      val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("lc_sink")), autoCreate = true)
+      val ms = MemoryStream[StreamEvent]
+      val q = graft.streaming.IngestStream.start(ms.toDF(), cfg, ckpt, triggerMs = Some(20))
+      try {
+        ms.addData(b0.toIndexedSeq); q.processAllAvailable()
+        ms.addData(b1.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (!buf.toArray(Array.empty[String]).exists(_.contains("\"terminated\"")) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    } finally spark.streams.removeListener(listener)
+    val evs = buf.toArray(Array.empty[String]).toSeq
+    val commitRows = evs.filter(_.contains("\"event\":\"commit-complete\""))
+      .flatMap(s => """"rows":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong))
+      .filter(_ > 0L)
+    Seq((
+      evs.count(_.contains("\"event\":\"started\"")).toLong,
+      commitRows.size.toLong,
+      commitRows.headOption.getOrElse(0L),
+      commitRows.lift(1).getOrElse(0L),
+      evs.count(_.contains("\"event\":\"terminated\"")).toLong
+    )).toDF("n_started", "n_commits", "rows_first", "rows_second", "n_terminated")
+  }
+
   /** Metadata data skipping: commits carry per-file column min/max bounds
     * from the parquet footers, so a range scan prunes files BEFORE any is
     * opened (Iceberg lower/upper-bound pruning analogue; skipping itself
@@ -2212,6 +2292,8 @@ object SparkEntry {
       "branch_publish" -> wrap(qBranchPublish),
       "overwrite_partitions" -> wrap(qOverwritePartitions),
       "streaming_ingest" -> wrap(qStreamingIngest),
+      "ingest_nested" -> wrap(qIngestNested),
+      "commit_lifecycle" -> wrap(qCommitLifecycle),
       "streaming_window" -> wrap(qStreamingWindow),
       "sessionize" -> wrap(qSessionize),
       "sessionize_window" -> wrap(qSessionizeWindow),
@@ -3024,6 +3106,18 @@ object SparkEntry {
       """SELECT s.sink, e.event_id, e.user_id, e.event_type
         |FROM events e CROSS JOIN (VALUES ('hot'), ('archive')) AS s(sink)
         |ORDER BY s.sink, e.event_id""".stripMargin,
+    "ingest_nested" ->
+      """SELECT event_id, user_id AS uid, upper(event_type) AS kind,
+        |  CAST(round(value * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS v1_micros,
+        |  CAST(round(value * CAST(2.0 AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS v2_micros,
+        |  event_type AS t
+        |FROM events ORDER BY event_id""".stripMargin,
+    "commit_lifecycle" ->
+      """SELECT CAST(1 AS BIGINT) AS n_started, CAST(2 AS BIGINT) AS n_commits,
+        |  CAST(count(*) // 2 AS BIGINT) AS rows_first,
+        |  CAST(count(*) - count(*) // 2 AS BIGINT) AS rows_second,
+        |  CAST(1 AS BIGINT) AS n_terminated
+        |FROM events""".stripMargin,
     "ingest_case_insensitive" ->
       """SELECT event_id, user_id, event_type FROM events ORDER BY event_id""".stripMargin,
     "ingest_name_mapping" ->
