@@ -48,9 +48,65 @@ object ScaleProbe {
     (n, nPairs)
   }
 
+  private def tmpDir(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  /** ANN family probe: IVF index build (O(corpus): centroid training +
+    * assignment write) and batch probe (O(probed cells)) at k× the sf0.1
+    * embeddings table. Copies are circularly SHIFTED vectors (norm
+    * preserved, neighbor structure decorrelated across shifts; shifts
+    * repeat past k=64 — same caveat as the text rotations).
+    */
+  private def annProbe(spark: SparkSession, ks: Seq[Int]): Unit = {
+    val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def scaledE(k: Int): DataFrame =
+      (0 until k).map { i =>
+        val s = i % 64
+        val emb =
+          if (s == 0) col("embedding")
+          else concat(slice(col("embedding"), s + 1, 64 - s), slice(col("embedding"), 1, s))
+        base.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          emb.as("embedding"))
+      }.reduce(_.unionByName(_))
+    val queries = base.filter(col("vec_id") < 20)
+    locally { // warm JIT/codegen
+      val d = tmpDir("annwarm")
+      graft.llm.IvfIndex.build(scaledE(1), "vec_id", "embedding", d, nCells = 64, kmeansIters = 2)
+      graft.llm.IvfIndex.query(spark, d, queries, "vec_id", "embedding", k = 10, nProbe = 8).count()
+    }
+    val results = ks.map { k =>
+      val corpus = scaledE(k).localCheckpoint()
+      val n = corpus.count()
+      val dir = tmpDir(s"annscale$k")
+      val t0 = System.nanoTime()
+      graft.llm.IvfIndex.build(corpus, "vec_id", "embedding", dir, nCells = 64, kmeansIters = 2)
+      val tb = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val hits = graft.llm.IvfIndex
+        .query(spark, dir, queries, "vec_id", "embedding", k = 10, nProbe = 8).count()
+      val tp = (System.nanoTime() - t1) / 1e9
+      println(f"k=$k%3d vecs=$n%8d build=$tb%7.2f s probe=$tp%6.2f s hits=$hits%4d")
+      (k, tb, tp)
+    }
+    val (k1, b1, p1) = results.head
+    results.tail.foreach { case (k, b, p) =>
+      val eb = math.log(b / b1) / math.log(k.toDouble / k1)
+      val ep = math.log(p / p1) / math.log(k.toDouble / k1)
+      println(f"scaling exponent ${k1}x -> ${k}x: build $eb%.2f probe $ep%.2f (1.0 = linear)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.builder("local[32]", shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.exists(_.startsWith("ann"))) {
+      val ks = args.head.split(":").lift(1)
+        .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(10, 30, 100))
+      annProbe(spark, ks)
+      spark.stop()
+      return
+    }
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select("doc_id", "text")
     chain(scaled(base, 1)) // warm JIT/codegen outside the measured runs
