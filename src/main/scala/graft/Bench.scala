@@ -97,7 +97,11 @@ object Bench {
     val qs = (results ++ split ++ lmSplit).map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) r3(v) else "null")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (n, _, false) => n }
+    // split/lmSplit failures join the loud-failure list too (they stay out
+    // of `total` — file-only trend entries) so a broken build/probe or
+    // train/score arm fails the exit-code gate instead of writing a silent
+    // null (ADVICE r9)
+    val failed = (results ++ split ++ lmSplit).collect { case (n, _, false) => n }
     val total = results.collect { case (_, v, true) => v }.sum
     val nOk = results.count(_._3)
     // stdout line stays SHORT (the driver tails ~2.2 KB): total + counts

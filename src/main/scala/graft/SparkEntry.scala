@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.config.{EngineConfig, TableConfig}
-import graft.llm.{Decontaminate, Dedup, EmbIndex, Embeddings, LshIndex, Multimodal, Packing, Search, Similarity, TextAnalysis}
+import graft.llm.{Decontaminate, Dedup, EmbIndex, Embeddings, LshIndex, Multimodal, Packing, Propagate, Search, Similarity, TextAnalysis}
 import graft.operators.{Coercion, PartitionTransforms}
 import graft.sink.Ingest
 import graft.table.IceTable
@@ -273,6 +273,33 @@ object SparkEntry {
     IceTable.load(s"$wh/state").read(spark)
       .select("event_id", "user_id", "event_type", "value")
       .orderBy("user_id", "event_id")
+  }
+
+  /** D3 driver check: upsert MODE — no cdc-field, every record treated as
+    * UPDATE (`BaseDeltaTaskWriter.java:74-76`). Same two-batch stream as
+    * `cdc_upsert`; because every row upserts, the final state is exactly
+    * the LAST event per user_id across both batches (batch-1 keys
+    * equality-delete their batch-0 rows, within-batch dedup keeps the
+    * highest offset).
+    */
+  private def qUpsertMode(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("upsert_mode")
+    val ev = t(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .withColumn("offset", col("event_id"))
+    val maxId = ev.agg(max("event_id")).head().getLong(0)
+    val split = maxId / 2
+    val cfg = EngineConfig(
+      warehouse = wh,
+      tables = Seq(TableConfig("state", idColumns = Seq("user_id"))),
+      upsertMode = true,
+      autoCreate = true
+    )
+    Ingest.run(spark, ev.filter(col("event_id") <= split), 0L, cfg)
+    Ingest.run(spark, ev.filter(col("event_id") > split), 1L, cfg)
+    IceTable.load(s"$wh/state").read(spark)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("user_id")
   }
 
   /** Change data feed over the CDC table: the same two CDC batches as
@@ -590,6 +617,42 @@ object SparkEntry {
       .orderBy("seq")
   }
 
+  /** P5 driver check: byte-target file rolling end-to-end. Commit 1 seeds
+    * the bytes-per-row estimate (one uncapped single-task file with footer
+    * stats); commit 2 writes the same rows with
+    * `write.target-file-size-bytes` chosen from the SEED's recorded
+    * (rows, bytes) so the derived cap (`IceTableWriter
+    * .estimatedRowsPerFile`) is EXACTLY 2500 rows — `target =
+    * ⌊2500·bytes/rows⌋+2` puts the real-valued estimate in
+    * [2500 + rows/bytes, 2500 + 2·rows/bytes), whose floor is 2500 with
+    * ~0.03 margin on either side of any double error. The rolled commit's
+    * file layout (count, per-file rows, event_id bounds) is then fully
+    * data-derived: file i holds sorted-rank slice [2500·i, 2500·(i+1)).
+    */
+  private def qSizeRolling(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("size_rolling")
+    val ev = t(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .repartition(1).sortWithinPartitions("event_id")
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("events_r")), autoCreate = true)
+    Ingest.run(spark, ev, 0L, cfg)
+    val table = IceTable.load(s"$wh/events_r")
+    val seed = table.log.commits().head.dataFiles
+    val (rows, bytes) = (seed.map(_.rows).sum, seed.map(_.bytes).sum)
+    val target = (2500.0 * bytes / rows).toLong + 2
+    graft.sink.IceTableWriter.append(spark, ev,
+      table.withWriteProps(Map("write.target-file-size-bytes" -> target.toString)),
+      batchId = 1L)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("min_event_id")
+    table.filesMeta(spark).filter(col("seq") === 2)
+      .select(col("rows"),
+        element_at(col("lower_bounds"), "event_id").cast("long").as("min_event_id"),
+        element_at(col("upper_bounds"), "event_id").cast("long").as("max_event_id"))
+      .withColumn("file_idx", (row_number().over(w) - 1).cast("long"))
+      .select("file_idx", "rows", "min_event_id", "max_event_id")
+      .orderBy("file_idx")
+  }
+
   /** `partitions` metadata table (Iceberg analogue): live files rolled up
     * per partition tuple, metadata-only. Row counts per identity
     * partition are data-derived and oracle-checkable; file/byte counts
@@ -676,8 +739,12 @@ object SparkEntry {
     * their count is timing-dependent, their row counts are not), one
     * terminated event. The listener bus is drained deterministically:
     * progress events are ordered before the terminated event on the
-    * single bus thread, so polling until `terminated` guarantees both
-    * commits are in the buffer.
+    * single bus thread, so polling until THIS query's terminated event
+    * guarantees both commits are in the buffer. Every counted event is
+    * filtered by the started query's id — a session-wide listener also
+    * hears just-posted events from PRIOR streaming queries (the async bus
+    * can deliver e.g. an earlier query's terminated event to a freshly
+    * registered listener), which would otherwise inflate the counts.
     */
   private def qCommitLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -692,19 +759,25 @@ object SparkEntry {
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new graft.streaming.IngestStream.CommitListener(s => buf.add(s))
     spark.streams.addListener(listener)
+    var queryId: String = null
     try {
       val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("lc_sink")), autoCreate = true)
       val ms = MemoryStream[StreamEvent]
       val q = graft.streaming.IngestStream.start(ms.toDF(), cfg, ckpt, triggerMs = Some(20))
+      queryId = q.id.toString
       try {
         ms.addData(b0.toIndexedSeq); q.processAllAvailable()
         ms.addData(b1.toIndexedSeq); q.processAllAvailable()
       } finally q.stop()
       val deadline = System.nanoTime() + 15L * 1000000000L
-      while (!buf.toArray(Array.empty[String]).exists(_.contains("\"terminated\"")) &&
-        System.nanoTime() < deadline) Thread.sleep(50)
+      def terminatedSeen() = buf.toArray(Array.empty[String])
+        .exists(s => s.contains("\"terminated\"") && s.contains(s""""id":"$queryId""""))
+      while (!terminatedSeen() && System.nanoTime() < deadline) Thread.sleep(50)
     } finally spark.streams.removeListener(listener)
+    // count ONLY this query's events: the async bus may deliver a prior
+    // query's buffered events to this listener (ADVICE r9)
     val evs = buf.toArray(Array.empty[String]).toSeq
+      .filter(_.contains(s""""id":"$queryId""""))
     val commitRows = evs.filter(_.contains("\"event\":\"commit-complete\""))
       .flatMap(s => """"rows":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong))
       .filter(_ > 0L)
@@ -1577,21 +1650,30 @@ object SparkEntry {
       maxShingleDf = 5)
       .orderBy("id_contained", "id_container")
 
-  /** Hybrid retrieval via reciprocal-rank fusion: BM25 lexical top-20 and
-    * embedding-cosine top-20 (query = vector 0) fused as
-    * `Σ 1/(60+rank)` ([[graft.llm.Search.rrfFuse]]) — rank-based, so the
-    * modalities' incomparable raw scores never mix. The per-modality
-    * retrievals are the already-verified distributed plans; the fusion
-    * itself touches only the two k-row lists.
+  /** Hybrid retrieval via reciprocal-rank fusion: BM25 lexical top-20,
+    * embedding-cosine top-20 (query = vector 0), and a recency top-20
+    * (highest doc_id) fused as `Σ 1/(60+rank)`
+    * ([[graft.llm.Search.rrfFuse]]) — rank-based, so the modalities'
+    * incomparable raw scores never mix. The three lists overlap only
+    * PARTIALLY, so the fusion's absent-list arm (`coalesce`-to-0 for an
+    * id missing from a modality) is exercised end-to-end, not just in
+    * unit tests. The per-modality retrievals are the already-verified
+    * distributed plans; the fusion itself touches only the three k-row
+    * lists.
     */
   private def qSearchHybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
-    val lex = Search.bm25TopK(t(spark, sfDir, "documents"), "doc_id", "text",
+    val docs = t(spark, sfDir, "documents")
+    val lex = Search.bm25TopK(docs, "doc_id", "text",
       terms = Seq("spark", "join", "shuffle"), k = 20)
       .select("id", "rank")
     val e = t(spark, sfDir, "embeddings")
     val sem = Similarity.bruteForceKnn(e, e.filter(col("vec_id") === 0), "vec_id", "embedding", 20)
       .select(col("n_id").as("id"), col("rank"))
-    Search.rrfFuse(Seq(lex, sem), k0 = 60, topK = 10).orderBy("rank")
+    val rec = docs.select(col("doc_id").as("id"))
+      .orderBy(col("id").desc).limit(20)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("id").desc)).cast("long"))
+    Search.rrfFuse(Seq(lex, sem, rec), k0 = 60, topK = 10).orderBy("rank")
   }
 
   /** MinHash+LSH near-dup pairs. Candidates from banded signature buckets
@@ -1752,6 +1834,26 @@ object SparkEntry {
       n = 3, numHashes = 64, bands = 32, threshold = 0.5)
     Dedup.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("group_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Score propagation over the similarity graph ([[graft.llm.Propagate]]):
+    * seed quality scores (integer micros, a deterministic function of
+    * doc_id here) diffused 3 rounds through the exact-Jaccard pair graph —
+    * the "a doc near-duplicating high-quality docs is probably
+    * high-quality" signal. Every edge contribution is rounded to micros
+    * BEFORE the neighbor sum, so the oracle's unrolled 3-round join
+    * reproduces the scores bit-for-bit; isolated docs (most of the corpus)
+    * sit at the teleport-only fixed point round(0.15·s0).
+    */
+  private def qPropagateScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, maxShingleDf = 5)
+      .select("id_a", "id_b")
+    val nodes = docs.select(col("doc_id").as("id"),
+      ((pmod(col("doc_id"), lit(10L)) + lit(1L)) * lit(100000L)).as("s0_micros"))
+    Propagate.propagateScores(nodes, pairs, damping = 0.85, rounds = 3)
+      .select(col("id").as("doc_id"), col("s_micros").as("score_micros"))
       .orderBy("doc_id")
   }
 
@@ -2288,6 +2390,7 @@ object SparkEntry {
       "scan_bloom" -> wrap(qScanBloom),
       "meta_snapshots" -> wrap(qMetaSnapshots),
       "meta_files" -> wrap(qMetaFiles),
+      "size_rolling" -> wrap(qSizeRolling),
       "meta_partitions" -> wrap(qMetaPartitions),
       "branch_publish" -> wrap(qBranchPublish),
       "overwrite_partitions" -> wrap(qOverwritePartitions),
@@ -2309,6 +2412,7 @@ object SparkEntry {
       "ingest_dead_letter" -> wrap(qIngestDeadLetter),
       "streaming_dead_letter" -> wrap(qStreamingDeadLetter),
       "cdc_upsert" -> wrap(qCdcUpsert),
+      "upsert_mode" -> wrap(qUpsertMode),
       "cdc_changelog" -> wrap(qCdcChangelog),
       "merge_upsert" -> wrap(qMergeUpsert),
       "schema_evolution" -> wrap(qSchemaEvolution),
@@ -2361,6 +2465,7 @@ object SparkEntry {
       "text_redact_pii" -> wrap(qTextRedactPii),
       "text_repetition" -> wrap(qTextRepetition),
       "dedup_groups" -> wrap(qDedupGroups),
+      "propagate_scores" -> wrap(qPropagateScores),
       "sample_hash" -> wrap(qSampleHash),
       "sample_weighted" -> wrap(qSampleWeighted),
       "sample_stratified" -> wrap(qSampleStratified),
@@ -2843,6 +2948,50 @@ object SparkEntry {
     "dedup_groups" ->
       s"""$groupPropagationSql
          |SELECT id AS doc_id, label AS group_id FROM l4 ORDER BY doc_id""".stripMargin,
+    // Unrolled 3-round score propagation over the capped exact-Jaccard pair
+    // graph. Exact because every edge contribution is rounded to micros
+    // BEFORE the BIGINT neighbor sum (order-independent), and every double
+    // literal is CAST to DOUBLE so DuckDB folds in IEEE (its bare decimal
+    // literals are DECIMAL-typed — (1.0 - 0.85) would be exactly 0.15,
+    // while Scala's 1.0 - 0.85 is 0.15000000000000002).
+    "propagate_scores" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 5),
+        |shf AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+        |p0 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
+        |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT id_a, id_b
+        |  FROM p0 JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.5),
+        |dir AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT id_a AS src, id_b AS dst FROM jp UNION ALL SELECT id_b, id_a FROM jp)
+        |  WHERE src <> dst),
+        |deg AS (SELECT src, count(*) AS deg FROM dir GROUP BY src),
+        |dd AS (SELECT d.src, d.dst, g.deg FROM dir d JOIN deg g ON g.src = d.src),
+        |nodes AS (SELECT doc_id AS id, (doc_id % 10 + 1) * 100000 AS s0 FROM documents),
+        |base AS (SELECT id, CAST(round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * CAST(s0 AS DOUBLE)) AS BIGINT) AS bse FROM nodes),
+        |s0t AS (SELECT id, CAST(s0 AS BIGINT) AS s FROM nodes),
+        |i1 AS (
+        |  SELECT dd.dst AS id, CAST(sum(CAST(round(CAST(0.85 AS DOUBLE) * CAST(t.s AS DOUBLE) / CAST(dd.deg AS DOUBLE)) AS BIGINT)) AS BIGINT) AS inflow
+        |  FROM dd JOIN s0t t ON t.id = dd.src GROUP BY dd.dst),
+        |r1 AS (SELECT b.id, b.bse + coalesce(i1.inflow, CAST(0 AS BIGINT)) AS s FROM base b LEFT JOIN i1 ON i1.id = b.id),
+        |i2 AS (
+        |  SELECT dd.dst AS id, CAST(sum(CAST(round(CAST(0.85 AS DOUBLE) * CAST(t.s AS DOUBLE) / CAST(dd.deg AS DOUBLE)) AS BIGINT)) AS BIGINT) AS inflow
+        |  FROM dd JOIN r1 t ON t.id = dd.src GROUP BY dd.dst),
+        |r2 AS (SELECT b.id, b.bse + coalesce(i2.inflow, CAST(0 AS BIGINT)) AS s FROM base b LEFT JOIN i2 ON i2.id = b.id),
+        |i3 AS (
+        |  SELECT dd.dst AS id, CAST(sum(CAST(round(CAST(0.85 AS DOUBLE) * CAST(t.s AS DOUBLE) / CAST(dd.deg AS DOUBLE)) AS BIGINT)) AS BIGINT) AS inflow
+        |  FROM dd JOIN r2 t ON t.id = dd.src GROUP BY dd.dst),
+        |r3 AS (SELECT b.id, b.bse + coalesce(i3.inflow, CAST(0 AS BIGINT)) AS s FROM base b LEFT JOIN i3 ON i3.id = b.id)
+        |SELECT id AS doc_id, CAST(s AS BIGINT) AS score_micros FROM r3 ORDER BY doc_id""".stripMargin,
     "pipeline_dedup_curate" ->
       s"""$groupPropagationSql,
          |canon AS (
@@ -3003,6 +3152,13 @@ object SparkEntry {
         |SELECT seq, CAST(count(*) AS BIGINT) AS rows,
         |       min(event_id) AS min_event_id, max(event_id) AS max_event_id
         |FROM g GROUP BY seq ORDER BY seq""".stripMargin,
+    "size_rolling" ->
+      """WITH g AS (
+        |  SELECT event_id, (row_number() OVER (ORDER BY event_id) - 1) // 2500 AS fi
+        |  FROM events)
+        |SELECT CAST(fi AS BIGINT) AS file_idx, CAST(count(*) AS BIGINT) AS rows,
+        |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        |FROM g GROUP BY fi ORDER BY file_idx""".stripMargin,
     "meta_partitions" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS row_count
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -3157,6 +3313,11 @@ object SparkEntry {
         |SELECT d.event_id, d.user_id, d.event_type, d.value FROM data d
         |WHERE NOT EXISTS (SELECT 1 FROM del x WHERE x.user_id = d.user_id AND x.b > d.b)
         |ORDER BY d.user_id, d.event_id""".stripMargin,
+    "upsert_mode" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+        |  SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events e) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
     "merge_upsert" ->
       """WITH h AS (SELECT max(event_id) // 2 AS m FROM events),
         |b AS (SELECT event_id, user_id, event_type, value FROM (
@@ -3410,11 +3571,17 @@ object SparkEntry {
         |    FROM embeddings q, embeddings n
         |    WHERE q.vec_id = 0 AND n.vec_id <> 0)
         |  WHERE rank <= 20),
+        |rec AS (
+        |  SELECT doc_id AS id, row_number() OVER (ORDER BY doc_id DESC) AS rec_rank
+        |  FROM documents ORDER BY doc_id DESC LIMIT 20),
         |f AS (
-        |  SELECT coalesce(lex.id, sem.id) AS id,
+        |  SELECT coalesce(ls.id, rec.id) AS id,
         |    coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(lex_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
-        |      + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(sem_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS s
-        |  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
+        |      + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(sem_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+        |      + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(rec_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS s
+        |  FROM (SELECT coalesce(lex.id, sem.id) AS id, lex_rank, sem_rank
+        |        FROM lex FULL OUTER JOIN sem ON lex.id = sem.id) ls
+        |  FULL OUTER JOIN rec ON ls.id = rec.id)
         |SELECT id, CAST(round(s * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS rrf_micros,
         |  row_number() OVER (ORDER BY s DESC, id) AS rank
         |FROM f ORDER BY s DESC, id LIMIT 10""".stripMargin,

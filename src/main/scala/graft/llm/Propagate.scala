@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
   *
   * over the UNDIRECTED edge list (both directions materialized once,
   * degrees from that list; isolated nodes keep (1−d)·s_0 — the classic
-  * teleport-only fixed point).
+  * teleport-only fixed point). The edge list is NORMALIZED first:
+  * duplicate pair rows are de-duplicated and self-pairs dropped, so the
+  * scores are those of the simple undirected graph a caller handing in
+  * pair evidence (possibly multi-reported by several detectors) expects
+  * — degrees never depend on how many detectors re-found the same pair.
   *
   * Exactness contract (the engine-wide integer-exchange rule): scores
   * live as LONG micros; each edge contribution is rounded to micros
@@ -26,14 +30,17 @@ import org.apache.spark.sql.functions._
   * join on `src` (the static edge+degree table is checkpointed once and
   * reused every round, partitioned by the join key) and one partial-agg
   * sum by `dst`. Rounds are a small constant (diffusion, not
-  * convergence); state per round is one (id, long) row per node. No
+  * convergence); state per round is one (id, long) row per node, and
+  * each round's state is localCheckpoint'ed so the logical plan stays
+  * ONE join+agg deep regardless of `rounds` — without it the plan grows
+  * per round and planning time, not data, becomes the bottleneck. No
   * driver materialization at any size.
   */
 object Propagate {
 
   /** @param nodes (id, s0_micros) — seed scores in integer micros
-    * @param edges (id_a, id_b) — undirected pair evidence (self-pairs and
-    *   duplicates tolerated: they only change degrees deterministically)
+    * @param edges (id_a, id_b) — undirected pair evidence; duplicate pair
+    *   rows and self-pairs are normalized away (simple-graph semantics)
     */
   def propagateScores(
       nodes: DataFrame,
@@ -45,6 +52,8 @@ object Propagate {
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
     val dir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
     // static across rounds: materialize once, every round joins against it
     val dirDeg = dir.join(deg, "src").localCheckpoint()
@@ -60,6 +69,7 @@ object Propagate {
         .groupBy("id").agg(sum("c").as("inflow"))
       s = base.join(inflow, Seq("id"), "left")
         .select(col("id"), (col("base") + coalesce(col("inflow"), lit(0L))).as("s_micros"))
+        .localCheckpoint()
     }
     s
   }

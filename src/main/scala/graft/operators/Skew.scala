@@ -40,6 +40,17 @@ object Skew {
     * result (e.g. [[collectSorted]], whose final array is sorted).
     * Must be materialized via `withColumn` before a groupBy (Spark
     * rejects nondeterministic grouping expressions).
+    *
+    * RETRY CAVEAT (the SPARK-23207 hazard class): because the salt feeds
+    * a shuffle GROUPING key, a stage retry after shuffle-fetch failure can
+    * recompute map tasks with DIFFERENT position ids than reducers already
+    * fetched — duplicating or dropping rows. Output determinism (covered
+    * above) is a weaker property than retry safety. On an environment
+    * where fetch failures are expected (large clusters, spot executors),
+    * `persist()`/`localCheckpoint()` the salted frame before the groupBy
+    * so retries replay the MATERIALIZED salt instead of re-deriving it;
+    * single-JVM local mode (this repo's test/bench path) has no shuffle
+    * fetch failures, so the checkpoint cost is not paid by default.
     */
   def spreadSalt(value: Column, buckets: Int): Column =
     pmod(xxhash64(value, monotonically_increasing_id()), lit(buckets.toLong))

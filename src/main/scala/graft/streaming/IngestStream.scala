@@ -57,7 +57,8 @@ object IngestStream {
       onProgress(s"""{"event":"started","id":"${e.id}"}""")
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
       onProgress(
-        s"""{"event":"commit-complete","batchId":${e.progress.batchId},""" +
+        s"""{"event":"commit-complete","id":"${e.progress.id}",""" +
+          s""""batchId":${e.progress.batchId},""" +
           s""""rows":${e.progress.numInputRows},"ts":"${e.progress.timestamp}"}"""
       )
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =

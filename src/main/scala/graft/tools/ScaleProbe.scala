@@ -97,9 +97,113 @@ object ScaleProbe {
     }
   }
 
+  /** Persisted-search-index family probe: BM25 index build (O(corpus):
+    * tokenize + posting aggregation + bucketed write) and 3-term probe
+    * (`topKIndexed`: bucket-pruned postings read, never a corpus scan) at
+    * k× the sf0.1 documents table. The k× corpus is PLAIN REPLICATION
+    * with shifted doc_ids — the right growth model here (unlike dedup,
+    * search has no pair blowup to avoid, and replication grows each
+    * probed term's postings list exactly k×, which is what real corpus
+    * growth does to a term's document frequency).
+    */
+  private def searchProbe(spark: SparkSession, ks: Seq[Int]): Unit = {
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    def scaledD(k: Int): DataFrame =
+      (0 until k).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"), col("text"))
+      }.reduce(_.unionByName(_))
+    val terms = Seq("spark", "join", "shuffle")
+    locally { // warm JIT/codegen
+      val d = tmpDir("searchwarm")
+      graft.llm.Search.buildIndex(scaledD(1), "doc_id", "text", d)
+      graft.llm.Search.topKIndexed(spark, d, terms, k = 10).count()
+    }
+    val results = ks.map { k =>
+      val corpus = scaledD(k).localCheckpoint()
+      val n = corpus.count()
+      val dir = tmpDir(s"searchscale$k")
+      val t0 = System.nanoTime()
+      graft.llm.Search.buildIndex(corpus, "doc_id", "text", dir)
+      val tb = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val hits = graft.llm.Search.topKIndexed(spark, dir, terms, k = 10).count()
+      val tp = (System.nanoTime() - t1) / 1e9
+      println(f"k=$k%3d docs=$n%8d build=$tb%7.2f s probe=$tp%6.2f s hits=$hits%4d")
+      (k, tb, tp)
+    }
+    val (k1, b1, p1) = results.head
+    results.tail.foreach { case (k, b, p) =>
+      val eb = math.log(b / b1) / math.log(k.toDouble / k1)
+      val ep = math.log(p / p1) / math.log(k.toDouble / k1)
+      println(f"scaling exponent ${k1}x -> ${k}x: build $eb%.2f probe $ep%.2f (1.0 = linear)")
+    }
+  }
+
+  /** Compute-bound IVF build probe: SYNTHETIC corpora (deterministic
+    * hash-derived 64-dim vectors, no dependence on the tiny sf tables) at
+    * millions of vectors, where Lloyd-iteration distance math — not job
+    * setup — dominates the build. Run with SPARK_DRIVER_MEM=64g for the
+    * 10M point (two materialized copies of 10M×64 doubles).
+    */
+  private def annBigProbe(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    def synth(n: Long): DataFrame = {
+      val dims = (0 until 64).map { d =>
+        ((pmod(xxhash64(col("id"), lit(d)), lit(2000001L)) - lit(1000000L)).cast("double")
+          / lit(1e6)).cast("float")
+      }
+      spark.range(n).select(col("id").as("vec_id"), array(dims: _*).as("embedding"))
+    }
+    val queries = synth(20)
+    locally { // warm JIT/codegen
+      val d = tmpDir("annbigwarm")
+      graft.llm.IvfIndex.build(synth(50000L), "vec_id", "embedding", d, nCells = 64, kmeansIters = 2)
+      graft.llm.IvfIndex.query(spark, d, queries, "vec_id", "embedding", k = 10, nProbe = 8).count()
+    }
+    val results = sizes.map { n =>
+      val corpus = synth(n).localCheckpoint()
+      corpus.count()
+      val dir = tmpDir(s"annbig$n")
+      val t0 = System.nanoTime()
+      graft.llm.IvfIndex.build(corpus, "vec_id", "embedding", dir, nCells = 64, kmeansIters = 2)
+      val tb = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val hits = graft.llm.IvfIndex
+        .query(spark, dir, queries, "vec_id", "embedding", k = 10, nProbe = 8).count()
+      val tp = (System.nanoTime() - t1) / 1e9
+      // localCheckpoint blocks (this corpus + build's internal one) are
+      // pinned until GC; at 10M×64 doubles that's most of the heap — drop
+      // them eagerly so the next size starts clean
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      println(f"n=$n%9d build=$tb%8.2f s probe=$tp%6.2f s hits=$hits%4d")
+      (n, tb, tp)
+    }
+    val (n1, b1, p1) = results.head
+    results.tail.foreach { case (n, b, p) =>
+      val eb = math.log(b / b1) / math.log(n.toDouble / n1)
+      val ep = math.log(p / p1) / math.log(n.toDouble / n1)
+      println(f"scaling exponent ${n1} -> ${n}: build $eb%.2f probe $ep%.2f (1.0 = linear)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.builder("local[32]", shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.exists(_.startsWith("search"))) {
+      val ks = args.head.split(":").lift(1)
+        .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(10, 30, 100))
+      searchProbe(spark, ks)
+      spark.stop()
+      return
+    }
+    if (args.headOption.exists(_.startsWith("annbig"))) {
+      val sizes = args.head.split(":").lift(1)
+        .map(_.split(",").map(_.toLong).toSeq)
+        .getOrElse(Seq(1000000L, 3000000L, 10000000L))
+      annBigProbe(spark, sizes)
+      spark.stop()
+      return
+    }
     if (args.headOption.exists(_.startsWith("ann"))) {
       val ks = args.head.split(":").lift(1)
         .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(10, 30, 100))

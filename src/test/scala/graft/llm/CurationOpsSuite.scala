@@ -488,4 +488,77 @@ class CurationOpsSuite extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(bloom2 === exact2)
   }
+
+  // ---- score propagation ----------------------------------------------
+
+  /** Scala replica of Propagate's rounded-micros recurrence over the
+    * normalized simple graph — the hand-checkable reference the
+    * distributed plan must reproduce exactly (same per-edge rounding
+    * before the neighbor sum).
+    */
+  private def refPropagate(
+      seeds: Map[Long, Long],
+      edges: Seq[(Long, Long)],
+      d: Double,
+      rounds: Int): Map[Long, Long] = {
+    val dir = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter(e => e._1 != e._2).distinct
+    val deg = dir.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val base = seeds.map { case (id, s0) => id -> math.round((1.0 - d) * s0.toDouble) }
+    var s = seeds
+    for (_ <- 1 to rounds) {
+      val inflow = dir.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) =>
+          math.round(d * s(src).toDouble / deg(src).toDouble)
+        }.sum
+      }
+      s = base.map { case (id, b) => id -> (b + inflow.getOrElse(id, 0L)) }
+    }
+    s
+  }
+
+  private def runPropagate(
+      seeds: Map[Long, Long],
+      edges: Seq[(Long, Long)],
+      rounds: Int = 3): Map[Long, Long] =
+    Propagate.propagateScores(
+      seeds.toSeq.toDF("id", "s0_micros"),
+      edges.toDF("id_a", "id_b"),
+      damping = 0.85, rounds = rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("propagate: isolated nodes sit at the teleport-only fixed point, any round count") {
+    val seeds = Map(1L -> 1000000L, 2L -> 437000L, 3L -> 50000L)
+    // only a self-pair, which normalization drops → the graph is edgeless
+    val got = runPropagate(seeds, Seq((1L, 1L)), rounds = 3)
+    val expected = seeds.map { case (id, s0) => id -> math.round((1.0 - 0.85) * s0.toDouble) }
+    assert(got === expected)
+    // fixed point: one round gives the same scores as three
+    assert(runPropagate(seeds, Seq((1L, 1L)), rounds = 1) === expected)
+  }
+
+  test("propagate: duplicate and reversed pair evidence does not change degrees or scores") {
+    val seeds = (1L to 4L).map(i => i -> i * 250000L).toMap
+    val clean = Seq((1L, 2L), (2L, 3L))
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L), (2L, 3L))
+    assert(runPropagate(seeds, noisy) === runPropagate(seeds, clean))
+  }
+
+  test("propagate: matches the hand-computed recurrence on a path + isolated graph") {
+    // 1-2-3-4 path, 5 isolated; asymmetric seeds so every degree matters
+    val seeds = Map(1L -> 900000L, 2L -> 100000L, 3L -> 700000L, 4L -> 300000L, 5L -> 555000L)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    for (rounds <- Seq(1, 2, 3)) {
+      assert(runPropagate(seeds, edges, rounds) === refPropagate(seeds, edges, 0.85, rounds),
+        s"divergence at rounds=$rounds")
+    }
+  }
+
+  test("propagate: high-quality neighborhood lifts a low-seed member above its isolated twin") {
+    // doc 10 (low seed) is near-dup of two high-quality docs; doc 20 has
+    // the same seed but no edges — the diffusion signal the operator exists for
+    val seeds = Map(10L -> 100000L, 11L -> 1000000L, 12L -> 1000000L, 20L -> 100000L)
+    val got = runPropagate(seeds, Seq((10L, 11L), (10L, 12L)))
+    assert(got(10L) > got(20L))
+  }
 }
