@@ -186,9 +186,65 @@ object ScaleProbe {
     }
   }
 
+  /** Streaming-ingest commit-machinery probe (K9/K10 at fleet scale):
+    * wall-clock for 5 identical micro-batches through `Ingest.run` as a
+    * function of (table fan-out × rows per batch). With no route field
+    * every table receives the whole batch (R1 broadcast), so `nTables`
+    * multiplies the COMMIT count while the batch scan is shared via the
+    * multi-table persist — the design claim is table-count cost well
+    * below linear (the K10 parallel commit pool overlaps per-table
+    * writes) and batch-size cost ~linear (data write dominates, commit
+    * fixed cost bounded).
+    */
+  private def streamProbe(spark: SparkSession, combos: Seq[(Int, Int)]): Unit = {
+    import graft.config.{EngineConfig, TableConfig}
+    val nBatches = 5
+    def mkBatch(rows: Int): DataFrame =
+      spark.range(rows.toLong).select(
+        col("id").as("event_id"), pmod(col("id"), lit(97L)).as("user_id"),
+        concat(lit("type"), pmod(col("id"), lit(5L))).as("event_type"),
+        (col("id") % 1000L).cast("double").as("value"))
+    locally { // warm JIT/codegen + commit path
+      val cfg = EngineConfig(warehouse = tmpDir("streamwarm"),
+        tables = Seq(TableConfig("w0")), autoCreate = true)
+      graft.sink.Ingest.run(spark, mkBatch(10000), 0L, cfg)
+    }
+    val results = combos.map { case (nt, rows) =>
+      val wh = tmpDir(s"streamscale_${nt}t_${rows}r")
+      val batch = mkBatch(rows).localCheckpoint()
+      val cfg = EngineConfig(warehouse = wh,
+        tables = (1 to nt).map(i => TableConfig(s"t$i")), autoCreate = true)
+      graft.sink.Ingest.run(spark, batch, 0L, cfg) // auto-create outside the timing
+      val t0 = System.nanoTime()
+      (1 to nBatches).foreach(b => graft.sink.Ingest.run(spark, batch, b.toLong, cfg))
+      val dt = (System.nanoTime() - t0) / 1e9
+      val commits = nt * nBatches
+      println(f"tables=$nt%3d rows=$rows%8d batches=$nBatches commits=$commits%4d " +
+        f"time=$dt%6.2f s commits/s=${commits / dt}%7.1f batch_ms=${dt / nBatches * 1000}%7.0f")
+      (nt, rows, dt)
+    }
+    results.headOption.foreach { case (nt1, r1, t1) =>
+      results.tail.foreach { case (nt, r, t) =>
+        val k = (nt.toDouble * r) / (nt1.toDouble * r1)
+        if (k > 1.0) {
+          val e = math.log(t / t1) / math.log(k)
+          println(f"scaling exponent vs first (${k}%.0fx work): $e%.2f (1.0 = linear)")
+        }
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.builder("local[32]", shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.exists(_.startsWith("stream"))) {
+      val combos = args.head.split(":").lift(1)
+        .map(_.split(",").toSeq.map { c => val Array(a, b) = c.split("x"); (a.toInt, b.toInt) })
+        .getOrElse(Seq((1, 100000), (4, 100000), (16, 100000), (4, 10000), (4, 1000000)))
+      streamProbe(spark, combos)
+      spark.stop()
+      return
+    }
     if (args.headOption.exists(_.startsWith("search"))) {
       val ks = args.head.split(":").lift(1)
         .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(10, 30, 100))
