@@ -174,7 +174,7 @@ object ScaleProbe {
       // localCheckpoint blocks (this corpus + build's internal one) are
       // pinned until GC; at 10M×64 doubles that's most of the heap — drop
       // them eagerly so the next size starts clean
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       println(f"n=$n%9d build=$tb%8.2f s probe=$tp%6.2f s hits=$hits%4d")
       (n, tb, tp)
     }
@@ -234,9 +234,56 @@ object ScaleProbe {
     }
   }
 
+  /** Score-propagation probe: [[graft.llm.Propagate.propagateScores]] on a
+    * synthetic hash-derived graph (n nodes, ~4n undirected pair rows →
+    * ~8n directed edges after normalization) for 3 rounds. The design
+    * claim is ONE edge⋈score join + one aggregation per round with
+    * constant plan depth (per-round checkpoint) — cost linear in |E|,
+    * independent of round count beyond the multiplier.
+    */
+  private def propProbe(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    def graph(n: Long): (DataFrame, DataFrame) = {
+      val nodes = spark.range(n).select(col("id"),
+        (pmod(xxhash64(col("id")), lit(1000001L))).as("s0_micros"))
+      val edges = spark.range(n).select(col("id").as("id_a"),
+        explode(array((0 until 4).map(j =>
+          pmod(xxhash64(col("id"), lit(j)), lit(n))): _*)).as("id_b"))
+      (nodes, edges)
+    }
+    locally { // warm JIT/codegen
+      val (wn, we) = graph(50000L)
+      graft.llm.Propagate.propagateScores(wn, we).count()
+    }
+    val results = sizes.map { n =>
+      val (nodes0, edges0) = graph(n)
+      val nodes = nodes0.localCheckpoint()
+      val edges = edges0.localCheckpoint()
+      nodes.count(); val ne = edges.count()
+      val t0 = System.nanoTime()
+      val rows = graft.llm.Propagate.propagateScores(nodes, edges, rounds = 3).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      println(f"n=$n%9d edges=$ne%9d time=$dt%7.2f s out_rows=$rows%9d")
+      (n, dt)
+    }
+    val (n1, t1) = results.head
+    results.tail.foreach { case (n, t) =>
+      val e = math.log(t / t1) / math.log(n.toDouble / n1)
+      println(f"scaling exponent ${n1} -> ${n}: $e%.2f (1.0 = linear)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.builder("local[32]", shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.exists(_.startsWith("prop"))) {
+      val sizes = args.head.split(":").lift(1)
+        .map(_.split(",").map(_.toLong).toSeq)
+        .getOrElse(Seq(1000000L, 3000000L, 10000000L))
+      propProbe(spark, sizes)
+      spark.stop()
+      return
+    }
     if (args.headOption.exists(_.startsWith("stream"))) {
       val combos = args.head.split(":").lift(1)
         .map(_.split(",").toSeq.map { c => val Array(a, b) = c.split("x"); (a.toInt, b.toInt) })
