@@ -640,9 +640,11 @@ object SparkEntry {
     val seed = table.log.commits().head.dataFiles
     val (rows, bytes) = (seed.map(_.rows).sum, seed.map(_.bytes).sum)
     val target = (2500.0 * bytes / rows).toLong + 2
-    graft.sink.IceTableWriter.append(spark, ev,
-      table.withWriteProps(Map("write.target-file-size-bytes" -> target.toString)),
-      batchId = 1L)
+    // batch 2 goes through the PUBLIC config path — the
+    // `iceberg.table.write-props.*` overlay a reference user sets —
+    // not the internal writer API
+    Ingest.run(spark, ev, 1L,
+      cfg.copy(writeProps = Map("write.target-file-size-bytes" -> target.toString)))
     val w = org.apache.spark.sql.expressions.Window.orderBy("min_event_id")
     table.filesMeta(spark).filter(col("seq") === 2)
       .select(col("rows"),

@@ -253,6 +253,20 @@ class PlanAndOffsetsSuite extends AnyFunSuite {
     assert(exchanges <= 2, s"rollup shuffles $exchanges times:\n$plan")
   }
 
+  test("propagate_scores: per-round checkpoint keeps the plan depth constant in rounds") {
+    val nodes = (1L to 50L).map(i => (i, i * 1000L)).toDF("id", "s0_micros")
+    val edges = (1L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    def planLines(rounds: Int): Int =
+      graft.llm.Propagate.propagateScores(nodes, edges, rounds = rounds)
+        .queryExecution.executedPlan.toString.linesIterator.size
+    val d1 = planLines(1)
+    val d5 = planLines(5)
+    // without the per-round localCheckpoint the plan grows one join+agg
+    // per round and rounds=5 would be ~5× deeper than rounds=1
+    assert(d5 <= d1 + 2,
+      s"propagate plan grows with rounds: rounds=1 -> $d1 lines, rounds=5 -> $d5 lines")
+  }
+
   test("agg_collect (salted) keeps uniform first-stage keys: two exchanges, no window") {
     val plan = SparkEntry.queries("agg_collect")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
