@@ -554,6 +554,19 @@ class CurationOpsSuite extends AnyFunSuite {
     }
   }
 
+  test("propagate: matches the recurrence on randomized graphs (seeded, self-loops + dups included)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      val n = 3 + rnd.nextInt(8)
+      val ids = (1L to n.toLong).toIndexedSeq
+      val seeds = ids.map(i => i -> (rnd.nextInt(1000000) + 1).toLong).toMap
+      val edges = Seq.fill(rnd.nextInt(2 * n))((ids(rnd.nextInt(n)), ids(rnd.nextInt(n))))
+      val rounds = 1 + rnd.nextInt(3)
+      assert(runPropagate(seeds, edges, rounds) === refPropagate(seeds, edges, 0.85, rounds),
+        s"divergence on trial=$trial n=$n edges=$edges rounds=$rounds")
+    }
+  }
+
   test("propagate: high-quality neighborhood lifts a low-seed member above its isolated twin") {
     // doc 10 (low seed) is near-dup of two high-quality docs; doc 20 has
     // the same seed but no edges — the diffusion signal the operator exists for
