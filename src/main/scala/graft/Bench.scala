@@ -97,23 +97,28 @@ object Bench {
     val qs = (results ++ split ++ lmSplit).map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) r3(v) else "null")
     }.mkString("{", ",", "}")
-    // split/lmSplit failures join the loud-failure list too (they stay out
-    // of `total` — file-only trend entries) so a broken build/probe or
-    // train/score arm fails the exit-code gate instead of writing a silent
-    // null (ADVICE r9)
-    val failed = (results ++ split ++ lmSplit).collect { case (n, _, false) => n }
+    // split/lmSplit failures fail the exit-code gate too (they stay out of
+    // `total` — file-only trend entries) so a broken build/probe or
+    // train/score arm cannot write a silent null (ADVICE r9). Universes
+    // stay consistent: n_ok/n_err count QUERIES (the map the correctness
+    // gate sees), n_split_err counts the extra trend entries, and the
+    // stderr denominator covers everything the run attempted.
+    val failedQueries = results.collect { case (n, _, false) => n }
+    val failedSplit = (split ++ lmSplit).collect { case (n, _, false) => n }
+    val failed = failedQueries ++ failedSplit
     val total = results.collect { case (_, v, true) => v }.sum
     val nOk = results.count(_._3)
     // stdout line stays SHORT (the driver tails ~2.2 KB): total + counts
     // only; the per-query map lives in BENCH_out.json.
-    val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":$nOk,"n_err":${failed.size},"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":$nOk,"n_err":${failed.size},"errors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
+    val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":$nOk,"n_err":${failedQueries.size},"n_split_err":${failedSplit.size},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":$nOk,"n_err":${failedQueries.size},"n_split_err":${failedSplit.size},"errors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
     println(short)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_out.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (failed.nonEmpty) {
-      System.err.println(s"[bench] FAILED ${failed.size}/${results.size}: ${failed.mkString(", ")}")
+      val attempted = results.size + split.size + lmSplit.size
+      System.err.println(s"[bench] FAILED ${failed.size}/$attempted: ${failed.mkString(", ")}")
       sys.exit(1)
     }
   }

@@ -2507,6 +2507,29 @@ object SparkEntry {
     )
   }
 
+  /** Shared oracle prelude for the DF-CAPPED pair-graph queries
+    * (dedup_jaccard / dedup_containment / propagate_scores): word-3-gram
+    * shingles, per-doc set sizes, the hot-shingle document-frequency cap
+    * (df > 5 removed — the `maxShingleDf = 5` guard the Spark operators
+    * apply), and the inverted-index intersection counts (`pairs`). ONE
+    * definition so the shingle/cap semantics cannot drift between the
+    * three oracles; ends inside the WITH clause so each appends its own
+    * tail. (groupPropagationSql below intentionally differs: the minhash
+    * family is UNCAPPED and filters empty tokens.)
+    */
+  private val cappedPairGraphSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 5),
+      |shf AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
+      |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** Shared oracle prelude for the dup-group queries: exact word-3-gram
     * Jaccard pairs (uncapped) at threshold 0.5, then 4 rounds of
     * min-label propagation over the self-looped edge list — depth safely
@@ -2957,20 +2980,10 @@ object SparkEntry {
     // literals are DECIMAL-typed — (1.0 - 0.85) would be exactly 0.15,
     // while Scala's 1.0 - 0.85 is 0.15000000000000002).
     "propagate_scores" ->
-      """WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
-        |),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 5),
-        |shf AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
-        |p0 AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
-        |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
+      s"""$cappedPairGraphSql,
         |jp AS (
         |  SELECT id_a, id_b
-        |  FROM p0 JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |  WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.5),
         |dir AS (
         |  SELECT DISTINCT src, dst FROM (
@@ -3502,33 +3515,13 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
-        |),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 5),
-        |shf AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
-        |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
+      s"""$cappedPairGraphSql
         |SELECT id_a, id_b, isect, sa.sz AS size_a, sb.sz AS size_b
         |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_containment" ->
-      """WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
-        |),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 5),
-        |shf AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
-        |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
+      s"""$cappedPairGraphSql,
         |j AS (
         |  SELECT id_a, id_b, isect, sa.sz AS size_a, sb.sz AS size_b
         |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)

@@ -35,6 +35,15 @@ import org.apache.spark.sql.functions._
   * ONE join+agg deep regardless of `rounds` — without it the plan grows
   * per round and planning time, not data, becomes the bottleneck. No
   * driver materialization at any size.
+  *
+  * Checkpoint-block lifetime: rebinding `s` each round drops the only
+  * reference to the previous round's checkpointed RDD, so its blocks are
+  * reclaimed by Spark's ContextCleaner on the next GC cycle — the LIVE
+  * set is bounded at edges + base + current state + one in-flight round.
+  * (An explicit release isn't possible here: `Dataset.unpersist` frees
+  * cache-manager entries, not checkpoint blocks, and enumerating
+  * `sc.getPersistentRDDs` from inside an operator could unpersist a
+  * concurrent caller's state mid-job.)
   */
 object Propagate {
 

@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   * and the within-group pair count k²-fold: a skew stress test, not a
   * corpus-growth model.
   *
+  * Modes (first arg; results recorded in SCALE.md):
+  *  - (none) / `k1,k2,...`    — dedup chain at k× docs
+  *  - `ann[:k1,k2,...]`       — IVF build/probe at k× embeddings
+  *  - `annbig[:n1,n2,...]`    — IVF build at MILLIONS of synthetic
+  *                              vectors (SPARK_DRIVER_MEM=64g for 10M)
+  *  - `search[:k1,k2,...]`    — BM25 index build/probe at k× docs
+  *  - `stream[:TxR,...]`      — commit machinery: tables × rows/batch
+  *  - `prop[:n1,n2,...]`      — score propagation at n-node graphs
+  *
   * `sbt "runMain graft.tools.ScaleProbe"` (~2 GiB peak, a few minutes).
   */
 object ScaleProbe {
@@ -50,6 +59,15 @@ object ScaleProbe {
 
   private def tmpDir(name: String): String =
     java.nio.file.Files.createTempDirectory(name).toString
+
+  /** Release all pinned localCheckpoint blocks between probe iterations —
+    * without it each k's corpus (and the operators' internal checkpoints)
+    * stays in block storage and the LAST iteration pays eviction/spill
+    * pressure the first never saw, skewing the fitted exponent. Blocking,
+    * so cleanup can't race the next timed region or `spark.stop()`.
+    */
+  private def dropPinned(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
 
   /** ANN family probe: IVF index build (O(corpus): centroid training +
     * assignment write) and batch probe (O(probed cells)) at k× the sf0.1
@@ -86,6 +104,7 @@ object ScaleProbe {
       val hits = graft.llm.IvfIndex
         .query(spark, dir, queries, "vec_id", "embedding", k = 10, nProbe = 8).count()
       val tp = (System.nanoTime() - t1) / 1e9
+      dropPinned(spark)
       println(f"k=$k%3d vecs=$n%8d build=$tb%7.2f s probe=$tp%6.2f s hits=$hits%4d")
       (k, tb, tp)
     }
@@ -129,6 +148,7 @@ object ScaleProbe {
       val t1 = System.nanoTime()
       val hits = graft.llm.Search.topKIndexed(spark, dir, terms, k = 10).count()
       val tp = (System.nanoTime() - t1) / 1e9
+      dropPinned(spark)
       println(f"k=$k%3d docs=$n%8d build=$tb%7.2f s probe=$tp%6.2f s hits=$hits%4d")
       (k, tb, tp)
     }
@@ -171,10 +191,7 @@ object ScaleProbe {
       val hits = graft.llm.IvfIndex
         .query(spark, dir, queries, "vec_id", "embedding", k = 10, nProbe = 8).count()
       val tp = (System.nanoTime() - t1) / 1e9
-      // localCheckpoint blocks (this corpus + build's internal one) are
-      // pinned until GC; at 10M×64 doubles that's most of the heap — drop
-      // them eagerly so the next size starts clean
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      dropPinned(spark)
       println(f"n=$n%9d build=$tb%8.2f s probe=$tp%6.2f s hits=$hits%4d")
       (n, tb, tp)
     }
@@ -262,7 +279,7 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val rows = graft.llm.Propagate.propagateScores(nodes, edges, rounds = 3).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      dropPinned(spark)
       println(f"n=$n%9d edges=$ne%9d time=$dt%7.2f s out_rows=$rows%9d")
       (n, dt)
     }
@@ -324,6 +341,7 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val (n, nPairs) = chain(docs)
       val dt = (System.nanoTime() - t0) / 1e9
+      dropPinned(spark)
       println(f"k=$k%2d rows=$rows%8d dup_pairs=$nPairs%8d curated=$n%8d time=$dt%7.2f s")
       (k, rows, nPairs, n, dt)
     }

@@ -253,18 +253,32 @@ class PlanAndOffsetsSuite extends AnyFunSuite {
     assert(exchanges <= 2, s"rollup shuffles $exchanges times:\n$plan")
   }
 
-  test("propagate_scores: per-round checkpoint keeps the plan depth constant in rounds") {
+  test("propagate_scores: every round materializes eagerly — the constant-depth contract") {
     val nodes = (1L to 50L).map(i => (i, i * 1000L)).toDF("id", "s0_micros")
     val edges = (1L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    def planLines(rounds: Int): Int =
-      graft.llm.Propagate.propagateScores(nodes, edges, rounds = rounds)
-        .queryExecution.executedPlan.toString.linesIterator.size
-    val d1 = planLines(1)
-    val d5 = planLines(5)
-    // without the per-round localCheckpoint the plan grows one join+agg
-    // per round and rounds=5 would be ~5× deeper than rounds=1
-    assert(d5 <= d1 + 2,
-      s"propagate plan grows with rounds: rounds=1 -> $d1 lines, rounds=5 -> $d5 lines")
+    // The returned Dataset is checkpoint-flat by construction, so plan
+    // INSPECTION alone cannot tell per-round checkpointing from
+    // final-only checkpointing (the regression that would replan a
+    // rounds-deep join chain every round). Count eager jobs instead:
+    // dirDeg + base + one checkpoint job per round must all run DURING
+    // the call — final-only checkpointing would run ~3 jobs, not >= 7.
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    val result =
+      try {
+        val r = graft.llm.Propagate.propagateScores(nodes, edges, rounds = 5)
+        val deadline = System.nanoTime() + 10L * 1000000000L
+        while (jobs < 7 && System.nanoTime() < deadline) Thread.sleep(50)
+        r
+      } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs >= 7, s"expected >= 7 eager jobs (dirDeg + base + 5 rounds), saw $jobs")
+    // and the returned plan is the flat materialized scan, not a live chain
+    val lines = result.queryExecution.executedPlan.toString.linesIterator.size
+    assert(lines <= 6, s"returned plan is not checkpoint-flat ($lines lines)")
   }
 
   test("agg_collect (salted) keeps uniform first-stage keys: two exchanges, no window") {
