@@ -68,11 +68,19 @@ object IceTableWriter {
         * z-order rewrite path) — same range-partition+sort treatment as
         * `sortBy`, which it extends
         */
-      sortExprs: Seq[org.apache.spark.sql.Column] = Nil
+      sortExprs: Seq[org.apache.spark.sql.Column] = Nil,
+      /** Optimistic conflict validation for rewrites (Iceberg
+        * ValidationException analogue): when set to the scan-time seq, the
+        * commit ABORTS with [[graft.table.CommitConflictException]] if any
+        * equality-delete commit landed after it — a rewrite re-stamps rows
+        * at its own (higher) seq, which would silently void such deletes.
+        */
+      validateFromSeq: Option[Long] = None
   ): Option[Commit] = {
     val deltas = writeFiles(df, table, maxRecordsPerFile, sortBy, sortPartitions, sortExprs)
     publish(table, batchId, deltas, Nil, offsets, vtts,
-      if (compaction) props + ("compaction" -> "true") else props)
+      if (compaction) props + ("compaction" -> "true") else props,
+      validateFromSeq = validateFromSeq)
   }
 
   /** Partial rewrite: stage `df` as new files and supersede
@@ -84,10 +92,13 @@ object IceTableWriter {
       df: DataFrame,
       table: IceTable,
       removedPaths: Seq[String],
-      props: Map[String, String] = Map.empty
+      props: Map[String, String] = Map.empty,
+      /** see [[append]] — same concurrent-delete conflict validation */
+      validateFromSeq: Option[Long] = None
   ): Option[Commit] = {
     val files = writeFiles(df, table, maxRecords = 0L)
-    publish(table, batchId = -1L, files, Nil, Map.empty, None, props, removedPaths)
+    publish(table, batchId = -1L, files, Nil, Map.empty, None, props, removedPaths,
+      validateFromSeq = validateFromSeq)
   }
 
   /** Dynamic partition overwrite (Spark `INSERT OVERWRITE` with
@@ -112,13 +123,27 @@ object IceTableWriter {
       vtts: => Option[Long] = None,
       props: Map[String, String] = Map.empty
   ): Option[Commit] = {
-    val files = writeFiles(df, table, maxRecords = 0L)
+    val staged = writeFiles(df, table, maxRecords = 0L)
+    // An empty UNPARTITIONED write still stages one zero-row part file
+    // (FileFormatWriter substitutes a single empty task, and the
+    // single-directory writer creates its file eagerly). Counting it as
+    // "touching" the empty partition tuple would supersede EVERY live
+    // file — the accidental truncate this method's contract forbids.
+    // Zero-row files touch nothing: unstage them before the emptiness
+    // check. (Partitioned fan-out writers create files lazily, so this
+    // only ever fires for the unpartitioned empty-batch case.)
+    val (files, empties) = staged.partition(_.rows != 0L)
+    empties.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
     if (files.isEmpty) return None
     val newParts = files.map(_.partition).toSet
-    val removed = table.planFiles(None)
-      .collect { case (f, _) if newParts.contains(f.partition) => f.path }
+    // by-name: re-planned at each commit attempt, so files appended to the
+    // touched partitions between plan and claim (or during a seq-claim
+    // retry) are still superseded — "rows replace EXACTLY the partitions
+    // they touch" holds at COMMIT time, not plan time
     publish(table, batchId, files, Nil, offsets, vtts,
-      props + ("overwrite-partitions" -> "true"), removedPaths = removed)
+      props + ("overwrite-partitions" -> "true"),
+      removedPaths = table.planFiles(None)
+        .collect { case (f, _) if newParts.contains(f.partition) => f.path })
   }
 
   /** Delta commit (D2): new data files plus equality-delete key files that
@@ -432,7 +457,11 @@ object IceTableWriter {
       offsets: Map[String, Long],
       vtts: Option[Long],
       props: Map[String, String],
-      removedPaths: Seq[String] = Nil
+      /** by-name: evaluated inside each commit attempt, so callers whose
+        * superseded-file list depends on CURRENT table state (partition
+        * overwrite) stay correct across seq-claim retries */
+      removedPaths: => Seq[String] = Nil,
+      validateFromSeq: Option[Long] = None
   ): Option[Commit] = {
     // K7 defensive file-level dedup (channel/Deduplicated.java:79-148):
     // Spark's exactly-once batch protocol makes duplicate file listings
@@ -442,7 +471,14 @@ object IceTableWriter {
     val dedupDeletes = deleteFiles.distinctBy(_.path)
     val committed = table.log.commit(
       batchId,
-      seq =>
+      { seq =>
+        validateFromSeq.foreach { s0 =>
+          if (table.log.commits().exists(c => c.seq > s0 && c.deleteFiles.nonEmpty))
+            throw new graft.table.CommitConflictException(
+              s"equality-delete commit landed after scan seq $s0 — this rewrite would " +
+                "re-stamp its target rows above the delete's seq and silently void it; " +
+                "re-plan from current state and retry")
+        }
         Commit(
           seq = seq,
           batchId = batchId,
@@ -456,6 +492,7 @@ object IceTableWriter {
           props = props,
           removedPaths = removedPaths
         )
+      }
     )
     if (committed.isEmpty) {
       // replayed batch: the staged files will never be referenced; drop them
@@ -489,8 +526,12 @@ object IceTableWriter {
   // tens of ms of XML parsing and dominated commit time at many files
   private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
 
-  /** Exact row count from the file footer (no data read). */
-  private def rowCount(p: Path, format: String): Long = format match {
+  /** Exact row count from the file footer (no data read); -1 for formats
+    * without a readable footer. Shared with [[graft.table.IceTable.fsck]]
+    * (one implementation, one shared Hadoop conf — a per-file
+    * Configuration costs tens of ms of XML parsing).
+    */
+  private[graft] def rowCount(p: Path, format: String): Long = format match {
     case "parquet" =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new org.apache.hadoop.fs.Path(p.toString), hadoopConf)

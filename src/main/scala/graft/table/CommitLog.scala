@@ -50,7 +50,18 @@ final case class Commit(
     schemaVersion: Int,
     dataFiles: Seq[FileEntry] = Nil,
     deleteFiles: Seq[FileEntry] = Nil,
+    // contentAs: jackson-module-scala cannot see erased generic value
+    // types, so WITHOUT it a JSON number that fits in Int deserializes as
+    // a boxed Integer INSIDE Map[String, Long]/Option[Long] — equality
+    // still passes (cooperative ==) but the first unboxing access
+    // (`c.offsets(k) + 1`, `c.vtts.get`) throws ClassCastException. Real
+    // vtts values are epoch micros (> 2^31) which masked this; small
+    // offsets hit it.
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(
+      contentAs = classOf[java.lang.Long])
     offsets: Map[String, Long] = Map.empty,
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(
+      contentAs = classOf[java.lang.Long])
     vtts: Option[Long] = None,
     props: Map[String, String] = Map.empty,
     /** Paths of earlier commits' data files this commit supersedes
@@ -157,12 +168,21 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
   }
 
   /** Atomically commit; returns None if the batchId was already committed
-    * (exactly-once replay guard, K8). `build` receives the claimed seq.
+    * (exactly-once replay guard, K8). `build` receives the claimed seq and
+    * runs once per attempt — it may throw [[CommitConflictException]] to
+    * abort the commit (optimistic conflict validation, e.g. a rewrite
+    * detecting a concurrent delete); nothing is linked in that case.
     */
   def commit(batchId: Long, build: Long => Commit, maxRetries: Int = 10): Option[Commit] = {
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
+      // fence snapshot FIRST: any same-batch duplicate linked after this
+      // point has seq > fenceSeq, so the post-link verify's (fenceSeq,
+      // seq) window provably contains it; one linked at or before
+      // fenceSeq is visible to the lastBatchId fence below (batch ids
+      // commit in increasing order, so the last entry's id bounds it)
+      val fenceSeq = lastSeq()
       if (batchId >= 0 && lastBatchId().exists(batchId <= _)) return None
       val seq = lastSeq() + 1
       val entry = build(seq)
@@ -175,12 +195,14 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
         Files.createLink(commitPath(seq), tmp)
         Files.deleteIfExists(tmp)
         // Post-link zombie verify (K8): if another writer committed this
-        // batchId first, its seq is LOWER than ours and its link was
-        // already visible when we computed seq = lastSeq+1 — so scanning
-        // below our claim always detects the duplicate deterministically
-        // (lower seq wins, we roll back). The pre-link fence above is
-        // check-then-act; this check closes its race.
-        if (batchId >= 0 && commits().exists(c => c.seq < seq && c.batchId == batchId)) {
+        // batchId first, its seq is LOWER than ours (lower seq wins, we
+        // roll back) and lies in (fenceSeq, seq) — reading JUST that
+        // window (O(concurrent writers) direct file reads) replaces the
+        // previous full commits() scan, which paid a checkpoint + tail
+        // deserialization on every hot-path commit.
+        val dup = batchId >= 0 && ((fenceSeq + 1) until seq).exists(s =>
+          readCommitOpt(commitPath(s)).exists(_.batchId == batchId))
+        if (dup) {
           Files.deleteIfExists(commitPath(seq))
           return None
         }
@@ -211,6 +233,13 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
     }
   }
 }
+
+/** Thrown by a commit builder to abort an optimistic commit whose
+  * plan-time assumptions a concurrent commit invalidated (Iceberg's
+  * ValidationException-on-conflict analogue). The claimed seq is NOT
+  * linked; the caller re-plans and retries.
+  */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
 object CommitLog {
   private[table] val mapper: ObjectMapper = {

@@ -216,7 +216,6 @@ final class IceTable private[table] (
     val cur = schema
     val dataFiles = planFiles(pred, maxSeq, filePred)
     val delFiles = liveCommits(maxSeq).flatMap(c => c.deleteFiles.map(f => (f, c.seq)))
-    val keyCols = meta.idColumns
 
     if (dataFiles.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cur)
@@ -462,9 +461,12 @@ final class IceTable private[table] (
   def snapshots(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     val rows = log.commits().map { c =>
+      // partition overwrites supersede live rows without delete files —
+      // Iceberg labels them 'overwrite' too; only labeling delete-carrying
+      // commits would hide destructive history from an audit
       val op =
         if (c.props.keys.exists(_.startsWith("compaction"))) "replace"
-        else if (c.deleteFiles.nonEmpty) "overwrite"
+        else if (c.deleteFiles.nonEmpty || c.props.contains("overwrite-partitions")) "overwrite"
         else "append"
       Row(c.seq, c.batchId, c.commitId, c.timestampMs, op,
         c.dataFiles.size.toLong, c.dataFiles.map(_.rows).sum,
@@ -591,12 +593,23 @@ final class IceTable private[table] (
     // the source may carry extra columns the deleteWhen predicate needs
     // (e.g. an op marker); the insert payload is the table schema's
     // projection, taken AFTER the predicate filters
-    val cols = schema.fieldNames.toSeq
+    val cur = schema
+    val cols = cur.fieldNames.toSeq
     val missing = cols.filterNot(source.columns.contains)
     require(missing.isEmpty, s"merge source is missing table columns: ${missing.mkString(", ")}")
     val del = deleteWhen.getOrElse(lit(false))
-    val data = source.filter(!coalesce(del, lit(false))).select(cols.map(col): _*)
-    val deleteKeys = source.select(keyCols.map(col): _*)
+    // align source TYPES to the table schema before writing — a source
+    // with a mismatched column type (string ids from JSON, int where the
+    // table is long) would otherwise commit parquet files whose physical
+    // types poison every later read of the table. strict: a value that
+    // cannot coerce fails THIS merge loudly instead.
+    val data = graft.operators.Coercion.project(
+      source.filter(!coalesce(del, lit(false))), cur,
+      caseInsensitive = false, strict = true)
+    val keySchema = StructType(cur.fields.filter(f => keyCols.contains(f.name)))
+    val deleteKeys = graft.operators.Coercion.project(
+      source.select(keyCols.map(col): _*), keySchema,
+      caseInsensitive = false, strict = true)
     graft.sink.IceTableWriter.delta(spark, data, deleteKeys, this, batchId)
   }
 
@@ -618,8 +631,25 @@ final class IceTable private[table] (
     // partitioned tables keep the ordering through the fan-out write
     // (a pre-shuffle here would be destroyed by the writer's clustering).
     // Default partition sizing is AQE-advisory; sortPartitions pins it.
-    graft.sink.IceTableWriter.append(spark, read(spark), this, batchId = -1,
-      compaction = true, sortBy = sortBy, sortPartitions = sortPartitions)
+    //
+    // Optimistic conflict loop: a rewrite re-stamps rows at its own seq,
+    // so an equality delete committed AFTER this read but BEFORE the
+    // rewrite's commit would be silently voided (delete seq < new data
+    // seq). The writer validates at commit-claim time and aborts with
+    // CommitConflictException; re-reading then picks the delete up.
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val scanSeq = log.lastSeq()
+      try {
+        graft.sink.IceTableWriter.append(spark, read(spark), this, batchId = -1,
+          compaction = true, sortBy = sortBy, sortPartitions = sortPartitions,
+          validateFromSeq = Some(scanSeq))
+        return
+      } catch {
+        case e: CommitConflictException => if (attempt >= 3) throw e
+      }
+    }
   }
 
   /** Z-order rewrite (Iceberg/Delta `rewrite … zorder by` analogue):
@@ -641,19 +671,31 @@ final class IceTable private[table] (
       s"z-order needs 2 or 3 columns, got ${cols.mkString(", ")}")
     require(bits >= 1 && bits <= (if (cols.size == 2) 31 else 21),
       s"bits=$bits out of range for ${cols.size} dimensions")
-    val df = read(spark)
-    // one k-row agg for normalization bounds (k = dimension count)
-    val bounds = df.select(cols.flatMap(c =>
-      Seq(min(col(c).cast("double")).as(s"${c}__mn"),
-        max(col(c).cast("double")).as(s"${c}__mx"))): _*).head()
-    if (bounds.anyNull) { compact(spark, sortPartitions = sortPartitions); return }
-    val normalized = cols.zipWithIndex.map { case (c, i) =>
-      graft.functions.ZOrder.normalize(col(c),
-        bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1), bits)
+    // same optimistic concurrent-delete conflict loop as [[compact]]
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val scanSeq = log.lastSeq()
+      val df = read(spark)
+      // one k-row agg for normalization bounds (k = dimension count)
+      val bounds = df.select(cols.flatMap(c =>
+        Seq(min(col(c).cast("double")).as(s"${c}__mn"),
+          max(col(c).cast("double")).as(s"${c}__mx"))): _*).head()
+      if (bounds.anyNull) { compact(spark, sortPartitions = sortPartitions); return }
+      val normalized = cols.zipWithIndex.map { case (c, i) =>
+        graft.functions.ZOrder.normalize(col(c),
+          bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1), bits)
+      }
+      val z = graft.functions.ZOrder.interleave(normalized)
+      try {
+        graft.sink.IceTableWriter.append(spark, df, this, batchId = -1,
+          compaction = true, sortExprs = Seq(z), sortPartitions = sortPartitions,
+          validateFromSeq = Some(scanSeq))
+        return
+      } catch {
+        case e: CommitConflictException => if (attempt >= 3) throw e
+      }
     }
-    val z = graft.functions.ZOrder.interleave(normalized)
-    graft.sink.IceTableWriter.append(spark, df, this, batchId = -1,
-      compaction = true, sortExprs = Seq(z), sortPartitions = sortPartitions)
   }
 
   /** Bin-packing small-file compaction (Iceberg rewrite-data-files
@@ -675,6 +717,7 @@ final class IceTable private[table] (
       targetFileBytes: Long,
       minInputFiles: Int = 2
   ): Int = {
+    val scanSeq = log.lastSeq()
     val hasLiveDeletes = meta.idColumns.nonEmpty &&
       liveCommits(None).exists(_.deleteFiles.nonEmpty)
     if (hasLiveDeletes) {
@@ -692,11 +735,24 @@ final class IceTable private[table] (
     val df = readAligned(spark, small, cur, v => schemaAt(v)).drop(IceTable.SEQ)
     val totalBytes = small.map(_._1.bytes).sum
     val outParts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    graft.sink.IceTableWriter.rewrite(
-      spark, df.coalesce(outParts), this,
-      removedPaths = small.map(_._1.path),
-      props = Map("compaction-small" -> "true"))
-    small.size
+    try {
+      graft.sink.IceTableWriter.rewrite(
+        spark, df.coalesce(outParts), this,
+        removedPaths = small.map(_._1.path),
+        props = Map("compaction-small" -> "true"),
+        // the hasLiveDeletes guard above is check-then-act: a delta commit
+        // landing between it and this rewrite's commit would have its
+        // delete voided for the packed rows (they re-stamp at a higher
+        // seq). The writer validates at commit-claim time instead.
+        validateFromSeq = Some(scanSeq))
+      small.size
+    } catch {
+      case _: CommitConflictException =>
+        // a delete landed mid-rewrite; re-enter — the guard now sees it
+        // and takes the full-compact path (which applies deletes and has
+        // its own conflict loop)
+        compactSmallFiles(spark, targetFileBytes, minInputFiles)
+    }
   }
 
   /** fsck-style integrity audit of the LIVE table state: every referenced
@@ -708,6 +764,7 @@ final class IceTable private[table] (
     */
   def fsck(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
+    val legacyFsckFmt = rawMeta.format
     val live = liveCommits(None)
     val removed = live.flatMap(_.removedPaths).map(IceTable.normalizePath).toSet
     val entries: Seq[(FileEntry, Long, String)] =
@@ -726,18 +783,17 @@ final class IceTable private[table] (
         problemList.add(Row(f.path, seq, kind, "missing", "file not found"))
       else {
         val sz = Files.size(p)
+        // entries predating per-file formats ("") resolve to the table's
+        // persisted format — same rule as every reader — so legacy
+        // parquet/ORC entries get their footers verified too
+        val fmt = if (f.format.nonEmpty) f.format else legacyFsckFmt
         if (f.bytes >= 0 && sz != f.bytes)
           problemList.add(Row(f.path, seq, kind, "size-mismatch",
             s"recorded ${f.bytes} bytes, found $sz"))
-        else if (f.rows >= 0 && f.format == "parquet") {
+        else if (f.rows >= 0 && (fmt == "parquet" || fmt == "orc")) {
           val actual =
-            try {
-              val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                new org.apache.hadoop.fs.Path(p.toString),
-                new org.apache.hadoop.conf.Configuration())
-              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-              try r.getRecordCount finally r.close()
-            } catch { case _: Exception => -1L }
+            try graft.sink.IceTableWriter.rowCount(p, fmt)
+            catch { case _: Exception => -1L }
           if (actual != f.rows)
             problemList.add(Row(f.path, seq, kind, "row-mismatch",
               s"recorded ${f.rows} rows, footer has $actual"))

@@ -865,4 +865,102 @@ class IceTableSuite extends AnyFunSuite {
     val got = t.read(spark).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got === Seq((1L, "a"), (2L, "b2")))
   }
+
+  test("commit round-trip unboxes small offsets and vtts (Jackson erased-generic guard)") {
+    val dir = TestSpark.freshDir("t_jackson")
+    val t = IceTable.create(dir, schema, TableMeta())
+    // values small enough to fit in Int — without the contentAs
+    // annotation they deserialize as boxed Integer inside
+    // Map[String, Long]/Option[Long] and the unboxing below throws
+    IceTableWriter.append(spark, df((1L, "a", 1.0)), t, batchId = 0,
+      offsets = Map("t-0" -> 7L, "t-1" -> 9L), vtts = Some(1234567L))
+    val c = t.log.commits().last
+    assert(c.offsets("t-0") + 1L === 8L)
+    assert(c.offsets("t-1") + 1L === 10L)
+    assert(c.vtts.map(_ + 1L) === Some(1234568L))
+    // snapshots() reads the same deserialized commits — must not throw
+    val vttsCol = t.snapshots(spark).orderBy("seq").collect().last.getLong(10)
+    assert(vttsCol === 1234567L)
+  }
+
+  test("overwritePartitions with an EMPTY batch never truncates an unpartitioned table") {
+    val dir = TestSpark.freshDir("t_empty_ow")
+    val t = IceTable.create(dir, schema, TableMeta())
+    IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0)), t, 0)
+    // Spark stages one zero-row part file for an empty unpartitioned
+    // write; counting it as touching the empty partition tuple would
+    // supersede every live file
+    val commit = IceTableWriter.overwritePartitions(spark, df().limit(0), t, batchId = 1)
+    assert(commit.isEmpty, "empty overwrite must publish no commit")
+    val got = t.read(spark).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 2L), "live rows survived the empty overwrite")
+  }
+
+  test("merge coerces a type-mismatched source to the table schema (no poisoned files)") {
+    val dir = TestSpark.freshDir("t_merge_coerce")
+    val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
+    IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0)), t, 0)
+    // id arrives as STRING (the parsed-from-JSON shape), v as INT
+    val source = Seq(("2", "b2", 22), ("3", "c", 33)).toDF("id", "name", "v")
+    t.merge(spark, source, batchId = 1L)
+    val got = t.read(spark).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, "a", 1.0), (2L, "b2", 22.0), (3L, "c", 33.0)))
+    // a value that CANNOT coerce fails the merge loudly instead of
+    // committing null-poisoned files
+    val bad = Seq(("not-a-number", "x", 1)).toDF("id", "name", "v")
+    val e = intercept[Exception](t.merge(spark, bad, batchId = 2L))
+    assert(e.getMessage != null)
+    // the failed merge published nothing
+    assert(t.read(spark).count() === 3)
+  }
+
+  test("rewrite validation aborts when an equality delete lands after the scan seq") {
+    val dir = TestSpark.freshDir("t_conflict")
+    val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
+    IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0)), t, 0) // seq 1
+    val scanSeq = t.log.lastSeq()
+    // concurrent writer's delta (delete id 2) lands AFTER the scan
+    IceTableWriter.delta(spark, df(), Seq(2L).toDF("id"), t, 1) // seq 2
+    val e = intercept[CommitConflictException] {
+      IceTableWriter.rewrite(spark, t.read(spark).limit(1), t,
+        removedPaths = Nil, validateFromSeq = Some(scanSeq))
+    }
+    assert(e.getMessage.contains("equality-delete"))
+    // nothing was published by the aborted rewrite
+    assert(t.log.lastSeq() === scanSeq + 1)
+    // compactSmallFiles' guard now sees the delete and the full-compact
+    // path applies it — end state stays correct
+    t.compactSmallFiles(spark, targetFileBytes = 1L << 20)
+    val got = t.read(spark).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L))
+  }
+
+  test("snapshots labels partition overwrites 'overwrite', not 'append'") {
+    val dir = TestSpark.freshDir("t_ow_label")
+    val t = IceTable.create(dir, schema, TableMeta(partitionBy = Seq("name")))
+    IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0)), t, 0)
+    IceTableWriter.overwritePartitions(spark, df((3L, "a", 3.0)), t, batchId = 1)
+    val ops = t.snapshots(spark).orderBy("seq").collect().map(_.getString(4)).toSeq
+    assert(ops === Seq("append", "overwrite"))
+  }
+
+  test("fsck verifies ORC footers too: tampered recorded row count is reported") {
+    val dir = TestSpark.freshDir("t_fsck_orc")
+    val t = IceTable.create(dir, schema, TableMeta(format = "orc"))
+    IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0)).coalesce(1), t, 0)
+    assert(t.fsck(spark).count() === 0, "healthy ORC table must audit clean")
+    // tamper the recorded row count in the commit entry (bytes unchanged,
+    // so only the footer check can catch it)
+    val p = java.nio.file.Paths.get(dir, "_commits", "main")
+    val listing = java.nio.file.Files.list(p)
+    val entry =
+      try listing.filter(_.getFileName.toString.matches("v\\d+\\.json")).findFirst().get()
+      finally listing.close()
+    val json = new String(java.nio.file.Files.readAllBytes(entry), "UTF-8")
+    java.nio.file.Files.write(entry, json.replace("\"rows\":2", "\"rows\":3").getBytes("UTF-8"))
+    val problems = IceTable.load(dir).fsck(spark).collect()
+    assert(problems.exists(r => r.getString(3) == "row-mismatch"),
+      s"ORC row tampering not detected: ${problems.mkString(",")}")
+  }
 }
