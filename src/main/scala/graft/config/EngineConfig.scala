@@ -41,7 +41,10 @@ final case class EngineConfig(
     autoCreate: Boolean = false,
     /** `iceberg.tables.evolve-schema-enabled` */
     evolveSchema: Boolean = false,
-    /** `iceberg.tables.schema-force-optional` */
+    /** `iceberg.tables.schema-force-optional` — accepted for config
+      * parity; inherently satisfied here because [[graft.table.IceTable.create]]
+      * deep-nullables every created schema (parquet tables in this engine
+      * carry no required-ness to relax). */
     schemaForceOptional: Boolean = false,
     /** `iceberg.tables.schema-case-insensitive` */
     schemaCaseInsensitive: Boolean = true,

@@ -6,6 +6,25 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextHashes
 
+/** Shared guard for the operators that key rows by `CAST(id AS LONG)`
+  * (the persisted index family, k-means, streaming dedup): a
+  * non-integral id column (string/UUID) casts to null for EVERY row, so
+  * joins match nothing and the operator "succeeds" while silently
+  * deduplicating/clustering nothing. Fail loudly at the API boundary
+  * instead.
+  */
+private[graft] object IntegralId {
+  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+  def require(df: DataFrame, idCol: String, op: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    val ok = dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+    Predef.require(ok,
+      s"$op keys rows by casting '$idCol' to LONG, but its type is ${dt.simpleString}: " +
+        "every id would cast to null and the operation would silently match nothing. " +
+        "Derive a long id first (e.g. xxhash64 over the id, or a dense-id join).")
+  }
+}
+
 /** Deduplication operators for training-data pipelines, each designed
   * around its 100 TB shuffle shape:
   *

@@ -118,10 +118,12 @@ object EmbIndex {
     * everywhere, so they are excluded up front (the analogue of
     * [[LshIndex]] skipping empty shingle sets).
     */
-  private def usable(df: DataFrame, idCol: String, vecCol: String, outId: String): DataFrame =
+  private def usable(df: DataFrame, idCol: String, vecCol: String, outId: String): DataFrame = {
+    IntegralId.require(df, idCol, "EmbIndex")
     df.select(col(idCol).cast("long").as(outId),
         Similarity.normalize(col(vecCol)).as("v"))
       .filter(Similarity.clusterable(col("v")))
+  }
 
   /** Index `corpus` under `dir`. `bits`/`tables` default to the same
     * auto-sizing as the in-session path: bits from the corpus count

@@ -40,6 +40,7 @@ object IvfIndex {
   ): Int = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    IntegralId.require(corpus, idCol, "IvfIndex.build")
     val c = corpus
       .select(col(idCol).cast("long").as("n_id"), Similarity.normalize(col(vecCol)).as("n_vec"))
       .localCheckpoint() // training scans it repeatedly; the WRITE below is its durable form
@@ -90,6 +91,7 @@ object IvfIndex {
       .sortBy(_._1)
     require(cents.nonEmpty,
       s"IvfIndex at $dir has no centroids — build the index before appending")
+    IntegralId.require(batch, idCol, "IvfIndex.append")
     val vv = batch
       .select(col(idCol).cast("long").as("n_id"), Similarity.normalize(col(vecCol)).as("n_vec"))
       .filter(Similarity.clusterable(col("n_vec")))

@@ -132,7 +132,8 @@ object LshIndex {
       .select(col(idName), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
-  private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    IntegralId.require(df, idCol, "LshIndex")
     df.select(col(idCol).cast("long").as("id"), Dedup.shingles(col(textCol), n).as("shset"))
       // docs shorter than n tokens have EMPTY shingle sets: their minhash
       // signatures are all identical, so every such doc would collide with
@@ -140,6 +141,7 @@ object LshIndex {
       // pairs the 0/0-Jaccard verify discards anyway. They are
       // unindexable by this similarity measure; skip them.
       .filter(size(col("shset")) > 0)
+  }
 
   /** Index `corpus` under `dir`. Returns the number of documents indexed.
     * Same signature parameters as [[Dedup.minhashLshPairs]] — the stored

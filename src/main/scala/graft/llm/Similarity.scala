@@ -304,6 +304,7 @@ object Similarity {
   ): KmeansResult = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    IntegralId.require(corpus, idCol, "kmeans")
     val c = corpus
       .select(col(idCol).cast("long").as("id"), normalize(col(vecCol)).as("n_vec"))
       // a null/empty/zero vector has no direction: it normalizes to

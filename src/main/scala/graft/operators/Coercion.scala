@@ -52,14 +52,16 @@ object Coercion {
     val cols = target.fields.toSeq.map { f =>
       resolveField(available, f.name, nameMapping, caseInsensitive) match {
         case Some(src) =>
-          val coerced = coerce(col(src.name), src.dataType, f.dataType)
+          val in = qcol(src.name)
+          val coerced = coerce(in, src.dataType, f.dataType, caseInsensitive)
+          val violation = topLevelViolation(in, src.dataType, f.dataType, caseInsensitive)
           val checked =
             if (!strict) coerced
             else
-              when(col(src.name).isNotNull && coerced.isNull,
+              when(violation,
                 raise_error(concat(
                   lit(s"strict coercion: column '${src.name}' value '"),
-                  col(src.name).cast(StringType),
+                  in.cast(StringType),
                   lit(s"' does not convert to ${f.dataType.sql}"))).cast(f.dataType))
                 .otherwise(coerced)
           checked.as(f.name)
@@ -67,6 +69,33 @@ object Coercion {
       }
     } ++ extraCols.map(col)
     df.select(cols: _*)
+  }
+
+  /** Backtick-quoted column reference: a top-level source column named
+    * `user.id` (flattened-JSON shape) must not parse as a nested-field
+    * path. Literal backticks in the name escape by doubling.
+    */
+  private def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
+  /** The strict/DLQ violation condition for one TOP-LEVEL column: a
+    * non-null source value whose coercion nulls — plus, for map columns
+    * whose key type changes, any entry whose KEY nulls (the permissive
+    * path DROPS such entries, see [[coerce]]'s map arm; strict and the
+    * dead-letter split must surface them instead of losing them quietly).
+    */
+  private def topLevelViolation(
+      in: Column,
+      from: DataType,
+      to: DataType,
+      caseInsensitive: Boolean): Column = {
+    val base = in.isNotNull && coerce(in, from, to, caseInsensitive).isNull
+    (from, to) match {
+      case (f: MapType, t: MapType) if f.keyType != t.keyType =>
+        base || (in.isNotNull &&
+          exists(map_keys(in), k => coerce(k, f.keyType, t.keyType, caseInsensitive).isNull))
+      case _ => base
+    }
   }
 
   /** Per-row violation reason for the dead-letter path: the FIRST
@@ -85,9 +114,9 @@ object Coercion {
     val available = df.schema
     val checks: Seq[Column] = target.fields.toSeq.flatMap { f =>
       resolveField(available, f.name, nameMapping, caseInsensitive).map { src =>
-        val coerced = coerce(col(src.name), src.dataType, f.dataType)
-        when(col(src.name).isNotNull && coerced.isNull,
-          concat(lit(s"column '${src.name}' value '"), col(src.name).cast(StringType),
+        val in = qcol(src.name)
+        when(topLevelViolation(in, src.dataType, f.dataType, caseInsensitive),
+          concat(lit(s"column '${src.name}' value '"), in.cast(StringType),
             lit(s"' does not convert to ${f.dataType.sql}")))
       }
     }
@@ -112,8 +141,13 @@ object Coercion {
         }
       }
 
-  /** Build the coercion expression from `from` to `to`. */
-  def coerce(in: Column, from: DataType, to: DataType): Column =
+  /** Build the coercion expression from `from` to `to`.
+    * `caseInsensitive` governs NESTED struct-field resolution too, so
+    * `schema-case-insensitive = false` means the same thing at every
+    * depth (a nested `ID`→`id` match is refused exactly like a
+    * top-level one).
+    */
+  def coerce(in: Column, from: DataType, to: DataType, caseInsensitive: Boolean = true): Column =
     (from, to) match {
       case (f, t) if f == t => in
 
@@ -141,17 +175,27 @@ object Coercion {
       // ---- nested recursion (C1) ----
       case (f: StructType, t: StructType) =>
         val fields = t.fields.toSeq.map { tf =>
-          resolveField(f, tf.name, Map.empty, caseInsensitive = true) match {
-            case Some(sf) => coerce(in.getField(sf.name), sf.dataType, tf.dataType).as(tf.name)
-            case None     => lit(null).cast(tf.dataType).as(tf.name)
+          resolveField(f, tf.name, Map.empty, caseInsensitive) match {
+            case Some(sf) =>
+              coerce(in.getField(sf.name), sf.dataType, tf.dataType, caseInsensitive).as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
           }
         }
         when(in.isNull, lit(null).cast(t)).otherwise(struct(fields: _*))
       case (f: ArrayType, t: ArrayType) =>
-        transform(in, x => coerce(x, f.elementType, t.elementType))
+        transform(in, x => coerce(x, f.elementType, t.elementType, caseInsensitive))
       case (f: MapType, t: MapType) =>
-        val keyed = transform_keys(in, (k, _) => coerce(k, f.keyType, t.keyType))
-        transform_values(keyed, (_, v) => coerce(v, f.valueType, t.valueType))
+        // a coerced-to-null KEY cannot exist in a map (Spark throws
+        // "Cannot use null as map key" at runtime, which no DLQ filter
+        // could catch — the crash happens evaluating the filter itself);
+        // the permissive analogue of cast-to-null is DROPPING the entry.
+        // Strict/DLQ paths flag these rows via [[mapKeyViolation]].
+        val dropBadKeys =
+          if (f.keyType == t.keyType) in
+          else map_filter(in, (k, _) => coerce(k, f.keyType, t.keyType, caseInsensitive).isNotNull)
+        val keyed =
+          transform_keys(dropBadKeys, (k, _) => coerce(k, f.keyType, t.keyType, caseInsensitive))
+        transform_values(keyed, (_, v) => coerce(v, f.valueType, t.valueType, caseInsensitive))
 
       // JSON string → struct/array/map (schemaless record path, C7)
       case (StringType, t: StructType) => from_json(in, t)

@@ -47,6 +47,17 @@ object Routing {
           .map(_.getString(0))
           .toSeq
           .sorted
+        // A route VALUE becomes a warehouse-relative path (dots = catalog
+        // separators), so it is data-driven filesystem input: a value like
+        // "../../tmp/x" or one with a slash would create a table OUTSIDE
+        // the warehouse. The reference rejects unparseable identifiers via
+        // TableIdentifier.parse; same contract here — fail the batch loudly.
+        names.foreach { n =>
+          require(n.nonEmpty && n.split('.').forall(_.matches("[a-z0-9_-]+")),
+            s"dynamic route value '$n' is not a valid table identifier " +
+              "(dot-separated [a-z0-9_-] segments) — refusing to derive a " +
+              "filesystem path from it")
+        }
         names.map { n =>
           config.tableConfig(n) -> df.filter(lower(col(field).cast("string")) === n)
         }

@@ -123,17 +123,12 @@ object IceTableWriter {
       vtts: => Option[Long] = None,
       props: Map[String, String] = Map.empty
   ): Option[Commit] = {
-    val staged = writeFiles(df, table, maxRecords = 0L)
-    // An empty UNPARTITIONED write still stages one zero-row part file
-    // (FileFormatWriter substitutes a single empty task, and the
-    // single-directory writer creates its file eagerly). Counting it as
-    // "touching" the empty partition tuple would supersede EVERY live
-    // file — the accidental truncate this method's contract forbids.
-    // Zero-row files touch nothing: unstage them before the emptiness
-    // check. (Partitioned fan-out writers create files lazily, so this
-    // only ever fires for the unpartitioned empty-batch case.)
-    val (files, empties) = staged.partition(_.rows != 0L)
-    empties.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+    // writeFiles unstages zero-row part files, so an empty UNPARTITIONED
+    // batch — whose eagerly-created empty part file would otherwise
+    // "touch" the empty partition tuple and supersede EVERY live file
+    // (accidental truncate) — yields an empty list here and publishes
+    // nothing, exactly the contract above.
+    val files = writeFiles(df, table, maxRecords = 0L)
     if (files.isEmpty) return None
     val newParts = files.map(_.partition).toSet
     // by-name: re-planned at each commit attempt, so files appended to the
@@ -264,8 +259,16 @@ object IceTableWriter {
     }
     w.save(outDir.toString)
 
-    val files = listDataFiles(outDir, meta.format)
-    val stats = fileStats(df.sparkSession, files, meta.format)
+    val staged = listDataFiles(outDir, meta.format)
+    val stats = fileStats(df.sparkSession, staged, meta.format)
+    // Unstage zero-row files: FileFormatWriter creates part files EAGERLY
+    // (an empty unpartitioned batch stages one per task), and committing
+    // them bloats the log and every subsequent read's file list — a
+    // dead-letter stream with clean batches would otherwise accumulate
+    // thousands of empty files. rows == -1 (no readable footer, e.g.
+    // avro) is kept: unknown is not provably empty.
+    val (files, zeroRow) = staged.partition(p => stats(p.toString).rows != 0L)
+    zeroRow.foreach(Files.deleteIfExists(_))
     files.map { p =>
       val s = stats(p.toString)
       FileEntry(
@@ -443,10 +446,16 @@ object IceTableWriter {
     val uuid = java.util.UUID.randomUUID().toString
     val outDir = table.dir.resolve("deletes").resolve(uuid)
     keysDf.write.format(meta.format).mode("append").save(outDir.toString)
-    listDataFiles(outDir, meta.format).map { p =>
+    // same zero-row unstaging as writeFiles: an empty delete side stages
+    // an eager empty part file that would burden every later read's
+    // anti-join planning for nothing
+    val entries = listDataFiles(outDir, meta.format).map { p =>
       FileEntry(p.toString, rowCount(p, meta.format), table.currentSchemaVersion,
         bytes = Files.size(p), format = meta.format)
     }
+    val (live, zeroRow) = entries.partition(_.rows != 0L)
+    zeroRow.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+    live
   }
 
   private def publish(

@@ -73,11 +73,15 @@ object Ingest {
     // P6 / R1: one cached batch, N table writes. Dynamic routing persists
     // BEFORE discovery so its distinct-route-values job materializes the
     // cache instead of being a throwaway extra scan of the source.
+    // Dead-letter mode also persists even for ONE table: its DLQ write and
+    // main write are two actions over the same frame — unpersisted, each
+    // would re-scan the source (and re-run the SMT chain) per trigger.
     val dynamic = config.dynamicRouting && config.routeField.isDefined
     if (dynamic) filtered.persist()
     val routed = Routing.route(filtered, config)
     val multi = routed.size > 1 || dynamic
-    if (multi && !dynamic) filtered.persist()
+    val cached = multi || config.deadLetterEnabled
+    if (cached && !dynamic) filtered.persist()
     try {
       if (!multi) {
         routed.map { case (tconf, tdf) =>
@@ -97,7 +101,7 @@ object Ingest {
         Await.result(Future.sequence(fs), Duration.Inf)
       }
     } finally {
-      if (multi) { filtered.unpersist(); () }
+      if (cached) { filtered.unpersist(); () }
     }
   }
 
@@ -165,10 +169,11 @@ object Ingest {
     val table0: IceTable =
       if (IceTable.exists(path)) IceTable.load(path, tconf.commitBranch)
       else if (config.autoCreate) {
-        val createSchema =
-          if (config.schemaForceOptional)
-            StructType(incomingSchema.fields.map(_.copy(nullable = true)))
-          else incomingSchema
+        // `schema-force-optional` needs no handling here: IceTable.create
+        // deep-nullables EVERY created schema (this engine's parquet
+        // tables carry no required-ness), so the flag is accepted for
+        // config parity and is inherently satisfied
+        val createSchema = incomingSchema
         val spec =
           try {
             graft.operators.PartitionTransforms.parseSpec(tconf.partitionBy, createSchema)
@@ -267,8 +272,11 @@ object Ingest {
     }
   }
 
-  /** Schema of the data payload (kafka metadata/bookkeeping cols excluded
-    * from auto-create/evolution).
+  /** Schema of the data payload: only the engine's internal `__graft_*`
+    * bookkeeping columns are excluded from auto-create/evolution. Kafka
+    * metadata columns (topic/partition/offset/…) are intentionally KEPT —
+    * a kafka-shaped batch auto-creates a table carrying them, matching the
+    * KafkaMetadata SMT flow where the operator asked for them as data.
     */
   private def dataSchema(s: StructType): StructType =
     StructType(s.fields.filterNot(f => f.name.startsWith("__graft_")))

@@ -33,7 +33,10 @@ class EndToEndSuite extends AnyFunSuite {
     val t = IceTable.load(s"$wh/tbl")
     val commits = t.log.commits()
     assert(commits.size === 2)
-    assert(commits(0).deleteFiles.nonEmpty) // CDC mode always writes the delta path
+    // an all-insert batch goes through the delta path but stages NO
+    // delete file (the empty-key frame's eagerly created 0-row part file
+    // is unstaged — committing it would only bloat later anti-join plans)
+    assert(commits(0).deleteFiles.isEmpty)
     assert(commits(1).deleteFiles.map(_.rows).sum === 2) // delete keys for D + U
     val rows = t.read(spark).select("id", "payload").as[(Long, String)].collect().toSet
     assert(rows === Set((2L, "b2"), (3L, "c")))

@@ -291,6 +291,23 @@ class DedupSuite extends AnyFunSuite {
       (2L, "", 0L)))
   }
 
+  test("index family rejects non-integral id columns loudly (no silent null-cast no-op)") {
+    val stringIds = Seq(("u-1", "alpha beta gamma delta"), ("u-2", "alpha beta gamma delta"))
+      .toDF("uid", "text")
+    val e = intercept[IllegalArgumentException](
+      LshIndex.build(stringIds, "uid", "text", TestSpark.freshDir("lsh-strid")))
+    assert(e.getMessage.contains("cast") && e.getMessage.contains("uid"))
+    val stringVecIds = Seq(("u-1", Array.fill(4)(0.5f))).toDF("uid", "embedding")
+    intercept[IllegalArgumentException](
+      EmbIndex.build(stringVecIds, "uid", "embedding", TestSpark.freshDir("emb-strid"), 0.9))
+    intercept[IllegalArgumentException](
+      IvfIndex.build(stringVecIds, "uid", "embedding", TestSpark.freshDir("ivf-strid")))
+    // integral widths narrower than long stay accepted
+    val intIds = Seq((1, "alpha beta gamma delta"), (2, "alpha beta gamma delta x"))
+      .toDF("doc_id", "text")
+    assert(LshIndex.build(intIds, "doc_id", "text", TestSpark.freshDir("lsh-intid")) === 2L)
+  }
+
   test("persisted LSH index: incremental batch query matches the in-session cross pairs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)

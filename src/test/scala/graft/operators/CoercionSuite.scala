@@ -291,4 +291,57 @@ class CoercionSuite extends AnyFunSuite {
     val none = StructType(Seq(StructField("zzz", IntegerType)))
     assert(df.select(Coercion.violationReason(df, none)).collect().forall(_.isNullAt(0)))
   }
+
+  test("map-key coercion drops unconvertible keys (no runtime null-key crash) and flags the row") {
+    val df = Seq(
+      (1L, Map("7" -> "a", "abc" -> "b")), // "abc" key cannot become int
+      (2L, Map("1" -> "x", "2" -> "y"))
+    ).toDF("id", "m")
+    val target = StructType(Seq(
+      StructField("id", LongType),
+      StructField("m", MapType(IntegerType, StringType))))
+    // permissive: the bad ENTRY drops (a null map key is unrepresentable —
+    // Spark would throw "Cannot use null as map key"), good entries stay
+    val got = Coercion.project(df, target).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getMap[Int, String](1).toMap)).toSeq
+    assert(got === Seq((1L, Map(7 -> "a")), (2L, Map(1 -> "x", 2 -> "y"))))
+    // the dead-letter filter CAN see the drop (previously this expression
+    // itself crashed on the poison row)
+    val reasons = df.orderBy("id")
+      .select(col("id"), Coercion.violationReason(df, target).as("why"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(reasons(1L).exists(_.contains("'m'")))
+    assert(reasons(2L).isEmpty)
+    // strict mode fails the batch loudly on the same condition
+    val e = intercept[Exception](
+      Coercion.project(df, target, strict = true).collect())
+    assert(e.getMessage != null)
+  }
+
+  test("schema-case-insensitive=false applies at NESTED depth too") {
+    val df = Seq((1L, ("x", 5))).toDF("id", "s")
+      .select(col("id"), col("s._1").as("NAME"), col("s._2").as("n"))
+      .select(col("id"), struct(col("NAME"), col("n")).as("payload"))
+    val target = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", StructType(Seq(
+        StructField("name", StringType), StructField("n", IntegerType))))))
+    val sensitive = Coercion.project(df, target, caseInsensitive = false).collect()(0)
+    // nested NAME must NOT match name when the operator disabled
+    // case-insensitive resolution — null-filled like a missing field
+    assert(sensitive.getStruct(1).isNullAt(0))
+    assert(sensitive.getStruct(1).getInt(1) === 5)
+    val insensitive = Coercion.project(df, target, caseInsensitive = true).collect()(0)
+    assert(insensitive.getStruct(1).getString(0) === "x")
+  }
+
+  test("a top-level source column whose NAME contains a dot projects correctly") {
+    val df = Seq((1L, 7)).toDF("id", "user.id") // flattened-JSON shape
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("user.id", LongType)))
+    val got = Coercion.project(df, target).collect()(0)
+    assert(got.getLong(0) === 1L && got.getLong(1) === 7L)
+    // and the violation filter parses it as one identifier too
+    assert(df.select(Coercion.violationReason(df, target)).collect()(0).isNullAt(0))
+  }
 }

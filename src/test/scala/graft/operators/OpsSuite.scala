@@ -93,6 +93,18 @@ class RoutingSuite extends AnyFunSuite {
     assert(routed.map(_._1.name) === Seq("orders", "orders_eu", "shipments"))
   }
 
+  test("dynamic routing refuses route values that are not table identifiers (path traversal)") {
+    val cfg = EngineConfig("/tmp/x", routeField = Some("dest"), dynamicRouting = true)
+    for (evil <- Seq("../../tmp/evil", "a/b", "db..t", ".hidden", "")) {
+      val bad = Seq((1L, evil)).toDF("id", "dest")
+      val e = intercept[IllegalArgumentException](Routing.route(bad, cfg))
+      assert(e.getMessage.contains("not a valid table identifier"), s"value: '$evil'")
+    }
+    // dotted catalog names remain fine
+    val ok = Seq((1L, "db.events_2024")).toDF("id", "dest")
+    assert(Routing.route(ok, cfg).map(_._1.name) === Seq("db.events_2024"))
+  }
+
   test("tombstone filter drops null-value records on kafka-shaped batches only (R6)") {
     val kafka = Seq(
       ("t", 0, 0L, "x"), ("t", 0, 1L, null.asInstanceOf[String])

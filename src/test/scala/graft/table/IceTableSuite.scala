@@ -866,6 +866,22 @@ class IceTableSuite extends AnyFunSuite {
     assert(got === Seq((1L, "a"), (2L, "b2")))
   }
 
+  test("an empty append commits ZERO files (eagerly staged empty part files are unstaged)") {
+    val dir = TestSpark.freshDir("t_empty_append")
+    val t = IceTable.create(dir, schema, TableMeta())
+    // the clean-batch DLQ shape: an empty frame written every trigger —
+    // each commit must carry offsets/batch fencing but NO file entries
+    val c = IceTableWriter.append(spark, df().limit(0), t, batchId = 0,
+      offsets = Map("t-0" -> 5L))
+    assert(c.isDefined, "empty append still publishes the commit (offsets + fence)")
+    assert(c.get.dataFiles.isEmpty, s"empty append staged files: ${c.get.dataFiles}")
+    assert(t.read(spark).count() === 0)
+    // and an empty delete side stages no delete files either
+    val d = IceTableWriter.delta(spark, df((1L, "a", 1.0)), df().select(col("id")), t, batchId = 1)
+    assert(d.get.deleteFiles.isEmpty)
+    assert(t.read(spark).count() === 1)
+  }
+
   test("commit round-trip unboxes small offsets and vtts (Jackson erased-generic guard)") {
     val dir = TestSpark.freshDir("t_jackson")
     val t = IceTable.create(dir, schema, TableMeta())
