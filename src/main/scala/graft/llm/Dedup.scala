@@ -179,6 +179,7 @@ object Dedup {
     * n_removed) for every input row.
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    IntegralId.require(df, idCol, "dedupLines")
     val toks = df
       .select(col(idCol).cast("long").as("id"),
         split(coalesce(col(textCol), lit("")), "\r?\n").as("us"))
@@ -214,6 +215,7 @@ object Dedup {
       minDocs: Int
   ): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2 (1 would remove every non-blank line): $minDocs")
+    IntegralId.require(df, idCol, "removeBoilerplateLines")
     val toks = df
       .select(col(idCol).cast("long").as("id"),
         split(coalesce(col(textCol), lit("")), "\r?\n").as("us"))
@@ -256,6 +258,7 @@ object Dedup {
     */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n > 1, "span length must be at least 2 tokens")
+    IntegralId.require(df, idCol, "dedupSpans")
     // tokenized docs, materialized once (feeds occurrences AND rebuild);
     // same tokenizer as every other text op (whitespace contract); null
     // text = empty doc
@@ -300,18 +303,24 @@ object Dedup {
     * non-discriminative shingles blowing up the candidate space (slightly
     * undercounts intersections for affected pairs; leave 0 for exactness).
     */
-  def ngramJaccardPairs(
+  /** Shared inverted-index scaffold for the shingle-overlap pair
+    * searches: distinct-shingle occurrences (materialized once — they
+    * feed the self-join twice plus the size aggregate, and re-deriving
+    * shingles per consumer is the dominant cost; at cluster scale this
+    * is a persisted index table), per-doc set sizes, the optional
+    * hot-shingle DF cap, and the intersection counts with BOTH sizes
+    * joined. [[ngramJaccardPairs]] and [[containmentPairs]] differ only
+    * in the acceptance test applied on top — one definition, so the
+    * guard/checkpoint strategy cannot drift between them.
+    * Returns (id_a, id_b, isect, size_a, size_b) with id_a < id_b.
+    */
+  private def shingleIntersections(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      threshold: Double,
-      maxShingleDf: Long = 0L
+      maxShingleDf: Long
   ): DataFrame = {
-    // materialize the inverted index once — it feeds the self-join twice
-    // plus the size aggregate, and re-deriving shingles per consumer is
-    // the dominant cost (at cluster scale this would be a persisted/
-    // written-out index table)
     val sh = df
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
       .localCheckpoint()
@@ -323,15 +332,25 @@ object Dedup {
           .filter(col("df") > maxShingleDf).select("sh")
         sh.join(broadcast(hot), Seq("sh"), "left_anti")
       }
-    val pairs = joinSide
+    joinSide
       .withColumnRenamed("id", "id_a")
       .join(joinSide.withColumnRenamed("id", "id_b"), "sh")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count("*").as("isect"))
-    pairs
       .join(sizes.select(col("id").as("id_a"), col("sz").as("size_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("size_b")), "id_b")
+  }
+
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Long = 0L
+  ): DataFrame =
+    shingleIntersections(df, idCol, textCol, n, maxShingleDf)
       .withColumn(
         "jaccard",
         col("isect").cast("double") /
@@ -339,7 +358,6 @@ object Dedup {
       )
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "isect", "size_a", "size_b")
-  }
 
   /** Asymmetric n-gram CONTAINMENT pairs (Broder's containment
     * coefficient `|A∩B| / |A|`): flags a document whose distinct-shingle
@@ -364,25 +382,7 @@ object Dedup {
       threshold: Double,
       maxShingleDf: Long = 0L
   ): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
-      .localCheckpoint()
-    val sizes = sh.groupBy("id").agg(count("*").as("sz"))
-    val joinSide =
-      if (maxShingleDf <= 0) sh
-      else {
-        val hot = sh.groupBy("sh").agg(count("*").as("df"))
-          .filter(col("df") > maxShingleDf).select("sh")
-        sh.join(broadcast(hot), Seq("sh"), "left_anti")
-      }
-    val pairs = joinSide
-      .withColumnRenamed("id", "id_a")
-      .join(joinSide.withColumnRenamed("id", "id_b"), "sh")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count("*").as("isect"))
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("size_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("size_b")), "id_b")
+    val pairs = shingleIntersections(df, idCol, textCol, n, maxShingleDf)
     val aInB = pairs
       .filter(col("isect").cast("double") / col("size_a").cast("double") >= threshold)
       .select(col("id_a").as("id_contained"), col("id_b").as("id_container"),
@@ -444,9 +444,17 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     // one shingle pass feeds both the signatures and the verification
-    // sets; materialized once (cluster scale: a persisted index table)
+    // sets; materialized once (cluster scale: a persisted index table).
+    // Docs shorter than n tokens have EMPTY shingle sets: their minhash
+    // signatures are all-null, so every band hashes identically and ALL
+    // such docs would collide with each other in every band — a k²/2
+    // candidate blowup (k = short docs, millions in a web corpus) whose
+    // pairs the verify then discards anyway (Jaccard 0/0 = NULL). They
+    // are unindexable by this measure; skip them up front, same rule as
+    // the persisted [[LshIndex]].
     val withSets = df
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("shset"))
+      .filter(size(col("shset")) > 0)
       .localCheckpoint()
     val sig = withSets
       .select(col("id"), transform(col("shset"), s => abs(xxhash64(s))).as("hh"))
@@ -612,7 +620,12 @@ object Dedup {
     val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
     // p^bits >= ln(1/missProb)/maxTables  ⇔  bits <= ln(budget)/ln(p)
     val budget = math.log(1.0 / missProb) / maxTables
-    if (p <= 0.0 || p >= 1.0 || budget >= 1.0) 1
+    if (p >= 1.0) Int.MaxValue // threshold 1.0: a qualifying (identical)
+    // pair collides at ANY bit count — there is no recall bound to apply,
+    // and returning the conservative floor here would cap auto-sized LSH
+    // at 1 bit (two buckets, ~n²/4 candidates: the exact blowup this
+    // function exists to prevent)
+    else if (p <= 0.0 || budget >= 1.0) 1
     else math.max(1, math.floor(math.log(budget) / math.log(p)).toInt)
   }
 

@@ -43,6 +43,9 @@ object IvfIndex {
     IntegralId.require(corpus, idCol, "IvfIndex.build")
     val c = corpus
       .select(col(idCol).cast("long").as("n_id"), Similarity.normalize(col(vecCol)).as("n_vec"))
+      // same degenerate-vector exclusion as [[append]] and kmeans: a NaN
+      // vector left in poisons its cell's Lloyd mean every iteration
+      .filter(Similarity.clusterable(col("n_vec")))
       .localCheckpoint() // training scans it repeatedly; the WRITE below is its durable form
     val dim = Similarity.detectDim(c)
     val cents = Similarity.trainCentroids(c, nCells, kmeansIters, dim)

@@ -93,7 +93,10 @@ object Search {
     // per-term document frequencies: reads only the probed postings
     val dfByTerm = postings.groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val idf = terms.map { t =>
+    // distinct: query terms are a SET here too (duplicate branches in the
+    // when-chain below would be unreachable, and the postings join already
+    // scores each (doc, term) once)
+    val idf = terms.distinct.map { t =>
       val df = dfByTerm.getOrElse(t, 0L).toDouble
       t -> math.log(1.0 + (n - df + 0.5) / (df + 0.5))
     }
@@ -187,6 +190,11 @@ object Search {
       b: Double = 0.75
   ): DataFrame = {
     require(terms.nonEmpty, "at least one query term")
+    // query terms are a SET: the indexed twin scores each (doc, term)
+    // posting once by construction, so duplicates in the caller's list
+    // must not double a term's contribution here — dedupe keeps the
+    // documented "same formula as topKIndexed" contract exact
+    val qTerms = terms.distinct
     val text = col(textCol)
     // one reduction for every statistic the scorer needs: N, avgdl, and
     // per-term document frequency
@@ -195,7 +203,7 @@ object Search {
     val statCols =
       count(lit(1)).as("n") +:
         sum(TextAnalysis.tokenCount(text).cast("long")).as("sumdl") +:
-        terms.map(t => sum(when(termFrequency(text, t) > 0, 1L).otherwise(0L)).as("df"))
+        qTerms.map(t => sum(when(termFrequency(text, t) > 0, 1L).otherwise(0L)).as("df"))
     val statsRow = docs.agg(statCols.head, statCols.tail: _*).head()
     val n = statsRow.getLong(0)
     if (n == 0L) {
@@ -206,12 +214,12 @@ object Search {
         .limit(0)
     }
     val avgdl = statsRow.getLong(1).toDouble / n.toDouble
-    val idf = terms.indices.map { i =>
+    val idf = qTerms.indices.map { i =>
       val df = statsRow.getLong(2 + i).toDouble
       math.log(1.0 + (n - df + 0.5) / (df + 0.5))
     }
     val dl = TextAnalysis.tokenCount(text).cast("double")
-    val score = terms.zip(idf).map { case (term, w) =>
+    val score = qTerms.zip(idf).map { case (term, w) =>
       val tf = termFrequency(text, term).cast("double")
       lit(w) * tf * lit(k1 + 1.0) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
     }.reduce(_ + _)

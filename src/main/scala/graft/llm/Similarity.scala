@@ -89,7 +89,14 @@ object Similarity {
       vecCol: String,
       k: Int
   ): DataFrame = {
+    // degenerate corpus vectors (null/empty/zero/NaN) normalize to
+    // NULL/NaN cosines, and Spark orders NaN ABOVE every real double in a
+    // desc sort — one corrupt row would otherwise become the rank-1
+    // "neighbor" of every query. Queries stay unfiltered: a degenerate
+    // QUERY returns visibly-NaN cosines the caller can see, rather than
+    // silently vanishing from the output.
     val c = corpus.select(col(idCol).as("n_id"), normalize(col(vecCol)).as("n_vec"))
+      .filter(clusterable(col("n_vec")))
     val q = queries.select(col(idCol).as("q_id"), normalize(col(vecCol)).as("q_vec"))
     val scored = c
       .crossJoin(broadcast(q))
@@ -263,7 +270,13 @@ object Similarity {
   ): Array[(Long, Array[Double])] = {
     var cents = seedCentroids(c, nCells)
     if (cents.isEmpty) return cents
-    for (_ <- 0 until kmeansIters) cents = lloydStep(c, cents, dim, dropNaN = false)
+    // dropNaN: a degenerate cell mean (opposing members cancel to the
+    // zero vector, which normalizes to NaN) must NOT survive as a
+    // centroid — Spark orders NaN as the largest double, so a NaN
+    // centroid wins every later argmax and collapses the quantizer to
+    // one cell. Losing the dead cell (fewer centroids) is the benign
+    // outcome.
+    for (_ <- 0 until kmeansIters) cents = lloydStep(c, cents, dim, dropNaN = true)
     cents
   }
 
@@ -518,7 +531,12 @@ object Similarity {
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // unclusterable vectors are excluded up front (same rule as kmeans
+    // and the persisted IvfIndex): left in, a NaN vector poisons its
+    // cell's Lloyd mean every iteration, and a null/empty FIRST row
+    // would mis-detect the embedding width below
     val c0 = corpus.select(col(idCol).as("n_id"), normalize(col(vecCol)).as("n_vec"))
+      .filter(clusterable(col("n_vec")))
     val c = c0.localCheckpoint() // scanned by seeding, each Lloyd pass, and assignment
     val dim = if (dim0 > 0) dim0 else detectDim(c)
     val cents = trainCentroids(c, nCells, kmeansIters, dim)

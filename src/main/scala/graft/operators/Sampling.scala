@@ -39,7 +39,14 @@ object Sampling {
     val checked = when(k.isNull,
       raise_error(concat(lit("sampling key is null or non-numeric: '"),
         coalesce(key.cast("string"), lit("null")), lit("'")))).otherwise(k)
-    pmod(pmod(checked + lit(seed), lit(P)) * lit(A) + lit(B), lit(P))
+    // the seed folds in AFTER the key's own mod: `key + seed` could
+    // overflow 64-bit for hash-derived keys near Long.MaxValue (silent
+    // wrap non-ANSI, ArithmeticException under ANSI) — the sum below
+    // stays < 2^32, preserving the no-overflow portability contract.
+    // seed = 0 (the default every driver query uses) is bit-identical to
+    // the pre-normalized form.
+    val seedNorm = ((seed % P) + P) % P
+    pmod(pmod(pmod(checked, lit(P)) + lit(seedNorm), lit(P)) * lit(A) + lit(B), lit(P))
   }
 
   /** Keep ~`rate` of rows, deterministically by `key`. */
@@ -65,6 +72,7 @@ object Sampling {
       s"split shares must be positive: $shares")
     require(shares.map(_._2).sum <= 1.0 + 1e-9,
       s"split shares sum to ${shares.map(_._2).sum} > 1: $shares")
+    requireFreshColumn(df, "split", "splitByHash")
     val bucket = hashBucket(col(keyCol), seed)
     // integer band edges: cumulative share × P, truncated — the same
     // fixed-point rule hashSample applies, so split("train", r) keeps
@@ -95,6 +103,7 @@ object Sampling {
     require(weights.values.forall(_ > 0) && defaultWeight > 0,
       s"interleave weights must be positive (zero would put a stratum at NaN/Inf positions): " +
         s"$weights default=$defaultWeight")
+    requireFreshColumn(df, "mix_pos", "interleaveByWeight")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol)).orderBy(col(keyCol))
     val weightExpr = weights.foldLeft(lit(defaultWeight)) { case (acc, (value, wt)) =>

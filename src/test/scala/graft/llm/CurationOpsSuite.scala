@@ -489,6 +489,22 @@ class CurationOpsSuite extends AnyFunSuite {
     assert(bloom2 === exact2)
   }
 
+  test("bm25: duplicate query terms score as a SET — scan and indexed paths agree") {
+    val corpus = docs.limit(100)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "bm25_fixed").as[(Long, Long)].collect().toSeq
+    val dup = rows(Search.bm25TopK(corpus, "doc_id", "text", Seq("the", "the", "a"), k = 10))
+    val single = rows(Search.bm25TopK(corpus, "doc_id", "text", Seq("the", "a"), k = 10))
+    assert(dup === single, "duplicate term doubled its contribution in the scan path")
+    // (scan vs indexed may differ by ±1 micro — the documented
+    // rounding-LOCATION difference — so each path is compared to itself)
+    val dir = graft.TestSpark.freshDir("bm25-dupterms")
+    Search.buildIndex(corpus, "doc_id", "text", dir)
+    val idxDup = rows(Search.topKIndexed(spark, dir, Seq("the", "the", "a"), k = 10))
+    val idxSingle = rows(Search.topKIndexed(spark, dir, Seq("the", "a"), k = 10))
+    assert(idxDup === idxSingle, "indexed path diverged on duplicate query terms")
+  }
+
   // ---- score propagation ----------------------------------------------
 
   /** Scala replica of Propagate's rounded-micros recurrence over the

@@ -152,6 +152,47 @@ class DedupSuite extends AnyFunSuite {
     assert(math.ceil(math.log(100.0) / math.pow(1.0 - math.acos(0.45) / math.Pi, 7)) > 64)
     // tighter thresholds afford far more selective signatures
     assert(Dedup.recallFeasibleBits(0.9) > Dedup.recallFeasibleBits(0.45))
+    // threshold 1.0: identical vectors collide at ANY bit count — the
+    // bound must be unbounded, NOT the conservative 1-bit floor (which
+    // would force two buckets and an ~n²/4 candidate blowup)
+    assert(Dedup.recallFeasibleBits(1.0) === Int.MaxValue)
+  }
+
+  test("minhash: sub-n-token docs neither blow up candidates nor change reported pairs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (3L, "completely different words here entirely")
+    ) ++ (100L to 160L).map(i => (i, "hi")) // 61 docs below n=3 tokens
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(df, "doc_id", "text", n = 3,
+      numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the 61 short docs previously all collided in EVERY band (all-null
+    // signatures hash identically) — ~1.8k discarded candidate pairs for
+    // this corpus, quadratic at web scale; they are unindexable and must
+    // neither pair with each other nor suppress the real pair
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("knn/ivf hygiene: a NaN corpus vector never outranks real neighbors") {
+    val dim = 8
+    def unit(i: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.0f); a(i % dim) = 1.0f; a
+    }
+    val corpus = ((0L until 16L).map(i => (i, unit(i.toInt))) :+
+      (99L, Array.fill(dim)(Float.NaN))).toDF("vec_id", "embedding")
+    val queries = Seq((0L, unit(0))).toDF("vec_id", "embedding")
+    // NaN sorts above every real double in a desc sort — pre-fix, id 99
+    // was the rank-1 neighbor of every query with cosine = NaN
+    val brute = Similarity.bruteForceKnn(corpus, queries, "vec_id", "embedding", 3)
+      .select("n_id").as[Long].collect().toSet
+    assert(!brute.contains(99L), s"NaN vector ranked in brute knn: $brute")
+    val ivf = Similarity.ivfKnn(corpus, queries, "vec_id", "embedding", k = 3,
+      nCells = 4, nProbe = 4)
+      .select("n_id").as[Long].collect().toSet
+    assert(!ivf.contains(99L), s"NaN vector ranked in ivf knn: $ivf")
+    assert(ivf.nonEmpty)
   }
 
   test("connectedComponents labels every node with its component min (vs union-find reference)") {
@@ -569,6 +610,34 @@ class TextOpsSuite extends AnyFunSuite {
       .toSet
     assert(s1 === expect) // engine-portable formula
     assert(math.abs(s1.size - 1000) < 200, s"sample size ${s1.size} far from rate")
+  }
+
+  test("hashBucket: nonzero seed + full-range keys stay overflow-free and in [0, P)") {
+    import graft.operators.Sampling.{A, B, P}
+    val keys = Seq(Long.MaxValue, Long.MaxValue - 17L, Long.MinValue + 3L, 0L, 12345L)
+    val df = keys.toDF("k")
+    for (seed <- Seq(0L, 1000L, -77L, Long.MaxValue)) {
+      val got = df.select(graft.operators.Sampling.hashBucket(col("k"), seed).as("b"))
+        .as[Long].collect()
+      // BigInt reference of the same formula — no 64-bit wrap anywhere
+      val expect = keys.map { k =>
+        val kp = ((BigInt(k) mod P) + P) mod P
+        val sp = ((BigInt(seed) mod P) + P) mod P
+        (((kp + sp) mod P) * A + B).mod(P).toLong
+      }
+      assert(got.toSeq === expect, s"seed=$seed")
+      assert(got.forall(b => b >= 0 && b < P))
+    }
+  }
+
+  test("splitByHash/interleaveByWeight refuse to overwrite a caller's output column") {
+    val df = Seq((1L, "train")).toDF("id", "split")
+    val e = intercept[IllegalArgumentException](
+      Sampling.splitByHash(df, "id", Seq("a" -> 0.5, "b" -> 0.5)))
+    assert(e.getMessage.contains("'split'"))
+    val df2 = Seq((1L, "en", 0.5)).toDF("id", "lang", "mix_pos")
+    intercept[IllegalArgumentException](
+      Sampling.interleaveByWeight(df2, "id", "lang", Map("en" -> 2.0)))
   }
 
   test("splitByHash partitions every row; train band equals hashSample at the same rate") {
