@@ -121,6 +121,11 @@ object TextHashUtil {
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
+      // skip null slots like array_min does (reading one via getLong
+      // would silently misinterpret the bytes); all-null degrades to the
+      // empty-array signature below via untouched MaxValue minima
+      if (hashes.isNullAt(i)) { i += 1 }
+      else {
       val h = hashes.getLong(i)
       var j = 0
       while (j < k) {
@@ -131,13 +136,18 @@ object TextHashUtil {
         j += 1
       }
       i += 1
+      }
     }
+    if (mins.forall(_ == Long.MaxValue)) // every slot was null
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](k))
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
   }
 }
 
 /** Rolling-hash document fingerprint as a codegen'd Catalyst expression. */
 case class RollingHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextHashes.requireType(child, StringType, "rolling_hash")
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
     TextHashUtil.rollingHash(v.asInstanceOf[UTF8String])
@@ -149,6 +159,8 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 
 /** 64-bit SimHash signature as a codegen'd Catalyst expression. */
 case class SimHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextHashes.requireType(child, StringType, "simhash64")
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
     TextHashUtil.simHash64(v.asInstanceOf[UTF8String])
@@ -162,6 +174,14 @@ case class SimHash(child: Expression) extends UnaryExpression {
   * over a pre-hashed shingle array, fused into one codegen'd loop.
   */
 case class MinHashSig(child: Expression, numHashes: Int, seed: Long) extends UnaryExpression {
+  // analysis-time rejection: array<int> (or anything non-long) would make
+  // getLong silently misread the element bytes into plausible garbage
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_signature expects array<bigint> shingle hashes, got ${other.sql}")
+    }
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
 
   @transient private lazy val (as, bs) = TextHashUtil.minhashParams(numHashes, seed)
@@ -181,6 +201,16 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long) extends Una
 }
 
 object TextHashes {
+  /** Shared analysis-time type gate: the SQL surface can pass anything,
+    * and without this a wrong-typed argument failed at codegen/runtime
+    * with an opaque per-row ClassCastException.
+    */
+  private[functions] def requireType(
+      child: Expression, expected: DataType, fn: String): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == expected) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$fn expects ${expected.sql}, got ${child.dataType.sql}")
+
   def rolling_hash(c: Column): Column = GraftInternal.column(RollingHash(GraftInternal.expression(c)))
   def simhash64(c: Column): Column = GraftInternal.column(SimHash(GraftInternal.expression(c)))
   def minhash_signature(hashes: Column, numHashes: Int, seed: Long = 42): Column =

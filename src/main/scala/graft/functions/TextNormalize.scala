@@ -11,6 +11,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * — the composition `nfc(lower(collapse_ws(trim(text))))`, one pass per
   * row, expressible verbatim in standard SQL for oracle parity.
   *
+  * Lowercasing uses `Locale.ROOT` DELIBERATELY: the result must be
+  * deterministic regardless of the JVM's default locale (Spark's own
+  * `lower()` falls back to default-locale mapping for non-ASCII, so a
+  * tr/az/lt JVM would normalize 'İ' differently run to run — fatal for
+  * a dedup key). The cost is a documented boundary: a handful of
+  * full-case-mapping code points ('İ' → "i̇") may differ from an oracle
+  * engine's simple case folding; corpora exercising them should compare
+  * through the engine, not a locale-sensitive SQL `lower`.
+  *
   * Normalizing BEFORE hashing/shingling makes exact and near dedup
   * insensitive to whitespace/case/encoding-form noise — without it the
   * same paragraph in NFC and NFD survives every exact-hash dedup pass.
@@ -32,6 +41,8 @@ object TextNormUtil {
 }
 
 case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    graft.functions.TextHashes.requireType(child, StringType, "normalize_text")
   override def dataType: DataType = StringType
   override protected def nullSafeEval(v: Any): Any =
     TextNormUtil.normalizeText(v.asInstanceOf[UTF8String])

@@ -16,31 +16,46 @@ import org.apache.spark.sql.types._
   * call.
   */
 object VectorKernels {
-  def dotDD(a: ArrayData, b: ArrayData): Double = {
+  // All kernels NULL-PROPAGATE on null elements (boxed return, null when
+  // any element in the overlap is null) — matching the zip_with/aggregate
+  // HOF formulation they are the fused twin of. Reading a null slot via
+  // the primitive accessor would silently yield 0.0 (UnsafeArrayData) or
+  // NPE (GenericArrayData): a wrong answer either way. The per-element
+  // isNullAt is one bitset test; containsNull=false arrays pay only it.
+  def dotDD(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
-    s
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i); i += 1
+    }
+    java.lang.Double.valueOf(s)
   }
 
-  def dotFF(a: ArrayData, b: ArrayData): Double = {
+  def dotFF(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
-    s
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1
+    }
+    java.lang.Double.valueOf(s)
   }
 
-  def dotFD(a: ArrayData, b: ArrayData): Double = {
+  def dotFD(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
-    s
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getFloat(i).toDouble * b.getDouble(i); i += 1
+    }
+    java.lang.Double.valueOf(s)
   }
 
-  def dotDF(a: ArrayData, b: ArrayData): Double = dotFD(b, a)
+  def dotDF(a: ArrayData, b: ArrayData): java.lang.Double = dotFD(b, a)
 
   /** All `tables` hyperplane-LSH signatures of `v` in ONE fused loop over
     * a flattened constant plane matrix (layout `[(t*bits+b)*dim + d]`).
@@ -61,6 +76,10 @@ object VectorKernels {
       dim: Int,
       floatElems: Boolean): ArrayData = {
     val n = math.min(dim, v.numElements())
+    // null elements null the whole signature array (HOF-parity, same
+    // contract as the dot kernels) — checked once, not per plane
+    var chk = 0
+    while (chk < n) { if (v.isNullAt(chk)) return null; chk += 1 }
     val sigs = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -91,6 +110,21 @@ object VectorKernels {
   */
 case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // nullable beyond null INPUTS: a null ELEMENT nulls the result too
+  override def nullable: Boolean = true
+
+  // analysis-time rejection (the SQL surface can pass anything): without
+  // it a wrong-typed argument failed at codegen/runtime with an opaque
+  // ClassCastException per row instead of a clean AnalysisException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _))
+          if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"array_dot expects array<float|double> arguments, got ${l.sql} and ${r.sql}")
+    }
 
   private def elem(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -116,7 +150,11 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.$kernel($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.VectorKernels.$kernel($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
     copy(left = l, right = r)
@@ -137,6 +175,17 @@ case class HyperplaneSignatures(
     baseSeed: Long
 ) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // nullable beyond a null INPUT: a null element nulls the signature array
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_signatures expects an array<float|double> vector, got ${other.sql}")
+    }
 
   @transient private lazy val planes: Array[Double] =
     HyperplaneSignatures.planeMatrix(bits, tables, dim, baseSeed)
@@ -155,8 +204,12 @@ case class HyperplaneSignatures(
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("planes", planes, "double[]")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.VectorKernels.hyperplaneSigs($c, $ref, $bits, $tables, $dim, $floatElems)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+        graft.functions.VectorKernels.hyperplaneSigs($c, $ref, $bits, $tables, $dim, $floatElems);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r; }
+    """)
   }
 
   override protected def withNewChildInternal(c: Expression): HyperplaneSignatures =

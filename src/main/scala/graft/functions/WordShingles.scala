@@ -64,6 +64,8 @@ object WordShinglesUtil {
 
 /** Distinct word n-gram shingles as a codegen'd Catalyst expression. */
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    graft.functions.TextHashes.requireType(child, StringType, "word_shingles")
   require(n > 0)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =

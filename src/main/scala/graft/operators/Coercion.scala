@@ -53,7 +53,8 @@ object Coercion {
       resolveField(available, f.name, nameMapping, caseInsensitive) match {
         case Some(src) =>
           val in = qcol(src.name)
-          val coerced = coerce(in, src.dataType, f.dataType, caseInsensitive)
+          val coerced = coerce(in, src.dataType, f.dataType, caseInsensitive,
+            scopedMapping(nameMapping, f.name))
           val violation = topLevelViolation(in, src.dataType, f.dataType, caseInsensitive)
           val checked =
             if (!strict) coerced
@@ -141,13 +142,32 @@ object Coercion {
         }
       }
 
+  /** Sub-mapping visible one level below `field`: dotted name-mapping keys
+    * (`"s.a" -> aliases`, as [[graft.schema.NameMapping.parse]] emits for
+    * nested entries) with the field's prefix stripped, so each recursion
+    * level resolves against direct child names — the reference applies
+    * the mapping at every lookup depth (`RecordConverter.java:245-271`).
+    */
+  private def scopedMapping(
+      m: Map[String, Seq[String]], field: String): Map[String, Seq[String]] =
+    if (m.isEmpty) Map.empty
+    else m.collect { case (k, v) if k.startsWith(field + ".") =>
+      k.stripPrefix(field + ".") -> v
+    }
+
   /** Build the coercion expression from `from` to `to`.
     * `caseInsensitive` governs NESTED struct-field resolution too, so
     * `schema-case-insensitive = false` means the same thing at every
     * depth (a nested `ID`→`id` match is refused exactly like a
-    * top-level one).
+    * top-level one); `nameMapping` carries the CURRENT level's alias
+    * entries (scope with [[scopedMapping]] when recursing).
     */
-  def coerce(in: Column, from: DataType, to: DataType, caseInsensitive: Boolean = true): Column =
+  def coerce(
+      in: Column,
+      from: DataType,
+      to: DataType,
+      caseInsensitive: Boolean = true,
+      nameMapping: Map[String, Seq[String]] = Map.empty): Column =
     (from, to) match {
       case (f, t) if f == t => in
 
@@ -175,15 +195,17 @@ object Coercion {
       // ---- nested recursion (C1) ----
       case (f: StructType, t: StructType) =>
         val fields = t.fields.toSeq.map { tf =>
-          resolveField(f, tf.name, Map.empty, caseInsensitive) match {
+          resolveField(f, tf.name, nameMapping, caseInsensitive) match {
             case Some(sf) =>
-              coerce(in.getField(sf.name), sf.dataType, tf.dataType, caseInsensitive).as(tf.name)
+              coerce(in.getField(sf.name), sf.dataType, tf.dataType, caseInsensitive,
+                scopedMapping(nameMapping, tf.name)).as(tf.name)
             case None => lit(null).cast(tf.dataType).as(tf.name)
           }
         }
         when(in.isNull, lit(null).cast(t)).otherwise(struct(fields: _*))
       case (f: ArrayType, t: ArrayType) =>
-        transform(in, x => coerce(x, f.elementType, t.elementType, caseInsensitive))
+        transform(in, x => coerce(x, f.elementType, t.elementType, caseInsensitive,
+          scopedMapping(nameMapping, "element")))
       case (f: MapType, t: MapType) =>
         // a coerced-to-null KEY cannot exist in a map (Spark throws
         // "Cannot use null as map key" at runtime, which no DLQ filter
@@ -194,8 +216,10 @@ object Coercion {
           if (f.keyType == t.keyType) in
           else map_filter(in, (k, _) => coerce(k, f.keyType, t.keyType, caseInsensitive).isNotNull)
         val keyed =
-          transform_keys(dropBadKeys, (k, _) => coerce(k, f.keyType, t.keyType, caseInsensitive))
-        transform_values(keyed, (_, v) => coerce(v, f.valueType, t.valueType, caseInsensitive))
+          transform_keys(dropBadKeys, (k, _) => coerce(k, f.keyType, t.keyType, caseInsensitive,
+            scopedMapping(nameMapping, "key")))
+        transform_values(keyed, (_, v) => coerce(v, f.valueType, t.valueType, caseInsensitive,
+          scopedMapping(nameMapping, "value")))
 
       // JSON string → struct/array/map (schemaless record path, C7)
       case (StringType, t: StructType) => from_json(in, t)

@@ -87,7 +87,14 @@ object Bson {
       case 0x04 => readDocument(buf, sb, array = true)
       case 0x05 => // binary: int32 length, subtype byte, payload
         val n = buf.getInt(); val sub = buf.get() & 0xff
-        val b = new Array[Byte](n); buf.get(b)
+        val b0 = new Array[Byte](n); buf.get(b0)
+        // legacy subtype 0x02 ("binary old") nests an extra int32 length
+        // before the payload (BSON spec; the Mongo Java driver strips it)
+        // — without stripping, 4 spurious little-endian length bytes lead
+        // every decoded value
+        val b =
+          if (sub == 0x02 && n >= 4) java.util.Arrays.copyOfRange(b0, 4, n)
+          else b0
         sb.append("{\"$binary\":{\"base64\":")
         writeString(sb, java.util.Base64.getEncoder.encodeToString(b))
         sb.append(",\"subType\":"); writeString(sb, f"$sub%02x"); sb.append("}}")
@@ -177,7 +184,15 @@ object Bson {
     */
   private def jsonNum(d: Double): String = {
     val s = d.toString
-    if (s.contains('E')) new java.math.BigDecimal(d).toPlainString else s
+    if (!s.contains('E')) s
+    else {
+      // toPlainString renders integral doubles (|d| >= 1e7 use E-notation)
+      // WITHOUT a decimal point — "1.23E7" → "12300000" — which JSON
+      // inference would type as BIGINT instead of DOUBLE; restore the
+      // `.0` the contract above promises
+      val p = new java.math.BigDecimal(d).toPlainString
+      if (p.contains('.')) p else p + ".0"
+    }
   }
 
   /** IEEE 754-2008 decimal128 (binary integer decimal encoding) → string.

@@ -52,7 +52,10 @@ object MongoDebezium {
     e = regexp_replace(e, """\{\s*"\$oid"\s*:\s*"([0-9a-fA-F]+)"\s*\}""", "\"$1\"")
     e = regexp_replace(e, """\{\s*"\$numberLong"\s*:\s*"(-?\d+)"\s*\}""", "$1")
     e = regexp_replace(e, """\{\s*"\$numberInt"\s*:\s*"(-?\d+)"\s*\}""", "$1")
-    e = regexp_replace(e, """\{\s*"\$numberDecimal"\s*:\s*"(-?[0-9.eE+]+)"\s*\}""", "$1")
+    // same payload shape as the $numberDouble arm below — the char class
+    // must include '-' for negative exponents (Decimal128.toString emits
+    // scientific notation like "2.5E-7" for small adjusted exponents)
+    e = regexp_replace(e, """\{\s*"\$numberDecimal"\s*:\s*"(-?[0-9][0-9.eE+-]*)"\s*\}""", "$1")
     // canonical-mode double (DOUBLE arm): numeric payloads unwrap; the
     // "NaN"/"Infinity" renderings stay wrapped (no JSON literal exists)
     e = regexp_replace(e, """\{\s*"\$numberDouble"\s*:\s*"(-?[0-9][0-9.eE+-]*)"\s*\}""", "$1")
@@ -60,7 +63,13 @@ object MongoDebezium {
     e = regexp_replace(e, """\{\s*"\$date"\s*:\s*"([^"]+)"\s*\}""", "\"$1\"")
     // BSON timestamp: seconds + increment → epoch millis (reference
     // TIMESTAMP arm: new Date(1000L * ts.getTime())); ×1000 is literal
-    // zero-append on the integer seconds
+    // zero-append on the integer seconds. t = 0 needs its own rule FIRST:
+    // the append would otherwise produce the token 0000, which JSON
+    // parsers reject as a leading-zero number and the whole document
+    // nulls out (initial-sync events carry t = 0).
+    e = regexp_replace(e,
+      """\{\s*"\$timestamp"\s*:\s*\{\s*"t"\s*:\s*0\s*,\s*"i"\s*:\s*\d+\s*\}\s*\}""",
+      "0")
     e = regexp_replace(e,
       """\{\s*"\$timestamp"\s*:\s*\{\s*"t"\s*:\s*(?<t>\d+)\s*,\s*"i"\s*:\s*\d+\s*\}\s*\}""",
       "${t}000")

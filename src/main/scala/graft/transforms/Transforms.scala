@@ -31,12 +31,6 @@ object Transforms {
       keyName: String = "_kafka_metadata",
       externalField: Option[(String, String)] = None
   )(df: DataFrame): DataFrame = {
-    val fields = Seq(
-      col("topic"),
-      col("partition"),
-      col("offset"),
-      col("timestamp")
-    ) ++ externalField.map { case (k, v) => lit(v).as(k) }
     if (nested) {
       val named = Seq(
         col("topic").as("topic"),
@@ -146,10 +140,13 @@ object Transforms {
     ) ++ (if (cols.contains("key")) Seq(col("key").as("key")) else Nil)
 
     val payloadType = df.schema("after").dataType.asInstanceOf[StructType]
+    // getField, not a string path: a payload field whose NAME contains a
+    // dot (quoted source-table identifiers) must not parse as nesting
     df.withColumn("__payload", payload)
       .withColumn("_cdc", struct(cdcFields: _*))
       .select(
-        payloadType.fieldNames.toIndexedSeq.map(f => col(s"__payload.$f").as(f)) :+ col("_cdc"): _*
+        payloadType.fieldNames.toIndexedSeq
+          .map(f => col("__payload").getField(f).as(f)) :+ col("_cdc"): _*
       )
   }
 
@@ -169,7 +166,8 @@ object Transforms {
     )
     val payloadType = df.schema("data").dataType.asInstanceOf[StructType]
     df.withColumn("_cdc", cdc)
-      .select(payloadType.fieldNames.toIndexedSeq.map(f => col(s"data.$f").as(f)) :+ col("_cdc"): _*)
+      .select(payloadType.fieldNames.toIndexedSeq
+        .map(f => col("data").getField(f).as(f)) :+ col("_cdc"): _*)
   }
 
   /** Config-driven registry (SMT chain parity: transforms are configured

@@ -30,4 +30,45 @@ class GraftExtensionsSuite extends AnyFunSuite {
     assert(r.getInt(1) === 8)
     assert(r.getInt(2) === 3)
   }
+
+  test("SQL surface rejects wrong-typed arguments at ANALYSIS, not with per-row crashes") {
+    val spark = TestSpark.spark
+    GraftExtensions.register(spark)
+    // array<int> would make minhash's getLong silently misread bytes;
+    // non-string rolling_hash previously failed codegen per row
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT minhash_signature(array(1, 2, 3), 4)").collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT rolling_hash(123)").collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT simhash64(array(1))").collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT array_dot(array('a'), array('b'))").collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT hyperplane_signatures(array('x'), 4, 2)").collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT normalize_text(7)").collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT word_shingles(7, 3)").collect())
+  }
+
+  test("vector kernels null-propagate on null ELEMENTS (HOF parity)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("a", "b")
+    val r = df.select(
+      graft.functions.VectorOps.array_dot(col("a"), col("b")).as("d"),
+      graft.functions.VectorOps.hyperplane_signatures(col("a"), 4, 2, dim = 2).as("h"))
+      .collect()(0)
+    // pre-fix: the null slot read as 0.0 (UnsafeArrayData) — a silently
+    // wrong dot product / signature instead of a null
+    assert(r.isNullAt(0), "array_dot must null on a null element")
+    assert(r.isNullAt(1), "hyperplane_signatures must null on a null element")
+    // clean inputs still compute
+    val ok = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(graft.functions.VectorOps.array_dot(col("a"), col("b"))).collect()(0)
+    assert(ok.getDouble(0) === 11.0)
+  }
 }

@@ -292,6 +292,25 @@ class CoercionSuite extends AnyFunSuite {
     assert(df.select(Coercion.violationReason(df, none)).collect().forall(_.isNullAt(0)))
   }
 
+  test("name-mapping aliases resolve at NESTED depth (RecordConverter every-lookup parity)") {
+    val target = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StructType(Seq(StructField("a", LongType))))))
+    // Iceberg NameMappingParser form: fresh ids — root fields first
+    // (id=1, s=2), then s's children (a=3)
+    val nm = graft.schema.NameMapping.parse(
+      """[{"field-id": 1, "names": ["id"]},
+        | {"field-id": 2, "names": ["s"],
+        |  "fields": [{"field-id": 3, "names": ["a", "legacy_a"]}]}]""".stripMargin,
+      target)
+    assert(nm.get("s.a").exists(_.contains("legacy_a")), s"parse lost the nested entry: $nm")
+    val df = Seq((1L, 9L)).toDF("id", "x")
+      .select(col("id"), struct(col("x").as("legacy_a")).as("s"))
+    val got = Coercion.project(df, target, nameMapping = nm).collect()(0)
+    // pre-fix the struct recursion passed Map.empty and null-filled s.a
+    assert(got.getStruct(1).getLong(0) === 9L)
+  }
+
   test("map-key coercion drops unconvertible keys (no runtime null-key crash) and flags the row") {
     val df = Seq(
       (1L, Map("7" -> "a", "abc" -> "b")), // "abc" key cannot become int

@@ -111,6 +111,23 @@ class BsonSuite extends AnyFunSuite {
     assert(json.contains("\"dec\":{\"$numberDecimal\":\"1.25\"}"))
   }
 
+  test("legacy subtype-02 binary strips its nested length prefix; big integral doubles keep .0") {
+    val payload = Array[Byte](1, 2, 3)
+    val innerPrefixed = ByteBuffer.allocate(7).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(3).put(payload).array()
+    val d = new Doc()
+      .binary("legacy", 0x02, innerPrefixed) // binary-old: int32 inner length + bytes
+      .binary("modern", 0x00, payload)
+      .double("big", 1.23e7) // Double.toString uses E-notation at >= 1e7
+    val json = Bson.bsonToJson(d.bytes)
+    val b64 = java.util.Base64.getEncoder.encodeToString(payload)
+    // pre-fix the legacy payload carried 4 spurious leading length bytes
+    assert(json.contains("\"base64\":\"" + b64 + "\",\"subType\":\"02\""))
+    assert(json.contains("\"base64\":\"" + b64 + "\",\"subType\":\"00\""))
+    // pre-fix: toPlainString dropped the '.0' and inference saw BIGINT
+    assert(json.contains("\"big\":12300000.0"))
+  }
+
   test("malformed input → null, never a throw (R6 poison path)") {
     assert(Bson.bsonToJson(null) === null)
     assert(Bson.bsonToJson(Array[Byte](1, 2)) === null)

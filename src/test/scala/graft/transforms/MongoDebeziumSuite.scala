@@ -97,6 +97,24 @@ class MongoDebeziumSuite extends AnyFunSuite {
     assert(r.getDouble(5) === 19.99) // DECIMAL128 arm (double in the JSON domain)
   }
 
+  test("negative-exponent decimals and t=0 timestamps unwrap (Decimal128 E-notation, initial-sync)") {
+    val doc = """{"_id": 1, "tiny": {"$numberDecimal": "2.5E-7"},
+                 | "sync_ts": {"$timestamp": {"t": 0, "i": 1}}}"""
+      .stripMargin.replace("\n", "")
+    val df = spark.sql(
+      s"""SELECT * FROM VALUES
+         |  ('c', CAST(NULL AS STRING), '$doc',
+         |   named_struct('db', 'appdb', 'collection', 'x'), CAST(1000 AS LONG))
+         |AS t(op, before, after, source, ts_ms)""".stripMargin)
+    val r = MongoDebezium.mongoDebezium()(df).select("_id", "tiny", "sync_ts").head()
+    // pre-fix: the decimal char class lacked '-' (wrapper survived as a
+    // struct), and t=0 appended to the invalid token 0000, nulling the
+    // whole document under Jackson's leading-zero rule
+    assert(r.getLong(0) === 1L)
+    assert(r.getDouble(1) === 2.5e-7)
+    assert(r.getLong(2) === 0L)
+  }
+
   test("$code, $regularExpression/$regex and $symbol wrappers unwrap (residual BSON arms)") {
     val doc = """{"_id": 1,
                  | "js": {"$code": "var x = 1"},

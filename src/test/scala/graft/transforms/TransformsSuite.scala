@@ -32,6 +32,26 @@ class TransformsSuite extends AnyFunSuite {
     assert(out(0).getString(3) === "mydb.tbl" && out(0).getString(4) === "mydb.tbl")
   }
 
+  test("debezium/dms: a payload field NAME containing a dot flattens as one column") {
+    // quoted source identifiers (Postgres \"a.b\") arrive as literal
+    // dotted field names; a string path col(\"__payload.a.b\") would parse
+    // as nesting and fail analysis every batch
+    val df = spark.sql(
+      """SELECT 'c' AS op,
+        |  CAST(NULL AS STRUCT<`a.b`: INT>) AS before,
+        |  named_struct('a.b', 7) AS after,
+        |  named_struct('db', 'd', 'table', 't') AS source,
+        |  CAST(1000 AS LONG) AS ts_ms""".stripMargin)
+    val out = Transforms.debezium()(df).select(col("`a.b`")).head()
+    assert(out.getInt(0) === 7)
+    val dmsDf = spark.sql(
+      """SELECT named_struct('a.b', 9) AS data,
+        |  named_struct('operation', 'insert', 'timestamp', '2023-01-01',
+        |    'schema-name', 's', 'table-name', 't') AS metadata""".stripMargin)
+    val dmsOut = Transforms.dms()(dmsDf).select(col("`a.b`")).head()
+    assert(dmsOut.getInt(0) === 9)
+  }
+
   test("debezium: cdc.target.pattern placeholders and schema-over-db preference") {
     val df = spark.sql(
       """SELECT 'u' AS op,
