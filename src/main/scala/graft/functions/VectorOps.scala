@@ -22,40 +22,57 @@ object VectorKernels {
   // the primitive accessor would silently yield 0.0 (UnsafeArrayData) or
   // NPE (GenericArrayData): a wrong answer either way. The per-element
   // isNullAt is one bitset test; containsNull=false arrays pay only it.
-  def dotDD(a: ArrayData, b: ArrayData): java.lang.Double = {
+  // `checked` is a plan-time constant (true only when either input's
+  // schema says containsNull) — the generated call site passes a literal,
+  // so the JIT dead-branch-eliminates the per-element null test on
+  // proven-tight arrays and the fast loop stays as before.
+  def dotDD(a: ArrayData, b: ArrayData, checked: Boolean): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
-      s += a.getDouble(i) * b.getDouble(i); i += 1
+    if (checked) {
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        s += a.getDouble(i) * b.getDouble(i); i += 1
+      }
+    } else {
+      while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     }
     java.lang.Double.valueOf(s)
   }
 
-  def dotFF(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def dotFF(a: ArrayData, b: ArrayData, checked: Boolean): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
-      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1
+    if (checked) {
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1
+      }
+    } else {
+      while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     }
     java.lang.Double.valueOf(s)
   }
 
-  def dotFD(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def dotFD(a: ArrayData, b: ArrayData, checked: Boolean): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
-      s += a.getFloat(i).toDouble * b.getDouble(i); i += 1
+    if (checked) {
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        s += a.getFloat(i).toDouble * b.getDouble(i); i += 1
+      }
+    } else {
+      while (i < n) { s += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
     }
     java.lang.Double.valueOf(s)
   }
 
-  def dotDF(a: ArrayData, b: ArrayData): java.lang.Double = dotFD(b, a)
+  def dotDF(a: ArrayData, b: ArrayData, checked: Boolean): java.lang.Double =
+    dotFD(b, a, checked)
 
   /** All `tables` hyperplane-LSH signatures of `v` in ONE fused loop over
     * a flattened constant plane matrix (layout `[(t*bits+b)*dim + d]`).
@@ -74,12 +91,16 @@ object VectorKernels {
       bits: Int,
       tables: Int,
       dim: Int,
-      floatElems: Boolean): ArrayData = {
+      floatElems: Boolean,
+      checked: Boolean): ArrayData = {
     val n = math.min(dim, v.numElements())
     // null elements null the whole signature array (HOF-parity, same
-    // contract as the dot kernels) — checked once, not per plane
-    var chk = 0
-    while (chk < n) { if (v.isNullAt(chk)) return null; chk += 1 }
+    // contract as the dot kernels) — checked once, not per plane;
+    // skipped entirely when the schema proves containsNull = false
+    if (checked) {
+      var chk = 0
+      while (chk < n) { if (v.isNullAt(chk)) return null; chk += 1 }
+    }
     val sigs = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -138,20 +159,24 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
       throw new IllegalArgumentException(s"ArrayDot unsupported element types: $l, $r")
   }
 
+  private lazy val checkedElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     kernel match {
-      case "dotDD" => VectorKernels.dotDD(x, y)
-      case "dotFF" => VectorKernels.dotFF(x, y)
-      case "dotFD" => VectorKernels.dotFD(x, y)
-      case "dotDF" => VectorKernels.dotDF(x, y)
+      case "dotDD" => VectorKernels.dotDD(x, y, checkedElems)
+      case "dotFF" => VectorKernels.dotFF(x, y, checkedElems)
+      case "dotFD" => VectorKernels.dotFD(x, y, checkedElems)
+      case "dotDF" => VectorKernels.dotDF(x, y, checkedElems)
     }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double ${ev.value}_r = graft.functions.VectorKernels.$kernel($a, $b);
+      java.lang.Double ${ev.value}_r = graft.functions.VectorKernels.$kernel($a, $b, $checkedElems);
       if (${ev.value}_r == null) { ${ev.isNull} = true; }
       else { ${ev.value} = ${ev.value}_r.doubleValue(); }
     """)
@@ -198,15 +223,18 @@ case class HyperplaneSignatures(
         throw new IllegalArgumentException(s"HyperplaneSignatures unsupported element type: $other")
     }
 
+  private lazy val checkedElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override protected def nullSafeEval(v: Any): Any =
     VectorKernels.hyperplaneSigs(
-      v.asInstanceOf[ArrayData], planes, bits, tables, dim, floatElems)
+      v.asInstanceOf[ArrayData], planes, bits, tables, dim, floatElems, checkedElems)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("planes", planes, "double[]")
     nullSafeCodeGen(ctx, ev, c => s"""
       org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
-        graft.functions.VectorKernels.hyperplaneSigs($c, $ref, $bits, $tables, $dim, $floatElems);
+        graft.functions.VectorKernels.hyperplaneSigs($c, $ref, $bits, $tables, $dim, $floatElems, $checkedElems);
       if (${ev.value}_r == null) { ${ev.isNull} = true; }
       else { ${ev.value} = ${ev.value}_r; }
     """)
