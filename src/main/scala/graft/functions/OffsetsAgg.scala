@@ -39,6 +39,25 @@ case class OffsetsAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = OffsetsAgg.OutType
 
+  // analysis-time rejection: `offset`/`ts` are read via
+  // asInstanceOf[Number] — a string-typed column would otherwise pass
+  // analysis and die mid-job with an opaque per-row ClassCastException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    def numeric(e: Expression, what: String): Option[String] = e.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => None
+      case other => Some(s"$what must be numeric, got ${other.sql}")
+    }
+    val problems = numeric(offset, "offset").toSeq ++
+      (ts.dataType match {
+        case _: org.apache.spark.sql.types.NumericType | org.apache.spark.sql.types.NullType =>
+          Nil
+        case other => Seq(s"ts must be numeric (epoch micros) or null, got ${other.sql}")
+      })
+    if (problems.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"offsets_agg: ${problems.mkString("; ")}")
+  }
+
   override def createAggregationBuffer(): mutable.HashMap[String, (Long, Long, Boolean)] =
     mutable.HashMap.empty
 

@@ -58,14 +58,21 @@ object ZOrder {
 
   /** Min-max scale a numeric column to [0, 2^bits): the rank-free
     * normalization a rewrite job can compute with one tiny agg. Constant
-    * columns (min == max) map to 0.
+    * columns (min == max) map to 0. Values OUTSIDE [min, max] (stale
+    * bounds, rows arriving after the agg) CLAMP to the edge buckets —
+    * unclamped they would go negative / overflow the bit budget, and the
+    * interleave of a negative long scrambles the curve (bit 31 of a
+    * 2-dim spread lands on the sign bit, sorting those rows before
+    * everything); clamped rows merely cluster at the boundary.
     */
   def normalize(c: Column, min: Double, max: Double, bits: Int): Column = {
     val span = max - min
     if (span <= 0) lit(0L)
     else {
-      val scale = ((1L << bits) - 1).toDouble / span
-      floor((c.cast("double") - lit(min)) * lit(scale)).cast(LongType)
+      val hi = (1L << bits) - 1
+      val scale = hi.toDouble / span
+      least(greatest(floor((c.cast("double") - lit(min)) * lit(scale)).cast(LongType),
+        lit(0L)), lit(hi))
     }
   }
 

@@ -73,6 +73,10 @@ object Decontaminate {
       textCol: String,
       n: Int
   ): DataFrame = {
+    // same guard as the positional-dedup family: a non-integral id would
+    // null-cast EVERY row, colliding all docs at id = NULL and rebuilding
+    // one garbled interleaved document
+    IntegralId.require(corpus, idCol, "stripOverlaps")
     val benchNg = benchmark
       .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
       .distinct()
@@ -242,9 +246,17 @@ object Decontaminate {
       .filter(col("hit_ngrams") >= minHits)
   }
 
-  /** The removal composition: corpus minus contaminated docs (broadcast
-    * anti-join against the report's id set — the survivor stream stays a
-    * single map-side pass over the corpus).
+  /** The removal composition: corpus minus contaminated docs (anti-join
+    * against the report's id set — the survivor stream stays a single
+    * map-side pass over the corpus when the hit set broadcasts).
+    *
+    * No FORCED broadcast hint: contamination is usually a tiny fraction,
+    * but a corpus screened against a benchmark it heavily overlaps
+    * (re-screening a batch that already contains eval data, minHits = 1
+    * with a small n) makes the hit set corpus-scale, and a forced
+    * broadcast would collect it onto the driver and OOM. AQE broadcasts
+    * the small case on its own from runtime statistics and falls back to
+    * a shuffle join for the pathological one.
     */
   def removeContaminated(
       corpus: DataFrame,
@@ -256,6 +268,6 @@ object Decontaminate {
   ): DataFrame = {
     val hits = overlapReport(corpus, benchmark, idCol, textCol, n, minHits)
       .select(col("id").as(idCol))
-    corpus.join(broadcast(hits), Seq(idCol), "left_anti")
+    corpus.join(hits, Seq(idCol), "left_anti")
   }
 }

@@ -47,11 +47,19 @@ object Packing {
     val checkedId = when(idc.isNull,
       raise_error(concat(lit(s"nextFitPack: null or non-numeric id in '$idCol': '"),
         coalesce(col(idCol).cast("string"), lit("null")), lit("'")))).otherwise(idc)
+    // negative token counts fail loudly too: packed into a sequence they
+    // DECREASE `used`, so later docs keep "fitting" and the emitted
+    // sequence's true token total silently exceeds budgetTokens — a
+    // context-window overflow downstream with no signal here
+    val tokLong = coalesce(tokensCol.cast("long"), lit(0L))
+    val checkedToks = when(tokLong < 0L,
+      raise_error(concat(lit(s"nextFitPack: negative token count '"),
+        tokLong.cast("string"), lit(s"' — counts must be >= 0")))).otherwise(tokLong)
     val prepared = df
       .select(
         checkedId.as("id"),
         pmod(checkedId, lit(numShards.toLong)).as("shard"),
-        coalesce(tokensCol.cast("long"), lit(0L)).as("toks"))
+        checkedToks.as("toks"))
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "id")
       .as[(Long, Long, Long)]

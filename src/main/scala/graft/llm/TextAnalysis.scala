@@ -40,7 +40,10 @@ object TextAnalysis {
   val StopwordsFr = Seq("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour")
 
   def stopwordCount(text: Column, words: Seq[String] = StopwordsEn): Column = {
-    val pattern = words.mkString("\\b(?:", "|", ")\\b")
+    // quote each word: the public Seq[String] invites custom lists, and an
+    // unquoted "c++" would count runs of 'c' (the '+' quantifies) while
+    // "(" would throw PatternSyntaxException mid-job
+    val pattern = words.map(java.util.regex.Pattern.quote).mkString("\\b(?:", "|", ")\\b")
     regexp_count(lower(text), lit(pattern))
   }
 
@@ -57,9 +60,13 @@ object TextAnalysis {
       .withColumn(out("stopword_count"), stopwordCount(t))
       .withColumn(
         out("is_quality"),
-        tokenCount(t).between(5, 100000) &&
-          punctCount(t) * lit(5) < charCount(t) &&
-          stopwordCount(t) > lit(0)
+        // reference the columns just added, never re-derive: each signal
+        // is a regex/split pass over the text, and re-deriving would lean
+        // on codegen subexpression elimination to avoid scanning every
+        // row's text twice on this map-side path
+        col(out("word_count")).between(5, 100000) &&
+          col(out("punct_count")) * lit(5) < col(out("char_count")) &&
+          col(out("stopword_count")) > lit(0)
       )
   }
 

@@ -93,7 +93,12 @@ object AsofJoin {
     l.unionByName(r)
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 0)
+      // the explicit left-ts null guard matters for FORWARD direction:
+      // its DESC ordering sorts NULL timestamps LAST, so a NULL-ts left
+      // row sits after every right row and would carry the earliest
+      // payload — backward's ASC (nulls first) masks this by accident.
+      // "NULL timestamps never match" must hold symmetrically.
       .select(leftCols.map(col) ++
-        payloadCols.map(p => when(inBand, col(s"__r.$p")).as(p)): _*)
+        payloadCols.map(p => when(col(tsCol).isNotNull && inBand, col(s"__r.$p")).as(p)): _*)
   }
 }

@@ -18,9 +18,11 @@ final case class Session(user_id: Long, session_id: Long, start_us: Long, end_us
   *
   * Two streaming-only rules keep state sane at scale:
   *  - **Idle flush**: a key silent for `idleTimeoutMs` of processing time
-  *    has its open session emitted and its state REMOVED — without it,
-  *    one-off keys (a long-tail of single-visit users) accumulate state
-  *    forever and the final session of every key is never emitted.
+  *    has its open session emitted and its state reduced to a counter-only
+  *    tombstone (the session_id counter survives so (key, session_id)
+  *    stays unique over the stream's lifetime) — without the flush,
+  *    one-off keys (a long-tail of single-visit users) hold full session
+  *    state forever and the final session of every key is never emitted.
   *  - **Late-event clamp**: each batch sorts its own events, but an event
   *    arriving in a LATER batch with an older timestamp than the open
   *    session's `last` merges into that session (count only, `last`
@@ -36,12 +38,19 @@ object Sessionize {
       state: GroupState[SessionState]
   ): Iterator[Session] = {
     if (state.hasTimedOut) {
-      // idle key: flush the open session, drop the state entry
-      val out = state.getOption
-        .filter(_.n > 0)
-        .map(st => Session(user, st.sid, st.start, st.last, st.n))
-        .iterator
-      state.remove()
+      // idle key: flush the open session. The state is REDUCED to a
+      // counter-only tombstone (n = 0), never removed outright — removal
+      // would restart session_id at 0 when the key returns, re-emitting
+      // (user_id, session_id) pairs downstream consumers key on. The
+      // tombstone is ~32 bytes per ever-seen key and registers no further
+      // timeout; deployments that must bound state by key cardinality
+      // key their sink on (user_id, session_id, start_us) instead.
+      val open = state.getOption.filter(_.n > 0)
+      val out = open.map(st => Session(user, st.sid, st.start, st.last, st.n)).iterator
+      open match {
+        case Some(st) => state.update(SessionState(st.sid + 1L, 0L, 0L, 0L))
+        case None     => state.remove()
+      }
       return out
     }
     val ts = it.map(_._2).toArray.sorted

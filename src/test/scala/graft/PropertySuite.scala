@@ -143,7 +143,7 @@ object SessionizeProps extends Properties("sessionize") {
       Prop(got == direct(ts)) :| s"got=$got expected=${direct(ts)} batches=$batches"
     }
 
-  property("idle timeout flushes the open session and removes state") =
+  property("idle timeout flushes the open session, keeping the sid counter tombstone") =
     forAll(Gen.choose(0L, 100L), Gen.choose(1L, 20L)) { (start, n) =>
       val gs = TestGroupState.create[SessionState](
         org.apache.spark.api.java.Optional.of(SessionState(3L, start, start + n, n)),
@@ -151,8 +151,12 @@ object SessionizeProps extends Properties("sessionize") {
         org.apache.spark.api.java.Optional.empty[Long](),
         hasTimedOut = true)
       val out = Sessionize.update(Gap, 1000L)(7L, Iterator.empty, gs).toList
-      Prop(out == List(Session(7L, 3L, start, start + n, n)) && gs.isRemoved) :|
-        s"timeout flush wrong: $out removed=${gs.isRemoved}"
+      // state is REDUCED to a counter-only tombstone, never removed: a
+      // removal would restart session_id at 0 when the key returns,
+      // breaking (key, sid) uniqueness over the stream's lifetime
+      val tomb = gs.exists && gs.get == SessionState(4L, 0L, 0L, 0L)
+      Prop(out == List(Session(7L, 3L, start, start + n, n)) && tomb) :|
+        s"timeout flush wrong: $out state=${if (gs.exists) gs.get else "removed"}"
     }
 
   property("cross-batch late events never move the open session backwards") =

@@ -323,4 +323,21 @@ class AsofJoinSemanticsSuite extends AnyFunSuite {
     assert(got(1L) === None) // NULL left key matches nothing
     assert(got(2L) === Some(400L)) // NULL-ts right row never matches; real one does
   }
+
+  test("asof: a NULL LEFT timestamp never matches in either direction") {
+    // forward's DESC ordering sorts NULL timestamps LAST — pre-fix, a
+    // NULL-ts left row sat after every right row and carried the earliest
+    // payload; backward (ASC, nulls first) masked the same hole by accident
+    val left = Seq((1L, "k", Option.empty[Long]), (2L, "k", Some(9L)))
+      .toDF("lid", "key", "ts")
+    val right = Seq(("k", 8L, 100L), ("k", 10L, 200L), ("k", 15L, 300L))
+      .toDF("key", "ts", "pid")
+    for (dir <- Seq("backward", "forward")) {
+      val got = graft.operators.AsofJoin.asof(left, right, "key", "ts", Seq("pid"),
+        direction = dir)
+        .select("lid", "pid").as[(Long, Option[Long])].collect().toMap
+      assert(got(1L) === None, s"NULL left ts matched in direction=$dir")
+      assert(got(2L) === Some(if (dir == "backward") 100L else 200L))
+    }
+  }
 }

@@ -224,6 +224,49 @@ class StreamingSuite extends AnyFunSuite {
     }
   }
 
+  test("idle flush preserves the session_id counter — (key, sid) stays unique over the stream") {
+    import org.apache.spark.sql.streaming.GroupState
+    class FakeState(var v: Option[SessionState], timedOut: Boolean)
+        extends GroupState[SessionState] {
+      var removed = false
+      override def exists: Boolean = v.isDefined
+      override def get: SessionState = v.get
+      override def getOption: Option[SessionState] = v
+      override def update(s: SessionState): Unit = { v = Some(s) }
+      override def remove(): Unit = { v = None; removed = true }
+      override def hasTimedOut: Boolean = timedOut
+      override def setTimeoutDuration(d: Long): Unit = ()
+      override def setTimeoutDuration(d: String): Unit = ()
+      override def setTimeoutTimestamp(t: Long): Unit = ()
+      override def setTimeoutTimestamp(t: Long, additionalDuration: String): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date, additionalDuration: String): Unit = ()
+      override def getCurrentWatermarkMs(): Long = 0L
+      override def getCurrentProcessingTimeMs(): Long = 0L
+    }
+    val fn = Sessionize.update(gapUs = 100L, idleTimeoutMs = 1000L) _
+    // sessions 0 and 1 close by gap; session 1 stays open in state
+    val s1 = new FakeState(None, timedOut = false)
+    val emitted = fn(7L, Iterator((7L, 0L), (7L, 10L), (7L, 500L)), s1).toSeq
+    assert(emitted.map(_.session_id) === Seq(0L))
+    assert(s1.v.exists(st => st.sid == 1L && st.n == 1L))
+    // idle timeout: open session 1 flushes, counter tombstone survives
+    val s2 = new FakeState(s1.v, timedOut = true)
+    val flushed = fn(7L, Iterator.empty, s2).toSeq
+    assert(flushed.map(_.session_id) === Seq(1L))
+    assert(!s2.removed, "state must reduce to a counter tombstone, not be removed")
+    assert(s2.v.exists(st => st.sid == 2L && st.n == 0L))
+    // the key returns: pre-fix this restarted at sid 0, re-emitting (7, 0)
+    val s3 = new FakeState(s2.v, timedOut = false)
+    fn(7L, Iterator((7L, 1000L), (7L, 5000L)), s3).toSeq match {
+      case Seq(sess) => assert(sess.session_id === 2L)
+      case other     => fail(s"expected exactly the re-opened session to close: $other")
+    }
+    // a timeout firing on an already-tombstoned key removes it cleanly
+    val s4 = new FakeState(Some(SessionState(5L, 0L, 0L, 0L)), timedOut = true)
+    assert(fn(7L, Iterator.empty, s4).isEmpty && s4.removed)
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch operator on closed sessions") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
