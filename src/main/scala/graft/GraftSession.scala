@@ -29,13 +29,18 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
 
   /** Settings applied when reusing an externally created session — the
-    * full set the builder configures (a session missing the extension
-    * registrations lacks every graft SQL function; UTC makes the
-    * TIMESTAMP_NTZ→TIMESTAMP cast in SparkEntry.tsMicros instant-exact).
+    * full RUNTIME-SETTABLE set the builder configures (a session missing
+    * the extension registrations lacks every graft SQL function; UTC
+    * makes the TIMESTAMP_NTZ→TIMESTAMP cast in SparkEntry.tsMicros
+    * instant-exact; AQE + right-sized shuffle parallelism keep plans
+    * identical to builder-created sessions — the host's default 200
+    * partitions pay ~6× task overhead on local shapes).
     */
-  def configure(spark: SparkSession): SparkSession = {
+  def configure(spark: SparkSession, shufflePartitions: Int = 32): SparkSession = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     GraftExtensions.register(spark)

@@ -32,10 +32,14 @@ object Embeddings {
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val vd = transform(col(vecCol), x => x.cast("double"))
     val amax = array_max(transform(vd, x => abs(x)))
+    // no coalesce on amax: a vector whose elements are ALL NULL has a
+    // NULL amax and must emit NULL q/scale rows (what the SQL oracle's
+    // CASE arithmetic yields) — coalescing to 0 would fabricate
+    // confident-looking zero quantizations for unscorable vectors
     df.select(
         col(idCol).as("vec_id"),
         vd.as("__v"),
-        coalesce(amax, lit(0.0)).as("__amax"))
+        amax.as("__amax"))
       .withColumn("__scale", col("__amax") / lit(127.0))
       .select(
         col("vec_id"),

@@ -154,6 +154,11 @@ object Multimodal {
       frameBytes: Int = 256,
       everyN: Int = 4
   ): DataFrame = {
+    // validate up front: grouped(0) / % 0 would otherwise fail DEEP in
+    // executor tasks (opaque stack after 4 retries), and a negative
+    // everyN silently keeps only frame 0
+    require(frameBytes > 0, s"frameBytes must be > 0: $frameBytes")
+    require(everyN > 0, s"everyN must be > 0: $everyN")
     val outSchema = StructType(Seq(
       StructField("id", LongType),
       StructField("frame_idx", IntegerType),

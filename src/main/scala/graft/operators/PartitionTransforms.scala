@@ -69,13 +69,14 @@ object PartitionTransforms {
         in - pmod(in, lit(width))
       case StringType => substring(in, 1, width)
       case d: DecimalType =>
-        // Iceberg spec: floor the unscaled value to a width multiple.
-        // All-decimal arithmetic (a double pow here would corrupt values
-        // whose scaled form isn't double-exact).
-        val factor = lit(BigDecimal(10).pow(d.scale).underlying())
-        val unscaled = (in * factor).cast(LongType)
-        val truncated = unscaled - pmod(unscaled, lit(width.toLong))
-        (truncated / factor).cast(d)
+        // Iceberg spec: floor the unscaled value to a width multiple —
+        // expressed at the column's OWN scale (`in - pmod(in, width·10^-s)`,
+        // pure decimal arithmetic). Materializing the unscaled value
+        // through a Long cast would silently NULL values past 18 digits
+        // (mis-partitioning with no error), and a double pow would corrupt
+        // values whose scaled form isn't double-exact.
+        val w = lit(java.math.BigDecimal.valueOf(width.toLong, d.scale))
+        (in - pmod(in, w)).cast(d)
       case other =>
         throw new IllegalArgumentException(s"truncate unsupported for $other")
     }
@@ -106,8 +107,20 @@ object PartitionTransforms {
           case "month"    => Month(checked(parts(0)))
           case "day"      => Day(checked(parts(0)))
           case "hour"     => Hour(checked(parts(0)))
-          case "bucket"   => Bucket(checked(parts(0)), parts(1).toInt)
-          case "truncate" => Truncate(parts(0), parts(1).toInt, typeOf(parts(0)))
+          case "bucket" =>
+            // argument validation happens HERE for the same reason source
+            // columns validate here (doc above): bucket(c, 0) deferred to
+            // write time fails every batch of an already-created table
+            val n = parts(1).toInt
+            require(n > 0, s"bucket(n) requires n > 0: $token")
+            Bucket(checked(parts(0)), n)
+          case "truncate" =>
+            val w = parts(1).toInt
+            // width 0 on an int/long column would not even fail loudly:
+            // pmod(in, 0) is NULL non-ANSI, silently landing every row in
+            // a NULL partition
+            require(w > 0, s"truncate(w) requires w > 0: $token")
+            Truncate(parts(0), w, typeOf(parts(0)))
           case other      => throw new IllegalArgumentException(s"unknown transform $other")
         }
       case bare => Identity(checked(bare))

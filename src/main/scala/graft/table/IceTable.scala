@@ -469,7 +469,11 @@ final class IceTable private[table] (
         else if (c.deleteFiles.nonEmpty || c.props.contains("overwrite-partitions")) "overwrite"
         else "append"
       Row(c.seq, c.batchId, c.commitId, c.timestampMs, op,
-        c.dataFiles.size.toLong, c.dataFiles.map(_.rows).sum,
+        c.dataFiles.size.toLong,
+        // rows carries the same -1 unknown sentinel as bytes (formats
+        // without readable footers) — unguarded it would SUBTRACT from
+        // the audit totals
+        c.dataFiles.map(f => math.max(f.rows, 0L)).sum,
         c.dataFiles.map(f => math.max(f.bytes, 0L)).sum,
         c.deleteFiles.size.toLong, c.removedPaths.size.toLong,
         c.vtts.map(long2Long).orNull)
@@ -524,7 +528,9 @@ final class IceTable private[table] (
   def partitionsMeta(spark: SparkSession): DataFrame =
     filesMeta(spark)
       .groupBy(array_sort(map_entries(col("partition"))).as("p"))
-      .agg(count(lit(1)).as("files"), sum("rows").as("row_count"),
+      .agg(count(lit(1)).as("files"),
+        // same -1 unknown-sentinel guard as bytes (see snapshots())
+        sum(greatest(col("rows"), lit(0L))).as("row_count"),
         sum(greatest(col("bytes"), lit(0L))).as("bytes"))
       .select(map_from_entries(col("p")).as("partition"),
         col("files"), col("row_count"), col("bytes"))

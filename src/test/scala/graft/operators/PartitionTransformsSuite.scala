@@ -69,4 +69,27 @@ class PartitionTransformsSuite extends AnyFunSuite {
     assert(r.getString(2) === "2024-03-07")
     assert(r.getString(3) === "2024-03-07-15")
   }
+
+  test("parse rejects non-positive bucket/truncate arguments at CREATE time") {
+    val schema = StructType(Seq(StructField("c", LongType)))
+    // deferred to write time, bucket(c,0) fails every batch of an
+    // already-created table; truncate(c,0) silently NULL-partitions
+    for (bad <- Seq("bucket(c,0)", "bucket(c,-4)", "truncate(c,0)", "truncate(c,-1)")) {
+      val e = intercept[IllegalArgumentException](PartitionTransforms.parse(bad, schema))
+      assert(e.getMessage.contains("> 0"), s"spec '$bad' not rejected: ${e.getMessage}")
+    }
+  }
+
+  test("truncate: decimals past 18 digits floor exactly (no unscaled Long overflow)") {
+    import org.apache.spark.sql.types.DecimalType
+    val t = PartitionTransforms.parse("truncate(d,100)",
+      StructType(Seq(StructField("d", DecimalType(38, 2)))))
+    val big = new java.math.BigDecimal("12345678901234567890123.45") // unscaled >> Long.MaxValue
+    val df = Seq(1).toDF("i").select(lit(big).cast(DecimalType(38, 2)).as("d"))
+    val got = df.select(t.column(col("d")).cast("string")).head().getString(0)
+    // floor to the width multiple of the unscaled value: ...890123.45 ->
+    // width 100 (unscaled) = 1.00 at scale 2 -> ...890123.00
+    assert(got === "12345678901234567890123.00",
+      s"decimal truncate overflowed/nulled: $got")
+  }
 }
