@@ -1934,31 +1934,32 @@ object SparkEntry {
         graft.functions.TextHashes.simhash64(col("text")).as("simhash"))
       .orderBy("doc_id")
 
-  /** Multimodal plumbing: media wrap → batched (stub) decode → frame
-    * sampling; byte-exact plumbing verified against length arithmetic.
+  /** Multimodal features with REAL image codecs: a deterministic synthetic
+    * image per document (dims + every pixel are integer functions of
+    * doc_id, encoded alternately PNG/BMP by real `javax.imageio` writers)
+    * → real decode → exact integer channel sums + 64-bit average-hash.
+    * The DuckDB oracle replays the same pixel formulas in SQL, so the
+    * whole encode→decode→feature path is verified bit-exact.
     */
   private def qMultimodal(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = t(spark, sfDir, "documents")
-    val media = Multimodal.asMedia(d, "text", "image", "image/fake")
-    val feats = Multimodal.extractFeatures(media, "doc_id", "media")
-    val frames = Multimodal.sampleFrames(media, "doc_id", "media", frameBytes = 64, everyN = 2)
-      .groupBy("id").agg(count(lit(1)).as("frames_kept"))
-    feats.join(frames, "id")
-      .select(col("id"), col("byte_len"), col("frames_kept"))
+    val d = t(spark, sfDir, "documents").select("doc_id")
+    val media = Multimodal.synthesizeImages(d, "doc_id")
+    Multimodal.extractImageFeatures(media, "id", "media")
       .orderBy("id")
   }
 
-  /** Multimodal resize stage: media wrap → batched (stub) resize →
-    * re-extract features; the oracle verifies the downscale's length
-    * arithmetic on every document (byte-exact sampling behavior is pinned
-    * in MultimodalSuite — the codec itself is the documented stub).
+  /** Multimodal resize with the REAL fixed-point bilinear kernel: decode →
+    * bilinear 2× downscale → PNG re-encode → re-decode → features. At
+    * exact 2× the kernel reduces to the rounding 2×2 box average
+    * ((a+b+c+d+2)>>2), which the oracle recomputes per output pixel.
     */
   private def qMultimodalResize(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = t(spark, sfDir, "documents")
-    val media = Multimodal.asMedia(d, "text", "image", "image/fake")
-    val resized = Multimodal.resize(media, "doc_id", "media", targetBytes = 64)
-    Multimodal.extractFeatures(resized, "id", "media")
-      .select(col("id"), col("byte_len").as("resized_len"))
+    val d = t(spark, sfDir, "documents").select("doc_id")
+    val media = Multimodal.synthesizeImages(d, "doc_id")
+    val resized = Multimodal.resizeBilinear(media, "id", "media", 1, 2)
+    Multimodal.extractImageFeatures(resized, "id", "media")
+      .select(col("id"), col("width").as("r_width"), col("height").as("r_height"),
+        col("r_sum").as("rr_sum"), col("g_sum").as("rg_sum"), col("b_sum").as("rb_sum"))
       .orderBy("id")
   }
 
@@ -3798,13 +3799,66 @@ object SparkEntry {
          |    $langMarkerSql
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    // replay the synthetic-image pixel formulas (integer space) and the
+    // aHash block math that the real javax.imageio decode kernel computes
     "multimodal_features" ->
-      """SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS byte_len,
-        |       ((length(text) + 63) // 64 + 1) // 2 AS frames_kept
-        |FROM documents ORDER BY id""".stripMargin,
+      """WITH d AS (SELECT doc_id, 8*(1 + doc_id % 3) AS w, 8*(1 + (doc_id // 3) % 3) AS h
+        |           FROM documents),
+        |xs AS (SELECT x FROM generate_series(0, 23) t(x)),
+        |ys AS (SELECT y FROM generate_series(0, 23) t(y)),
+        |px AS (
+        |  SELECT doc_id, w, h, x, y,
+        |    (x*7 + y*13 + doc_id) % 256 AS r,
+        |    (x*3 + y*5 + 2*doc_id) % 256 AS g,
+        |    (x*11 + y*2 + 3*doc_id) % 256 AS b
+        |  FROM d CROSS JOIN xs CROSS JOIN ys
+        |  WHERE x < w AND y < h),
+        |sums AS (
+        |  SELECT doc_id, CAST(sum(r) AS BIGINT) AS r_sum,
+        |    CAST(sum(g) AS BIGINT) AS g_sum, CAST(sum(b) AS BIGINT) AS b_sum
+        |  FROM px GROUP BY doc_id),
+        |cells AS (
+        |  SELECT doc_id, (y // (h // 8)) * 8 + (x // (w // 8)) AS idx,
+        |    CAST(sum((r + g + b) // 3) // count(*) AS BIGINT) AS cavg
+        |  FROM px GROUP BY doc_id, (y // (h // 8)) * 8 + (x // (w // 8))),
+        |means AS (SELECT doc_id, CAST(sum(cavg) // 64 AS BIGINT) AS mean
+        |          FROM cells GROUP BY doc_id),
+        |hashes AS (
+        |  SELECT c.doc_id,
+        |    CAST(COALESCE(sum(CASE WHEN c.cavg > m.mean AND c.idx >= 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(c.idx - 32 AS INTEGER)) END), 0) AS BIGINT) AS ahash_hi,
+        |    CAST(COALESCE(sum(CASE WHEN c.cavg > m.mean AND c.idx < 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(c.idx AS INTEGER)) END), 0) AS BIGINT) AS ahash_lo
+        |  FROM cells c JOIN means m USING (doc_id) GROUP BY c.doc_id)
+        |SELECT d.doc_id AS id, CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+        |  s.r_sum, s.g_sum, s.b_sum, hh.ahash_hi, hh.ahash_lo
+        |FROM d JOIN sums s USING (doc_id) JOIN hashes hh ON hh.doc_id = d.doc_id
+        |ORDER BY id""".stripMargin,
+    // bilinear at exact 2x = rounding 2x2 box average: (a+b+c+d+2)//4 per
+    // output pixel per channel, replayed from the same pixel formulas
     "multimodal_resize" ->
-      """SELECT doc_id AS id, CAST(LEAST(length(text), 64) AS BIGINT) AS resized_len
-        |FROM documents ORDER BY id""".stripMargin,
+      """WITH d AS (SELECT doc_id, 8*(1 + doc_id % 3) AS w, 8*(1 + (doc_id // 3) % 3) AS h
+        |           FROM documents),
+        |xs AS (SELECT x FROM generate_series(0, 11) t(x)),
+        |ys AS (SELECT y FROM generate_series(0, 11) t(y)),
+        |opx AS (
+        |  SELECT doc_id, w, h,
+        |    (((2*x)*7 + (2*y)*13 + doc_id) % 256 + ((2*x+1)*7 + (2*y)*13 + doc_id) % 256
+        |     + ((2*x)*7 + (2*y+1)*13 + doc_id) % 256 + ((2*x+1)*7 + (2*y+1)*13 + doc_id) % 256
+        |     + 2) // 4 AS r,
+        |    (((2*x)*3 + (2*y)*5 + 2*doc_id) % 256 + ((2*x+1)*3 + (2*y)*5 + 2*doc_id) % 256
+        |     + ((2*x)*3 + (2*y+1)*5 + 2*doc_id) % 256 + ((2*x+1)*3 + (2*y+1)*5 + 2*doc_id) % 256
+        |     + 2) // 4 AS g,
+        |    (((2*x)*11 + (2*y)*2 + 3*doc_id) % 256 + ((2*x+1)*11 + (2*y)*2 + 3*doc_id) % 256
+        |     + ((2*x)*11 + (2*y+1)*2 + 3*doc_id) % 256 + ((2*x+1)*11 + (2*y+1)*2 + 3*doc_id) % 256
+        |     + 2) // 4 AS b
+        |  FROM d CROSS JOIN xs CROSS JOIN ys
+        |  WHERE x < w // 2 AND y < h // 2)
+        |SELECT doc_id AS id, CAST(w // 2 AS BIGINT) AS r_width, CAST(h // 2 AS BIGINT) AS r_height,
+        |  CAST(sum(r) AS BIGINT) AS rr_sum, CAST(sum(g) AS BIGINT) AS rg_sum,
+        |  CAST(sum(b) AS BIGINT) AS rb_sum
+        |FROM opx GROUP BY doc_id, w, h
+        |ORDER BY id""".stripMargin,
     // the batch formulation of the streaming curation gate: the same
     // shared signal fragments as text_stats, the same redaction chain
     // as text_redact_pii

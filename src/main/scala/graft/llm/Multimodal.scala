@@ -1,18 +1,31 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal-column plumbing: media as opaque `binary` columns with a
-  * typed metadata struct, processed by batched per-partition operators.
+/** Multimodal-column operators: media as opaque `binary` columns with a
+  * typed metadata struct, processed by batched per-partition kernels.
   *
-  * The Spark-side machinery (schema, partitioning, batch iteration,
-  * output shape) is real and tested; the actual codec calls are STUBBED
-  * with deterministic fakes because this container ships no image/audio
-  * libraries — each stub is marked and takes the exact byte-array input a
-  * real decoder would.
+  * The image kernels are REAL codec work via `javax.imageio` (PNG/BMP —
+  * in the JDK, no external deps): [[extractImageFeatures]] decodes actual
+  * pixels and computes dimensions / exact integer channel sums / a 64-bit
+  * average-hash; [[resizeBilinear]] does a fixed-point bilinear resample
+  * and re-encodes. All pixel math is integer-space so results are
+  * bit-exact across engines (the DuckDB oracle replays the same formulas).
+  *
+  * Scale shape: every kernel is `mapPartitions` — partition-local,
+  * constant memory (one decoded image at a time), no shuffle; on a
+  * 1000-executor cluster each task streams its split of the media column
+  * through the codec. Only video frame-sampling remains payload-slicing
+  * ([[sampleFrames]]): the JDK ships no video codec, and that operator
+  * documents itself accordingly.
   */
 object Multimodal {
 
@@ -24,8 +37,8 @@ object Multimodal {
   ))
 
   /** Wrap a string/binary column as a media column (payload + metadata).
-    * In production the payload arrives as real image/audio bytes; here the
-    * engine treats it opaquely either way.
+    * The engine treats the payload opaquely; decode happens only inside
+    * the image kernels below.
     */
   def asMedia(df: DataFrame, payloadCol: String, kind: String, mime: String): DataFrame =
     df.withColumn("media", col(payloadCol).cast(BinaryType))
@@ -35,31 +48,11 @@ object Multimodal {
           length(col(payloadCol).cast(BinaryType)).cast(LongType).as("byte_len"))
       )
 
-  /** === STUB ===
-    * Deterministic fake "decode": a real implementation would hand
-    * `bytes` to an image/audio codec and return decoded dimensions /
-    * samples. The fake derives stable pseudo-features (length, byte sum,
-    * 4-bin byte histogram) so the distributed plumbing and schemas are
-    * fully exercisable and verifiable.
-    */
-  def decodeStub(bytes: Array[Byte]): (Long, Long, Array[Long]) = {
-    var sum = 0L
-    val hist = new Array[Long](4)
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      sum += b
-      hist(b >> 6) += 1
-      i += 1
-    }
-    (bytes.length.toLong, sum, hist)
-  }
-
   /** Null/non-castable ids FAIL the job: Row.getLong would silently unbox
     * a null id to 0L and attribute the row's features to document 0 —
     * same fail-loudly contract as [[Packing.nextFitPack]].
     */
-  private def checkedId(idCol: String): org.apache.spark.sql.Column = {
+  private def checkedId(idCol: String): Column = {
     val idc = col(idCol).cast(LongType)
     when(idc.isNull,
       raise_error(concat(lit(s"multimodal: null or non-numeric id in '$idCol': '"),
@@ -67,85 +60,260 @@ object Multimodal {
       .as("id")
   }
 
-  private val FeatureSchema = StructType(Seq(
-    StructField("id", LongType),
-    StructField("byte_len", LongType),
-    StructField("byte_sum", LongType),
-    StructField("hist", ArrayType(LongType))
-  ))
+  // ---------------------------------------------------------------------
+  // Deterministic synthetic-image fixtures
+  // ---------------------------------------------------------------------
 
-  /** Batched feature extraction over media payloads — the Scala analogue
-    * of a `mapInPandas` decode stage: one partition = one batch stream,
-    * constant memory, no shuffle. `idCol` must be long, `mediaCol` binary.
+  /** Deterministic per-document test image: dimensions and every channel
+    * value are pure integer functions of (id, x, y), so an oracle can
+    * recompute expected decode results in SQL. Dimensions are multiples
+    * of 8 (8/16/24) so the aHash 8×8 grid has uniform blocks.
     */
-  def extractFeatures(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
-    val input = df.select(checkedId(idCol), col(mediaCol).cast(BinaryType))
-    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(FeatureSchema))
+  def synthDims(id: Long): (Int, Int) =
+    (8 * (1 + Math.floorMod(id, 3)).toInt, 8 * (1 + Math.floorMod(id / 3, 3)).toInt)
+
+  def synthR(id: Long, x: Int, y: Int): Int = Math.floorMod(x * 7L + y * 13L + id, 256).toInt
+  def synthG(id: Long, x: Int, y: Int): Int = Math.floorMod(x * 3L + y * 5L + 2 * id, 256).toInt
+  def synthB(id: Long, x: Int, y: Int): Int = Math.floorMod(x * 11L + y * 2L + 3 * id, 256).toInt
+
+  private def synthImage(id: Long): BufferedImage = {
+    val (w, h) = synthDims(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (synthR(id, x, y) << 16) | (synthG(id, x, y) << 8) | synthB(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def encode(img: BufferedImage, format: String): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    if (!ImageIO.write(img, format, baos))
+      throw new IllegalStateException(s"no ImageIO writer for format '$format'")
+    baos.toByteArray
+  }
+
+  /** Generate the deterministic image corpus: one real encoded image per
+    * id — even ids as PNG, odd as BMP, so BOTH JDK codecs are exercised
+    * end-to-end (encode here, decode in the feature/resize kernels).
+    * Output: (id, media binary, media_meta). This is the fixture-
+    * generation stage; in production the payload arrives from storage.
+    */
+  def synthesizeImages(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("media", BinaryType),
+      StructField("media_meta", MediaMetaType)
+    ))
+    val input = df.select(checkedId(idCol))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     input.mapPartitions { rows =>
       rows.map { r =>
-        if (r.isNullAt(1)) Row(r.getLong(0), 0L, 0L, Array.fill(4)(0L).toSeq)
-        else {
-          val (len, sum, hist) = decodeStub(r.getAs[Array[Byte]](1))
-          Row(r.getLong(0), len, sum, hist.toSeq)
+        val id = r.getLong(0)
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        val bytes = encode(synthImage(id), fmt)
+        Row(id, bytes, Row("image", s"image/$fmt", bytes.length.toLong))
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Real decode → features
+  // ---------------------------------------------------------------------
+
+  private val ImageFeatureSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("r_sum", LongType),
+    StructField("g_sum", LongType),
+    StructField("b_sum", LongType),
+    StructField("ahash_hi", LongType),
+    StructField("ahash_lo", LongType)
+  ))
+
+  /** Decode + feature-extract one image, all-integer math:
+    * exact per-channel sums and a 64-bit average-hash (8×8 block grid,
+    * gray = (r+g+b)/3 floor, block avg = floor(sum/count), bit set when
+    * avg > floor(mean-of-avgs)). The hash is returned as two longs
+    * (bits 32–63 / 0–31) so SQL oracles never shift into the sign bit.
+    */
+  def imageFeatures(img: BufferedImage): (Long, Long, Long, Long, Long, Long, Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var rs = 0L; var gs = 0L; var bs = 0L
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        rs += r; gs += g; bs += b
+        val idx = by * 8 + (x * 8 / w)
+        cellSum(idx) += (r + g + b) / 3
+        cellCnt(idx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var meanSum = 0L
+    val avg = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      avg(i) = if (cellCnt(i) == 0) 0L else cellSum(i) / cellCnt(i)
+      meanSum += avg(i)
+      i += 1
+    }
+    val mean = meanSum / 64
+    var hi = 0L; var lo = 0L
+    i = 0
+    while (i < 64) {
+      if (avg(i) > mean) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (w.toLong, h.toLong, rs, gs, bs, hi, lo)
+  }
+
+  private def tryDecode(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
+  /** Batched REAL feature extraction: `javax.imageio` decode per row —
+    * one partition = one batch stream, constant memory, no shuffle.
+    * Null payloads and undecodable bytes yield null feature columns
+    * (id kept) so corrupt media can be routed/filtered, not job-killing —
+    * the dead-letter philosophy of the ingest path applied to pixels.
+    */
+  def extractImageFeatures(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val input = df.select(checkedId(idCol), col(mediaCol).cast(BinaryType))
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(ImageFeatureSchema))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = if (r.isNullAt(1)) None else tryDecode(r.getAs[Array[Byte]](1))
+        img match {
+          case Some(im) =>
+            val (w, h, rs, gs, bs, hi, lo) = imageFeatures(im)
+            Row(id, w, h, rs, gs, bs, hi, lo)
+          case None => Row(id, null, null, null, null, null, null, null)
         }
       }
     }
   }
 
-  /** === STUB === resize: a real implementation decodes the image, scales
-    * to a target resolution, re-encodes. The fake subsamples evenly-spaced
-    * bytes down to `targetBytes` (identity when already smaller) —
-    * deterministic, so the plumbing (payload replaced, metadata byte_len
-    * updated, partition-local, no shuffle) is exactly verifiable.
-    */
-  def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] =
-    if (bytes.length <= targetBytes) bytes
-    else {
-      val out = new Array[Byte](targetBytes)
-      var i = 0
-      while (i < targetBytes) {
-        // evenly spaced source offsets, first byte always kept
-        out(i) = bytes((i.toLong * bytes.length / targetBytes).toInt)
-        i += 1
-      }
-      out
-    }
+  // ---------------------------------------------------------------------
+  // Real resize: fixed-point bilinear + re-encode
+  // ---------------------------------------------------------------------
 
-  /** Batched media resize — same `mapPartitions` shape as
-    * [[extractFeatures]]: one partition = one batch stream, constant
-    * memory, no shuffle. Output: (id, media resized, media_meta with the
-    * new byte_len; kind/mime carried through from `metaCol`).
+  /** Fixed-point (8-bit fraction) bilinear resample, pixel-center
+    * alignment, integer-exact: src sample position for output i is
+    * (i+0.5)·src/dst − 0.5 in 1/256ths. At an exact 2× downscale this
+    * reduces to out = (p00+p01+p10+p11+2)>>2 — the rounding 2×2 box
+    * average — which is what the SQL oracle replays.
     */
-  def resize(
+  def bilinearResize(img: BufferedImage, dw: Int, dh: Int): BufferedImage = {
+    require(dw > 0 && dh > 0, s"target dims must be positive: ${dw}x$dh")
+    val sw = img.getWidth
+    val sh = img.getHeight
+    val out = new BufferedImage(dw, dh, BufferedImage.TYPE_INT_RGB)
+    // precompute x sampling (x0, x1, frac) once per output column
+    val x0s = new Array[Int](dw); val x1s = new Array[Int](dw); val fxs = new Array[Int](dw)
+    var ox = 0
+    while (ox < dw) {
+      val fp = math.max(0L, (2L * ox + 1) * sw * 128 / dw - 128)
+      val x0 = math.min((fp >> 8).toInt, sw - 1)
+      x0s(ox) = x0
+      x1s(ox) = math.min(x0 + 1, sw - 1)
+      fxs(ox) = (fp & 255).toInt
+      ox += 1
+    }
+    var oy = 0
+    while (oy < dh) {
+      val fp = math.max(0L, (2L * oy + 1) * sh * 128 / dh - 128)
+      val y0 = math.min((fp >> 8).toInt, sh - 1)
+      val y1 = math.min(y0 + 1, sh - 1)
+      val fy = (fp & 255).toInt
+      ox = 0
+      while (ox < dw) {
+        val p00 = img.getRGB(x0s(ox), y0); val p10 = img.getRGB(x1s(ox), y0)
+        val p01 = img.getRGB(x0s(ox), y1); val p11 = img.getRGB(x1s(ox), y1)
+        val fx = fxs(ox)
+        val w00 = (256 - fx).toLong * (256 - fy); val w10 = fx.toLong * (256 - fy)
+        val w01 = (256 - fx).toLong * fy; val w11 = fx.toLong * fy
+        def ch(shift: Int): Int = {
+          val v = (((p00 >> shift) & 0xff) * w00 + ((p10 >> shift) & 0xff) * w10 +
+            ((p01 >> shift) & 0xff) * w01 + ((p11 >> shift) & 0xff) * w11 + 32768L) >> 16
+          v.toInt
+        }
+        out.setRGB(ox, oy, (ch(16) << 16) | (ch(8) << 8) | ch(0))
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  /** Batched REAL resize: decode → fixed-point bilinear to
+    * (srcW·num/den, srcH·num/den), min 1 px — → re-encode as PNG.
+    * Same `mapPartitions` shape as [[extractImageFeatures]]: partition-
+    * local, constant memory, no shuffle. Output: (id, media, media_meta
+    * with mime image/png + new byte_len; kind carried from `metaCol`).
+    * Undecodable/null payloads pass through as null media (id kept).
+    */
+  def resizeBilinear(
       df: DataFrame,
       idCol: String,
       mediaCol: String,
-      targetBytes: Int,
+      num: Int,
+      den: Int,
       metaCol: String = "media_meta"
   ): DataFrame = {
+    require(num > 0 && den > 0, s"scale must be positive: $num/$den")
     val outSchema = StructType(Seq(
       StructField("id", LongType),
       StructField("media", BinaryType),
       StructField("media_meta", MediaMetaType)
     ))
     val input = df.select(checkedId(idCol), col(mediaCol).cast(BinaryType),
-      col(s"$metaCol.kind"), col(s"$metaCol.mime"))
+      col(s"$metaCol.kind"))
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     input.mapPartitions { rows =>
       rows.map { r =>
-        if (r.isNullAt(1)) Row(r.getLong(0), null, Row(r.getString(2), r.getString(3), 0L))
-        else {
-          val resized = resizeStub(r.getAs[Array[Byte]](1), targetBytes)
-          Row(r.getLong(0), resized,
-            Row(r.getString(2), r.getString(3), resized.length.toLong))
+        val id = r.getLong(0)
+        val kind = r.getString(2)
+        val img = if (r.isNullAt(1)) None else tryDecode(r.getAs[Array[Byte]](1))
+        img match {
+          case Some(im) =>
+            val dw = math.max(1, (im.getWidth.toLong * num / den).toInt)
+            val dh = math.max(1, (im.getHeight.toLong * num / den).toInt)
+            val bytes = encode(bilinearResize(im, dw, dh), "png")
+            Row(id, bytes, Row(kind, "image/png", bytes.length.toLong))
+          case None => Row(id, null, Row(kind, null, 0L))
         }
       }
     }
   }
 
-  /** === STUB === frame sampling: a real implementation would seek video
-    * keyframes; the fake slices the payload into fixed-size "frames" and
-    * keeps every `everyN`-th — same schema and fan-out as the real op.
+  // ---------------------------------------------------------------------
+  // Frame sampling (video)
+  // ---------------------------------------------------------------------
+
+  /** Frame sampling over an opaque payload: slices the payload into
+    * fixed-size "frames" and keeps every `everyN`-th. The JDK ships no
+    * video codec, so unlike the image kernels above this is payload
+    * arithmetic, not a real keyframe seek — the schema and fan-out match
+    * what a codec-backed implementation would produce.
     */
   def sampleFrames(
       df: DataFrame,

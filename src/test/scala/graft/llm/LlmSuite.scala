@@ -1272,17 +1272,88 @@ class MultimodalSuite extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("media wrap + batched decode stub + frame sampling keep byte-exact plumbing") {
+  test("real PNG/BMP encode → ImageIO decode roundtrip: features match pixel formulas exactly") {
+    val ids = (0L to 8L).toSeq
+    val df = ids.toDF("id")
+    val media = Multimodal.synthesizeImages(df, "id").collect().map(r =>
+      (r.getLong(0), r.getAs[Array[Byte]](1), r.getStruct(2))).sortBy(_._1)
+    // even ids PNG (magic \x89PNG), odd ids BMP ("BM") — both real codecs
+    assert(media(0)._2.take(4).toSeq === Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    assert(media(1)._2.take(2).toSeq === Seq('B'.toByte, 'M'.toByte))
+    assert(media(0)._3.getString(1) === "image/png")
+    assert(media(1)._3.getString(1) === "image/bmp")
+
+    val feats = Multimodal.extractImageFeatures(
+      Multimodal.synthesizeImages(df, "id"), "id", "media").orderBy("id").collect()
+    for (r <- feats) {
+      val id = r.getLong(0)
+      val (w, h) = Multimodal.synthDims(id)
+      assert(r.getLong(1) === w.toLong, s"width id=$id")
+      assert(r.getLong(2) === h.toLong, s"height id=$id")
+      // recompute expected sums + aHash straight from the integer formulas
+      var rs = 0L; var gs = 0L; var bs = 0L
+      val cellSum = new Array[Long](64); val cellCnt = new Array[Long](64)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rr = Multimodal.synthR(id, x, y); val gg = Multimodal.synthG(id, x, y)
+        val bb = Multimodal.synthB(id, x, y)
+        rs += rr; gs += gg; bs += bb
+        val idx = (y * 8 / h) * 8 + (x * 8 / w)
+        cellSum(idx) += (rr + gg + bb) / 3; cellCnt(idx) += 1
+      }
+      val avg = (0 until 64).map(i => if (cellCnt(i) == 0) 0L else cellSum(i) / cellCnt(i))
+      val mean = avg.sum / 64
+      var hi = 0L; var lo = 0L
+      for (i <- 0 until 64 if avg(i) > mean)
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      assert((r.getLong(3), r.getLong(4), r.getLong(5)) === ((rs, gs, bs)), s"sums id=$id")
+      assert((r.getLong(6), r.getLong(7)) === ((hi, lo)), s"ahash id=$id")
+    }
+  }
+
+  test("bilinear resize: exact 2x downscale is the rounding 2x2 box average; 1x is identity") {
+    val img = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(7)
+    for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, rnd.nextInt(1 << 24))
+    val half = Multimodal.bilinearResize(img, 3, 2)
+    assert(half.getWidth === 3 && half.getHeight === 2)
+    for (oy <- 0 until 2; ox <- 0 until 3; shift <- Seq(16, 8, 0)) {
+      def ch(x: Int, y: Int) = (img.getRGB(x, y) >> shift) & 0xff
+      val exp = (ch(2 * ox, 2 * oy) + ch(2 * ox + 1, 2 * oy) +
+        ch(2 * ox, 2 * oy + 1) + ch(2 * ox + 1, 2 * oy + 1) + 2) / 4
+      assert(((half.getRGB(ox, oy) >> shift) & 0xff) === exp, s"($ox,$oy) shift=$shift")
+    }
+    val same = Multimodal.bilinearResize(img, 6, 4)
+    for (y <- 0 until 4; x <- 0 until 6) assert(same.getRGB(x, y) === img.getRGB(x, y))
+  }
+
+  test("resizeBilinear op: PNG re-encode roundtrips, metadata updated, corrupt media → null") {
+    val df = (0L to 3L).toDF("id")
+    val resized = Multimodal.resizeBilinear(
+      Multimodal.synthesizeImages(df, "id"), "id", "media", 1, 2).orderBy("id").collect()
+    for (r <- resized) {
+      val id = r.getLong(0)
+      val (w, h) = Multimodal.synthDims(id)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+      assert(img.getWidth === w / 2 && img.getHeight === h / 2, s"dims id=$id")
+      assert(r.getStruct(2).getString(1) === "image/png")
+      assert(r.getStruct(2).getLong(2) === r.getAs[Array[Byte]](1).length.toLong)
+    }
+    // corrupt payloads survive as null media / null features, id kept
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "media")
+      .withColumn("media_meta", org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.lit("image").as("kind"),
+        org.apache.spark.sql.functions.lit("image/png").as("mime"),
+        org.apache.spark.sql.functions.lit(3L).as("byte_len")))
+    val rj = Multimodal.resizeBilinear(junk, "id", "media", 1, 2).collect()
+    assert(rj.length === 1 && rj(0).isNullAt(1))
+    val fj = Multimodal.extractImageFeatures(junk, "id", "media").collect()
+    assert(fj.length === 1 && fj(0).getLong(0) === 9L && fj(0).isNullAt(1))
+  }
+
+  test("frame sampling keeps byte-exact plumbing (payload slicing; no JDK video codec)") {
     val df = Seq((1L, "abcd" * 50), (2L, "xy")).toDF("id", "payload")
     val media = Multimodal.asMedia(df, "payload", "image", "image/fake")
     assert(media.select("media_meta.byte_len").as[Long].collect().sorted.toSeq === Seq(2L, 200L))
-
-    val feats = Multimodal.extractFeatures(media, "id", "media")
-      .orderBy("id").collect()
-    assert(feats(0).getLong(1) === 200L)
-    assert(feats(0).getLong(2) === "abcd".map(_.toInt).sum * 50L)
-    assert(feats(1).getLong(1) === 2L)
-
     val frames = Multimodal.sampleFrames(media, "id", "media", frameBytes = 64, everyN = 2)
       .groupBy("id").count().orderBy("id").collect()
     // 200 bytes → 4 frames → keep idx 0,2 → 2 ; 2 bytes → 1 frame → keep idx 0 → 1
@@ -1290,30 +1361,11 @@ class MultimodalSuite extends AnyFunSuite {
     assert(frames(1).getLong(1) === 1L)
   }
 
-  test("resize stub: deterministic downscale, identity below target, metadata updated") {
-    val df = Seq((1L, "abcdefgh" * 32), (2L, "tiny")).toDF("id", "payload") // 256B and 4B
-    val media = Multimodal.asMedia(df, "payload", "image", "image/fake")
-    val resized = Multimodal.resize(media, "id", "media", targetBytes = 64)
-      .orderBy("id").collect()
-    // large payload downsampled to exactly the target; small one untouched
-    assert(resized(0).getAs[Array[Byte]](1).length === 64)
-    assert(resized(0).getStruct(2).getLong(2) === 64L)
-    assert(resized(1).getAs[Array[Byte]](1).toSeq === "tiny".getBytes.toSeq)
-    assert(resized(1).getStruct(2).getLong(2) === 4L)
-    // kind/mime carried through; first byte preserved (offset-0 sample)
-    assert(resized(0).getStruct(2).getString(0) === "image")
-    assert(resized(0).getAs[Array[Byte]](1)(0) === 'a'.toByte)
-    // deterministic: same input → same bytes
-    val again = Multimodal.resize(media, "id", "media", targetBytes = 64)
-      .orderBy("id").collect()
-    assert(again(0).getAs[Array[Byte]](1).toSeq === resized(0).getAs[Array[Byte]](1).toSeq)
-  }
-
   test("multimodal ops fail loudly on null ids (no silent attribution to id 0)") {
     val df = Seq((Some(1L), "abcd"), (None, "efgh")).toDF("id", "payload")
     val media = Multimodal.asMedia(df, "payload", "image", "image/fake")
     val e = intercept[Exception] {
-      Multimodal.extractFeatures(media, "id", "media").collect()
+      Multimodal.extractImageFeatures(media, "id", "media").collect()
     }
     assert(e.getMessage.contains("null or non-numeric id"), s"unexpected: ${e.getMessage}")
     val e2 = intercept[Exception] {
