@@ -119,13 +119,18 @@ object TextHashUtil {
     if (n == 0) // array_min over an empty array is null, per permutation
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](k))
     val mins = Array.fill(k)(Long.MaxValue)
+    var sawValue = false
     var i = 0
     while (i < n) {
       // skip null slots like array_min does (reading one via getLong
-      // would silently misinterpret the bytes); all-null degrades to the
-      // empty-array signature below via untouched MaxValue minima
+      // would silently misinterpret the bytes); an ALL-null array yields
+      // the same all-null signature as an empty one (array_min over
+      // empty/all-null is null per permutation) — tracked by an explicit
+      // flag, not a MaxValue sentinel compare, so a (theoretical) genuine
+      // all-MaxValue minimum could never be misreported as null
       if (hashes.isNullAt(i)) { i += 1 }
       else {
+      sawValue = true
       val h = hashes.getLong(i)
       var j = 0
       while (j < k) {
@@ -138,7 +143,7 @@ object TextHashUtil {
       i += 1
       }
     }
-    if (mins.forall(_ == Long.MaxValue)) // every slot was null
+    if (!sawValue) // every slot was null
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](k))
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
   }

@@ -53,7 +53,11 @@ object Routing {
         // the warehouse. The reference rejects unparseable identifiers via
         // TableIdentifier.parse; same contract here — fail the batch loudly.
         names.foreach { n =>
-          require(n.nonEmpty && n.split('.').forall(_.matches("[a-z0-9_-]+")),
+          // validate the WHOLE string, not split segments: Java's
+          // split('.') strips trailing empties, so "..", "a.", "." would
+          // pass a forall over segments vacuously and derive malformed
+          // warehouse paths (e.g. the warehouse root itself)
+          require(n.matches("[a-z0-9_-]+(\\.[a-z0-9_-]+)*"),
             s"dynamic route value '$n' is not a valid table identifier " +
               "(dot-separated [a-z0-9_-] segments) — refusing to derive a " +
               "filesystem path from it")

@@ -482,11 +482,27 @@ object IceTableWriter {
       batchId,
       { seq =>
         validateFromSeq.foreach { s0 =>
-          if (table.log.commits().exists(c => c.seq > s0 && c.deleteFiles.nonEmpty))
-            throw new graft.table.CommitConflictException(
-              s"equality-delete commit landed after scan seq $s0 — this rewrite would " +
-                "re-stamp its target rows above the delete's seq and silently void it; " +
-                "re-plan from current state and retry")
+          // ANY data-changing commit after the scan conflicts, not just
+          // equality deletes: a rewrite re-stamps rows above a later
+          // delete's seq (voiding it), a compaction commit makes
+          // liveCommits drop every earlier commit (a concurrent plain
+          // append planned-around here would be silently discarded —
+          // lost update), and a concurrent rewrite's removedPaths could
+          // be resurrected by this commit's files. Readers/metadata-only
+          // commits (all three lists empty) stay non-conflicting.
+          table.log.commits()
+            .find(c => c.seq > s0 &&
+              (c.dataFiles.nonEmpty || c.deleteFiles.nonEmpty || c.removedPaths.nonEmpty))
+            .foreach { c =>
+              val kinds = Seq(
+                if (c.deleteFiles.nonEmpty) Some("equality-delete") else None,
+                if (c.dataFiles.nonEmpty) Some("data") else None,
+                if (c.removedPaths.nonEmpty) Some("rewrite") else None).flatten
+              throw new graft.table.CommitConflictException(
+                s"concurrent ${kinds.mkString("+")} commit (seq ${c.seq}) landed after " +
+                  s"scan seq $s0 — this rewrite was planned against stale state and " +
+                  "would void or discard it; re-plan from current state and retry")
+            }
         }
         Commit(
           seq = seq,

@@ -31,6 +31,23 @@ class GraftExtensionsSuite extends AnyFunSuite {
     assert(r.getInt(2) === 3)
   }
 
+  test("minhash signature: empty and all-null shingle arrays both yield the all-null signature") {
+    val spark = TestSpark.spark
+    GraftExtensions.register(spark)
+    // contract pinned: array_min over empty/all-null is null per
+    // permutation — both degenerate inputs produce k null slots, and
+    // persisted LSH indexes see one stable degenerate signature
+    val r = spark.sql(
+      """SELECT minhash_signature(array_remove(array(CAST(1 AS BIGINT)), 1), 4) AS empty_sig,
+        |       minhash_signature(array(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)), 4) AS null_sig,
+        |       minhash_signature(array(CAST(NULL AS BIGINT), CAST(7 AS BIGINT)), 4) AS mixed_sig
+        |""".stripMargin).head()
+    assert(r.getSeq[Any](0) === Seq(null, null, null, null))
+    assert(r.getSeq[Any](1) === Seq(null, null, null, null))
+    // a mixed array ignores null slots and hashes the real ones
+    assert(r.getSeq[Any](2).forall(_ != null))
+  }
+
   test("SQL surface rejects wrong-typed arguments at ANALYSIS, not with per-row crashes") {
     val spark = TestSpark.spark
     GraftExtensions.register(spark)

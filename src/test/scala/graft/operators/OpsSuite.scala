@@ -95,7 +95,9 @@ class RoutingSuite extends AnyFunSuite {
 
   test("dynamic routing refuses route values that are not table identifiers (path traversal)") {
     val cfg = EngineConfig("/tmp/x", routeField = Some("dest"), dynamicRouting = true)
-    for (evil <- Seq("../../tmp/evil", "a/b", "db..t", ".hidden", "")) {
+    // ".." / "a." / "." would pass a split('.')-segments check vacuously
+    // (Java split strips trailing empties) and derive warehouse-root paths
+    for (evil <- Seq("../../tmp/evil", "a/b", "db..t", ".hidden", "", "..", "a.", ".")) {
       val bad = Seq((1L, evil)).toDF("id", "dest")
       val e = intercept[IllegalArgumentException](Routing.route(bad, cfg))
       assert(e.getMessage.contains("not a valid table identifier"), s"value: '$evil'")

@@ -952,6 +952,28 @@ class IceTableSuite extends AnyFunSuite {
     assert(got === Seq(1L))
   }
 
+  test("rewrite validation aborts on a concurrent plain APPEND too (compaction lost-update)") {
+    val dir = TestSpark.freshDir("t_conflict_append")
+    val t = IceTable.create(dir, schema, TableMeta())
+    IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0)), t, 0) // seq 1
+    val scanSeq = t.log.lastSeq()
+    val planned = t.read(spark) // rewrite planned against seq-1 state
+    // concurrent writer's append lands AFTER the scan; a compaction commit
+    // would make liveCommits drop it — silently losing id 3
+    IceTableWriter.append(spark, df((3L, "c", 3.0)), t, 1) // seq 2
+    val e = intercept[CommitConflictException] {
+      IceTableWriter.append(spark, planned, t, batchId = -1,
+        compaction = true, validateFromSeq = Some(scanSeq))
+    }
+    assert(e.getMessage.contains("concurrent data commit"), e.getMessage)
+    // compact()'s retry loop re-scans and the append survives the rewrite
+    t.compact(spark)
+    val got = t.read(spark).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 2L, 3L), "concurrent append must survive compaction")
+    // and the post-compaction live chain is the single rewrite commit
+    assert(t.snapshots(spark).orderBy("seq").collect().last.getString(4) === "replace")
+  }
+
   test("snapshots labels partition overwrites 'overwrite', not 'append'") {
     val dir = TestSpark.freshDir("t_ow_label")
     val t = IceTable.create(dir, schema, TableMeta(partitionBy = Seq("name")))
