@@ -45,12 +45,10 @@ object Skew {
     * a shuffle GROUPING key, a stage retry after shuffle-fetch failure can
     * recompute map tasks with DIFFERENT position ids than reducers already
     * fetched — duplicating or dropping rows. Output determinism (covered
-    * above) is a weaker property than retry safety. On an environment
-    * where fetch failures are expected (large clusters, spot executors),
-    * `persist()`/`localCheckpoint()` the salted frame before the groupBy
-    * so retries replay the MATERIALIZED salt instead of re-deriving it;
-    * single-JVM local mode (this repo's test/bench path) has no shuffle
-    * fetch failures, so the checkpoint cost is not paid by default.
+    * above) is a weaker property than retry safety. Any consumer MUST
+    * materialize the salted frame (`localCheckpoint()`) before grouping on
+    * it so retries replay the stored salt instead of re-deriving it —
+    * [[collectSorted]] does this by default (`retrySafe = true`).
     */
   def spreadSalt(value: Column, buckets: Int): Column =
     pmod(xxhash64(value, monotonically_increasing_id()), lit(buckets.toLong))
@@ -66,20 +64,38 @@ object Skew {
     * would land every row of that key in a single salt bucket —
     * serializing the first stage exactly as an unsalted collect would.
     * Bucket assignment never reaches the result (the final array is
-    * sorted), so the position-dependence is safe.
+    * sorted), so the position-dependence is safe for OUTPUT determinism.
+    *
+    * Retry safety is the stronger property and is ON by default: the
+    * salted frame is `localCheckpoint()`ed before the groupBy, so a stage
+    * retry after a shuffle-fetch failure replays the MATERIALIZED salt
+    * instead of re-deriving different position ids than reducers already
+    * fetched (SPARK-23207 — silent row duplication/loss). Cost: one extra
+    * materialization of (keys, value, salt). If an executor holding
+    * checkpoint blocks dies, the job fails LOUDLY (lineage is truncated)
+    * rather than corrupting — the correct trade on a real cluster.
+    * `retrySafe = false` skips the checkpoint for single-process
+    * exploratory use where shuffle-fetch failures cannot occur.
     */
   def collectSorted(
       df: DataFrame,
       keyCols: Seq[String],
       valueCol: String,
       outCol: String,
-      saltBuckets: Int = 32
+      saltBuckets: Int = 32,
+      retrySafe: Boolean = true
   ): DataFrame = {
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     require(!keyCols.contains("__salt") && valueCol != "__salt" &&
       !df.columns.contains("__salt") && !df.columns.contains("__part"),
       "column names __salt/__part are reserved by the salted collect")
-    df.withColumn("__salt", spreadSalt(col(valueCol), saltBuckets))
+    // project BEFORE the checkpoint so only (keys, value, salt) is
+    // materialized, not every input column
+    val salted0 = df
+      .select((keyCols :+ valueCol).distinct.map(col): _*)
+      .withColumn("__salt", spreadSalt(col(valueCol), saltBuckets))
+    val salted = if (retrySafe) salted0.localCheckpoint() else salted0
+    salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(collect_list(col(valueCol)).as("__part"))
       .groupBy(keyCols.map(col): _*)

@@ -280,6 +280,26 @@ class SkewSuite extends AnyFunSuite {
       .as[(String, Seq[Long])].collect().toMap
     assert(got("hot") === Seq.fill(400)(7L))
   }
+
+  test("collectSorted is retry-safe by default: salted frame is checkpointed (SPARK-23207)") {
+    val df = (1 to 100).map(i => ("k", i.toLong)).toDF("k", "v")
+    // default: the position-dependent salt is materialized via
+    // localCheckpoint — the plan reads from a scanned RDD (lineage
+    // truncated), so a stage retry replays stored salts, never
+    // re-derives them
+    val safe = graft.operators.Skew.collectSorted(df, Seq("k"), "v", "vs")
+    def hasRddScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectLeaves().exists(_.nodeName.toLowerCase.contains("existingrdd")) ||
+        p.toString.toLowerCase.contains("scan existingrdd")
+    assert(hasRddScan(safe.queryExecution.executedPlan),
+      s"expected checkpointed (ExistingRDD) scan in:\n${safe.queryExecution.executedPlan}")
+    // opt-out keeps the pure lineage (no RDD scan leaf)
+    val unsafe = graft.operators.Skew.collectSorted(df, Seq("k"), "v", "vs", retrySafe = false)
+    assert(!hasRddScan(unsafe.queryExecution.executedPlan))
+    // results identical either way
+    assert(safe.as[(String, Seq[Long])].collect().toMap ===
+      unsafe.as[(String, Seq[Long])].collect().toMap)
+  }
 }
 
 class RangeJoinSuite extends AnyFunSuite {
