@@ -381,6 +381,60 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** E1/E2 through the STREAMING path — the reference evolves during
+    * ongoing ingestion (`data/IcebergWriter.java:94-104` tears down and
+    * re-plans its writer mid-stream on a schema change); here the same
+    * thing happens inside a running micro-batch stream: the table is
+    * pre-created NARROW (user_id int, value float), micro-batch 0's
+    * JSON-inferred schema (long/double — Spark JSON inference parity
+    * with `doInferIcebergType`) widens both columns mid-stream, and
+    * micro-batch 1's payloads add `event_type` — a second mid-stream
+    * evolution commit. The final schemaVersion (create=0, widen=1,
+    * add=2) ships as a column so the oracle pins the bump count.
+    */
+  private def qStreamingEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = freshDir("streaming_evolution")
+    val ckpt = freshDir("streaming_evolution_ckpt")
+    val ev = t(spark, sfDir, "events")
+    val maxId = ev.agg(max("event_id")).head().getLong(0)
+    val split = maxId / 2
+    val b0 = ev.filter(col("event_id") <= split)
+      .select(to_json(struct(col("event_id"), col("user_id"), col("value"))).as("j"))
+      .as[String].collect()
+    val b1 = ev.filter(col("event_id") > split)
+      .select(to_json(struct(col("event_id"), col("user_id"), col("value"),
+        col("event_type"))).as("j"))
+      .as[String].collect()
+    val narrow = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", IntegerType),
+      StructField("value", FloatType)))
+    val created = IceTable.create(s"$wh/evolving_s", narrow, graft.table.TableMeta())
+    val v0 = created.currentSchemaVersion
+    val cfg = EngineConfig(warehouse = wh, tables = Seq(TableConfig("evolving_s")),
+      autoCreate = false, evolveSchema = true)
+    val ms = MemoryStream[String]
+    val q = graft.streaming.IngestStream.start(ms.toDF(), cfg, ckpt,
+      transforms = Seq(graft.transforms.Transforms.jsonExpand("value")),
+      triggerMs = Some(20))
+    try {
+      ms.addData(b0.toIndexedSeq)
+      q.processAllAvailable()
+      ms.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val table = IceTable.load(s"$wh/evolving_s")
+    // bump COUNT relative to the created version: widen commit + add
+    // commit = 2, independent of where version numbering starts
+    table.read(spark)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .withColumn("schema_v", lit((table.currentSchemaVersion - v0).toLong))
+      .orderBy("event_id")
+  }
+
   /** Table maintenance: multi-batch ingest → compact (rewrite) → gc
     * (drop superseded files) → read the rewritten state.
     */
@@ -611,6 +665,39 @@ object SparkEntry {
       Ingest.run(spark, part.coalesce(1), i.toLong, cfg)
     }
     IceTable.load(s"$wh/events_f").filesMeta(spark)
+      .select(col("seq"), col("rows"),
+        element_at(col("lower_bounds"), "event_id").cast("long").as("min_event_id"),
+        element_at(col("upper_bounds"), "event_id").cast("long").as("max_event_id"))
+      .orderBy("seq")
+  }
+
+  /** K7 end-to-end: a REPLAYED ENVELOPE listing the same staged file
+    * twice (the reference's control-topic at-least-once hazard,
+    * `channel/Deduplicated.java:79-148`) pushed through the public
+    * commit API. Batch 0 ingests the first half normally; the second
+    * half's file is staged via a scratch table and then committed with
+    * its entry listed TWICE — the commit builder's file-level dedup
+    * keeps exactly one. The files-metadata view then shows two
+    * single-file commits whose (seq, rows, bounds) the oracle derives
+    * from the source; a double-listed file would double `rows` of seq 2.
+    */
+  private def qCommitDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("commit_dedup")
+    val ev = t(spark, sfDir, "events").select("event_id", "user_id", "event_type", "value")
+    val m = ev.agg(max("event_id")).head().getLong(0) / 2
+    val cfg = EngineConfig(warehouse = wh,
+      tables = Seq(TableConfig("events_d"), TableConfig("events_stage")), autoCreate = true)
+    Ingest.run(spark, ev.filter(col("event_id") <= m).coalesce(1), 0L,
+      cfg.copy(tables = Seq(TableConfig("events_d"))))
+    Ingest.run(spark, ev.filter(col("event_id") > m).coalesce(1), 0L,
+      cfg.copy(tables = Seq(TableConfig("events_stage"))))
+    val main = IceTable.load(s"$wh/events_d")
+    val staged = IceTable.load(s"$wh/events_stage").log.commits().last.dataFiles.head
+    main.log.commit(1L, seq => graft.table.Commit(
+      seq = seq, batchId = 1L, commitId = java.util.UUID.randomUUID().toString,
+      timestampMs = System.currentTimeMillis(), schemaVersion = main.currentSchemaVersion,
+      dataFiles = Seq(staged, staged)))
+    main.filesMeta(spark)
       .select(col("seq"), col("rows"),
         element_at(col("lower_bounds"), "event_id").cast("long").as("min_event_id"),
         element_at(col("upper_bounds"), "event_id").cast("long").as("max_event_id"))
@@ -2393,6 +2480,7 @@ object SparkEntry {
       "scan_bloom" -> wrap(qScanBloom),
       "meta_snapshots" -> wrap(qMetaSnapshots),
       "meta_files" -> wrap(qMetaFiles),
+      "commit_dedup" -> wrap(qCommitDedup),
       "size_rolling" -> wrap(qSizeRolling),
       "meta_partitions" -> wrap(qMetaPartitions),
       "branch_publish" -> wrap(qBranchPublish),
@@ -2419,6 +2507,7 @@ object SparkEntry {
       "cdc_changelog" -> wrap(qCdcChangelog),
       "merge_upsert" -> wrap(qMergeUpsert),
       "schema_evolution" -> wrap(qSchemaEvolution),
+      "streaming_evolution" -> wrap(qStreamingEvolution),
       "transform_copy_value" -> wrap(qCopyValue),
       "transform_kafka_metadata" -> wrap(qKafkaMetadata),
       "transform_json_expand" -> wrap(qJsonExpand),
@@ -3168,6 +3257,17 @@ object SparkEntry {
         |SELECT seq, CAST(count(*) AS BIGINT) AS rows,
         |       min(event_id) AS min_event_id, max(event_id) AS max_event_id
         |FROM g GROUP BY seq ORDER BY seq""".stripMargin,
+    // K7: the double-listed file must count ONCE — seq 2's rows/bounds
+    // are exactly the second half's
+    "commit_dedup" ->
+      """WITH s AS (SELECT max(event_id) // 2 AS m FROM events),
+        |a AS (SELECT CAST(1 AS BIGINT) AS seq, CAST(count(*) AS BIGINT) AS rows,
+        |             min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        |      FROM events, s WHERE event_id <= m),
+        |b AS (SELECT CAST(2 AS BIGINT) AS seq, CAST(count(*) AS BIGINT) AS rows,
+        |             min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        |      FROM events, s WHERE event_id > m)
+        |SELECT * FROM a UNION ALL SELECT * FROM b ORDER BY seq""".stripMargin,
     "size_rolling" ->
       """WITH g AS (
         |  SELECT event_id, (row_number() OVER (ORDER BY event_id) - 1) // 2500 AS fi
@@ -3378,6 +3478,18 @@ object SparkEntry {
         |FROM events, s WHERE event_id <= m
         |UNION ALL
         |SELECT event_id, user_id, value, event_type FROM events, s WHERE event_id > m
+        |ORDER BY event_id""".stripMargin,
+    // streaming evolution: batch 0 written AFTER the mid-stream widen
+    // (values round-trip JSON as exact doubles), batch 1 adds event_type;
+    // create=0 + widen-commit + add-commit pins schema_v at 2
+    "streaming_evolution" ->
+      """WITH s AS (SELECT max(event_id) // 2 AS m FROM events)
+        |SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,
+        |       CAST(NULL AS VARCHAR) AS event_type, CAST(2 AS BIGINT) AS schema_v
+        |FROM events, s WHERE event_id <= m
+        |UNION ALL
+        |SELECT event_id, CAST(user_id AS BIGINT), value, event_type, CAST(2 AS BIGINT)
+        |FROM events, s WHERE event_id > m
         |ORDER BY event_id""".stripMargin,
     "transform_copy_value" ->
       """SELECT event_id, event_type, event_type AS event_type_copy

@@ -472,12 +472,10 @@ object IceTableWriter {
       removedPaths: => Seq[String] = Nil,
       validateFromSeq: Option[Long] = None
   ): Option[Commit] = {
-    // K7 defensive file-level dedup (channel/Deduplicated.java:79-148):
-    // Spark's exactly-once batch protocol makes duplicate file listings
-    // near-impossible, but a path listed twice would double-read — drop
-    // duplicates by path before the entry is written, like the reference
-    val dedupData = dataFiles.distinctBy(_.path)
-    val dedupDeletes = deleteFiles.distinctBy(_.path)
+    // K7 file-level dedup now lives in CommitLog.commit (the one commit
+    // builder every public path funnels through); nothing to do here
+    val dedupData = dataFiles
+    val dedupDeletes = deleteFiles
     val committed = table.log.commit(
       batchId,
       { seq =>

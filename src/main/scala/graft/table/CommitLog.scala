@@ -185,7 +185,14 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
       val fenceSeq = lastSeq()
       if (batchId >= 0 && lastBatchId().exists(batchId <= _)) return None
       val seq = lastSeq() + 1
-      val entry = build(seq)
+      // K7 defensive file-level dedup (channel/Deduplicated.java:79-148):
+      // a replayed envelope can list the same staged file twice; enforced
+      // HERE in the commit builder so every public commit path gets it —
+      // a path listed twice would double-read its rows forever
+      val built = build(seq)
+      val entry = built.copy(
+        dataFiles = built.dataFiles.distinctBy(_.path),
+        deleteFiles = built.deleteFiles.distinctBy(_.path))
       val tmp = root.resolve(s".tmp-${java.util.UUID.randomUUID()}")
       Files.write(tmp, mapper.writeValueAsBytes(entry))
       // publish via hard link: atomic full-content claim that FAILS if the

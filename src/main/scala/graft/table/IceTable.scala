@@ -269,16 +269,20 @@ final class IceTable private[table] (
   def readIncremental(spark: SparkSession, fromSeq: Long, toSeq: Long): DataFrame = {
     require(fromSeq <= toSeq, s"readIncremental: fromSeq $fromSeq > toSeq $toSeq")
     val cur = schema
-    val window = log.commits()
-      .filter(c => c.seq > fromSeq && c.seq <= toSeq)
+    val nonCompaction = log.commits()
       .filterNot(c => c.props.keys.exists(_.startsWith("compaction")))
+    val window = nonCompaction.filter(c => c.seq > fromSeq && c.seq <= toSeq)
     // window files are read as committed, even if a LATER rewrite
     // superseded them for current-state reads — they are still the
     // window's logical rows. After gc removes superseded originals the
     // read fails loudly on the missing file, exactly like readAt past
     // the gc horizon: incremental consumers are expected to stay ahead
     // of maintenance, and a silent row drop here would be corruption.
-    val dataFiles = window.flatMap(c => c.dataFiles.map(f => (f, c.seq)))
+    // Path attribution is global-first (K7): a file first added BEFORE
+    // the window and re-listed inside it is a replayed envelope, not
+    // window data.
+    val dataFiles = firstListed(nonCompaction)
+      .filter { case (_, s) => s > fromSeq && s <= toSeq }
     if (dataFiles.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cur)
     val data = readAligned(spark, dataFiles, cur, v => schemaAt(v))
@@ -304,11 +308,13 @@ final class IceTable private[table] (
     require(fromSeq <= toSeq, s"readChanges: fromSeq $fromSeq > toSeq $toSeq")
     val cur = schema
     val all = log.commits()
-    val window = all
-      .filter(c => c.seq > fromSeq && c.seq <= toSeq)
-      .filterNot(c => c.props.keys.exists(_.startsWith("compaction")))
+    val nonCompaction =
+      all.filterNot(c => c.props.keys.exists(_.startsWith("compaction")))
+    val window = nonCompaction.filter(c => c.seq > fromSeq && c.seq <= toSeq)
     val keyCols = meta.idColumns
-    val dataFiles = window.flatMap(c => c.dataFiles.map(f => (f, c.seq)))
+    // global-first attribution (K7): replayed listings are not inserts
+    val dataFiles = firstListed(nonCompaction)
+      .filter { case (_, s) => s > fromSeq && s <= toSeq }
     val inserts =
       if (dataFiles.isEmpty) None
       else Some(readAligned(spark, dataFiles, cur, v => schemaAt(v))
@@ -330,7 +336,7 @@ final class IceTable private[table] (
     // the payload is exact, not key-only). The original FileEntry (schema
     // version, format) is recovered from the commit that added the path.
     val byPath: Map[String, (FileEntry, Long)] =
-      all.flatMap(c => c.dataFiles.map(f => IceTable.normalizePath(f.path) -> ((f, c.seq)))).toMap
+      firstListed(all).map { case (f, s) => IceTable.normalizePath(f.path) -> ((f, s)) }.toMap
     // Retraction reads first apply the equality deletes committed BETWEEN
     // a file's original append and the overwrite: a row equality-deleted
     // in a prior delta commit was no longer live, and emitting a second
@@ -365,6 +371,22 @@ final class IceTable private[table] (
     }
   }
 
+  /** K7 cross-envelope replay guard: attribute each data-file path to
+    * the FIRST commit (in seq order) that listed it. A later commit
+    * re-listing the same path is a replayed envelope, not new data —
+    * counting it again would duplicate the file's rows, and the
+    * seq-attach join in [[readAligned]] would MULTIPLY them (file read
+    * once per listing × one join row per listing). Within-commit
+    * duplicates are already dropped by the commit builder
+    * ([[CommitLog.commit]]); this is the across-commits arm
+    * (`channel/Deduplicated.java:79-148` dedups both).
+    */
+  private def firstListed(commits: Seq[Commit]): Seq[(FileEntry, Long)] = {
+    val seen = scala.collection.mutable.HashSet[String]()
+    commits.flatMap(c => c.dataFiles.flatMap(f =>
+      if (seen.add(IceTable.normalizePath(f.path))) Some((f, c.seq)) else None))
+  }
+
   /** Live commit chain at `maxSeq`: everything after the last compaction
     * rewrite (old files stay on disk for time travel / GC).
     */
@@ -390,7 +412,7 @@ final class IceTable private[table] (
     val keep: FileEntry => Boolean = f =>
       !removed.contains(IceTable.normalizePath(f.path)) &&
         pred.forall(p => p(f.partition)) && filePred.forall(p => p(f))
-    live.flatMap(c => c.dataFiles.filter(keep).map(f => (f, c.seq)))
+    firstListed(live).filter { case (f, _) => keep(f) }
   }
 
   private def keyProjection(s: StructType, keyCols: Seq[String]): StructType =

@@ -952,6 +952,32 @@ class IceTableSuite extends AnyFunSuite {
     assert(got === Seq(1L))
   }
 
+  test("K7: replayed envelopes dedup within a commit AND across commits") {
+    val dir = TestSpark.freshDir("t_k7_dedup")
+    val t = IceTable.create(dir, schema, TableMeta())
+    IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0)), t, 0)
+    val f = t.log.commits().last.dataFiles.head
+    // within-commit arm: same staged path listed twice in one commit —
+    // the commit builder keeps one
+    val c = t.log.commit(1L, seq => graft.table.Commit(
+      seq = seq, batchId = 1L, commitId = "k7", timestampMs = 0L,
+      schemaVersion = t.currentSchemaVersion, dataFiles = Seq(f, f)))
+    assert(c.get.dataFiles.size === 1, "commit builder must drop the duplicate path")
+    assert(t.log.commits().last.dataFiles.size === 1)
+    // across-commits arm: the replay commit re-listed a file commit 1
+    // already owns — planning attributes the path to its FIRST commit,
+    // so the replay adds NOTHING (before this guard the seq-attach join
+    // MULTIPLIED the file's rows: read twice x joined twice = 4 copies)
+    assert(t.read(spark).orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val plan = t.filesMeta(spark).select("file_path", "seq").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(plan.map(_._1).distinct.length === plan.length, "each path planned once")
+    assert(plan.forall(_._2 === 1L), "replayed path attributed to its first commit")
+    // incremental/changelog views agree: the replay window carries no rows
+    assert(t.readIncremental(spark, fromSeq = 1L, toSeq = 2L).count() === 0)
+    assert(t.readChanges(spark, fromSeq = 1L, toSeq = 2L).count() === 0)
+  }
+
   test("rewrite validation aborts on a concurrent plain APPEND too (compaction lost-update)") {
     val dir = TestSpark.freshDir("t_conflict_append")
     val t = IceTable.create(dir, schema, TableMeta())
