@@ -39,6 +39,27 @@ object Bench {
       }
       dropPinnedBlocks()
     }
+    // Ambient-load calibration canary: a CONSTANT, plan-free, CPU-bound
+    // job (hash-sum over a range — no I/O, no shuffle, no data
+    // dependence) timed at bench start and end. Its ratio against the
+    // quiet-machine reference makes host-load inflation machine-readable
+    // instead of a per-round argument (benches on this host drift
+    // 1.1-1.4x under load; r8-r10 each re-litigated the same drift).
+    // Best-of-3 smooths GC; the canary still sees sustained load.
+    // quiet-machine seconds for this exact job — best-of-5 via
+    // `runMain graft.tools.Canary` on an idle host (r11 calibration:
+    // runs 0.67-0.78 s; re-run Canary to recalibrate if hardware changes)
+    val AmbientRef = 0.67
+    def canary(): Double = {
+      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 4000000000L, 1L, cpus.toInt)
+          .select(sum(xxhash64(col("id")))).head()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val ambientStart = canary()
     // (name, seconds, ok) — a thrown query records ok=false and is NEVER
     // folded into the total: time-to-throw is not a benchmark number, and
     // r7 shipped broken queries as "fast" because this loop swallowed them.
@@ -93,7 +114,12 @@ object Bench {
           System.err.println(s"[bench] lm2 split FAILED: ${e.getMessage}")
           Seq(("quality_lm2_train", 0.0, false), ("quality_lm2_score", 0.0, false))
       }
+    val ambientEnd = canary()
     def r3(v: Double): String = f"$v%.3f"
+    val ambientRatio = ((ambientStart + ambientEnd) / 2) / AmbientRef
+    val ambientJson =
+      s"""{"start":${r3(ambientStart)},"end":${r3(ambientEnd)},""" +
+        s""""ref":${r3(AmbientRef)},"ratio":${r3(ambientRatio)}}"""
     val qs = (results ++ split ++ lmSplit).map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) r3(v) else "null")
     }.mkString("{", ",", "}")
@@ -110,8 +136,8 @@ object Bench {
     val nOk = results.count(_._3)
     // stdout line stays SHORT (the driver tails ~2.2 KB): total + counts
     // only; the per-query map lives in BENCH_out.json.
-    val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":$nOk,"n_err":${failedQueries.size},"n_split_err":${failedSplit.size},"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":$nOk,"n_err":${failedQueries.size},"n_split_err":${failedSplit.size},"errors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
+    val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":$nOk,"n_err":${failedQueries.size},"n_split_err":${failedSplit.size},"ambient":${r3(ambientRatio)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":$nOk,"n_err":${failedQueries.size},"n_split_err":${failedSplit.size},"ambient":$ambientJson,"errors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
     println(short)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_out.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -106,6 +106,55 @@ object IvfIndex {
     vv.count()
   }
 
+  /** Re-shard the index when cells outgrow a target occupancy — the
+    * executable form of the "grow nCells with the corpus" deployment
+    * knob (SCALE.md): at FIXED cell geometry a probe's cost is
+    * asymptotically linear in corpus size (each probed cell holds
+    * n/nCells vectors); rebalancing to
+    * `nCells' = ceil(vectors / targetCellRows)` restores ~constant
+    * per-cell row counts, so probe cost tracks `nProbe · targetCellRows`
+    * instead of the corpus.
+    *
+    * Retrains the coarse quantizer ON the existing (already normalized)
+    * assignments, reassigns every vector, and rewrites centroids +
+    * cell partitions — one training pass plus one partitioned rewrite,
+    * the same cost shape as [[build]]. No-op (returns the current cell
+    * count) while mean occupancy is within target. Returns the cell
+    * count actually written.
+    */
+  def rebalance(
+      spark: SparkSession,
+      dir: String,
+      targetCellRows: Long,
+      kmeansIters: Int = 2
+  ): Int = {
+    import spark.implicits._
+    require(targetCellRows > 0, s"targetCellRows must be > 0: $targetCellRows")
+    val curCells = spark.read.parquet(s"$dir/centroids.parquet").count()
+    val assigned = spark.read.parquet(s"$dir/assignments.parquet")
+      .select("n_id", "n_vec")
+      // lineage break: the rewrite below OVERWRITES the path this scan
+      // reads — Spark (correctly) refuses a self-overwrite on a live
+      // lineage; the checkpoint also feeds the multi-pass retrain
+      .localCheckpoint()
+    val total = assigned.count()
+    if (total == 0L || curCells <= 0L) return curCells.toInt
+    if (total / curCells <= targetCellRows) return curCells.toInt
+    val newCells = math.min(((total + targetCellRows - 1) / targetCellRows).toInt, Int.MaxValue)
+    val dim = Similarity.detectDim(assigned)
+    val cents = Similarity.trainCentroids(assigned, newCells, kmeansIters, dim)
+    cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("c_id", "c_vec")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    assigned
+      .withColumn("c_id", Similarity.nearestCentroid(col("n_vec"), cents).getField("c_id"))
+      .select("n_id", "n_vec", "c_id")
+      .repartition(col("c_id"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(s"$dir/assignments.parquet")
+    cents.length
+  }
+
   /** Top-k cosine ANN against a persisted index. Probed-cell routing
     * happens on the (tiny, collected) centroid table; the assignment scan
     * carries a `c_id IN (probed cells)` partition filter, so only the

@@ -50,15 +50,25 @@ object Propagate {
   /** @param nodes (id, s0_micros) — seed scores in integer micros
     * @param edges (id_a, id_b) — undirected pair evidence; duplicate pair
     *   rows and self-pairs are normalized away (simple-graph semantics)
+    * @param tolMicros optional CONVERGENCE stopping rule: after each
+    *   round, stop early once `max |Δs_micros|` over all nodes is ≤ tol —
+    *   callers wanting the PageRank fixed point set a tolerance instead
+    *   of guessing `rounds` (which becomes the iteration CAP). The check
+    *   is one extra max-agg per round over already-checkpointed state
+    *   (integer-exact, engine-independent); damping < 1 contracts the
+    *   iteration, so the early-stopped result equals running the
+    *   remaining rounds up to ≤ tol per node.
     */
   def propagateScores(
       nodes: DataFrame,
       edges: DataFrame,
       damping: Double = 0.85,
-      rounds: Int = 3
+      rounds: Int = 3,
+      tolMicros: Option[Long] = None
   ): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
+    require(tolMicros.forall(_ >= 0L), s"tolMicros must be >= 0, got $tolMicros")
     val dir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .filter(col("src") =!= col("dst"))
@@ -70,15 +80,31 @@ object Propagate {
       round(lit(1.0 - damping) * col("s0_micros").cast("double")).cast("long").as("base"))
       .localCheckpoint()
     var s = nodes.select(col("id"), col("s0_micros").cast("long").as("s_micros"))
-    for (_ <- 1 to rounds) {
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      r += 1
       val inflow = dirDeg.join(s.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"),
           round(lit(damping) * col("s_micros").cast("double") / col("deg").cast("double"))
             .cast("long").as("c"))
         .groupBy("id").agg(sum("c").as("inflow"))
-      s = base.join(inflow, Seq("id"), "left")
+      val next = base.join(inflow, Seq("id"), "left")
         .select(col("id"), (col("base") + coalesce(col("inflow"), lit(0L))).as("s_micros"))
         .localCheckpoint()
+      tolMicros.foreach { tol =>
+        // one max-agg join over two checkpointed (id, long) states; a
+        // node absent from a side (shouldn't happen — both derive from
+        // `nodes`) counts as a full-delta change, never a silent skip
+        val maxDelta = next.withColumnRenamed("s_micros", "s_new")
+          .join(s.withColumnRenamed("s_micros", "s_old"), Seq("id"), "full")
+          .select(coalesce( // empty node set → max is null → converged at 0
+            max(abs(coalesce(col("s_new"), lit(0L)) - coalesce(col("s_old"), lit(0L)))),
+            lit(0L)).as("d"))
+          .head().getLong(0)
+        if (maxDelta <= tol) converged = true
+      }
+      s = next
     }
     s
   }

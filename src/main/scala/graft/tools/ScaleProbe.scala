@@ -28,6 +28,8 @@ import org.apache.spark.sql.functions._
   *  - `search[:k1,k2,...]`    — BM25 index build/probe at k× docs
   *  - `stream[:TxR,...]`      — commit machinery: tables × rows/batch
   *  - `prop[:n1,n2,...]`      — score propagation at n-node graphs
+  *  - `cdc[:k1,k2,...]`       — read latency vs accumulated delta commits
+  *  - `rebal[:n0,factor]`     — IVF probe latency before/after rebalance
   *
   * `sbt "runMain graft.tools.ScaleProbe"` (~2 GiB peak, a few minutes).
   */
@@ -203,6 +205,128 @@ object ScaleProbe {
     }
   }
 
+  /** CDC/MERGE read-path probe: equality-delete ACCUMULATION is the
+    * classic Iceberg-v2 read amplification (reference delta semantics:
+    * `data/BaseDeltaTaskWriter.java:71-84` — every upsert batch adds an
+    * equality-delete file the current-state read must anti-join).
+    * Measures read latency as a function of accumulated delta commits,
+    * then after `compact` (which applies and clears them); fits the
+    * latency-vs-commits exponent — the number that dictates compaction
+    * cadence on a real deployment.
+    */
+  private def cdcProbe(spark: SparkSession, ks: Seq[Int]): Unit = {
+    import graft.config.{EngineConfig, TableConfig}
+    val baseRows = 200000L
+    val slice = baseRows / 10
+    def mk(ids: org.apache.spark.sql.Column, salt: Long): DataFrame =
+      spark.range(slice).select(
+        ids.as("user_id"),
+        (col("id") + salt * 1000000L).as("event_id"),
+        concat(lit("t"), pmod(col("id"), lit(5L))).as("event_type"),
+        (col("id") % 997L).cast("double").as("value"))
+    def upsertBatch(i: Int): DataFrame =
+      mk(col("id") + (i % 10).toLong * slice, i.toLong)
+    def baseData: DataFrame =
+      spark.range(baseRows).select(
+        col("id").as("user_id"), col("id").as("event_id"),
+        concat(lit("t"), pmod(col("id"), lit(5L))).as("event_type"),
+        (col("id") % 997L).cast("double").as("value"))
+    def cfgFor(wh: String) = EngineConfig(warehouse = wh,
+      tables = Seq(TableConfig("state", idColumns = Seq("user_id"))),
+      upsertMode = true, autoCreate = true)
+    locally { // warm the delta write + read path
+      val cfg = cfgFor(tmpDir("cdcwarm"))
+      graft.sink.Ingest.run(spark, baseData.limit(10000), 0L, cfg)
+      graft.sink.Ingest.run(spark, upsertBatch(1).limit(1000), 1L, cfg)
+      graft.table.IceTable.load(s"${cfg.warehouse}/state").read(spark).count()
+    }
+    def readTime(t: graft.table.IceTable): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val n = t.read(spark).count()
+      require(n == baseRows, s"upsert state drifted: $n != $baseRows")
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val results = ks.map { k =>
+      val wh = tmpDir(s"cdcscale$k")
+      val cfg = cfgFor(wh)
+      graft.sink.Ingest.run(spark, baseData, 0L, cfg)
+      (1 to k).foreach(i => graft.sink.Ingest.run(spark, upsertBatch(i), i.toLong, cfg))
+      val t = graft.table.IceTable.load(s"$wh/state")
+      val tRead = readTime(t)
+      val tc0 = System.nanoTime()
+      t.compact(spark)
+      val tCompact = (System.nanoTime() - tc0) / 1e9
+      val tAfter = readTime(t)
+      dropPinned(spark)
+      println(f"deltas=$k%3d read=$tRead%6.2f s compact=$tCompact%6.2f s " +
+        f"read_after=$tAfter%6.2f s amplification=${tRead / tAfter}%5.2fx")
+      (k, tRead, tAfter)
+    }
+    val (k1, r1, _) = results.head
+    results.tail.foreach { case (k, r, _) =>
+      val e = math.log(r / r1) / math.log(k.toDouble / k1)
+      println(f"read-latency exponent $k1 -> $k deltas: $e%.2f (0 = flat, 1 = linear in commits)")
+    }
+  }
+
+  /** IVF cell-geometry rebalance probe — the SCALE.md knob made
+    * executable: at FIXED geometry a probe reads n/nCells rows per
+    * probed cell, so 10x corpus growth via append makes probes ~10x
+    * slower; [[graft.llm.IvfIndex.rebalance]] re-shards to restore
+    * target occupancy and the probe returns to ~initial latency while
+    * the corpus stays 10x bigger.
+    */
+  private def rebalProbe(spark: SparkSession, n0: Long, factor: Int): Unit = {
+    def synth(from: Long, n: Long): DataFrame = {
+      val dims = (0 until 64).map { d =>
+        ((pmod(xxhash64(col("id"), lit(d)), lit(2000001L)) - lit(1000000L)).cast("double")
+          / lit(1e6)).cast("float")
+      }
+      spark.range(from, from + n).select(col("id").as("vec_id"), array(dims: _*).as("embedding"))
+    }
+    // 200 queries so scanned-rows work dominates the fixed per-job cost
+    val queries = synth(0, 200).localCheckpoint()
+    locally { // warm
+      val d = tmpDir("rebalwarm")
+      graft.llm.IvfIndex.build(synth(0, 20000), "vec_id", "embedding", d, nCells = 8)
+      graft.llm.IvfIndex.query(spark, d, queries, "vec_id", "embedding", k = 10, nProbe = 4).count()
+      graft.llm.IvfIndex.rebalance(spark, d, targetCellRows = 500)
+    }
+    val dir = tmpDir(s"rebal$n0")
+    val nCells = 32
+    graft.llm.IvfIndex.build(synth(0, n0).localCheckpoint(), "vec_id", "embedding", dir,
+      nCells = nCells, kmeansIters = 2)
+    def probeTime(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      graft.llm.IvfIndex.query(spark, dir, queries, "vec_id", "embedding",
+        k = 10, nProbe = 4).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    def occupancy(cells: Long): Long =
+      spark.read.parquet(s"$dir/assignments.parquet").count() / math.max(1L, cells)
+    val tBase = probeTime()
+    val occBase = occupancy(nCells.toLong)
+    graft.llm.IvfIndex.append(spark, dir,
+      synth(n0, n0 * (factor - 1)).localCheckpoint(), "vec_id", "embedding")
+    val tGrown = probeTime()
+    val occGrown = occupancy(nCells.toLong)
+    val target = math.max(1L, n0 / nCells)
+    val tr0 = System.nanoTime()
+    // 1 Lloyd iteration: the retrain is a ROUTING refresh, not a quality
+    // pass — the probe measures geometry, and halving the retrain cost
+    // keeps the rebalance-vs-rebuild comparison honest
+    val newCells = graft.llm.IvfIndex.rebalance(spark, dir, targetCellRows = target,
+      kmeansIters = 1)
+    val tReb = (System.nanoTime() - tr0) / 1e9
+    val tAfter = probeTime()
+    val occAfter = occupancy(newCells.toLong)
+    dropPinned(spark)
+    println(f"n0=$n0%8d grown=${n0 * factor}%9d cells $nCells -> $newCells rebalance=$tReb%7.2f s")
+    println(f"occupancy rows/cell: base=$occBase%7d grown=$occGrown%7d rebalanced=$occAfter%7d")
+    println(f"probe (200 queries): base=$tBase%6.2f s grown=$tGrown%6.2f s rebalanced=$tAfter%6.2f s " +
+      f"(grown/base=${tGrown / tBase}%5.2fx, rebalanced/base=${tAfter / tBase}%5.2fx)")
+  }
+
   /** Streaming-ingest commit-machinery probe (K9/K10 at fleet scale):
     * wall-clock for 5 identical micro-batches through `Ingest.run` as a
     * function of (table fan-out × rows per batch). With no route field
@@ -298,6 +422,20 @@ object ScaleProbe {
         .map(_.split(",").map(_.toLong).toSeq)
         .getOrElse(Seq(1000000L, 3000000L, 10000000L))
       propProbe(spark, sizes)
+      spark.stop()
+      return
+    }
+    if (args.headOption.exists(_.startsWith("cdc"))) {
+      val ks = args.head.split(":").lift(1)
+        .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(4, 16, 64))
+      cdcProbe(spark, ks)
+      spark.stop()
+      return
+    }
+    if (args.headOption.exists(_.startsWith("rebal"))) {
+      val ps = args.head.split(":").lift(1).map(_.split(",").map(_.toLong).toSeq)
+      rebalProbe(spark, ps.flatMap(_.headOption).getOrElse(100000L),
+        ps.flatMap(_.lift(1)).getOrElse(10L).toInt)
       spark.stop()
       return
     }

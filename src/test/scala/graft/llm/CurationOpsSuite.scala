@@ -583,6 +583,41 @@ class CurationOpsSuite extends AnyFunSuite {
     }
   }
 
+  test("propagate: tol early-stop equals the equivalent fixed-round result") {
+    val seeds = Map(1L -> 900000L, 2L -> 100000L, 3L -> 700000L, 4L -> 300000L)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    def run(rounds: Int, tol: Option[Long]): Map[Long, Long] =
+      Propagate.propagateScores(
+        seeds.toSeq.toDF("id", "s0_micros"), edges.toDF("id_a", "id_b"),
+        damping = 0.85, rounds = rounds, tolMicros = tol)
+        .as[(Long, Long)].collect().toMap
+    // find the round r* where the recurrence reaches max|Δ| <= tol, then
+    // pin: tol-stopped run (cap >> r*) === fixed-round run at r*
+    val tol = 2000L
+    var prev = refPropagate(seeds, edges, 0.85, 1)
+    var rStar = 1
+    var found = false
+    for (r <- 2 to 50 if !found) {
+      val cur = refPropagate(seeds, edges, 0.85, r)
+      val d = cur.map { case (k, v) => math.abs(v - prev(k)) }.max
+      if (d <= tol) { rStar = r; found = true } else prev = cur
+    }
+    assert(found, "recurrence did not converge within 50 rounds — widen tol")
+    assert(rStar > 2, s"tol reached too early (r*=$rStar) to distinguish early-stop from cap")
+    assert(run(rounds = 50, tol = Some(tol)) === refPropagate(seeds, edges, 0.85, rStar))
+    // a tol of 0 on an edgeless graph stops after round 1 (teleport fixed
+    // point) and matches any larger cap
+    val iso = Map(7L -> 123456L)
+    def runIso(rounds: Int, tol: Option[Long]) =
+      Propagate.propagateScores(iso.toSeq.toDF("id", "s0_micros"),
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"),
+        damping = 0.85, rounds = rounds, tolMicros = tol)
+        .as[(Long, Long)].collect().toMap
+    assert(runIso(50, Some(0L)) === runIso(1, None))
+    // no tol → unchanged fixed-round contract
+    assert(run(rounds = 3, tol = None) === refPropagate(seeds, edges, 0.85, 3))
+  }
+
   test("propagate: high-quality neighborhood lifts a low-seed member above its isolated twin") {
     // doc 10 (low seed) is near-dup of two high-quality docs; doc 20 has
     // the same seed but no edges — the diffusion signal the operator exists for

@@ -997,6 +997,35 @@ class SimilaritySuite extends AnyFunSuite {
     assert(e.getMessage.contains("centroids"))
   }
 
+  test("IVF rebalance re-shards overgrown cells, stays exact, no-ops within target") {
+    val dir = graft.TestSpark.freshDir("ivf-index-rebal")
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nCells = 4, kmeansIters = 2)
+    val total = spark.read.parquet(s"$dir/assignments.parquet").count()
+    val target = 50L
+    assert(total / 4 > target, "fixture must start overgrown")
+    val newCells = IvfIndex.rebalance(spark, dir, targetCellRows = target)
+    val ceilCells = ((total + target - 1) / target).toInt
+    // Lloyd may drop dead cells, so <= the requested count but clearly
+    // re-sharded past the original 4
+    assert(newCells > 4 && newCells <= ceilCells, s"newCells=$newCells ceil=$ceilCells")
+    assert(spark.read.parquet(s"$dir/centroids.parquet").count() === newCells.toLong)
+    // no vectors lost or duplicated by the rewrite
+    assert(spark.read.parquet(s"$dir/assignments.parquet").count() === total)
+    // full probe ≡ brute force through the re-sharded layout
+    val queries = emb.filter(col("vec_id") < 8)
+    val full = IvfIndex.query(spark, dir, queries, "vec_id", "embedding", k = 5, nProbe = newCells)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().sorted.toSeq
+    val brute = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(full === brute)
+    // partial probes still prune partitions on the new layout
+    val plan = IvfIndex.query(spark, dir, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("c_id"))
+    // within-target index is untouched (mean occupancy <= target)
+    assert(IvfIndex.rebalance(spark, dir, targetCellRows = total) === newCells)
+  }
+
   test("empty persisted IVF index answers empty, not crashing") {
     val dir = graft.TestSpark.freshDir("ivf-index-empty")
     val written = IvfIndex.build(emb.filter(col("vec_id") < 0), "vec_id", "embedding", dir)
