@@ -215,7 +215,14 @@ final class IceTable private[table] (
   ): DataFrame = {
     val cur = schema
     val dataFiles = planFiles(pred, maxSeq, filePred)
-    val delFiles = liveCommits(maxSeq).flatMap(c => c.deleteFiles.map(f => (f, c.seq)))
+    // Delete files use the same global-first replay attribution as data
+    // files: a replay keeps its original seq (no-op against rows it
+    // already applied to, invisible to rows appended since), and a
+    // delete whose FIRST listing precedes the live window was already
+    // folded into the compaction rewrite — skip reading it entirely.
+    val all0 = commitsUpTo(maxSeq)
+    val liveFrom = liveChain(all0).headOption.map(_.seq).getOrElse(Long.MinValue)
+    val delFiles = firstListedDeletes(all0).filter { case (_, s) => s >= liveFrom }
 
     if (dataFiles.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cur)
@@ -286,7 +293,11 @@ final class IceTable private[table] (
     if (dataFiles.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cur)
     val data = readAligned(spark, dataFiles, cur, v => schemaAt(v))
-    val delFiles = window.flatMap(c => c.deleteFiles.map(f => (f, c.seq)))
+    // same global-first attribution for deletes: a delete file REPLAYED
+    // into the window (first listed before it) already took effect and
+    // must not re-apply at the replay's seq
+    val delFiles = firstListedDeletes(nonCompaction)
+      .filter { case (_, s) => s > fromSeq && s <= toSeq }
     applyEqualityDeletes(spark, data, delFiles, cur).drop(SEQ)
   }
 
@@ -319,7 +330,10 @@ final class IceTable private[table] (
       if (dataFiles.isEmpty) None
       else Some(readAligned(spark, dataFiles, cur, v => schemaAt(v))
         .withColumn("_change_type", lit("insert")))
-    val delFiles = window.flatMap(c => c.deleteFiles.map(f => (f, c.seq)))
+    // global-first attribution (K7) for the delete arm too: a replayed
+    // delete file is not a new delete event
+    val delFiles = firstListedDeletes(nonCompaction)
+      .filter { case (_, s) => s > fromSeq && s <= toSeq }
     val deletes =
       if (delFiles.isEmpty || keyCols.isEmpty) None
       else {
@@ -353,8 +367,10 @@ final class IceTable private[table] (
         if (files.isEmpty) None
         else {
           val raw = readAligned(spark, files, cur, v => schemaAt(v))
-          val preDels = all.filter(_.seq <= c.seq)
-            .flatMap(d => d.deleteFiles.map(f => (f, d.seq)))
+          // first-listing seqs here too: a replayed delete listing between
+          // the original append and the overwrite must not retract rows
+          // that were live at the ORIGINAL delete's seq
+          val preDels = firstListedDeletes(all).filter { case (_, s) => s <= c.seq }
           Some(applyEqualityDeletes(spark, raw, preDels, cur)
             .withColumn(SEQ, lit(c.seq))
             .withColumn("_change_type", lit("delete")))
@@ -381,21 +397,45 @@ final class IceTable private[table] (
     * ([[CommitLog.commit]]); this is the across-commits arm
     * (`channel/Deduplicated.java:79-148` dedups both).
     */
-  private def firstListed(commits: Seq[Commit]): Seq[(FileEntry, Long)] = {
+  private def firstListed(commits: Seq[Commit]): Seq[(FileEntry, Long)] =
+    firstListedBy(commits, _.dataFiles)
+
+  /** The across-commits replay guard for DELETE files: same attribution
+    * rule as the data arm. A replayed envelope re-listing an equality-
+    * delete file must keep its ORIGINAL seq — re-stamping it with the
+    * replay's (higher) seq would make the sequence rule
+    * (delete seq > data seq) swallow rows appended AFTER the original
+    * delete: silent data loss on the exact at-least-once delivery the
+    * commit log exists to absorb.
+    */
+  private def firstListedDeletes(commits: Seq[Commit]): Seq[(FileEntry, Long)] =
+    firstListedBy(commits, _.deleteFiles)
+
+  private def firstListedBy(
+      commits: Seq[Commit],
+      files: Commit => Seq[FileEntry]): Seq[(FileEntry, Long)] = {
     val seen = scala.collection.mutable.HashSet[String]()
-    commits.flatMap(c => c.dataFiles.flatMap(f =>
+    commits.flatMap(c => files(c).flatMap(f =>
       if (seen.add(IceTable.normalizePath(f.path))) Some((f, c.seq)) else None))
   }
 
-  /** Live commit chain at `maxSeq`: everything after the last compaction
-    * rewrite (old files stay on disk for time travel / GC).
-    */
-  private def liveCommits(maxSeq: Option[Long]): Seq[Commit] = {
+  private def commitsUpTo(maxSeq: Option[Long]): Seq[Commit] = {
     val all1 = log.commits()
-    val all0 = maxSeq.fold(all1)(s => all1.filter(_.seq <= s))
+    maxSeq.fold(all1)(s => all1.filter(_.seq <= s))
+  }
+
+  /** Live suffix of an already maxSeq-bounded chain: everything from the
+    * last full-compaction rewrite on (old files stay on disk for time
+    * travel / GC).
+    */
+  private def liveChain(all0: Seq[Commit]): Seq[Commit] = {
     val lastRewrite = all0.lastIndexWhere(_.props.get("compaction").contains("true"))
     if (lastRewrite >= 0) all0.drop(lastRewrite) else all0
   }
+
+  /** Live commit chain at `maxSeq`. */
+  private def liveCommits(maxSeq: Option[Long]): Seq[Commit] =
+    liveChain(commitsUpTo(maxSeq))
 
   /** Metadata-level file planning: partition-value pruning plus optional
     * per-file predicates over the recorded stats (row counts, byte sizes,
@@ -407,12 +447,20 @@ final class IceTable private[table] (
       maxSeq: Option[Long] = None,
       filePred: Option[FileEntry => Boolean] = None
   ): Seq[(FileEntry, Long)] = {
-    val live = liveCommits(maxSeq)
+    val all0 = commitsUpTo(maxSeq)
+    val live = liveChain(all0)
+    // First-listing attribution runs over the FULL history, then keeps
+    // only attributions landing in the live window: a replayed envelope
+    // re-listing a pre-compaction file AFTER the compaction must not be
+    // mistaken for that file's first listing — the compaction rewrite
+    // already carries its rows, so counting the replay would read them
+    // twice (the file survives on disk for time travel until gc).
+    val liveFrom = live.headOption.map(_.seq).getOrElse(Long.MinValue)
     val removed = live.flatMap(_.removedPaths).map(IceTable.normalizePath).toSet
     val keep: FileEntry => Boolean = f =>
       !removed.contains(IceTable.normalizePath(f.path)) &&
         pred.forall(p => p(f.partition)) && filePred.forall(p => p(f))
-    firstListed(live).filter { case (f, _) => keep(f) }
+    firstListed(all0).filter { case (f, s) => s >= liveFrom && keep(f) }
   }
 
   private def keyProjection(s: StructType, keyCols: Seq[String]): StructType =

@@ -978,6 +978,48 @@ class IceTableSuite extends AnyFunSuite {
     assert(t.readChanges(spark, fromSeq = 1L, toSeq = 2L).count() === 0)
   }
 
+  test("K7 delete arm: a replayed equality-delete file keeps its ORIGINAL seq") {
+    val dir = TestSpark.freshDir("t_k7_del")
+    val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
+    IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0)), t, 0) // seq 1
+    IceTableWriter.delta(spark, df(), Seq(2L).toDF("id"), t, 1)           // seq 2: delete id 2
+    IceTableWriter.append(spark, df((2L, "b2", 22.0)), t, 2)              // seq 3: re-insert id 2
+    val d = t.log.commits().find(_.deleteFiles.nonEmpty).get.deleteFiles.head
+    // replayed envelope re-lists the delete file at a HIGHER seq — if the
+    // replay's seq were used, the sequence rule (dseq > dataseq) would
+    // swallow the seq-3 re-insert: silent data loss
+    t.log.commit(3L, seq => Commit(
+      seq = seq, batchId = 3L, commitId = "k7d", timestampMs = 0L,
+      schemaVersion = t.currentSchemaVersion, deleteFiles = Seq(d)))
+    val got = t.read(spark).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "b2")), "re-inserted row survives the replayed delete")
+    // changelog: exactly ONE delete event for id 2, not one per listing
+    val dels = t.readChanges(spark, fromSeq = 0L, toSeq = t.log.lastSeq())
+      .filter(col("_change_type") === "delete").collect()
+    assert(dels.length === 1, s"one delete event, got ${dels.length}")
+    assert(dels.head.getAs[Long]("_commit_seq") === 2L, "attributed to the original commit")
+  }
+
+  test("K7 compaction arm: a data file replayed AFTER compaction is not re-read") {
+    val dir = TestSpark.freshDir("t_k7_compact")
+    val t = IceTable.create(dir, schema, TableMeta())
+    IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0)), t, 0) // seq 1
+    val f = t.log.commits().last.dataFiles.head
+    t.compact(spark)                                                       // seq 2: rewrite
+    // replayed envelope re-lists the pre-compaction file; its rows already
+    // live in the rewrite's files, and the original still exists on disk
+    // (kept for time travel until gc) — counting the replay as a first
+    // listing would read them twice
+    t.log.commit(5L, seq => Commit(
+      seq = seq, batchId = 5L, commitId = "k7c", timestampMs = 0L,
+      schemaVersion = t.currentSchemaVersion, dataFiles = Seq(f)))
+    val got = t.read(spark).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 2L), "no duplicated rows from the post-compaction replay")
+    val paths = t.filesMeta(spark).select("file_path").as[String].collect()
+    assert(paths.distinct.length === paths.length, "each path planned once")
+  }
+
   test("rewrite validation aborts on a concurrent plain APPEND too (compaction lost-update)") {
     val dir = TestSpark.freshDir("t_conflict_append")
     val t = IceTable.create(dir, schema, TableMeta())
