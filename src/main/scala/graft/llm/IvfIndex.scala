@@ -2,6 +2,8 @@ package graft.llm
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,7 +15,14 @@ import org.apache.spark.sql.functions._
   * {{{
   *   centroids.parquet/        (c_id, c_vec)            — nCells rows
   *   assignments.parquet/      (n_id, n_vec) PARTITIONED BY c_id
+  *   CURRENT                   (optional) pointer to vN/ after a rebalance
+  *   vN/centroids.parquet, vN/assignments.parquet — rebalanced geometry
   * }}}
+  * A [[rebalance]] never mutates a live layout in place: it stages the
+  * re-sharded centroids+assignments in a fresh `vN/` subdir and swaps
+  * the `CURRENT` pointer with one atomic rename ([[activeDir]] resolves
+  * it), so a crash mid-rebalance or a concurrent query never sees new
+  * centroids routing against the old partition layout.
   *
   * The assignment table is hive-partitioned by cell id, so a query that
   * probes `nProbe` of `nCells` cells reads ONLY those cells' files —
@@ -61,6 +70,11 @@ object IvfIndex {
         .repartition(col("c_id"))
         .write.mode("overwrite").partitionBy("c_id").parquet(s"$dir/assignments.parquet")
     }
+    // a full rebuild owns the base layout: retire any rebalance pointer
+    // (readers switch to the fresh base the instant the pointer is gone)
+    // and its superseded version dirs
+    Files.deleteIfExists(Paths.get(dir, "CURRENT"))
+    pruneVersions(dir, keep = Set.empty)
     cents.length
   }
 
@@ -89,7 +103,10 @@ object IvfIndex {
       vecCol: String
   ): Long = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    // resolve the active geometry ONCE so the centroids routing this
+    // batch and the assignment table it lands in are the same version
+    val adir = activeDir(dir)
+    val cents = spark.read.parquet(s"$adir/centroids.parquet")
       .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
       .sortBy(_._1)
     require(cents.nonEmpty,
@@ -102,7 +119,7 @@ object IvfIndex {
     vv.withColumn("c_id", Similarity.nearestCentroid(col("n_vec"), cents).getField("c_id"))
       .select("n_id", "n_vec", "c_id")
       .repartition(col("c_id"))
-      .write.mode("append").partitionBy("c_id").parquet(s"$dir/assignments.parquet")
+      .write.mode("append").partitionBy("c_id").parquet(s"$adir/assignments.parquet")
     vv.count()
   }
 
@@ -130,29 +147,97 @@ object IvfIndex {
   ): Int = {
     import spark.implicits._
     require(targetCellRows > 0, s"targetCellRows must be > 0: $targetCellRows")
-    val curCells = spark.read.parquet(s"$dir/centroids.parquet").count()
-    val assigned = spark.read.parquet(s"$dir/assignments.parquet")
+    val cur = activeDir(dir)
+    val curCells = spark.read.parquet(s"$cur/centroids.parquet").count()
+    val assigned = spark.read.parquet(s"$cur/assignments.parquet")
       .select("n_id", "n_vec")
-      // lineage break: the rewrite below OVERWRITES the path this scan
-      // reads — Spark (correctly) refuses a self-overwrite on a live
-      // lineage; the checkpoint also feeds the multi-pass retrain
+      // the multi-pass retrain scans this repeatedly; the checkpoint also
+      // decouples it from the source files (pruned after the swap)
       .localCheckpoint()
     val total = assigned.count()
     if (total == 0L || curCells <= 0L) return curCells.toInt
     if (total / curCells <= targetCellRows) return curCells.toInt
-    val newCells = math.min(((total + targetCellRows - 1) / targetCellRows).toInt, Int.MaxValue)
+    // clamp in Long space BEFORE narrowing: .toInt on the Long ceil would
+    // wrap past 2^31 and reach trainCentroids with a garbage (possibly
+    // negative) cell count instead of the clamp
+    val newCells =
+      math.min((total + targetCellRows - 1) / targetCellRows, Int.MaxValue.toLong).toInt
     val dim = Similarity.detectDim(assigned)
     val cents = Similarity.trainCentroids(assigned, newCells, kmeansIters, dim)
+    // Publish atomically: stage BOTH tables in a fresh versioned subdir,
+    // then swap the CURRENT pointer with an atomic rename — a reader
+    // resolves the pointer once and sees one consistent geometry; a crash
+    // mid-rebalance leaves an orphan version dir and an intact index,
+    // never new centroids routing against the old partition layout.
+    val next = s"v${nextVersion(dir)}"
+    val stage = s"$dir/$next"
     cents.toSeq.map { case (id, v) => (id, v.toSeq) }
       .toDF("c_id", "c_vec")
       .repartition(1)
-      .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+      .write.mode("overwrite").parquet(s"$stage/centroids.parquet")
     assigned
       .withColumn("c_id", Similarity.nearestCentroid(col("n_vec"), cents).getField("c_id"))
       .select("n_id", "n_vec", "c_id")
       .repartition(col("c_id"))
-      .write.mode("overwrite").partitionBy("c_id").parquet(s"$dir/assignments.parquet")
+      .write.mode("overwrite").partitionBy("c_id").parquet(s"$stage/assignments.parquet")
+    swapPointer(dir, next)
+    // prune superseded version dirs, keeping the one we just replaced for
+    // in-flight readers that resolved the pointer before the swap (the
+    // base layout is never deleted — build() owns it)
+    pruneVersions(dir, keep = Set(next, java.nio.file.Paths.get(cur).getFileName.toString))
     cents.length
+  }
+
+  /** Resolve the ACTIVE layout under `dir`: [[rebalance]] publishes its
+    * rewritten centroids+assignments in a versioned subdirectory and
+    * swaps a `CURRENT` pointer file atomically; readers resolve the
+    * pointer ONCE per operation so centroids and assignments always come
+    * from the same geometry. No pointer (a freshly [[build]]-t index) →
+    * `dir` itself.
+    */
+  def activeDir(dir: String): String = {
+    val cur = Paths.get(dir, "CURRENT")
+    if (Files.exists(cur))
+      s"$dir/${new String(Files.readAllBytes(cur), java.nio.charset.StandardCharsets.UTF_8).trim}"
+    else dir
+  }
+
+  private def nextVersion(dir: String): Long = {
+    val d = Paths.get(dir)
+    val existing =
+      if (!Files.isDirectory(d)) Nil
+      else {
+        val s = Files.list(d)
+        try s.iterator().asScala.toList.map(_.getFileName.toString)
+        finally s.close()
+      }
+    existing.collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+      .foldLeft(0L)(math.max) + 1
+  }
+
+  private def swapPointer(dir: String, version: String): Unit = {
+    val tmp = Paths.get(dir, s"CURRENT.tmp-$version")
+    Files.write(tmp, version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, "CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def pruneVersions(dir: String, keep: Set[String]): Unit = {
+    val d = Paths.get(dir)
+    val victims = {
+      val s = Files.list(d)
+      try s.iterator().asScala.toList.filter { p =>
+        val n = p.getFileName.toString
+        n.matches("v\\d+") && !keep.contains(n)
+      }
+      finally s.close()
+    }
+    victims.foreach { p =>
+      val w = Files.walk(p)
+      try w.iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
   }
 
   /** Top-k cosine ANN against a persisted index. Probed-cell routing
@@ -170,7 +255,10 @@ object IvfIndex {
       nProbe: Int
   ): DataFrame = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    // one pointer resolution per query: centroids and the pruned
+    // assignment scan always come from the same geometry version
+    val adir = activeDir(dir)
+    val cents = spark.read.parquet(s"$adir/centroids.parquet")
       .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
       .sortBy(_._1)
     if (cents.isEmpty)
@@ -180,7 +268,7 @@ object IvfIndex {
     // the probed-cell union is query-count × nProbe small — collect it so
     // the assignment scan prunes partitions with a LITERAL IN filter
     val cellSet = probes.select("c_id").distinct().as[Long].collect().toSeq
-    val assigned = spark.read.parquet(s"$dir/assignments.parquet")
+    val assigned = spark.read.parquet(s"$adir/assignments.parquet")
       .filter(col("c_id").isin(cellSet: _*))
     Similarity.scanProbed(assigned, probes, k)
   }

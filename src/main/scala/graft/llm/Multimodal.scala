@@ -186,7 +186,11 @@ object Multimodal {
 
   private def tryDecode(bytes: Array[Byte]): Option[BufferedImage] =
     try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException => None }
+    // NonFatal, not just IOException: the JDK PNG/BMP decoders throw
+    // RuntimeExceptions (ArrayIndexOutOfBounds, IllegalArgument,
+    // NegativeArraySize) on malformed headers — those rows must map to
+    // null features like every other undecodable payload, not kill the job
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Batched REAL feature extraction: `javax.imageio` decode per row —
     * one partition = one batch stream, constant memory, no shuffle.

@@ -94,11 +94,18 @@ object IceTableWriter {
       removedPaths: Seq[String],
       props: Map[String, String] = Map.empty,
       /** see [[append]] — same concurrent-delete conflict validation */
-      validateFromSeq: Option[Long] = None
+      validateFromSeq: Option[Long] = None,
+      /** Partial rewrites that never truncate the live chain (small-file
+        * compaction) supersede ONLY the paths they read — a concurrent
+        * plain append survives untouched, so it is not a lost-update
+        * hazard and need not abort the rewrite. Full compactions and
+        * delete-sensitive rewrites keep the strict rule (false).
+        */
+      allowConcurrentAppends: Boolean = false
   ): Option[Commit] = {
     val files = writeFiles(df, table, maxRecords = 0L)
     publish(table, batchId = -1L, files, Nil, Map.empty, None, props, removedPaths,
-      validateFromSeq = validateFromSeq)
+      validateFromSeq = validateFromSeq, allowConcurrentAppends = allowConcurrentAppends)
   }
 
   /** Dynamic partition overwrite (Spark `INSERT OVERWRITE` with
@@ -470,7 +477,8 @@ object IceTableWriter {
         * superseded-file list depends on CURRENT table state (partition
         * overwrite) stay correct across seq-claim retries */
       removedPaths: => Seq[String] = Nil,
-      validateFromSeq: Option[Long] = None
+      validateFromSeq: Option[Long] = None,
+      allowConcurrentAppends: Boolean = false
   ): Option[Commit] = {
     // K7 file-level dedup now lives in CommitLog.commit (the one commit
     // builder every public path funnels through); nothing to do here
@@ -488,8 +496,19 @@ object IceTableWriter {
           // lost update), and a concurrent rewrite's removedPaths could
           // be resurrected by this commit's files. Readers/metadata-only
           // commits (all three lists empty) stay non-conflicting.
+          //
+          // allowConcurrentAppends relaxes exactly one arm: a plain
+          // append (data files only, no deletes, no removedPaths, not a
+          // chain-truncating compaction commit) cannot be lost to a
+          // partial rewrite that leaves the live chain intact, so
+          // small-file compaction tolerates it instead of aborting.
+          val benign: Commit => Boolean = c =>
+            allowConcurrentAppends &&
+              c.dataFiles.nonEmpty && c.deleteFiles.isEmpty &&
+              c.removedPaths.isEmpty &&
+              !c.props.get("compaction").contains("true")
           table.log.commits()
-            .find(c => c.seq > s0 &&
+            .find(c => c.seq > s0 && !benign(c) &&
               (c.dataFiles.nonEmpty || c.deleteFiles.nonEmpty || c.removedPaths.nonEmpty))
             .foreach { c =>
               val kinds = Seq(

@@ -793,42 +793,55 @@ final class IceTable private[table] (
       targetFileBytes: Long,
       minInputFiles: Int = 2
   ): Int = {
-    val scanSeq = log.lastSeq()
-    val hasLiveDeletes = meta.idColumns.nonEmpty &&
-      liveCommits(None).exists(_.deleteFiles.nonEmpty)
-    if (hasLiveDeletes) {
-      val rewritten = planFiles(None).size
-      compact(spark)
-      return rewritten
+    // same bounded optimistic-conflict loop as [[compact]]: retries
+    // re-plan from current state; sustained concurrent delete/rewrite
+    // traffic surfaces as CommitConflictException after 3 attempts
+    // instead of livelocking an unbounded recursion
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val scanSeq = log.lastSeq()
+      val hasLiveDeletes = meta.idColumns.nonEmpty &&
+        liveCommits(None).exists(_.deleteFiles.nonEmpty)
+      if (hasLiveDeletes) {
+        val rewritten = planFiles(None).size
+        compact(spark)
+        return rewritten
+      }
+      val small = planFiles(None, filePred =
+        Some(f => f.bytes >= 0 && f.bytes < targetFileBytes))
+      // isEmpty guard is separate from the minInputFiles threshold: a caller
+      // passing minInputFiles <= 0 must still no-op (readAligned on zero
+      // files would reduce over an empty group list)
+      if (small.isEmpty || small.size < minInputFiles) return 0
+      val cur = schema
+      val df = readAligned(spark, small, cur, v => schemaAt(v)).drop(IceTable.SEQ)
+      val totalBytes = small.map(_._1.bytes).sum
+      val outParts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      try {
+        graft.sink.IceTableWriter.rewrite(
+          spark, df.coalesce(outParts), this,
+          removedPaths = small.map(_._1.path),
+          props = Map("compaction-small" -> "true"),
+          // the hasLiveDeletes guard above is check-then-act: a delta commit
+          // landing between it and this rewrite's commit would have its
+          // delete voided for the packed rows (they re-stamp at a higher
+          // seq). The writer validates at commit-claim time instead.
+          validateFromSeq = Some(scanSeq),
+          // a plain append never loses to this rewrite: the live chain is
+          // not truncated and removedPaths covers only the scanned small
+          // files — so concurrent ingest must not abort the compaction
+          allowConcurrentAppends = true)
+        return small.size
+      } catch {
+        case e: CommitConflictException => if (attempt >= 3) throw e
+        // a delete/rewrite landed mid-rewrite; loop re-plans — the
+        // hasLiveDeletes guard then sees a delete and takes the
+        // full-compact path (which applies deletes and has its own
+        // bounded conflict loop)
+      }
     }
-    val small = planFiles(None, filePred =
-      Some(f => f.bytes >= 0 && f.bytes < targetFileBytes))
-    // isEmpty guard is separate from the minInputFiles threshold: a caller
-    // passing minInputFiles <= 0 must still no-op (readAligned on zero
-    // files would reduce over an empty group list)
-    if (small.isEmpty || small.size < minInputFiles) return 0
-    val cur = schema
-    val df = readAligned(spark, small, cur, v => schemaAt(v)).drop(IceTable.SEQ)
-    val totalBytes = small.map(_._1.bytes).sum
-    val outParts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    try {
-      graft.sink.IceTableWriter.rewrite(
-        spark, df.coalesce(outParts), this,
-        removedPaths = small.map(_._1.path),
-        props = Map("compaction-small" -> "true"),
-        // the hasLiveDeletes guard above is check-then-act: a delta commit
-        // landing between it and this rewrite's commit would have its
-        // delete voided for the packed rows (they re-stamp at a higher
-        // seq). The writer validates at commit-claim time instead.
-        validateFromSeq = Some(scanSeq))
-      small.size
-    } catch {
-      case _: CommitConflictException =>
-        // a delete landed mid-rewrite; re-enter — the guard now sees it
-        // and takes the full-compact path (which applies deletes and has
-        // its own conflict loop)
-        compactSmallFiles(spark, targetFileBytes, minInputFiles)
-    }
+    -1 // unreachable
   }
 
   /** fsck-style integrity audit of the LIVE table state: every referenced

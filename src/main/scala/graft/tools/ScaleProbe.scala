@@ -303,7 +303,8 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }.min
     def occupancy(cells: Long): Long =
-      spark.read.parquet(s"$dir/assignments.parquet").count() / math.max(1L, cells)
+      spark.read.parquet(s"${graft.llm.IvfIndex.activeDir(dir)}/assignments.parquet")
+        .count() / math.max(1L, cells)
     val tBase = probeTime()
     val occBase = occupancy(nCells.toLong)
     graft.llm.IvfIndex.append(spark, dir,

@@ -1008,9 +1008,14 @@ class SimilaritySuite extends AnyFunSuite {
     // Lloyd may drop dead cells, so <= the requested count but clearly
     // re-sharded past the original 4
     assert(newCells > 4 && newCells <= ceilCells, s"newCells=$newCells ceil=$ceilCells")
-    assert(spark.read.parquet(s"$dir/centroids.parquet").count() === newCells.toLong)
+    // the rewrite published atomically: a versioned dir + pointer swap,
+    // base layout untouched (old-geometry readers were never exposed to
+    // half-written state)
+    val adir = IvfIndex.activeDir(dir)
+    assert(adir !== dir, "rebalance must publish via the CURRENT pointer")
+    assert(spark.read.parquet(s"$adir/centroids.parquet").count() === newCells.toLong)
     // no vectors lost or duplicated by the rewrite
-    assert(spark.read.parquet(s"$dir/assignments.parquet").count() === total)
+    assert(spark.read.parquet(s"$adir/assignments.parquet").count() === total)
     // full probe ≡ brute force through the re-sharded layout
     val queries = emb.filter(col("vec_id") < 8)
     val full = IvfIndex.query(spark, dir, queries, "vec_id", "embedding", k = 5, nProbe = newCells)
@@ -1377,6 +1382,30 @@ class MultimodalSuite extends AnyFunSuite {
     assert(rj.length === 1 && rj(0).isNullAt(1))
     val fj = Multimodal.extractImageFeatures(junk, "id", "media").collect()
     assert(fj.length === 1 && fj(0).getLong(0) === 9L && fj(0).isNullAt(1))
+  }
+
+  test("decode fuzz: every byte-flip and truncation of real PNG/BMP yields a row, never a crash") {
+    // the dead-letter contract for pixels: ANY malformed payload maps to
+    // null features with the id kept — the JDK decoders throw
+    // RuntimeExceptions (not just IOException) on some malformed headers,
+    // so this battery walks the whole corruption space of two real
+    // encodings: flip each byte (XOR 0xFF) and truncate at each length
+    val base = Multimodal.synthesizeImages(Seq(0L, 1L).toDF("id"), "id").collect()
+      .map(r => r.getAs[Array[Byte]](1)) // id 0 = PNG, id 1 = BMP
+    val corrupted = base.zipWithIndex.flatMap { case (bytes, src) =>
+      val flips = bytes.indices.map { i =>
+        val b = bytes.clone(); b(i) = (b(i) ^ 0xff).toByte
+        (src.toLong * 1000000 + i, b)
+      }
+      val truncs = (0 until bytes.length).map(n => (src.toLong * 1000000 + 500000 + n, bytes.take(n)))
+      flips ++ truncs
+    }.toSeq
+    val out = Multimodal.extractImageFeatures(
+      corrupted.toDF("id", "media"), "id", "media").collect()
+    assert(out.length === corrupted.size) // every id survives, decoded or not
+    // and plenty of them genuinely fail decode (null features), so the
+    // battery exercised the failure path, not just lucky decodes
+    assert(out.count(_.isNullAt(1)) > corrupted.size / 4)
   }
 
   test("frame sampling keeps byte-exact plumbing (payload slicing; no JDK video codec)") {

@@ -1042,6 +1042,49 @@ class IceTableSuite extends AnyFunSuite {
     assert(t.snapshots(spark).orderBy("seq").collect().last.getString(4) === "replace")
   }
 
+  test("small-file rewrite tolerates a concurrent plain append; deletes/compactions still abort") {
+    val dir = TestSpark.freshDir("t_smallfiles_append_ok")
+    val t = IceTable.create(dir, schema, TableMeta())
+    IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0)), t, 0) // seq 1
+    IceTableWriter.append(spark, df((3L, "c", 3.0)), t, 1)                 // seq 2
+    val scanSeq = t.log.lastSeq()
+    val smallPaths = t.planFiles(None).map(_._1.path)
+    val planned = t.read(spark).localCheckpoint() // rewrite planned at seq-2 state
+    // a concurrent plain append lands after the scan — NOT a lost-update
+    // hazard for a partial rewrite (live chain intact, removedPaths only
+    // covers the scanned files), so the relaxed arm lets the commit through
+    IceTableWriter.append(spark, df((4L, "d", 4.0)), t, 2) // seq 3
+    val c = IceTableWriter.rewrite(spark, planned, t,
+      removedPaths = smallPaths, props = Map("compaction-small" -> "true"),
+      validateFromSeq = Some(scanSeq), allowConcurrentAppends = true)
+    assert(c.nonEmpty, "plain append must not abort a small-file rewrite")
+    val got = t.read(spark).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 2L, 3L, 4L), "no rows lost or duplicated")
+    // an equality delete after the scan still aborts even with the relaxed arm
+    val t2dir = TestSpark.freshDir("t_smallfiles_del_abort")
+    val t2 = IceTable.create(t2dir, schema, TableMeta(idColumns = Seq("id")))
+    IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0)), t2, 0)
+    val scan2 = t2.log.lastSeq()
+    val planned2 = t2.read(spark).localCheckpoint()
+    IceTableWriter.delta(spark, df(), Seq(2L).toDF("id"), t2, 1)
+    intercept[CommitConflictException] {
+      IceTableWriter.rewrite(spark, planned2, t2, removedPaths = Nil,
+        validateFromSeq = Some(scan2), allowConcurrentAppends = true)
+    }
+    // a chain-truncating full compaction after the scan also still aborts
+    // (its data files would be superseded-then-resurrected by this commit)
+    val t3dir = TestSpark.freshDir("t_smallfiles_compact_abort")
+    val t3 = IceTable.create(t3dir, schema, TableMeta())
+    IceTableWriter.append(spark, df((1L, "a", 1.0)), t3, 0)
+    val scan3 = t3.log.lastSeq()
+    val planned3 = t3.read(spark).localCheckpoint()
+    t3.compact(spark)
+    intercept[CommitConflictException] {
+      IceTableWriter.rewrite(spark, planned3, t3, removedPaths = Nil,
+        validateFromSeq = Some(scan3), allowConcurrentAppends = true)
+    }
+  }
+
   test("snapshots labels partition overwrites 'overwrite', not 'append'") {
     val dir = TestSpark.freshDir("t_ow_label")
     val t = IceTable.create(dir, schema, TableMeta(partitionBy = Seq("name")))
