@@ -184,8 +184,37 @@ object Multimodal {
     (w.toLong, h.toLong, rs, gs, bs, hi, lo)
   }
 
+  /** Decode size cap: payloads whose HEADER declares more pixels than
+    * this yield null features instead of being decoded. A raster is ~4
+    * bytes/pixel, so a ~100-byte corrupt header declaring 50000×50000
+    * would otherwise make ImageIO allocate a ~10 GB array — an
+    * OutOfMemoryError that kills the executor JVM and every concurrent
+    * task on it, which no catch can make safe. 64 M pixels ≈ 256 MB,
+    * far above any sane training-corpus image and safely under task
+    * memory at 32 concurrent tasks/JVM only because undecoded.
+    */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   private def tryDecode(bytes: Array[Byte]): Option[BufferedImage] =
-    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    try {
+      // header-first: read declared dimensions WITHOUT decoding pixels,
+      // and refuse rasters over the cap before ImageIO can allocate them
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val w = r.getWidth(0).toLong
+            val h = r.getHeight(0).toLong
+            if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) None
+            else Option(r.read(0))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    }
     // NonFatal, not just IOException: the JDK PNG/BMP decoders throw
     // RuntimeExceptions (ArrayIndexOutOfBounds, IllegalArgument,
     // NegativeArraySize) on malformed headers — those rows must map to

@@ -51,13 +51,19 @@ object Propagate {
     * @param edges (id_a, id_b) — undirected pair evidence; duplicate pair
     *   rows and self-pairs are normalized away (simple-graph semantics)
     * @param tolMicros optional CONVERGENCE stopping rule: after each
-    *   round, stop early once `max |Δs_micros|` over all nodes is ≤ tol —
-    *   callers wanting the PageRank fixed point set a tolerance instead
-    *   of guessing `rounds` (which becomes the iteration CAP). The check
-    *   is one extra max-agg per round over already-checkpointed state
-    *   (integer-exact, engine-independent); damping < 1 contracts the
-    *   iteration, so the early-stopped result equals running the
-    *   remaining rounds up to ≤ tol per node.
+    *   round, stop early once the GEOMETRIC-TAIL bound
+    *   `d/(1−d) · Σ|Δs_micros|` is ≤ tol — callers wanting the PageRank
+    *   fixed point set a tolerance instead of guessing `rounds` (which
+    *   becomes the iteration CAP). The bound is sound because each
+    *   round's delta mass is spread L1-preservingly then damped
+    *   (`L1(Δ_{r+k}) ≤ d^k·L1(Δ_r)`), so the total remaining change at
+    *   ANY node over all further rounds is ≤ `d/(1−d)·L1(Δ_r)` — a true
+    *   per-node ≤ tol guarantee against running any number of extra
+    *   rounds (up to the documented per-round rounding bias). A bare
+    *   `max|Δ| ≤ tol` check has no such guarantee: a hub fed by many
+    *   small-delta spokes can still move by ~deg·tol next round. The
+    *   check is one extra sum-agg per round over already-checkpointed
+    *   state (integer-exact, engine-independent).
     */
   def propagateScores(
       nodes: DataFrame,
@@ -92,17 +98,21 @@ object Propagate {
       val next = base.join(inflow, Seq("id"), "left")
         .select(col("id"), (col("base") + coalesce(col("inflow"), lit(0L))).as("s_micros"))
         .localCheckpoint()
-      tolMicros.foreach { tol =>
-        // one max-agg join over two checkpointed (id, long) states; a
+      // the check on the FINAL round could only set a flag the loop never
+      // reads — skip the wasted join+agg job when the cap is hit anyway
+      if (r < rounds) tolMicros.foreach { tol =>
+        // one sum-agg join over two checkpointed (id, long) states; a
         // node absent from a side (shouldn't happen — both derive from
         // `nodes`) counts as a full-delta change, never a silent skip
-        val maxDelta = next.withColumnRenamed("s_micros", "s_new")
+        val sumDelta = next.withColumnRenamed("s_micros", "s_new")
           .join(s.withColumnRenamed("s_micros", "s_old"), Seq("id"), "full")
-          .select(coalesce( // empty node set → max is null → converged at 0
-            max(abs(coalesce(col("s_new"), lit(0L)) - coalesce(col("s_old"), lit(0L)))),
+          .select(coalesce( // empty node set → sum is null → converged at 0
+            sum(abs(coalesce(col("s_new"), lit(0L)) - coalesce(col("s_old"), lit(0L)))),
             lit(0L)).as("d"))
           .head().getLong(0)
-        if (maxDelta <= tol) converged = true
+        // stop when the tail bound d/(1−d)·L1(Δ) is ≤ tol (scalar math on
+        // the driver; rearranged to avoid dividing near 1−d → 0)
+        if (sumDelta.toDouble * damping <= tol.toDouble * (1.0 - damping)) converged = true
       }
       s = next
     }

@@ -591,7 +591,8 @@ class CurationOpsSuite extends AnyFunSuite {
         seeds.toSeq.toDF("id", "s0_micros"), edges.toDF("id_a", "id_b"),
         damping = 0.85, rounds = rounds, tolMicros = tol)
         .as[(Long, Long)].collect().toMap
-    // find the round r* where the recurrence reaches max|Δ| <= tol, then
+    // find the round r* where the recurrence reaches the geometric-tail
+    // bound d/(1−d)·Σ|Δ| <= tol (the operator's stopping rule), then
     // pin: tol-stopped run (cap >> r*) === fixed-round run at r*
     val tol = 2000L
     var prev = refPropagate(seeds, edges, 0.85, 1)
@@ -599,12 +600,26 @@ class CurationOpsSuite extends AnyFunSuite {
     var found = false
     for (r <- 2 to 50 if !found) {
       val cur = refPropagate(seeds, edges, 0.85, r)
-      val d = cur.map { case (k, v) => math.abs(v - prev(k)) }.max
-      if (d <= tol) { rStar = r; found = true } else prev = cur
+      val sd = cur.map { case (k, v) => math.abs(v - prev(k)) }.sum
+      if (sd.toDouble * 0.85 <= tol.toDouble * 0.15) { rStar = r; found = true } else prev = cur
     }
     assert(found, "recurrence did not converge within 50 rounds — widen tol")
     assert(rStar > 2, s"tol reached too early (r*=$rStar) to distinguish early-stop from cap")
     assert(run(rounds = 50, tol = Some(tol)) === refPropagate(seeds, edges, 0.85, rStar))
+    // the guarantee the bound buys: the early-stopped score is within tol
+    // of ANY longer run's score, per node — on the adversarial shape for
+    // a bare max|Δ| rule (hub fed by many small-delta spokes, where the
+    // hub's next-round move is ~deg × the per-spoke delta)
+    val hubSeeds = (1L to 40L).map(i => i -> 500000L).toMap + (0L -> 100000L)
+    val hubEdges = (1L to 40L).map(i => (0L, i))
+    val hubTol = 5000L
+    val stopped = Propagate.propagateScores(
+      hubSeeds.toSeq.toDF("id", "s0_micros"), hubEdges.toDF("id_a", "id_b"),
+      damping = 0.85, rounds = 50, tolMicros = Some(hubTol))
+      .as[(Long, Long)].collect().toMap
+    val longRun = refPropagate(hubSeeds, hubEdges, 0.85, 50)
+    for ((k, v) <- longRun)
+      assert(math.abs(stopped(k) - v) <= hubTol, s"node $k moved ${stopped(k) - v} past tol")
     // a tol of 0 on an edgeless graph stops after round 1 (teleport fixed
     // point) and matches any larger cap
     val iso = Map(7L -> 123456L)
