@@ -1364,6 +1364,97 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Debezium relational-CDC flattening, driver-verified END TO END: a
+    * deterministic postgres-shaped envelope (op/before/after/source/ts_ms,
+    * `transforms/DebeziumTransform.java:75-178`) is flattened through the
+    * config registry (the SMT-chain path a connector config takes —
+    * `DebeziumTransform` then `CopyValue` hoisting `_cdc.offset` for
+    * deterministic CDC ordering), landed via the `_cdc.op` delta write in
+    * two batches, and the FINAL TABLE is oracled. Exercises: op mapping
+    * c/u/d→I/U/D (`mapOperation:168-178`), before-image payload for
+    * deletes (`:80-88` — the delete key comes from `before`; a flattener
+    * that read `after` would null the key and never delete), schema
+    * preference over db in source naming
+    * (`setTableAndTargetFromSourceStruct:180-193`), and `{db}`/`{table}`
+    * target-pattern substitution (`target:209-213`).
+    */
+  private def qTransformDebezium(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("transform_debezium")
+    val ev = t(spark, sfDir, "events")
+    val after = struct(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    // the before image differs from after on purpose: live rows must show
+    // after-image values, deletes must still key off the before image
+    val before = struct(col("event_id"), col("user_id"),
+      lit("gone").as("event_type"), (-col("value")).as("value"))
+    val m = pmod(col("event_id"), lit(3))
+    val env = ev.select(
+      when(m === 0, "c").when(m === 1, "u").otherwise("d").as("op"),
+      when(m =!= 0, before).as("before"),
+      when(m =!= 2, after).as("after"),
+      struct(lit("appdb").as("db"), lit("public").as("schema"),
+        lit("events").as("table")).as("source"),
+      floor(tsMicros(ev) / 1000).as("ts_ms"),
+      col("event_id").as("offset"))
+    val maxId = ev.agg(max("event_id")).head().getLong(0)
+    val split = maxId / 2
+    val chain = Transforms.fromConfig(Map(
+      "transforms" -> "dbz,ord",
+      "transforms.dbz.type" -> "DebeziumTransform",
+      "transforms.dbz.cdc.target.pattern" -> "wh.{db}_{table}",
+      "transforms.ord.type" -> "CopyValue",
+      "transforms.ord.source.field" -> "_cdc.offset",
+      "transforms.ord.target.field" -> "offset"))
+    val cfg = EngineConfig(
+      warehouse = wh,
+      tables = Seq(TableConfig("state", idColumns = Seq("user_id"))),
+      cdcField = Some("_cdc.op"),
+      autoCreate = true)
+    Ingest.run(spark, env.filter(col("offset") <= split), 0L, cfg, transforms = chain)
+    Ingest.run(spark, env.filter(col("offset") > split), 1L, cfg, transforms = chain)
+    IceTable.load(s"$wh/state").read(spark)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast(LongType).as("v_cents"),
+        col("_cdc").getField("op").as("op"),
+        col("_cdc").getField("source").as("src"),
+        col("_cdc").getField("target").as("target"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** AWS DMS flattening (`transforms/DmsTransform.java:47-93`), driver-
+    * verified end to end: a DMS-shaped envelope (`data` payload +
+    * `metadata` {operation, timestamp, schema-name, table-name}) flattens
+    * through the config registry and lands via the `_cdc.op` delta write
+    * keyed on the unique event_id — insert/update rows survive with the
+    * flattened `_cdc` audit struct, delete rows drop out.
+    */
+  private def qTransformDms(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = freshDir("transform_dms")
+    val ev = t(spark, sfDir, "events")
+    val m = pmod(col("event_id"), lit(3))
+    val env = ev.select(
+      struct(col("event_id"), col("user_id"), col("event_type"), col("value")).as("data"),
+      struct(
+        when(m === 0, "insert").when(m === 1, "update").otherwise("delete").as("operation"),
+        floor(tsMicros(ev) / 1000).cast(StringType).as("timestamp"),
+        lit("public").as("schema-name"),
+        lit("events").as("table-name")).as("metadata"))
+    val chain = Transforms.fromConfig(Map(
+      "transforms" -> "dms", "transforms.dms.type" -> "DmsTransform"))
+    val cfg = EngineConfig(
+      warehouse = wh,
+      tables = Seq(TableConfig("state", idColumns = Seq("event_id"))),
+      cdcField = Some("_cdc.op"),
+      autoCreate = true)
+    Ingest.run(spark, env, 0L, cfg, transforms = chain)
+    IceTable.load(s"$wh/state").read(spark)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast(LongType).as("v_cents"),
+        col("_cdc").getField("op").as("op"),
+        col("_cdc").getField("ts").as("ts_ms_str"),
+        col("_cdc").getField("source").as("src"))
+      .orderBy("event_id")
+  }
+
   /** P1: partition-transform derivation (year/month/day/hour/truncate). */
   private def qPartitionTransforms(spark: SparkSession, sfDir: String): DataFrame = {
     val o = t(spark, sfDir, "orders")
@@ -2513,6 +2604,8 @@ object SparkEntry {
       "transform_json_expand" -> wrap(qJsonExpand),
       "transform_json_variant" -> wrap(qJsonVariant),
       "transform_mongo_cdc" -> wrap(qMongoCdc),
+      "transform_debezium" -> wrap(qTransformDebezium),
+      "transform_dms" -> wrap(qTransformDms),
       "coerce_types" -> wrap(qCoerceTypes),
       "partition_transforms" -> wrap(qPartitionTransforms),
       "partition_bucket" -> wrap(qPartitionBucket),
@@ -3514,6 +3607,39 @@ object SparkEntry {
         |       CASE WHEN event_id % 3 = 1 THEN NULL ELSE event_type END AS tag,
         |       CASE event_id % 3 WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op
         |FROM events ORDER BY event_id""".stripMargin,
+    // two CDC batches keyed on user_id; op from event_id%3 (c/u/d → I/U/D);
+    // db comes from source.schema (preferred over source.db), target from
+    // the {db}/{table} pattern; final-state replay mirrors cdc_upsert
+    "transform_debezium" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CASE event_id % 3 WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op,
+        |    CASE WHEN event_id <= (SELECT max(event_id) // 2 FROM events)
+        |         THEN 0 ELSE 1 END AS b
+        |  FROM events),
+        |last AS (
+        |  SELECT * FROM (
+        |    SELECT e.*, row_number() OVER (PARTITION BY user_id, b ORDER BY event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |data AS (SELECT * FROM last WHERE op <> 'D'),
+        |del AS (SELECT user_id, b FROM last WHERE op IN ('U','D'))
+        |SELECT d.event_id, d.user_id, d.event_type,
+        |       CAST(round(d.value * 100) AS BIGINT) AS v_cents,
+        |       d.op AS op,
+        |       'public.events' AS src,
+        |       'wh.public_events' AS target
+        |FROM data d
+        |WHERE NOT EXISTS (SELECT 1 FROM del x WHERE x.user_id = d.user_id AND x.b > d.b)
+        |ORDER BY d.user_id, d.event_id""".stripMargin,
+    // single batch keyed on unique event_id: inserts/updates survive,
+    // deletes drop; _cdc carries op/ts/source from the DMS metadata struct
+    "transform_dms" ->
+      """SELECT event_id, user_id, event_type,
+        |       CAST(round(value * 100) AS BIGINT) AS v_cents,
+        |       CASE event_id % 3 WHEN 0 THEN 'I' ELSE 'U' END AS op,
+        |       CAST(epoch_ns(ts) // 1000000 AS VARCHAR) AS ts_ms_str,
+        |       'public.events' AS src
+        |FROM events WHERE event_id % 3 <> 2 ORDER BY event_id""".stripMargin,
     "coerce_types" ->
       """SELECT event_id,
         |       CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS id_parsed,

@@ -21,7 +21,10 @@ object Verify {
     }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [queryName...] — trailing names restrict the
+    // run to a subset (local iteration); the driver always passes two args
+    val Array(sfDir, outDir) = args.take(2)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,7 +38,9 @@ object Verify {
     // end) — r7 shipped 11 broken queries because failures were swallowed
     // here, leaving the driver's correctness board silently short.
     val failed = scala.collection.mutable.Buffer[String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         val nested = nestedTopLevelCols(df.schema)

@@ -594,7 +594,10 @@ class CurationOpsSuite extends AnyFunSuite {
     // find the round r* where the recurrence reaches the geometric-tail
     // bound d/(1−d)·Σ|Δ| <= tol (the operator's stopping rule), then
     // pin: tol-stopped run (cap >> r*) === fixed-round run at r*
-    val tol = 2000L
+    // tol must make the geometric-tail threshold Σ|Δ| ≤ tol·(1−d)/d (≈1765
+    // at tol=10000) reachable inside the 50-round search window on this
+    // path graph (crossed ≈ round 44); 2000L sat below the window's tail
+    val tol = 10000L
     var prev = refPropagate(seeds, edges, 0.85, 1)
     var rStar = 1
     var found = false
