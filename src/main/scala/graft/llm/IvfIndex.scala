@@ -5,39 +5,80 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted IVF index — the cluster-grade form of [[Similarity.ivfKnn]]'s
   * in-session index (whose `localCheckpoint` materialization is
   * executor-local and not fault-tolerant; see DESIGN.md §2).
   *
-  * Layout under `dir`:
+  * Layout under `dir` — every geometry lives in a versioned subdir and a
+  * `CURRENT` pointer names the active one (build and rebalance share one
+  * publish protocol):
   * {{{
-  *   centroids.parquet/        (c_id, c_vec)            — nCells rows
-  *   assignments.parquet/      (n_id, n_vec) PARTITIONED BY c_id
-  *   CURRENT                   (optional) pointer to vN/ after a rebalance
-  *   vN/centroids.parquet, vN/assignments.parquet — rebalanced geometry
+  *   CURRENT                   pointer file → "vN"
+  *   vN/centroids.parquet      (c_id, c_vec[, s_id])   — nCells rows
+  *   vN/supers.parquet         (s_id, s_vec)           — two-level only
+  *   vN/assignments.parquet    (n_id, n_vec) PARTITIONED BY c_id
   * }}}
-  * A [[rebalance]] never mutates a live layout in place: it stages the
-  * re-sharded centroids+assignments in a fresh `vN/` subdir and swaps
-  * the `CURRENT` pointer with one atomic rename ([[activeDir]] resolves
-  * it), so a crash mid-rebalance or a concurrent query never sees new
-  * centroids routing against the old partition layout.
+  * [[build]] and [[rebalance]] both stage a fresh `vN/` and swap the
+  * `CURRENT` pointer with one atomic rename ([[activeDir]] resolves it),
+  * so a crash mid-publish or a concurrent query never sees a
+  * half-written geometry. The previous generation is KEPT one cycle for
+  * in-flight readers that resolved the pointer just before the swap;
+  * older generations and crash orphans are swept at the next
+  * build/rebalance entry once past [[DefaultOrphanGraceMs]] — and a
+  * sweep RECONCILES first (rows present only in the victim, i.e. late
+  * concurrent appends into a superseded geometry, are re-routed into the
+  * active one), so maintenance never destroys data. A full [[build]] is
+  * the one exception: its `corpus` argument is the declared source of
+  * truth, so its entry sweep does not reconcile.
+  *
+  * Routing has two shapes, chosen by cell count at build time:
+  *  - '''one-level''' (nCells ≤ `twoLevelGate`): centroids are collected
+  *    to the driver and routing is the codegen'd
+  *    [[Similarity.nearestCentroid]] literal argmax — exact, and cheap
+  *    while the centroid table is operation-sized (the 4096-cell default
+  *    gate caps the collect at ~2 MB and the expression at a size
+  *    Catalyst still compiles).
+  *  - '''two-level''' (nCells > gate): centroids are themselves
+  *    clustered into ~√nCells super-cells (the FAISS IMI / two-level
+  *    coarse-quantizer shape). Only the SUPER table is ever collected
+  *    (√scale: ~1.3 k rows at 1.6 M cells, vs 0.8 GB for the full
+  *    table); corpus rows route super-first via the literal argmax over
+  *    supers, then to the nearest cell WITHIN that super through a
+  *    grouped-cells join + one higher-order argmax — no driver-sized
+  *    collect and no million-branch expression anywhere on the path, at
+  *    the cost of IMI-style approximate assignment (a row near a super
+  *    boundary may land in a neighbouring super's cell; queries probe
+  *    `wProbe` supers to compensate, the standard IMI recall knob).
   *
   * The assignment table is hive-partitioned by cell id, so a query that
   * probes `nProbe` of `nCells` cells reads ONLY those cells' files —
   * Spark's partition pruning (`PartitionFilters: c_id IN (...)`) skips
   * the rest at planning time, the same I/O story a FAISS IVF list layout
   * gives a single node. Build once per corpus version, query many times;
-  * at 100 TB the build is one training pass (driver-held centroids, one
-  * shuffle per Lloyd iteration) plus one partitioned write.
+  * at 100 TB the build is one training pass plus one partitioned write.
   */
 object IvfIndex {
 
-  /** Train the coarse quantizer on `corpus` and persist centroids +
-    * cell-partitioned normalized assignments under `dir`.
-    * Returns the number of cells actually written (≤ `nCells`; empty
-    * corpora produce an empty index).
+  /** Cell counts above this build the two-level geometry. At the gate the
+    * one-level shape still collects ≤ gate × dim × 8 B ≈ 2 MB (64-dim)
+    * and its literal argmax still compiles; past it, both stop scaling.
+    */
+  val DefaultTwoLevelGate = 4096
+
+  /** Version dirs not referenced by `CURRENT` survive this long before a
+    * build/rebalance entry sweep deletes them — the grace window an
+    * in-flight reader (which resolved the pointer once, then scans) gets
+    * to finish against a superseded generation.
+    */
+  val DefaultOrphanGraceMs: Long = 60L * 60 * 1000
+
+  /** Train the coarse quantizer on `corpus` and persist the geometry as a
+    * fresh version under `dir` (staged `vN/` + `CURRENT` swap — see the
+    * object doc). Returns the number of cells actually written (≤
+    * `nCells`; empty corpora produce an empty index).
     */
   def build(
       corpus: DataFrame,
@@ -45,37 +86,29 @@ object IvfIndex {
       vecCol: String,
       dir: String,
       nCells: Int = 16,
-      kmeansIters: Int = 2
+      kmeansIters: Int = 2,
+      twoLevelGate: Int = DefaultTwoLevelGate,
+      orphanGraceMs: Long = DefaultOrphanGraceMs
   ): Int = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     IntegralId.require(corpus, idCol, "IvfIndex.build")
+    Files.createDirectories(Paths.get(dir))
+    val prev = currentVersion(dir)
+    // entry sweep WITHOUT reconcile: a full rebuild declares `corpus` the
+    // source of truth, so superseded generations' contents are moot
+    sweep(spark, dir, keep = prev.toSet, graceMs = orphanGraceMs, reconcileInto = None)
     val c = corpus
       .select(col(idCol).cast("long").as("n_id"), Similarity.normalize(col(vecCol)).as("n_vec"))
       // same degenerate-vector exclusion as [[append]] and kmeans: a NaN
       // vector left in poisons its cell's Lloyd mean every iteration
       .filter(Similarity.clusterable(col("n_vec")))
       .localCheckpoint() // training scans it repeatedly; the WRITE below is its durable form
-    val dim = Similarity.detectDim(c)
-    val cents = Similarity.trainCentroids(c, nCells, kmeansIters, dim)
-    Files.createDirectories(Paths.get(dir))
-    cents.toSeq.map { case (id, v) => (id, v.toSeq) }
-      .toDF("c_id", "c_vec")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-    if (cents.nonEmpty) {
-      c.withColumn("c_id", Similarity.nearestCentroid(col("n_vec"), cents).getField("c_id"))
-        .select("n_id", "n_vec", "c_id")
-        // cluster rows by cell so each cell's files hold only that cell
-        .repartition(col("c_id"))
-        .write.mode("overwrite").partitionBy("c_id").parquet(s"$dir/assignments.parquet")
-    }
-    // a full rebuild owns the base layout: retire any rebalance pointer
-    // (readers switch to the fresh base the instant the pointer is gone)
-    // and its superseded version dirs
-    Files.deleteIfExists(Paths.get(dir, "CURRENT"))
-    pruneVersions(dir, keep = Set.empty)
-    cents.length
+    val next = s"v${nextVersion(dir)}"
+    val written = writeGeometry(spark, c, s"$dir/$next", nCells, kmeansIters, twoLevelGate)
+    swapPointer(dir, next)
+    // keep the generation in-flight readers may still hold; drop the rest
+    sweep(spark, dir, keep = Set(next) ++ prev, graceMs = 0L, reconcileInto = None)
+    written
   }
 
   /** Incremental append — assign new vectors to the EXISTING centroids
@@ -94,6 +127,12 @@ object IvfIndex {
     * be new; degenerate vectors (null/empty/zero/NaN) are skipped like
     * everywhere else in the vector family. Returns the number of
     * vectors appended.
+    *
+    * An append racing a concurrent [[rebalance]] may land in the
+    * geometry the rebalance is retiring; the rebalance re-routes such
+    * rows into the new geometry after its pointer swap (and again before
+    * any sweep deletes the old dir), so the rows survive — but the
+    * recommended deployment is still a single maintenance writer.
     */
   def append(
       spark: SparkSession,
@@ -102,24 +141,15 @@ object IvfIndex {
       idCol: String,
       vecCol: String
   ): Long = {
-    import spark.implicits._
     // resolve the active geometry ONCE so the centroids routing this
     // batch and the assignment table it lands in are the same version
     val adir = activeDir(dir)
-    val cents = spark.read.parquet(s"$adir/centroids.parquet")
-      .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
-      .sortBy(_._1)
-    require(cents.nonEmpty,
-      s"IvfIndex at $dir has no centroids — build the index before appending")
     IntegralId.require(batch, idCol, "IvfIndex.append")
     val vv = batch
       .select(col(idCol).cast("long").as("n_id"), Similarity.normalize(col(vecCol)).as("n_vec"))
       .filter(Similarity.clusterable(col("n_vec")))
       .localCheckpoint() // feeds the partitioned write AND the count
-    vv.withColumn("c_id", Similarity.nearestCentroid(col("n_vec"), cents).getField("c_id"))
-      .select("n_id", "n_vec", "c_id")
-      .repartition(col("c_id"))
-      .write.mode("append").partitionBy("c_id").parquet(s"$adir/assignments.parquet")
+    appendAssigned(spark, adir, vv)
     vv.count()
   }
 
@@ -130,29 +160,40 @@ object IvfIndex {
     * n/nCells vectors); rebalancing to
     * `nCells' = ceil(vectors / targetCellRows)` restores ~constant
     * per-cell row counts, so probe cost tracks `nProbe · targetCellRows`
-    * instead of the corpus.
+    * instead of the corpus. When the new cell count crosses
+    * `twoLevelGate` the rewritten geometry comes out two-level — the
+    * same arithmetic that grows nCells to ~1.6 M at 10^10 vectors is
+    * what retires the driver-collected routing shape.
     *
     * Retrains the coarse quantizer ON the existing (already normalized)
     * assignments, reassigns every vector, and rewrites centroids +
     * cell partitions — one training pass plus one partitioned rewrite,
     * the same cost shape as [[build]]. No-op (returns the current cell
-    * count) while mean occupancy is within target. Returns the cell
-    * count actually written.
+    * count) while mean occupancy is within target. After the pointer
+    * swap the old generation is RE-READ and any rows missing from the
+    * staged assignments (appends that raced the rewrite) are re-routed
+    * into the new geometry, closing the snapshot-to-swap loss window.
+    * Returns the cell count actually written.
     */
   def rebalance(
       spark: SparkSession,
       dir: String,
       targetCellRows: Long,
-      kmeansIters: Int = 2
+      kmeansIters: Int = 2,
+      twoLevelGate: Int = DefaultTwoLevelGate,
+      orphanGraceMs: Long = DefaultOrphanGraceMs
   ): Int = {
-    import spark.implicits._
     require(targetCellRows > 0, s"targetCellRows must be > 0: $targetCellRows")
     val cur = activeDir(dir)
+    val curName = Paths.get(cur).getFileName.toString
+    // entry sweep WITH reconcile: grace-expired superseded dirs may hold
+    // late appends — recover them into the active geometry, then delete
+    sweep(spark, dir, keep = Set(curName), graceMs = orphanGraceMs, reconcileInto = Some(cur))
     val curCells = spark.read.parquet(s"$cur/centroids.parquet").count()
     val assigned = spark.read.parquet(s"$cur/assignments.parquet")
       .select("n_id", "n_vec")
       // the multi-pass retrain scans this repeatedly; the checkpoint also
-      // decouples it from the source files (pruned after the swap)
+      // decouples it from the source files (swept after the swap)
       .localCheckpoint()
     val total = assigned.count()
     if (total == 0L || curCells <= 0L) return curCells.toInt
@@ -162,44 +203,34 @@ object IvfIndex {
     // negative) cell count instead of the clamp
     val newCells =
       math.min((total + targetCellRows - 1) / targetCellRows, Int.MaxValue.toLong).toInt
-    val dim = Similarity.detectDim(assigned)
-    val cents = Similarity.trainCentroids(assigned, newCells, kmeansIters, dim)
-    // Publish atomically: stage BOTH tables in a fresh versioned subdir,
-    // then swap the CURRENT pointer with an atomic rename — a reader
-    // resolves the pointer once and sees one consistent geometry; a crash
-    // mid-rebalance leaves an orphan version dir and an intact index,
-    // never new centroids routing against the old partition layout.
     val next = s"v${nextVersion(dir)}"
-    val stage = s"$dir/$next"
-    cents.toSeq.map { case (id, v) => (id, v.toSeq) }
-      .toDF("c_id", "c_vec")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$stage/centroids.parquet")
-    assigned
-      .withColumn("c_id", Similarity.nearestCentroid(col("n_vec"), cents).getField("c_id"))
-      .select("n_id", "n_vec", "c_id")
-      .repartition(col("c_id"))
-      .write.mode("overwrite").partitionBy("c_id").parquet(s"$stage/assignments.parquet")
+    val written = writeGeometry(spark, assigned, s"$dir/$next", newCells, kmeansIters, twoLevelGate)
     swapPointer(dir, next)
-    // prune superseded version dirs, keeping the one we just replaced for
-    // in-flight readers that resolved the pointer before the swap (the
-    // base layout is never deleted — build() owns it)
-    pruneVersions(dir, keep = Set(next, java.nio.file.Paths.get(cur).getFileName.toString))
-    cents.length
+    // close the concurrent-append window: rows that landed in the OLD
+    // geometry after the snapshot re-route into the new one
+    reconcile(spark, cur, s"$dir/$next")
+    // prune superseded version dirs (after reconciling each), keeping the
+    // one we just replaced for in-flight readers that resolved the
+    // pointer before the swap
+    sweep(spark, dir, keep = Set(next, curName), graceMs = 0L, reconcileInto = Some(s"$dir/$next"))
+    written
   }
 
-  /** Resolve the ACTIVE layout under `dir`: [[rebalance]] publishes its
-    * rewritten centroids+assignments in a versioned subdirectory and
-    * swaps a `CURRENT` pointer file atomically; readers resolve the
-    * pointer ONCE per operation so centroids and assignments always come
-    * from the same geometry. No pointer (a freshly [[build]]-t index) →
+  /** Resolve the ACTIVE layout under `dir`: [[build]]/[[rebalance]]
+    * publish centroids+assignments in a versioned subdirectory and swap
+    * a `CURRENT` pointer file atomically; readers resolve the pointer
+    * ONCE per operation so centroids and assignments always come from
+    * the same geometry. No pointer (a pre-versioning legacy index) →
     * `dir` itself.
     */
-  def activeDir(dir: String): String = {
+  def activeDir(dir: String): String =
+    currentVersion(dir).map(v => s"$dir/$v").getOrElse(dir)
+
+  private def currentVersion(dir: String): Option[String] = {
     val cur = Paths.get(dir, "CURRENT")
     if (Files.exists(cur))
-      s"$dir/${new String(Files.readAllBytes(cur), java.nio.charset.StandardCharsets.UTF_8).trim}"
-    else dir
+      Some(new String(Files.readAllBytes(cur), java.nio.charset.StandardCharsets.UTF_8).trim)
+    else None
   }
 
   private def nextVersion(dir: String): Long = {
@@ -223,27 +254,324 @@ object IvfIndex {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def pruneVersions(dir: String, keep: Set[String]): Unit = {
+  /** Delete version dirs that are neither `CURRENT`-referenced nor in
+    * `keep` and are older than `graceMs` (crash-before-swap orphans and
+    * superseded generations past their reader grace window). With
+    * `reconcileInto` set, each victim is [[reconcile]]d into the active
+    * dir first, so rows that only ever landed in a superseded geometry
+    * (late concurrent appends) survive the sweep.
+    */
+  private def sweep(
+      spark: SparkSession,
+      dir: String,
+      keep: Set[String],
+      graceMs: Long,
+      reconcileInto: Option[String]
+  ): Unit = {
     val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return
+    val current = currentVersion(dir)
+    val now = System.currentTimeMillis()
     val victims = {
       val s = Files.list(d)
       try s.iterator().asScala.toList.filter { p =>
         val n = p.getFileName.toString
-        n.matches("v\\d+") && !keep.contains(n)
+        n.matches("v\\d+") && !keep.contains(n) && !current.contains(n) &&
+          (graceMs <= 0L || Files.getLastModifiedTime(p).toMillis < now - graceMs)
       }
       finally s.close()
     }
     victims.foreach { p =>
+      reconcileInto.foreach(t => reconcile(spark, p.toString, t))
       val w = Files.walk(p)
       try w.iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
       finally w.close()
     }
   }
 
-  /** Top-k cosine ANN against a persisted index. Probed-cell routing
-    * happens on the (tiny, collected) centroid table; the assignment scan
-    * carries a `c_id IN (probed cells)` partition filter, so only the
-    * probed cells' files are ever opened.
+  /** Re-route rows present in `fromDir`'s assignments but absent from
+    * `toDir`'s (by n_id) into `toDir` — the recovery arm for appends that
+    * raced a rebalance. Returns the number of rows recovered. Skips
+    * quietly when either side has no assignment table (empty geometry).
+    */
+  private def reconcile(spark: SparkSession, fromDir: String, toDir: String): Long = {
+    if (!Files.isDirectory(Paths.get(fromDir, "assignments.parquet"))) return 0L
+    if (!Files.isDirectory(Paths.get(toDir, "assignments.parquet"))) return 0L
+    val old = spark.read.parquet(s"$fromDir/assignments.parquet").select("n_id", "n_vec")
+    val act = spark.read.parquet(s"$toDir/assignments.parquet").select("n_id")
+    val missing = old.join(act, Seq("n_id"), "left_anti").localCheckpoint()
+    val n = missing.count()
+    if (n > 0) appendAssigned(spark, toDir, missing)
+    n
+  }
+
+  /** Train + persist ONE geometry version under `stage`; returns cells
+    * written. One-level at or below the gate (exact literal-argmax
+    * routing), two-level above it.
+    */
+  private def writeGeometry(
+      spark: SparkSession,
+      c: DataFrame,
+      stage: String,
+      nCells: Int,
+      kmeansIters: Int,
+      twoLevelGate: Int
+  ): Int = {
+    import spark.implicits._
+    val dim = Similarity.detectDim(c)
+    if (nCells <= twoLevelGate) {
+      val cents = Similarity.trainCentroids(c, nCells, kmeansIters, dim)
+      cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+        .toDF("c_id", "c_vec")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$stage/centroids.parquet")
+      if (cents.nonEmpty) {
+        c.withColumn("c_id", Similarity.nearestCentroid(col("n_vec"), cents).getField("c_id"))
+          .select("n_id", "n_vec", "c_id")
+          // cluster rows by cell so each cell's files hold only that cell
+          .repartition(col("c_id"))
+          .write.mode("overwrite").partitionBy("c_id").parquet(s"$stage/assignments.parquet")
+      }
+      cents.length
+    } else {
+      val (supers, cells0) = trainTwoLevel(c, nCells, kmeansIters, dim)
+      val cells = cells0.localCheckpoint() // feeds the write, the routing join, and the count
+      spark.createDataset(supers.toSeq.map { case (id, v) => (id, v.toSeq) })
+        .toDF("s_id", "s_vec")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$stage/supers.parquet")
+      cells.repartition(1).write.mode("overwrite").parquet(s"$stage/centroids.parquet")
+      val n = cells.count()
+      if (n > 0) {
+        assignTwoLevel(c, supersWithCells(spark, cells, supers), groupCells(cells))
+          .repartition(col("c_id"))
+          .write.mode("overwrite").partitionBy("c_id").parquet(s"$stage/assignments.parquet")
+      }
+      n.toInt
+    }
+  }
+
+  /** Two-level coarse quantizer training: ~√nCells super-centroids via
+    * the (driver-held, √scale) [[Similarity.trainCentroids]] path, then
+    * per-super LOCAL k-means inside `flatMapGroups` over a hash-capped
+    * sample — every super's cells train in parallel on executors, and
+    * nothing corpus- or nCells-sized ever reaches the driver. Cell ids
+    * are `s_id · cellsPerSuper + localIdx`, unique by construction.
+    */
+  private def trainTwoLevel(
+      c: DataFrame,
+      nCells: Int,
+      kmeansIters: Int,
+      dim: Int
+  ): (Array[(Long, Array[Double])], DataFrame) = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val nSupers = math.max(1, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    val cellsPerSuper = (nCells.toLong + nSupers - 1) / nSupers
+    val supers = Similarity.trainCentroids(c, nSupers, kmeansIters, dim)
+    if (supers.isEmpty)
+      return (supers, Seq.empty[(Long, Seq[Double], Long)].toDF("c_id", "c_vec", "s_id"))
+    // per-super training sample: hash-ranked head, capped so a task never
+    // holds more than ~32 vectors per cell it is about to train
+    val maxTrain = math.max(64L, 32L * cellsPerSuper)
+    val w = Window.partitionBy("s_id").orderBy(xxhash64(col("n_id")), col("n_id"))
+    val sample = c
+      .withColumn("s_id", Similarity.nearestCentroid(col("n_vec"), supers).getField("c_id"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= maxTrain)
+      .select(col("s_id"), col("n_id"), col("n_vec"))
+    val kLocal = cellsPerSuper.toInt
+    val iters = kmeansIters
+    val dimL = dim
+    val cells = sample.as[(Long, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid: Long, it: Iterator[(Long, Long, Seq[Double])]) =>
+        // hash-sorted members = the deterministic candidate order the
+        // driver seeding uses (byteswap64 is a pure executor-side stand-in
+        // for the xxhash64 column)
+        val pts = it.map { case (_, id, v) => (id, v.toArray) }.toArray
+          .sortBy(p => (scala.util.hashing.byteswap64(p._1), p._1))
+        localTrain(pts, kLocal, iters, dimL).iterator.zipWithIndex.map {
+          case (v, idx) => (sid * cellsPerSuper + idx, v.toSeq, sid)
+        }
+      }
+      .toDF("c_id", "c_vec", "s_id")
+    (supers, cells)
+  }
+
+  /** Per-super local trainer (runs INSIDE one executor task): greedy
+    * farthest-point seeding over the hash-ordered head, then `iters`
+    * Lloyd refinements — the driver k-means loop in miniature, bounded by
+    * the per-super sample cap. Returns centroids in ascending seed-id
+    * order (deterministic).
+    */
+  private[llm] def localTrain(
+      pts: Array[(Long, Array[Double])],
+      k: Int,
+      iters: Int,
+      dim: Int
+  ): Array[Array[Double]] = {
+    if (pts.isEmpty || k <= 0) return Array.empty
+    var cents = Similarity.farthestPoint(pts.take(4 * k), k)
+    var i = 0
+    while (i < iters && cents.nonEmpty) {
+      val assign = pts.map(p => Similarity.nearestCentroidLocal(p._2, cents))
+      cents = Similarity.localMeans(pts, assign, dim)
+      i += 1
+    }
+    cents.map(_._2)
+  }
+
+  /** Group the cell table to ONE array row per super — the broadcast-able
+    * (or, at scale, shuffle-joinable) routing side of [[assignTwoLevel]].
+    */
+  private def groupCells(cells: DataFrame): DataFrame =
+    cells.groupBy("s_id").agg(collect_list(struct(col("c_id"), col("c_vec"))).as("__cells"))
+
+  /** Two-level nearest-cell assignment for (n_id, n_vec) rows: literal
+    * argmax over the driver-held supers picks the super-cell, a join
+    * against the per-super grouped cell table plus one higher-order
+    * argmax picks the cell within it. No full-centroid collect, no
+    * nCells-branch expression; the join broadcasts while the cell table
+    * is small and degrades to a hash join on s_id at scale (AQE
+    * decides). `supers` must be pre-filtered to supers that HAVE cells
+    * ([[supersWithCells]]) or boundary rows would vanish in the join.
+    */
+  private def assignTwoLevel(
+      rows: DataFrame,
+      supers: Array[(Long, Array[Double])],
+      cellsBySuper: DataFrame
+  ): DataFrame = {
+    val best = array_max(transform(col("__cells"), cc =>
+      struct(
+        graft.functions.VectorOps.array_dot(col("n_vec"), cc.getField("c_vec")).as("c_sim"),
+        (-cc.getField("c_id")).as("negc"))))
+    rows
+      .withColumn("s_id", Similarity.nearestCentroid(col("n_vec"), supers).getField("c_id"))
+      .join(cellsBySuper, "s_id")
+      .withColumn("c_id", -best.getField("negc"))
+      .select("n_id", "n_vec", "c_id")
+  }
+
+  /** Supers that own at least one cell — the distinct-s_id pull is the
+    * ONLY driver collect on the two-level path, bounded by ~√nCells.
+    */
+  private def supersWithCells(
+      spark: SparkSession,
+      cells: DataFrame,
+      supers: Array[(Long, Array[Double])]
+  ): Array[(Long, Array[Double])] = {
+    import spark.implicits._
+    val present = cells.select("s_id").distinct().as[Long].collect().toSet
+    supers.filter(s => present(s._1))
+  }
+
+  private def readSupers(spark: SparkSession, adir: String): Array[(Long, Array[Double])] = {
+    import spark.implicits._
+    spark.read.parquet(s"$adir/supers.parquet")
+      .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
+      .sortBy(_._1)
+  }
+
+  /** Route normalized (n_id, n_vec) rows with `adir`'s geometry — the
+    * one-level literal argmax or the two-level super→cell path, chosen by
+    * what the geometry persisted. Exposed package-wide so the scale
+    * probes can time ROUTING separately from the partitioned write.
+    */
+  private[graft] def routeRows(spark: SparkSession, adir: String, vv: DataFrame): DataFrame = {
+    import spark.implicits._
+    if (Files.isDirectory(Paths.get(adir, "supers.parquet"))) {
+      val cells = spark.read.parquet(s"$adir/centroids.parquet")
+      val supers = supersWithCells(spark, cells, readSupers(spark, adir))
+      require(supers.nonEmpty,
+        s"IvfIndex at $adir has no centroids — build the index before appending")
+      assignTwoLevel(vv, supers, groupCells(cells))
+    } else {
+      val cents = spark.read.parquet(s"$adir/centroids.parquet")
+        .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
+        .sortBy(_._1)
+      require(cents.nonEmpty,
+        s"IvfIndex at $adir has no centroids — build the index before appending")
+      vv.withColumn("c_id", Similarity.nearestCentroid(col("n_vec"), cents).getField("c_id"))
+        .select("n_id", "n_vec", "c_id")
+    }
+  }
+
+  /** Route each query to its probed cells with `adir`'s geometry —
+    * [[routeRows]]'s query-side twin, for the scale probes.
+    */
+  private[graft] def probeRows(
+      spark: SparkSession,
+      adir: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nProbe: Int,
+      wProbe: Int
+  ): DataFrame = {
+    import spark.implicits._
+    if (Files.isDirectory(Paths.get(adir, "supers.parquet"))) {
+      val cells = spark.read.parquet(s"$adir/centroids.parquet")
+      val supers = supersWithCells(spark, cells, readSupers(spark, adir))
+      probeTwoLevel(queries, idCol, vecCol, supers, cells, nProbe, wProbe)
+    } else {
+      val cents = spark.read.parquet(s"$adir/centroids.parquet")
+        .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
+        .sortBy(_._1)
+      Similarity.probeCells(queries, idCol, vecCol, cents, nProbe)
+    }
+  }
+
+  /** [[routeRows]] + append to the routed cells' partitions — shared by
+    * [[append]] and [[reconcile]].
+    */
+  private def appendAssigned(spark: SparkSession, adir: String, vv: DataFrame): Unit =
+    routeRows(spark, adir, vv)
+      .repartition(col("c_id"))
+      .write.mode("append").partitionBy("c_id").parquet(s"$adir/assignments.parquet")
+
+  /** Route each query to its `nProbe` nearest cells through the
+    * two-level geometry: window top-`wProbe` supers per query (queries
+    * are operation-sized; the super table broadcasts), then join those
+    * supers' cells and window top-`nProbe`. All shuffles are bounded by
+    * query count × probed cells — the full centroid table is never
+    * collected or broadcast.
+    */
+  private def probeTwoLevel(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      supers: Array[(Long, Array[Double])],
+      cells: DataFrame,
+      nProbe: Int,
+      wProbe: Int
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val sdf = broadcast(
+      spark.createDataset(supers.toSeq.map { case (id, v) => (id, v.toSeq) })
+        .toDF("s_id", "s_vec"))
+    val q = queries.select(col(idCol).as("q_id"), Similarity.normalize(col(vecCol)).as("q_vec"))
+    val ws = Window.partitionBy("q_id").orderBy(col("s_sim").desc, col("s_id"))
+    val qs = q.crossJoin(sdf)
+      .withColumn("s_sim", Similarity.dot(col("q_vec"), col("s_vec")))
+      .withColumn("__r", row_number().over(ws))
+      .filter(col("__r") <= wProbe)
+      .select("q_id", "q_vec", "s_id")
+    val wc = Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("c_id"))
+    qs.join(cells, "s_id")
+      .withColumn("c_sim", Similarity.dot(col("q_vec"), col("c_vec")))
+      .withColumn("__r", row_number().over(wc))
+      .filter(col("__r") <= nProbe)
+      .select("q_id", "q_vec", "c_id")
+  }
+
+  /** Top-k cosine ANN against a persisted index. Probed-cell routing is
+    * one-level (tiny collected centroid table) or two-level (√scale
+    * super table + cell join — `wProbe` supers examined per query, the
+    * IMI recall knob) depending on how the geometry was built; either
+    * way the assignment scan carries a `c_id IN (probed cells)`
+    * partition filter, so only the probed cells' files are ever opened.
     */
   def query(
       spark: SparkSession,
@@ -252,19 +580,28 @@ object IvfIndex {
       idCol: String,
       vecCol: String,
       k: Int,
-      nProbe: Int
+      nProbe: Int,
+      wProbe: Int = 8
   ): DataFrame = {
     import spark.implicits._
     // one pointer resolution per query: centroids and the pruned
     // assignment scan always come from the same geometry version
     val adir = activeDir(dir)
-    val cents = spark.read.parquet(s"$adir/centroids.parquet")
-      .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
-      .sortBy(_._1)
-    if (cents.isEmpty)
-      return Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rank", "n_id", "cosine")
-    val probes = Similarity.probeCells(queries, idCol, vecCol, cents, nProbe)
-      .localCheckpoint() // evaluated twice: cell-set collect + the scan join
+    val empty = Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rank", "n_id", "cosine")
+    val probes0 =
+      if (Files.isDirectory(Paths.get(adir, "supers.parquet"))) {
+        val cells = spark.read.parquet(s"$adir/centroids.parquet")
+        val supers = supersWithCells(spark, cells, readSupers(spark, adir))
+        if (supers.isEmpty) return empty
+        probeTwoLevel(queries, idCol, vecCol, supers, cells, nProbe, wProbe)
+      } else {
+        val cents = spark.read.parquet(s"$adir/centroids.parquet")
+          .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
+          .sortBy(_._1)
+        if (cents.isEmpty) return empty
+        Similarity.probeCells(queries, idCol, vecCol, cents, nProbe)
+      }
+    val probes = probes0.localCheckpoint() // evaluated twice: cell-set collect + the scan join
     // the probed-cell union is query-count × nProbe small — collect it so
     // the assignment scan prunes partitions with a LITERAL IN filter
     val cellSet = probes.select("c_id").distinct().as[Long].collect().toSeq

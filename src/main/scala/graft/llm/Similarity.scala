@@ -135,6 +135,21 @@ object Similarity {
       .filter(!_._2.exists(_.isNaN))
     if (cands.isEmpty) // empty/degenerate corpus: queries degrade to empty output
       return Array.empty
+    farthestPoint(cands, nCells)
+  }
+
+  /** Greedy farthest-point selection (k-means++-style, fully
+    * deterministic): starting from the first candidate, each next seed is
+    * the candidate with the smallest max-dot to the already-chosen set,
+    * ties to the lowest id. Shared by the driver-side [[seedCentroids]]
+    * and the per-super local trainer of two-level index builds
+    * ([[IvfIndex]]).
+    */
+  private[llm] def farthestPoint(
+      cands: Array[(Long, Array[Double])],
+      k: Int
+  ): Array[(Long, Array[Double])] = {
+    if (cands.isEmpty) return Array.empty
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }
@@ -146,7 +161,7 @@ object Similarity {
     // bestSim(i) = max dot(cands(i), chosen) so far; vectors are normalized
     val bestSim = Array.fill(cands.length)(Double.NegativeInfinity)
     var exhausted = false
-    while (!exhausted && chosen.size < math.min(nCells, cands.length)) {
+    while (!exhausted && chosen.size < math.min(k, cands.length)) {
       val last = chosen.last._2
       var argmin = -1; var minSim = Double.PositiveInfinity
       var i = 0
@@ -387,7 +402,7 @@ object Similarity {
     * centroid id (identical semantics to the codegen'd expression, which
     * maxes over (sim, -id) structs).
     */
-  private def nearestCentroidLocal(v: Array[Double], cents: Array[(Long, Array[Double])]): Long = {
+  private[llm] def nearestCentroidLocal(v: Array[Double], cents: Array[(Long, Array[Double])]): Long = {
     var best = 0
     var bestSim = Double.NegativeInfinity
     var i = 0
@@ -404,7 +419,7 @@ object Similarity {
   /** Driver twin of the Lloyd mean step: per-cluster elementwise mean
     * (members in ascending-id order), normalized; NaN cells dropped.
     */
-  private def localMeans(
+  private[llm] def localMeans(
       pts: Array[(Long, Array[Double])],
       assign: Array[Long],
       dim: Int

@@ -415,9 +415,82 @@ object ScaleProbe {
     }
   }
 
+  /** Routing-shape probe (r12 verdict "What's wrong #3"): cost of
+    * assigning a fixed 200 k-row batch and probing a fixed 200-query set
+    * as the CELL COUNT grows, one-level (driver-collected centroid table
+    * + literal argmax expression) vs two-level (√nCells super table
+    * collected; cells joined per super). The one-level arm is
+    * constructible only at small nCells — the collect is O(nCells·dim)
+    * on the driver and the argmax is an nCells-branch expression — so it
+    * is capped here; the claim under test is that the two-level arm
+    * stays ~flat into the 10^5 range the rebalance arithmetic
+    * (`nCells' = vectors / targetCellRows`) reaches at 10^10 vectors.
+    * Geometry is synthesized directly (routing cost does not depend on
+    * centroid quality), timed through the production [[graft.llm.IvfIndex.routeRows]]
+    * / [[graft.llm.IvfIndex.probeRows]] paths.
+    */
+  def routeProbe(spark: SparkSession, sizes: Seq[Int]): Unit = {
+    import spark.implicits._
+    import graft.llm.{IvfIndex, Similarity}
+    def synthVec(idc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array((0 until 64).map { d =>
+        (pmod(xxhash64(idc, lit(d)), lit(2000001L)) - lit(1000000L)).cast("double") / lit(1e6)
+      }: _*)
+    def timeMin(f: => Unit): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+    for (n <- sizes) {
+      // pinned frames are rebuilt per size: dropPinned() between sizes
+      // releases them (a shared checkpoint would lose its blocks)
+      val queries = spark.range(0, 200)
+        .select(col("id").as("vec_id"), synthVec(col("id") + 7).as("embedding"))
+        .localCheckpoint()
+      val nb = spark.range(0, 200000)
+        .select(col("id").as("n_id"), Similarity.normalize(synthVec(col("id"))).as("n_vec"))
+        .localCheckpoint()
+      val s = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val cps = (n + s - 1) / s
+      val d2 = tmpDir(s"route2-$n")
+      spark.range(s).select(col("id").as("s_id"),
+        Similarity.normalize(synthVec(col("id") + 2000000)).as("s_vec"))
+        .coalesce(1).write.parquet(s"$d2/supers.parquet")
+      spark.range(n).select(col("id").as("c_id"),
+        Similarity.normalize(synthVec(col("id") + 1000000)).as("c_vec"),
+        (col("id") / cps).cast("long").as("s_id"))
+        .coalesce(8).write.parquet(s"$d2/centroids.parquet")
+      val r2 = timeMin(IvfIndex.routeRows(spark, d2, nb).count())
+      val p2 = timeMin(
+        IvfIndex.probeRows(spark, d2, queries, "vec_id", "embedding", 16, 8).count())
+      if (n <= 16384) {
+        val d1 = tmpDir(s"route1-$n")
+        spark.range(n).select(col("id").as("c_id"),
+          Similarity.normalize(synthVec(col("id") + 1000000)).as("c_vec"))
+          .coalesce(8).write.parquet(s"$d1/centroids.parquet")
+        val r1 = timeMin(IvfIndex.routeRows(spark, d1, nb).count())
+        val p1 = timeMin(
+          IvfIndex.probeRows(spark, d1, queries, "vec_id", "embedding", 16, 8).count())
+        println(f"nCells=$n%8d  one-level route=$r1%7.2f s probe=$p1%7.2f s | " +
+          f"two-level route=$r2%7.2f s probe=$p2%7.2f s (supers=$s)")
+      } else {
+        println(f"nCells=$n%8d  one-level  (not constructible: driver collect + " +
+          f"$n-branch expression) | two-level route=$r2%7.2f s probe=$p2%7.2f s (supers=$s)")
+      }
+      dropPinned(spark)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.builder("local[32]", shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.exists(_.startsWith("route"))) {
+      val sizes = args.head.split(":").lift(1)
+        .map(_.split(",").map(_.toInt).toSeq)
+        .getOrElse(Seq(1024, 4096, 16384, 65536, 262144))
+      routeProbe(spark, sizes)
+      spark.stop()
+      return
+    }
     if (args.headOption.exists(_.startsWith("prop"))) {
       val sizes = args.head.split(":").lift(1)
         .map(_.split(",").map(_.toLong).toSeq)

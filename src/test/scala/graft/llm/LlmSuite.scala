@@ -1000,7 +1000,7 @@ class SimilaritySuite extends AnyFunSuite {
   test("IVF rebalance re-shards overgrown cells, stays exact, no-ops within target") {
     val dir = graft.TestSpark.freshDir("ivf-index-rebal")
     IvfIndex.build(emb, "vec_id", "embedding", dir, nCells = 4, kmeansIters = 2)
-    val total = spark.read.parquet(s"$dir/assignments.parquet").count()
+    val total = spark.read.parquet(s"${IvfIndex.activeDir(dir)}/assignments.parquet").count()
     val target = 50L
     assert(total / 4 > target, "fixture must start overgrown")
     val newCells = IvfIndex.rebalance(spark, dir, targetCellRows = target)
@@ -1037,6 +1037,97 @@ class SimilaritySuite extends AnyFunSuite {
     assert(written === 0)
     assert(IvfIndex.query(spark, dir, emb.filter(col("vec_id") < 3),
       "vec_id", "embedding", k = 5, nProbe = 4).count() === 0)
+  }
+
+  test("two-level IVF geometry: full probe stays exact, routing never collects cells") {
+    // force the two-level path at test scale by dropping the gate under
+    // nCells: 16 cells over ceil(sqrt(16))=4 supers
+    val dir = graft.TestSpark.freshDir("ivf-two-level")
+    val written = IvfIndex.build(emb, "vec_id", "embedding", dir,
+      nCells = 16, kmeansIters = 2, twoLevelGate = 4)
+    assert(written > 4 && written <= 16, s"written=$written")
+    val adir = IvfIndex.activeDir(dir)
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(adir, "supers.parquet")),
+      "two-level build must persist the super table")
+    // every vector is assigned exactly once (the boundary-row join cannot
+    // drop or duplicate rows)
+    val assigned = spark.read.parquet(s"$adir/assignments.parquet")
+    assert(assigned.count() === emb.count())
+    assert(assigned.select("n_id").distinct().count() === emb.count())
+    // cells carry their super id and ids are unique
+    val cells = spark.read.parquet(s"$adir/centroids.parquet")
+    assert(cells.columns.toSet === Set("c_id", "c_vec", "s_id"))
+    assert(cells.select("c_id").distinct().count() === written.toLong)
+    // full probe (all cells via all supers) ≡ brute force: assignment
+    // APPROXIMATION cannot lose a vector when every cell is scanned
+    val queries = emb.filter(col("vec_id") < 8)
+    val full = IvfIndex.query(spark, dir, queries, "vec_id", "embedding",
+      k = 5, nProbe = written, wProbe = 4)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().sorted.toSeq
+    val brute = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(full === brute)
+    // partial two-level probes still prune assignment partitions
+    val plan = IvfIndex.query(spark, dir, queries, "vec_id", "embedding",
+      k = 5, nProbe = 4, wProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("c_id"),
+      s"two-level assignment scan does not prune cells:\n$plan")
+    // append routes through the same two-level geometry; full probe over
+    // base+appended reproduces brute force over the union
+    val dir2 = graft.TestSpark.freshDir("ivf-two-level-append")
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val extra = emb.filter(col("vec_id") % 10 === 0)
+    val w2 = IvfIndex.build(base, "vec_id", "embedding", dir2,
+      nCells = 16, kmeansIters = 2, twoLevelGate = 4)
+    assert(IvfIndex.append(spark, dir2, extra, "vec_id", "embedding") === extra.count())
+    val full2 = IvfIndex.query(spark, dir2, queries, "vec_id", "embedding",
+      k = 5, nProbe = w2, wProbe = 4)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(full2 === brute)
+  }
+
+  test("IVF version protocol: orphan sweep reconciles then deletes; build keeps one generation") {
+    val dir = graft.TestSpark.freshDir("ivf-protocol")
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nCells = 4, kmeansIters = 2)
+    val v1 = IvfIndex.activeDir(dir)
+    assert(v1 !== dir, "build must publish via the CURRENT pointer")
+    // simulate an append that raced a rebalance: a row that exists ONLY in
+    // a superseded/orphan generation (id far outside the corpus id space)
+    val strayId = 999999L
+    val strayVec = emb.orderBy("vec_id").limit(1)
+      .select(Similarity.normalize(col("embedding"))).as[Seq[Double]].head()
+    val orphan = s"$dir/v99"
+    Seq((strayId, strayVec, 0L)).toDF("n_id", "n_vec", "c_id")
+      .write.partitionBy("c_id").parquet(s"$orphan/assignments.parquet")
+    spark.read.parquet(s"$v1/centroids.parquet").limit(1)
+      .write.parquet(s"$orphan/centroids.parquet")
+    // fresh orphan + default grace: the sweep must NOT touch it
+    IvfIndex.rebalance(spark, dir, targetCellRows = Long.MaxValue)
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(orphan)),
+      "orphan inside the grace window must survive")
+    // grace 0: the sweep reconciles the stray row into the active
+    // geometry, then deletes the orphan
+    IvfIndex.rebalance(spark, dir, targetCellRows = Long.MaxValue, orphanGraceMs = 0L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(orphan)),
+      "grace-expired orphan must be swept")
+    val ids = spark.read.parquet(s"${IvfIndex.activeDir(dir)}/assignments.parquet")
+      .filter(col("n_id") === strayId).count()
+    assert(ids === 1L, "sweep must re-route the orphan-only row before deleting")
+    // a stray row is queryable after recovery (full probe)
+    val hits = IvfIndex.query(spark, dir, emb.filter(col("vec_id") < 2),
+      "vec_id", "embedding", k = 1000, nProbe = 4)
+      .filter(col("n_id") === strayId).count()
+    assert(hits > 0L)
+    // rebuild: publishes a NEW version, keeps the just-replaced generation
+    // for in-flight readers, prunes nothing else young... and the
+    // previous generation is still on disk
+    val before = IvfIndex.activeDir(dir)
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nCells = 4, kmeansIters = 2)
+    val after = IvfIndex.activeDir(dir)
+    assert(after !== before)
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(before)),
+      "build must keep the replaced generation one cycle for in-flight readers")
   }
 
   test("persisted embedding index: batch query equals brute cross pairs; append folds in") {
