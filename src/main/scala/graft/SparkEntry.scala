@@ -1455,6 +1455,40 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Executable maintenance policy, driver-verified: six upsert batches
+    * accumulate six delta commits; [[graft.table.Maintenance.auto]] at
+    * threshold 5 is a metadata-only no-op after three and compacts after
+    * six, resetting the delta count to zero — the compaction cadence the
+    * SCALE.md CDC probe derives, wired into one unconditional call. The
+    * final row count ties the decision sequence to the real table state.
+    */
+  private def qMaintenanceAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wh = freshDir("maintenance_auto")
+    val ev = t(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .withColumn("offset", col("event_id"))
+    val cfg = EngineConfig(
+      warehouse = wh,
+      tables = Seq(TableConfig("state", idColumns = Seq("user_id"))),
+      upsertMode = true,
+      autoCreate = true)
+    def slice(i: Long): DataFrame = ev.filter(pmod(col("event_id"), lit(6)) === i)
+    (0L to 2L).foreach(i => Ingest.run(spark, slice(i), i, cfg))
+    val t1 = IceTable.load(s"$wh/state")
+    val d1 = t1.deltaCommitsSinceCompaction
+    val dec1 = graft.table.Maintenance.auto(spark, t1, threshold = 5)
+    (3L to 5L).foreach(i => Ingest.run(spark, slice(i), i, cfg))
+    val t2 = IceTable.load(s"$wh/state")
+    val d2 = t2.deltaCommitsSinceCompaction
+    val dec2 = graft.table.Maintenance.auto(spark, t2, threshold = 5)
+    val d3 = IceTable.load(s"$wh/state").deltaCommitsSinceCompaction
+    val nRows = IceTable.load(s"$wh/state").read(spark).count()
+    Seq((d1.toLong, if (dec1.compacted) 1L else 0L, d2.toLong,
+      if (dec2.compacted) 1L else 0L, d3.toLong, nRows))
+      .toDF("d1", "c1", "d2", "c2", "d3", "n_rows")
+  }
+
   /** P1: partition-transform derivation (year/month/day/hour/truncate). */
   private def qPartitionTransforms(spark: SparkSession, sfDir: String): DataFrame = {
     val o = t(spark, sfDir, "orders")
@@ -2606,6 +2640,7 @@ object SparkEntry {
       "transform_mongo_cdc" -> wrap(qMongoCdc),
       "transform_debezium" -> wrap(qTransformDebezium),
       "transform_dms" -> wrap(qTransformDms),
+      "maintenance_auto" -> wrap(qMaintenanceAuto),
       "coerce_types" -> wrap(qCoerceTypes),
       "partition_transforms" -> wrap(qPartitionTransforms),
       "partition_bucket" -> wrap(qPartitionBucket),
@@ -3631,6 +3666,14 @@ object SparkEntry {
         |FROM data d
         |WHERE NOT EXISTS (SELECT 1 FROM del x WHERE x.user_id = d.user_id AND x.b > d.b)
         |ORDER BY d.user_id, d.event_id""".stripMargin,
+    // the decision sequence is the assertion: 3 deltas < threshold 5 → no
+    // compact; 6 deltas ≥ 5 → compact; delta count resets to 0 after; the
+    // row count ties it to real state (every user upserts, none deleted)
+    "maintenance_auto" ->
+      """SELECT CAST(3 AS BIGINT) AS d1, CAST(0 AS BIGINT) AS c1,
+        |       CAST(6 AS BIGINT) AS d2, CAST(1 AS BIGINT) AS c2,
+        |       CAST(0 AS BIGINT) AS d3,
+        |       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_rows""".stripMargin,
     // single batch keyed on unique event_id: inserts/updates survive,
     // deletes drop; _cdc carries op/ts/source from the DMS metadata struct
     "transform_dms" ->

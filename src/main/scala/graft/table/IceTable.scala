@@ -419,6 +419,16 @@ final class IceTable private[table] (
       if (seen.add(IceTable.normalizePath(f.path))) Some((f, c.seq)) else None))
   }
 
+  /** Live-chain commits carrying equality-delete files since the last
+    * full rewrite — the read-amplification driver the CDC probe measures
+    * (SCALE.md "CDC / MERGE read path"): each accumulated delta commit
+    * adds a ~constant anti-join cost to every current-state read until a
+    * compaction folds them. [[Maintenance.auto]] compacts when this
+    * crosses its threshold.
+    */
+  def deltaCommitsSinceCompaction: Int =
+    liveChain(log.commits()).count(_.deleteFiles.nonEmpty)
+
   private def commitsUpTo(maxSeq: Option[Long]): Seq[Commit] = {
     val all1 = log.commits()
     maxSeq.fold(all1)(s => all1.filter(_.seq <= s))
