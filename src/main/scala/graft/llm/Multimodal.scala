@@ -184,18 +184,23 @@ object Multimodal {
     (w.toLong, h.toLong, rs, gs, bs, hi, lo)
   }
 
-  /** Decode size cap: payloads whose HEADER declares more pixels than
-    * this yield null features instead of being decoded. A raster is ~4
-    * bytes/pixel, so a ~100-byte corrupt header declaring 50000×50000
+  /** Default decode size cap: payloads whose HEADER declares more pixels
+    * than this yield null features instead of being decoded. A raster is
+    * ~4 bytes/pixel, so a ~100-byte corrupt header declaring 50000×50000
     * would otherwise make ImageIO allocate a ~10 GB array — an
     * OutOfMemoryError that kills the executor JVM and every concurrent
-    * task on it, which no catch can make safe. 64 M pixels ≈ 256 MB,
-    * far above any sane training-corpus image and safely under task
-    * memory at 32 concurrent tasks/JVM only because undecoded.
+    * task on it, which no catch can make safe. The cap bounds AGGREGATE
+    * decode pressure too, since every concurrent task can hold one
+    * decode buffer: 16 M pixels ≈ 64 MB/raster ≈ 2 GB at 32 concurrent
+    * tasks/JVM — sized for a default executor, and per-call configurable
+    * (`maxDecodePixels` on the decode entry points) for deployments with
+    * larger legitimate imagery or tighter task memory.
     */
-  val MaxDecodePixels: Long = 64L * 1024 * 1024
+  val DefaultMaxDecodePixels: Long = 16L * 1024 * 1024
 
-  private def tryDecode(bytes: Array[Byte]): Option[BufferedImage] =
+  private def tryDecode(
+      bytes: Array[Byte],
+      maxPixels: Long = DefaultMaxDecodePixels): Option[BufferedImage] =
     try {
       // header-first: read declared dimensions WITHOUT decoding pixels,
       // and refuse rasters over the cap before ImageIO can allocate them
@@ -209,7 +214,7 @@ object Multimodal {
             r.setInput(iis, true, true)
             val w = r.getWidth(0).toLong
             val h = r.getHeight(0).toLong
-            if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) None
+            if (w <= 0 || h <= 0 || w * h > maxPixels) None
             else Option(r.read(0))
           } finally r.dispose()
         }
@@ -227,14 +232,20 @@ object Multimodal {
     * (id kept) so corrupt media can be routed/filtered, not job-killing —
     * the dead-letter philosophy of the ingest path applied to pixels.
     */
-  def extractImageFeatures(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+  def extractImageFeatures(
+      df: DataFrame,
+      idCol: String,
+      mediaCol: String,
+      maxDecodePixels: Long = DefaultMaxDecodePixels): DataFrame = {
     val input = df.select(checkedId(idCol), col(mediaCol).cast(BinaryType))
     implicit val enc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(ImageFeatureSchema))
     input.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val img = if (r.isNullAt(1)) None else tryDecode(r.getAs[Array[Byte]](1))
+        val img =
+          if (r.isNullAt(1)) None
+          else tryDecode(r.getAs[Array[Byte]](1), maxDecodePixels)
         img match {
           case Some(im) =>
             val (w, h, rs, gs, bs, hi, lo) = imageFeatures(im)
@@ -310,7 +321,8 @@ object Multimodal {
       mediaCol: String,
       num: Int,
       den: Int,
-      metaCol: String = "media_meta"
+      metaCol: String = "media_meta",
+      maxDecodePixels: Long = DefaultMaxDecodePixels
   ): DataFrame = {
     require(num > 0 && den > 0, s"scale must be positive: $num/$den")
     val outSchema = StructType(Seq(
@@ -325,7 +337,9 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val kind = r.getString(2)
-        val img = if (r.isNullAt(1)) None else tryDecode(r.getAs[Array[Byte]](1))
+        val img =
+          if (r.isNullAt(1)) None
+          else tryDecode(r.getAs[Array[Byte]](1), maxDecodePixels)
         img match {
           case Some(im) =>
             val dw = math.max(1, (im.getWidth.toLong * num / den).toInt)

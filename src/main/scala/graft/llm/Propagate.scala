@@ -47,6 +47,15 @@ import org.apache.spark.sql.functions._
   */
 object Propagate {
 
+  /** [[propagateScoresReport]]'s result: the scores plus what the loop
+    * actually did — `rounds` executed and whether a tol run STOPPED on
+    * the verified geometric-tail bound (`converged = false` on a tol run
+    * means the cap fired first; fixed-round runs are always `false`).
+    * Without this a tol caller cannot tell early-stop from cap-hit
+    * except by diffing against a second fixed-round run.
+    */
+  final case class PropagateResult(scores: DataFrame, rounds: Int, converged: Boolean)
+
   /** @param nodes (id, s0_micros) — seed scores in integer micros
     * @param edges (id_a, id_b) — undirected pair evidence; duplicate pair
     *   rows and self-pairs are normalized away (simple-graph semantics)
@@ -71,7 +80,19 @@ object Propagate {
       damping: Double = 0.85,
       rounds: Int = 3,
       tolMicros: Option[Long] = None
-  ): DataFrame = {
+  ): DataFrame =
+    propagateScoresReport(nodes, edges, damping, rounds, tolMicros).scores
+
+  /** [[propagateScores]] plus run metadata (rounds executed, converged
+    * flag) — same computation, observable stopping behavior.
+    */
+  def propagateScoresReport(
+      nodes: DataFrame,
+      edges: DataFrame,
+      damping: Double = 0.85,
+      rounds: Int = 3,
+      tolMicros: Option[Long] = None
+  ): PropagateResult = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
     require(tolMicros.forall(_ >= 0L), s"tolMicros must be >= 0, got $tolMicros")
@@ -116,6 +137,6 @@ object Propagate {
       }
       s = next
     }
-    s
+    PropagateResult(s, r, converged)
   }
 }

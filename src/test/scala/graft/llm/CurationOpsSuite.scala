@@ -636,6 +636,28 @@ class CurationOpsSuite extends AnyFunSuite {
     assert(run(rounds = 3, tol = None) === refPropagate(seeds, edges, 0.85, 3))
   }
 
+  test("propagate: report exposes rounds-executed and early-stop vs cap-hit") {
+    val seeds = Map(1L -> 900000L, 2L -> 100000L, 3L -> 700000L, 4L -> 300000L)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    def report(rounds: Int, tol: Option[Long]) =
+      Propagate.propagateScoresReport(
+        seeds.toSeq.toDF("id", "s0_micros"), edges.toDF("id_a", "id_b"),
+        damping = 0.85, rounds = rounds, tolMicros = tol)
+    // tol reachable inside the cap → converged, with the stop round reported
+    val early = report(60, Some(10000L))
+    assert(early.converged)
+    assert(early.rounds > 2 && early.rounds < 60, s"rounds=${early.rounds}")
+    // the reported round IS the equivalent fixed-round run
+    assert(early.scores.as[(Long, Long)].collect().toMap ===
+      refPropagate(seeds, edges, 0.85, early.rounds))
+    // cap fires first → not converged, rounds == cap
+    val capped = report(3, Some(10000L))
+    assert(!capped.converged && capped.rounds === 3)
+    // fixed-round contract: never reports converged
+    val fixed = report(3, None)
+    assert(!fixed.converged && fixed.rounds === 3)
+  }
+
   test("propagate: high-quality neighborhood lifts a low-seed member above its isolated twin") {
     // doc 10 (low seed) is near-dup of two high-quality docs; doc 20 has
     // the same seed but no edges — the diffusion signal the operator exists for

@@ -1499,6 +1499,22 @@ class MultimodalSuite extends AnyFunSuite {
     assert(out.count(_.isNullAt(1)) > corrupted.size / 4)
   }
 
+  test("decode pixel cap is per-call configurable and refuses over-cap headers undecoded") {
+    val media = Multimodal.synthesizeImages(Seq(0L).toDF("id"), "id")
+    // a real, small image decodes under the default cap…
+    val ok = Multimodal.extractImageFeatures(media, "id", "media").collect()
+    assert(ok.length === 1 && !ok(0).isNullAt(1))
+    // …and maps to null features (id kept) when the deployment cap is
+    // tighter than its declared raster — refused from the HEADER, so the
+    // pixel buffer is never allocated
+    val refused = Multimodal.extractImageFeatures(media, "id", "media",
+      maxDecodePixels = 1L).collect()
+    assert(refused.length === 1 && refused(0).getLong(0) === 0L && refused(0).isNullAt(1))
+    val refusedResize = Multimodal.resizeBilinear(media, "id", "media", 1, 2,
+      maxDecodePixels = 1L).collect()
+    assert(refusedResize.length === 1 && refusedResize(0).isNullAt(1))
+  }
+
   test("frame sampling keeps byte-exact plumbing (payload slicing; no JDK video codec)") {
     val df = Seq((1L, "abcd" * 50), (2L, "xy")).toDF("id", "payload")
     val media = Multimodal.asMedia(df, "payload", "image", "image/fake")
