@@ -223,12 +223,19 @@ object EmbIndex {
       .join(maybeBroadcast(newSigs), Seq("t", "sig"))
       .select(col("id_new"), col("id").as("id_indexed"))
       .distinct()
+      .localCheckpoint() // feeds the verify join AND its own size gate
     val storedVecs = visible(readVectors(spark, dir))
       .select(col("id").as("id_indexed"), col("v").as("v_idx"))
-    // the verify side stays batch-×-candidates sized — broadcast it so
-    // the corpus-sized vector table never shuffles either (the doc's
-    // cost contract; an unhinted join would sort-merge the whole table)
-    maybeBroadcast(candidates.join(maybeBroadcast(newVecs), "id_new"))
+    // the verify side is CANDIDATE-sized, not batch-sized — signature
+    // collisions scale with batch × corpus, so a small batch can still
+    // yield a driver-killing candidate set (the sf1 probe found exactly
+    // this: a 2k-row batch against a 10× corpus built a >2 GB broadcast).
+    // Gate the hint on the materialized candidate count; past the limit
+    // the verify join falls back to a shuffle, which is the right plan
+    // at that volume anyway.
+    val verifyHinted = hinted && candidates.count() <= broadcastRowLimit
+    val verifySide = candidates.join(maybeBroadcast(newVecs), "id_new")
+    (if (verifyHinted) broadcast(verifySide) else verifySide)
       .join(storedVecs, "id_indexed")
       .select(col("id_new"), col("id_indexed"),
         Similarity.dot(col("v_new"), col("v_idx")).as("cosine"))

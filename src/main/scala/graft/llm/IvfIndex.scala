@@ -106,8 +106,12 @@ object IvfIndex {
     val next = s"v${nextVersion(dir)}"
     val written = writeGeometry(spark, c, s"$dir/$next", nCells, kmeansIters, twoLevelGate)
     swapPointer(dir, next)
-    // keep the generation in-flight readers may still hold; drop the rest
-    sweep(spark, dir, keep = Set(next) ++ prev, graceMs = 0L, reconcileInto = None)
+    // grace clocks run from SUPERSESSION, not creation: a generation that
+    // was active for hours must still get its full reader grace window
+    prev.foreach(p => markSuperseded(s"$dir/$p"))
+    // keep the just-replaced generation explicitly; older ones fall to
+    // the grace window (measured from when THEY were superseded)
+    sweep(spark, dir, keep = Set(next) ++ prev, graceMs = orphanGraceMs, reconcileInto = None)
     written
   }
 
@@ -190,14 +194,18 @@ object IvfIndex {
     // late appends — recover them into the active geometry, then delete
     sweep(spark, dir, keep = Set(curName), graceMs = orphanGraceMs, reconcileInto = Some(cur))
     val curCells = spark.read.parquet(s"$cur/centroids.parquet").count()
-    val assigned = spark.read.parquet(s"$cur/assignments.parquet")
-      .select("n_id", "n_vec")
-      // the multi-pass retrain scans this repeatedly; the checkpoint also
-      // decouples it from the source files (swept after the swap)
-      .localCheckpoint()
-    val total = assigned.count()
+    // empty geometry (no assignments ever written): nothing to re-shard
+    if (!Files.isDirectory(Paths.get(cur, "assignments.parquet"))) return curCells.toInt
+    val assignedSrc = spark.read.parquet(s"$cur/assignments.parquet").select("n_id", "n_vec")
+    // occupancy guard BEFORE any materialization: Maintenance.autoIndex
+    // calls this after every batch, and the healthy-index path must cost
+    // one metadata count, not an O(corpus) checkpoint pin
+    val total = assignedSrc.count()
     if (total == 0L || curCells <= 0L) return curCells.toInt
     if (total / curCells <= targetCellRows) return curCells.toInt
+    // the multi-pass retrain scans this repeatedly; the checkpoint also
+    // decouples it from the source files (swept after the swap)
+    val assigned = assignedSrc.localCheckpoint()
     // clamp in Long space BEFORE narrowing: .toInt on the Long ceil would
     // wrap past 2^31 and reach trainCentroids with a garbage (possibly
     // negative) cell count instead of the clamp
@@ -206,14 +214,27 @@ object IvfIndex {
     val next = s"v${nextVersion(dir)}"
     val written = writeGeometry(spark, assigned, s"$dir/$next", newCells, kmeansIters, twoLevelGate)
     swapPointer(dir, next)
+    markSuperseded(cur) // grace clock runs from supersession (see build)
     // close the concurrent-append window: rows that landed in the OLD
     // geometry after the snapshot re-route into the new one
     reconcile(spark, cur, s"$dir/$next")
-    // prune superseded version dirs (after reconciling each), keeping the
-    // one we just replaced for in-flight readers that resolved the
-    // pointer before the swap
-    sweep(spark, dir, keep = Set(next, curName), graceMs = 0L, reconcileInto = Some(s"$dir/$next"))
+    // prune superseded version dirs past THEIR grace window (after
+    // reconciling each), keeping the one we just replaced for in-flight
+    // readers that resolved the pointer before the swap
+    sweep(spark, dir, keep = Set(next, curName), graceMs = orphanGraceMs,
+      reconcileInto = Some(s"$dir/$next"))
     written
+  }
+
+  /** Stamp a generation's supersession time: sweeps measure the reader
+    * grace window from this moment, not from when the dir was created —
+    * a generation that was ACTIVE for hours still gets its full window.
+    */
+  private def markSuperseded(genDir: String): Unit = {
+    val p = Paths.get(genDir)
+    if (Files.isDirectory(p))
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
   }
 
   /** Resolve the ACTIVE layout under `dir`: [[build]]/[[rebalance]]
@@ -282,27 +303,39 @@ object IvfIndex {
       finally s.close()
     }
     victims.foreach { p =>
-      reconcileInto.foreach(t => reconcile(spark, p.toString, t))
-      val w = Files.walk(p)
-      try w.iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
-      finally w.close()
+      // a victim is deleted only when its rows are provably safe: either
+      // no reconcile target was requested (build's rebuild-from-corpus
+      // semantics) or the reconcile actually ran — a target that cannot
+      // accept rows (empty geometry, no assignment table) must NOT cause
+      // a data-bearing victim to be destroyed
+      val safe = reconcileInto match {
+        case None    => true
+        case Some(t) => reconcile(spark, p.toString, t).isDefined
+      }
+      if (safe) {
+        val w = Files.walk(p)
+        try w.iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
+        finally w.close()
+      }
     }
   }
 
   /** Re-route rows present in `fromDir`'s assignments but absent from
     * `toDir`'s (by n_id) into `toDir` — the recovery arm for appends that
-    * raced a rebalance. Returns the number of rows recovered. Skips
-    * quietly when either side has no assignment table (empty geometry).
+    * raced a rebalance. Returns Some(rows recovered); an empty victim
+    * reconciles trivially (Some(0)), but a TARGET with no assignment
+    * table (empty geometry) returns None — it cannot accept rows, so the
+    * caller must not treat the victim as recovered.
     */
-  private def reconcile(spark: SparkSession, fromDir: String, toDir: String): Long = {
-    if (!Files.isDirectory(Paths.get(fromDir, "assignments.parquet"))) return 0L
-    if (!Files.isDirectory(Paths.get(toDir, "assignments.parquet"))) return 0L
+  private def reconcile(spark: SparkSession, fromDir: String, toDir: String): Option[Long] = {
+    if (!Files.isDirectory(Paths.get(fromDir, "assignments.parquet"))) return Some(0L)
+    if (!Files.isDirectory(Paths.get(toDir, "assignments.parquet"))) return None
     val old = spark.read.parquet(s"$fromDir/assignments.parquet").select("n_id", "n_vec")
     val act = spark.read.parquet(s"$toDir/assignments.parquet").select("n_id")
     val missing = old.join(act, Seq("n_id"), "left_anti").localCheckpoint()
     val n = missing.count()
     if (n > 0) appendAssigned(spark, toDir, missing)
-    n
+    Some(n)
   }
 
   /** Train + persist ONE geometry version under `stage`; returns cells
@@ -368,7 +401,13 @@ object IvfIndex {
     import spark.implicits._
     val nSupers = math.max(1, math.ceil(math.sqrt(nCells.toDouble)).toInt)
     val cellsPerSuper = (nCells.toLong + nSupers - 1) / nSupers
+    // renumber supers DENSELY (0..S-1, order-preserving so argmax tie
+    // breaks are unchanged): trained centroids keep their seed vector's
+    // n_id, and corpus ids can span the full Long range (xxhash64-derived
+    // ids are the documented pattern) — `sid * cellsPerSuper + idx` on a
+    // raw id would overflow and collide cell ids across supers
     val supers = Similarity.trainCentroids(c, nSupers, kmeansIters, dim)
+      .sortBy(_._1).zipWithIndex.map { case ((_, v), k) => (k.toLong, v) }
     if (supers.isEmpty)
       return (supers, Seq.empty[(Long, Seq[Double], Long)].toDF("c_id", "c_vec", "s_id"))
     // per-super training sample: hash-ranked head, capped so a task never

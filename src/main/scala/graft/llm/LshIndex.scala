@@ -343,11 +343,18 @@ object LshIndex {
       .join(maybeBroadcast(newBuckets), Seq("band", "bh"))
       .select(col("id_new"), col("id").as("id_indexed"))
       .distinct()
+      .localCheckpoint() // feeds the verify join AND its own size gate
     val storedSets = visible(readShingles(spark, dir))
       .select(col("id").as("id_indexed"), col("shset").as("set_indexed"))
-    // the verify side stays batch-×-candidates sized — broadcast it so
-    // the corpus-sized shingle table never shuffles either
-    maybeBroadcast(candidates.join(maybeBroadcast(newSets), "id_new"))
+    // the verify side is CANDIDATE-sized, not batch-sized — bucket
+    // collisions scale with batch × corpus, so the hint must be gated on
+    // the materialized candidate count too (same fix as EmbIndex: a small
+    // batch against a large corpus can otherwise build a driver-killing
+    // broadcast); past the limit the verify join shuffles, the right
+    // plan at that volume
+    val verifyHinted = hinted && candidates.count() <= broadcastRowLimit
+    val verifySide = candidates.join(maybeBroadcast(newSets), "id_new")
+    (if (verifyHinted) broadcast(verifySide) else verifySide)
       .join(storedSets, "id_indexed")
       .withColumn("isect", size(array_intersect(col("set_new"), col("set_indexed"))))
       .withColumn("union_sz", size(col("set_new")) + size(col("set_indexed")) - col("isect"))

@@ -69,6 +69,11 @@ object Maintenance {
       kmeansIters: Int = 2
   ): IndexDecision = {
     val adirBefore = graft.llm.IvfIndex.activeDir(dir)
+    // unconditional-scheduling contract: before the index exists this is
+    // a no-op, like auto's pre-threshold arm — not a crash
+    if (!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(adirBefore, "centroids.parquet")))
+      return IndexDecision(0L, 0L, rebalanced = false)
     val before = spark.read.parquet(s"$adirBefore/centroids.parquet").count()
     val after = graft.llm.IvfIndex.rebalance(spark, dir, targetCellRows, kmeansIters)
     // geometry-version change, not cell-count equality, is the acted signal

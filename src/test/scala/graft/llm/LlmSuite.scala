@@ -1130,6 +1130,21 @@ class SimilaritySuite extends AnyFunSuite {
       "build must keep the replaced generation one cycle for in-flight readers")
   }
 
+  test("sweep refuses to destroy a data-bearing generation when the active one cannot accept rows") {
+    // empty rebuild supersedes a data-bearing v1; the sweep's reconcile
+    // target (empty v2, no assignment table) cannot accept rows, so even
+    // at grace 0 the victim must survive — and rebalance on the empty
+    // geometry must no-op, not crash
+    val dir = graft.TestSpark.freshDir("ivf-empty-rebuild")
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nCells = 4, kmeansIters = 2)
+    val v1 = IvfIndex.activeDir(dir)
+    IvfIndex.build(emb.filter(col("vec_id") < 0), "vec_id", "embedding", dir)
+    assert(IvfIndex.activeDir(dir) !== v1)
+    assert(IvfIndex.rebalance(spark, dir, targetCellRows = 1L, orphanGraceMs = 0L) === 0)
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(v1)),
+      "data-bearing generation destroyed although the active geometry could not accept its rows")
+  }
+
   test("persisted embedding index: batch query equals brute cross pairs; append folds in") {
     val corpus = emb.filter(col("vec_id") % 10 =!= 0)
     val batch = emb.filter(col("vec_id") % 10 === 0)

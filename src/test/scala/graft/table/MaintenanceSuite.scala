@@ -57,6 +57,12 @@ class MaintenanceSuite extends AnyFunSuite {
     assert(!Maintenance.auto(spark, t, threshold = 1).compacted)
   }
 
+  test("autoIndex no-ops (not crashes) before the index exists") {
+    val dir = TestSpark.freshDir("maint-noidx")
+    assert(Maintenance.autoIndex(spark, dir, targetCellRows = 10L) ===
+      Maintenance.IndexDecision(0L, 0L, rebalanced = false))
+  }
+
   test("autoIndex rebalances only past target occupancy and reports the version change") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = TestSpark.freshDir("maint-index")
