@@ -151,13 +151,16 @@ object Multimodal {
     val cellCnt = new Array[Long](64)
     var y = 0
     while (y < h) {
-      val by = y * 8 / h
+      // Long cell arithmetic: y*8 in Int wraps past 2^28-pixel extents,
+      // reachable when a caller raises maxDecodePixels — the index must
+      // stay in [0,8) for ANY decodable dimension, not die off-kernel
+      val by = (y.toLong * 8 / h).toInt
       var x = 0
       while (x < w) {
         val rgb = img.getRGB(x, y)
         val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
         rs += r; gs += g; bs += b
-        val idx = by * 8 + (x * 8 / w)
+        val idx = by * 8 + (x.toLong * 8 / w).toInt
         cellSum(idx) += (r + g + b) / 3
         cellCnt(idx) += 1
         x += 1
@@ -203,8 +206,13 @@ object Multimodal {
       maxPixels: Long = DefaultMaxDecodePixels): Option[BufferedImage] =
     try {
       // header-first: read declared dimensions WITHOUT decoding pixels,
-      // and refuse rasters over the cap before ImageIO can allocate them
-      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      // and refuse rasters over the cap before ImageIO can allocate them.
+      // MemoryCacheImageInputStream, not createImageInputStream: the
+      // factory's default is a FileCacheImageInputStream that spools
+      // every (already fully in-memory) payload to a disk temp file —
+      // per-row temp-file I/O in the hot decode kernel
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(bytes))
       try {
         val readers = ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None
@@ -340,13 +348,22 @@ object Multimodal {
         val img =
           if (r.isNullAt(1)) None
           else tryDecode(r.getAs[Array[Byte]](1), maxDecodePixels)
-        img match {
-          case Some(im) =>
-            val dw = math.max(1, (im.getWidth.toLong * num / den).toInt)
-            val dh = math.max(1, (im.getHeight.toLong * num / den).toInt)
-            val bytes = encode(bilinearResize(im, dw, dh), "png")
+        // the OUTPUT raster is capped like the input: an upscale can
+        // demand an arbitrarily large allocation (or Int-overflow the
+        // buffer size) from a legitimately decodable source — over-cap
+        // targets map to null media like any undecodable payload
+        val dims = img.map { im =>
+          (math.max(1L, im.getWidth.toLong * num / den),
+            math.max(1L, im.getHeight.toLong * num / den))
+        }
+        (img, dims) match {
+          // Int bounds FIRST: with both dims <= 2^31 the product fits a
+          // Long, so the pixel-cap comparison itself cannot overflow
+          case (Some(im), Some((dwL, dhL)))
+              if dwL <= Int.MaxValue && dhL <= Int.MaxValue && dwL * dhL <= maxDecodePixels =>
+            val bytes = encode(bilinearResize(im, dwL.toInt, dhL.toInt), "png")
             Row(id, bytes, Row(kind, "image/png", bytes.length.toLong))
-          case None => Row(id, null, Row(kind, null, 0L))
+          case _ => Row(id, null, Row(kind, null, 0L))
         }
       }
     }

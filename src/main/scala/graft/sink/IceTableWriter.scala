@@ -480,10 +480,8 @@ object IceTableWriter {
       validateFromSeq: Option[Long] = None,
       allowConcurrentAppends: Boolean = false
   ): Option[Commit] = {
-    // K7 file-level dedup now lives in CommitLog.commit (the one commit
-    // builder every public path funnels through); nothing to do here
-    val dedupData = dataFiles
-    val dedupDeletes = deleteFiles
+    // K7 file-level dedup lives in CommitLog.commit (the one commit
+    // builder every public path funnels through)
     val committed = table.log.commit(
       batchId,
       { seq =>
@@ -527,8 +525,8 @@ object IceTableWriter {
           commitId = java.util.UUID.randomUUID().toString,
           timestampMs = System.currentTimeMillis(),
           schemaVersion = table.currentSchemaVersion,
-          dataFiles = dedupData,
-          deleteFiles = dedupDeletes,
+          dataFiles = dataFiles,
+          deleteFiles = deleteFiles,
           offsets = offsets,
           vtts = vtts,
           props = props,

@@ -152,15 +152,39 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
     if (seqs.isEmpty) 0L else seqs.max
   }
 
-  /** Replay fence: batch ids are committed in order, so only the LAST
-    * entry needs reading (one file, not the log).
+  /** Highest COMMITTED (zombie-filtered) seq — the anchor for conflict-
+    * validation windows. [[lastSeq]] counts raw directory claims,
+    * including a duplicate-batch zombie that its writer will roll back,
+    * FREEING that seq for reuse by a later real commit; a validation
+    * window `seq > s0` anchored on the raw value would then miss the
+    * real commit that reused the freed seq (a rewrite could silently
+    * void a concurrent equality delete that way).
+    */
+  def lastCommittedSeq(): Long = commits().lastOption.map(_.seq).getOrElse(0L)
+
+  /** Replay fence: batch ids are committed in order, so normally only
+    * the LAST entry needs reading (one file, not the log). The fast path
+    * is guarded against a zombie tail — a crashed duplicate of an OLDER
+    * batch linked above the real head would understate the fence and let
+    * the NEXT batch's replay double-commit — by checking one step of
+    * batch-id monotonicity against the previous entry and falling back
+    * to the filtered log when it is violated. (Residual assumption: two
+    * or more DISTINCT-batch zombies stacked in increasing batch order
+    * would still fool the fast path; that needs two different replayed
+    * batches both crashing between link and rollback at the head, which
+    * the single-coordinator deployment cannot produce.)
     */
   def lastBatchId(): Option[Long] = {
-    val last = lastSeq()
-    if (last == 0L) None
+    val seqs = listNames().filter(_.matches("v\\d+\\.json")).map(seqOf(_, "")).sorted
+    if (seqs.isEmpty) None
     else
-      readCommitOpt(commitPath(last)) match {
-        case Some(c) if c.batchId >= 0 => Some(c.batchId)
+      readCommitOpt(commitPath(seqs.last)) match {
+        case Some(c) if c.batchId >= 0 =>
+          val monotone = seqs.size < 2 ||
+            readCommitOpt(commitPath(seqs(seqs.size - 2)))
+              .forall(p => p.batchId < 0 || p.batchId <= c.batchId)
+          if (monotone) Some(c.batchId)
+          else commits().filter(_.batchId >= 0).lastOption.map(_.batchId)
         // batchId < 0, or the last entry was a zombie rolled back between
         // the directory listing and the read — fall back to the full log
         case _ => commits().filter(_.batchId >= 0).lastOption.map(_.batchId)

@@ -726,7 +726,11 @@ final class IceTable private[table] (
     var attempt = 0
     while (true) {
       attempt += 1
-      val scanSeq = log.lastSeq()
+      // lastCommittedSeq, NOT lastSeq: a duplicate-batch zombie counted
+      // by the raw listing can roll back and free its seq for reuse — a
+      // validation window anchored past it would miss the real commit
+      // that reuses the seq (see CommitLog.lastCommittedSeq)
+      val scanSeq = log.lastCommittedSeq()
       try {
         graft.sink.IceTableWriter.append(spark, read(spark), this, batchId = -1,
           compaction = true, sortBy = sortBy, sortPartitions = sortPartitions,
@@ -761,7 +765,11 @@ final class IceTable private[table] (
     var attempt = 0
     while (true) {
       attempt += 1
-      val scanSeq = log.lastSeq()
+      // lastCommittedSeq, NOT lastSeq: a duplicate-batch zombie counted
+      // by the raw listing can roll back and free its seq for reuse — a
+      // validation window anchored past it would miss the real commit
+      // that reuses the seq (see CommitLog.lastCommittedSeq)
+      val scanSeq = log.lastCommittedSeq()
       val df = read(spark)
       // one k-row agg for normalization bounds (k = dimension count)
       val bounds = df.select(cols.flatMap(c =>
@@ -810,7 +818,11 @@ final class IceTable private[table] (
     var attempt = 0
     while (true) {
       attempt += 1
-      val scanSeq = log.lastSeq()
+      // lastCommittedSeq, NOT lastSeq: a duplicate-batch zombie counted
+      // by the raw listing can roll back and free its seq for reuse — a
+      // validation window anchored past it would miss the real commit
+      // that reuses the seq (see CommitLog.lastCommittedSeq)
+      val scanSeq = log.lastCommittedSeq()
       val hasLiveDeletes = meta.idColumns.nonEmpty &&
         liveCommits(None).exists(_.deleteFiles.nonEmpty)
       if (hasLiveDeletes) {

@@ -1528,6 +1528,14 @@ class MultimodalSuite extends AnyFunSuite {
     val refusedResize = Multimodal.resizeBilinear(media, "id", "media", 1, 2,
       maxDecodePixels = 1L).collect()
     assert(refusedResize.length === 1 && refusedResize(0).isNullAt(1))
+    // the OUTPUT raster is capped too: a huge upscale of a legitimately
+    // decodable image maps to null media instead of allocating the target
+    val up = Multimodal.resizeBilinear(media, "id", "media", 1000000, 1).collect()
+    assert(up.length === 1 && up(0).isNullAt(1),
+      "over-cap upscale target must dead-letter, not allocate")
+    // a sane upscale still works
+    val ok2 = Multimodal.resizeBilinear(media, "id", "media", 2, 1).collect()
+    assert(ok2.length === 1 && !ok2(0).isNullAt(1))
   }
 
   test("frame sampling keeps byte-exact plumbing (payload slicing; no JDK video codec)") {

@@ -136,6 +136,28 @@ class IceTableSuite extends AnyFunSuite {
     assert(t.log.commit(7L, s => Commit(s, 7L, "again", 0L, 1)).isEmpty)
   }
 
+  test("a zombie of an OLDER batch at the log head cannot understate the replay fence") {
+    val dir = TestSpark.freshDir("t-zombie-fence")
+    val t = IceTable.create(dir, schema, TableMeta())
+    IceTableWriter.append(spark, df((1L, "a", 1.0)), t, batchId = 5)
+    IceTableWriter.append(spark, df((2L, "b", 2.0)), t, batchId = 6)
+    // crashed duplicate of batch 5 linked ABOVE the real head: the naive
+    // last-entry fast path would report lastBatchId = 5 and let a replay
+    // of batch 6 commit twice
+    val b5 = t.log.commits().head
+    val zombie = b5.copy(seq = t.log.lastSeq() + 1, commitId = "zombie5")
+    java.nio.file.Files.write(
+      t.log.root.resolve(f"v${zombie.seq}%09d.json"),
+      CommitLog.mapper.writeValueAsBytes(zombie))
+    assert(t.log.lastBatchId() === Some(6L))
+    assert(t.log.commit(6L, s => Commit(s, 6L, "replay6", 0L, 1)).isEmpty,
+      "batch-6 replay must be fenced despite the zombie head")
+    // and the zombie's raw seq claim must not anchor validation windows:
+    // the committed view stops at the real head
+    assert(t.log.lastCommittedSeq() === b5.seq + 1)
+    assert(t.log.lastSeq() === zombie.seq)
+  }
+
   test("readers tolerate a zombie rollback deleting a listed commit file") {
     // two writers race the same batchId while readers scan continuously:
     // the loser's post-link rollback deletes a v*.json a reader may have
