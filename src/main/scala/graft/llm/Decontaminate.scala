@@ -42,14 +42,21 @@ object Decontaminate {
       .agg(min("b_id").as("first_benchmark_id"))
     val corpusNgrams = corpus
       .select(col(idCol).as("id"), explode(Dedup.shingles(col(textCol), n)).as("ng"))
-    corpusNgrams
-      .join(broadcast(benchIndex), "ng")
+    hitRollup(corpusNgrams.join(broadcast(benchIndex), "ng"), minHits)
+  }
+
+  /** Shared hit-accounting tail of all three report paths — ONE
+    * definition so the documented bit-for-bit equivalence between
+    * [[overlapReport]], [[overlapReportBloom]] and
+    * [[overlapReportIndexed]] cannot drift.
+    */
+  private def hitRollup(hits: DataFrame, minHits: Int): DataFrame =
+    hits
       .groupBy("id")
       .agg(
         count(lit(1)).as("hit_ngrams"), // shingles are distinct per doc
         min("first_benchmark_id").as("first_benchmark_id"))
       .filter(col("hit_ngrams") >= minHits)
-  }
 
   /** Contamination STRIPPING — the removal step after [[overlapReport]]'s
     * flagging: every token position covered by any word `n`-gram that
@@ -161,20 +168,17 @@ object Decontaminate {
         val mightContain = GraftInternal.column(new BloomFilterMightContain(
           GraftInternal.expression(lit(bloomBytes)),
           GraftInternal.expression(xxhash64(col("ng")))))
-        corpus
-          .select(col(idCol).as("id"), explode(Dedup.shingles(col(textCol), n)).as("ng"))
-          .filter(mightContain)
-          .join(benchIndex, "ng")
-          .groupBy("id")
-          .agg(
-            count(lit(1)).as("hit_ngrams"), // shingles are distinct per doc
-            min("first_benchmark_id").as("first_benchmark_id"))
-          .filter(col("hit_ngrams") >= minHits)
+        hitRollup(
+          corpus
+            .select(col(idCol).as("id"), explode(Dedup.shingles(col(textCol), n)).as("ng"))
+            .filter(mightContain)
+            .join(benchIndex, "ng"),
+          minHits)
     }
   }
 
   /** On-disk layout version for the persisted index ([[buildIndex]]). */
-  private val LayoutVersion = 1
+  private val LayoutVersion = 2
 
   /** Persist the benchmark's decontamination index — the INCREMENTAL form
     * of [[overlapReportBloom]], completing the persisted-index family
@@ -202,11 +206,18 @@ object Decontaminate {
       .select(col(idCol).as("b_id"), explode(Dedup.shingles(col(textCol), n)).as("ng"))
       .localCheckpoint() // feeds the Bloom build AND the exact index
     val bf = buildBloom(benchNg, fpp).orNull
+    // crash-atomic publish: the exact index stages under a fresh
+    // generation dir and the meta row (which carries the Bloom bitmap AND
+    // the generation pointer) commits LAST — a crash mid-rebuild can
+    // never pair a stale bitmap/n with a new n-gram table, which would
+    // silently prune REAL contamination map-side (false negatives)
+    val gen = IndexLayout.newGeneration()
     benchNg.groupBy("ng").agg(min("b_id").as("first_benchmark_id"))
-      .write.mode("overwrite").parquet(s"$dir/ngrams.parquet")
-    Seq((n, LayoutVersion, bf)).toDF("n", "layout", "bf")
+      .write.mode("overwrite").parquet(s"$dir/$gen/ngrams.parquet")
+    Seq((n, LayoutVersion, bf, gen)).toDF("n", "layout", "bf", "gen")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    IndexLayout.sweepGenerations(dir, keep = gen)
   }
 
   /** Screen a corpus batch against a persisted index: the stored Bloom
@@ -224,12 +235,16 @@ object Decontaminate {
       textCol: String,
       minHits: Int = 1
   ): DataFrame = {
-    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+    val metaDf = spark.read.parquet(s"$dir/meta.parquet")
+    require(metaDf.columns.contains("gen"),
+      s"decontamination index at $dir predates layout v$LayoutVersion — rebuild the index")
+    val meta = metaDf.head()
     val layout = meta.getAs[Int]("layout")
     require(layout == LayoutVersion,
       s"decontamination index at $dir has layout v$layout; this build reads v$LayoutVersion")
     val n = meta.getAs[Int]("n")
     val bf = meta.getAs[Array[Byte]]("bf")
+    val gen = meta.getAs[String]("gen")
     val corpusNgrams = corpus
       .select(col(idCol).as("id"), explode(Dedup.shingles(col(textCol), n)).as("ng"))
     val pruned =
@@ -237,13 +252,7 @@ object Decontaminate {
       else corpusNgrams.filter(GraftInternal.column(new BloomFilterMightContain(
         GraftInternal.expression(lit(bf)),
         GraftInternal.expression(xxhash64(col("ng"))))))
-    pruned
-      .join(spark.read.parquet(s"$dir/ngrams.parquet"), "ng")
-      .groupBy("id")
-      .agg(
-        count(lit(1)).as("hit_ngrams"), // shingles are distinct per doc
-        min("first_benchmark_id").as("first_benchmark_id"))
-      .filter(col("hit_ngrams") >= minHits)
+    hitRollup(pruned.join(spark.read.parquet(s"$dir/$gen/ngrams.parquet"), "ng"), minHits)
   }
 
   /** The removal composition: corpus minus contaminated docs (anti-join

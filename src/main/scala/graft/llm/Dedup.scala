@@ -441,8 +441,6 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.6
   ): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
     // one shingle pass feeds both the signatures and the verification
     // sets; materialized once (cluster scale: a persisted index table).
     // Docs shorter than n tokens have EMPTY shingle sets: their minhash
@@ -456,6 +454,22 @@ object Dedup {
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("shset"))
       .filter(size(col("shset")) > 0)
       .localCheckpoint()
+    minhashLshPairsFromSets(withSets, numHashes, bands, threshold)
+  }
+
+  /** [[minhashLshPairs]] over a PRE-SHINGLED, materialized (id, shset)
+    * frame — the streaming shell computes the batch's shingle sets once
+    * per trigger and feeds cross-probe, within-batch search, and the
+    * index fold from the same frame instead of re-shingling three times.
+    */
+  private[graft] def minhashLshPairsFromSets(
+      withSets: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
     val sig = withSets
       .select(col("id"), transform(col("shset"), s => abs(xxhash64(s))).as("hh"))
       .select(col("id"), minhashSignatureFromHashes(col("hh"), numHashes).as("sig"))
@@ -660,7 +674,12 @@ object Dedup {
       lshBits: Int = 0,
       lshTables: Int = AutoSize,
       dedupCandidates: Boolean = true,
-      targetBucketSize: Int = 16
+      targetBucketSize: Int = 16,
+      /** hyperplane width; 0 = detect from the first non-degenerate
+        * vector. Callers matching a persisted index's signatures (the
+        * streaming shells) pass the index's meta.dim so the within-batch
+        * pass can never disagree with the index. */
+      dim0: Int = 0
   ): DataFrame = {
     val v = df.select(col(idCol).as("id"), Similarity.normalize(col(vecCol)).as("v"))
     if (lshBits == 0) {
@@ -685,7 +704,7 @@ object Dedup {
         else math.min(bitsVolume, recallFeasibleBits(threshold,
           maxTables = if (lshTables > 0) lshTables else 64))
       val tables = if (lshTables > 0) lshTables else sizedLshTables(threshold, bits)
-      val candidates0 = lshCandidateStream(vv, bits, tables)
+      val candidates0 = lshCandidateStream(vv, bits, tables, dim0)
       val candidates = if (dedupCandidates) candidates0.distinct() else candidates0
       val verified = candidates
         .join(vv.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
@@ -717,12 +736,15 @@ object Dedup {
           col(vecName), bits, math.max(1, tables), dim)))
       .select(col(idName), col("pos").as("t"), col("col").as("sig"))
 
-  private def lshCandidateStream(vv: DataFrame, bits: Int, tables: Int): DataFrame = {
-    // plane dimensionality from the corpus itself — a hardcoded width
-    // would silently truncate higher-dimensional embeddings (vectors
-    // beyond the plane width stop influencing the signature); shares
+  private def lshCandidateStream(
+      vv: DataFrame, bits: Int, tables: Int, dim0: Int = 0): DataFrame = {
+    // plane dimensionality from the corpus itself (unless the caller
+    // pinned it to a persisted index's width) — a hardcoded width would
+    // silently truncate higher-dimensional embeddings (vectors beyond
+    // the plane width stop influencing the signature); shares
     // Similarity's detection contract
-    val dim = Similarity.detectDim(vv.select(col("v").as("n_vec")))
+    val dim =
+      if (dim0 > 0) dim0 else Similarity.detectDim(vv.select(col("v").as("n_vec")))
     val sigged = hyperplaneSigRows(vv, "id", "v", bits, tables, dim)
     sigged.alias("a")
       .join(sigged.alias("b"), Seq("t", "sig"))

@@ -132,7 +132,7 @@ object LshIndex {
       .select(col(idName), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
-  private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  private[graft] def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     IntegralId.require(df, idCol, "LshIndex")
     df.select(col(idCol).cast("long").as("id"), Dedup.shingles(col(textCol), n).as("shset"))
       // docs shorter than n tokens have EMPTY shingle sets: their minhash
@@ -258,7 +258,10 @@ object LshIndex {
       idCol: String,
       textCol: String,
       batchId: Long,
-      meta: LshMeta
+      meta: LshMeta,
+      /** pre-shingled, MATERIALIZED (id, shset) frame for exactly the
+        * rows of `batch` (see [[queryBatchWith]]). */
+      preSets: Option[DataFrame] = None
   ): Long = {
     // a batch at or below the compaction watermark was already FOLDED into
     // the base partition: its rows are in the index but no longer
@@ -268,8 +271,8 @@ object LshIndex {
     // compact below the stream's committed batch) means this guard only
     // ever fires defensively.
     if (batchId <= meta.compactedThrough) return 0L
-    val withSets = shingleSets(batch, idCol, textCol, meta.n)
-      .localCheckpoint()
+    val withSets = preSets.getOrElse(
+      shingleSets(batch, idCol, textCol, meta.n).localCheckpoint())
     dropBatchPartition(spark, s"$dir/buckets.parquet", batchId)
     bucketRows(withSets, "id", "shset", meta.numHashes, meta.bands)
       .withColumn("src_batch", lit(batchId))
@@ -324,13 +327,19 @@ object LshIndex {
       threshold: Double,
       excludeBatch: Option[Long],
       meta: LshMeta,
-      broadcastRowLimit: Long = ProbeBroadcastRowLimit
+      broadcastRowLimit: Long = ProbeBroadcastRowLimit,
+      /** pre-shingled, MATERIALIZED (id, shset) frame for the batch (the
+        * [[shingleSets]] output) — streaming shells pass it so one
+        * shingle pass per trigger feeds probe, pair search, and fold. */
+      preSets: Option[DataFrame] = None
   ): DataFrame = {
     def visible(df: DataFrame): DataFrame =
       excludeBatch.fold(df)(b => df.filter(col("batch") =!= b && col("src_batch") =!= b))
-    val newSets = shingleSets(batch, idCol, textCol, meta.n)
-      .select(col("id").as("id_new"), col("shset").as("set_new"))
-      .localCheckpoint() // feeds the bucket probe AND the verify join
+    val newSets = preSets
+      .map(_.select(col("id").as("id_new"), col("shset").as("set_new")))
+      .getOrElse(shingleSets(batch, idCol, textCol, meta.n)
+        .select(col("id").as("id_new"), col("shset").as("set_new"))
+        .localCheckpoint()) // feeds the bucket probe AND the verify join
     // size gate on the materialized batch (the count is one cheap scan of
     // checkpointed blocks): only hint the joins when the batch side is
     // genuinely broadcast-sized

@@ -70,9 +70,11 @@ object Packing {
       var used = Long.MaxValue
       it.map { case (id, shard, toks) =>
         if (shard != curShard) { curShard = shard; seqNo = -1L; used = Long.MaxValue }
-        // Long.MaxValue sentinel forces the first doc of a shard to open
-        // sequence 0 through the same does-not-fit branch
-        if (used > budgetTokens - toks) { seqNo += 1; seqPos = 0L; used = toks }
+        // the explicit seqNo < 0 arm (not just the Long.MaxValue used
+        // sentinel) opens a shard's first sequence even when
+        // budgetTokens == Long.MaxValue and the first doc has 0 tokens —
+        // the arithmetic alone would emit seq_no = -1 there
+        if (seqNo < 0 || used > budgetTokens - toks) { seqNo += 1; seqPos = 0L; used = toks }
         else { seqPos += 1; used += toks }
         (id, shard, seqNo, seqPos)
       }

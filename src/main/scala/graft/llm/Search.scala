@@ -23,17 +23,33 @@ object Search {
 
   /** Persisted BM25 index layout version (bump on layout change — probes
     * refuse to read a layout they weren't built for). v2 added positional
-    * postings (phrase probes). */
-  val IndexVersion = 2
+    * postings (phrase probes); v3 moved the stats into `meta.parquet`
+    * (written through Spark's filesystem layer like every other index in
+    * the family — a driver-local java.nio stats file splits the index
+    * across two filesystems on any cluster whose default FS isn't local)
+    * and made the build crash-atomic: data tables stage under a fresh
+    * `gen-*` subdir and the meta write is the LAST step, so a reader
+    * never pairs new tables with stale stats (stale `termBuckets` would
+    * silently prune the wrong partitions). */
+  val IndexVersion = 3
+
+  private[graft] final case class SearchMeta(
+      termBuckets: Long, n: Long, sumdl: Long, gen: String)
 
   /** Build a persisted full-text index: a POSITIONAL postings table
     * (term, id, tf, position set) partitioned by a term-hash bucket
     * (vocabulary is too large for one directory per term; the bucket
     * gives partition pruning on the probe's literal bucket set), a
-    * doc-length table, and a stats file (N, Σdl). One tokenize + one
-    * aggregation — the index build IS the stats pass [[bm25TopK]]
-    * repeats per query, paid once; positions add phrase capability for
-    * ~one extra int per token of index bytes.
+    * doc-length table, and a meta row (N, Σdl, termBuckets, generation).
+    * One tokenize + one aggregation — the index build IS the stats pass
+    * [[bm25TopK]] repeats per query, paid once; positions add phrase
+    * capability for ~one extra int per token of index bytes.
+    *
+    * Publish order: both data tables land under a fresh generation dir,
+    * THEN meta commits the generation — a crash mid-build leaves the
+    * previous generation's meta+tables fully paired. Superseded
+    * generations are kept one cycle for in-flight probes (the
+    * [[IvfIndex]] keep-one rule), older ones swept.
     */
   def buildIndex(
       docs: DataFrame,
@@ -43,6 +59,9 @@ object Search {
       termBuckets: Int = 64
   ): Unit = {
     require(termBuckets >= 1, s"termBuckets must be >= 1: $termBuckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val gen = IndexLayout.newGeneration()
     val toks = docs
       .select(col(idCol).as("id"), posexplode(TextAnalysis.tokens(col(textCol))))
       .select(col("id"), (col("pos") + 1).as("p"), col("col").as("term"))
@@ -51,16 +70,18 @@ object Search {
     toks.groupBy("id", "term")
       .agg(count(lit(1)).as("tf"), collect_list(col("p")).as("positions"))
       .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/postings")
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/$gen/postings")
     docs.select(col(idCol).as("id"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$dir/doclen")
+      .write.mode("overwrite").parquet(s"$dir/$gen/doclen")
     val s = docs.agg(count(lit(1)).as("n"),
       sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("sumdl")).head()
-    val json = s"""{"version":$IndexVersion,"termBuckets":$termBuckets,""" +
-      s""""n":${s.getLong(0)},"sumdl":${if (s.isNullAt(1)) 0L else s.getLong(1)}}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir).resolve("stats.json"), json)
+    Seq((IndexVersion, termBuckets.toLong, s.getLong(0),
+      if (s.isNullAt(1)) 0L else s.getLong(1), gen))
+      .toDF("version", "term_buckets", "n", "sumdl", "gen")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    IndexLayout.sweepGenerations(dir, keep = gen)
   }
 
   /** BM25 top-k answered FROM the persisted index: the corpus is never
@@ -82,14 +103,13 @@ object Search {
       b: Double = 0.75
   ): DataFrame = {
     require(terms.nonEmpty, "at least one query term")
-    val stats = readStats(dir)
-    val n = stats.get("n").asLong()
-    val termBuckets = stats.get("termBuckets").asLong()
+    val meta = readMeta(spark, dir)
+    val n = meta.n
     if (n == 0L)
       return spark.range(0).select(col("id"), lit(0L).as("bm25_fixed"), lit(0L).as("rank"))
-    val avgdl = stats.get("sumdl").asLong().toDouble / n.toDouble
+    val avgdl = meta.sumdl.toDouble / n.toDouble
     // bucket ids via the SAME engine hash the build used (one k-term job)
-    val postings = probePostings(spark, dir, terms, termBuckets)
+    val postings = probePostings(spark, dir, terms, meta)
     // per-term document frequencies: reads only the probed postings
     val dfByTerm = postings.groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -104,7 +124,7 @@ object Search {
       when(col("term") === idf.head._1, lit(idf.head._2))) {
       case (acc, (t, w)) => acc.when(col("term") === t, lit(w))
     }
-    val doclen = spark.read.parquet(s"$dir/doclen")
+    val doclen = spark.read.parquet(s"$dir/${meta.gen}/doclen")
     val tf = col("tf").cast("double")
     val dl = col("dl").cast("double")
     val contrib = idfCol * tf * lit(k1 + 1.0) /
@@ -120,15 +140,20 @@ object Search {
           .orderBy(col("bm25_fixed").desc, col("id"))).cast("long"))
   }
 
-  /** Stats file with the layout-version guard every probe shares. */
-  private def readStats(dir: String): com.fasterxml.jackson.databind.JsonNode = {
-    val statsJson = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(dir).resolve("stats.json"))
-    val stats = new com.fasterxml.jackson.databind.ObjectMapper().readTree(statsJson)
-    require(stats.get("version").asInt() == IndexVersion,
-      s"BM25 index at $dir has layout version ${stats.get("version").asInt()}, " +
+  /** Meta row with the layout-version guard every probe shares; resolved
+    * ONCE per operation so stats and the generation's tables always come
+    * from the same build.
+    */
+  private def readMeta(
+      spark: org.apache.spark.sql.SparkSession, dir: String): SearchMeta = {
+    val meta = spark.read.parquet(s"$dir/meta.parquet")
+    require(meta.columns.contains("version") && meta.columns.contains("gen"),
+      s"BM25 index at $dir predates layout v$IndexVersion — rebuild the index")
+    val r = meta.select("version", "term_buckets", "n", "sumdl", "gen").head()
+    require(r.getInt(0) == IndexVersion,
+      s"BM25 index at $dir has layout version ${r.getInt(0)}, " +
         s"this engine reads $IndexVersion — rebuild the index")
-    stats
+    SearchMeta(r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
   }
 
   /** Postings rows for the probed terms: bucket partition pruning (the
@@ -139,13 +164,13 @@ object Search {
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       terms: Seq[String],
-      termBuckets: Long
+      meta: SearchMeta
   ): DataFrame = {
     // bucket ids via the SAME engine hash the build used (one k-term job)
     val buckets = spark.range(1).select(
-      terms.distinct.map(t => pmod(xxhash64(lit(t)), lit(termBuckets)).as(t)): _*).head()
+      terms.distinct.map(t => pmod(xxhash64(lit(t)), lit(meta.termBuckets)).as(t)): _*).head()
       .toSeq.map(_.asInstanceOf[Long]).distinct
-    spark.read.parquet(s"$dir/postings")
+    spark.read.parquet(s"$dir/${meta.gen}/postings")
       .filter(col("tb").isin(buckets: _*) && col("term").isin(terms.distinct: _*))
   }
 
@@ -162,8 +187,8 @@ object Search {
       phrase: Seq[String]
   ): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    val stats = readStats(dir)
-    val postings = probePostings(spark, dir, phrase, stats.get("termBuckets").asLong())
+    val meta = readMeta(spark, dir)
+    val postings = probePostings(spark, dir, phrase, meta)
     val slots = phrase.zipWithIndex.map { case (t, i) =>
       postings.filter(col("term") === t).select(col("id"), col("positions").as(s"p$i"))
     }

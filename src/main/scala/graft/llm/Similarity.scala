@@ -490,7 +490,11 @@ object Similarity {
 
   /** Embedding width of (n_id, n_vec)-shaped `c`; 64 on an empty corpus. */
   private[llm] def detectDim(c: DataFrame): Int =
-    c.select(size(col("n_vec"))).take(1) match {
+    // first NON-DEGENERATE row, not just the first row: a null/empty
+    // leading vector in an unfiltered frame would otherwise collapse the
+    // detected width to the 64 fallback and silently truncate every
+    // signature/mean computed from it
+    c.select(size(col("n_vec")).as("__s")).filter(col("__s") > 0).take(1) match {
       case Array(r) if !r.isNullAt(0) => math.max(1, r.getInt(0))
       case _                          => 64
     }

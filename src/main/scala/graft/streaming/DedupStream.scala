@@ -52,29 +52,40 @@ object DedupStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val b = batch.localCheckpoint() // scanned by cross-probe, pair search, anti-joins
+        // ONE shingle pass per trigger: the materialized (id, shset)
+        // frame feeds the cross-probe, the within-batch pair search, and
+        // the index fold — the shingle expression is the batch's
+        // dominant map-side cost and used to run three times
+        val sets = LshIndex.shingleSets(b, idCol, textCol, meta.n).localCheckpoint()
         // 1. cross-batch: anything near-duplicating the indexed corpus
         // goes. The probe EXCLUDES this batch id's own index partition:
         // on a replay (first attempt died after its appendBatch), the
         // survivors would otherwise self-match at Jaccard 1 and the
         // replay would sink an empty batch — silent data loss.
         val crossDup = LshIndex.queryBatchWith(spark, indexDir, b, idCol, textCol,
-          threshold, excludeBatch = Some(batchId), meta)
+          threshold, excludeBatch = Some(batchId), meta, preSets = Some(sets))
           .select(col("id_new").as("__dup_id")).distinct()
         val afterCross = b.join(crossDup,
           b(idCol).cast("long") === col("__dup_id"), "left_anti")
+        val setsAfterCross = sets.join(crossDup,
+          col("id") === col("__dup_id"), "left_anti")
         // 2. within-batch: same signature parameters as the index, losers =
         // every component member except the min id
-        val pairs = Dedup.minhashLshPairs(afterCross, idCol, textCol,
-          n = meta.n, numHashes = meta.numHashes, bands = meta.bands, threshold = threshold)
+        val pairs = Dedup.minhashLshPairsFromSets(setsAfterCross,
+          numHashes = meta.numHashes, bands = meta.bands, threshold = threshold)
         val losers = Dedup.connectedComponents(pairs)
           .filter(col("id") =!= col("group_id"))
           .select(col("id").as("__loser_id"))
+          .localCheckpoint() // filters the batch AND its shingle frame
         val survivors = afterCross.join(losers,
           afterCross(idCol).cast("long") === col("__loser_id"), "left_anti")
           .localCheckpoint() // feeds the index fold AND the sink
+        val setsSurvivors = setsAfterCross.join(losers,
+          col("id") === col("__loser_id"), "left_anti")
         // 3. replay-safe index fold (delete-then-write of this batch's
         // partition), THEN 4. the (batchId-fenced) sink
-        LshIndex.appendBatchWith(spark, indexDir, survivors, idCol, textCol, batchId, meta)
+        LshIndex.appendBatchWith(spark, indexDir, survivors, idCol, textCol, batchId, meta,
+          preSets = Some(setsSurvivors))
         sink(survivors, batchId)
       }
       .start()

@@ -68,7 +68,10 @@ object EmbDedupStream {
         // 2. within-batch at the index's parameters; losers = every
         // component member except the min id
         val pairs = Dedup.embeddingNearDupPairs(afterCross, idCol, vecCol, threshold,
-          lshBits = meta.bits, lshTables = meta.tables)
+          // dim pinned to the index's width: a degenerate (null/empty)
+          // leading vector in the batch must not re-detect a narrower
+          // plane set than the signatures the index was built with
+          lshBits = meta.bits, lshTables = meta.tables, dim0 = meta.dim)
         val losers = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
           .filter(col("id") =!= col("group_id"))
           .select(col("id").as("__loser_id"))

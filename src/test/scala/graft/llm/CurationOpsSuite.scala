@@ -180,11 +180,28 @@ class CurationOpsSuite extends AnyFunSuite {
       .filter(array_contains(Dedup.shingles(col("text"), 2), phrase.mkString(" ")))
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(viaIndex === viaScan)
+    // crash-atomicity of a REBUILD: data tables stage under a fresh
+    // generation, the meta row commits last — simulate a crash just
+    // before the meta write by rebuilding with different termBuckets and
+    // restoring the OLD meta row: probes must still answer from the old,
+    // fully-paired generation (stale stats pruning new tables was the
+    // failure mode the v3 layout closes)
+    val oldMeta = spark.read.parquet(s"$dir/meta.parquet").collect()
+    val oldMetaSchema = spark.read.parquet(s"$dir/meta.parquet").schema
+    Search.buildIndex(docs, "doc_id", "text", dir, termBuckets = 7)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(oldMeta: _*)),
+      oldMetaSchema)
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    val afterCrash = Search.topKIndexed(spark, dir, terms, k = 10)
+      .select("id", "rank").as[(Long, Long)].collect().toSeq
+    assert(afterCrash === direct, "probe after a crashed rebuild must answer from the old generation")
     // layout-version guard fails loudly
-    val statsPath = java.nio.file.Paths.get(dir).resolve("stats.json")
-    val tampered = java.nio.file.Files.readString(statsPath)
-      .replace(s""""version":${Search.IndexVersion}""", "\"version\":99")
-    java.nio.file.Files.writeString(statsPath, tampered)
+    import org.apache.spark.sql.functions.lit
+    spark.read.parquet(s"$dir/meta.parquet").withColumn("version", lit(99))
+      .write.mode("overwrite").parquet(s"$dir/meta_tmp.parquet")
+    spark.read.parquet(s"$dir/meta_tmp.parquet")
+      .write.mode("overwrite").parquet(s"$dir/meta.parquet")
     val e = intercept[IllegalArgumentException] {
       Search.topKIndexed(spark, dir, terms, k = 10)
     }
