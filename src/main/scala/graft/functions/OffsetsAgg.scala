@@ -39,9 +39,9 @@ case class OffsetsAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = OffsetsAgg.OutType
 
-  // analysis-time rejection: `offset`/`ts` are read via
-  // asInstanceOf[Number] — a string-typed column would otherwise pass
-  // analysis and die mid-job with an opaque per-row ClassCastException
+  // analysis-time rejection: `offset`/`ts` are read numerically — a
+  // string-typed column would otherwise pass analysis and die mid-job
+  // with an opaque per-row ClassCastException
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
     def numeric(e: Expression, what: String): Option[String] = e.dataType match {
@@ -70,10 +70,10 @@ case class OffsetsAgg(
     val o = offset.eval(input)
     if (t == null || p == null || o == null) return buf
     val key = s"${t.toString}-${p.toString}"
-    val off = o.asInstanceOf[Number].longValue()
+    val off = OffsetsAgg.toLongValue(o)
     val tsv = ts.eval(input)
     val (hasTs, tsl) =
-      if (tsv == null) (false, Long.MinValue) else (true, tsv.asInstanceOf[Number].longValue())
+      if (tsv == null) (false, Long.MinValue) else (true, OffsetsAgg.toLongValue(tsv))
     buf.get(key) match {
       case None => buf(key) = (off, tsl, hasTs)
       case Some((o0, t0, h0)) =>
@@ -136,6 +136,17 @@ case class OffsetsAgg(
 }
 
 object OffsetsAgg {
+  // DecimalType passes the NumericType gate but Spark's Decimal does NOT
+  // implement java.lang.Number — a bare asInstanceOf[Number] would crash
+  // per-row on the common DECIMAL(20,0) unsigned-bigint mapping
+  private[functions] def toLongValue(v: Any): Long = v match {
+    case d: Decimal => d.toLong
+    case n: java.lang.Number => n.longValue()
+    case other =>
+      throw new IllegalArgumentException(
+        s"offsets_agg: non-numeric runtime value of ${other.getClass.getName}")
+  }
+
   val OutType: DataType = MapType(
     StringType,
     StructType(Seq(

@@ -98,8 +98,17 @@ object TextHashUtil {
     val bs = new Array[Long](k)
     var i = 0
     while (i < k) {
-      as(i) = math.abs(rnd.nextLong()) % Mod + 1
-      bs(i) = math.abs(rnd.nextLong()) % Mod
+      // two degenerate draws (each ~2^-61 per draw) need folding: abs of
+      // Long.MinValue is STILL negative (a could land at -3, outside the
+      // universal-hash family), and abs%Mod == Mod-1 would make a == Mod
+      // ≡ 0 (mod p) — a CONSTANT permutation inflating every pairwise
+      // similarity estimate by 1/k. floorMod folds the first; remapping
+      // the second to 1 keeps a in [1, Mod-1]. Every non-degenerate draw
+      // is bit-identical to the plain abs%Mod formulation, so existing
+      // signatures/persisted indexes are unchanged.
+      val a0 = math.floorMod(math.abs(rnd.nextLong()), Mod)
+      as(i) = if (a0 == Mod - 1) 1L else a0 + 1
+      bs(i) = math.floorMod(math.abs(rnd.nextLong()), Mod)
       i += 1
     }
     (as, bs)

@@ -17,8 +17,11 @@ import org.apache.spark.sql.types._
   */
 object VectorKernels {
   // All kernels NULL-PROPAGATE on null elements (boxed return, null when
-  // any element in the overlap is null) — matching the zip_with/aggregate
-  // HOF formulation they are the fused twin of. Reading a null slot via
+  // any element in the overlap is null) AND on length-mismatched inputs —
+  // matching the zip_with/aggregate HOF formulation they are the fused
+  // twin of (zip_with null-pads the shorter array, so a mismatched pair
+  // aggregates to NULL, never to a silently-partial dot that could pass a
+  // similarity threshold). Reading a null slot via
   // the primitive accessor would silently yield 0.0 (UnsafeArrayData) or
   // NPE (GenericArrayData): a wrong answer either way. The per-element
   // isNullAt is one bitset test; containsNull=false arrays pay only it.
@@ -27,7 +30,8 @@ object VectorKernels {
   // so the JIT dead-branch-eliminates the per-element null test on
   // proven-tight arrays and the fast loop stays as before.
   def dotDD(a: ArrayData, b: ArrayData, checked: Boolean): java.lang.Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     if (checked) {
@@ -42,7 +46,8 @@ object VectorKernels {
   }
 
   def dotFF(a: ArrayData, b: ArrayData, checked: Boolean): java.lang.Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     if (checked) {
@@ -57,7 +62,8 @@ object VectorKernels {
   }
 
   def dotFD(a: ArrayData, b: ArrayData, checked: Boolean): java.lang.Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     if (checked) {
@@ -93,7 +99,16 @@ object VectorKernels {
       dim: Int,
       floatElems: Boolean,
       checked: Boolean): ArrayData = {
-    val n = math.min(dim, v.numElements())
+    // a dimension-mismatched vector FAILS loudly (the hashBucket /
+    // budgetSample contract discipline): silently zero-padding a short
+    // vector or truncating a long one would hash it into arbitrary LSH
+    // buckets with no signal, corrupting near-dup decisions for that row
+    if (v.numElements() != dim) {
+      throw new IllegalArgumentException(
+        s"hyperplane_signatures: vector has ${v.numElements()} elements but plane dim is $dim " +
+          "— pass the corpus dimensionality as the dim argument")
+    }
+    val n = dim
     // null elements null the whole signature array (HOF-parity, same
     // contract as the dot kernels) — checked once, not per plane;
     // skipped entirely when the schema proves containsNull = false

@@ -103,6 +103,37 @@ object EmbIndex {
   private def readBuckets(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(bucketsSchema).parquet(s"$dir/buckets.parquet")
 
+  /** Width of the first usable vector, or None on an empty frame. A
+    * build over zero usable vectors stores `dim = 0` ("undetermined")
+    * instead of inventing a width: the signature kernel REJECTS
+    * mismatched vectors loudly, so a fabricated 64 would crash the first
+    * real append/query of a 4-dim corpus. The first non-empty append
+    * pins the real width via [[resolveMeta]].
+    */
+  private def probeDim(vv: DataFrame, vecName: String): Option[Int] =
+    vv.select(size(col(vecName)).as("__s")).filter(col("__s") > 0).take(1)
+      .headOption.map(r => math.max(1, r.getInt(0)))
+
+  /** Effective meta for an operation: a `dim = 0` snapshot (index built
+    * empty) first re-reads disk — a concurrent/earlier append may have
+    * pinned the width — then, given usable vectors, pins and persists
+    * the width itself. Returns dim 0 only when the index AND the batch
+    * are both vectorless (nothing to sign either way).
+    */
+  private def resolveMeta(
+      spark: SparkSession, dir: String, meta: EmbMeta, vv: DataFrame): EmbMeta =
+    if (meta.dim > 0) meta
+    else {
+      val disk = readMeta(spark, dir)
+      if (disk.dim > 0) disk
+      else probeDim(vv, "v") match {
+        case Some(d) =>
+          writeMeta(spark, dir, disk.bits, disk.tables, d, disk.compactedThrough)
+          disk.copy(dim = d)
+        case None => disk
+      }
+    }
+
   /** The signature derivation IS [[Dedup.hyperplaneSigRows]] — one shared
     * definition, so the stored index and the in-session candidate stream
     * can never drift apart.
@@ -147,7 +178,10 @@ object EmbIndex {
     vv.write.mode("overwrite").partitionBy("batch").parquet(s"$dir/vectors.parquet")
     val stored = readVectors(spark, dir)
     val n = stored.count() // one job: sizes the bits AND is the return value
-    val dim = Similarity.detectDim(stored.select(col("v").as("n_vec")))
+    // empty build → dim 0 sentinel (see probeDim), pinned by the first
+    // non-empty append; a usable corpus always yields its real width
+    val dim =
+      if (n == 0) 0 else Similarity.detectDim(stored.select(col("v").as("n_vec")))
     // auto-sized bits are ALWAYS capped at the recall-feasible bound (with
     // explicit tables: the bits at which THAT table count still meets the
     // per-pair miss tolerance) — only explicit bits waive the guarantee;
@@ -209,14 +243,27 @@ object EmbIndex {
   ): DataFrame = {
     def visible(df: DataFrame): DataFrame =
       excludeBatch.fold(df)(b => df.filter(col("batch") =!= b && col("src_batch") =!= b))
-    val newVecs = usable(batch, idCol, vecCol, "id_new")
+    val newVecs0 = usable(batch, idCol, vecCol, "id_new")
       .withColumnRenamed("v", "v_new")
+    // a dim-0 snapshot = index built over zero vectors: nothing can
+    // collide, and signing the batch against a fabricated plane width
+    // would crash the kernel's mismatch guard — answer empty (after a
+    // disk re-read in case an append pinned the width since the snapshot)
+    val effMeta = resolveMeta(spark, dir,
+      meta, newVecs0.select(col("id_new").as("id"), col("v_new").as("v")).limit(0))
+    if (effMeta.dim == 0) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id_new", LongType), StructField("id_indexed", LongType),
+          StructField("cosine", DoubleType))))
+    }
+    val newVecs = newVecs0
       .localCheckpoint() // feeds the signature probe AND the verify join
     // size gate on the materialized batch — only hint when the batch side
     // is genuinely broadcast-sized (see ProbeBroadcastRowLimit)
     val hinted = newVecs.count() <= broadcastRowLimit
     def maybeBroadcast(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
-    val newSigs = sigRows(newVecs, "id_new", "v_new", meta.bits, meta.tables, meta.dim)
+    val newSigs = sigRows(newVecs, "id_new", "v_new", effMeta.bits, effMeta.tables, effMeta.dim)
     val index = visible(readBuckets(spark, dir))
     // batch side broadcast: the corpus-sized index never shuffles
     val candidates = index
@@ -258,7 +305,8 @@ object EmbIndex {
   ): Long = {
     val meta = readMeta(spark, dir)
     val vv = usable(batch, idCol, vecCol, "id").localCheckpoint()
-    sigRows(vv, "id", "v", meta.bits, meta.tables, meta.dim)
+    val effMeta = resolveMeta(spark, dir, meta, vv) // pins dim-0 empty builds
+    sigRows(vv, "id", "v", effMeta.bits, effMeta.tables, effMeta.dim)
       .withColumn("src_batch", lit(BaseBatch))
       .withColumn("batch", lit(BaseBatch))
       .write.mode("append").partitionBy("batch").parquet(s"$dir/buckets.parquet")
@@ -316,8 +364,11 @@ object EmbIndex {
     // and no longer partition-addressable; rewriting would duplicate them
     if (batchId <= meta.compactedThrough) return 0L
     val vv = usable(batch, idCol, vecCol, "id").localCheckpoint()
+    // an index built empty carries dim 0 — the first non-empty append
+    // pins the corpus width here (persisted, so later snapshots see it)
+    val effMeta = resolveMeta(spark, dir, meta, vv)
     dropBatchPartition(spark, s"$dir/buckets.parquet", batchId)
-    sigRows(vv, "id", "v", meta.bits, meta.tables, meta.dim)
+    sigRows(vv, "id", "v", effMeta.bits, effMeta.tables, effMeta.dim)
       .withColumn("src_batch", lit(batchId))
       .withColumn("batch", lit(batchId))
       .write.mode("append").partitionBy("batch").parquet(s"$dir/buckets.parquet")

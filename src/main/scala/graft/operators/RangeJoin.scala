@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   *
   * Bucketization makes it a hash join: every interval is exploded into
   * the fixed-width buckets it covers, every point hashes to its one
-  * bucket, the join runs on bucket equality, and the exact BETWEEN
-  * filter runs only on co-bucketed candidates. Each (point, interval)
+  * bucket, the join runs on bucket equality, and the exact half-open
+  * `lo <= p < hi` filter runs only on co-bucketed candidates (hi itself
+  * does NOT match — interval chains tile without double-counting the
+  * boundary point). Each (point, interval)
   * match meets in exactly one bucket (the point's), so no dedup is
   * needed. Candidate volume ≈ Σ interval-span/width per point-density —
   * linear, shuffle-partitioned, skew handled by AQE like any hash join.
@@ -32,7 +34,12 @@ object RangeJoin {
     require(!points.columns.contains("__bucket") && !intervals.columns.contains("__bucket"),
       "column name __bucket is reserved by the range-join implementation")
     val p = points.withColumn("__bucket", floor(col(pointCol) / bucketWidth))
-    val iv = intervals.withColumn("__bucket",
+    // an inverted interval (hi < lo) matches nothing under [lo, hi), but
+    // sequence(start, stop) DEFAULTS TO STEP -1 when start > stop — one
+    // corrupt row would explode into span/width junk candidates (or a
+    // "too long sequence" crash) instead of zero. The filter also drops
+    // null-bounded intervals, which sequence(null, ...) would drop anyway.
+    val iv = intervals.filter(col(loCol) <= col(hiCol)).withColumn("__bucket",
       explode(sequence(
         floor(col(loCol) / bucketWidth).cast("long"),
         floor(col(hiCol) / bucketWidth).cast("long"))))

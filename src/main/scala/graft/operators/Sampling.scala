@@ -142,7 +142,7 @@ object Sampling {
     * REPLACE the caller's same-named column), exact under case-sensitive
     * sessions (where withColumn ADDS a distinct column beside it).
     */
-  private def requireFreshColumn(df: DataFrame, name: String, op: String): Unit = {
+  private[operators] def requireFreshColumn(df: DataFrame, name: String, op: String): Unit = {
     val caseSensitive =
       df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
     val collides =
@@ -206,19 +206,26 @@ object Sampling {
     // cost contract enforced loudly (the hashBucket null-key discipline):
     // a NULL cost would ride along free (window sum skips NULLs), a
     // negative cost breaks the prefix property (later rows could re-enter
-    // under the budget), and a NaN cost poisons the running sum — NaN is
+    // under the budget), a NaN cost poisons the running sum — NaN is
     // neither null nor < 0, the sum goes NaN from that row on, and the
     // non-ANSI long cast turns NaN into 0 so EVERY later row passes the
-    // budget filter. All three corrupt the selection silently otherwise.
-    val checkedCost = when(cost.isNull || cost < 0 || isnan(cost.cast("double")),
-      raise_error(concat(lit("budgetSample cost is null, negative or NaN: '"),
-        coalesce(cost.cast("string"), lit("null")), lit("'")))).otherwise(cost)
+    // budget filter — and a FRACTIONAL cost breaks oracle portability
+    // (Spark's double→long cast truncates, DuckDB's rounds, so the two
+    // engines would select different boundary rows AND Spark could
+    // overspend the true budget). Token/char costs are integral; enforce
+    // it so the running total is exact 64-bit arithmetic in any engine.
+    val costD = cost.cast("double")
+    val checkedCost = when(
+      cost.isNull || costD < 0 || isnan(costD) || costD =!= floor(costD) ||
+        costD > lit(Long.MaxValue.toDouble), // Infinity/overflow-sized
+      raise_error(concat(lit("budgetSample cost is null, negative, NaN or non-integral: '"),
+        coalesce(cost.cast("string"), lit("null")), lit("'")))).otherwise(cost.cast("long"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))
       .orderBy(hashBucket(col(keyCol), seed), col(keyCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("cum_cost", sum(checkedCost).over(w).cast("long"))
+    df.withColumn("cum_cost", sum(checkedCost).over(w))
       .filter(col("cum_cost") <= budget)
   }
 

@@ -137,7 +137,7 @@ object Bson {
         sb.append("\"}")
       case 0x7F => sb.append("{\"$maxKey\":1}")
       case -1   => sb.append("{\"$minKey\":1}") // 0xFF
-      case other => throw new IllegalArgumentException(s"unknown BSON type 0x$other%02x")
+      case other => throw new IllegalArgumentException(f"unknown BSON type 0x$other%02x")
     }
 
   /** JSON-escape and append a string literal. */

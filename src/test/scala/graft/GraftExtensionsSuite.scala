@@ -25,7 +25,7 @@ class GraftExtensionsSuite extends AnyFunSuite {
     val r = spark.sql(
       """SELECT normalize_text('  A  B ') AS nt,
         |       size(minhash_signature(array(CAST(7 AS BIGINT)), 8)) AS mh,
-        |       size(hyperplane_signatures(array(1.0d, 0.5d), 5, 3)) AS hp""".stripMargin).head()
+        |       size(hyperplane_signatures(array(1.0d, 0.5d), 5, 3, 2)) AS hp""".stripMargin).head()
     assert(r.getString(0) === "a b")
     assert(r.getInt(1) === 8)
     assert(r.getInt(2) === 3)
@@ -87,5 +87,25 @@ class GraftExtensionsSuite extends AnyFunSuite {
     val ok = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
       .select(graft.functions.VectorOps.array_dot(col("a"), col("b"))).collect()(0)
     assert(ok.getDouble(0) === 11.0)
+  }
+
+  test("length-mismatched vectors: array_dot nulls (HOF parity), signatures fail loudly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // zip_with null-pads the shorter array, so the HOF dot of a mismatched
+    // pair is NULL — pre-fix the fused kernel returned a silently-partial
+    // dot that could pass a similarity threshold
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(graft.functions.VectorOps.array_dot(col("a"), col("b"))).collect()(0)
+    assert(r.isNullAt(0), "array_dot must null on length mismatch, not truncate")
+    // a dimension-mismatched vector would hash into arbitrary LSH buckets
+    // if zero-padded/truncated — the kernel rejects it instead
+    val e = intercept[Exception] {
+      df.select(graft.functions.VectorOps.hyperplane_signatures(col("a"), 4, 2, dim = 2)).collect()
+    }
+    assert(e.getMessage.contains("plane dim") ||
+      Option(e.getCause).exists(_.getMessage.contains("plane dim")),
+      s"unexpected: ${e.getMessage}")
   }
 }

@@ -367,4 +367,18 @@ class PlanAndOffsetsSuite extends AnyFunSuite {
     assert(c.vtts === None)
     assert(c.offsets === Map("t-0" -> 2L, "t-1" -> 3L))
   }
+
+  test("offsets_agg accepts DECIMAL offsets/timestamps (Decimal is not a java.lang.Number)") {
+    // the common unsigned-bigint CDC mapping is DECIMAL(20,0): it passes
+    // the NumericType analysis gate, so the runtime read must handle
+    // Spark's Decimal (which does NOT implement java.lang.Number) —
+    // pre-fix this crashed per-row with an opaque ClassCastException
+    val df = Seq(("t", 0, BigDecimal(10), BigDecimal(123)), ("t", 0, BigDecimal(11), BigDecimal(456)))
+      .toDF("topic", "partition", "offset", "ts")
+    val r = df
+      .agg(graft.functions.OffsetsAgg(col("topic"), col("partition"), col("offset"), col("ts")).as("m"))
+      .selectExpr("m['t-0'].max_offset", "m['t-0'].max_ts").head()
+    assert(r.getLong(0) === 11L)
+    assert(r.getLong(1) === 456L)
+  }
 }

@@ -196,8 +196,9 @@ object CurationProps extends Properties("curation") {
       val (a1, b1) = TextHashUtil.minhashParams(k, seed)
       val (a2, b2) = TextHashUtil.minhashParams(k, seed)
       val p = TextHashUtil.Mod
+      // a strictly < p: a == p ≡ 0 (mod p) would be a CONSTANT permutation
       a1.sameElements(a2) && b1.sameElements(b2) &&
-        a1.forall(a => a >= 1 && a < p + 1) && b1.forall(b => b >= 0 && b < p)
+        a1.forall(a => a >= 1 && a < p) && b1.forall(b => b >= 0 && b < p)
     }
 
   property("hyperplane plane matrix is table-seed separable") =

@@ -407,6 +407,17 @@ class CurationOpsSuite extends AnyFunSuite {
       Sampling.budgetSample(collideCase, "id", "grp", col("cost"), 100L)
     }
     assert(e6.getMessage.contains("cum_cost"), s"unexpected: ${e6.getMessage}")
+    // fractional costs break oracle portability (Spark's double→long cast
+    // truncates, DuckDB's rounds — different boundary rows) and can
+    // overspend the true budget; the running total must be exact 64-bit
+    val fracCost = Seq((1L, "s", 1.5), (2L, "s", 2.0)).toDF("id", "grp", "cost")
+    val e7 = intercept[Exception] {
+      Sampling.budgetSample(fracCost, "id", "grp", col("cost"), 100L).collect()
+    }
+    assert(e7.getMessage.contains("budgetSample cost"), s"unexpected: ${e7.getMessage}")
+    // integral doubles still pass (the common cast-from-count case)
+    val intDouble = Seq((1L, "s", 10.0), (2L, "s", 20.0)).toDF("id", "grp", "cost")
+    assert(Sampling.budgetSample(intDouble, "id", "grp", col("cost"), 100L).count() === 2L)
   }
 
   // ---- target-mix rebalancing -----------------------------------------

@@ -1192,6 +1192,17 @@ class SimilaritySuite extends AnyFunSuite {
     assert(EmbIndex.build(weird.filter(col("vec_id") < 0), "vec_id", "embedding",
       emptyDir, threshold = 0.9) === 0L)
     assert(EmbIndex.queryBatch(spark, emptyDir, batch, "vec_id", "embedding", 0.9).count() === 0L)
+    // an empty build stores dim 0 ("undetermined") — inventing a width
+    // would crash the signature kernel's mismatch guard on the first
+    // real 4-dim batch; the first non-empty append pins the real width
+    assert(EmbIndex.params(spark, emptyDir)._3 === 0)
+    assert(EmbIndex.append(spark, emptyDir, batch, "vec_id", "embedding") === 1L)
+    assert(EmbIndex.params(spark, emptyDir)._3 === 4)
+    val after = EmbIndex.queryBatch(spark, emptyDir,
+      Seq((20L, Seq(1.0f, 0.02f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 0.9)
+      .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
+    assert(after === Set((20L, 10L)))
   }
 
   test("kmeans reaches the Lloyd fixed point and the report proves it") {

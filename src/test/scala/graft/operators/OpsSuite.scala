@@ -318,6 +318,42 @@ class RangeJoinSuite extends AnyFunSuite {
     assert(got === expect)
     assert(got === Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (3L, 30L)))
   }
+
+  test("an inverted interval (hi < lo) matches nothing instead of exploding") {
+    // sequence(start, stop) defaults to step -1 when start > stop: pre-fix
+    // one corrupt interval generated span/width junk candidate rows (or a
+    // "too long sequence" crash for wide inversions)
+    val points = Seq((1L, 3.0)).toDF("pid", "p")
+    val ivs = Seq((10L, Some(0.0), Some(13.0)), (66L, Some(5.0), Some(-1.0e9)),
+      (77L, Option.empty[Double], Option.empty[Double])).toDF("iid", "lo", "hi")
+    val got = graft.operators.RangeJoin.pointInInterval(points, ivs, "p", "lo", "hi", 5.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 10L)))
+  }
+}
+
+class SessionizeBatchSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("NULL timestamps are dropped, not seeded into spurious sessions") {
+    // pre-fix: each null-ts row sorted first (ASC nulls first), started
+    // its own null-bounded session, and shifted every real session's id
+    val df = Seq(("k", Option.empty[Long]), ("k", Option.empty[Long]),
+      ("k", Some(1000L)), ("k", Some(2000L))).toDF("user_id", "ts_us")
+    val got = graft.operators.Sessionize.sessions(df, "user_id", "ts_us", gapUs = 500L)
+      .orderBy("session_id")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("k", 0L, 1000L, 1000L, 1L), ("k", 1L, 2000L, 2000L, 1L)))
+  }
+
+  test("an input session_id (any case) fails loudly instead of being overwritten") {
+    val collide = Seq(("k", 1000L, 9L)).toDF("user_id", "ts_us", "Session_Id")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Sessionize.sessions(collide, "user_id", "ts_us")
+    }
+    assert(e.getMessage.contains("session_id"), s"unexpected: ${e.getMessage}")
+  }
 }
 
 class AsofJoinSemanticsSuite extends AnyFunSuite {
