@@ -201,7 +201,16 @@ object EngineConfig {
         case (k, v) if k.startsWith("iceberg.table.write-props.") =>
           k.stripPrefix("iceberg.table.write-props.") -> v
       },
-      format = props.getOrElse("iceberg.kafka.write.format.default", "parquet"),
+      // the reference has no dedicated format key: the writer reads the
+      // TABLE property `write.format.default` (Utilities.java:162-163),
+      // configured through auto-create-props (new tables) or write-props
+      // (pre-existing tables, already honored by IceTable.meta's overlay).
+      // Derive the auto-create default from the same names — a bespoke
+      // key here would let the table metadata say orc while the engine
+      // writes parquet.
+      format = props.get("iceberg.tables.auto-create-props.write.format.default")
+        .orElse(props.get("iceberg.table.write-props.write.format.default"))
+        .getOrElse("parquet"),
       commitIntervalMs =
         props.get("iceberg.control.commit.interval-ms").map(_.toLong).getOrElse(300000L),
       commitThreads = props

@@ -181,6 +181,7 @@ object IceTableWriter {
     val schemaVersion = table.currentSchemaVersion
     val uuid = java.util.UUID.randomUUID().toString
     val outDir = table.dir.resolve("data").resolve(uuid)
+    markStaging(outDir) // gc skips this dir until publish clears the marker
 
     // P5 — `write.target-file-size-bytes` parity (Utilities.java:162-167):
     // bytes-per-row is unknowable before the first file exists, so the cap
@@ -267,15 +268,19 @@ object IceTableWriter {
     w.save(outDir.toString)
 
     val staged = listDataFiles(outDir, meta.format)
-    val stats = fileStats(df.sparkSession, staged, meta.format)
+    val stats = fillUnknownRows(df.sparkSession,
+      fileStats(df.sparkSession, staged, meta.format), meta.format)
     // Unstage zero-row files: FileFormatWriter creates part files EAGERLY
     // (an empty unpartitioned batch stages one per task), and committing
     // them bloats the log and every subsequent read's file list — a
     // dead-letter stream with clean batches would otherwise accumulate
-    // thousands of empty files. rows == -1 (no readable footer, e.g.
-    // avro) is kept: unknown is not provably empty.
+    // thousands of empty files. Footer-less formats get their counts
+    // from the read-back job above, so rows is authoritative here.
     val (files, zeroRow) = staged.partition(p => stats(p.toString).rows != 0L)
     zeroRow.foreach(Files.deleteIfExists(_))
+    // an all-zero-row stage publishes nothing — nothing will ever clear
+    // this dir's marker, so clear it here (gc reclaims the dir normally)
+    if (files.isEmpty) clearStaging(outDir)
     files.map { p =>
       val s = stats(p.toString)
       FileEntry(
@@ -313,6 +318,51 @@ object IceTableWriter {
     * jobs).
     */
   private val DriverFooterLimit = 512
+
+  /** Fill real row counts for footer-less formats (avro reports
+    * rows = -1). Without them, zero-row unstaging cannot see emptiness:
+    * FileFormatWriter's eager empty part files would be KEPT, and an
+    * empty `overwritePartitions` batch — whose unknown-row file "touches"
+    * the empty partition tuple — would supersede every live file of an
+    * unpartitioned table: a silent full TRUNCATION. One read-back job
+    * over only the unknown files fills per-file counts; the read uses
+    * the same data source as the write, so if the write succeeded the
+    * read does too. Files absent from the grouped count carry zero
+    * records — exactly the eager-empty ones.
+    */
+  private[graft] def fillUnknownRows(
+      spark: SparkSession,
+      stats: Map[String, FooterStats],
+      format: String
+  ): Map[String, FooterStats] =
+    if (stats.valuesIterator.forall(_.rows >= 0L)) stats
+    else {
+      val unknown = stats.collect { case (p, s) if s.rows < 0L => p }.toSeq
+      val counts = spark.read.format(format).load(unknown: _*)
+        .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
+        .count()
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .toMap
+      mergeReadBackCounts(stats, counts)
+    }
+
+  /** Merge read-back counts into unknown-row stats, keyed by trailing
+    * file NAME: `input_file_name()` returns URI form (`file:///…`, with
+    * percent-escaping) while staged paths are filesystem form — the
+    * part-file name (task id + UUID, no escapable characters) is
+    * identical in both and unique within one write's staging dir.
+    */
+  private[graft] def mergeReadBackCounts(
+      stats: Map[String, FooterStats],
+      counts: Map[String, Long]
+  ): Map[String, FooterStats] = {
+    def name(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val byName = counts.map { case (p, n) => name(p) -> n }
+    stats.map { case (p, s) =>
+      if (s.rows >= 0L) (p, s) else (p, s.copy(rows = byName.getOrElse(name(p), 0L)))
+    }
+  }
 
   private def fileStats(
       spark: SparkSession,
@@ -452,6 +502,7 @@ object IceTableWriter {
     val meta = table.meta
     val uuid = java.util.UUID.randomUUID().toString
     val outDir = table.dir.resolve("deletes").resolve(uuid)
+    markStaging(outDir)
     keysDf.write.format(meta.format).mode("append").save(outDir.toString)
     // same zero-row unstaging as writeFiles: an empty delete side stages
     // an eager empty part file that would burden every later read's
@@ -462,7 +513,41 @@ object IceTableWriter {
     }
     val (live, zeroRow) = entries.partition(_.rows != 0L)
     zeroRow.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+    if (live.isEmpty) clearStaging(outDir)
     live
+  }
+
+  /** Staging-marker protocol (see [[graft.table.IceTable.gc]]): the
+    * marker lands before the first byte and is cleared once the dir's
+    * files are either committed or dropped — gc skips marked dirs until
+    * the staging grace expires, so a write job longer than the orphan
+    * age cannot lose its earliest part files to a concurrent gc.
+    */
+  private def markStaging(outDir: Path): Unit = {
+    Files.createDirectories(outDir)
+    try Files.createFile(outDir.resolve(IceTable.StagingMarker))
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    ()
+  }
+
+  private def clearStaging(outDir: Path): Unit = {
+    Files.deleteIfExists(outDir.resolve(IceTable.StagingMarker))
+    ()
+  }
+
+  /** The `data/<uuid>` (or `deletes/<uuid>`) staging root a committed
+    * file was written under — partition fan-out nests files deeper.
+    */
+  private[sink] def stagingRootOf(file: Path, tableDir: Path): Option[Path] = {
+    val dataRoot = tableDir.resolve("data")
+    val deletesRoot = tableDir.resolve("deletes")
+    var cur = file.getParent
+    while (cur != null && cur.getParent != null) {
+      val parent = cur.getParent
+      if (parent == dataRoot || parent == deletesRoot) return Some(cur)
+      cur = parent
+    }
+    None
   }
 
   private def publish(
@@ -538,6 +623,14 @@ object IceTableWriter {
       // replayed batch: the staged files will never be referenced; drop them
       (dataFiles ++ deleteFiles).foreach(f => Files.deleteIfExists(Paths.get(f.path)))
     }
+    // committed OR replayed-and-dropped: either way the stage→publish
+    // window is over — release the dirs to normal gc rules. (A publish
+    // that THROWS leaves its markers: conflict-aborted rewrites keep
+    // their staged files protected until the staging grace sweeps them.)
+    (dataFiles ++ deleteFiles)
+      .flatMap(f => stagingRootOf(Paths.get(f.path), table.dir))
+      .distinct
+      .foreach(clearStaging)
     committed
   }
 

@@ -209,6 +209,40 @@ object Ingest {
       .getOrElse(Map.empty[String, Seq[String]])
 
     val cdcMode = config.cdcField.isDefined || config.upsertMode
+    // errors.tolerance=all + DLQ: split off rows whose values can't
+    // coerce BEFORE projection — they land in `<table>__dlq` as
+    // (record JSON, reason, rejected_at) and the batch proceeds. One
+    // scan shape: both slices are filters over the same frame
+    // (Routing.deadLetterSplit), and the DLQ write only materializes
+    // the dead slice. Applies in BOTH modes: a poison record in a
+    // strict CDC stream previously bypassed the split entirely and
+    // wedged the stream on every replay (and with strict off it was
+    // silently nulled instead of dead-lettered) — exactly the failure
+    // the DLQ exists to absorb.
+    val toWrite =
+      if (!config.deadLetterEnabled) tdf
+      else {
+        val reason = Coercion.violationReason(tdf, table.schema,
+          nameMapping = nameMapping, caseInsensitive = config.schemaCaseInsensitive)
+        val (ok, dead) = graft.operators.Routing.deadLetterSplit(tdf, reason.isNull, reason)
+        val dlqRows = dead.select(
+          to_json(struct(tdf.columns.map(col).toIndexedSeq: _*)).as("record"),
+          col("_dlq.reason").as("reason"),
+          col("_dlq.rejected_at").as("rejected_at"))
+        // the DLQ follows the SAME naming rule as its main table
+        // (dots → path separators) and inherits branch + write-props —
+        // a dotted name (db.events) must not scatter data at wh/db/events
+        // but its DLQ at wh/db.events__dlq
+        val dlqTable = IceTable.loadOrCreate(
+          tablePath(config, tconf.name + "__dlq"), dlqRows.schema,
+          graft.table.TableMeta(format = config.format),
+          tconf.commitBranch).withWriteProps(config.writeProps)
+        // a clean batch writes an empty (zero-file) DLQ commit rather
+        // than paying an extra emptiness-probe scan per trigger; the
+        // commit log's checkpoint consolidation bounds the entry count
+        IceTableWriter.append(spark, dlqRows, dlqTable, batchId)
+        ok
+      }
     if (cdcMode) {
       // defaults are applied ONCE, at the config layer (fromProperties /
       // tableConfig pre-fill default-id-columns into every TableConfig);
@@ -219,47 +253,19 @@ object Ingest {
       val ord =
         if (tdf.columns.contains("offset")) col("offset").cast("long")
         else monotonically_increasing_id()
-      val prepared = tdf.withColumn(CdcOps.OpCol, op).withColumn(CdcOps.OrdCol, ord)
+      val prepared = toWrite.withColumn(CdcOps.OpCol, op).withColumn(CdcOps.OrdCol, ord)
       val coerced = Coercion.project(prepared, table.schema,
         nameMapping = nameMapping,
         caseInsensitive = config.schemaCaseInsensitive,
         extraCols = Seq(CdcOps.OpCol, CdcOps.OrdCol),
-        strict = config.strictCoercion)
+        // dead-letter mode subsumes strict (same rule as the append
+        // branch): violations were already routed away above
+        strict = config.strictCoercion && !config.deadLetterEnabled)
       val (data, deleteKeys) = CdcOps.resolveBatch(coerced, keyCols)
       IceTableWriter.delta(spark, data, deleteKeys, table, batchId,
         offsets = bookkeeping()._1, vtts = bookkeeping()._2,
         maxRecordsPerFile = config.maxRecordsPerFile)
     } else {
-      // errors.tolerance=all + DLQ: split off rows whose values can't
-      // coerce BEFORE projection — they land in `<table>__dlq` as
-      // (record JSON, reason, rejected_at) and the batch proceeds. One
-      // scan shape: both slices are filters over the same frame
-      // (Routing.deadLetterSplit), and the DLQ write only materializes
-      // the dead slice.
-      val toWrite =
-        if (!config.deadLetterEnabled) tdf
-        else {
-          val reason = Coercion.violationReason(tdf, table.schema,
-            nameMapping = nameMapping, caseInsensitive = config.schemaCaseInsensitive)
-          val (ok, dead) = graft.operators.Routing.deadLetterSplit(tdf, reason.isNull, reason)
-          val dlqRows = dead.select(
-            to_json(struct(tdf.columns.map(col).toIndexedSeq: _*)).as("record"),
-            col("_dlq.reason").as("reason"),
-            col("_dlq.rejected_at").as("rejected_at"))
-          // the DLQ follows the SAME naming rule as its main table
-          // (dots → path separators) and inherits branch + write-props —
-          // a dotted name (db.events) must not scatter data at wh/db/events
-          // but its DLQ at wh/db.events__dlq
-          val dlqTable = IceTable.loadOrCreate(
-            tablePath(config, tconf.name + "__dlq"), dlqRows.schema,
-            graft.table.TableMeta(format = config.format),
-            tconf.commitBranch).withWriteProps(config.writeProps)
-          // a clean batch writes an empty (zero-file) DLQ commit rather
-          // than paying an extra emptiness-probe scan per trigger; the
-          // commit log's checkpoint consolidation bounds the entry count
-          IceTableWriter.append(spark, dlqRows, dlqTable, batchId)
-          ok
-        }
       val coerced = Coercion.project(toWrite, table.schema,
         nameMapping = nameMapping,
         caseInsensitive = config.schemaCaseInsensitive,

@@ -65,6 +65,10 @@ object DedupStream {
         val crossDup = LshIndex.queryBatchWith(spark, indexDir, b, idCol, textCol,
           threshold, excludeBatch = Some(batchId), meta, preSets = Some(sets))
           .select(col("id_new").as("__dup_id")).distinct()
+          // dup ids only (tiny) — unmaterialized, the index probe (bucket
+          // parquet read + join) re-executes in THREE jobs per trigger:
+          // losers' checkpoint, survivors' checkpoint, and the index fold
+          .localCheckpoint()
         val afterCross = b.join(crossDup,
           b(idCol).cast("long") === col("__dup_id"), "left_anti")
         val setsAfterCross = sets.join(crossDup,

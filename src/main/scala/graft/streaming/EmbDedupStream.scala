@@ -63,6 +63,10 @@ object EmbDedupStream {
         val crossDup = EmbIndex.queryBatchWith(spark, indexDir, b, idCol, vecCol,
           threshold, excludeBatch = Some(batchId), meta)
           .select(col("id_new").as("__dup_id")).distinct()
+          // dup ids only (tiny) — unmaterialized, the index probe
+          // (bucket read + signature join + cosine verify) re-executes
+          // in every downstream job of the trigger
+          .localCheckpoint()
         val afterCross = b.join(crossDup,
           b(idCol).cast("long") === col("__dup_id"), "left_anti")
         // 2. within-batch at the index's parameters; losers = every
@@ -75,6 +79,9 @@ object EmbDedupStream {
         val losers = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
           .filter(col("id") =!= col("group_id"))
           .select(col("id").as("__loser_id"))
+          // same rule DedupStream applies: unmaterialized, the whole
+          // hyperplane pair search re-runs for the index fold AND the sink
+          .localCheckpoint()
         val survivors = afterCross.join(losers,
           afterCross(idCol).cast("long") === col("__loser_id"), "left_anti")
           .localCheckpoint() // feeds the index fold AND the sink

@@ -98,9 +98,29 @@ final class IceTable private[table] (
 
   val log = new CommitLog(dir.resolve("_commits").resolve(branch))
 
+  /** mtime-validated cache for [[rawMeta]]: a scan otherwise reads and
+    * parses table.json several times (data-side readAligned, delete-side
+    * readAligned, idColumns via meta). One stat per access replaces the
+    * read+parse; an external props/format update bumps the mtime and
+    * invalidates. (Two updates inside one mtime tick could serve the
+    * first briefly — table.json writes are rare creation/evolution
+    * events, and every load-bearing decision re-reads via the commit
+    * log, so the window is harmless.)
+    */
+  @volatile private var metaCache: (java.nio.file.attribute.FileTime, TableMeta) = null
+
   /** Persisted table metadata, no write-time overlay applied. */
-  private def rawMeta: TableMeta =
-    CommitLog.mapper.readValue(Files.readAllBytes(dir.resolve("table.json")), classOf[TableMeta])
+  private def rawMeta: TableMeta = {
+    val p = dir.resolve("table.json")
+    val mt = Files.getLastModifiedTime(p)
+    val c = metaCache
+    if (c != null && c._1 == mt) c._2
+    else {
+      val m = CommitLog.mapper.readValue(Files.readAllBytes(p), classOf[TableMeta])
+      metaCache = (mt, m)
+      m
+    }
+  }
 
   def meta: TableMeta = {
     val m = rawMeta
@@ -214,13 +234,17 @@ final class IceTable private[table] (
       filePred: Option[FileEntry => Boolean] = None
   ): DataFrame = {
     val cur = schema
-    val dataFiles = planFiles(pred, maxSeq, filePred)
+    // ONE commit-log pass per scan: planning and delete attribution both
+    // derive from the same fetched chain (commits() pays a checkpoint +
+    // tail deserialization — reading it twice per query doubled the
+    // metadata cost of every read on long logs)
+    val all0 = commitsUpTo(maxSeq)
+    val dataFiles = planFrom(all0, pred, filePred)
     // Delete files use the same global-first replay attribution as data
     // files: a replay keeps its original seq (no-op against rows it
     // already applied to, invisible to rows appended since), and a
     // delete whose FIRST listing precedes the live window was already
     // folded into the compaction rewrite — skip reading it entirely.
-    val all0 = commitsUpTo(maxSeq)
     val liveFrom = liveChain(all0).headOption.map(_.seq).getOrElse(Long.MinValue)
     val delFiles = firstListedDeletes(all0).filter { case (_, s) => s >= liveFrom }
 
@@ -278,7 +302,6 @@ final class IceTable private[table] (
     val cur = schema
     val nonCompaction = log.commits()
       .filterNot(c => c.props.keys.exists(_.startsWith("compaction")))
-    val window = nonCompaction.filter(c => c.seq > fromSeq && c.seq <= toSeq)
     // window files are read as committed, even if a LATER rewrite
     // superseded them for current-state reads — they are still the
     // window's logical rows. After gc removes superseded originals the
@@ -456,8 +479,16 @@ final class IceTable private[table] (
       pred: Option[Map[String, String] => Boolean],
       maxSeq: Option[Long] = None,
       filePred: Option[FileEntry => Boolean] = None
+  ): Seq[(FileEntry, Long)] =
+    planFrom(commitsUpTo(maxSeq), pred, filePred)
+
+  /** [[planFiles]] over an already-fetched commit chain — scan() shares
+    * one chain between planning and delete attribution. */
+  private def planFrom(
+      all0: Seq[Commit],
+      pred: Option[Map[String, String] => Boolean],
+      filePred: Option[FileEntry => Boolean]
   ): Seq[(FileEntry, Long)] = {
-    val all0 = commitsUpTo(maxSeq)
     val live = liveChain(all0)
     // First-listing attribution runs over the FULL history, then keeps
     // only attributions landing in the live window: a replayed envelope
@@ -633,12 +664,25 @@ final class IceTable private[table] (
     require(divergent.isEmpty && mine.size <= srcCommits.size,
       s"branch '$branch' is not an ancestor of '$from'")
     val newer = srcCommits.drop(mine.size)
+    // Copied entries are RENUMBERED to this branch's own contiguous seqs:
+    // requiring source-seq equality wedged fast-forward forever when the
+    // source branch carried a crashed duplicate-batch zombie (its raw
+    // file permanently claims a seq that the FILTERED history skips, so
+    // the target's next seq could never equal the source's). Ancestry is
+    // positional over commit ids (the prefix check above), and relative
+    // order — all equality-delete and rewrite semantics need — survives
+    // gap compression. Concurrent target advance is still detected: each
+    // claim must land exactly one past the raw head snapshotted here
+    // (zombies included — a zombie IS a concurrent writer's leavings).
+    var expected = log.lastSeq()
     newer.foreach { c =>
-      // batchId -1 skips the replay fence (entries are copied verbatim);
-      // the seq check aborts cleanly if this branch advanced concurrently
+      expected += 1
+      // batchId -1 skips the replay fence (entries are copied verbatim
+      // apart from the seq)
       log.commit(-1L, seq => {
-        require(seq == c.seq, s"branch '$branch' advanced concurrently during fast-forward")
-        c
+        require(seq == expected,
+          s"branch '$branch' advanced concurrently during fast-forward")
+        c.copy(seq = seq)
       })
     }
     newer.size
@@ -723,23 +767,37 @@ final class IceTable private[table] (
     // rewrite's commit would be silently voided (delete seq < new data
     // seq). The writer validates at commit-claim time and aborts with
     // CommitConflictException; re-reading then picks the delete up.
+    withConflictRetry { scanSeq =>
+      graft.sink.IceTableWriter.append(spark, read(spark), this, batchId = -1,
+        compaction = true, sortBy = sortBy, sortPartitions = sortPartitions,
+        validateFromSeq = Some(scanSeq))
+    }
+    ()
+  }
+
+  /** The ONE bounded optimistic conflict-retry protocol every rewrite
+    * shares (it was hand-copied three times until r13 — the r12 fix had
+    * to patch the same seq-anchor bug in each copy): every attempt
+    * re-plans `body` from CURRENT state anchored at the zombie-filtered
+    * commit head — lastCommittedSeq, NOT lastSeq, because a
+    * duplicate-batch zombie counted by the raw listing can roll back and
+    * free its seq for reuse, and a validation window anchored past it
+    * would miss the real commit that reuses the seq (see
+    * [[CommitLog.lastCommittedSeq]]). Sustained concurrent delete/rewrite
+    * traffic surfaces as [[CommitConflictException]] after `maxAttempts`
+    * instead of livelocking.
+    */
+  private def withConflictRetry[A](body: Long => A, maxAttempts: Int = 3): A = {
     var attempt = 0
     while (true) {
       attempt += 1
-      // lastCommittedSeq, NOT lastSeq: a duplicate-batch zombie counted
-      // by the raw listing can roll back and free its seq for reuse — a
-      // validation window anchored past it would miss the real commit
-      // that reuses the seq (see CommitLog.lastCommittedSeq)
       val scanSeq = log.lastCommittedSeq()
-      try {
-        graft.sink.IceTableWriter.append(spark, read(spark), this, batchId = -1,
-          compaction = true, sortBy = sortBy, sortPartitions = sortPartitions,
-          validateFromSeq = Some(scanSeq))
-        return
-      } catch {
-        case e: CommitConflictException => if (attempt >= 3) throw e
+      try return body(scanSeq)
+      catch {
+        case e: CommitConflictException => if (attempt >= maxAttempts) throw e
       }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Z-order rewrite (Iceberg/Delta `rewrite … zorder by` analogue):
@@ -762,34 +820,26 @@ final class IceTable private[table] (
     require(bits >= 1 && bits <= (if (cols.size == 2) 31 else 21),
       s"bits=$bits out of range for ${cols.size} dimensions")
     // same optimistic concurrent-delete conflict loop as [[compact]]
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      // lastCommittedSeq, NOT lastSeq: a duplicate-batch zombie counted
-      // by the raw listing can roll back and free its seq for reuse — a
-      // validation window anchored past it would miss the real commit
-      // that reuses the seq (see CommitLog.lastCommittedSeq)
-      val scanSeq = log.lastCommittedSeq()
+    val fellBack = withConflictRetry { scanSeq =>
       val df = read(spark)
       // one k-row agg for normalization bounds (k = dimension count)
       val bounds = df.select(cols.flatMap(c =>
         Seq(min(col(c).cast("double")).as(s"${c}__mn"),
           max(col(c).cast("double")).as(s"${c}__mx"))): _*).head()
-      if (bounds.anyNull) { compact(spark, sortPartitions = sortPartitions); return }
-      val normalized = cols.zipWithIndex.map { case (c, i) =>
-        graft.functions.ZOrder.normalize(col(c),
-          bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1), bits)
-      }
-      val z = graft.functions.ZOrder.interleave(normalized)
-      try {
+      if (bounds.anyNull) true // all-null dimension: z-order is meaningless
+      else {
+        val normalized = cols.zipWithIndex.map { case (c, i) =>
+          graft.functions.ZOrder.normalize(col(c),
+            bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1), bits)
+        }
+        val z = graft.functions.ZOrder.interleave(normalized)
         graft.sink.IceTableWriter.append(spark, df, this, batchId = -1,
           compaction = true, sortExprs = Seq(z), sortPartitions = sortPartitions,
           validateFromSeq = Some(scanSeq))
-        return
-      } catch {
-        case e: CommitConflictException => if (attempt >= 3) throw e
+        false
       }
     }
+    if (fellBack) compact(spark, sortPartitions = sortPartitions)
   }
 
   /** Bin-packing small-file compaction (Iceberg rewrite-data-files
@@ -811,59 +861,46 @@ final class IceTable private[table] (
       targetFileBytes: Long,
       minInputFiles: Int = 2
   ): Int = {
-    // same bounded optimistic-conflict loop as [[compact]]: retries
-    // re-plan from current state; sustained concurrent delete/rewrite
-    // traffic surfaces as CommitConflictException after 3 attempts
-    // instead of livelocking an unbounded recursion
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      // lastCommittedSeq, NOT lastSeq: a duplicate-batch zombie counted
-      // by the raw listing can roll back and free its seq for reuse — a
-      // validation window anchored past it would miss the real commit
-      // that reuses the seq (see CommitLog.lastCommittedSeq)
-      val scanSeq = log.lastCommittedSeq()
+    // same bounded optimistic-conflict loop as [[compact]] (a conflicted
+    // attempt re-plans: the hasLiveDeletes guard then sees the new delete
+    // and takes the full-compact path, which applies deletes and has its
+    // own bounded conflict loop)
+    withConflictRetry { scanSeq =>
       val hasLiveDeletes = meta.idColumns.nonEmpty &&
         liveCommits(None).exists(_.deleteFiles.nonEmpty)
       if (hasLiveDeletes) {
         val rewritten = planFiles(None).size
         compact(spark)
-        return rewritten
-      }
-      val small = planFiles(None, filePred =
-        Some(f => f.bytes >= 0 && f.bytes < targetFileBytes))
-      // isEmpty guard is separate from the minInputFiles threshold: a caller
-      // passing minInputFiles <= 0 must still no-op (readAligned on zero
-      // files would reduce over an empty group list)
-      if (small.isEmpty || small.size < minInputFiles) return 0
-      val cur = schema
-      val df = readAligned(spark, small, cur, v => schemaAt(v)).drop(IceTable.SEQ)
-      val totalBytes = small.map(_._1.bytes).sum
-      val outParts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-      try {
-        graft.sink.IceTableWriter.rewrite(
-          spark, df.coalesce(outParts), this,
-          removedPaths = small.map(_._1.path),
-          props = Map("compaction-small" -> "true"),
-          // the hasLiveDeletes guard above is check-then-act: a delta commit
-          // landing between it and this rewrite's commit would have its
-          // delete voided for the packed rows (they re-stamp at a higher
-          // seq). The writer validates at commit-claim time instead.
-          validateFromSeq = Some(scanSeq),
-          // a plain append never loses to this rewrite: the live chain is
-          // not truncated and removedPaths covers only the scanned small
-          // files — so concurrent ingest must not abort the compaction
-          allowConcurrentAppends = true)
-        return small.size
-      } catch {
-        case e: CommitConflictException => if (attempt >= 3) throw e
-        // a delete/rewrite landed mid-rewrite; loop re-plans — the
-        // hasLiveDeletes guard then sees a delete and takes the
-        // full-compact path (which applies deletes and has its own
-        // bounded conflict loop)
+        rewritten
+      } else {
+        val small = planFiles(None, filePred =
+          Some(f => f.bytes >= 0 && f.bytes < targetFileBytes))
+        // isEmpty guard is separate from the minInputFiles threshold: a caller
+        // passing minInputFiles <= 0 must still no-op (readAligned on zero
+        // files would reduce over an empty group list)
+        if (small.isEmpty || small.size < minInputFiles) 0
+        else {
+          val cur = schema
+          val df = readAligned(spark, small, cur, v => schemaAt(v)).drop(IceTable.SEQ)
+          val totalBytes = small.map(_._1.bytes).sum
+          val outParts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+          graft.sink.IceTableWriter.rewrite(
+            spark, df.coalesce(outParts), this,
+            removedPaths = small.map(_._1.path),
+            props = Map("compaction-small" -> "true"),
+            // the hasLiveDeletes guard above is check-then-act: a delta commit
+            // landing between it and this rewrite's commit would have its
+            // delete voided for the packed rows (they re-stamp at a higher
+            // seq). The writer validates at commit-claim time instead.
+            validateFromSeq = Some(scanSeq),
+            // a plain append never loses to this rewrite: the live chain is
+            // not truncated and removedPaths covers only the scanned small
+            // files — so concurrent ingest must not abort the compaction
+            allowConcurrentAppends = true)
+          small.size
+        }
       }
     }
-    -1 // unreachable
   }
 
   /** fsck-style integrity audit of the LIVE table state: every referenced
@@ -932,9 +969,23 @@ final class IceTable private[table] (
     * stages files BEFORE publishing its commit entry, so an age-less gc
     * racing an in-flight write would delete freshly staged data. Pass 0
     * only when no writer can be active (tests, single-process demos).
+    *
+    * `stagingGraceMs`: staging dirs carrying a live `_staging` marker
+    * (written by the sink before the first byte, cleared at publish) are
+    * skipped ENTIRELY until the marker is this old — the age rule alone
+    * cannot protect a write job that runs longer than `olderThanMs`
+    * (its earliest part files age past the cutoff while the job is
+    * still staging; a 15-minute compaction under the 10-minute default
+    * would lose files and publish a commit referencing deleted paths).
+    * An expired marker means a crashed/abandoned writer: its dir is
+    * reclaimed by the normal orphan rules.
     */
-  def gc(olderThanMs: Long = IceTable.DefaultGcOrphanAgeMs): Int = {
-    val cutoff = System.currentTimeMillis() - olderThanMs
+  def gc(
+      olderThanMs: Long = IceTable.DefaultGcOrphanAgeMs,
+      stagingGraceMs: Long = IceTable.DefaultGcStagingGraceMs): Int = {
+    val now = System.currentTimeMillis()
+    val cutoff = now - olderThanMs
+    val stagingCutoff = now - stagingGraceMs
     val branchDirs = {
       val root = dir.resolve("_commits")
       if (!Files.isDirectory(root)) Nil
@@ -958,10 +1009,24 @@ final class IceTable private[table] (
     for (sub <- Seq("data", "deletes")) {
       val root = dir.resolve(sub)
       if (Files.isDirectory(root)) {
+        // staging roots whose marker is still inside the grace window: a
+        // writer is (or may be) mid stage→publish — skip every entry
+        // under them, including empty partition subdirs it is filling
+        val protectedRoots: Set[Path] = {
+          val listing = Files.list(root)
+          val dirs =
+            try listing.iterator().asScala.filter(Files.isDirectory(_)).toSeq
+            finally listing.close()
+          dirs.filter { d =>
+            val m = d.resolve(IceTable.StagingMarker)
+            Files.exists(m) && Files.getLastModifiedTime(m).toMillis > stagingCutoff
+          }.toSet
+        }
         val walk = Files.walk(root)
         val entries = try walk.iterator().asScala.toSeq.reverse finally walk.close()
         entries.foreach { p =>
-          if (Files.isRegularFile(p) && !live.contains(IceTable.normalizePath(p.toString)) &&
+          if (protectedRoots.exists(p.startsWith(_))) ()
+          else if (Files.isRegularFile(p) && !live.contains(IceTable.normalizePath(p.toString)) &&
               Files.getLastModifiedTime(p).toMillis <= cutoff) {
             Files.delete(p)
             removed += 1
@@ -982,8 +1047,23 @@ object IceTable {
   private[graft] val SEQ = "__graft_seq"
 
   /** Default orphan age before [[IceTable.gc]] may delete an unreferenced
-    * file — covers the stage-then-publish window of any in-flight writer. */
+    * file — covers the gap between a part file landing and its commit
+    * publishing for SHORT writes; long write jobs are protected by the
+    * `_staging` marker + [[DefaultGcStagingGraceMs]] instead (their
+    * earliest part files age past any reasonable cutoff mid-job). */
   private[graft] val DefaultGcOrphanAgeMs: Long = 10L * 60 * 1000
+
+  /** Marker file a writer drops at the root of its staging dir before
+    * the first byte and clears at publish: gc skips marked dirs wholesale
+    * while the marker is younger than the staging grace. */
+  private[graft] val StagingMarker: String = "_staging"
+
+  /** How old a `_staging` marker must be before gc treats its dir as a
+    * crashed writer's leavings — an upper bound on one write job's
+    * stage duration, deliberately generous (the cost of waiting is disk
+    * space; the cost of not waiting is a committed table referencing
+    * deleted files). */
+  private[graft] val DefaultGcStagingGraceMs: Long = 6L * 60 * 60 * 1000
 
   /** Broadcast the equality-delete side only below this compressed size
     * (64 MB on disk ≈ a few hundred MB in memory across the columnar →

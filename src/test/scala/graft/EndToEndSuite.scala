@@ -42,6 +42,32 @@ class EndToEndSuite extends AnyFunSuite {
     assert(rows === Set((2L, "b2"), (3L, "c")))
   }
 
+  test("dead-letter mode applies in CDC mode: poison record lands in DLQ, upsert proceeds") {
+    import org.apache.spark.sql.types._
+    val wh = TestSpark.freshDir("e2e-cdc-dlq")
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType)))
+    IceTable.create(s"$wh/tbl", target, graft.table.TableMeta(idColumns = Seq("id")))
+    val cfg = EngineConfig(warehouse = wh,
+      tables = Seq(TableConfig("tbl", idColumns = Seq("id"))),
+      cdcField = Some("op"), deadLetterEnabled = true, strictCoercion = true)
+    // pre-fix the CDC branch bypassed the DLQ split entirely: with strict
+    // coercion the poison row threw on EVERY replay (a permanently wedged
+    // stream), and without it the value was silently nulled — either way
+    // never dead-lettered
+    val b = Seq(("1", "10", "I", 0L), ("2", "oops", "I", 1L), ("1", "11", "U", 2L))
+      .toDF("id", "qty", "op", "offset")
+    Ingest.run(spark, b, 0L, cfg)
+    val rows = IceTable.load(s"$wh/tbl").read(spark)
+      .select("id", "qty").as[(Long, Long)].collect().toSet
+    assert(rows === Set((1L, 11L))) // last-wins upsert of the clean rows only
+    val dead = IceTable.load(s"$wh/tbl__dlq").read(spark)
+      .select(get_json_object(col("record"), "$.id").as("id"), col("reason"))
+      .as[(String, String)].collect()
+    assert(dead.map(_._1).toSeq === Seq("2"))
+    assert(dead.head._2.contains("qty"))
+  }
+
   test("CDC into a partitioned table on a branch (IntegrationCdcTest.testIcebergSinkPartitionedTable)") {
     import org.apache.spark.sql.types._
     val wh = TestSpark.freshDir("e2e-cdc-part")
@@ -305,6 +331,17 @@ class EndToEndSuite extends AnyFunSuite {
     val dflt = EngineConfig.fromProperties("/tmp/wh", Map.empty)
     assert(dflt.commitThreads === Runtime.getRuntime.availableProcessors() * 2)
     assert(dflt.commitTimeoutMs === 30000)
+    assert(dflt.format === "parquet")
+    // format rides the reference's TABLE property (write.format.default,
+    // Utilities.java:162-163) through auto-create-props or write-props —
+    // pre-fix an invented iceberg.kafka.* key meant a table whose props
+    // said orc was silently written as parquet
+    val orcCfg = EngineConfig.fromProperties("/tmp/wh", Map(
+      "iceberg.tables.auto-create-props.write.format.default" -> "orc"))
+    assert(orcCfg.format === "orc")
+    val orcCfg2 = EngineConfig.fromProperties("/tmp/wh", Map(
+      "iceberg.table.write-props.write.format.default" -> "orc"))
+    assert(orcCfg2.format === "orc")
     // default branch applies to listed tables without their own and to
     // dynamically discovered ones; auto-create props flow to new tables
     assert(cfg.tableConfig("db.tbl2").commitBranch === "audit")

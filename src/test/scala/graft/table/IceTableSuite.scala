@@ -208,6 +208,56 @@ class IceTableSuite extends AnyFunSuite {
     assert(t.gc(olderThanMs = 0L) >= 1) // explicit opt-out collects it
   }
 
+  test("a live _staging marker protects a long write job's old part files from gc") {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    val dir = TestSpark.freshDir("t-gc-staging")
+    val t = IceTable.create(dir, schema, TableMeta())
+    IceTableWriter.append(spark, df((1L, "a", 1.0)), t, 0)
+    // the normal write path must leave NO marker behind (publish clears it)
+    val leftovers = {
+      val w = Files.walk(t.dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.filter(_.getFileName.toString == "_staging").toList
+      } finally w.close()
+    }
+    assert(leftovers.isEmpty, s"publish left staging markers: $leftovers")
+    t.gc(olderThanMs = 0L) // drop the append's _SUCCESS/.crc bookkeeping
+    // in-flight long write: part file ALREADY older than the orphan age,
+    // marker fresh — pre-fix, age-based gc deleted the file mid-job and
+    // the eventual commit referenced a vanished path
+    val staged = t.dir.resolve("data").resolve("inflight-long-job")
+    Files.createDirectories(staged)
+    val part = staged.resolve("part-0.parquet")
+    Files.write(part, Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(part,
+      FileTime.fromMillis(System.currentTimeMillis() - 60L * 60 * 1000))
+    Files.createFile(staged.resolve("_staging"))
+    assert(t.gc(olderThanMs = 0L) === 0,
+      "gc deleted files under a live _staging marker")
+    assert(Files.exists(part))
+    // crashed writer: marker past the staging grace — dir is reclaimed
+    Files.setLastModifiedTime(staged.resolve("_staging"),
+      FileTime.fromMillis(System.currentTimeMillis() - 7L * 60 * 60 * 1000))
+    assert(t.gc(olderThanMs = 0L) >= 1)
+    assert(!Files.exists(part))
+  }
+
+  test("read-back counts merge fills only unknown-row stats, keyed by file name") {
+    val stats = Map(
+      "/tbl/data/u1/part-0.parquet" -> graft.sink.FooterStats(5L, 100L, Map.empty, Map.empty),
+      "/tbl/data/u1/part-1.avro" -> graft.sink.FooterStats(-1L, 80L, Map.empty, Map.empty),
+      "/tbl/data/u1/part-2.avro" -> graft.sink.FooterStats(-1L, 60L, Map.empty, Map.empty))
+    // input_file_name() URI form on the counted side; part-2 absent = an
+    // eager empty part file (no records grouped) → 0 rows → unstaged
+    val counts = Map("file:///tbl/data/u1/part-1.avro" -> 7L)
+    val merged = IceTableWriter.mergeReadBackCounts(stats, counts)
+    assert(merged("/tbl/data/u1/part-0.parquet").rows === 5L)
+    assert(merged("/tbl/data/u1/part-1.avro").rows === 7L)
+    assert(merged("/tbl/data/u1/part-2.avro").rows === 0L)
+  }
+
   test("optimistic commit: concurrent writers race on seq, none lost") {
     val dir = TestSpark.freshDir("t-race")
     val t = IceTable.create(dir, schema, TableMeta())
@@ -440,6 +490,31 @@ class IceTableSuite extends AnyFunSuite {
     IceTableWriter.append(spark, df((9L, "z", 9.0)), t, batchId = 9)
     IceTableWriter.append(spark, df((4L, "d", 4.0)), audit, batchId = 3)
     assertThrows[IllegalArgumentException](t.fastForwardFrom("audit"))
+  }
+
+  test("fast-forward survives a zombie seq gap on the source branch (renumbered copy)") {
+    val dir = TestSpark.freshDir("t-wap-zombie")
+    val t = IceTable.create(dir, schema, TableMeta())
+    val audit = IceTable.load(dir, "audit")
+    IceTableWriter.append(spark, df((1L, "a", 1.0)), audit, batchId = 0)
+    // a crashed duplicate-batch writer's zombie permanently claims the
+    // next raw seq on the audit branch; the filtered history skips it
+    val real = audit.log.commits().head
+    val zombie = real.copy(seq = real.seq + 1, commitId = "zombie")
+    java.nio.file.Files.write(
+      audit.log.root.resolve(f"v${zombie.seq}%09d.json"),
+      CommitLog.mapper.writeValueAsBytes(zombie))
+    IceTableWriter.append(spark, df((2L, "b", 2.0)), audit, batchId = 1)
+    assert(audit.log.commits().map(_.seq) === Seq(1L, 3L)) // the gap is real
+    // pre-fix: require(seq == c.seq) could never hold past the gap —
+    // 'advanced concurrently' forever on an idle target
+    assert(t.fastForwardFrom("audit") === 2)
+    assert(t.read(spark).select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(t.log.commits().map(_.seq) === Seq(1L, 2L)) // contiguous on target
+    // a second fast-forward after more audit commits still lines up
+    IceTableWriter.append(spark, df((3L, "c", 3.0)), audit, batchId = 2)
+    assert(t.fastForwardFrom("audit") === 1)
+    assert(t.read(spark).count() === 3)
   }
 
   test("column min/max bounds prune file plans; result unchanged (data skipping)") {
