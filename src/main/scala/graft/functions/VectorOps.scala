@@ -91,6 +91,44 @@ object VectorKernels {
     * Accumulation order per plane matches [[dotDD]], so signatures are
     * bit-identical to the per-bit formulation.
     */
+  /** L2-normalize, norm computed ONCE ([[ArrayNormalize]]'s kernel).
+    * Mirrors the HOF `transform(a, x => x / sqrt(dot(a,a)))` exactly:
+    *  - any null element → dot is NULL → EVERY output slot null
+    *  - zero norm → SQL x/0 → every slot null
+    *  - NaN/Inf elements flow through the IEEE arithmetic unchanged
+    *    (NaN norm → all-NaN; Inf norm → finite/Inf = 0.0, Inf/Inf = NaN)
+    */
+  def normalizeVec(v: ArrayData, floatElems: Boolean, checked: Boolean): ArrayData = {
+    val n = v.numElements()
+    if (n == 0) {
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(new Array[Double](0))
+    }
+    var s = 0.0
+    var i = 0
+    var anyNull = false
+    if (checked) {
+      while (i < n && !anyNull) {
+        if (v.isNullAt(i)) anyNull = true
+        else { val x = if (floatElems) v.getFloat(i).toDouble else v.getDouble(i); s += x * x }
+        i += 1
+      }
+    } else {
+      if (floatElems) while (i < n) { val x = v.getFloat(i).toDouble; s += x * x; i += 1 }
+      else while (i < n) { val x = v.getDouble(i); s += x * x; i += 1 }
+    }
+    val norm = math.sqrt(s)
+    if (anyNull || norm == 0.0) {
+      // all-null slots: SQL division by a NULL dot / a zero norm
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](n))
+    }
+    val out = new Array[Double](n)
+    i = 0
+    if (floatElems) while (i < n) { out(i) = v.getFloat(i).toDouble / norm; i += 1 }
+    else while (i < n) { out(i) = v.getDouble(i) / norm; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   def hyperplaneSigs(
       v: ArrayData,
       planes: Array[Double],
@@ -200,6 +238,46 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
+/** L2-normalize an array<float|double> vector to array<double> — the
+  * fused twin of `transform(a, x => x / sqrt(dot(a, a)))`. That HOF form
+  * re-evaluates the dot INSIDE the per-element lambda (subexpression
+  * elimination does not reach lambda bodies), making normalization
+  * O(d²) per row in the hottest path of every embedding operator; this
+  * kernel computes the norm once — O(d) — with bit-identical results
+  * (same sequential accumulation as [[ArrayDot]], same IEEE divide, and
+  * the same SQL division semantics: any null element or a zero norm
+  * nulls every output slot, NaN/Inf flow through the arithmetic).
+  */
+case class ArrayNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"array_normalize expects an array<float|double> vector, got ${other.sql}")
+    }
+
+  private lazy val floatElems =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val checkedElems =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.normalizeVec(a.asInstanceOf[ArrayData], floatElems, checkedElems)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorKernels.normalizeVec($c, $floatElems, $checkedElems);
+    """)
+
+  override protected def withNewChildInternal(c: Expression): ArrayNormalize = copy(child = c)
+}
+
 /** `array<long>` of `tables` hyperplane signatures for one vector — the
   * index-build kernel of the multi-table embedding LSH (see
   * [[graft.llm.Dedup.embeddingNearDupPairs]]). Plane matrix is generated
@@ -214,6 +292,14 @@ case class HyperplaneSignatures(
     dim: Int,
     baseSeed: Long
 ) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  // '1L << b' wraps mod 64 on the JVM: bits 64+ would silently ALIAS
+  // onto bits 0+, XOR-ing unrelated hyperplane decisions into the low
+  // signature bits — wrong LSH buckets with no error anywhere (explicit
+  // bits deliberately bypass the auto-sizing caps, so validate here)
+  require(bits >= 1 && bits <= 64,
+    s"hyperplane_signatures: bits must be in [1, 64], got $bits")
+  require(tables >= 1, s"hyperplane_signatures: tables must be >= 1, got $tables")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   // nullable beyond a null INPUT: a null element nulls the signature array
   override def nullable: Boolean = true
@@ -280,6 +366,9 @@ object HyperplaneSignatures {
 object VectorOps {
   def array_dot(a: Column, b: Column): Column =
     GraftInternal.column(ArrayDot(GraftInternal.expression(a), GraftInternal.expression(b)))
+
+  def array_normalize(v: Column): Column =
+    GraftInternal.column(ArrayNormalize(GraftInternal.expression(v)))
 
   def hyperplane_signatures(
       v: Column, bits: Int, tables: Int, dim: Int = 64, baseSeed: Long = 7): Column =

@@ -77,11 +77,26 @@ object Dedup {
     require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"keepBest tie-break negates `$idCol` — numeric id required, found ${df.schema(idCol).dataType}")
     val payload = struct((idCol +: carryCols).map(col): _*)
-    val cand = struct(col(scoreCol).as("s"), (-col(idCol)).as("negid"), payload.as("row"))
+    // a NaN score must LOSE, not win: Spark orders NaN above every real
+    // double, so an unguarded max(struct(s, ...)) would crown a
+    // NaN-scored copy (0.0/0.0 quality ratio upstream) as the canonical
+    // document over genuinely scored ones. NaN sorts as -Infinity for
+    // the comparison; the EMITTED score stays the winner's original
+    // value. NULL scores already lose (null struct fields sort lowest).
+    val st = df.schema(scoreCol).dataType
+    val sortScore = st match {
+      case org.apache.spark.sql.types.DoubleType =>
+        when(isnan(col(scoreCol)), lit(Double.NegativeInfinity)).otherwise(col(scoreCol))
+      case org.apache.spark.sql.types.FloatType =>
+        when(isnan(col(scoreCol)), lit(Float.NegativeInfinity)).otherwise(col(scoreCol))
+      case _ => col(scoreCol)
+    }
+    val cand = struct(sortScore.as("s"), (-col(idCol)).as("negid"),
+      payload.as("row"), col(scoreCol).as("s0"))
     df.groupBy(keyCols.map(col): _*)
       .agg(max(cand).as("b"), count(lit(1)).as("dup_count"))
       .select((idCol +: carryCols).map(c => col(s"b.row.$c").as(c)) :+
-        col("b.s").as(scoreCol) :+ col("dup_count"): _*)
+        col("b.s0").as(scoreCol) :+ col("dup_count"): _*)
   }
 
   /** Word n-gram shingles of a text column (distinct) — single-pass
@@ -553,7 +568,17 @@ object Dedup {
     // EVERY row together — the exact all-pairs join this banding exists
     // to prevent
     val chunkMask = if (bitsPer >= 64) -1L else (1L << bitsPer) - 1
-    val sigs = df.select(col(idCol).as("id"), TextHashes.simhash64(col(textCol)).as("sig"))
+    // token-less documents (empty/whitespace-only) all carry signature 0:
+    // they would collide with each other in EVERY chunk band and pass the
+    // hamming<=maxDist verify — a k²/2 candidate AND output blowup (k =
+    // empty docs, millions in a web corpus). They are unindexable by this
+    // measure; skip them up front — the same rule minhashLshPairs applies
+    // to empty shingle sets, and what the exact SQL oracle computes (its
+    // token stream never yields a row for them). The character class IS
+    // simHash64's whitespace contract (TextHashes.isSpace).
+    val sigs = df
+      .filter(col(textCol).isNotNull && col(textCol).rlike("[^ \\t\\n\\f\\r]"))
+      .select(col(idCol).as("id"), TextHashes.simhash64(col(textCol)).as("sig"))
     val banded = sigs.select(
       col("id"),
       col("sig"),
@@ -795,6 +820,13 @@ object Dedup {
         * graphs where label propagation needs diameter rounds. */
       starContraction: Boolean = false
   ): DataFrame = {
+    // same analysis-time guard as every CAST(id AS LONG) operator
+    // (IntegralId): a string/UUID pair frame would null-cast BOTH
+    // endpoints of every edge, the isNotNull filter would drop them all,
+    // and the grouping would silently resolve to zero groups — the
+    // caller's keep-canonical pass then deletes nothing
+    IntegralId.require(pairs, idACol, "connectedComponents")
+    IntegralId.require(pairs, idBCol, "connectedComponents")
     // materialize the pair list once: it is usually the output of an
     // expensive near-dup join, and the edge construction below references
     // it several times (both orientations + the node set)

@@ -97,11 +97,15 @@ object IvfIndex {
     // entry sweep WITHOUT reconcile: a full rebuild declares `corpus` the
     // source of truth, so superseded generations' contents are moot
     sweep(spark, dir, keep = prev.toSet, graceMs = orphanGraceMs, reconcileInto = None)
-    val c = corpus
+    val c0 = corpus
       .select(col(idCol).cast("long").as("n_id"), Similarity.normalize(col(vecCol)).as("n_vec"))
       // same degenerate-vector exclusion as [[append]] and kmeans: a NaN
       // vector left in poisons its cell's Lloyd mean every iteration
       .filter(Similarity.clusterable(col("n_vec")))
+    // width-mismatched vectors are excluded like kmeans does: NULL dots
+    // would route them to the lowest-id cell and skew its Lloyd mean
+    val buildDim = Similarity.detectDim(c0)
+    val c = c0.filter(size(col("n_vec")) === buildDim)
       .localCheckpoint() // training scans it repeatedly; the WRITE below is its durable form
     val next = s"v${nextVersion(dir)}"
     val written = writeGeometry(spark, c, s"$dir/$next", nCells, kmeansIters, twoLevelGate)
@@ -153,8 +157,24 @@ object IvfIndex {
       .select(col(idCol).cast("long").as("n_id"), Similarity.normalize(col(vecCol)).as("n_vec"))
       .filter(Similarity.clusterable(col("n_vec")))
       .localCheckpoint() // feeds the partitioned write AND the count
+    // an append into a PERSISTED index fails LOUDLY on width-mismatched
+    // vectors (a systemic pipeline error, unlike inherent data junk):
+    // their NULL dots would route them all to the lowest-id cell, where
+    // they bloat every probe of that cell forever while never matching.
+    // One aggregate job doubles as the return-value count.
+    val geoDim = spark.read.parquet(s"$adir/centroids.parquet")
+      .select(size(col("c_vec")).as("__d")).take(1) match {
+      case Array(r) if !r.isNullAt(0) => r.getInt(0)
+      case _                          => 0
+    }
+    val stats = vv.agg(
+      count(lit(1)).as("n"),
+      count(when(size(col("n_vec")) =!= geoDim, 1)).as("bad")).head()
+    require(geoDim == 0 || stats.getLong(1) == 0L,
+      s"IvfIndex.append: ${stats.getLong(1)} vector(s) have a different width than the " +
+        s"index geometry (dim $geoDim) — re-embed or rebuild the index at the new width")
     appendAssigned(spark, adir, vv)
-    vv.count()
+    stats.getLong(0)
   }
 
   /** Re-shard the index when cells outgrow a target occupancy — the

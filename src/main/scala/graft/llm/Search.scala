@@ -74,8 +74,15 @@ object Search {
     docs.select(col(idCol).as("id"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
       .write.mode("overwrite").parquet(s"$dir/$gen/doclen")
-    val s = docs.agg(count(lit(1)).as("n"),
-      sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("sumdl")).head()
+    // n/sumdl from a read-back of the doclen table just written — NOT a
+    // third full tokenize of the corpus: one tiny 2-column parquet agg
+    // replaces a whole scan, and the stats are CONSISTENT with the
+    // tables by construction (three independent jobs over a
+    // non-deterministic `docs` — a table being appended to, a sampling
+    // stage — could otherwise publish idf/avgdl that disagree with the
+    // postings they serve)
+    val s = spark.read.parquet(s"$dir/$gen/doclen")
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
     Seq((IndexVersion, termBuckets.toLong, s.getLong(0),
       if (s.isNullAt(1)) 0L else s.getLong(1), gen))
       .toDF("version", "term_buckets", "n", "sumdl", "gen")

@@ -38,10 +38,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def normalize(a: Column): Column = {
-    val n = norm(a)
-    transform(a, x => x.cast("double") / n)
-  }
+  /** L2-normalize — fused kernel ([[graft.functions.ArrayNormalize]]).
+    * The HOF `transform(a, x => x / sqrt(dot(a,a)))` form re-evaluated
+    * the dot inside the per-element lambda (subexpression elimination
+    * does not reach lambda bodies): O(d²) per row, corpus-wide, in every
+    * embedding operator. The kernel computes the norm once and is
+    * bit-identical (same accumulation order, same SQL null/zero-norm
+    * semantics).
+    */
+  def normalize(a: Column): Column = graft.functions.VectorOps.array_normalize(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -333,7 +338,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     IntegralId.require(corpus, idCol, "kmeans")
-    val c = corpus
+    val c0 = corpus
       .select(col(idCol).cast("long").as("id"), normalize(col(vecCol)).as("n_vec"))
       // a null/empty/zero vector has no direction: it normalizes to
       // null / empty / all-NULL (SQL x/0 is NULL, not NaN; a NaN INPUT
@@ -342,8 +347,15 @@ object Similarity {
       // pass and convergence never fires). Excluded rows are absent from
       // the assignments, by contract.
       .filter(clusterable(col("n_vec")))
+    // width-mismatched vectors (mixed embedding versions) are excluded
+    // like other unclusterables: their dot against every centroid is
+    // NULL (fused-kernel HOF parity), so the argmax would tie-break them
+    // into the LOWEST-id cell — silently mis-clustered, and their
+    // trailing elements would NULL that cell's Lloyd mean. Absent from
+    // the assignments, by the same contract as degenerate vectors.
+    val dim = detectDim(c0)
+    val c = c0.filter(size(col("n_vec")) === dim)
       .localCheckpoint() // scanned by seeding + every Lloyd pass + final assignment
-    val dim = detectDim(c)
     var cents = seedCentroids(c.select(col("id").as("n_id"), col("n_vec")), k)
       .filter(!_._2.exists(_.isNaN))
     var converged = cents.isEmpty
@@ -556,8 +568,12 @@ object Similarity {
     // would mis-detect the embedding width below
     val c0 = corpus.select(col(idCol).as("n_id"), normalize(col(vecCol)).as("n_vec"))
       .filter(clusterable(col("n_vec")))
-    val c = c0.localCheckpoint() // scanned by seeding, each Lloyd pass, and assignment
-    val dim = if (dim0 > 0) dim0 else detectDim(c)
+    val dim = if (dim0 > 0) dim0 else detectDim(c0)
+    // width-mismatched corpus vectors are excluded (same rule and
+    // rationale as kmeans): NULL dots would tie-break them into the
+    // lowest-id cell and skew its Lloyd mean
+    val c = c0.filter(size(col("n_vec")) === dim)
+      .localCheckpoint() // scanned by seeding, each Lloyd pass, and assignment
     val cents = trainCentroids(c, nCells, kmeansIters, dim)
     if (cents.isEmpty)
       return Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rank", "n_id", "cosine")

@@ -42,8 +42,15 @@ object TextAnalysis {
   def stopwordCount(text: Column, words: Seq[String] = StopwordsEn): Column = {
     // quote each word: the public Seq[String] invites custom lists, and an
     // unquoted "c++" would count runs of 'c' (the '+' quantifies) while
-    // "(" would throw PatternSyntaxException mid-job
-    val pattern = words.map(java.util.regex.Pattern.quote).mkString("\\b(?:", "|", ")\\b")
+    // "(" would throw PatternSyntaxException mid-job.
+    // Lookarounds, not \b: \b needs a word/non-word TRANSITION at both
+    // edges, so a quoted word that starts/ends with a non-word char
+    // ("c++", ".net") could never match next to a space — silently
+    // counting 0, the exact case the quoting exists for. (?<!\w)/(?!\w)
+    // are \b-equivalent for word-char-edged words and correct for the
+    // rest. (Custom symbol-edged lists are Spark-side only — RE2-based
+    // oracle engines lack lookbehind — the default lists stay portable.)
+    val pattern = words.map(java.util.regex.Pattern.quote).mkString("(?<!\\w)(?:", "|", ")(?!\\w)")
     regexp_count(lower(text), lit(pattern))
   }
 

@@ -89,6 +89,43 @@ class GraftExtensionsSuite extends AnyFunSuite {
     assert(ok.getDouble(0) === 11.0)
   }
 
+  test("array_normalize kernel is bit-identical to the HOF transform/dot formulation") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the kernel replaced transform(a, x => x / sqrt(dot(a,a))) — which
+    // re-evaluated the dot per ELEMENT (O(d²); lambda bodies are outside
+    // subexpression elimination) — and must match it bit-for-bit,
+    // including the null/zero/NaN/Inf edge semantics
+    val vecs = Seq(
+      Seq(3.0, 4.0), // plain
+      Seq(0.0, 0.0), // zero norm → SQL x/0 → all-null
+      Seq(1.0, Double.NaN), // NaN flows through
+      Seq(Double.PositiveInfinity, 1.0), // Inf norm → 0.0 and NaN slots
+      Seq(1e-320, 2e-320), // subnormals
+      Seq.empty[Double]
+    ).toDF("v")
+    val both = vecs.select(
+      graft.functions.VectorOps.array_normalize(col("v")).as("kernel"),
+      transform(col("v"),
+        x => x / sqrt(graft.functions.VectorOps.array_dot(col("v"), col("v")))).as("hof"))
+      .collect()
+    // compare via doubleToLongBits: NaN != NaN under ===, but both forms
+    // must produce the same (canonicalized) bit pattern slot for slot
+    def bits(s: Seq[Any]): Seq[String] = s.map {
+      case null      => "null"
+      case d: Double => java.lang.Double.doubleToLongBits(d).toString
+      case x         => x.toString
+    }
+    both.foreach { r =>
+      assert(bits(r.getSeq[Any](0)) === bits(r.getSeq[Any](1)), s"kernel/HOF divergence: $r")
+    }
+    // null element → EVERY slot null (dot null-propagates), same as HOF
+    val withNull = Seq(Seq[java.lang.Double](1.0, null, 2.0)).toDF("v")
+      .select(graft.functions.VectorOps.array_normalize(col("v"))).head().getSeq[Any](0)
+    assert(withNull === Seq(null, null, null))
+  }
+
   test("length-mismatched vectors: array_dot nulls (HOF parity), signatures fail loudly") {
     val spark = TestSpark.spark
     import spark.implicits._

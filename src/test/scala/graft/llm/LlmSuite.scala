@@ -38,6 +38,37 @@ class DedupSuite extends AnyFunSuite {
     assert(e.getMessage.contains("numeric id"))
   }
 
+  test("keepBest: a NaN score loses to any real score (NaN orders above doubles in Spark)") {
+    val df = Seq(
+      (1L, "a", Double.NaN, "en"), (2L, "a", 0.3, "zh"),
+      (3L, "b", Double.NaN, "fr"), (4L, "b", Double.NaN, "de")
+    ).toDF("id", "text", "score", "lang")
+    val got = Dedup.keepBest(df, "id", Seq("text"), "score", Seq("lang"))
+      .select("id", "lang").as[(Long, String)].collect().toSet
+    // pre-fix max(struct(score,...)) crowned the NaN copy (0.0/0.0 quality
+    // ratio upstream) as the canonical doc over the genuinely scored one
+    assert(got === Set((2L, "zh"), (3L, "fr"))) // all-NaN group: lowest id, deterministic
+    val s = Dedup.keepBest(df, "id", Seq("text"), "score")
+      .filter(col("id") === 3L).select("score").head().getDouble(0)
+    assert(s.isNaN) // the emitted score stays the winner's original value
+  }
+
+  test("simhashPairs: token-less documents are excluded, not an all-pairs 0-signature clique") {
+    val weird = Seq((1L, ""), (2L, " \t\n"), (3L, "   "), (4L, "real text here"),
+      (5L, "real text here")).toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(weird, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // pre-fix the three empty docs all carried signature 0, collided in
+    // every chunk band, and passed the hamming verify — k²/2 junk pairs
+    assert(got === Set((4L, 5L)))
+  }
+
+  test("connectedComponents rejects non-integral id pairs instead of silently grouping nothing") {
+    val pairs = Seq(("u-1", "u-2")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException](Dedup.connectedComponents(pairs))
+    assert(e.getMessage.contains("connectedComponents"), s"unexpected: ${e.getMessage}")
+  }
+
   test("shingles: distinct word n-grams") {
     val got = Seq("a b c d a b c d").toDF("t")
       .select(Dedup.shingles(col("t"), 3)).head().getSeq[String](0)
@@ -598,6 +629,37 @@ class TextOpsSuite extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
   import graft.operators.Sampling
+
+  test("stopwordCount matches symbol-edged custom words (\\b could never match them)") {
+    // \b needs a word/non-word TRANSITION at both edges: quoted "c++"
+    // followed by a space has none after '+', so the old \b-anchored
+    // pattern silently counted 0 for every normal occurrence
+    val df = Seq("c++ rocks and c++ rolls", "the c+++x", "net vs .net here").toDF("text")
+    val cpp = df.select(TextAnalysis.stopwordCount(col("text"), Seq("c++")).as("n"))
+      .as[Long].collect().toSeq
+    // "c+++x" counts: the char after the matched "c++" is '+', a
+    // non-word char, so the trailing lookahead passes (symbol-edged
+    // words have no crisper boundary notion than "not glued to \\w")
+    assert(cpp === Seq(2L, 1L, 0L))
+    val dotnet = df.select(TextAnalysis.stopwordCount(col("text"), Seq(".net")).as("n"))
+      .as[Long].collect().toSeq
+    assert(dotnet === Seq(0L, 0L, 1L))
+    // default all-letter lists are \b-equivalent (oracle portability)
+    val en = Seq("the cat in the hat").toDF("text")
+      .select(TextAnalysis.stopwordCount(col("text")).as("n")).as[Long].head()
+    assert(en === 3L) // the, in, the
+  }
+
+  test("hyperplane_signatures rejects bits outside [1, 64] (1L << b wraps mod 64)") {
+    // bits 64+ would silently ALIAS onto bits 0+ — wrong LSH buckets,
+    // no error anywhere; explicit bits bypass the auto-sizing caps so
+    // the expression itself must validate
+    val e = intercept[IllegalArgumentException] {
+      Seq(Seq(1.0, 0.0)).toDF("v")
+        .select(graft.functions.VectorOps.hyperplane_signatures(col("v"), 70, 1, 2)).collect()
+    }
+    assert(e.getMessage.contains("bits"), s"unexpected: ${e.getMessage}")
+  }
 
   test("hash sampling is deterministic and matches the portable arithmetic") {
     val df = spark.range(10000).toDF("id")
@@ -1251,6 +1313,31 @@ class SimilaritySuite extends AnyFunSuite {
     val rep = Similarity.kmeansReport(df, "vec_id", "embedding", k = 2, maxIters = 20).head()
     assert(rep.getLong(rep.fieldIndex("n_assigned")) === 4L)
     assert(rep.getBoolean(rep.fieldIndex("fixed_point_ok")))
+  }
+
+  test("width-mismatched vectors are excluded from kmeans; IVF append rejects them loudly") {
+    // mixed embedding versions: with the dot kernels now nulling on
+    // length mismatch, an unguarded argmax would tie-break every
+    // mismatched row into the LOWEST-id cell (silent mis-clustering)
+    val mixed = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.1f)), (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f)), (4L, Seq(0.1f, 0.0f, 0.9f, 0.0f)),
+      (5L, Seq(1.0f, 0.5f)) // stale 2-dim embedding
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.kmeans(mixed, "vec_id", "embedding", k = 2, maxIters = 20)
+    assert(res.assignments.as[(Long, Long)].collect().toMap.keySet === Set(1L, 2L, 3L, 4L))
+    // the persisted index refuses a mismatched APPEND outright — silent
+    // exclusion there would be index data loss
+    val dir = graft.TestSpark.freshDir("ivf-dim-guard")
+    IvfIndex.build(mixed.filter(col("vec_id") < 5), "vec_id", "embedding", dir, nCells = 2)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.append(spark, dir, Seq((9L, Seq(1.0f, 0.5f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("different width"), s"unexpected: ${e.getMessage}")
+    assert(IvfIndex.append(spark, dir,
+      Seq((9L, Seq(0.5f, 0.5f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding") === 1L)
   }
 
   test("kmeans recovers well-separated synthetic clusters exactly") {
