@@ -20,6 +20,21 @@ case class IcebergBucket(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = child.nullable
 
+  // analysis-time rejection: without it an unsupported child type (a
+  // DOUBLE partition column — Iceberg's spec has no float bucket) passed
+  // analysis and died mid-execution in the lazy `kind` below, after
+  // tasks were already scheduled
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case IntegerType | LongType | DateType | TimestampType | TimestampNTZType |
+          StringType | BinaryType | _: DecimalType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"iceberg bucket transform is undefined for ${other.sql} " +
+            "(spec: int/long/date/timestamp/string/binary/decimal)")
+    }
+
   private lazy val kind: String = child.dataType match {
     case IntegerType | LongType | DateType | TimestampType | TimestampNTZType => "long"
     case StringType => "utf8"

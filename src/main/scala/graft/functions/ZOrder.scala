@@ -66,6 +66,14 @@ object ZOrder {
     * everything); clamped rows merely cluster at the boundary.
     */
   def normalize(c: Column, min: Double, max: Double, bits: Int): Column = {
+    // the interleave budget is HARD: bits=32 in 2-D puts bit 31 at
+    // output bit 62 and the dimension shifted by 1 lands it on the SIGN
+    // bit — negative z-values sorting the top bucket first, silently
+    // destroying the clustering the rewrite ran for. 21 is the 3-D bound
+    // (3·21 = 63); per-call-site requires (compactZOrder) cannot protect
+    // direct users of this function.
+    require(bits >= 1 && bits <= 31,
+      s"z-order normalize bits must be in [1, 31] (and <= 21 for 3-D), got $bits")
     val span = max - min
     if (span <= 0) lit(0L)
     else {

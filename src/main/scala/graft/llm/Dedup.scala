@@ -23,6 +23,20 @@ private[graft] object IntegralId {
         "every id would cast to null and the operation would silently match nothing. " +
         "Derive a long id first (e.g. xxhash64 over the id, or a dense-id join).")
   }
+
+  /** Runtime column form of the same contract, for operators that accept
+    * any castable numeric id: cast to long, `raise_error` per row on a
+    * null or non-castable value (coalescing either to 0L would silently
+    * attribute the row to document 0). ONE definition shared by
+    * `Packing.nextFitPack` and the `Multimodal` kernels so their
+    * fail-loud guards cannot drift.
+    */
+  def checkedCol(idCol: String, op: String): Column = {
+    val idc = col(idCol).cast("long")
+    when(idc.isNull,
+      raise_error(concat(lit(s"$op: null or non-numeric id in '$idCol': '"),
+        coalesce(col(idCol).cast("string"), lit("null")), lit("'")))).otherwise(idc)
+  }
 }
 
 /** Deduplication operators for training-data pipelines, each designed

@@ -52,13 +52,8 @@ object Multimodal {
     * a null id to 0L and attribute the row's features to document 0 —
     * same fail-loudly contract as [[Packing.nextFitPack]].
     */
-  private def checkedId(idCol: String): Column = {
-    val idc = col(idCol).cast(LongType)
-    when(idc.isNull,
-      raise_error(concat(lit(s"multimodal: null or non-numeric id in '$idCol': '"),
-        coalesce(col(idCol).cast(StringType), lit("null")), lit("'")))).otherwise(idc)
-      .as("id")
-  }
+  private def checkedId(idCol: String): Column =
+    IntegralId.checkedCol(idCol, "multimodal").as("id")
 
   // ---------------------------------------------------------------------
   // Deterministic synthetic-image fixtures
@@ -403,9 +398,15 @@ object Multimodal {
         if (r.isNullAt(1)) Iterator.empty
         else {
           val bytes = r.getAs[Array[Byte]](1)
-          val frames = bytes.grouped(frameBytes).toIndexedSeq
-          frames.indices.filter(_ % everyN == 0).iterator.map { i =>
-            Row(r.getLong(0), i, frames(i))
+          // step straight to the kept frames: grouped() materialized
+          // EVERY frame (a full second copy of the payload) only to
+          // discard (everyN-1)/everyN of them — per row, in the hot loop
+          val id = r.getLong(0)
+          val step = frameBytes.toLong * everyN
+          (0L until bytes.length.toLong by step).iterator.map { off =>
+            val idx = (off / frameBytes).toInt
+            val end = math.min(off + frameBytes, bytes.length.toLong).toInt
+            Row(id, idx, java.util.Arrays.copyOfRange(bytes, off.toInt, end))
           }
         }
       }

@@ -43,15 +43,20 @@ object Packing {
     // text) packs as 0 tokens: the doc keeps its slot, consumes no
     // budget. (Either null would otherwise NPE in the primitive-tuple
     // encoder below.)
-    val idc = col(idCol).cast("long")
-    val checkedId = when(idc.isNull,
-      raise_error(concat(lit(s"nextFitPack: null or non-numeric id in '$idCol': '"),
-        coalesce(col(idCol).cast("string"), lit("null")), lit("'")))).otherwise(idc)
+    val checkedId = IntegralId.checkedCol(idCol, "nextFitPack")
     // negative token counts fail loudly too: packed into a sequence they
     // DECREASE `used`, so later docs keep "fitting" and the emitted
     // sequence's true token total silently exceeds budgetTokens — a
     // context-window overflow downstream with no signal here
-    val tokLong = coalesce(tokensCol.cast("long"), lit(0L))
+    // only a genuinely NULL count packs as 0: a NON-null value that
+    // fails the long cast (a corrupt '12k' string, a wrong column) must
+    // fail loudly — coalescing it to 0 would let the doc pack as free
+    // and the emitted sequence silently exceed budgetTokens, the exact
+    // overflow the negative-count guard below exists to prevent
+    val tokCast = tokensCol.cast("long")
+    val tokLong = when(tokensCol.isNotNull && tokCast.isNull,
+      raise_error(concat(lit("nextFitPack: non-numeric token count '"),
+        tokensCol.cast("string"), lit("'")))).otherwise(coalesce(tokCast, lit(0L)))
     val checkedToks = when(tokLong < 0L,
       raise_error(concat(lit(s"nextFitPack: negative token count '"),
         tokLong.cast("string"), lit(s"' — counts must be >= 0")))).otherwise(tokLong)

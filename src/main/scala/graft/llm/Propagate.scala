@@ -96,8 +96,18 @@ object Propagate {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
     require(tolMicros.forall(_ >= 0L), s"tolMicros must be >= 0, got $tolMicros")
-    val dir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // a null endpoint fails LOUDLY (the nextFitPack/checkedId contract):
+    // the src =!= dst filter below evaluates to NULL for such rows and
+    // would silently drop them — degrees and inflow computed on a
+    // truncated graph with no signal
+    val checkedEdges = edges.select(
+      when(col("id_a").isNull || col("id_b").isNull,
+        raise_error(lit("propagateScores: edge with a null endpoint — fix the pair " +
+          "evidence upstream (an outer join?) rather than scoring a truncated graph")))
+        .otherwise(col("id_a")).as("id_a"),
+      col("id_b").as("id_b"))
+    val dir = checkedEdges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(checkedEdges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -119,9 +129,11 @@ object Propagate {
       val next = base.join(inflow, Seq("id"), "left")
         .select(col("id"), (col("base") + coalesce(col("inflow"), lit(0L))).as("s_micros"))
         .localCheckpoint()
-      // the check on the FINAL round could only set a flag the loop never
-      // reads — skip the wasted join+agg job when the cap is hit anyway
-      if (r < rounds) tolMicros.foreach { tol =>
+      // the check runs on the FINAL round too: the flag it sets is
+      // RETURNED (PropagateResult.converged), so skipping it reported
+      // converged=false for a run that reached tolerance exactly at the
+      // cap — and rounds=1 could never report convergence at all
+      tolMicros.foreach { tol =>
         // one sum-agg join over two checkpointed (id, long) states; a
         // node absent from a side (shouldn't happen — both derive from
         // `nodes`) counts as a full-delta change, never a silent skip

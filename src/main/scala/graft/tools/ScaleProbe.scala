@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Empirical scale probe: runs the heaviest pipeline family — MinHash-LSH
@@ -36,13 +36,32 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   private val Alpha = "abcdefghijklmnopqrstuvwxyz"
 
+  /** Copy-`i` alphabet rotation — ONE definition for every synthetic
+    * text fixture (this file's `scaled` and [[Sf1Probe]]'s shards), so
+    * a tweak to the distribution cannot silently diverge between the
+    * probes and the sf1 generator.
+    */
+  private[tools] def rotAlpha(i: Int, c: Column): Column = {
+    val r = i % 26
+    translate(c, Alpha, Alpha.drop(r) + Alpha.take(r))
+  }
+
+  /** Deterministic synthetic embedding: 64 dims in [-1, 1], each a pure
+    * function of (id, dim) via xxhash64 — ONE definition for the
+    * annbig/rebal/route probe families (previously three hand copies;
+    * a missed edit would have made them measure different corpora).
+    */
+  private[tools] def synthVec(idc: Column): Column =
+    array((0 until 64).map { d =>
+      ((pmod(xxhash64(idc, lit(d)), lit(2000001L)) - lit(1000000L))
+        .cast("double") / lit(1e6)).cast("float")
+    }: _*)
+
   def scaled(base: DataFrame, k: Int): DataFrame =
     (0 until k).map { i =>
-      val r = i % 26
-      val rot = Alpha.drop(r) + Alpha.take(r)
       base.select(
         (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
-        translate(col("text"), Alpha, rot).as("text"))
+        rotAlpha(i, col("text")).as("text"))
     }.reduce(_.unionByName(_))
 
   /** The measured chain; returns (curated survivor count, dup-pair count). */
@@ -169,13 +188,8 @@ object ScaleProbe {
     * 10M point (two materialized copies of 10M×64 doubles).
     */
   private def annBigProbe(spark: SparkSession, sizes: Seq[Long]): Unit = {
-    def synth(n: Long): DataFrame = {
-      val dims = (0 until 64).map { d =>
-        ((pmod(xxhash64(col("id"), lit(d)), lit(2000001L)) - lit(1000000L)).cast("double")
-          / lit(1e6)).cast("float")
-      }
-      spark.range(n).select(col("id").as("vec_id"), array(dims: _*).as("embedding"))
-    }
+    def synth(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("vec_id"), synthVec(col("id")).as("embedding"))
     val queries = synth(20)
     locally { // warm JIT/codegen
       val d = tmpDir("annbigwarm")
@@ -277,13 +291,9 @@ object ScaleProbe {
     * the corpus stays 10x bigger.
     */
   private def rebalProbe(spark: SparkSession, n0: Long, factor: Int): Unit = {
-    def synth(from: Long, n: Long): DataFrame = {
-      val dims = (0 until 64).map { d =>
-        ((pmod(xxhash64(col("id"), lit(d)), lit(2000001L)) - lit(1000000L)).cast("double")
-          / lit(1e6)).cast("float")
-      }
-      spark.range(from, from + n).select(col("id").as("vec_id"), array(dims: _*).as("embedding"))
-    }
+    def synth(from: Long, n: Long): DataFrame =
+      spark.range(from, from + n)
+        .select(col("id").as("vec_id"), synthVec(col("id")).as("embedding"))
     // 200 queries so scanned-rows work dominates the fixed per-job cost
     val queries = synth(0, 200).localCheckpoint()
     locally { // warm
@@ -363,6 +373,10 @@ object ScaleProbe {
       val commits = nt * nBatches
       println(f"tables=$nt%3d rows=$rows%8d batches=$nBatches commits=$commits%4d " +
         f"time=$dt%6.2f s commits/s=${commits / dt}%7.1f batch_ms=${dt / nBatches * 1000}%7.0f")
+      // drop THIS combo's checkpointed batch before the next is timed —
+      // every other probe family does; without it later combos run under
+      // block-eviction pressure the first never saw, skewing the exponent
+      dropPinned(spark)
       (nt, rows, dt)
     }
     results.headOption.foreach { case (nt1, r1, t1) =>
@@ -432,10 +446,6 @@ object ScaleProbe {
   def routeProbe(spark: SparkSession, sizes: Seq[Int]): Unit = {
     import spark.implicits._
     import graft.llm.{IvfIndex, Similarity}
-    def synthVec(idc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      array((0 until 64).map { d =>
-        (pmod(xxhash64(idc, lit(d)), lit(2000001L)) - lit(1000000L)).cast("double") / lit(1e6)
-      }: _*)
     def timeMin(f: => Unit): Double =
       (1 to 3).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -34,11 +34,8 @@ object Sf1Probe {
 
   private def shardCol(i: Int, key: Column, off: Long): Column = key + lit(i * off)
 
-  private def rotText(i: Int, c: Column): Column = {
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
-    val r = i % 26
-    translate(c, alpha, alpha.drop(r) + alpha.take(r))
-  }
+  // the ONE alphabet-rotation fixture (shared with ScaleProbe.scaled)
+  private def rotText(i: Int, c: Column): Column = ScaleProbe.rotAlpha(i, c)
 
   /** Per-shard orthogonal map: cyclic roll by `i` then a deterministic
     * ±1 sign flip per dimension (seeded by the shard). Inner products are
@@ -48,11 +45,15 @@ object Sf1Probe {
     * correlated enough to inflate the true pair count ~n², which would
     * have measured the DATA, not the operator.
     */
-  private def shardVec(i: Int, c: Column): Column = {
+  private def shardVec(i: Int, c: Column, dim: Int): Column = {
     if (i == 0) return c
     val rolled = concat(slice(c, lit(i + 1), size(c) - i), slice(c, lit(1), lit(i)))
     val rnd = new scala.util.Random(1000 + i)
-    val signs = Array.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+    // sign array sized to the CORPUS width: a hardcoded 64 would
+    // null-pad every wider vector through zip_with (and truncate
+    // narrower ones), poisoning the non-identity shards only — looking
+    // like an operator bug instead of a fixture bug
+    val signs = Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
     zip_with(rolled, lit(signs), (a, b) => a * b)
   }
 
@@ -115,9 +116,11 @@ object Sf1Probe {
     write(shards("documents")((i, d) => d
       .withColumn("doc_id", shardCol(i, col("doc_id"), docOff))
       .withColumn("text", rotText(i, col("text")))), "documents")
+    val embDim = rd("embeddings")
+      .select(size(col("embedding")).as("__d")).filter(col("__d") > 0).head().getInt(0)
     write(shards("embeddings")((i, d) => d
       .withColumn("vec_id", shardCol(i, col("vec_id"), vecOff))
-      .withColumn("embedding", shardVec(i, col("embedding")))), "embeddings")
+      .withColumn("embedding", shardVec(i, col("embedding"), embDim))), "embeddings")
     java.nio.file.Files.write(java.nio.file.Paths.get(dst, "_DONE"), Array.empty[Byte])
   }
 

@@ -57,4 +57,16 @@ class BucketSpecSuite extends AnyFunSuite {
     assert(s(0).getInt(0) === IcebergHashing.bucketOf(1210000089, 32))
     assert(s(1).isNullAt(0))
   }
+
+  test("an unsupported bucket source type fails at ANALYSIS, not mid-execution") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Iceberg's spec defines no float/double bucket; pre-fix this passed
+    // analysis and died in the lazy kind match after tasks were scheduled
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1.5).toDF("v").select(IcebergBucket(col("v"), 16)).collect()
+    }
+    assert(e.getMessage.contains("bucket"), s"unexpected: ${e.getMessage}")
+  }
 }

@@ -26,6 +26,16 @@ class ZOrderSuite extends AnyFunSuite {
     assert(got3 === samples.map { case (a, b, c) => ZOrder.interleaveRef3(a, b, c) })
   }
 
+  test("normalize rejects a bits budget past the interleave's sign-bit boundary") {
+    // bits=32 in 2-D puts bit 31 at output bit 62; the +1-shifted
+    // dimension lands it on the SIGN bit — negative z-values sorting the
+    // top bucket first, silently destroying the clustering
+    val e = intercept[IllegalArgumentException](ZOrder.normalize(col("x"), 0.0, 1.0, 32))
+    assert(e.getMessage.contains("bits"), s"unexpected: ${e.getMessage}")
+    val e2 = intercept[IllegalArgumentException](ZOrder.normalize(col("x"), 0.0, 1.0, 0))
+    assert(e2.getMessage.contains("bits"), s"unexpected: ${e2.getMessage}")
+  }
+
   test("z-values preserve locality: normalize then interleave is monotone per dimension") {
     import spark.implicits._
     // along one axis with the other fixed, z must be non-decreasing

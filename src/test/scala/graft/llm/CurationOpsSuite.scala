@@ -121,6 +121,15 @@ class CurationOpsSuite extends AnyFunSuite {
     val got = Packing.nextFitPack(nullToks, "doc_id", col("toks"), numShards = 2, budgetTokens = 64)
       .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
     assert(got === Seq((0L, 0L, 0L, 0L), (2L, 0L, 0L, 1L)))
+    // but a NON-null count that fails the cast (corrupt '12k', wrong
+    // column) fails loudly — pre-fix it coalesced to 0 and the doc
+    // packed as free, silently overflowing the emitted sequence's budget
+    val corrupt = Seq((0L, "10"), (1L, "12k")).toDF("doc_id", "toks")
+    val e2 = intercept[Exception] {
+      Packing.nextFitPack(corrupt, "doc_id", col("toks"), numShards = 2, budgetTokens = 64)
+        .collect()
+    }
+    assert(e2.getMessage.contains("non-numeric token count"), s"unexpected: ${e2.getMessage}")
   }
 
   test("packing on the corpus: sequences stay within budget unless a single doc exceeds it") {
@@ -664,6 +673,18 @@ class CurationOpsSuite extends AnyFunSuite {
     assert(run(rounds = 3, tol = None) === refPropagate(seeds, edges, 0.85, 3))
   }
 
+  test("propagate: an edge with a null endpoint fails loudly (not a silently truncated graph)") {
+    // pre-fix the src =!= dst filter evaluated to NULL for such rows and
+    // dropped them — degrees and inflow computed on a truncated graph
+    val seeds = Seq((1L, 500000L), (2L, 500000L)).toDF("id", "s0_micros")
+    val badEdges = Seq((Some(1L), Some(2L)), (Some(1L), Option.empty[Long]))
+      .toDF("id_a", "id_b")
+    val e = intercept[Exception] {
+      Propagate.propagateScores(seeds, badEdges, damping = 0.85, rounds = 2).collect()
+    }
+    assert(e.getMessage.contains("null endpoint"), s"unexpected: ${e.getMessage}")
+  }
+
   test("propagate: report exposes rounds-executed and early-stop vs cap-hit") {
     val seeds = Map(1L -> 900000L, 2L -> 100000L, 3L -> 700000L, 4L -> 300000L)
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
@@ -678,9 +699,16 @@ class CurationOpsSuite extends AnyFunSuite {
     // the reported round IS the equivalent fixed-round run
     assert(early.scores.as[(Long, Long)].collect().toMap ===
       refPropagate(seeds, edges, 0.85, early.rounds))
-    // cap fires first → not converged, rounds == cap
-    val capped = report(3, Some(10000L))
-    assert(!capped.converged && capped.rounds === 3)
+    // cap fires strictly BEFORE tolerance → not converged, rounds == cap
+    val cap = early.rounds - 1
+    val capped = report(cap, Some(10000L))
+    assert(!capped.converged && capped.rounds === cap)
+    // tolerance met exactly AT the cap → converged=true: the check runs
+    // on the final round too (pre-fix it was skipped there, so a run
+    // reaching tolerance at the cap reported converged=false and a
+    // caller needlessly reran with a higher cap)
+    val atCap = report(early.rounds, Some(10000L))
+    assert(atCap.converged && atCap.rounds === early.rounds)
     // fixed-round contract: never reports converged
     val fixed = report(3, None)
     assert(!fixed.converged && fixed.rounds === 3)
