@@ -179,8 +179,14 @@ object SparkEntry {
     )
     Ingest.run(spark, t(spark, sfDir, "events"), 0L, cfg)
     import scala.jdk.CollectionConverters._
-    val sinks = Files.list(Paths.get(wh)).iterator().asScala
-      .filter(p => Files.isDirectory(p)).map(_.getFileName.toString).toSeq.sorted
+    // close the listing stream (the CommitLog.listNames discipline): an
+    // unclosed directory stream leaks one fd per execution until GC
+    val sinks = {
+      val listing = Files.list(Paths.get(wh))
+      try listing.iterator().asScala
+        .filter(p => Files.isDirectory(p)).map(_.getFileName.toString).toSeq.sorted
+      finally listing.close()
+    }
     sinks.map { s =>
       IceTable.load(s"$wh/$s").read(spark)
         .select(lit(s).as("sink"), col("event_id"), col("user_id"))
@@ -2983,7 +2989,7 @@ object SparkEntry {
     "lines_boilerplate" ->
       """WITH d AS (
         |  SELECT doc_id, text || chr(10) || 'SHARED FOOTER line' || chr(10) || lang AS text FROM documents),
-        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS us FROM d),
+        |ls AS (SELECT doc_id, string_split_regex(text, '\r?\n') AS us FROM d),
         |l AS (SELECT doc_id, unnest(us) AS g, unnest(range(1, len(us)+1)) AS pos FROM ls),
         |boiler AS (
         |  SELECT g FROM l WHERE regexp_matches(g, '\S') GROUP BY g HAVING count(DISTINCT doc_id) >= 10),

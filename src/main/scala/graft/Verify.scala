@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.{ArrayType, MapType, StructType, StructField}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
@@ -26,13 +25,25 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
+    // the SHARED session factory, same as Bench: a hand-rolled builder
+    // here omitted GraftExtensions + the engine conf set, so any future
+    // setting added to GraftSession would apply in bench runs but not
+    // verify runs — the two harnesses must not drift
+    val spark = GraftSession.builder(s"local[$cpus]", shufflePartitions = cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fresh-run contract: stale dumps from a previous run (a renamed or
+    // since-removed query, or THIS run's failure overlapping last run's
+    // success) must not survive for the driver to read as current
+    val outPath = Paths.get(outDir)
+    if (Files.isDirectory(outPath)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(outPath)
+      try walk.iterator().asScala.toSeq.reverse
+        .filterNot(_ == outPath).foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
     new java.io.File(outDir).mkdirs()
     // a thrown query is recorded (and the process exits non-zero at the
     // end) — r7 shipped 11 broken queries because failures were swallowed
@@ -58,8 +69,12 @@ object Verify {
         failed += name
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }
-      // streaming queries leave their memory-sink temp view (full result
-      // rows pinned on the driver) behind — release between queries
+      // same per-query release Bench does: localCheckpoint-pinned blocks,
+      // cached plans, and streaming memory-sink temp views otherwise
+      // accumulate across ~130 queries — late-alphabet queries at large
+      // sf pay eviction pressure their standalone runs never see
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
       spark.catalog.listTables().collect()
         .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
     }
@@ -80,8 +95,11 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
     if (failed.nonEmpty) {
+      val ran =
+        if (only.isEmpty) SparkEntry.queries.size
+        else SparkEntry.queries.count { case (n, _) => only.contains(n) }
       System.err.println(
-        s"[verify] FAILED ${failed.size}/${SparkEntry.queries.size}: ${failed.mkString(", ")}")
+        s"[verify] FAILED ${failed.size}/$ran: ${failed.mkString(", ")}")
       sys.exit(1)
     }
   }

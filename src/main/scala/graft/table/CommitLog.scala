@@ -87,7 +87,11 @@ final case class Commit(
   * last entry only — and every `checkpointInterval` commits the full log
   * is consolidated into a `ckpt-v{seq}.json` so `commits()` reads one
   * checkpoint plus the tail, never the whole history (Delta-checkpoint
-  * pattern; individual entries are kept for time travel/audit).
+  * pattern). Entry files more than two intervals below the newest
+  * checkpoint are SWEPT (their data lives in the checkpoint, so time
+  * travel and audit reads are unchanged) — without the sweep the
+  * directory grew one file per commit forever and every hot-path
+  * listing paid O(history).
   */
 final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
   import CommitLog.mapper
@@ -115,23 +119,41 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
     try Some(mapper.readValue(Files.readAllBytes(p), classOf[Commit]))
     catch { case _: java.nio.file.NoSuchFileException => None }
 
-  def commits(): Seq[Commit] = {
+  def commits(): Seq[Commit] = commitsAttempt(retries = 3)
+
+  private def commitsAttempt(retries: Int): Seq[Commit] = {
     if (!Files.isDirectory(root)) return Nil
     val names = listNames()
     val lastCkpt = names.filter(_.matches("ckpt-v\\d+\\.json")).sorted.lastOption
     val base: Seq[Commit] = lastCkpt match {
       case None => Nil
       case Some(n) =>
-        mapper
+        // a checkpoint two generations old can be swept under a stale
+        // listing (see checkpoint()'s retention sweep) — re-list like a
+        // vanished tail file; the fresh listing's newer checkpoint
+        // covers everything this one did
+        try mapper
           .readValue(Files.readAllBytes(root.resolve(n)), classOf[Array[Commit]])
           .toSeq
+        catch {
+          case _: java.nio.file.NoSuchFileException if retries > 0 =>
+            return commitsAttempt(retries - 1)
+        }
     }
     val from = lastCkpt.map(seqOf(_, "ckpt-")).getOrElse(0L)
-    val tail = names
+    val tailNames = names
       .filter(_.matches("v\\d+\\.json"))
       .filter(seqOf(_, "") > from)
       .sorted
-      .flatMap(n => readCommitOpt(root.resolve(n)))
+    val tail = tailNames.flatMap(n => readCommitOpt(root.resolve(n)))
+    // A vanished tail file is EITHER a zombie its writer rolled back
+    // (skipping is correct — the batchId filter below would drop it) OR
+    // an entry pruned by a checkpoint that linked after our listing (the
+    // retention sweep only deletes entries a NEWER checkpoint covers).
+    // The two are indistinguishable here, so when anything vanished,
+    // re-list: a fresh listing's checkpoint covers every pruned seq, and
+    // the zombie case merely pays one extra listing on a rare path.
+    if (tail.size != tailNames.size && retries > 0) return commitsAttempt(retries - 1)
     // Replay-artifact self-heal: batch ids commit in strictly increasing
     // order, so a LATER entry whose batchId does not exceed the running
     // max is a zombie's duplicate that crashed between link and rollback
@@ -174,8 +196,10 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
     * batches both crashing between link and rollback at the head, which
     * the single-coordinator deployment cannot produce.)
     */
-  def lastBatchId(): Option[Long] = {
-    val seqs = listNames().filter(_.matches("v\\d+\\.json")).map(seqOf(_, "")).sorted
+  def lastBatchId(): Option[Long] = lastBatchIdFrom(
+    listNames().filter(_.matches("v\\d+\\.json")).map(seqOf(_, "")).sorted)
+
+  private def lastBatchIdFrom(seqs: Seq[Long]): Option[Long] = {
     if (seqs.isEmpty) None
     else
       readCommitOpt(commitPath(seqs.last)) match {
@@ -201,14 +225,18 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
-      // fence snapshot FIRST: any same-batch duplicate linked after this
-      // point has seq > fenceSeq, so the post-link verify's (fenceSeq,
-      // seq) window provably contains it; one linked at or before
-      // fenceSeq is visible to the lastBatchId fence below (batch ids
-      // commit in increasing order, so the last entry's id bounds it)
-      val fenceSeq = lastSeq()
-      if (batchId >= 0 && lastBatchId().exists(batchId <= _)) return None
-      val seq = lastSeq() + 1
+      // ONE directory listing per attempt, shared by the fence snapshot,
+      // the replay guard, and the seq claim (three separate listings here
+      // made the hot path O(3·entries) per commit). Any same-batch
+      // duplicate linked after this snapshot has seq > fenceSeq, so the
+      // post-link verify's (fenceSeq, seq) window provably contains it;
+      // one linked at or before fenceSeq is visible to the lastBatchId
+      // fence (batch ids commit in increasing order). A racer claiming
+      // fenceSeq+1 first just fails our createLink below — retry.
+      val seqs = listNames().filter(_.matches("v\\d+\\.json")).map(seqOf(_, "")).sorted
+      val fenceSeq = if (seqs.isEmpty) 0L else seqs.last
+      if (batchId >= 0 && lastBatchIdFrom(seqs).exists(batchId <= _)) return None
+      val seq = fenceSeq + 1
       // K7 defensive file-level dedup (channel/Deduplicated.java:79-148):
       // a replayed envelope can list the same staged file twice; enforced
       // HERE in the commit builder so every public commit path gets it —
@@ -248,7 +276,17 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
   }
 
   /** Consolidate commits 1..seq into one checkpoint file (idempotent —
-    * losing a race to another writer's identical checkpoint is fine).
+    * losing a race to another writer's identical checkpoint is fine),
+    * then run the retention sweep: crashed writers' `.tmp-*` leftovers
+    * older than [[CommitLog.TmpSweepAgeMs]] (nothing else ever removes
+    * them), and entry files at least TWO checkpoint intervals below this
+    * checkpoint. Without the entry sweep the directory grows one file
+    * per commit forever and every listing on the hot path pays O(N);
+    * the data is fully covered by this checkpoint, so time travel and
+    * audit reads are unaffected (`commits()` reads checkpoint + tail).
+    * Two intervals of slack keep every tail file a reader with the
+    * PREVIOUS checkpoint in hand can reference; a reader with an even
+    * staler listing re-lists via commits()' vanished-tail retry.
     */
   private def checkpoint(seq: Long): Unit = {
     val upTo = commits().filter(_.seq <= seq)
@@ -262,6 +300,23 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
       Files.deleteIfExists(tmp)
       ()
     }
+    val cutoff = System.currentTimeMillis() - CommitLog.TmpSweepAgeMs
+    val pruneBelow = seq - 2L * checkpointInterval
+    listNames().foreach { n =>
+      if (n.startsWith(".tmp-")) {
+        val p = root.resolve(n)
+        try {
+          if (Files.getLastModifiedTime(p).toMillis <= cutoff) Files.deleteIfExists(p)
+        } catch { case _: java.nio.file.NoSuchFileException => () }
+      } else if (n.matches("v\\d+\\.json") && seqOf(n, "") <= pruneBelow) {
+        Files.deleteIfExists(root.resolve(n))
+      } else if (n.matches("ckpt-v\\d+\\.json") && seqOf(n, "ckpt-") <= pruneBelow) {
+        // superseded checkpoints below the same horizon go too — only
+        // the newest two generations are ever read
+        Files.deleteIfExists(root.resolve(n))
+      }
+    }
+    ()
   }
 }
 
@@ -273,6 +328,11 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
 final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
 object CommitLog {
+  /** Age before a crashed writer's `.tmp-*` file is swept by the next
+    * checkpoint — far above any live writer's write→link window
+    * (milliseconds), so only genuine leftovers qualify. */
+  private[table] val TmpSweepAgeMs: Long = 60L * 60 * 1000
+
   private[table] val mapper: ObjectMapper = {
     val m = new ObjectMapper()
     m.registerModule(DefaultScalaModule)

@@ -577,6 +577,34 @@ class IceTableSuite extends AnyFunSuite {
     assert(log.lastSeq() === 7L)
   }
 
+  test("commit-log retention: entries two checkpoint generations old are swept, reads intact") {
+    val dir = TestSpark.freshDir("t-ckpt-retention")
+    val log = new CommitLog(java.nio.file.Paths.get(dir), checkpointInterval = 2)
+    // a crashed writer's tmp leftover, old enough to qualify for the sweep
+    val orphanTmp = java.nio.file.Paths.get(dir, ".tmp-crashed-writer")
+    java.nio.file.Files.write(orphanTmp, Array[Byte](1))
+    java.nio.file.Files.setLastModifiedTime(orphanTmp,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    (0 until 12).foreach { i =>
+      log.commit(i.toLong, seq => Commit(seq, i.toLong, s"c$i", i * 1000L, 1,
+        dataFiles = Seq(FileEntry(s"f$i", i.toLong, 1))))
+    }
+    val names = new java.io.File(dir).list().toSeq
+    // entries below (newest ckpt − 2·interval) and superseded checkpoints
+    // are swept — pre-fix the directory grew one file per commit FOREVER
+    // and every hot-path listing paid O(history)
+    assert(!names.exists(_.matches("v0000000(0[1-8])\\.json")), s"stale entries kept: $names")
+    assert(names.count(_.startsWith("ckpt-")) === 2, s"old checkpoints kept: $names")
+    assert(!names.contains(".tmp-crashed-writer"), "crashed writer's tmp file not swept")
+    // reads, fences, and seq claims are unaffected by the sweep
+    val all = log.commits()
+    assert(all.map(_.seq) === (1L to 12L))
+    assert(all.map(_.dataFiles.head.path) === (0 until 12).map(i => s"f$i"))
+    assert(log.lastBatchId() === Some(11L))
+    assert(log.lastSeq() === 12L)
+    assert(log.commit(5L, seq => Commit(seq, 5L, "dup", 0L, 1)).isEmpty)
+  }
+
   test("P5: write.target-file-size-bytes rolls files via the previous commit's stats") {
     val dir = TestSpark.freshDir("t-filesize")
     val t = IceTable.create(dir, schema,
