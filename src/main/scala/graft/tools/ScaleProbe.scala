@@ -30,6 +30,8 @@ import org.apache.spark.sql.functions._
   *  - `prop[:n1,n2,...]`      — score propagation at n-node graphs
   *  - `cdc[:k1,k2,...]`       — read latency vs accumulated delta commits
   *  - `rebal[:n0,factor]`     — IVF probe latency before/after rebalance
+  *  - `loghist[:n1,n2,...]`   — per-commit latency vs accumulated log
+  *                              history (checkpoint-retention flatness)
   *
   * `sbt "runMain graft.tools.ScaleProbe"` (~2 GiB peak, a few minutes).
   */
@@ -490,6 +492,39 @@ object ScaleProbe {
     }
   }
 
+  /** Commit-machinery cost vs ACCUMULATED history: drive a bare
+    * [[graft.table.CommitLog]] to n committed entries and report the
+    * amortized per-commit latency over the final 100. Pure metadata (no
+    * Spark jobs) — it isolates the directory-listing + fence + link
+    * path a streaming sink pays on EVERY trigger. With checkpoint
+    * retention (r13) the directory stays bounded at ~2 checkpoint
+    * intervals of files, so the curve must be FLAT in n; pre-retention
+    * it grew O(n) per listing (O(n²) cumulative).
+    */
+  private def logHistProbe(ns: Seq[Int]): Unit = {
+    val results = ns.map { n =>
+      val dir = tmpDir(s"loghist$n")
+      val log = new graft.table.CommitLog(java.nio.file.Paths.get(dir))
+      var i = 0
+      while (i < n - 100) {
+        log.commit(i.toLong, s => graft.table.Commit(s, i.toLong, s"c$i", 0L, 1)); i += 1
+      }
+      val t0 = System.nanoTime()
+      while (i < n) {
+        log.commit(i.toLong, s => graft.table.Commit(s, i.toLong, s"c$i", 0L, 1)); i += 1
+      }
+      val perMs = (System.nanoTime() - t0) / 1e6 / 100.0
+      val files = new java.io.File(dir).list().length
+      println(f"history=$n%6d dir_files=$files%5d last100_per_commit=$perMs%7.3f ms")
+      (n, perMs, files)
+    }
+    results.headOption.foreach { case (n1, t1, _) =>
+      results.tail.foreach { case (n, t, _) =>
+        println(f"ratio ${n1}%d -> ${n}%d: ${t / t1}%.2f (flat = retention holding)")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.builder("local[32]", shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -506,6 +541,13 @@ object ScaleProbe {
         .map(_.split(",").map(_.toLong).toSeq)
         .getOrElse(Seq(1000000L, 3000000L, 10000000L))
       propProbe(spark, sizes)
+      spark.stop()
+      return
+    }
+    if (args.headOption.exists(_.startsWith("loghist"))) {
+      val ns = args.head.split(":").lift(1)
+        .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(200, 1000, 5000))
+      logHistProbe(ns)
       spark.stop()
       return
     }
