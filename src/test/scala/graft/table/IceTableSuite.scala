@@ -194,6 +194,46 @@ class IceTableSuite extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("retention sweep under concurrent readers: no crash, no silently truncated view") {
+    // interval 3 over 80 commits forces ~26 checkpoints, each pruning
+    // entries two generations back WHILE readers list/read continuously —
+    // the vanished-file re-list in commits() must keep every reader view
+    // complete (a pruned tail read as 'zombie-skip' would silently drop
+    // committed batches)
+    val dir = TestSpark.freshDir("t-retention-race")
+    val log = new CommitLog(java.nio.file.Paths.get(dir), checkpointInterval = 3)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val readerErr = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+      val readers = (0 until 2).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try while (!stop.get()) {
+              val view = log.commits()
+              // a reader view is always a batch-id PREFIX 0..k with no
+              // holes — a hole means a pruned entry was skipped silently
+              val ids = view.map(_.batchId)
+              if (ids != (0L until ids.size.toLong)) {
+                readerErr.set(new IllegalStateException(s"gapped view: $ids"))
+                stop.set(true)
+              }
+            } catch { case e: Throwable => readerErr.set(e); stop.set(true) }
+        })
+      }
+      (0L until 80L).foreach { b =>
+        if (!stop.get()) log.commit(b, s => Commit(s, b, s"c$b", 0L, 1))
+      }
+      stop.set(true)
+      readers.foreach(_.get())
+      assert(readerErr.get() === null, s"reader failed: ${readerErr.get()}")
+      assert(log.commits().map(_.batchId) === (0L until 80L))
+      // and the sweep actually ran: far fewer files than commits
+      assert(new java.io.File(dir).list().length < 40,
+        "retention sweep did not bound the directory")
+    } finally pool.shutdown()
+  }
+
   test("gc age threshold protects freshly staged (not yet committed) files") {
     val dir = TestSpark.freshDir("t-gc-age")
     val t = IceTable.create(dir, schema, TableMeta())
