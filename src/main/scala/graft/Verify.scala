@@ -35,13 +35,24 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // fresh-run contract: stale dumps from a previous run (a renamed or
     // since-removed query, or THIS run's failure overlapping last run's
-    // success) must not survive for the driver to read as current
+    // success) must not survive for the driver to read as current.
+    // FULL runs wipe the whole dir; a subset run ([queryName...] local
+    // iteration) wipes only its own queries' products — wiping
+    // everything would destroy the other ~129 dumps of the last full
+    // run, silently shorting the next DuckDB compare over the dir.
     val outPath = Paths.get(outDir)
     if (Files.isDirectory(outPath)) {
       import scala.jdk.CollectionConverters._
+      val doomed: java.nio.file.Path => Boolean =
+        if (only.isEmpty) (p: java.nio.file.Path) => p != outPath
+        else { p =>
+          val rel = outPath.relativize(p)
+          val head = rel.getName(0).toString
+          only.contains(head) || only.contains(head.stripSuffix(".schema.json"))
+        }
       val walk = Files.walk(outPath)
       try walk.iterator().asScala.toSeq.reverse
-        .filterNot(_ == outPath).foreach(Files.deleteIfExists(_))
+        .filter(p => p != outPath && doomed(p)).foreach(Files.deleteIfExists(_))
       finally walk.close()
     }
     new java.io.File(outDir).mkdirs()

@@ -727,9 +727,19 @@ object Dedup {
           Similarity.dot(col("a.v"), col("b.v")).as("cosine"))
         .filter(col("cosine") >= threshold)
     } else {
+      // degenerate (null/empty/zero/NaN) and width-mismatched vectors are
+      // excluded BEFORE signing: they can never verify (cosine NULL/NaN),
+      // and the signature kernel REJECTS width mismatches loudly — left
+      // in, one empty embedding in a streaming micro-batch would throw on
+      // every replay and wedge EmbDedupStream permanently. Same filter as
+      // EmbIndex.usable, and output-identical to the brute-force arm
+      // (whose NULL dots drop the same rows at the threshold filter).
+      val vv0 = v.filter(Similarity.clusterable(col("v")))
+      val sigDim =
+        if (dim0 > 0) dim0 else Similarity.detectDim(vv0.select(col("v").as("n_vec")))
       // vectors are re-read by the candidate-verify join — materialize the
       // normalized form once (cluster scale: a persisted vector table)
-      val vv = v.localCheckpoint()
+      val vv = vv0.filter(size(col("v")) === sigDim).localCheckpoint()
       val bitsVolume = if (lshBits > 0) lshBits else sizedLshBits(vv.count(), targetBucketSize)
       // auto-sized bits ALWAYS honor the recall contract FIRST: bits are
       // capped at the recall-feasible bound so the table count in play
@@ -743,7 +753,7 @@ object Dedup {
         else math.min(bitsVolume, recallFeasibleBits(threshold,
           maxTables = if (lshTables > 0) lshTables else 64))
       val tables = if (lshTables > 0) lshTables else sizedLshTables(threshold, bits)
-      val candidates0 = lshCandidateStream(vv, bits, tables, dim0)
+      val candidates0 = lshCandidateStream(vv, bits, tables, sigDim)
       val candidates = if (dedupCandidates) candidates0.distinct() else candidates0
       val verified = candidates
         .join(vv.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")

@@ -216,7 +216,10 @@ object Sampling {
     // it so the running total is exact 64-bit arithmetic in any engine.
     val costD = cost.cast("double")
     val checkedCost = when(
-      cost.isNull || costD < 0 || isnan(costD) || costD =!= floor(costD) ||
+      cost.isNull || (cost.isNotNull && costD.isNull) || // non-castable: every other
+        // arm below is NULL for it and when(NULL) would fall through to a
+        // NULL long — the row would ride along FREE (window sum skips it)
+        costD < 0 || isnan(costD) || costD =!= floor(costD) ||
         costD > lit(Long.MaxValue.toDouble), // Infinity/overflow-sized
       raise_error(concat(lit("budgetSample cost is null, negative, NaN or non-integral: '"),
         coalesce(cost.cast("string"), lit("null")), lit("'")))).otherwise(cost.cast("long"))

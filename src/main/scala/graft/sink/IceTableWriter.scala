@@ -347,20 +347,26 @@ object IceTableWriter {
       mergeReadBackCounts(stats, counts)
     }
 
-  /** Merge read-back counts into unknown-row stats, keyed by trailing
-    * file NAME: `input_file_name()` returns URI form (`file:///…`, with
-    * percent-escaping) while staged paths are filesystem form — the
-    * part-file name (task id + UUID, no escapable characters) is
-    * identical in both and unique within one write's staging dir.
+  /** Merge read-back counts into unknown-row stats, keyed by the FULL
+    * decoded path: `input_file_name()` returns URI form (`file:///…`,
+    * percent-escaped) while staged paths are filesystem form —
+    * `URI.getPath` decodes back to the same absolute path. NOT keyed by
+    * trailing file name: Spark's dynamic-partition writer reuses one
+    * task's `part-NNNNN-<uuid>` name in EVERY partition directory it
+    * writes, so names collide across a partitioned stage and the counts
+    * would silently cross-attach.
     */
   private[graft] def mergeReadBackCounts(
       stats: Map[String, FooterStats],
       counts: Map[String, Long]
   ): Map[String, FooterStats] = {
-    def name(p: String): String = p.substring(p.lastIndexOf('/') + 1)
-    val byName = counts.map { case (p, n) => name(p) -> n }
+    def keyOf(p: String): String =
+      if (p.startsWith("file:"))
+        try new java.net.URI(p).getPath catch { case _: Exception => p }
+      else p
+    val byPath = counts.map { case (p, n) => keyOf(p) -> n }
     stats.map { case (p, s) =>
-      if (s.rows >= 0L) (p, s) else (p, s.copy(rows = byName.getOrElse(name(p), 0L)))
+      if (s.rows >= 0L) (p, s) else (p, s.copy(rows = byPath.getOrElse(keyOf(p), 0L)))
     }
   }
 

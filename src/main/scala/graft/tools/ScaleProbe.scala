@@ -54,10 +54,18 @@ object ScaleProbe {
     * a missed edit would have made them measure different corpora).
     */
   private[tools] def synthVec(idc: Column): Column =
-    array((0 until 64).map { d =>
-      ((pmod(xxhash64(idc, lit(d)), lit(2000001L)) - lit(1000000L))
-        .cast("double") / lit(1e6)).cast("float")
-    }: _*)
+    array((0 until 64).map(d => synthDim(idc, d).cast("float")): _*)
+
+  /** Double-element variant — routeProbe's recorded SCALE.md baselines
+    * (the r13 one-level vs two-level table) were measured on double
+    * vectors; silently halving the element width would make the next
+    * probe run diverge from those numbers for fixture reasons, not code.
+    */
+  private[tools] def synthVecD(idc: Column): Column =
+    array((0 until 64).map(d => synthDim(idc, d)): _*)
+
+  private def synthDim(idc: Column, d: Int): Column =
+    (pmod(xxhash64(idc, lit(d)), lit(2000001L)) - lit(1000000L)).cast("double") / lit(1e6)
 
   def scaled(base: DataFrame, k: Int): DataFrame =
     (0 until k).map { i =>
@@ -456,19 +464,19 @@ object ScaleProbe {
       // pinned frames are rebuilt per size: dropPinned() between sizes
       // releases them (a shared checkpoint would lose its blocks)
       val queries = spark.range(0, 200)
-        .select(col("id").as("vec_id"), synthVec(col("id") + 7).as("embedding"))
+        .select(col("id").as("vec_id"), synthVecD(col("id") + 7).as("embedding"))
         .localCheckpoint()
       val nb = spark.range(0, 200000)
-        .select(col("id").as("n_id"), Similarity.normalize(synthVec(col("id"))).as("n_vec"))
+        .select(col("id").as("n_id"), Similarity.normalize(synthVecD(col("id"))).as("n_vec"))
         .localCheckpoint()
       val s = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
       val cps = (n + s - 1) / s
       val d2 = tmpDir(s"route2-$n")
       spark.range(s).select(col("id").as("s_id"),
-        Similarity.normalize(synthVec(col("id") + 2000000)).as("s_vec"))
+        Similarity.normalize(synthVecD(col("id") + 2000000)).as("s_vec"))
         .coalesce(1).write.parquet(s"$d2/supers.parquet")
       spark.range(n).select(col("id").as("c_id"),
-        Similarity.normalize(synthVec(col("id") + 1000000)).as("c_vec"),
+        Similarity.normalize(synthVecD(col("id") + 1000000)).as("c_vec"),
         (col("id") / cps).cast("long").as("s_id"))
         .coalesce(8).write.parquet(s"$d2/centroids.parquet")
       val r2 = timeMin(IvfIndex.routeRows(spark, d2, nb).count())
@@ -477,7 +485,7 @@ object ScaleProbe {
       if (n <= 16384) {
         val d1 = tmpDir(s"route1-$n")
         spark.range(n).select(col("id").as("c_id"),
-          Similarity.normalize(synthVec(col("id") + 1000000)).as("c_vec"))
+          Similarity.normalize(synthVecD(col("id") + 1000000)).as("c_vec"))
           .coalesce(8).write.parquet(s"$d1/centroids.parquet")
         val r1 = timeMin(IvfIndex.routeRows(spark, d1, nb).count())
         val p1 = timeMin(

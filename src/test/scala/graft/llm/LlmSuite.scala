@@ -63,6 +63,32 @@ class DedupSuite extends AnyFunSuite {
     assert(got === Set((4L, 5L)))
   }
 
+  test("embeddingNearDupPairs LSH path tolerates empty/mismatched vectors (stream-wedge regression)") {
+    // one empty embedding in a streaming micro-batch previously threw in
+    // the signature kernel on EVERY replay — a permanently wedged
+    // EmbDedupStream; degenerate and width-mismatched vectors are now
+    // excluded before signing, output-identical to the brute-force arm
+    val mixed = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.01f, 0.0f, 0.0f)),
+      (3L, Seq.empty[Float]), // empty
+      (4L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // zero
+      (5L, Seq(1.0f, 0.5f)) // stale width
+    ).toDF("vec_id", "embedding")
+    val lsh = Dedup.embeddingNearDupPairs(mixed, "vec_id", "embedding", threshold = 0.9,
+      lshBits = 4, lshTables = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = Dedup.embeddingNearDupPairs(mixed, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh === Set((1L, 2L)))
+    assert(brute === lsh) // the two arms agree on what a pair is
+    // the pinned-dim form (streaming shells) survives the same batch
+    val pinned = Dedup.embeddingNearDupPairs(mixed, "vec_id", "embedding", threshold = 0.9,
+      lshBits = 4, lshTables = 4, dim0 = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pinned === Set((1L, 2L)))
+  }
+
   test("connectedComponents rejects non-integral id pairs instead of silently grouping nothing") {
     val pairs = Seq(("u-1", "u-2")).toDF("id_a", "id_b")
     val e = intercept[IllegalArgumentException](Dedup.connectedComponents(pairs))

@@ -296,6 +296,18 @@ class IceTableSuite extends AnyFunSuite {
     assert(merged("/tbl/data/u1/part-0.parquet").rows === 5L)
     assert(merged("/tbl/data/u1/part-1.avro").rows === 7L)
     assert(merged("/tbl/data/u1/part-2.avro").rows === 0L)
+    // dynamic-partition fan-out reuses ONE task's part-file name in every
+    // partition dir — full-path keying must keep the counts apart (a
+    // name-keyed merge silently cross-attached them)
+    val partStats = Map(
+      "/tbl/data/u1/p=1/part-0.avro" -> graft.sink.FooterStats(-1L, 10L, Map.empty, Map.empty),
+      "/tbl/data/u1/p=2/part-0.avro" -> graft.sink.FooterStats(-1L, 10L, Map.empty, Map.empty))
+    val partCounts = Map(
+      "file:///tbl/data/u1/p=1/part-0.avro" -> 5L,
+      "file:///tbl/data/u1/p=2/part-0.avro" -> 3L)
+    val m2 = IceTableWriter.mergeReadBackCounts(partStats, partCounts)
+    assert(m2("/tbl/data/u1/p=1/part-0.avro").rows === 5L)
+    assert(m2("/tbl/data/u1/p=2/part-0.avro").rows === 3L)
   }
 
   test("optimistic commit: concurrent writers race on seq, none lost") {
