@@ -218,6 +218,16 @@ object Similarity {
     * shuffle (the partial-aggregated per-cell mean) and nothing else.
     * Refinement happens once per index build; at cluster scale the
     * assignment table would be the persisted IVF index.
+    *
+    * SCALE BOUNDARY: this in-session form collects the centroid table
+    * to the driver and routes through an nCells-branch argmax — right
+    * for operation-scoped cell counts (≲ tens of thousands: 10k cells ×
+    * 64 dims ≈ 5 MB, and the expression still codegens). Past that —
+    * the rebalance arithmetic yields ~1.6 M cells at 10^10 vectors —
+    * use the persisted [[IvfIndex]], whose two-level geometry collects
+    * only the √nCells super table and routes supercell→cell with
+    * bounded joins (measured flat in nCells; SCALE.md "IVF routing
+    * shape").
     */
   /** Train the coarse quantizer: [[seedCentroids]] then `kmeansIters`
     * Lloyd refinements — assignment is the shuffle-free
