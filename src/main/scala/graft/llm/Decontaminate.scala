@@ -212,12 +212,16 @@ object Decontaminate {
     // never pair a stale bitmap/n with a new n-gram table, which would
     // silently prune REAL contamination map-side (false negatives)
     val gen = IndexLayout.newGeneration()
+    // the spare for in-flight probes is the generation the CURRENT meta
+    // points at — snapshot it BEFORE the meta overwrite below
+    val prevGen = IndexLayout.publishedGen(benchNg.sparkSession, dir)
     benchNg.groupBy("ng").agg(min("b_id").as("first_benchmark_id"))
       .write.mode("overwrite").parquet(s"$dir/$gen/ngrams.parquet")
     Seq((n, LayoutVersion, bf, gen)).toDF("n", "layout", "bf", "gen")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/meta.parquet")
-    IndexLayout.sweepGenerations(dir, keep = gen)
+    IndexLayout.sweepGenerations(benchNg.sparkSession, dir, keep = gen,
+      prevPublished = prevGen)
   }
 
   /** Screen a corpus batch against a persisted index: the stored Bloom

@@ -192,11 +192,20 @@ object EmbIndex {
       else math.min(Dedup.sizedLshBits(n), Dedup.recallFeasibleBits(threshold,
         maxTables = if (tables > 0) tables else 64))
     val useTables = if (tables > 0) tables else Dedup.sizedLshTables(threshold, useBits)
-    writeMeta(spark, dir, useBits, useTables, dim)
     sigRows(stored, "id", "v", useBits, useTables, dim)
       .withColumn("src_batch", lit(BaseBatch))
       .withColumn("batch", lit(BaseBatch))
       .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/buckets.parquet")
+    // meta commits LAST (the family's publish order — see LshIndex.build
+    // for the full rationale): a crash after a meta-first write paired
+    // new bits/tables/dim and a RESET compacted_through with the OLD
+    // bucket table — probes signed with new params against stale
+    // signatures collide with nothing (silent zero recall), and replayed
+    // appendBatch calls below the old watermark re-inserted folded rows.
+    // A crash between the two TABLE writes still needs a rebuild re-run
+    // (in-place overwrite boundary); rebuild into a fresh dir for full
+    // crash atomicity.
+    writeMeta(spark, dir, useBits, useTables, dim)
     n
   }
 
@@ -259,9 +268,14 @@ object EmbIndex {
     }
     val newVecs = newVecs0
       .localCheckpoint() // feeds the signature probe AND the verify join
-    // size gate on the materialized batch — only hint when the batch side
-    // is genuinely broadcast-sized (see ProbeBroadcastRowLimit)
-    val hinted = newVecs.count() <= broadcastRowLimit
+    // size gate on the materialized batch — rows AND bytes (the vector
+    // payload is dim × 8 per row: at dim 4096 the 2^17-row limit alone
+    // would admit a ~4 GB broadcast); only hint when the batch side is
+    // genuinely broadcast-sized
+    val vecBytes = effMeta.dim.toLong * 8L + 32L
+    val batchRows = newVecs.count()
+    val hinted = batchRows <= broadcastRowLimit &&
+      batchRows * vecBytes <= LshIndex.ProbeBroadcastByteLimit
     def maybeBroadcast(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
     val newSigs = sigRows(newVecs, "id_new", "v_new", effMeta.bits, effMeta.tables, effMeta.dim)
     val index = visible(readBuckets(spark, dir))
@@ -280,7 +294,9 @@ object EmbIndex {
     // Gate the hint on the materialized candidate count; past the limit
     // the verify join falls back to a shuffle, which is the right plan
     // at that volume anyway.
-    val verifyHinted = hinted && candidates.count() <= broadcastRowLimit
+    val candCount = candidates.count()
+    val verifyHinted = hinted && candCount <= broadcastRowLimit &&
+      candCount * vecBytes <= LshIndex.ProbeBroadcastByteLimit
     val verifySide = candidates.join(maybeBroadcast(newVecs), "id_new")
     (if (verifyHinted) broadcast(verifySide) else verifySide)
       .join(storedVecs, "id_indexed")

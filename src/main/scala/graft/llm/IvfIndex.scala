@@ -59,6 +59,18 @@ import org.apache.spark.sql.functions._
   * the rest at planning time, the same I/O story a FAISS IVF list layout
   * gives a single node. Build once per corpus version, query many times;
   * at 100 TB the build is one training pass plus one partitioned write.
+  *
+  * DEPLOYMENT BOUNDARY (known limitation, r13): the DATA tables go
+  * through Spark's filesystem layer, but the version CONTROL PLANE
+  * (`CURRENT` pointer, `vN/` listing, supersession stamps, sweeps) uses
+  * java.nio — correct on a shared/posix index volume (including the
+  * local[*] and NFS deployments this engine tests), NOT on a cluster
+  * default FS like hdfs:///s3a:// where java.nio resolves against the
+  * driver's local disk. Putting the index `dir` on an object store
+  * requires porting the pointer protocol to Hadoop's FS API (and an
+  * object-store-safe pointer swap — rename is not atomic on S3). The
+  * sibling generation-published indexes ([[Search]]/[[Decontaminate]]
+  * via [[IndexLayout]]) already run their control plane on Hadoop FS.
   */
 object IvfIndex {
 
@@ -77,8 +89,13 @@ object IvfIndex {
 
   /** Train the coarse quantizer on `corpus` and persist the geometry as a
     * fresh version under `dir` (staged `vN/` + `CURRENT` swap — see the
-    * object doc). Returns the number of cells actually written (≤
-    * `nCells`; empty corpora produce an empty index).
+    * object doc). Returns the number of cells actually written:
+    * one-level geometries write ≤ `nCells`; two-level geometries train
+    * `ceil(nCells/√nCells)` cells under each of `√nCells` supers, so the
+    * written count can EXCEED `nCells` by up to ~√nCells (a ≲2% rounding
+    * overshoot at the gate, shrinking as nCells grows — occupancy math
+    * should use the RETURNED count, not the requested one). Empty
+    * corpora produce an empty index.
     */
   def build(
       corpus: DataFrame,

@@ -46,6 +46,15 @@ object LshIndex {
     */
   val ProbeBroadcastRowLimit: Long = 1L << 17
 
+  /** Estimated in-memory bytes per broadcast payload — the byte arm of
+    * the probe gate. A row limit alone under-gates set/vector-expanded
+    * sides: the payload is rows × elements, not rows. */
+  val ProbeBroadcastByteLimit: Long = 256L << 20
+
+  /** Conservative in-memory bytes per shingle string (UTF8String + array
+    * slot + object overhead) for the byte gate. */
+  private[llm] val EstimatedShingleBytes: Long = 64L
+
   private val shinglesSchema = StructType(Seq(
     StructField("id", LongType),
     StructField("shset", ArrayType(StringType)),
@@ -158,10 +167,19 @@ object LshIndex {
   ): Long = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val spark = corpus.sparkSession
-    writeMeta(spark, dir, n, numHashes, bands)
     // the verify sets are the durable form of the shingle pass — write
     // them first, then derive buckets from the WRITTEN table so the
-    // (expensive) shingling runs exactly once
+    // (expensive) shingling runs exactly once. Meta commits LAST (the
+    // family's publish order): meta-first meant a rebuild over a LIVE
+    // index reset compacted_through (re-opening the replayed-append
+    // duplication window) and re-parameterized probes against the OLD
+    // bucket table — silent zero recall — if anything between the meta
+    // write and the final table write crashed or threw (including input
+    // validation, which runs inside shingleSets' first job).
+    // BOUNDARY (documented, not solved): the table overwrites themselves
+    // are in-place, so a crash BETWEEN the two table writes still leaves
+    // new shingles with old buckets until the rebuild is re-run —
+    // rebuild into a FRESH dir for full crash atomicity.
     shingleSets(corpus, idCol, textCol, n)
       .withColumn("src_batch", lit(BaseBatch))
       .withColumn("batch", lit(BaseBatch))
@@ -171,6 +189,7 @@ object LshIndex {
       .withColumn("src_batch", lit(BaseBatch))
       .withColumn("batch", lit(BaseBatch))
       .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/buckets.parquet")
+    writeMeta(spark, dir, n, numHashes, bands)
     stored.count()
   }
 
@@ -340,10 +359,15 @@ object LshIndex {
       .getOrElse(shingleSets(batch, idCol, textCol, meta.n)
         .select(col("id").as("id_new"), col("shset").as("set_new"))
         .localCheckpoint()) // feeds the bucket probe AND the verify join
-    // size gate on the materialized batch (the count is one cheap scan of
-    // checkpointed blocks): only hint the joins when the batch side is
-    // genuinely broadcast-sized
-    val hinted = newSets.count() <= broadcastRowLimit
+    // size gate on the materialized batch (one cheap agg over the
+    // checkpointed blocks): rows AND payload elements — a row count
+    // alone under-gates set-expanded payloads (131k docs of ~1000
+    // shingles each are ~2.6 GB of broadcast despite passing the 2^17
+    // row limit, the driver-OOM class the gate exists to prevent)
+    val stats0 = newSets
+      .agg(count(lit(1)), coalesce(sum(size(col("set_new"))), lit(0L))).head()
+    val hinted = stats0.getLong(0) <= broadcastRowLimit &&
+      stats0.getLong(1) * EstimatedShingleBytes <= ProbeBroadcastByteLimit
     def maybeBroadcast(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
     val newBuckets = bucketRows(newSets, "id_new", "set_new", meta.numHashes, meta.bands)
     val index = visible(readBuckets(spark, dir))
@@ -361,7 +385,13 @@ object LshIndex {
     // batch against a large corpus can otherwise build a driver-killing
     // broadcast); past the limit the verify join shuffles, the right
     // plan at that volume
-    val verifyHinted = hinted && candidates.count() <= broadcastRowLimit
+    val candCount = candidates.count()
+    // byte arm: each candidate row carries one batch shingle set, so the
+    // verify payload is candidates × avg set size, not candidates alone
+    val avgSetBytes = stats0.getLong(1) * EstimatedShingleBytes /
+      math.max(1L, stats0.getLong(0))
+    val verifyHinted = hinted && candCount <= broadcastRowLimit &&
+      candCount * avgSetBytes <= ProbeBroadcastByteLimit
     val verifySide = candidates.join(maybeBroadcast(newSets), "id_new")
     (if (verifyHinted) broadcast(verifySide) else verifySide)
       .join(storedSets, "id_indexed")
@@ -382,6 +412,17 @@ object LshIndex {
     * rows, and `queryBatch(excludeBatch = b)` still excludes the folded
     * rows via their `src_batch` — probe results are bit-identical before
     * and after compaction.
+    *
+    * CONCURRENCY NOTE: folding deletes the aged `batch=<b>/` dirs in
+    * place, so a probe whose scan was PLANNED before the fold and runs
+    * after it can fail with FileNotFoundException — a transient,
+    * replay-safe crash (the stream's next attempt plans against the
+    * folded layout and returns bit-identical results), not data loss,
+    * but stronger than the recall-only degradation of a crashed append.
+    * Run compaction from the stream's own maintenance hook (between
+    * triggers) or tolerate one stream restart; a reader-grace version
+    * scheme (the [[IvfIndex]] generation protocol) is the non-disruptive
+    * alternative if external compaction schedules are required.
     */
   def compact(spark: SparkSession, dir: String, upToBatch: Long): Unit = {
     require(upToBatch >= 0, s"compact needs a non-negative batch watermark: $upToBatch")

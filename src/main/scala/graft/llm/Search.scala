@@ -62,6 +62,9 @@ object Search {
     val spark = docs.sparkSession
     import spark.implicits._
     val gen = IndexLayout.newGeneration()
+    // spare for in-flight probes: the generation the current meta points
+    // at, snapshotted before the meta overwrite below
+    val prevGen = IndexLayout.publishedGen(spark, dir)
     val toks = docs
       .select(col(idCol).as("id"), posexplode(TextAnalysis.tokens(col(textCol))))
       .select(col("id"), (col("pos") + 1).as("p"), col("col").as("term"))
@@ -88,7 +91,7 @@ object Search {
       .toDF("version", "term_buckets", "n", "sumdl", "gen")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/meta.parquet")
-    IndexLayout.sweepGenerations(dir, keep = gen)
+    IndexLayout.sweepGenerations(spark, dir, keep = gen, prevPublished = prevGen)
   }
 
   /** BM25 top-k answered FROM the persisted index: the corpus is never

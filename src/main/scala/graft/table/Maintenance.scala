@@ -70,10 +70,14 @@ object Maintenance {
   ): IndexDecision = {
     val adirBefore = graft.llm.IvfIndex.activeDir(dir)
     // unconditional-scheduling contract: before the index exists this is
-    // a no-op, like auto's pre-threshold arm — not a crash
-    if (!java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(adirBefore, "centroids.parquet")))
-      return IndexDecision(0L, 0L, rebalanced = false)
+    // a no-op, like auto's pre-threshold arm — not a crash. The existence
+    // probe goes through HADOOP's filesystem layer, not java.nio: an
+    // index on the cluster default FS (hdfs://, s3a://) resolves to
+    // nothing on the driver's LOCAL disk, and a java.nio gate would
+    // no-op autoIndex forever on exactly the deployments it targets.
+    val cpath = new org.apache.hadoop.fs.Path(s"$adirBefore/centroids.parquet")
+    val fs = cpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cpath)) return IndexDecision(0L, 0L, rebalanced = false)
     val before = spark.read.parquet(s"$adirBefore/centroids.parquet").count()
     val after = graft.llm.IvfIndex.rebalance(spark, dir, targetCellRows, kmeansIters)
     // geometry-version change, not cell-count equality, is the acted signal

@@ -542,6 +542,28 @@ class CurationOpsSuite extends AnyFunSuite {
     assert(idxDup === idxSingle, "indexed path diverged on duplicate query terms")
   }
 
+  test("generation sweep: a crash orphan cannot displace the published spare") {
+    import java.nio.file.{Files, Paths}
+    val dir = graft.TestSpark.freshDir("gen-sweep-orphan")
+    val docs100 = docs.limit(100)
+    Search.buildIndex(docs100, "doc_id", "text", dir, termBuckets = 4)
+    val genA = spark.read.parquet(s"$dir/meta.parquet").select("gen").head().getString(0)
+    // a crashed rebuild's orphan: data written, meta never committed —
+    // and NEWER by mtime than the published generation. Pre-fix the
+    // newest-by-mtime spare heuristic kept the ORPHAN and deleted the
+    // published generation A out from under any in-flight probe.
+    val orphan = Paths.get(dir, "gen-orphan99")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("junk"), Array[Byte](1, 2))
+    Search.buildIndex(docs100, "doc_id", "text", dir, termBuckets = 4)
+    val genC = spark.read.parquet(s"$dir/meta.parquet").select("gen").head().getString(0)
+    assert(genC !== genA)
+    assert(Files.isDirectory(Paths.get(dir, genA)),
+      "published previous generation (the in-flight readers' spare) was deleted")
+    assert(!Files.exists(orphan), "crash orphan was kept instead of reclaimed")
+    assert(Search.topKIndexed(spark, dir, Seq("the"), k = 5).count() > 0)
+  }
+
   // ---- score propagation ----------------------------------------------
 
   /** Scala replica of Propagate's rounded-micros recurrence over the
