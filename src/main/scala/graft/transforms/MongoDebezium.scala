@@ -79,6 +79,11 @@ object MongoDebezium {
     e = regexp_replace(e,
       """\{\s*"\$binary"\s*:\s*\{\s*"base64"\s*:\s*"([^"]*)"\s*,\s*"subType"\s*:\s*"[^"]*"\s*\}\s*\}""",
       "\"$1\"")
+    // key order is not guaranteed by JSON writers — subType-first too
+    // (the $regularExpression rule below already handles both orders)
+    e = regexp_replace(e,
+      """\{\s*"\$binary"\s*:\s*\{\s*"subType"\s*:\s*"[^"]*"\s*,\s*"base64"\s*:\s*"([^"]*)"\s*\}\s*\}""",
+      "\"$1\"")
     e = regexp_replace(e,
       """\{\s*"\$binary"\s*:\s*"([^"]*)"\s*,\s*"\$type"\s*:\s*"[^"]*"\s*\}""",
       "\"$1\"")
@@ -222,12 +227,36 @@ object MongoDebezium {
       if (hasUpdate) op === "u" && col("updateDescription").isNotNull && col("after").isNull
       else lit(false)
 
+    // KEY-PRESENCE patch merge, not value-null coalesce: the reference
+    // applies a field from updatedFields whenever the KEY is present —
+    // a `$set: {f: null}` arrives as key f with value null, and
+    // coalesce(upd.f, before.f) would RESURRECT the old before-image
+    // value the source database explicitly nulled. json_object_keys
+    // reads presence from the JSON text itself.
+    val updKeys =
+      if (hasUpdate) coalesce(json_object_keys(updJ), array().cast(ArrayType(StringType)))
+      else array().cast(ArrayType(StringType))
+
+    // parse each image ONCE into a materialized column: embedded per
+    // field, the from_json(17-regex-unwrap [+ doc-mode UDF]) trees sit
+    // only in CaseWhen branch positions, where subexpression elimination
+    // is not guaranteed — a 50-field collection could re-run the parse
+    // O(fields) times per record (jsonExpand's __j pattern)
+    Seq("__mdb_b", "__mdb_a", "__mdb_u", "__mdb_uk").foreach(n =>
+      require(!df.columns.contains(n), s"column name $n is reserved by mongoDebezium"))
+    val withParsed = df
+      .withColumn("__mdb_b", before)
+      .withColumn("__mdb_a", after)
+      .withColumn("__mdb_u", upd)
+      .withColumn("__mdb_uk", updKeys)
+
     val payloadCols: Seq[Column] = clean.fields.toSeq.map { f =>
       val patched = when(array_contains(removed, f.name), lit(null).cast(f.dataType))
-        .otherwise(coalesce(upd.getField(f.name), before.getField(f.name)))
+        .when(array_contains(col("__mdb_uk"), f.name), col("__mdb_u").getField(f.name))
+        .otherwise(col("__mdb_b").getField(f.name))
       when(partialUpdate, patched)
-        .when(op === "d", before.getField(f.name))
-        .otherwise(after.getField(f.name))
+        .when(op === "d", col("__mdb_b").getField(f.name))
+        .otherwise(col("__mdb_a").getField(f.name))
         .as(f.name)
     }
 
@@ -237,6 +266,6 @@ object MongoDebezium {
       timestamp_millis(col("ts_ms").cast(LongType)).as("ts"),
       concat_ws(".", col("source.db"), col("source.collection")).as("source"))
 
-    df.select(payloadCols :+ cdc.as("_cdc"): _*)
+    withParsed.select(payloadCols :+ cdc.as("_cdc"): _*)
   }
 }

@@ -188,7 +188,12 @@ object Transforms {
             nested = p("nested").exists(_.trim.toBoolean),
             keyName = p("field_name").getOrElse("_kafka_metadata"),
             externalField = p("external_field").map { kv =>
-              val Array(k, v) = kv.split(",", 2); (k, v)
+              // a clean config error naming the key, not a bare
+              // scala.MatchError from a 1-element destructure
+              val parts = kv.split(",", 2)
+              require(parts.length == 2,
+                s"external_field must be 'name,value', got '$kv'")
+              (parts(0), parts(1))
             }
           ) _
         case t if t.endsWith("JsonToMapTransform") =>

@@ -42,6 +42,37 @@ class MongoDebeziumSuite extends AnyFunSuite {
     assert(out(0).getString(5) === "appdb.users")
   }
 
+  test("a field $set to null is NULLED, not resurrected from the before image") {
+    // the reference's patch merge is KEY-PRESENCE based: updatedFields
+    // carrying {"nickname": null} means the source database explicitly
+    // nulled the field — pre-fix coalesce(upd.f, before.f) silently kept
+    // the old value
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  ('u', '{"_id": 7, "name": "zoe", "nickname": "zz"}', CAST(NULL AS STRING),
+        |   named_struct('updatedFields', '{"nickname": null}',
+        |     'removedFields', CAST(NULL AS ARRAY<STRING>)),
+        |   named_struct('db', 'appdb', 'collection', 'users'), CAST(1000 AS LONG))
+        |AS t(op, before, after, updateDescription, source, ts_ms)""".stripMargin)
+    val out = MongoDebezium.mongoDebezium()(df)
+      .select(col("_id"), col("name"), col("nickname")).head()
+    assert(out.getLong(0) === 7L && out.getString(1) === "zoe")
+    assert(out.isNullAt(2), "explicitly-nulled field resurrected from the before image")
+  }
+
+  test("$binary unwraps in either key order (JSON writers do not guarantee one)") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  ('c', CAST(NULL AS STRING),
+        |   '{"_id": 1, "b1": {"$binary":{"base64":"AQI=","subType":"00"}}, "b2": {"$binary":{"subType":"00","base64":"AwQ="}}}',
+        |   CAST(NULL AS STRUCT<updatedFields: STRING, removedFields: ARRAY<STRING>>),
+        |   named_struct('db', 'appdb', 'collection', 'users'), CAST(1000 AS LONG))
+        |AS t(op, before, after, updateDescription, source, ts_ms)""".stripMargin)
+    val out = MongoDebezium.mongoDebezium()(df).select(col("b1"), col("b2")).head()
+    assert(out.getString(0) === "AQI=")
+    assert(out.getString(1) === "AwQ=", "subType-first $binary stayed wrapped")
+  }
+
   test("extended-JSON scalars unwrap to typed values (shouldConvertCreateEvents golden)") {
     // after-image is the reference's mongo_create_event_after.json fixture
     val df = spark.sql(
