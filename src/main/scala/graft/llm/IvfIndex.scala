@@ -1,9 +1,5 @@
 package graft.llm
 
-import java.nio.file.{Files, Paths}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -13,18 +9,24 @@ import org.apache.spark.sql.functions._
   * executor-local and not fault-tolerant; see DESIGN.md §2).
   *
   * Layout under `dir` — every geometry lives in a versioned subdir and a
-  * `CURRENT` pointer names the active one (build and rebalance share one
-  * publish protocol):
+  * numbered pointer file names the active one (build and rebalance share
+  * one publish protocol):
   * {{{
-  *   CURRENT                   pointer file → "vN"
+  *   ptr-vN                    pointer file — highest N wins
   *   vN/centroids.parquet      (c_id, c_vec[, s_id])   — nCells rows
   *   vN/supers.parquet         (s_id, s_vec)           — two-level only
   *   vN/assignments.parquet    (n_id, n_vec) PARTITIONED BY c_id
+  *   vN/SUPERSEDED             stamp (millis) once replaced — sweeps
+  *                             measure reader grace from it
   * }}}
-  * [[build]] and [[rebalance]] both stage a fresh `vN/` and swap the
-  * `CURRENT` pointer with one atomic rename ([[activeDir]] resolves it),
-  * so a crash mid-publish or a concurrent query never sees a
-  * half-written geometry. The previous generation is KEPT one cycle for
+  * [[build]] and [[rebalance]] both stage a fresh `vN/` and publish it by
+  * CREATING `ptr-vN` — one create-exclusive PUT, atomic on every
+  * filesystem including object stores where rename is copy+delete;
+  * readers ([[activeDir]]) take the highest-numbered pointer (the same
+  * grow-only convention CommitLog's commit files use; a legacy mutable
+  * `CURRENT` file is still read as a fallback for pre-r14 indexes). A
+  * crash mid-publish or a concurrent query never sees a half-written
+  * geometry. The previous generation is KEPT one cycle for
   * in-flight readers that resolved the pointer just before the swap;
   * older generations and crash orphans are swept at the next
   * build/rebalance entry once past [[DefaultOrphanGraceMs]] — and a
@@ -60,17 +62,17 @@ import org.apache.spark.sql.functions._
   * gives a single node. Build once per corpus version, query many times;
   * at 100 TB the build is one training pass plus one partitioned write.
   *
-  * DEPLOYMENT BOUNDARY (known limitation, r13): the DATA tables go
-  * through Spark's filesystem layer, but the version CONTROL PLANE
-  * (`CURRENT` pointer, `vN/` listing, supersession stamps, sweeps) uses
-  * java.nio — correct on a shared/posix index volume (including the
-  * local[*] and NFS deployments this engine tests), NOT on a cluster
-  * default FS like hdfs:///s3a:// where java.nio resolves against the
-  * driver's local disk. Putting the index `dir` on an object store
-  * requires porting the pointer protocol to Hadoop's FS API (and an
-  * object-store-safe pointer swap — rename is not atomic on S3). The
-  * sibling generation-published indexes ([[Search]]/[[Decontaminate]]
-  * via [[IndexLayout]]) already run their control plane on Hadoop FS.
+  * The version CONTROL PLANE (pointer files, `vN/` listing, supersession
+  * stamps, sweeps) runs entirely on Hadoop's filesystem layer via
+  * [[IndexFs]] — the same layer the data tables use — so the index `dir`
+  * may live on the cluster default FS (`hdfs://`, `s3a://`, any
+  * registered scheme), closing r13's java.nio deployment boundary. The
+  * protocol needs no atomic rename anywhere: publishes are
+  * create-exclusive pointer files, supersession times are explicit stamp
+  * FILES (not dir mtimes, which object stores don't keep), and an
+  * unstamped orphan's grace clock starts at first sweep observation.
+  * Exercised against a non-default-scheme `FileSystem` in LlmSuite
+  * ("IVF control plane runs on a registered Hadoop filesystem scheme").
   */
 object IvfIndex {
 
@@ -80,7 +82,7 @@ object IvfIndex {
     */
   val DefaultTwoLevelGate = 4096
 
-  /** Version dirs not referenced by `CURRENT` survive this long before a
+  /** Version dirs not pointer-referenced survive this long before a
     * build/rebalance entry sweep deletes them — the grace window an
     * in-flight reader (which resolved the pointer once, then scans) gets
     * to finish against a superseded generation.
@@ -88,7 +90,7 @@ object IvfIndex {
   val DefaultOrphanGraceMs: Long = 60L * 60 * 1000
 
   /** Train the coarse quantizer on `corpus` and persist the geometry as a
-    * fresh version under `dir` (staged `vN/` + `CURRENT` swap — see the
+    * fresh version under `dir` (staged `vN/` + pointer publish — see the
     * object doc). Returns the number of cells actually written:
     * one-level geometries write ≤ `nCells`; two-level geometries train
     * `ceil(nCells/√nCells)` cells under each of `√nCells` supers, so the
@@ -109,7 +111,7 @@ object IvfIndex {
   ): Int = {
     val spark = corpus.sparkSession
     IntegralId.require(corpus, idCol, "IvfIndex.build")
-    Files.createDirectories(Paths.get(dir))
+    IndexFs.mkdirs(dir)
     val prev = currentVersion(dir)
     // entry sweep WITHOUT reconcile: a full rebuild declares `corpus` the
     // source of truth, so superseded generations' contents are moot
@@ -226,13 +228,13 @@ object IvfIndex {
   ): Int = {
     require(targetCellRows > 0, s"targetCellRows must be > 0: $targetCellRows")
     val cur = activeDir(dir)
-    val curName = Paths.get(cur).getFileName.toString
+    val curName = new org.apache.hadoop.fs.Path(cur).getName
     // entry sweep WITH reconcile: grace-expired superseded dirs may hold
     // late appends — recover them into the active geometry, then delete
     sweep(spark, dir, keep = Set(curName), graceMs = orphanGraceMs, reconcileInto = Some(cur))
     val curCells = spark.read.parquet(s"$cur/centroids.parquet").count()
     // empty geometry (no assignments ever written): nothing to re-shard
-    if (!Files.isDirectory(Paths.get(cur, "assignments.parquet"))) return curCells.toInt
+    if (!IndexFs.exists(s"$cur/assignments.parquet")) return curCells.toInt
     val assignedSrc = spark.read.parquet(s"$cur/assignments.parquet").select("n_id", "n_vec")
     // occupancy guard BEFORE any materialization: Maintenance.autoIndex
     // calls this after every batch, and the healthy-index path must cost
@@ -263,61 +265,93 @@ object IvfIndex {
     written
   }
 
-  /** Stamp a generation's supersession time: sweeps measure the reader
-    * grace window from this moment, not from when the dir was created —
-    * a generation that was ACTIVE for hours still gets its full window.
+  /** Stamp a generation's supersession time (an explicit `SUPERSEDED`
+    * file holding epoch millis — dir mtimes don't exist on object
+    * stores): sweeps measure the reader grace window from this moment,
+    * not from when the dir was created — a generation that was ACTIVE
+    * for hours still gets its full window.
     */
-  private def markSuperseded(genDir: String): Unit = {
-    val p = Paths.get(genDir)
-    if (Files.isDirectory(p))
-      Files.setLastModifiedTime(p,
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-  }
+  private def markSuperseded(genDir: String): Unit =
+    if (IndexFs.exists(genDir))
+      IndexFs.writeSmall(s"$genDir/SUPERSEDED", System.currentTimeMillis().toString)
+
+  /** The stamped supersession time, or None for an unstamped dir (a
+    * crash-before-publish orphan no swap ever marked).
+    */
+  private def supersededAt(genDir: String): Option[Long] =
+    IndexFs.readSmall(s"$genDir/SUPERSEDED")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+
+  private val PtrName = "ptr-(v\\d+)".r
 
   /** Resolve the ACTIVE layout under `dir`: [[build]]/[[rebalance]]
-    * publish centroids+assignments in a versioned subdirectory and swap
-    * a `CURRENT` pointer file atomically; readers resolve the pointer
-    * ONCE per operation so centroids and assignments always come from
-    * the same geometry. No pointer (a pre-versioning legacy index) →
-    * `dir` itself.
+    * publish centroids+assignments in a versioned subdirectory and then
+    * create a numbered `ptr-vN` file; readers take the highest number,
+    * and resolve it ONCE per operation so centroids and assignments
+    * always come from the same geometry. Falls back to a legacy mutable
+    * `CURRENT` file (pre-r14 indexes), then to `dir` itself (a
+    * pre-versioning legacy index).
     */
   def activeDir(dir: String): String =
     currentVersion(dir).map(v => s"$dir/$v").getOrElse(dir)
 
   private def currentVersion(dir: String): Option[String] = {
-    val cur = Paths.get(dir, "CURRENT")
-    if (Files.exists(cur))
-      Some(new String(Files.readAllBytes(cur), java.nio.charset.StandardCharsets.UTF_8).trim)
-    else None
+    val ptrs = IndexFs.list(dir).map(_.getPath.getName).collect {
+      case PtrName(v) => v
+    }
+    if (ptrs.nonEmpty) Some(ptrs.maxBy(_.drop(1).toLong))
+    else IndexFs.readSmall(s"$dir/CURRENT").map(_.trim).filter(_.nonEmpty)
   }
 
   private def nextVersion(dir: String): Long = {
-    val d = Paths.get(dir)
-    val existing =
-      if (!Files.isDirectory(d)) Nil
-      else {
-        val s = Files.list(d)
-        try s.iterator().asScala.toList.map(_.getFileName.toString)
-        finally s.close()
+    val names = IndexFs.list(dir).map(_.getPath.getName)
+    // pointer files and the legacy CURRENT content bound the floor too: a
+    // version name must never be reused while anything might reference it
+    val seqs = names.collect { case n if n.matches("v\\d+") => n.drop(1).toLong } ++
+      names.collect { case PtrName(v) => v.drop(1).toLong } ++
+      IndexFs.readSmall(s"$dir/CURRENT").map(_.trim).collect {
+        case v if v.matches("v\\d+") => v.drop(1).toLong
       }
-    existing.collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
-      .foldLeft(0L)(math.max) + 1
+    seqs.foldLeft(0L)(math.max) + 1
   }
 
+  /** Publish `version` as the active geometry: one create-exclusive
+    * pointer file (atomic on every FS — object stores included, where a
+    * rename-onto would be copy+delete). Versions are monotonic
+    * ([[nextVersion]]), so highest-pointer-wins is exactly last-publish
+    * -wins. The legacy mutable `CURRENT` file, if any, is retired AFTER
+    * the new pointer exists (numbered pointers take precedence, so a
+    * crash between the two steps is benign); superseded pointer files
+    * are pruned down to the newest two — a reader whose listing raced
+    * this publish may still act on the previous pointer, whose
+    * generation is kept one cycle anyway.
+    */
   private def swapPointer(dir: String, version: String): Unit = {
-    val tmp = Paths.get(dir, s"CURRENT.tmp-$version")
-    Files.write(tmp, version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(dir, "CURRENT"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    IndexFs.createExclusive(s"$dir/ptr-$version", version)
+    IndexFs.delete(s"$dir/CURRENT", recursive = false)
+    IndexFs.list(dir)
+      .flatMap { st =>
+        st.getPath.getName match {
+          case PtrName(v) => Some((v.drop(1).toLong, st.getPath))
+          case _          => None
+        }
+      }
+      .sortBy(-_._1)
+      .drop(2)
+      .foreach { case (_, p) => IndexFs.delete(p.toString, recursive = false) }
   }
 
-  /** Delete version dirs that are neither `CURRENT`-referenced nor in
-    * `keep` and are older than `graceMs` (crash-before-swap orphans and
-    * superseded generations past their reader grace window). With
-    * `reconcileInto` set, each victim is [[reconcile]]d into the active
-    * dir first, so rows that only ever landed in a superseded geometry
-    * (late concurrent appends) survive the sweep.
+  /** Delete version dirs that are neither pointer-referenced nor in
+    * `keep` and are past their `graceMs` reader window (crash-before-
+    * publish orphans and superseded generations). The grace anchor is
+    * the explicit `SUPERSEDED` stamp ([[markSuperseded]]); an UNSTAMPED
+    * dir — an orphan no swap ever marked — gets stamped at first sweep
+    * observation and becomes eligible one full window later, which is
+    * portable where dir mtimes are not (object stores) and strictly
+    * safer for any reader that found it. With `reconcileInto` set, each
+    * victim is [[reconcile]]d into the active dir first, so rows that
+    * only ever landed in a superseded geometry (late concurrent appends)
+    * survive the sweep.
     */
   private def sweep(
       spark: SparkSession,
@@ -326,20 +360,22 @@ object IvfIndex {
       graceMs: Long,
       reconcileInto: Option[String]
   ): Unit = {
-    val d = Paths.get(dir)
-    if (!Files.isDirectory(d)) return
+    val entries = IndexFs.list(dir)
+    if (entries.isEmpty) return
     val current = currentVersion(dir)
     val now = System.currentTimeMillis()
-    val victims = {
-      val s = Files.list(d)
-      try s.iterator().asScala.toList.filter { p =>
-        val n = p.getFileName.toString
-        n.matches("v\\d+") && !keep.contains(n) && !current.contains(n) &&
-          (graceMs <= 0L || Files.getLastModifiedTime(p).toMillis < now - graceMs)
+    val victims = entries
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && n.matches("v\\d+") && !keep.contains(n) && !current.contains(n)
       }
-      finally s.close()
-    }
-    victims.foreach { p =>
+      .filter { st =>
+        graceMs <= 0L || (supersededAt(st.getPath.toString) match {
+          case Some(t) => t < now - graceMs
+          case None    => markSuperseded(st.getPath.toString); false
+        })
+      }
+    victims.foreach { st =>
       // a victim is deleted only when its rows are provably safe: either
       // no reconcile target was requested (build's rebuild-from-corpus
       // semantics) or the reconcile actually ran — a target that cannot
@@ -347,13 +383,9 @@ object IvfIndex {
       // a data-bearing victim to be destroyed
       val safe = reconcileInto match {
         case None    => true
-        case Some(t) => reconcile(spark, p.toString, t).isDefined
+        case Some(t) => reconcile(spark, st.getPath.toString, t).isDefined
       }
-      if (safe) {
-        val w = Files.walk(p)
-        try w.iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
-        finally w.close()
-      }
+      if (safe) IndexFs.delete(st.getPath.toString, recursive = true)
     }
   }
 
@@ -365,8 +397,8 @@ object IvfIndex {
     * caller must not treat the victim as recovered.
     */
   private def reconcile(spark: SparkSession, fromDir: String, toDir: String): Option[Long] = {
-    if (!Files.isDirectory(Paths.get(fromDir, "assignments.parquet"))) return Some(0L)
-    if (!Files.isDirectory(Paths.get(toDir, "assignments.parquet"))) return None
+    if (!IndexFs.exists(s"$fromDir/assignments.parquet")) return Some(0L)
+    if (!IndexFs.exists(s"$toDir/assignments.parquet")) return None
     val old = spark.read.parquet(s"$fromDir/assignments.parquet").select("n_id", "n_vec")
     val act = spark.read.parquet(s"$toDir/assignments.parquet").select("n_id")
     val missing = old.join(act, Seq("n_id"), "left_anti").localCheckpoint()
@@ -556,7 +588,7 @@ object IvfIndex {
     */
   private[graft] def routeRows(spark: SparkSession, adir: String, vv: DataFrame): DataFrame = {
     import spark.implicits._
-    if (Files.isDirectory(Paths.get(adir, "supers.parquet"))) {
+    if (IndexFs.exists(s"$adir/supers.parquet")) {
       val cells = spark.read.parquet(s"$adir/centroids.parquet")
       val supers = supersWithCells(spark, cells, readSupers(spark, adir))
       require(supers.nonEmpty,
@@ -586,7 +618,7 @@ object IvfIndex {
       wProbe: Int
   ): DataFrame = {
     import spark.implicits._
-    if (Files.isDirectory(Paths.get(adir, "supers.parquet"))) {
+    if (IndexFs.exists(s"$adir/supers.parquet")) {
       val cells = spark.read.parquet(s"$adir/centroids.parquet")
       val supers = supersWithCells(spark, cells, readSupers(spark, adir))
       probeTwoLevel(queries, idCol, vecCol, supers, cells, nProbe, wProbe)
@@ -665,7 +697,7 @@ object IvfIndex {
     val adir = activeDir(dir)
     val empty = Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rank", "n_id", "cosine")
     val probes0 =
-      if (Files.isDirectory(Paths.get(adir, "supers.parquet"))) {
+      if (IndexFs.exists(s"$adir/supers.parquet")) {
         val cells = spark.read.parquet(s"$adir/centroids.parquet")
         val supers = supersWithCells(spark, cells, readSupers(spark, adir))
         if (supers.isEmpty) return empty

@@ -71,10 +71,12 @@ object Maintenance {
     val adirBefore = graft.llm.IvfIndex.activeDir(dir)
     // unconditional-scheduling contract: before the index exists this is
     // a no-op, like auto's pre-threshold arm — not a crash. The existence
-    // probe goes through HADOOP's filesystem layer, not java.nio: an
-    // index on the cluster default FS (hdfs://, s3a://) resolves to
-    // nothing on the driver's LOCAL disk, and a java.nio gate would
-    // no-op autoIndex forever on exactly the deployments it targets.
+    // probe goes through HADOOP's filesystem layer, like the whole IVF
+    // control plane since r14 (IvfIndex resolves activeDir through
+    // IndexFs): an index on the cluster default FS (hdfs://, s3a://)
+    // resolves to nothing on the driver's LOCAL disk, and a java.nio
+    // gate would no-op autoIndex forever on exactly the deployments it
+    // targets.
     val cpath = new org.apache.hadoop.fs.Path(s"$adirBefore/centroids.parquet")
     val fs = cpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(cpath)) return IndexDecision(0L, 0L, rebalanced = false)

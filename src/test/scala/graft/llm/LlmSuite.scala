@@ -1233,6 +1233,55 @@ class SimilaritySuite extends AnyFunSuite {
       "data-bearing generation destroyed although the active geometry could not accept its rows")
   }
 
+  test("IVF control plane runs on a registered Hadoop filesystem scheme") {
+    // graftfs: is local disk behind a non-default Hadoop scheme — any
+    // pointer/probe/stamp/sweep op still on java.nio cannot resolve these
+    // paths and fails loudly, so green here proves the whole protocol
+    // goes through Path.getFileSystem (the hdfs://s3a:// deployment shape)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[graft.GraftTestFs].getName)
+    val local = graft.TestSpark.freshDir("ivf-hadoopfs")
+    val dir = s"graftfs:$local"
+    // two-level geometry (gate forced low) so the supers.parquet probe
+    // and the grouped routing path also run through the scheme
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val extra = emb.filter(col("vec_id") % 5 === 0)
+    val written = IvfIndex.build(base, "vec_id", "embedding", dir, nCells = 4,
+      kmeansIters = 1, twoLevelGate = 2)
+    assert(written > 0)
+    val v1 = IvfIndex.activeDir(dir)
+    assert(v1.startsWith("graftfs:"), s"activeDir left the index scheme: $v1")
+    assert(v1 !== dir, "build must publish a versioned generation")
+    // publish protocol: a numbered pointer file, never a mutable CURRENT
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(local, "ptr-v1")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(local, "CURRENT")))
+    // append re-resolves the pointer and routes through the scheme
+    assert(IvfIndex.append(spark, dir, extra, "vec_id", "embedding") === extra.count())
+    val queries = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val full = IvfIndex.query(spark, dir, queries, "vec_id", "embedding", k = 3,
+      nProbe = written, wProbe = written)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(full === brute, "full-probe query through the scheme must equal brute force")
+    // rebalance: new generation published, old one stamped (an explicit
+    // SUPERSEDED file — dir mtimes don't exist on object stores) and kept
+    val total = spark.read.parquet(s"$v1/assignments.parquet").count()
+    IvfIndex.rebalance(spark, dir, targetCellRows = math.max(1L, total / 16))
+    val v2 = IvfIndex.activeDir(dir)
+    assert(v2 !== v1, "rebalance must publish a new generation")
+    val v1Local = java.nio.file.Paths.get(local, "v1")
+    assert(java.nio.file.Files.exists(v1Local.resolve("SUPERSEDED")),
+      "superseded generation must carry a stamp file")
+    assert(java.nio.file.Files.isDirectory(v1Local),
+      "replaced generation must be kept one cycle")
+    // grace-0 entry sweep reconciles + deletes the superseded gen through the scheme
+    IvfIndex.rebalance(spark, dir, targetCellRows = Long.MaxValue, orphanGraceMs = 0L)
+    assert(!java.nio.file.Files.exists(v1Local), "grace-expired generation must be swept")
+    val kept = spark.read.parquet(s"${IvfIndex.activeDir(dir)}/assignments.parquet").count()
+    assert(kept === emb.count(), "no rows may be lost across publish/sweep cycles")
+  }
+
   test("persisted embedding index: batch query equals brute cross pairs; append folds in") {
     val corpus = emb.filter(col("vec_id") % 10 =!= 0)
     val batch = emb.filter(col("vec_id") % 10 === 0)
