@@ -13,16 +13,20 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType,
   * pair list (recall follows the same auto-sized bits/tables trade-off
   * as [[Dedup.embeddingNearDupPairs]]'s in-session path).
   *
-  * Layout under `dir` (all through Spark's filesystem layer). The data
-  * tables are hive-partitioned by the WRITER'S BATCH exactly like
+  * Layout under `dir` (all through Spark's filesystem layer). Every
+  * [[build]] stages its data tables under a fresh `gen-*` dir and
+  * commits the generation in the meta row LAST (the [[IndexLayout]]
+  * protocol), so a crash anywhere mid-rebuild leaves the previous
+  * generation's meta+tables fully paired. The data tables are
+  * hive-partitioned by the WRITER'S BATCH exactly like
   * [[LshIndex]] (-1 = base build and non-replayable appends;
   * [[appendBatch]] writes its micro-batch id), so a replayed streaming
   * batch REPLACES its own partition, and each row carries its writer
   * batch again as `src_batch` so [[compact]]-folded rows stay excludable:
   * {{{
-  *   meta.parquet/       bits / tables / dim / layout / compacted_through
-  *   vectors.parquet/batch=<b>/   (id, v, src_batch)    — normalized verify vectors
-  *   buckets.parquet/batch=<b>/   (id, t, sig, src_batch) — per-table LSH signatures
+  *   meta.parquet/       bits / tables / dim / layout / compacted_through / gen
+  *   gen-<g>/vectors.parquet/batch=<b>/   (id, v, src_batch)    — normalized verify vectors
+  *   gen-<g>/buckets.parquet/batch=<b>/   (id, t, sig, src_batch) — per-table LSH signatures
   * }}}
   *
   * Query cost at scale: the batch's (table, signature) keys broadcast
@@ -42,12 +46,14 @@ object EmbIndex {
 
   /** On-disk layout version (v1 = the unpartitioned original, no longer
     * readable; v2 = batch-partitioned tables + `src_batch` +
-    * `compacted_through`, matching [[LshIndex]] v3). [[params]] rejects a
+    * `compacted_through`, matching [[LshIndex]] v3; v3 = data tables
+    * under a meta-committed `gen-*` dir, making [[build]] crash-atomic
+    * over a live index, matching LshIndex v4). [[params]] rejects a
     * layout this code cannot read instead of failing later with Spark's
     * conflicting-directory-structures error — the loud-versioning
     * discipline LshIndex and the decontamination index already follow.
     */
-  private val LayoutVersion = 2
+  private val LayoutVersion = 3
 
   private val vectorsSchema = StructType(Seq(
     StructField("id", LongType),
@@ -62,15 +68,16 @@ object EmbIndex {
     StructField("src_batch", LongType),
     StructField("batch", LongType)))
 
-  /** Full meta row (internal): signature params + compaction watermark. */
+  /** Full meta row (internal): signature params + compaction watermark +
+    * the published generation. */
   private[graft] final case class EmbMeta(
-      bits: Int, tables: Int, dim: Int, compactedThrough: Long)
+      bits: Int, tables: Int, dim: Int, compactedThrough: Long, gen: String)
 
   private def writeMeta(spark: SparkSession, dir: String, bits: Int, tables: Int, dim: Int,
-      compactedThrough: Long = -1L): Unit = {
+      gen: String, compactedThrough: Long = -1L): Unit = {
     import spark.implicits._
-    Seq((bits, tables, dim, LayoutVersion, compactedThrough))
-      .toDF("bits", "tables", "dim", "layout", "compacted_through")
+    Seq((bits, tables, dim, LayoutVersion, compactedThrough, gen))
+      .toDF("bits", "tables", "dim", "layout", "compacted_through", "gen")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/meta.parquet")
   }
@@ -81,9 +88,15 @@ object EmbIndex {
       if (meta.columns.contains("layout")) meta.select("layout").head().getInt(0) else 1
     require(layout == LayoutVersion,
       s"EmbIndex at $dir has layout v$layout; this build reads v$LayoutVersion — rebuild the index")
-    val r = meta.select("bits", "tables", "dim", "compacted_through").head()
-    EmbMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
+    val r = meta.select("bits", "tables", "dim", "compacted_through", "gen").head()
+    EmbMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getString(4))
   }
+
+  /** The published generation's data dir — where this index's
+    * `vectors.parquet`/`buckets.parquet` live (test/diagnostic hook).
+    */
+  private[graft] def dataDir(spark: SparkSession, dir: String): String =
+    s"$dir/${readMeta(spark, dir).gen}"
 
   /** (bits, tables, dim) the index was built with — the signature
     * parameters a caller must reuse for any in-session search whose
@@ -97,11 +110,11 @@ object EmbIndex {
 
   // explicit schemas: a partition dir with zero data files (empty build)
   // must read as an empty frame, not fail schema inference
-  private def readVectors(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(vectorsSchema).parquet(s"$dir/vectors.parquet")
+  private def readVectors(spark: SparkSession, dir: String, gen: String): DataFrame =
+    spark.read.schema(vectorsSchema).parquet(s"$dir/$gen/vectors.parquet")
 
-  private def readBuckets(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(bucketsSchema).parquet(s"$dir/buckets.parquet")
+  private def readBuckets(spark: SparkSession, dir: String, gen: String): DataFrame =
+    spark.read.schema(bucketsSchema).parquet(s"$dir/$gen/buckets.parquet")
 
   /** Width of the first usable vector, or None on an empty frame. A
     * build over zero usable vectors stores `dim = 0` ("undetermined")
@@ -128,11 +141,23 @@ object EmbIndex {
       if (disk.dim > 0) disk
       else probeDim(vv, "v") match {
         case Some(d) =>
-          writeMeta(spark, dir, disk.bits, disk.tables, d, disk.compactedThrough)
+          writeMeta(spark, dir, disk.bits, disk.tables, d, disk.gen, disk.compactedThrough)
           disk.copy(dim = d)
         case None => disk
       }
     }
+
+  /** Rows of `vv` whose vector is exactly the index's signed width. A
+    * width-mismatched embedding is a pipeline error upstream, but it can
+    * also never VERIFY (the exact cosine across widths is NULL, never ≥
+    * threshold), so the index excludes it instead of throwing: the
+    * signature kernel's loud dim-mismatch guard would otherwise crash a
+    * replayed streaming micro-batch forever on one bad row — the
+    * EmbDedupStream wedge class [[Dedup.embeddingNearDupPairs]] already
+    * filters out with the same `size(v) === dim` predicate.
+    */
+  private def widthClean(vv: DataFrame, vecName: String, dim: Int): DataFrame =
+    if (dim <= 0) vv else vv.filter(size(col(vecName)) === dim)
 
   /** The signature derivation IS [[Dedup.hyperplaneSigRows]] — one shared
     * definition, so the stored index and the in-session candidate stream
@@ -172,16 +197,25 @@ object EmbIndex {
       tables: Int = Dedup.AutoSize
   ): Long = {
     val spark = corpus.sparkSession
-    val vv = usable(corpus, idCol, vecCol, "id")
+    // staged generation publish (the IndexLayout protocol): data tables
+    // land under a fresh gen-* dir, meta commits the generation LAST — a
+    // crash anywhere mid-rebuild (including between the two table
+    // writes, the pre-v3 layout's documented in-place window) leaves the
+    // previous generation's meta+tables fully paired
+    val gen = IndexLayout.newGeneration()
+    val prevGen = IndexLayout.publishedGen(spark, dir)
+    val vv0 = usable(corpus, idCol, vecCol, "id")
+    // pin the index width from the first usable vector and exclude
+    // mismatched widths BEFORE anything is stored or signed (see
+    // widthClean); empty build → dim 0 sentinel, pinned by the first
+    // non-empty append
+    val dim = probeDim(vv0, "v").getOrElse(0)
+    val vv = widthClean(vv0, "v", dim)
       .withColumn("src_batch", lit(BaseBatch))
       .withColumn("batch", lit(BaseBatch))
-    vv.write.mode("overwrite").partitionBy("batch").parquet(s"$dir/vectors.parquet")
-    val stored = readVectors(spark, dir)
+    vv.write.mode("overwrite").partitionBy("batch").parquet(s"$dir/$gen/vectors.parquet")
+    val stored = readVectors(spark, dir, gen)
     val n = stored.count() // one job: sizes the bits AND is the return value
-    // empty build → dim 0 sentinel (see probeDim), pinned by the first
-    // non-empty append; a usable corpus always yields its real width
-    val dim =
-      if (n == 0) 0 else Similarity.detectDim(stored.select(col("v").as("n_vec")))
     // auto-sized bits are ALWAYS capped at the recall-feasible bound (with
     // explicit tables: the bits at which THAT table count still meets the
     // per-pair miss tolerance) — only explicit bits waive the guarantee;
@@ -195,17 +229,15 @@ object EmbIndex {
     sigRows(stored, "id", "v", useBits, useTables, dim)
       .withColumn("src_batch", lit(BaseBatch))
       .withColumn("batch", lit(BaseBatch))
-      .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/buckets.parquet")
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/$gen/buckets.parquet")
     // meta commits LAST (the family's publish order — see LshIndex.build
     // for the full rationale): a crash after a meta-first write paired
     // new bits/tables/dim and a RESET compacted_through with the OLD
     // bucket table — probes signed with new params against stale
     // signatures collide with nothing (silent zero recall), and replayed
     // appendBatch calls below the old watermark re-inserted folded rows.
-    // A crash between the two TABLE writes still needs a rebuild re-run
-    // (in-place overwrite boundary); rebuild into a fresh dir for full
-    // crash atomicity.
-    writeMeta(spark, dir, useBits, useTables, dim)
+    writeMeta(spark, dir, useBits, useTables, dim, gen)
+    IndexLayout.sweepGenerations(spark, dir, keep = gen, prevPublished = prevGen)
     n
   }
 
@@ -266,7 +298,10 @@ object EmbIndex {
         StructType(Seq(StructField("id_new", LongType), StructField("id_indexed", LongType),
           StructField("cosine", DoubleType))))
     }
-    val newVecs = newVecs0
+    // width-mismatched batch vectors can never verify and would crash the
+    // signature kernel's dim guard — exclude them (the EmbDedupStream
+    // replay-wedge fix; see widthClean)
+    val newVecs = widthClean(newVecs0, "v_new", effMeta.dim)
       .localCheckpoint() // feeds the signature probe AND the verify join
     // size gate on the materialized batch — rows AND bytes (the vector
     // payload is dim × 8 per row: at dim 4096 the 2^17-row limit alone
@@ -278,14 +313,14 @@ object EmbIndex {
       batchRows * vecBytes <= LshIndex.ProbeBroadcastByteLimit
     def maybeBroadcast(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
     val newSigs = sigRows(newVecs, "id_new", "v_new", effMeta.bits, effMeta.tables, effMeta.dim)
-    val index = visible(readBuckets(spark, dir))
+    val index = visible(readBuckets(spark, dir, effMeta.gen))
     // batch side broadcast: the corpus-sized index never shuffles
     val candidates = index
       .join(maybeBroadcast(newSigs), Seq("t", "sig"))
       .select(col("id_new"), col("id").as("id_indexed"))
       .distinct()
       .localCheckpoint() // feeds the verify join AND its own size gate
-    val storedVecs = visible(readVectors(spark, dir))
+    val storedVecs = visible(readVectors(spark, dir, effMeta.gen))
       .select(col("id").as("id_indexed"), col("v").as("v_idx"))
     // the verify side is CANDIDATE-sized, not batch-sized — signature
     // collisions scale with batch × corpus, so a small batch can still
@@ -320,16 +355,17 @@ object EmbIndex {
       vecCol: String
   ): Long = {
     val meta = readMeta(spark, dir)
-    val vv = usable(batch, idCol, vecCol, "id").localCheckpoint()
-    val effMeta = resolveMeta(spark, dir, meta, vv) // pins dim-0 empty builds
+    val vv0 = usable(batch, idCol, vecCol, "id").localCheckpoint()
+    val effMeta = resolveMeta(spark, dir, meta, vv0) // pins dim-0 empty builds
+    val vv = widthClean(vv0, "v", effMeta.dim) // see widthClean: never verifiable
     sigRows(vv, "id", "v", effMeta.bits, effMeta.tables, effMeta.dim)
       .withColumn("src_batch", lit(BaseBatch))
       .withColumn("batch", lit(BaseBatch))
-      .write.mode("append").partitionBy("batch").parquet(s"$dir/buckets.parquet")
+      .write.mode("append").partitionBy("batch").parquet(s"$dir/${effMeta.gen}/buckets.parquet")
     vv
       .withColumn("src_batch", lit(BaseBatch))
       .withColumn("batch", lit(BaseBatch))
-      .write.mode("append").partitionBy("batch").parquet(s"$dir/vectors.parquet")
+      .write.mode("append").partitionBy("batch").parquet(s"$dir/${effMeta.gen}/vectors.parquet")
     vv.count()
   }
 
@@ -379,20 +415,23 @@ object EmbIndex {
     // already folded into base by compact — a replay's rows are present
     // and no longer partition-addressable; rewriting would duplicate them
     if (batchId <= meta.compactedThrough) return 0L
-    val vv = usable(batch, idCol, vecCol, "id").localCheckpoint()
+    val vv0 = usable(batch, idCol, vecCol, "id").localCheckpoint()
     // an index built empty carries dim 0 — the first non-empty append
     // pins the corpus width here (persisted, so later snapshots see it)
-    val effMeta = resolveMeta(spark, dir, meta, vv)
-    dropBatchPartition(spark, s"$dir/buckets.parquet", batchId)
+    val effMeta = resolveMeta(spark, dir, meta, vv0)
+    // one width-mismatched row must not wedge a replayed micro-batch
+    // forever on the sig kernel's dim guard (see widthClean)
+    val vv = widthClean(vv0, "v", effMeta.dim)
+    dropBatchPartition(spark, s"$dir/${effMeta.gen}/buckets.parquet", batchId)
     sigRows(vv, "id", "v", effMeta.bits, effMeta.tables, effMeta.dim)
       .withColumn("src_batch", lit(batchId))
       .withColumn("batch", lit(batchId))
-      .write.mode("append").partitionBy("batch").parquet(s"$dir/buckets.parquet")
-    dropBatchPartition(spark, s"$dir/vectors.parquet", batchId)
+      .write.mode("append").partitionBy("batch").parquet(s"$dir/${effMeta.gen}/buckets.parquet")
+    dropBatchPartition(spark, s"$dir/${effMeta.gen}/vectors.parquet", batchId)
     vv
       .withColumn("src_batch", lit(batchId))
       .withColumn("batch", lit(batchId))
-      .write.mode("append").partitionBy("batch").parquet(s"$dir/vectors.parquet")
+      .write.mode("append").partitionBy("batch").parquet(s"$dir/${effMeta.gen}/vectors.parquet")
     vv.count()
   }
 
@@ -407,9 +446,9 @@ object EmbIndex {
   def compact(spark: SparkSession, dir: String, upToBatch: Long): Unit = {
     require(upToBatch >= 0, s"compact needs a non-negative batch watermark: $upToBatch")
     val m = readMeta(spark, dir) // layout check up front
-    IndexMaintenance.compactTable(spark, s"$dir/buckets.parquet", bucketsSchema, upToBatch)
-    IndexMaintenance.compactTable(spark, s"$dir/vectors.parquet", vectorsSchema, upToBatch)
-    writeMeta(spark, dir, m.bits, m.tables, m.dim,
+    IndexMaintenance.compactTable(spark, s"$dir/${m.gen}/buckets.parquet", bucketsSchema, upToBatch)
+    IndexMaintenance.compactTable(spark, s"$dir/${m.gen}/vectors.parquet", vectorsSchema, upToBatch)
+    writeMeta(spark, dir, m.bits, m.tables, m.dim, m.gen,
       math.max(m.compactedThrough, upToBatch))
   }
 }

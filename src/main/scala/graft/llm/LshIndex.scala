@@ -14,15 +14,20 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField,
   * per batch.
   *
   * Layout under `dir` (all written through Spark's filesystem layer, so
-  * the index lives on the cluster's shared FS). Both data tables are
-  * hive-partitioned by the WRITER'S BATCH (-1 = the base build and
-  * non-replayable appends; `appendBatch` writes its micro-batch id), so a
-  * replayed streaming batch REPLACES its own partition instead of
-  * duplicating rows — the index's exactly-once story:
+  * the index lives on the cluster's shared FS). Every [[build]] stages
+  * its data tables under a fresh `gen-*` dir and commits the generation
+  * in the meta row LAST (the [[IndexLayout]] protocol Search and
+  * Decontaminate use), so a crash anywhere mid-rebuild leaves the
+  * previous generation's meta+tables fully paired — probes keep
+  * answering from the old index. Both data tables are hive-partitioned
+  * by the WRITER'S BATCH (-1 = the base build and non-replayable
+  * appends; `appendBatch` writes its micro-batch id), so a replayed
+  * streaming batch REPLACES its own partition instead of duplicating
+  * rows — the index's exactly-once story:
   * {{{
-  *   meta.parquet/          shingle n / numHashes / bands (compatibility)
-  *   buckets.parquet/batch=<b>/   (id, band, bh)  — the LSH candidate index
-  *   shingles.parquet/batch=<b>/  (id, shset)     — exact-Jaccard verify sets
+  *   meta.parquet/          shingle n / numHashes / bands / gen
+  *   gen-<g>/buckets.parquet/batch=<b>/   (id, band, bh)  — the LSH candidate index
+  *   gen-<g>/shingles.parquet/batch=<b>/  (id, shset)     — exact-Jaccard verify sets
   * }}}
   *
   * Query cost at scale: the new batch's bucket keys are broadcast into a
@@ -74,26 +79,28 @@ object LshIndex {
   // (the sibling IvfIndex persists everything the same way)
   /** On-disk layout version (bumped when the table structure changes —
     * v2 = batch-partitioned data tables; v3 = per-row `src_batch` + the
-    * meta `compacted_through` watermark that make [[compact]] safe).
+    * meta `compacted_through` watermark that make [[compact]] safe;
+    * v4 = data tables under a meta-committed `gen-*` dir, making
+    * [[build]] crash-atomic over a live index).
     * [[params]] rejects an index whose layout this code cannot read,
     * instead of failing later with Spark's
     * conflicting-directory-structures error.
     */
-  private val LayoutVersion = 3
+  private val LayoutVersion = 4
 
   /** Full meta row (internal): signature params + the compaction
-    * watermark. `compactedThrough` = largest batch id folded into the
-    * base partition (-1 = never compacted).
+    * watermark + the published generation. `compactedThrough` = largest
+    * batch id folded into the base partition (-1 = never compacted).
     */
   private[graft] final case class LshMeta(
-      n: Int, numHashes: Int, bands: Int, compactedThrough: Long)
+      n: Int, numHashes: Int, bands: Int, compactedThrough: Long, gen: String)
 
   private def writeMeta(
       spark: SparkSession, dir: String, n: Int, numHashes: Int, bands: Int,
-      compactedThrough: Long = -1L): Unit = {
+      gen: String, compactedThrough: Long = -1L): Unit = {
     import spark.implicits._
-    Seq((n, numHashes, bands, LayoutVersion, compactedThrough))
-      .toDF("n", "num_hashes", "bands", "layout", "compacted_through")
+    Seq((n, numHashes, bands, LayoutVersion, compactedThrough, gen))
+      .toDF("n", "num_hashes", "bands", "layout", "compacted_through", "gen")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/meta.parquet")
   }
@@ -104,9 +111,15 @@ object LshIndex {
       if (meta.columns.contains("layout")) meta.select("layout").head().getInt(0) else 1
     require(layout == LayoutVersion,
       s"LshIndex at $dir has layout v$layout; this build reads v$LayoutVersion — rebuild the index")
-    val r = meta.select("n", "num_hashes", "bands", "compacted_through").head()
-    LshMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
+    val r = meta.select("n", "num_hashes", "bands", "compacted_through", "gen").head()
+    LshMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getString(4))
   }
+
+  /** The published generation's data dir — where this index's
+    * `buckets.parquet`/`shingles.parquet` live (test/diagnostic hook).
+    */
+  private[graft] def dataDir(spark: SparkSession, dir: String): String =
+    s"$dir/${readMeta(spark, dir).gen}"
 
   /** (shingle n, numHashes, bands) an index was built with — the
     * signature parameters a caller must reuse for any in-session search
@@ -120,11 +133,11 @@ object LshIndex {
 
   // explicit schemas: a partition dir with zero data files (empty build)
   // must read as an empty frame, not fail schema inference
-  private def readShingles(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(shinglesSchema).parquet(s"$dir/shingles.parquet")
+  private def readShingles(spark: SparkSession, dir: String, gen: String): DataFrame =
+    spark.read.schema(shinglesSchema).parquet(s"$dir/$gen/shingles.parquet")
 
-  private def readBuckets(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(bucketsSchema).parquet(s"$dir/buckets.parquet")
+  private def readBuckets(spark: SparkSession, dir: String, gen: String): DataFrame =
+    spark.read.schema(bucketsSchema).parquet(s"$dir/$gen/buckets.parquet")
 
   /** THE shingle-set → (id, band, bh) bucket derivation — the byte-level
     * compatibility contract between the stored index and every probe.
@@ -167,29 +180,30 @@ object LshIndex {
   ): Long = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val spark = corpus.sparkSession
+    // staged generation publish (the IndexLayout protocol Search and
+    // Decontaminate use): both data tables land under a FRESH gen-* dir,
+    // then meta commits the generation LAST — a crash ANYWHERE before
+    // the meta write (including between the two table writes, the
+    // in-place window the pre-v4 layout documented as unsolved) leaves
+    // the previous generation's meta+tables fully paired, and probes
+    // keep answering from it. The superseded generation is kept one
+    // cycle for in-flight probes; older ones and crash orphans sweep.
+    val gen = IndexLayout.newGeneration()
+    val prevGen = IndexLayout.publishedGen(spark, dir)
     // the verify sets are the durable form of the shingle pass — write
     // them first, then derive buckets from the WRITTEN table so the
-    // (expensive) shingling runs exactly once. Meta commits LAST (the
-    // family's publish order): meta-first meant a rebuild over a LIVE
-    // index reset compacted_through (re-opening the replayed-append
-    // duplication window) and re-parameterized probes against the OLD
-    // bucket table — silent zero recall — if anything between the meta
-    // write and the final table write crashed or threw (including input
-    // validation, which runs inside shingleSets' first job).
-    // BOUNDARY (documented, not solved): the table overwrites themselves
-    // are in-place, so a crash BETWEEN the two table writes still leaves
-    // new shingles with old buckets until the rebuild is re-run —
-    // rebuild into a FRESH dir for full crash atomicity.
+    // (expensive) shingling runs exactly once
     shingleSets(corpus, idCol, textCol, n)
       .withColumn("src_batch", lit(BaseBatch))
       .withColumn("batch", lit(BaseBatch))
-      .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/shingles.parquet")
-    val stored = readShingles(spark, dir)
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/$gen/shingles.parquet")
+    val stored = readShingles(spark, dir, gen)
     bucketRows(stored, "id", "shset", numHashes, bands)
       .withColumn("src_batch", lit(BaseBatch))
       .withColumn("batch", lit(BaseBatch))
-      .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/buckets.parquet")
-    writeMeta(spark, dir, n, numHashes, bands)
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/$gen/buckets.parquet")
+    writeMeta(spark, dir, n, numHashes, bands, gen)
+    IndexLayout.sweepGenerations(spark, dir, keep = gen, prevPublished = prevGen)
     stored.count()
   }
 
@@ -218,17 +232,17 @@ object LshIndex {
       idCol: String,
       textCol: String
   ): Long = {
-    val (n, numHashes, bands) = params(spark, dir)
-    val withSets = shingleSets(batch, idCol, textCol, n)
+    val meta = readMeta(spark, dir)
+    val withSets = shingleSets(batch, idCol, textCol, meta.n)
       .localCheckpoint() // feeds both appends + the count
-    bucketRows(withSets, "id", "shset", numHashes, bands)
+    bucketRows(withSets, "id", "shset", meta.numHashes, meta.bands)
       .withColumn("src_batch", lit(BaseBatch))
       .withColumn("batch", lit(BaseBatch))
-      .write.mode("append").partitionBy("batch").parquet(s"$dir/buckets.parquet")
+      .write.mode("append").partitionBy("batch").parquet(s"$dir/${meta.gen}/buckets.parquet")
     withSets
       .withColumn("src_batch", lit(BaseBatch))
       .withColumn("batch", lit(BaseBatch))
-      .write.mode("append").partitionBy("batch").parquet(s"$dir/shingles.parquet")
+      .write.mode("append").partitionBy("batch").parquet(s"$dir/${meta.gen}/shingles.parquet")
     withSets.count()
   }
 
@@ -292,16 +306,16 @@ object LshIndex {
     if (batchId <= meta.compactedThrough) return 0L
     val withSets = preSets.getOrElse(
       shingleSets(batch, idCol, textCol, meta.n).localCheckpoint())
-    dropBatchPartition(spark, s"$dir/buckets.parquet", batchId)
+    dropBatchPartition(spark, s"$dir/${meta.gen}/buckets.parquet", batchId)
     bucketRows(withSets, "id", "shset", meta.numHashes, meta.bands)
       .withColumn("src_batch", lit(batchId))
       .withColumn("batch", lit(batchId))
-      .write.mode("append").partitionBy("batch").parquet(s"$dir/buckets.parquet")
-    dropBatchPartition(spark, s"$dir/shingles.parquet", batchId)
+      .write.mode("append").partitionBy("batch").parquet(s"$dir/${meta.gen}/buckets.parquet")
+    dropBatchPartition(spark, s"$dir/${meta.gen}/shingles.parquet", batchId)
     withSets
       .withColumn("src_batch", lit(batchId))
       .withColumn("batch", lit(batchId))
-      .write.mode("append").partitionBy("batch").parquet(s"$dir/shingles.parquet")
+      .write.mode("append").partitionBy("batch").parquet(s"$dir/${meta.gen}/shingles.parquet")
     withSets.count()
   }
 
@@ -370,14 +384,14 @@ object LshIndex {
       stats0.getLong(1) * EstimatedShingleBytes <= ProbeBroadcastByteLimit
     def maybeBroadcast(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
     val newBuckets = bucketRows(newSets, "id_new", "set_new", meta.numHashes, meta.bands)
-    val index = visible(readBuckets(spark, dir))
+    val index = visible(readBuckets(spark, dir, meta.gen))
     // batch side broadcast: the corpus-sized index never shuffles
     val candidates = index
       .join(maybeBroadcast(newBuckets), Seq("band", "bh"))
       .select(col("id_new"), col("id").as("id_indexed"))
       .distinct()
       .localCheckpoint() // feeds the verify join AND its own size gate
-    val storedSets = visible(readShingles(spark, dir))
+    val storedSets = visible(readShingles(spark, dir, meta.gen))
       .select(col("id").as("id_indexed"), col("shset").as("set_indexed"))
     // the verify side is CANDIDATE-sized, not batch-sized — bucket
     // collisions scale with batch × corpus, so the hint must be gated on
@@ -427,13 +441,13 @@ object LshIndex {
   def compact(spark: SparkSession, dir: String, upToBatch: Long): Unit = {
     require(upToBatch >= 0, s"compact needs a non-negative batch watermark: $upToBatch")
     val m = readMeta(spark, dir) // layout check up front
-    IndexMaintenance.compactTable(spark, s"$dir/buckets.parquet", bucketsSchema, upToBatch)
-    IndexMaintenance.compactTable(spark, s"$dir/shingles.parquet", shinglesSchema, upToBatch)
+    IndexMaintenance.compactTable(spark, s"$dir/${m.gen}/buckets.parquet", bucketsSchema, upToBatch)
+    IndexMaintenance.compactTable(spark, s"$dir/${m.gen}/shingles.parquet", shinglesSchema, upToBatch)
     // watermark last: a crash before this line leaves folded partitions
     // with a stale watermark — the defensive appendBatch no-op guard is
     // briefly narrower, but the contract (only compact committed batches)
     // already rules the replay out; re-running compact repairs the meta
-    writeMeta(spark, dir, m.n, m.numHashes, m.bands,
+    writeMeta(spark, dir, m.n, m.numHashes, m.bands, m.gen,
       math.max(m.compactedThrough, upToBatch))
   }
 }

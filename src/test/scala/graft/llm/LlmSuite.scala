@@ -495,7 +495,7 @@ class DedupSuite extends AnyFunSuite {
     // and a replay that computes FEWER rows truly replaces the partition
     // (dynamic partition overwrite would have left the stale row alive)
     assert(LshIndex.appendBatch(spark, dir, batch.limit(0), "doc_id", "text", batchId = 3L) === 0L)
-    val left = spark.read.parquet(s"$dir/shingles.parquet")
+    val left = spark.read.parquet(s"${LshIndex.dataDir(spark, dir)}/shingles.parquet")
       .filter(col("batch") === 3L).count()
     assert(left === 0L, s"stale rows survived the shrinking replay: $left")
   }
@@ -559,7 +559,7 @@ class DedupSuite extends AnyFunSuite {
     val before = pairs()
     assert(before === Set((20L, 1L), (21L, 10L), (22L, 11L), (23L, 12L)))
     LshIndex.compact(spark, dir, upToBatch = 1L)
-    val batches = spark.read.parquet(s"$dir/shingles.parquet")
+    val batches = spark.read.parquet(s"${LshIndex.dataDir(spark, dir)}/shingles.parquet")
       .select("batch").distinct().as[Long].collect().toSet
     assert(batches === Set(-1L, 2L), s"unexpected partitions after compact: $batches")
     // probe results bit-identical across the fold
@@ -576,7 +576,7 @@ class DedupSuite extends AnyFunSuite {
     // idempotent re-compaction folding the rest
     LshIndex.compact(spark, dir, upToBatch = 2L)
     assert(pairs() === before)
-    assert(spark.read.parquet(s"$dir/shingles.parquet")
+    assert(spark.read.parquet(s"${LshIndex.dataDir(spark, dir)}/shingles.parquet")
       .select("batch").distinct().as[Long].collect().toSet === Set(-1L))
   }
 
@@ -610,6 +610,75 @@ class DedupSuite extends AnyFunSuite {
     val a = hinted.select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
     val b = gated.select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
     assert(a === b)
+  }
+
+  test("LshIndex rebuild is crash-atomic: probes answer from the old generation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val dir = TestSpark.freshDir("lsh-crash")
+    LshIndex.build(corpus, "doc_id", "text", dir, n = 3, numHashes = 64, bands = 32)
+    val before = LshIndex.queryBatch(spark, dir, batch, "doc_id", "text", threshold = 0.5)
+      .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
+    // simulate a crash ANYWHERE mid-rebuild (both table writes included):
+    // rebuild with DIFFERENT params over a different corpus, then restore
+    // the old meta row — exactly the state a crash before the meta commit
+    // leaves. The old generation's meta+tables must still be fully paired.
+    val oldMeta = spark.read.parquet(s"$dir/meta.parquet").collect()
+    val oldSchema = spark.read.parquet(s"$dir/meta.parquet").schema
+    LshIndex.build(corpus.limit(3), "doc_id", "text", dir, n = 2, numHashes = 32, bands = 16)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(oldMeta: _*)),
+      oldSchema)
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    val after = LshIndex.queryBatch(spark, dir, batch, "doc_id", "text", threshold = 0.5)
+      .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
+    assert(after === before, "probe after a crashed rebuild must answer from the old generation")
+  }
+
+  test("EmbIndex rebuild is crash-atomic: probes answer from the old generation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val dir = TestSpark.freshDir("emb-crash")
+    EmbIndex.build(corpus, "vec_id", "embedding", dir, threshold = 0.45)
+    val before = EmbIndex.queryBatch(spark, dir, batch, "vec_id", "embedding", 0.45)
+      .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
+    val oldMeta = spark.read.parquet(s"$dir/meta.parquet").collect()
+    val oldSchema = spark.read.parquet(s"$dir/meta.parquet").schema
+    // crashed rebuild: different params, meta restored to the old row
+    EmbIndex.build(corpus.limit(3), "vec_id", "embedding", dir, threshold = 0.9,
+      bits = 4, tables = 2)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(oldMeta: _*)),
+      oldSchema)
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    val after = EmbIndex.queryBatch(spark, dir, batch, "vec_id", "embedding", 0.45)
+      .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
+    assert(after === before, "probe after a crashed rebuild must answer from the old generation")
+  }
+
+  test("EmbIndex excludes width-mismatched batch vectors instead of wedging replays") {
+    val dir = TestSpark.freshDir("emb-width")
+    val corpus = Seq((1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    EmbIndex.build(corpus, "vec_id", "embedding", dir, threshold = 0.9)
+    // a batch carrying one WIDTH-MISMATCHED embedding (a 2-dim row in a
+    // 4-dim index) must neither crash the probe nor the replayable
+    // append — pre-fix the signature kernel's loud dim guard threw inside
+    // the micro-batch on every replay, permanently wedging EmbDedupStream
+    val bad = Seq((10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (11L, Seq(1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = EmbIndex.queryBatch(spark, dir, bad, "vec_id", "embedding", 0.9)
+      .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 1L)), s"clean row must match, mismatched row must drop: $got")
+    assert(EmbIndex.appendBatch(spark, dir, bad, "vec_id", "embedding", 7L) === 1L)
+    // the replay (Spark re-runs failed micro-batches) survives too
+    assert(EmbIndex.appendBatch(spark, dir, bad, "vec_id", "embedding", 7L) === 1L)
+    // a width-clean mixed BUILD also signs only the pinned width
+    val mixDir = TestSpark.freshDir("emb-width-build")
+    val mixed = corpus.union(Seq((3L, Seq(1.0f, 0.5f))).toDF("vec_id", "embedding"))
+    assert(EmbIndex.build(mixed, "vec_id", "embedding", mixDir, threshold = 0.9) === 2L)
   }
 
   test("star contraction agrees with union-find on a 500-node random graph") {
@@ -1469,7 +1538,7 @@ class SimilaritySuite extends AnyFunSuite {
       excludeBatch = Some(5L)).count() === 0L)
     // and a shrinking replay truly replaces the partition
     assert(EmbIndex.appendBatch(spark, dir, batch.limit(0), "vec_id", "embedding", 5L) === 0L)
-    assert(spark.read.parquet(s"$dir/vectors.parquet")
+    assert(spark.read.parquet(s"${EmbIndex.dataDir(spark, dir)}/vectors.parquet")
       .filter(col("batch") === 5L).count() === 0L)
   }
 
@@ -1497,7 +1566,7 @@ class SimilaritySuite extends AnyFunSuite {
     assert(before === Set((20L, 1L), (21L, 10L), (22L, 11L), (23L, 12L)))
     EmbIndex.compact(spark, dir, upToBatch = 1L)
     // aged partitions folded into base; the live one untouched
-    val batches = spark.read.parquet(s"$dir/vectors.parquet")
+    val batches = spark.read.parquet(s"${EmbIndex.dataDir(spark, dir)}/vectors.parquet")
       .select("batch").distinct().as[Long].collect().toSet
     assert(batches === Set(-1L, 2L), s"unexpected partitions: $batches")
     // probe results bit-identical across the fold
@@ -1513,7 +1582,7 @@ class SimilaritySuite extends AnyFunSuite {
     // compacting further is idempotent and folds the remaining batch
     EmbIndex.compact(spark, dir, upToBatch = 2L)
     assert(pairs() === before)
-    assert(spark.read.parquet(s"$dir/vectors.parquet")
+    assert(spark.read.parquet(s"${EmbIndex.dataDir(spark, dir)}/vectors.parquet")
       .select("batch").distinct().as[Long].collect().toSet === Set(-1L))
   }
 

@@ -108,7 +108,7 @@ class StreamingSuite extends AnyFunSuite {
     assert(curated === Seq(11L, 21L),
       s"curated table should hold exactly the unique survivors: $curated")
     // and the index fenced both batches (partition per micro-batch id)
-    val idxIds = spark.read.parquet(s"$indexDir/shingles.parquet")
+    val idxIds = spark.read.parquet(s"${graft.llm.LshIndex.dataDir(spark, indexDir)}/shingles.parquet")
       .select("id").as[Long].collect().toSet
     assert(idxIds === Set(1L, 2L, 11L, 21L), s"index contents: $idxIds")
   }
@@ -149,7 +149,7 @@ class StreamingSuite extends AnyFunSuite {
     assert(sunk.toMap === Map(0L -> Seq(11L), 1L -> Seq(21L)),
       s"survivors per batch: $sunk")
     // the index fenced both batches: base corpus + one partition per batch
-    val idxIds = spark.read.parquet(s"$indexDir/vectors.parquet")
+    val idxIds = spark.read.parquet(s"${graft.llm.EmbIndex.dataDir(spark, indexDir)}/vectors.parquet")
       .select("id").as[Long].collect().toSet
     assert(idxIds === Set(1L, 2L, 11L, 21L), s"index contents: $idxIds")
   }
