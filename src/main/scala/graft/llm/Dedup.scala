@@ -60,6 +60,25 @@ object Dedup {
     */
   val AutoSize: Int = -1
 
+  /** Rows per cluster [[semanticNearDupPairs]]'s auto-sized k targets:
+    * mean per-cluster candidate volume is ~targetRows²/2 pairs, so 2048
+    * keeps one cluster's self-join at ~2M candidates — comfortably one
+    * task's working set — while total candidate volume tracks
+    * ~n·1024, linear in the corpus.
+    */
+  val DefaultSemanticClusterRows: Long = 2048L
+
+  /** Cluster counts above which [[semanticNearDupPairs]] assigns through
+    * [[IvfIndex]]'s two-level coarse quantizer (n·2√k dots) instead of
+    * exact Lloyd + literal argmax (n·k dots per pass). 256 is past the
+    * point where the exact path's n·k term dominates the (linear)
+    * candidate volume and well below the driver-argmax compile boundary,
+    * so the switch is purely a cost decision; assignment turns
+    * IMI-approximate, which only relocates cluster boundaries (see the
+    * method doc).
+    */
+  val SemanticTwoLevelGate: Int = 256
+
   /** Exact dedup: keep the lowest-id row per key (deterministic winner). */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
@@ -538,22 +557,81 @@ object Dedup {
     * cluster boundary are the recall loss, shrinking as `threshold → 1`.
     *
     * 100 TB shape: the within-cluster self-join shuffles on cluster id,
-    * so candidate volume is Σ|cluster|² ≈ n²/k instead of n² — pick k so
-    * n/k fits a task's working set (SemDeDup's published runs use
-    * k ~ 10⁴-10⁵ on billions of points). Skewed clusters are the
-    * operational hazard: re-run with larger k or sub-cluster the giants.
+    * so candidate volume is Σ|cluster|² ≈ n²/k instead of n² — at FIXED
+    * k that is still quadratic in the corpus (the sf1 probe measured
+    * exponent 1.67 on the real query). The default therefore SCALES k
+    * with the corpus: k = ceil(n / targetClusterRows), which pins mean
+    * per-cluster candidate volume at ~targetClusterRows²/2 pairs and
+    * makes the self-join's candidate count ~n·targetClusterRows/2 —
+    * linear in n (SemDeDup's published runs size k the same way,
+    * k ~ 10⁴-10⁵ on billions of points).
+    *
+    * The clustering pass itself costs n·k dots per Lloyd assignment —
+    * quadratic again once k ∝ n (the sem probe measured it: exponent
+    * 1.92 at the 100k→300k step even with linear candidate volume). So
+    * above [[SemanticTwoLevelGate]] clusters the assignment routes
+    * through [[IvfIndex]]'s two-level coarse quantizer instead: ~√k
+    * supers trained on the corpus, cells trained per-super on a
+    * hash-capped sample, rows assigned super-first — n·2√k dots, the
+    * FAISS IMI shape. Assignment turns IMI-approximate there (a row
+    * near a super boundary can land in a neighbouring super's cell),
+    * which for THIS operator only moves cluster boundaries — the recall
+    * contract is unchanged (pairs straddling any boundary are the loss;
+    * every emitted pair stays exactly verified). Skewed clusters remain
+    * the operational hazard: re-run with larger k or sub-cluster the
+    * giants. Pass an explicit `k` to override the sizing (the gate
+    * still applies to the assignment path).
     */
   def semanticNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      k: Int,
-      maxIters: Int = 40
+      k: Int = AutoSize,
+      maxIters: Int = 40,
+      targetClusterRows: Long = DefaultSemanticClusterRows
   ): DataFrame = {
-    val res = Similarity.kmeans(df, idCol, vecCol, k, maxIters)
-    val v = df.select(col(idCol).cast("long").as("id"), Similarity.normalize(col(vecCol)).as("v"))
-    val withC = v.join(res.assignments, "id")
+    require(k > 0 || k == AutoSize, s"k must be positive or AutoSize: $k")
+    require(targetClusterRows > 0, s"targetClusterRows must be > 0: $targetClusterRows")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val useK =
+      if (k != AutoSize) k
+      else {
+        // one metadata-cheap count sizes the geometry; clamp in Long
+        // space before narrowing (the IvfIndex.rebalance lesson)
+        val n = df.select(col(idCol)).count()
+        math.max(1L,
+          math.min((n + targetClusterRows - 1) / targetClusterRows, Int.MaxValue.toLong)).toInt
+      }
+    val withC: DataFrame =
+      if (useK <= SemanticTwoLevelGate) {
+        val res = Similarity.kmeans(df, idCol, vecCol, useK, maxIters)
+        df.select(col(idCol).cast("long").as("id"), Similarity.normalize(col(vecCol)).as("v"))
+          .join(res.assignments, "id")
+      } else {
+        // two-level arm: same pre-filters as kmeans (degenerate and
+        // width-mismatched vectors are unclusterable and absent from the
+        // assignments, by the same contract)
+        IntegralId.require(df, idCol, "semanticNearDupPairs")
+        val c0 = df.select(col(idCol).cast("long").as("n_id"),
+            Similarity.normalize(col(vecCol)).as("n_vec"))
+          .filter(Similarity.clusterable(col("n_vec")))
+        val dim = Similarity.detectDim(c0)
+        val c = c0.filter(size(col("n_vec")) === dim)
+          .localCheckpoint() // scanned by super training + cell training + assignment
+        // 2 Lloyd refinements, the IvfIndex default: the quantizer only
+        // BOUNDS candidates here, convergence buys nothing
+        val (supers, cells0) = IvfIndex.trainTwoLevel(c, useK, math.min(maxIters, 2), dim)
+        if (supers.isEmpty)
+          Seq.empty[(Long, Seq[Double], Long)].toDF("id", "v", "cluster")
+        else {
+          val cells = cells0.localCheckpoint() // feeds grouping + the supers-with-cells pull
+          IvfIndex.assignTwoLevel(c,
+              IvfIndex.supersWithCells(spark, cells, supers), IvfIndex.groupCells(cells))
+            .select(col("n_id").as("id"), col("n_vec").as("v"), col("c_id").as("cluster"))
+        }
+      }
     withC.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
       .join(withC.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b")), "cluster")
       .filter(col("id_a") < col("id_b"))

@@ -460,7 +460,7 @@ object IvfIndex {
     * nothing corpus- or nCells-sized ever reaches the driver. Cell ids
     * are `s_id · cellsPerSuper + localIdx`, unique by construction.
     */
-  private def trainTwoLevel(
+  private[llm] def trainTwoLevel(
       c: DataFrame,
       nCells: Int,
       kmeansIters: Int,
@@ -533,7 +533,7 @@ object IvfIndex {
   /** Group the cell table to ONE array row per super — the broadcast-able
     * (or, at scale, shuffle-joinable) routing side of [[assignTwoLevel]].
     */
-  private def groupCells(cells: DataFrame): DataFrame =
+  private[llm] def groupCells(cells: DataFrame): DataFrame =
     cells.groupBy("s_id").agg(collect_list(struct(col("c_id"), col("c_vec"))).as("__cells"))
 
   /** Two-level nearest-cell assignment for (n_id, n_vec) rows: literal
@@ -545,7 +545,7 @@ object IvfIndex {
     * decides). `supers` must be pre-filtered to supers that HAVE cells
     * ([[supersWithCells]]) or boundary rows would vanish in the join.
     */
-  private def assignTwoLevel(
+  private[llm] def assignTwoLevel(
       rows: DataFrame,
       supers: Array[(Long, Array[Double])],
       cellsBySuper: DataFrame
@@ -564,7 +564,7 @@ object IvfIndex {
   /** Supers that own at least one cell — the distinct-s_id pull is the
     * ONLY driver collect on the two-level path, bounded by ~√nCells.
     */
-  private def supersWithCells(
+  private[llm] def supersWithCells(
       spark: SparkSession,
       cells: DataFrame,
       supers: Array[(Long, Array[Double])]

@@ -30,6 +30,7 @@ import org.apache.spark.sql.functions._
   *  - `prop[:n1,n2,...]`      — score propagation at n-node graphs
   *  - `cdc[:k1,k2,...]`       — read latency vs accumulated delta commits
   *  - `rebal[:n0,factor]`     — IVF probe latency before/after rebalance
+  *  - `sem[:n1,n2,...]`       — SemDeDup fixed-k vs auto-k exponents
   *  - `loghist[:n1,n2,...]`   — per-commit latency vs accumulated log
   *                              history (checkpoint-retention flatness)
   *
@@ -533,9 +534,62 @@ object ScaleProbe {
     }
   }
 
+  /** SemDeDup k-scaling probe: at FIXED k the within-cluster self-join's
+    * candidate volume is ~n²/k — super-linear in the corpus (the sf1
+    * probe measured exponent 1.67 on the real query) — while the
+    * auto-sized default k = ceil(n/targetClusterRows) pins per-cluster
+    * volume at ~targetRows²/2 and should scale ~linearly. Times both
+    * arms over synthetic embeddings and prints per-step exponents; the
+    * fixed arm stops after two sizes (its quadratic term makes larger
+    * corpora pointlessly slow to measure).
+    */
+  private def semProbe(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    def synth(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("vec_id"), synthVec(col("id")).as("embedding"))
+    def timed(body: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val r = body; ((System.nanoTime() - t0) / 1e9, r)
+    }
+    locally { // warm JIT/codegen
+      graft.llm.Dedup.semanticNearDupPairs(synth(2000), "vec_id", "embedding",
+        threshold = 0.8, maxIters = 4).count()
+      dropPinned(spark)
+    }
+    var prev: Map[String, (Long, Double)] = Map.empty
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val corpus = synth(n).localCheckpoint()
+      corpus.count()
+      // r=2048 stays on the exact-Lloyd arm at these sizes (k ≤ 147);
+      // r=256 crosses the SemanticTwoLevelGate at n ≥ 66k, so its later
+      // steps measure the two-level assignment path (n·2√k)
+      val arms: Seq[(String, (Int, Long))] =
+        (if (i < 2) Seq("fixed k=8" -> ((8, 2048L))) else Nil) ++
+          Seq("auto r=2048" -> ((graft.llm.Dedup.AutoSize, 2048L)),
+            "auto r=256" -> ((graft.llm.Dedup.AutoSize, 256L)))
+      arms.foreach { case (label, (k, rows)) =>
+        val (t, pairs) = timed(
+          graft.llm.Dedup.semanticNearDupPairs(corpus, "vec_id", "embedding",
+            threshold = 0.8, k = k, maxIters = 4, targetClusterRows = rows).count())
+        val exp = prev.get(label).map { case (n0, t0) =>
+          f" exp=${math.log(t / t0) / math.log(n.toDouble / n0)}%.2f"
+        }.getOrElse("")
+        println(f"[sem] n=$n%d $label%-10s ${t}%8.1f s  pairs=$pairs%d$exp")
+        prev += label -> (n, t)
+      }
+      dropPinned(spark)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.builder("local[32]", shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.exists(_.startsWith("sem"))) {
+      val sizes = args.head.split(":").lift(1)
+        .map(_.split(",").map(_.toLong).toSeq)
+        .getOrElse(Seq(10000L, 30000L, 100000L))
+      semProbe(spark, sizes)
+      spark.stop()
+      return
+    }
     if (args.headOption.exists(_.startsWith("route"))) {
       val sizes = args.head.split(":").lift(1)
         .map(_.split(",").map(_.toInt).toSeq)

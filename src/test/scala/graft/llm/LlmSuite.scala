@@ -918,6 +918,34 @@ class TextOpsSuite extends AnyFunSuite {
     assert(recall >= 0.5, s"semantic recall too low: $recall ($sem of $brute)")
   }
 
+  test("semantic dedup auto-k: two-level assignment arm stays exact-verified and finds twins") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // plant exact twins: identical vectors take identical argmaxes at
+    // BOTH levels, so they always co-cluster — the pair is guaranteed
+    // regardless of where the approximate assignment draws boundaries
+    val twins = emb.orderBy("vec_id").limit(5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val corpus = emb.select("vec_id", "embedding").union(twins)
+    // targetClusterRows = 2 drives k = ceil(n/2) far past the 256-cluster
+    // gate → the two-level arm runs on this operation-sized corpus
+    val sem = Dedup.semanticNearDupPairs(corpus, "vec_id", "embedding", 0.45,
+      targetClusterRows = 2L)
+      .select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val pairs = sem.map(p => (p._1, p._2)).toSet
+    val brute = Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(brute), s"false positives: ${pairs -- brute}")
+    val twinIds = twins.select("vec_id").as[Long].collect().toSet
+    twinIds.foreach { t =>
+      assert(pairs.contains((t - 1000000L, t)),
+        s"planted twin ($t) not paired by the two-level arm: $pairs")
+    }
+    // every emitted cosine is the exact verify (twins at exactly 1.0)
+    sem.filter(p => twinIds(p._2) && p._1 == p._2 - 1000000L)
+      .foreach(p => assert(math.abs(p._3 - 1.0) < 1e-9))
+  }
+
   test("chunking covers every token with the configured overlap") {
     val docs = Seq(
       (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
