@@ -39,7 +39,17 @@ object DedupStream {
       threshold: Double,
       checkpointLocation: String,
       sink: (DataFrame, Long) => Unit,
-      triggerMs: Long = 1000L
+      triggerMs: Long = 1000L,
+      /** In-stream index maintenance: every N batches, fold the aged
+        * `batch=<b>` partitions (b ≤ batchId-1 — strictly below anything
+        * Spark can still replay, the [[LshIndex.compact]] contract) into
+        * the index's base partition, bounding the partition count a
+        * long-running stream accumulates. Running from the stream's OWN
+        * hook (between this trigger's probe and the next trigger's
+        * planning) is exactly the placement compact's concurrency note
+        * calls for: no probe can be mid-scan over a partition the fold
+        * deletes. None = external maintenance. */
+      compactEveryBatches: Option[Long] = None
   ): StreamingQuery = {
     // the index's signature parameters are immutable — read once, not
     // three Spark jobs per trigger (the cached compaction watermark is
@@ -91,6 +101,14 @@ object DedupStream {
         LshIndex.appendBatchWith(spark, indexDir, survivors, idCol, textCol, batchId, meta,
           preSets = Some(setsSurvivors))
         sink(survivors, batchId)
+        // 5. in-stream maintenance (see the parameter doc). The cached
+        // `meta` stays valid: compact never touches signature params or
+        // the generation, and its advanced watermark only affects batch
+        // ids this stream has already committed past.
+        compactEveryBatches.foreach { every =>
+          if (batchId > 0 && batchId % every == 0)
+            LshIndex.compact(spark, indexDir, upToBatch = batchId - 1)
+        }
       }
       .start()
   }

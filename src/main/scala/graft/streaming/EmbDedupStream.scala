@@ -47,7 +47,11 @@ object EmbDedupStream {
       threshold: Double,
       checkpointLocation: String,
       sink: (DataFrame, Long) => Unit,
-      triggerMs: Long = 1000L
+      triggerMs: Long = 1000L,
+      /** In-stream index maintenance — every N batches fold aged
+        * partitions into the base; same contract and placement as
+        * [[DedupStream]]'s parameter of the same name. */
+      compactEveryBatches: Option[Long] = None
   ): StreamingQuery = {
     // immutable signature parameters — read once, not per trigger (the
     // cached compaction watermark is safe: compact only folds batches
@@ -88,6 +92,13 @@ object EmbDedupStream {
         // 3. replay-safe index fold, THEN 4. the (batchId-fenced) sink
         EmbIndex.appendBatchWith(spark, indexDir, survivors, idCol, vecCol, batchId, meta)
         sink(survivors, batchId)
+        // 5. in-stream maintenance between this trigger's probe and the
+        // next trigger's planning — no probe can be mid-scan over a
+        // partition the fold deletes (see DedupStream)
+        compactEveryBatches.foreach { every =>
+          if (batchId > 0 && batchId % every == 0)
+            EmbIndex.compact(spark, indexDir, upToBatch = batchId - 1)
+        }
       }
       .start()
   }

@@ -33,15 +33,36 @@ object IngestStream {
         * given, a batch missing data from any of them nulls the VTTS
         * (the reference's silent-partition rule — see
         * [[graft.sink.Ingest.run]]). */
-      assignedPartitions: Set[String] = Set.empty
+      assignedPartitions: Set[String] = Set.empty,
+      /** Fold the pipeline's own maintenance into the stream: after every
+        * trigger, [[graft.table.Maintenance.auto]] runs on each table the
+        * batch wrote with this delta-commit threshold — a metadata-only
+        * peek below it, a compaction at it (the SCALE.md-measured ~16
+        * delta-commit read/rewrite break-even). Scheduling is
+        * UNCONDITIONAL by Maintenance's contract, so calling it per
+        * trigger is safe; compaction commits ride the same commit log the
+        * writer uses, so the stream's exactly-once story is untouched (a
+        * replayed batch is fenced by batchId regardless of intervening
+        * compactions). None = no in-stream maintenance (the reference's
+        * external-table-service model). */
+      maintenanceDeltaCommits: Option[Int] = None
   ): StreamingQuery = {
     val interval = triggerMs.getOrElse(config.commitIntervalMs)
     source.writeStream
       .option("checkpointLocation", checkpointLocation)
       .trigger(Trigger.ProcessingTime(interval))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Ingest.run(batch.sparkSession, batch, batchId, config, transforms,
+        val results = Ingest.run(batch.sparkSession, batch, batchId, config, transforms,
           assignedPartitions = assignedPartitions)
+        maintenanceDeltaCommits.foreach { threshold =>
+          results.foreach { r =>
+            val path = Ingest.tablePath(config, r.table)
+            if (graft.table.IceTable.exists(path)) {
+              val t = graft.table.IceTable.load(path, config.tableConfig(r.table).commitBranch)
+              graft.table.Maintenance.auto(batch.sparkSession, t, threshold)
+            }
+          }
+        }
         ()
       }
       .start()

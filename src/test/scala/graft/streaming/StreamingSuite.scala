@@ -154,6 +154,79 @@ class StreamingSuite extends AnyFunSuite {
     assert(idxIds === Set(1L, 2L, 11L, 21L), s"index contents: $idxIds")
   }
 
+  test("in-stream Maintenance.auto: compaction fires mid-stream at the delta threshold, exactly-once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val wh = TestSpark.freshDir("stream-maint")
+    val ckpt = TestSpark.freshDir("stream-maint-ckpt")
+    val cfg = EngineConfig(warehouse = wh,
+      tables = Seq(TableConfig("state", idColumns = Seq("user_id"))),
+      cdcField = Some("event_type"), autoCreate = true)
+    val ms = MemoryStream[Ev]
+    val q = IngestStream.start(ms.toDF(), cfg, ckpt, triggerMs = Some(20),
+      maintenanceDeltaCommits = Some(3))
+    try {
+      // 6 CDC batches = 6 delta commits; the threshold (3) must fire
+      // compaction MID-stream (twice), not once at shutdown
+      (1 to 6).foreach { i =>
+        ms.addData(Ev(i.toLong, 100L, if (i == 1) "I" else "U", i.toDouble))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val t = IceTable.load(s"$wh/state")
+    // exactly-once upsert result survives the mid-stream compactions
+    assert(t.read(spark).select("user_id", "value").as[(Long, Double)].collect().toSet ===
+      Set((100L, 6.0)))
+    // had no compaction fired, 6 delta commits would have accumulated
+    assert(t.deltaCommitsSinceCompaction < 3,
+      s"compaction never fired: ${t.deltaCommitsSinceCompaction} deltas accumulated")
+  }
+
+  test("in-stream index compaction: aged partitions fold mid-stream; dedup against folded rows holds") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val indexDir = TestSpark.freshDir("dedup-compact-idx")
+    val ckpt = TestSpark.freshDir("dedup-compact-ckpt")
+    graft.llm.LshIndex.build(
+      Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"),
+      "doc_id", "text", indexDir, n = 3, numHashes = 64, bands = 32)
+    val sunk = scala.collection.mutable.Map[Long, Seq[Long]]()
+    val ms = MemoryStream[(Long, String)]
+    val q = DedupStream.start(ms.toDF().toDF("doc_id", "text"), indexDir,
+      "doc_id", "text", threshold = 0.5, ckpt,
+      sink = (df, batchId) => {
+        sunk(batchId) = df.select("doc_id").as[Long].collect().sorted.toSeq; ()
+      },
+      triggerMs = 20, compactEveryBatches = Some(2))
+    try {
+      ms.addData((10L, "completely novel text about spark and catalyst engines"))
+      q.processAllAvailable() // batch 0: survivor 10
+      ms.addData((20L, "an entirely different sentence mentioning warehouses and lakes"))
+      q.processAllAvailable() // batch 1: survivor 20
+      ms.addData((30L, "a third thing entirely about distributed query planning"))
+      q.processAllAvailable() // batch 2: survivor 30; compaction folds batches <= 1
+      // batch 3: dups of batch-0/1 survivors whose partitions were FOLDED —
+      // the probe must still find them via the base partition
+      ms.addData(
+        (40L, "completely novel text about spark and catalyst engines"),
+        (41L, "an entirely different sentence mentioning warehouses and lakes"),
+        (42L, "yet another brand new document on streaming state stores"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sunk.toMap === Map(0L -> Seq(10L), 1L -> Seq(20L), 2L -> Seq(30L), 3L -> Seq(42L)),
+      s"survivors per batch: $sunk")
+    // batches 0 and 1 folded into base; 2 and 3 still live partitions
+    val dataDir = graft.llm.LshIndex.dataDir(spark, indexDir)
+    val parts = new java.io.File(s"$dataDir/shingles.parquet").list()
+      .filter(_.startsWith("batch=")).sorted.toSeq
+    assert(parts === Seq("batch=-1", "batch=2", "batch=3"),
+      s"unexpected partition layout after in-stream compaction: $parts")
+    // nothing lost: all survivors + corpus remain queryable index entries
+    val idxIds = spark.read.parquet(s"$dataDir/shingles.parquet")
+      .select("id").as[Long].collect().toSet
+    assert(idxIds === Set(1L, 10L, 20L, 30L, 42L), s"index contents: $idxIds")
+  }
+
   test("restart from checkpoint resumes without duplicating commits (S4/K8)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
