@@ -156,6 +156,11 @@ object Search {
     */
   private def readMeta(
       spark: org.apache.spark.sql.SparkSession, dir: String): SearchMeta = {
+    // a legacy v2 index has NO meta.parquet at all (stats lived in a
+    // driver-local stats.json) — probe first so it gets the same friendly
+    // rebuild message instead of a raw PATH_NOT_FOUND from the read
+    require(IndexFs.exists(s"$dir/meta.parquet"),
+      s"BM25 index at $dir predates layout v$IndexVersion — rebuild the index")
     val meta = spark.read.parquet(s"$dir/meta.parquet")
     require(meta.columns.contains("version") && meta.columns.contains("gen"),
       s"BM25 index at $dir predates layout v$IndexVersion — rebuild the index")

@@ -153,7 +153,20 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
     // The two are indistinguishable here, so when anything vanished,
     // re-list: a fresh listing's checkpoint covers every pruned seq, and
     // the zombie case merely pays one extra listing on a rare path.
-    if (tail.size != tailNames.size && retries > 0) return commitsAttempt(retries - 1)
+    if (tail.size != tailNames.size) {
+      if (retries > 0) return commitsAttempt(retries - 1)
+      // Retries exhausted: each attempt re-lists from scratch, so a
+      // once-rolled-back zombie cannot vanish twice — reaching here means
+      // entries kept disappearing across FOUR independent listings
+      // (sustained checkpoint churn, or something external deleting log
+      // files). Returning the partial tail would be a silently GAPPED
+      // commit view — readers would see committed batches missing with no
+      // signal — so fail loudly instead.
+      throw new IllegalStateException(
+        s"CommitLog at $root: commit entries kept vanishing between listing and " +
+          "read after 3 retries — sustained concurrent checkpoint churn or " +
+          "external deletion of log files")
+    }
     // Replay-artifact self-heal: batch ids commit in strictly increasing
     // order, so a LATER entry whose batchId does not exceed the running
     // max is a zombie's duplicate that crashed between link and rollback

@@ -215,6 +215,15 @@ class CurationOpsSuite extends AnyFunSuite {
       Search.topKIndexed(spark, dir, terms, k = 10)
     }
     assert(e.getMessage.contains("layout version"))
+    // a legacy v2 index (no meta.parquet at all — stats lived in a
+    // driver-local stats.json) gets the same friendly rebuild message,
+    // not a raw PATH_NOT_FOUND AnalysisException from the meta read
+    val legacy = graft.TestSpark.freshDir("search-legacy-v2")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(legacy, "postings"))
+    val e2 = intercept[IllegalArgumentException] {
+      Search.topKIndexed(spark, legacy, terms, k = 10)
+    }
+    assert(e2.getMessage.contains("rebuild the index"), e2.getMessage)
   }
 
   test("stripOverlaps removes covered spans, keeps clean docs byte-identical") {
