@@ -31,6 +31,7 @@ import org.apache.spark.sql.functions._
   *  - `cdc[:k1,k2,...]`       — read latency vs accumulated delta commits
   *  - `rebal[:n0,factor]`     — IVF probe latency before/after rebalance
   *  - `sem[:n1,n2,...]`       — SemDeDup fixed-k vs auto-k exponents
+  *  - `wprobe[:cells,vecs]`   — two-level IVF recall@10 vs wProbe/nProbe
   *  - `loghist[:n1,n2,...]`   — per-commit latency vs accumulated log
   *                              history (checkpoint-retention flatness)
   *
@@ -534,6 +535,54 @@ object ScaleProbe {
     }
   }
 
+  /** Two-level IVF recall study — the wProbe knob. Two-level routing
+    * changes the reachable candidate set vs one-level: a query sees only
+    * cells under its `wProbe` nearest SUPERS, so wProbe caps recall no
+    * matter how large nProbe is. The corpus here is CLUSTERED (5000
+    * centers + per-vector jitter): on the uniform synthVec corpus a
+    * 65k-cell geometry probes ~0.05% of cells and ANY IVF's recall is
+    * trivially ~0 — no routing quality signal. With real neighbor
+    * structure, recall@10 vs wProbe measures exactly what the default
+    * wProbe = 8 buys.
+    */
+  private def wProbeRecall(
+      spark: SparkSession, nCells: Int, nVecs: Long, ws: Seq[Int]): Unit = {
+    import spark.implicits._
+    import graft.llm.{IvfIndex, Similarity}
+    val nCenters = 5000
+    val corpus = spark.range(nVecs).select(
+      col("id").as("vec_id"),
+      zip_with(synthVecD(pmod(col("id"), lit(nCenters.toLong))),
+        synthVecD(col("id") + 900000000L),
+        (a, b) => a + lit(0.15) * b).as("embedding"))
+      .localCheckpoint()
+    val dir = tmpDir(s"wprobe$nCells")
+    val t0 = System.nanoTime()
+    val written = IvfIndex.build(corpus, "vec_id", "embedding", dir,
+      nCells = nCells, kmeansIters = 2)
+    println(f"[wprobe] built $written%d cells over $nVecs%d vecs " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val queries = corpus.filter(col("vec_id") % 97 === 0).limit(50).localCheckpoint()
+    val brute = Similarity.bruteForceKnn(corpus, queries, "vec_id", "embedding", 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    for (w <- ws) {
+      val got = IvfIndex.query(spark, dir, queries, "vec_id", "embedding",
+        k = 10, nProbe = 32, wProbe = w)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      val recall = (brute & got).size.toDouble / brute.size
+      println(f"[wprobe] nCells=$written%d wProbe=$w%3d nProbe= 32 recall@10=$recall%.3f")
+    }
+    // and the nProbe axis at the default wProbe, to show which knob binds
+    for (np <- Seq(8, 32, 128)) {
+      val got = IvfIndex.query(spark, dir, queries, "vec_id", "embedding",
+        k = 10, nProbe = np, wProbe = 8)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      val recall = (brute & got).size.toDouble / brute.size
+      println(f"[wprobe] nCells=$written%d wProbe=  8 nProbe=$np%3d recall@10=$recall%.3f")
+    }
+    dropPinned(spark)
+  }
+
   /** SemDeDup k-scaling probe: at FIXED k the within-cluster self-join's
     * candidate volume is ~n²/k — super-linear in the corpus (the sf1
     * probe measured exponent 1.67 on the real query) — while the
@@ -582,6 +631,15 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.builder("local[32]", shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.exists(_.startsWith("wprobe"))) {
+      val ps = args.head.split(":").lift(1).map(_.split(",").map(_.toLong).toSeq)
+      wProbeRecall(spark,
+        ps.flatMap(_.headOption).getOrElse(65536L).toInt,
+        ps.flatMap(_.lift(1)).getOrElse(1000000L),
+        Seq(1, 2, 4, 8, 16))
+      spark.stop()
+      return
+    }
     if (args.headOption.exists(_.startsWith("sem"))) {
       val sizes = args.head.split(":").lift(1)
         .map(_.split(",").map(_.toLong).toSeq)
