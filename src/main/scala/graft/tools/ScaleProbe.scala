@@ -32,6 +32,7 @@ import org.apache.spark.sql.functions._
   *  - `rebal[:n0,factor]`     — IVF probe latency before/after rebalance
   *  - `sem[:n1,n2,...]`       — SemDeDup fixed-k vs auto-k exponents
   *  - `wprobe[:cells,vecs]`   — two-level IVF recall@10 vs wProbe/nProbe
+  *  - `dim[:d1,d2,...]`       — embedding-width scaling (fused vs HOF, LSH)
   *  - `loghist[:n1,n2,...]`   — per-commit latency vs accumulated log
   *                              history (checkpoint-retention flatness)
   *
@@ -583,6 +584,60 @@ object ScaleProbe {
     dropPinned(spark)
   }
 
+  /** Embedding-width probe — pins two r13 claims at production dims
+    * (d=768): (1) the fused ArrayNormalize kernel is O(d) per row where
+    * the higher-order-function formulation re-runs the norm aggregate
+    * per ELEMENT (O(d²) — Catalyst subexpression elimination does not
+    * reach lambda bodies), so the fused/HOF gap must GROW ~linearly in d
+    * on top of the linear base; (2) the hyperplane-LSH dedup family's
+    * cost is dot-product-bound — ~linear in d at fixed corpus — with the
+    * collision tail unchanged (signatures depend on bits/tables, not d).
+    */
+  private def dimProbe(spark: SparkSession, dims: Seq[Int], n: Long): Unit = {
+    import graft.llm.{Dedup, Similarity}
+    def vecAt(d: Int, idc: Column): Column =
+      array((0 until d).map(i => synthDim(idc, i)): _*)
+    def timeMin(f: => Unit): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+    val results = dims.map { d =>
+      val df = spark.range(n)
+        .select(col("id").as("vec_id"), vecAt(d, col("id")).as("v"))
+        .localCheckpoint()
+      df.count()
+      val tFused = timeMin(
+        df.select(Similarity.normalize(col("v")).as("nv"))
+          .agg(sum(element_at(col("nv"), 1))).head())
+      // the pre-r13 formulation: norm aggregate re-evaluated per element
+      val hof = transform(col("v"),
+        x => x / sqrt(aggregate(col("v"), lit(0.0), (a, e) => a + e * e)))
+      val tHof = timeMin(
+        df.select(hof.as("nv")).agg(sum(element_at(col("nv"), 1))).head())
+      // hyperplane-LSH family at this width: planted twins through the
+      // full candidate→exact-verify path (auto-sized bits/tables)
+      val twins = df.filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + n).as("vec_id"), col("v"))
+      val corpus = df.unionByName(twins).localCheckpoint()
+      corpus.count()
+      var pairs = 0L
+      val tLsh = timeMin {
+        pairs = Dedup.embeddingNearDupPairs(corpus, "vec_id", "v", threshold = 0.95).count()
+      }
+      dropPinned(spark)
+      println(f"[dim] d=$d%4d fused=$tFused%6.2f s hof=$tHof%7.2f s " +
+        f"(hof/fused ${tHof / tFused}%5.1fx) lsh_pairs=$tLsh%6.2f s pairs=$pairs%d")
+      (d, tFused, tHof, tLsh)
+    }
+    results.headOption.foreach { case (d1, f1, h1, l1) =>
+      results.tail.foreach { case (d, f, h, l) =>
+        val r = d.toDouble / d1
+        println(f"[dim] $d1%d -> $d%d (${r}%.0fx width): fused ${f / f1}%5.1fx " +
+          f"hof ${h / h1}%5.1fx lsh ${l / l1}%5.1fx  (linear = ${r}%.0fx, quadratic = ${r * r}%.0fx)")
+      }
+    }
+  }
+
   /** SemDeDup k-scaling probe: at FIXED k the within-cluster self-join's
     * candidate volume is ~n²/k — super-linear in the corpus (the sf1
     * probe measured exponent 1.67 on the real query) — while the
@@ -631,6 +686,13 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.builder("local[32]", shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.exists(_.startsWith("dim"))) {
+      val ds = args.head.split(":").lift(1)
+        .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(64, 768))
+      dimProbe(spark, ds, n = 20000L)
+      spark.stop()
+      return
+    }
     if (args.headOption.exists(_.startsWith("wprobe"))) {
       val ps = args.head.split(":").lift(1).map(_.split(",").map(_.toLong).toSeq)
       wProbeRecall(spark,
