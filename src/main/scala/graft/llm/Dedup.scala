@@ -632,8 +632,14 @@ object Dedup {
             .select(col("n_id").as("id"), col("n_vec").as("v"), col("c_id").as("cluster"))
         }
       }
-    withC.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
-      .join(withC.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b")), "cluster")
+    // ONE materialization of the assignment: both sides of the
+    // within-cluster self-join read it — unmaterialized, the whole
+    // assignment pass (the k-centroid argmax, or the two-level
+    // super→cell route + cells join) would re-execute once PER JOIN
+    // SIDE, doubling the dominant clustering cost
+    val assigned = withC.localCheckpoint()
+    assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
+      .join(assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b")), "cluster")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), Similarity.dot(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)

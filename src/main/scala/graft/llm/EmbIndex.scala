@@ -16,8 +16,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType,
   * Layout under `dir` (all through Spark's filesystem layer). Every
   * [[build]] stages its data tables under a fresh `gen-*` dir and
   * commits the generation in the meta row LAST (the [[IndexLayout]]
-  * protocol), so a crash anywhere mid-rebuild leaves the previous
-  * generation's meta+tables fully paired. The data tables are
+  * protocol), so a crash anywhere before the meta commit leaves the
+  * previous generation's meta+tables fully paired (the meta overwrite
+  * itself remains the family's one non-atomic instant — see
+  * [[LshIndex]]). The data tables are
   * hive-partitioned by the WRITER'S BATCH exactly like
   * [[LshIndex]] (-1 = base build and non-replayable appends;
   * [[appendBatch]] writes its micro-batch id), so a replayed streaming
@@ -34,6 +36,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType,
   * shuffles; only candidate corpus vectors are fetched for the verify.
   */
 object EmbIndex {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** `batch` partition value for the base build and plain appends. */
   private val BaseBatch = -1L
@@ -154,10 +158,28 @@ object EmbIndex {
     * signature kernel's loud dim-mismatch guard would otherwise crash a
     * replayed streaming micro-batch forever on one bad row — the
     * EmbDedupStream wedge class [[Dedup.embeddingNearDupPairs]] already
-    * filters out with the same `size(v) === dim` predicate.
+    * filters out with the same `size(v) === dim` predicate. Probe-side
+    * exclusions are silent by design (the row could never verify); the
+    * APPEND paths log the dropped count per batch, so a systemic
+    * upstream re-embed (every row at a new width = dedup silently
+    * disabled until a rebuild) is observable instead of running green.
     */
   private def widthClean(vv: DataFrame, vecName: String, dim: Int): DataFrame =
     if (dim <= 0) vv else vv.filter(size(col(vecName)) === dim)
+
+  /** Count `vv`'s rows (the append return value) and WARN when the
+    * width filter dropped any — see [[widthClean]]. `vv0` must be
+    * materialized (both counts are cheap re-scans of its blocks).
+    */
+  private def countWarningDropped(vv0: DataFrame, vv: DataFrame, dim: Int, where: String): Long = {
+    val kept = vv.count()
+    val total = vv0.count()
+    if (kept < total)
+      log.warn(s"$where: ${total - kept} of $total usable vectors have a different width " +
+        s"than the index geometry (dim $dim) and were excluded — if this is every row, the " +
+        "embedding model changed and dedup is effectively DISABLED until the index is rebuilt")
+    kept
+  }
 
   /** The signature derivation IS [[Dedup.hyperplaneSigRows]] — one shared
     * definition, so the stored index and the in-session candidate stream
@@ -238,6 +260,10 @@ object EmbIndex {
     // appendBatch calls below the old watermark re-inserted folded rows.
     writeMeta(spark, dir, useBits, useTables, dim, gen)
     IndexLayout.sweepGenerations(spark, dir, keep = gen, prevPublished = prevGen)
+    // reclaim a migrated pre-v3 index's root-level tables (unreachable
+    // under the gen layout; see LshIndex.build)
+    Seq("buckets.parquet", "vectors.parquet")
+      .foreach(t => IndexFs.delete(s"$dir/$t", recursive = true))
     n
   }
 
@@ -366,7 +392,7 @@ object EmbIndex {
       .withColumn("src_batch", lit(BaseBatch))
       .withColumn("batch", lit(BaseBatch))
       .write.mode("append").partitionBy("batch").parquet(s"$dir/${effMeta.gen}/vectors.parquet")
-    vv.count()
+    countWarningDropped(vv0, vv, effMeta.dim, "EmbIndex.append")
   }
 
   /** Remove one batch's partition directory — see
@@ -432,7 +458,7 @@ object EmbIndex {
       .withColumn("src_batch", lit(batchId))
       .withColumn("batch", lit(batchId))
       .write.mode("append").partitionBy("batch").parquet(s"$dir/${effMeta.gen}/vectors.parquet")
-    vv.count()
+    countWarningDropped(vv0, vv, effMeta.dim, s"EmbIndex.appendBatch(batch=$batchId)")
   }
 
   /** Fold aged batch partitions (0 ≤ b ≤ `upToBatch`) of both data tables

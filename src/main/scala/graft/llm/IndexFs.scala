@@ -26,7 +26,10 @@ private[graft] object IndexFs {
 
   /** The active session's Hadoop conf (it carries `fs.*.impl` bindings
     * and object-store credentials); a bare Configuration only as a last
-    * resort for conf-less callers outside any session.
+    * resort for conf-less callers outside any session — call from a
+    * thread with the session active (every engine entry point does), or
+    * `spark.hadoop.*` credentials won't reach the control plane even
+    * though the data plane would still see them.
     */
   def conf: Configuration =
     SparkSession.getActiveSession
@@ -72,8 +75,14 @@ private[graft] object IndexFs {
     }
   }
 
-  /** Create-exclusive write of a small control file — one PUT, atomic on
-    * every FS (the publish primitive). Throws if the path already exists.
+  /** Create-exclusive write of a small control file — the publish
+    * primitive. One create call: atomic on HDFS/posix; on S3A the
+    * no-overwrite check is HEAD-then-PUT unless the Hadoop version
+    * supports conditional creates, so CONCURRENT publishers remain the
+    * documented single-maintenance-writer boundary (what this primitive
+    * removes everywhere is the rename, which object stores implement as
+    * a non-atomic copy+delete even for single writers). Throws if the
+    * path already exists.
     */
   def createExclusive(path: String, content: String): Unit = {
     val (fs, p) = fsFor(path)

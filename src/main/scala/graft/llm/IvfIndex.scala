@@ -38,11 +38,13 @@ import org.apache.spark.sql.functions._
   *
   * Routing has two shapes, chosen by cell count at build time:
   *  - '''one-level''' (nCells ≤ `twoLevelGate`): centroids are collected
-  *    to the driver and routing is the codegen'd
-  *    [[Similarity.nearestCentroid]] literal argmax — exact, and cheap
-  *    while the centroid table is operation-sized (the 4096-cell default
-  *    gate caps the collect at ~2 MB and the expression at a size
-  *    Catalyst still compiles).
+  *    to the driver and routing is the [[Similarity.nearestCentroid]]
+  *    literal argmax — exact, and cheap while the centroid table is
+  *    operation-sized (the 4096-cell default gate caps the collect at
+  *    ~2 MB). Large literal argmaxes exceed janino's 64 KB method limit
+  *    well below the gate, so Spark evaluates them INTERPRETED — the
+  *    measured route-probe crossover (SCALE.md "routing shape", which
+  *    includes that fallback cost) still lands right at 4096.
   *  - '''two-level''' (nCells > gate): centroids are themselves
   *    clustered into ~√nCells super-cells (the FAISS IMI / two-level
   *    coarse-quantizer shape). Only the SUPER table is ever collected

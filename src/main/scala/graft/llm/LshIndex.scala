@@ -17,9 +17,12 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField,
   * the index lives on the cluster's shared FS). Every [[build]] stages
   * its data tables under a fresh `gen-*` dir and commits the generation
   * in the meta row LAST (the [[IndexLayout]] protocol Search and
-  * Decontaminate use), so a crash anywhere mid-rebuild leaves the
-  * previous generation's meta+tables fully paired — probes keep
-  * answering from the old index. Both data tables are hive-partitioned
+  * Decontaminate use), so a crash anywhere before the meta commit
+  * leaves the previous generation's meta+tables fully paired — probes
+  * keep answering from the old index. The meta overwrite itself is the
+  * one remaining non-atomic instant (a crash inside Spark's
+  * delete-then-write of the 1-row meta needs a rebuild re-run) — a
+  * bound the whole meta-published index family shares. Both data tables are hive-partitioned
   * by the WRITER'S BATCH (-1 = the base build and non-replayable
   * appends; `appendBatch` writes its micro-batch id), so a replayed
   * streaming batch REPLACES its own partition instead of duplicating
@@ -204,6 +207,12 @@ object LshIndex {
       .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/$gen/buckets.parquet")
     writeMeta(spark, dir, n, numHashes, bands, gen)
     IndexLayout.sweepGenerations(spark, dir, keep = gen, prevPublished = prevGen)
+    // a rebuild over a pre-v4 index leaves its ROOT-level tables
+    // unreachable (v4 readers resolve $dir/$gen/... only) — delete them
+    // here or each migrated index leaks one corpus-sized copy forever
+    // (sweepGenerations matches gen-* names only)
+    Seq("buckets.parquet", "shingles.parquet")
+      .foreach(t => IndexFs.delete(s"$dir/$t", recursive = true))
     stored.count()
   }
 

@@ -51,6 +51,8 @@ object DedupStream {
         * deletes. None = external maintenance. */
       compactEveryBatches: Option[Long] = None
   ): StreamingQuery = {
+    compactEveryBatches.foreach(e =>
+      require(e > 0, s"compactEveryBatches must be > 0: $e"))
     // the index's signature parameters are immutable — read once, not
     // three Spark jobs per trigger (the cached compaction watermark is
     // safe: compact only folds batches below this stream's own committed

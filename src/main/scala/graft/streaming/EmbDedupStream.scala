@@ -53,6 +53,8 @@ object EmbDedupStream {
         * [[DedupStream]]'s parameter of the same name. */
       compactEveryBatches: Option[Long] = None
   ): StreamingQuery = {
+    compactEveryBatches.foreach(e =>
+      require(e > 0, s"compactEveryBatches must be > 0: $e"))
     // immutable signature parameters — read once, not per trigger (the
     // cached compaction watermark is safe: compact only folds batches
     // below this stream's own committed checkpoint)

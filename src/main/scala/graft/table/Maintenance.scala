@@ -77,9 +77,8 @@ object Maintenance {
     // resolves to nothing on the driver's LOCAL disk, and a java.nio
     // gate would no-op autoIndex forever on exactly the deployments it
     // targets.
-    val cpath = new org.apache.hadoop.fs.Path(s"$adirBefore/centroids.parquet")
-    val fs = cpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(cpath)) return IndexDecision(0L, 0L, rebalanced = false)
+    if (!graft.llm.IndexFs.exists(s"$adirBefore/centroids.parquet"))
+      return IndexDecision(0L, 0L, rebalanced = false)
     val before = spark.read.parquet(s"$adirBefore/centroids.parquet").count()
     val after = graft.llm.IvfIndex.rebalance(spark, dir, targetCellRows, kmeansIters)
     // geometry-version change, not cell-count equality, is the acted signal
