@@ -658,6 +658,47 @@ class DedupSuite extends AnyFunSuite {
     assert(after === before, "probe after a crashed rebuild must answer from the old generation")
   }
 
+  test("LshIndex control plane (gen publish/sweep, batch drops, compaction) runs on a registered Hadoop scheme") {
+    // same graftfs: proof as the IvfIndex test: java.nio cannot resolve
+    // these paths, so green here means the generation sweep, the
+    // appendBatch partition delete-then-write, and the two-phase
+    // compaction fold all go through Path.getFileSystem
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[graft.GraftTestFs].getName)
+    val local = TestSpark.freshDir("lsh-hadoopfs")
+    val dir = s"graftfs:$local"
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    LshIndex.build(corpus, "doc_id", "text", dir, n = 3, numHashes = 64, bands = 32)
+    val gen1 = LshIndex.dataDir(spark, dir)
+    assert(gen1.startsWith("graftfs:"), s"dataDir left the index scheme: $gen1")
+    // replayable appends + a probe against appended rows, all through the scheme
+    assert(LshIndex.appendBatch(spark, dir,
+      Seq((10L, "completely novel text about spark and catalyst engines")).toDF("doc_id", "text"),
+      "doc_id", "text", batchId = 0L) === 1L)
+    assert(LshIndex.appendBatch(spark, dir,
+      Seq((20L, "an entirely different sentence mentioning warehouses and lakes")).toDF("doc_id", "text"),
+      "doc_id", "text", batchId = 1L) === 1L)
+    val got = LshIndex.queryBatch(spark, dir,
+      Seq((30L, "completely novel text about spark and catalyst motors")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5)
+      .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
+    assert(got === Set((30L, 10L)), s"probe through the scheme: $got")
+    // two-phase compaction fold (staging + plan marker + moves) on graftfs
+    LshIndex.compact(spark, dir, upToBatch = 0L)
+    val parts = new java.io.File(s"${local}${gen1.stripPrefix(s"graftfs:$local")}/shingles.parquet")
+      .list().filter(_.startsWith("batch=")).sorted.toSeq
+    assert(parts === Seq("batch=-1", "batch=1"),
+      s"compaction through the scheme left an unexpected layout: $parts")
+    // rebuild publishes a fresh generation and sweeps the old one
+    LshIndex.build(corpus, "doc_id", "text", dir, n = 3, numHashes = 64, bands = 32)
+    val gen2 = LshIndex.dataDir(spark, dir)
+    assert(gen2 !== gen1, "rebuild must publish a new generation")
+    // probe still answers (from the new generation)
+    assert(LshIndex.queryBatch(spark, dir,
+      Seq((40L, "the quick brown fox jumps over the lazy cat")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5).count() === 1L)
+  }
+
   test("EmbIndex excludes width-mismatched batch vectors instead of wedging replays") {
     val dir = TestSpark.freshDir("emb-width")
     val corpus = Seq((1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
