@@ -2334,10 +2334,19 @@ object SparkEntry {
     *  - `converged`: the fixed point was reached within maxIters
     * Clustering quality (inertia decrease, seed spread) is asserted in
     * LlmSuite.
+    *
+    * maxIters sizing (measured, Scratch `kmiter`): the fixed point on
+    * the near-uniform synthetic embeddings needs 50 iterations at sf0.1
+    * (2 k vectors) and 155 at sf1 (20 k) — iteration count GROWS with n
+    * on structure-less data, so the old cap of 60 silently stopped
+    * converging one scale up (caught by the r14 sf1 verify sweep). 600
+    * covers roughly two more decades at the observed ~3× per 10× growth;
+    * driver-path iterations at these sizes are ~10 M flops each, so the
+    * headroom is free where it isn't needed.
     */
   private def qClusterKmeans(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.kmeansReport(t(spark, sfDir, "embeddings"), "vec_id", "embedding",
-      k = 8, maxIters = 60)
+      k = 8, maxIters = 600)
 
   /** Incremental dedup: docs with id % 10 == 0 arrive as the "new batch"
     * and are deduped against a persisted LSH index built over the other

@@ -318,8 +318,9 @@ object IvfIndex {
   }
 
   /** Publish `version` as the active geometry: one create-exclusive
-    * pointer file (atomic on every FS — object stores included, where a
-    * rename-onto would be copy+delete). Versions are monotonic
+    * pointer file (no rename anywhere — object stores implement rename
+    * as a non-atomic copy+delete; see [[IndexFs.createExclusive]] for
+    * the exact per-FS exclusivity bounds). Versions are monotonic
     * ([[nextVersion]]), so highest-pointer-wins is exactly last-publish
     * -wins. The legacy mutable `CURRENT` file, if any, is retired AFTER
     * the new pointer exists (numbered pointers take precedence, so a

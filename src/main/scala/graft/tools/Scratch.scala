@@ -31,6 +31,18 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("kmiter")) {
+      // how many Lloyd iterations does spherical k-means (k=8) need to
+      // reach the fixed point at each scale? (the cluster_kmeans query
+      // asserts converged=true; its maxIters must cover plausible sf)
+      for (dir <- Seq("/root/testdata/sf0.1", "/root/repo/.work/sf1")) {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val res = graft.llm.Similarity.kmeans(emb, "vec_id", "embedding",
+          k = 8, maxIters = 2000)
+        println(s"[kmiter] $dir n=${emb.count()} iters=${res.iterations} converged=${res.converged}")
+      }
+      spark.stop(); return
+    }
     val names = if (args.nonEmpty) args.toSeq else Seq("knn_ivf")
     names.foreach(n => graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
     names.foreach { n =>
