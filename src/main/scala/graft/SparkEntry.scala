@@ -3568,7 +3568,10 @@ object SparkEntry {
         |    SELECT e.*, row_number() OVER (PARTITION BY user_id, b ORDER BY event_id DESC) AS rn
         |    FROM e) WHERE rn = 1),
         |data AS (SELECT * FROM last WHERE op <> 'D'),
-        |del AS (SELECT user_id, b FROM last WHERE op IN ('U','D'))
+        |-- a key is equality-deleted when ANY of its batch ops is U/D
+        |-- (sequential-replay parity: delete-then-reinsert still deletes
+        |-- prior commits), not only when its FINAL op is
+        |del AS (SELECT DISTINCT user_id, b FROM e WHERE op IN ('U','D'))
         |SELECT d.event_id, d.user_id, d.event_type, d.value FROM data d
         |WHERE NOT EXISTS (SELECT 1 FROM del x WHERE x.user_id = d.user_id AND x.b > d.b)
         |ORDER BY d.user_id, d.event_id""".stripMargin,
@@ -3610,7 +3613,8 @@ object SparkEntry {
         |  SELECT CAST(NULL AS BIGINT) AS event_id, user_id,
         |         CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS DOUBLE) AS value,
         |         'delete' AS _change_type, CAST(b + 1 AS BIGINT) AS _commit_seq
-        |  FROM last WHERE op IN ('U', 'D'))
+        |  -- any-op rule, same as cdc_upsert's del
+        |  FROM (SELECT DISTINCT user_id, b FROM e WHERE op IN ('U','D')))
         |SELECT * FROM ins UNION ALL SELECT * FROM del
         |ORDER BY _commit_seq, _change_type, user_id, event_id""".stripMargin,
     "schema_evolution" ->
@@ -3672,7 +3676,10 @@ object SparkEntry {
         |    SELECT e.*, row_number() OVER (PARTITION BY user_id, b ORDER BY event_id DESC) AS rn
         |    FROM e) WHERE rn = 1),
         |data AS (SELECT * FROM last WHERE op <> 'D'),
-        |del AS (SELECT user_id, b FROM last WHERE op IN ('U','D'))
+        |-- a key is equality-deleted when ANY of its batch ops is U/D
+        |-- (sequential-replay parity: delete-then-reinsert still deletes
+        |-- prior commits), not only when its FINAL op is
+        |del AS (SELECT DISTINCT user_id, b FROM e WHERE op IN ('U','D'))
         |SELECT d.event_id, d.user_id, d.event_type,
         |       CAST(round(d.value * 100) AS BIGINT) AS v_cents,
         |       d.op AS op,

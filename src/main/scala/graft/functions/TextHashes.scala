@@ -188,6 +188,10 @@ case class SimHash(child: Expression) extends UnaryExpression {
   * over a pre-hashed shingle array, fused into one codegen'd loop.
   */
 case class MinHashSig(child: Expression, numHashes: Int, seed: Long) extends UnaryExpression {
+  // construction-time, like HyperplaneSignatures' bits/tables: a negative
+  // count (a computed bands·rows gone wrong) otherwise dies mid-job with
+  // NegativeArraySizeException in the first executor task
+  require(numHashes >= 1, s"minhash_signature: numHashes must be >= 1, got $numHashes")
   // analysis-time rejection: array<int> (or anything non-long) would make
   // getLong silently misread the element bytes into plausible garbage
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -299,6 +299,11 @@ case class HyperplaneSignatures(
   require(bits >= 1 && bits <= 64,
     s"hyperplane_signatures: bits must be in [1, 64], got $bits")
   require(tables >= 1, s"hyperplane_signatures: tables must be >= 1, got $tables")
+  // dim 0 is the EmbIndex empty-build sentinel (safe: the eval-time
+  // size-mismatch guard rejects every non-empty vector, and degenerate
+  // empties are excluded upstream); NEGATIVE dim is only ever a caller
+  // bug and would die lazily with NegativeArraySizeException
+  require(dim >= 0, s"hyperplane_signatures: dim must be >= 0, got $dim")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   // nullable beyond a null INPUT: a null element nulls the signature array

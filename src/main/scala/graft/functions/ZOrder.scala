@@ -74,12 +74,24 @@ object ZOrder {
     // direct users of this function.
     require(bits >= 1 && bits <= 31,
       s"z-order normalize bits must be in [1, 31] (and <= 21 for 3-D), got $bits")
+    // NaN BOUNDS (a max() computed over a column containing NaN, which
+    // Spark orders above every double) would make span/scale NaN and
+    // floor(NaN).cast(long) silently bucket EVERY row to 0 — destroying
+    // the clustering the rewrite ran for with no error anywhere. Loud
+    // here; compactZOrder computes its bounds NaN-exclusively.
+    require(!min.isNaN && !max.isNaN,
+      s"z-order normalize bounds must not be NaN (min=$min, max=$max) — " +
+        "compute bounds over nanvl(col, null) to exclude NaN values")
     val span = max - min
     if (span <= 0) lit(0L)
     else {
       val hi = (1L << bits) - 1
       val scale = hi.toDouble / span
-      least(greatest(floor((c.cast("double") - lit(min)) * lit(scale)).cast(LongType),
+      // NaN VALUES clamp to the TOP bucket (Spark sorts NaN above all
+      // doubles, so this matches where a sort would put the row);
+      // unhandled, floor(NaN) casts to 0 silently
+      val cd = nanvl(c.cast("double"), lit(max))
+      least(greatest(floor((cd - lit(min)) * lit(scale)).cast(LongType),
         lit(0L)), lit(hi))
     }
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -85,9 +85,23 @@ object AsofJoin {
     val inBand = tolerance match {
       case None => lit(true)
       case Some(t) =>
+        // TIMESTAMP ts columns: timestamp - timestamp is a DayTimeInterval,
+        // which cannot compare to the Long tolerance — the analysis error
+        // surfaced only when a caller ADDED a tolerance (the no-tolerance
+        // path accepts timestamps fine). Compare in epoch micros instead,
+        // so `tolerance` is uniformly "ts units" (micros for timestamps).
+        val toNum: Column => Column = left.schema(tsCol).dataType match {
+          case org.apache.spark.sql.types.TimestampType |
+              org.apache.spark.sql.types.TimestampNTZType =>
+            // NTZ casts through TimestampType first (unix_micros takes
+            // TIMESTAMP only); the cast is monotone and the gap is a
+            // difference, so the session-timezone offset cancels
+            c => unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+          case _ => identity
+        }
         val gap =
-          if (direction == "backward") col(tsCol) - col("__r.__asof_ts")
-          else col("__r.__asof_ts") - col(tsCol)
+          if (direction == "backward") toNum(col(tsCol)) - toNum(col("__r.__asof_ts"))
+          else toNum(col("__r.__asof_ts")) - toNum(col(tsCol))
         gap <= t
     }
     l.unionByName(r)

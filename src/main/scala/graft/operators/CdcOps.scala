@@ -37,8 +37,17 @@ object CdcOps {
     *
     * `df` must carry [[OpCol]] and an ordering column [[OrdCol]] (Kafka
     * offset when available — the reference processes in offset order).
-    * Returns data rows (final op I or U) and delete keys (final op U or D,
-    * which equality-delete any same-key row in earlier commits).
+    * Returns data rows (final op I or U, within-batch last-wins — D4)
+    * and delete keys: a key whose batch sequence contains ANY U or D.
+    * The reference replays ops sequentially
+    * (`data/BaseDeltaTaskWriter.write:71-84`: U = equality-delete +
+    * insert, D = equality-delete), so a delete-then-reinsert `[D(k),
+    * I(k)]` — or any U/D anywhere in the key's sequence — must still
+    * equality-delete the key's rows from EARLIER commits; keying the
+    * delete on the FINAL op alone silently kept the prior-commit row
+    * alongside the reinsert. Equality deletes apply to strictly earlier
+    * sequence numbers (Iceberg v2 rule), so this batch's own data row is
+    * never affected.
     */
   def resolveBatch(
       df: DataFrame,
@@ -46,16 +55,22 @@ object CdcOps {
   ): (DataFrame, DataFrame) = {
     require(keyCols.nonEmpty,
       "CDC/upsert requires id columns (parity: data/Utilities.java:169-178)")
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(OrdCol).desc)
-    // materialize the resolved batch once: the data append and the
-    // delete-key file derive from it in two separate write jobs
-    val last = df.withColumn("__graft_rn", row_number().over(w))
+    val keys = Window.partitionBy(keyCols.map(col): _*)
+    val w = keys.orderBy(col(OrdCol).desc)
+    // both window functions share the partitioning, so this is still the
+    // single hash shuffle on the id columns; materialize the resolved
+    // batch once — the data append and the delete-key file derive from
+    // it in two separate write jobs
+    val last = df
+      .withColumn("__graft_rn", row_number().over(w))
+      .withColumn("__graft_del",
+        max(when(col(OpCol) === "U" || col(OpCol) === "D", 1).otherwise(0)).over(keys))
       .filter(col("__graft_rn") === 1)
       .drop("__graft_rn")
       .localCheckpoint()
-    val data = last.filter(col(OpCol) =!= "D").drop(OpCol, OrdCol)
+    val data = last.filter(col(OpCol) =!= "D").drop(OpCol, OrdCol, "__graft_del")
     val deleteKeys = last
-      .filter(col(OpCol) === "U" || col(OpCol) === "D")
+      .filter(col("__graft_del") === 1)
       .select(keyCols.map(col): _*)
     (data, deleteKeys)
   }

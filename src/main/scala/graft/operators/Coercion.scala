@@ -55,7 +55,8 @@ object Coercion {
           val in = qcol(src.name)
           val coerced = coerce(in, src.dataType, f.dataType, caseInsensitive,
             scopedMapping(nameMapping, f.name))
-          val violation = topLevelViolation(in, src.dataType, f.dataType, caseInsensitive)
+          val violation = topLevelViolation(in, src.dataType, f.dataType, caseInsensitive,
+            scopedMapping(nameMapping, f.name))
           val checked =
             if (!strict) coerced
             else
@@ -89,8 +90,13 @@ object Coercion {
       in: Column,
       from: DataType,
       to: DataType,
-      caseInsensitive: Boolean): Column = {
-    val base = in.isNotNull && coerce(in, from, to, caseInsensitive).isNull
+      caseInsensitive: Boolean,
+      // the SAME scoped mapping the projection's coerce uses: without it
+      // the violation check resolved nested aliases differently than the
+      // projected tree — a divergent duplicate subtree Catalyst cannot
+      // CSE-merge, and a latent wrong-field trap for nested checks
+      nameMapping: Map[String, Seq[String]] = Map.empty): Column = {
+    val base = in.isNotNull && coerce(in, from, to, caseInsensitive, nameMapping).isNull
     (from, to) match {
       case (f: MapType, t: MapType) if f.keyType != t.keyType =>
         base || (in.isNotNull &&
@@ -116,7 +122,8 @@ object Coercion {
     val checks: Seq[Column] = target.fields.toSeq.flatMap { f =>
       resolveField(available, f.name, nameMapping, caseInsensitive).map { src =>
         val in = qcol(src.name)
-        when(topLevelViolation(in, src.dataType, f.dataType, caseInsensitive),
+        when(topLevelViolation(in, src.dataType, f.dataType, caseInsensitive,
+          scopedMapping(nameMapping, f.name)),
           concat(lit(s"column '${src.name}' value '"), in.cast(StringType),
             lit(s"' does not convert to ${f.dataType.sql}")))
       }
@@ -212,12 +219,38 @@ object Coercion {
         // could catch — the crash happens evaluating the filter itself);
         // the permissive analogue of cast-to-null is DROPPING the entry.
         // Strict/DLQ paths flag these rows via [[mapKeyViolation]].
-        val dropBadKeys =
-          if (f.keyType == t.keyType) in
-          else map_filter(in, (k, _) => coerce(k, f.keyType, t.keyType, caseInsensitive).isNotNull)
         val keyed =
-          transform_keys(dropBadKeys, (k, _) => coerce(k, f.keyType, t.keyType, caseInsensitive,
-            scopedMapping(nameMapping, "key")))
+          if (f.keyType == t.keyType)
+            // same key type ⇒ key coercion is an identity cast: no nulls,
+            // no collisions — keep the cheap transform_keys path
+            transform_keys(in, (k, _) => coerce(k, f.keyType, t.keyType, caseInsensitive,
+              scopedMapping(nameMapping, "key")))
+          else {
+            // a key-type CHANGE can also COLLIDE distinct source keys
+            // ("1" and "01" both cast to int 1), and transform_keys then
+            // throws Spark's uncatchable duplicate-map-key error — the
+            // same poison-record class as the null key. Rebuild through
+            // entries instead and dedupe collided keys LAST-WINS (the
+            // reference's Java converter fills a HashMap, where a later
+            // put for the same key overwrites the earlier one).
+            val dropBadKeys = map_filter(in,
+              (k, _) => coerce(k, f.keyType, t.keyType, caseInsensitive).isNotNull)
+            val coercedEntries = transform(map_entries(dropBadKeys), e => struct(
+              coerce(e.getField("key"), f.keyType, t.keyType, caseInsensitive,
+                scopedMapping(nameMapping, "key")).as("key"),
+              e.getField("value").as("value")))
+            // reverse + first-wins = last-wins; slice(x, 1, 0) is an
+            // empty array of exactly the accumulator's type. O(k²) per
+            // map over typically-small maps, and only on the
+            // key-type-change path.
+            val deduped = aggregate(
+              reverse(coercedEntries),
+              slice(coercedEntries, lit(1), lit(0)),
+              (acc, e) => when(
+                exists(acc, a => a.getField("key") <=> e.getField("key")), acc)
+                .otherwise(concat(acc, array(e))))
+            map_from_entries(deduped)
+          }
         transform_values(keyed, (_, v) => coerce(v, f.valueType, t.valueType, caseInsensitive,
           scopedMapping(nameMapping, "value")))
 

@@ -101,6 +101,14 @@ object PartitionTransforms {
     token.trim match {
       case TransformRegex(fn, args) =>
         val parts = args.split(",").map(_.trim)
+        // same loud-at-create contract as the n/w checks below: a missing
+        // second argument (`bucket(c)`) must name the broken token, not
+        // die with a bare ArrayIndexOutOfBoundsException
+        def arg2: String = {
+          require(parts.length >= 2,
+            s"${fn.toLowerCase}(col, n) requires two arguments: $token")
+          parts(1)
+        }
         fn.toLowerCase match {
           case "identity" => Identity(checked(parts(0)))
           case "year"     => Year(checked(parts(0)))
@@ -111,11 +119,11 @@ object PartitionTransforms {
             // argument validation happens HERE for the same reason source
             // columns validate here (doc above): bucket(c, 0) deferred to
             // write time fails every batch of an already-created table
-            val n = parts(1).toInt
+            val n = arg2.toInt
             require(n > 0, s"bucket(n) requires n > 0: $token")
             Bucket(checked(parts(0)), n)
           case "truncate" =>
-            val w = parts(1).toInt
+            val w = arg2.toInt
             // width 0 on an int/long column would not even fail loudly:
             // pmod(in, 0) is NULL non-ANSI, silently landing every row in
             // a NULL partition

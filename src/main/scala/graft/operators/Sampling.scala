@@ -50,8 +50,19 @@ object Sampling {
   }
 
   /** Keep ~`rate` of rows, deterministically by `key`. */
-  def hashSample(df: DataFrame, keyCol: String, rate: Double, seed: Long = 0L): DataFrame =
+  /** Rates must be real probabilities: a negative or NaN rate (a sign
+    * bug or bad division upstream) would otherwise return a silently
+    * EMPTY "sample" — the no-signal failure mode the null-key
+    * raise_error in [[hashBucket]] exists to prevent.
+    */
+  private def requireRate(rate: Double, op: String): Unit =
+    require(!rate.isNaN && rate >= 0.0 && rate <= 1.0,
+      s"$op: rate must be in [0, 1], got $rate")
+
+  def hashSample(df: DataFrame, keyCol: String, rate: Double, seed: Long = 0L): DataFrame = {
+    requireRate(rate, "hashSample")
     df.filter(hashBucket(col(keyCol), seed) < lit((rate * P).toLong))
+  }
 
   /** Deterministic dataset split — the train/val/test partition every
     * training pipeline starts with: each row's [[hashBucket]] falls into
@@ -291,6 +302,8 @@ object Sampling {
       defaultRate: Double = 0.0,
       seed: Long = 0L
   ): DataFrame = {
+    requireRate(defaultRate, "stratifiedHashSample")
+    rates.foreach { case (v, r) => requireRate(r, s"stratifiedHashSample($v)") }
     val cap = rates.foldLeft(lit((defaultRate * P).toLong)) { case (acc, (value, rate)) =>
       when(col(strataCol) === value, lit((rate * P).toLong)).otherwise(acc)
     }

@@ -89,6 +89,11 @@ object Skew {
     require(!keyCols.contains("__salt") && valueCol != "__salt" &&
       !df.columns.contains("__salt") && !df.columns.contains("__part"),
       "column names __salt/__part are reserved by the salted collect")
+    // an outCol colliding with a key column would silently emit two
+    // columns of the same name (ambiguous downstream) — same fresh-name
+    // contract as Sampling's split/mix_pos/rk outputs
+    require(!keyCols.contains(outCol),
+      s"collectSorted: outCol '$outCol' collides with a key column")
     // project BEFORE the checkpoint so only (keys, value, salt) is
     // materialized, not every input column
     val salted0 = df

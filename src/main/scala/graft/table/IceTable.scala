@@ -822,10 +822,15 @@ final class IceTable private[table] (
     // same optimistic concurrent-delete conflict loop as [[compact]]
     val fellBack = withConflictRetry { scanSeq =>
       val df = read(spark)
-      // one k-row agg for normalization bounds (k = dimension count)
+      // one k-row agg for normalization bounds (k = dimension count).
+      // nanvl(·, null): NaN values must not become a bound — Spark's
+      // max() returns NaN for any NaN input (NaN orders largest), and a
+      // NaN bound silently zeroes every z-contribution (normalize now
+      // also rejects NaN bounds loudly). NaN VALUES clamp to the top
+      // bucket inside normalize.
       val bounds = df.select(cols.flatMap(c =>
-        Seq(min(col(c).cast("double")).as(s"${c}__mn"),
-          max(col(c).cast("double")).as(s"${c}__mx"))): _*).head()
+        Seq(min(nanvl(col(c).cast("double"), lit(null))).as(s"${c}__mn"),
+          max(nanvl(col(c).cast("double"), lit(null))).as(s"${c}__mx"))): _*).head()
       if (bounds.anyNull) true // all-null dimension: z-order is meaningless
       else {
         val normalized = cols.zipWithIndex.map { case (c, i) =>

@@ -36,6 +36,21 @@ class ZOrderSuite extends AnyFunSuite {
     assert(e2.getMessage.contains("bits"), s"unexpected: ${e2.getMessage}")
   }
 
+  test("normalize: NaN bounds fail loudly; NaN values clamp to the top bucket") {
+    import org.apache.spark.sql.functions.col
+    // a NaN bound (max() over a column containing NaN) silently zeroed
+    // EVERY z-contribution pre-fix — the clustering the rewrite ran for
+    // destroyed with no error anywhere
+    intercept[IllegalArgumentException](ZOrder.normalize(col("x"), Double.NaN, 1.0, 8))
+    intercept[IllegalArgumentException](ZOrder.normalize(col("x"), 0.0, Double.NaN, 8))
+    // NaN VALUES land in the top bucket (where Spark's sort puts NaN)
+    import spark.implicits._
+    val got = Seq(0.0, 0.5, 1.0, Double.NaN).toDF("x")
+      .select(ZOrder.normalize(col("x"), 0.0, 1.0, 8).as("b"))
+      .as[Long].collect().toSeq
+    assert(got === Seq(0L, 127L, 255L, 255L))
+  }
+
   test("z-values preserve locality: normalize then interleave is monotone per dimension") {
     import spark.implicits._
     // along one axis with the other fixed, z must be non-decreasing

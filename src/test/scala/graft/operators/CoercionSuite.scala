@@ -167,6 +167,20 @@ class CoercionSuite extends AnyFunSuite {
     assert(r.getMap[String, Long](1) === Map("a" -> 1L, "b" -> 2L))
   }
 
+  test("map-key coercion that COLLIDES keys dedupes last-wins instead of crashing") {
+    // "1" and "01" both cast to int 1 — transform_keys under the default
+    // mapKeyDedupPolicy=EXCEPTION threw Spark's uncatchable duplicate-map-
+    // key error (the same poison-record class as the null key); the
+    // reference's Java converter fills a HashMap, where the LATER put
+    // wins. "x" coerces to a null key and is dropped as before.
+    val src = Seq((1L, Map("1" -> 10L, "01" -> 20L, "2" -> 30L, "x" -> 40L)))
+      .toDF("id", "m")
+    val target = StructType(Seq(StructField("id", LongType),
+      StructField("m", MapType(IntegerType, LongType))))
+    val r = one(src, target)
+    assert(r.getMap[Int, Long](1) === Map(1 -> 20L, 2 -> 30L))
+  }
+
   test("name-mapping aliases resolve source fields (E4)") {
     val src = Seq((7L, "x")).toDF("legacy_id", "name")
     val target = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))

@@ -39,6 +39,24 @@ class CdcOpsSuite extends AnyFunSuite {
     assert(dels.as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("delete-then-reinsert still equality-deletes the key's prior-commit rows") {
+    // the reference replays ops sequentially (BaseDeltaTaskWriter.write:
+    // 71-84): D deletes prior state even when a later I reinserts the
+    // key. Pre-fix the delete keyed on the FINAL op alone, so [D, I]
+    // emitted no delete and the stale prior-commit row survived beside
+    // the reinsert. Pure-insert keys must still emit NO delete (the
+    // all-insert-batch-carries-no-delete-file property).
+    val df = Seq(
+      (1L, "v1", "D", 10L), (1L, "v2", "I", 11L), // delete then reinsert
+      (2L, "w1", "U", 12L), (2L, "w2", "I", 13L), // update then insert
+      (3L, "x1", "I", 14L), (3L, "x2", "I", 15L)  // pure inserts
+    ).toDF("id", "payload", CdcOps.OpCol, CdcOps.OrdCol)
+    val (data, dels) = CdcOps.resolveBatch(df, Seq("id"))
+    val dataRows = data.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(dataRows === Seq((1L, "v2"), (2L, "w2"), (3L, "x2")))
+    assert(dels.as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("CDC requires id columns (Utilities.java:169-178 parity)") {
     val df = Seq((1L, "I", 0L)).toDF("id", CdcOps.OpCol, CdcOps.OrdCol)
     assertThrows[IllegalArgumentException](CdcOps.resolveBatch(df, Nil))
@@ -236,6 +254,37 @@ class AsofJoinSuite extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.operators.AsofJoin.asof(left, right, "key", "ts", Seq("payload"), direction = "sideways")
     }
+  }
+
+  test("asof tolerance works on TIMESTAMP ts columns (gap compared in epoch micros)") {
+    // pre-fix: timestamp - timestamp is a DayTimeInterval, which cannot
+    // compare to the Long tolerance — analysis failed the moment a
+    // caller ADDED a tolerance to an otherwise-working timestamp as-of
+    def ts(s: Long) = new java.sql.Timestamp(s)
+    val left = Seq((1L, "k", ts(10000L)), (2L, "k", ts(100000L))).toDF("lid", "key", "ts")
+    val right = Seq(("k", ts(8000L), "a"), ("k", ts(15000L), "c")).toDF("key", "ts", "payload")
+    val got = graft.operators.AsofJoin
+      .asof(left, right, "key", "ts", Seq("payload"), tolerance = Some(5000000L)) // 5 s in µs
+      .select("lid", "payload").as[(Long, Option[String])].collect().toMap
+    assert(got(1L) === Some("a")) // gap 2 s <= 5 s
+    assert(got(2L) === None)      // gap 92 s > 5 s
+  }
+
+  test("sampling rates validate: negative/NaN rates fail loudly, not silently-empty") {
+    val df = Seq((1L, "en"), (2L, "fr")).toDF("id", "lang")
+    intercept[IllegalArgumentException](Sampling.hashSample(df, "id", rate = -0.1))
+    intercept[IllegalArgumentException](Sampling.hashSample(df, "id", rate = Double.NaN))
+    intercept[IllegalArgumentException](Sampling.hashSample(df, "id", rate = 1.5))
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedHashSample(df, "id", "lang", Map("en" -> -0.5)))
+    assert(Sampling.hashSample(df, "id", rate = 1.0).count() === 2L)
+  }
+
+  test("collectSorted rejects an outCol colliding with a key column") {
+    val df = Seq(("k", 2L), ("k", 1L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Skew.collectSorted(df, Seq("k"), "v", outCol = "k"))
+    assert(e.getMessage.contains("collides"))
   }
 
   test("asof: rejects payload names that collide with left columns") {

@@ -78,6 +78,12 @@ class PartitionTransformsSuite extends AnyFunSuite {
       val e = intercept[IllegalArgumentException](PartitionTransforms.parse(bad, schema))
       assert(e.getMessage.contains("> 0"), s"spec '$bad' not rejected: ${e.getMessage}")
     }
+    // a MISSING second argument names the broken token instead of dying
+    // with a bare ArrayIndexOutOfBoundsException
+    for (bad <- Seq("bucket(c)", "truncate(c)")) {
+      val e = intercept[IllegalArgumentException](PartitionTransforms.parse(bad, schema))
+      assert(e.getMessage.contains(bad), s"spec '$bad' not named: ${e.getMessage}")
+    }
   }
 
   test("truncate: decimals past 18 digits floor exactly (no unscaled Long overflow)") {
