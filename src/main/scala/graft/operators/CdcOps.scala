@@ -55,16 +55,19 @@ object CdcOps {
   ): (DataFrame, DataFrame) = {
     require(keyCols.nonEmpty,
       "CDC/upsert requires id columns (parity: data/Utilities.java:169-178)")
-    val keys = Window.partitionBy(keyCols.map(col): _*)
-    val w = keys.orderBy(col(OrdCol).desc)
-    // both window functions share the partitioning, so this is still the
-    // single hash shuffle on the id columns; materialize the resolved
-    // batch once — the data append and the delete-key file derive from
-    // it in two separate write jobs
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(OrdCol).desc)
+    // the any-op flag uses the SAME (partition, order) spec with an
+    // explicit whole-partition frame, so Catalyst evaluates both window
+    // functions in ONE WindowExec over one sort — an unordered
+    // partition-only spec would plan a second sort pass (measured +0.5 s
+    // on cdc_upsert at sf0.1). Still the single hash shuffle on the id
+    // columns; materialize the resolved batch once — the data append and
+    // the delete-key file derive from it in two separate write jobs.
     val last = df
       .withColumn("__graft_rn", row_number().over(w))
       .withColumn("__graft_del",
-        max(when(col(OpCol) === "U" || col(OpCol) === "D", 1).otherwise(0)).over(keys))
+        max(when(col(OpCol) === "U" || col(OpCol) === "D", 1).otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .filter(col("__graft_rn") === 1)
       .drop("__graft_rn")
       .localCheckpoint()
