@@ -188,7 +188,8 @@ object Decontaminate {
     * benchmark. Layout under `dir` (everything through Spark's filesystem
     * layer, so the index lives on the cluster's shared FS):
     * {{{
-    *   meta.parquet/    n / layout / bf (the Bloom bitmap, one binary row)
+    *   ptr-vN           meta pointer — highest N wins (name = commit)
+    *   meta-vN.parquet/ n / layout / bf (the Bloom bitmap, one binary row)
     *   ngrams.parquet/  (ng, first_benchmark_id) — the exact verify index
     * }}}
     */
@@ -217,9 +218,11 @@ object Decontaminate {
     val prevGen = IndexLayout.publishedGen(benchNg.sparkSession, dir)
     benchNg.groupBy("ng").agg(min("b_id").as("first_benchmark_id"))
       .write.mode("overwrite").parquet(s"$dir/$gen/ngrams.parquet")
-    Seq((n, LayoutVersion, bf, gen)).toDF("n", "layout", "bf", "gen")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    IndexLayout.publishMeta(dir) { path =>
+      Seq((n, LayoutVersion, bf, gen)).toDF("n", "layout", "bf", "gen")
+        .repartition(1)
+        .write.mode("overwrite").parquet(path)
+    }
     IndexLayout.sweepGenerations(benchNg.sparkSession, dir, keep = gen,
       prevPublished = prevGen)
   }
@@ -239,7 +242,10 @@ object Decontaminate {
       textCol: String,
       minHits: Int = 1
   ): DataFrame = {
-    val metaDf = spark.read.parquet(s"$dir/meta.parquet")
+    val metaPath = IndexLayout.metaTablePath(dir).getOrElse(throw
+      new IllegalArgumentException(
+        s"no decontamination index at $dir — build it first"))
+    val metaDf = spark.read.parquet(metaPath)
     require(metaDf.columns.contains("gen"),
       s"decontamination index at $dir predates layout v$LayoutVersion — rebuild the index")
     val meta = metaDf.head()

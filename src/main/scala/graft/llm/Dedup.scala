@@ -589,10 +589,21 @@ object Dedup {
       threshold: Double,
       k: Int = AutoSize,
       maxIters: Int = 40,
-      targetClusterRows: Long = DefaultSemanticClusterRows
+      targetClusterRows: Long = DefaultSemanticClusterRows,
+      /** Cluster count above which assignment routes through the
+        * approximate two-level (IMI) quantizer instead of the exact
+        * k-centroid Lloyd argmax. Exposed (r14 advice) so a caller with
+        * a moderate explicit k who needs assignment PARITY with runs
+        * predating the two-level arm can raise it (e.g.
+        * `Int.MaxValue` = always exact) and accept the measured
+        * quadratic exact-assignment cost (SCALE.md "SemDeDup
+        * k-scaling") knowingly.
+        */
+      twoLevelGate: Int = SemanticTwoLevelGate
   ): DataFrame = {
     require(k > 0 || k == AutoSize, s"k must be positive or AutoSize: $k")
     require(targetClusterRows > 0, s"targetClusterRows must be > 0: $targetClusterRows")
+    require(twoLevelGate > 0, s"twoLevelGate must be > 0: $twoLevelGate")
     val spark = df.sparkSession
     import spark.implicits._
     val useK =
@@ -605,7 +616,7 @@ object Dedup {
           math.min((n + targetClusterRows - 1) / targetClusterRows, Int.MaxValue.toLong)).toInt
       }
     val withC: DataFrame =
-      if (useK <= SemanticTwoLevelGate) {
+      if (useK <= twoLevelGate) {
         val res = Similarity.kmeans(df, idCol, vecCol, useK, maxIters)
         df.select(col(idCol).cast("long").as("id"), Similarity.normalize(col(vecCol)).as("v"))
           .join(res.assignments, "id")

@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.fs.ControlFs
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
@@ -17,16 +19,19 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType,
   * [[build]] stages its data tables under a fresh `gen-*` dir and
   * commits the generation in the meta row LAST (the [[IndexLayout]]
   * protocol), so a crash anywhere before the meta commit leaves the
-  * previous generation's meta+tables fully paired (the meta overwrite
-  * itself remains the family's one non-atomic instant — see
-  * [[LshIndex]]). The data tables are
+  * previous generation's meta+tables fully paired; the meta commit
+  * itself is a create-exclusive `ptr-vN` pointer publish
+  * ([[IndexLayout.publishMeta]], r15 — no torn-meta state), with the
+  * pre-r15 mutable `meta.parquet` read as a legacy fallback. The data
+  * tables are
   * hive-partitioned by the WRITER'S BATCH exactly like
   * [[LshIndex]] (-1 = base build and non-replayable appends;
   * [[appendBatch]] writes its micro-batch id), so a replayed streaming
   * batch REPLACES its own partition, and each row carries its writer
   * batch again as `src_batch` so [[compact]]-folded rows stay excludable:
   * {{{
-  *   meta.parquet/       bits / tables / dim / layout / compacted_through / gen
+  *   ptr-vN              meta pointer — highest N wins (name = commit)
+  *   meta-vN.parquet/    bits / tables / dim / layout / compacted_through / gen
   *   gen-<g>/vectors.parquet/batch=<b>/   (id, v, src_batch)    — normalized verify vectors
   *   gen-<g>/buckets.parquet/batch=<b>/   (id, t, sig, src_batch) — per-table LSH signatures
   * }}}
@@ -80,14 +85,18 @@ object EmbIndex {
   private def writeMeta(spark: SparkSession, dir: String, bits: Int, tables: Int, dim: Int,
       gen: String, compactedThrough: Long = -1L): Unit = {
     import spark.implicits._
-    Seq((bits, tables, dim, LayoutVersion, compactedThrough, gen))
-      .toDF("bits", "tables", "dim", "layout", "compacted_through", "gen")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    IndexLayout.publishMeta(dir) { path =>
+      Seq((bits, tables, dim, LayoutVersion, compactedThrough, gen))
+        .toDF("bits", "tables", "dim", "layout", "compacted_through", "gen")
+        .repartition(1)
+        .write.mode("overwrite").parquet(path)
+    }
   }
 
   private[graft] def readMeta(spark: SparkSession, dir: String): EmbMeta = {
-    val meta = spark.read.parquet(s"$dir/meta.parquet")
+    val metaPath = IndexLayout.metaTablePath(dir).getOrElse(throw
+      new IllegalArgumentException(s"no EmbIndex at $dir — build it first"))
+    val meta = spark.read.parquet(metaPath)
     val layout =
       if (meta.columns.contains("layout")) meta.select("layout").head().getInt(0) else 1
     require(layout == LayoutVersion,
@@ -237,7 +246,11 @@ object EmbIndex {
       .withColumn("batch", lit(BaseBatch))
     vv.write.mode("overwrite").partitionBy("batch").parquet(s"$dir/$gen/vectors.parquet")
     val stored = readVectors(spark, dir, gen)
-    val n = stored.count() // one job: sizes the bits AND is the return value
+    // one job sizes the bits AND is the return value; routed through the
+    // same drop-observability warn as the append paths (r14 advice): a
+    // systemic re-embed at a new width during a FULL rebuild otherwise
+    // produced a near-empty index with no log signal
+    val n = countWarningDropped(vv0, stored, dim, "EmbIndex.build")
     // auto-sized bits are ALWAYS capped at the recall-feasible bound (with
     // explicit tables: the bits at which THAT table count still meets the
     // per-pair miss tolerance) — only explicit bits waive the guarantee;
@@ -263,7 +276,7 @@ object EmbIndex {
     // reclaim a migrated pre-v3 index's root-level tables (unreachable
     // under the gen layout; see LshIndex.build)
     Seq("buckets.parquet", "vectors.parquet")
-      .foreach(t => IndexFs.delete(s"$dir/$t", recursive = true))
+      .foreach(t => ControlFs.delete(s"$dir/$t", recursive = true))
     n
   }
 

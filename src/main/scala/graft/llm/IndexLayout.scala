@@ -2,10 +2,25 @@ package graft.llm
 
 import org.apache.spark.sql.SparkSession
 
+import graft.fs.ControlFs
+
 /** Shared layout helpers for the persisted-index family (crash-atomic
-  * generation publishing: data tables stage under `gen-*`, the meta row
-  * commits the generation LAST — see [[Search.buildIndex]] /
+  * generation publishing: data tables stage under `gen-*`, the meta
+  * table commits the generation LAST — see [[Search.buildIndex]] /
   * [[Decontaminate.buildIndex]]).
+  *
+  * Since r15 the meta commit itself is a VERSIONED POINTER publish
+  * ([[publishMeta]]): the 1-row meta table stages under
+  * `meta-vN.parquet` and one create-exclusive `ptr-vN` file commits it —
+  * readers take the highest pointer NUMBER (the pointer's NAME is the
+  * whole commit; its content is informational), so there is no torn
+  * state a crash can leave: before the pointer lands the old version
+  * answers, after it the new one does. This closed the family's last
+  * non-atomic instant — the pre-r15 `meta.parquet` was a Spark
+  * `overwrite` (delete-then-write), and a crash inside it left no
+  * readable meta until a rebuild. The pre-r15 mutable `meta.parquet` is
+  * still READ as a legacy fallback (one release) and retired at the
+  * next publish.
   *
   * All filesystem work goes through HADOOP's filesystem layer, like the
   * parquet tables themselves — java.nio paths resolve against the
@@ -17,15 +32,80 @@ private[llm] object IndexLayout {
 
   def newGeneration(): String = s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
 
-  /** The generation the CURRENT meta row points at, or None when no
+  private val PtrName = "ptr-v(\\d+)".r
+
+  private def metaTableName(v: Long): String = s"meta-v$v.parquet"
+
+  /** Highest committed meta version under `dir`, from pointer NAMES
+    * only — no file content is read, so a crash mid-pointer-create
+    * (name present, content torn) still resolves correctly.
+    */
+  def currentMetaVersion(dir: String): Option[Long] = {
+    val vs = ControlFs.list(dir).map(_.getPath.getName)
+      .collect { case PtrName(n) => n.toLong }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** The active 1-row meta table: highest `ptr-vN` → `meta-vN.parquet`,
+    * falling back to the pre-r15 mutable `meta.parquet` (legacy read
+    * path, kept one release). None = no index here.
+    */
+  def metaTablePath(dir: String): Option[String] =
+    currentMetaVersion(dir).map(v => s"$dir/${metaTableName(v)}")
+      .orElse(Some(s"$dir/meta.parquet").filter(ControlFs.exists))
+
+  /** Publish the next meta version: `write` stages the 1-row table into
+    * the versioned dir (a crash mid-stage is invisible — no pointer),
+    * then ONE create-exclusive `ptr-vN` commits it. Afterwards the
+    * legacy mutable `meta.parquet` (if any) is retired — the pointer
+    * takes precedence, so a crash between the two steps is benign — and
+    * superseded versions prune down to the newest two (keep-one-spare
+    * for a reader that resolved the previous pointer mid-probe, the
+    * [[IvfIndex]] rule). A pointer collision means a concurrent
+    * publisher (outside the single-maintenance-writer contract); the
+    * loop takes the next number rather than wedging.
+    */
+  def publishMeta(dir: String)(write: String => Unit): Unit = {
+    var v = currentMetaVersion(dir).getOrElse(0L)
+    var done = false
+    while (!done) {
+      v += 1
+      write(s"$dir/${metaTableName(v)}")
+      try { ControlFs.createExclusive(s"$dir/ptr-v$v", metaTableName(v)); done = true }
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
+    }
+    ControlFs.delete(s"$dir/meta.parquet", recursive = true)
+    val keep = ControlFs.list(dir).map(_.getPath.getName)
+      .collect { case PtrName(n) => n.toLong }.sorted.takeRight(2).toSet
+    val floor = if (keep.isEmpty) 0L else keep.min
+    ControlFs.list(dir).foreach { st =>
+      st.getPath.getName match {
+        case PtrName(n) if !keep.contains(n.toLong) =>
+          ControlFs.delete(st.getPath.toString, recursive = false)
+        case m if m.startsWith("meta-v") && m.endsWith(".parquet") &&
+            m.stripPrefix("meta-v").stripSuffix(".parquet").matches("\\d+") =>
+          // only versions BELOW the keep window: an unreferenced dir
+          // ABOVE it could be a (out-of-contract) concurrent publisher
+          // mid-stage, and the next publish overwrites such orphans
+          // in place anyway
+          val n = m.stripPrefix("meta-v").stripSuffix(".parquet").toLong
+          if (n < floor) ControlFs.delete(st.getPath.toString, recursive = true)
+        case _ => ()
+      }
+    }
+  }
+
+  /** The generation the CURRENT meta points at, or None when no
     * readable meta exists — what a rebuild passes to [[sweepGenerations]]
     * as the spare to protect.
     */
   def publishedGen(spark: SparkSession, dir: String): Option[String] =
-    try {
-      val m = spark.read.parquet(s"$dir/meta.parquet")
-      if (m.columns.contains("gen")) Option(m.select("gen").head().getString(0)) else None
-    } catch { case _: Exception => None }
+    metaTablePath(dir).flatMap { p =>
+      try {
+        val m = spark.read.parquet(p)
+        if (m.columns.contains("gen")) Option(m.select("gen").head().getString(0)) else None
+      } catch { case _: Exception => None }
+    }
 
   /** Delete superseded `gen-*` dirs, keeping the just-published
     * generation and `prevPublished` — the generation an in-flight probe

@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.fs.ControlFs
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -66,7 +68,7 @@ import org.apache.spark.sql.functions._
   *
   * The version CONTROL PLANE (pointer files, `vN/` listing, supersession
   * stamps, sweeps) runs entirely on Hadoop's filesystem layer via
-  * [[IndexFs]] — the same layer the data tables use — so the index `dir`
+  * [[ControlFs]] — the same layer the data tables use — so the index `dir`
   * may live on the cluster default FS (`hdfs://`, `s3a://`, any
   * registered scheme), closing r13's java.nio deployment boundary. The
   * protocol needs no atomic rename anywhere: publishes are
@@ -113,7 +115,7 @@ object IvfIndex {
   ): Int = {
     val spark = corpus.sparkSession
     IntegralId.require(corpus, idCol, "IvfIndex.build")
-    IndexFs.mkdirs(dir)
+    ControlFs.mkdirs(dir)
     val prev = currentVersion(dir)
     // entry sweep WITHOUT reconcile: a full rebuild declares `corpus` the
     // source of truth, so superseded generations' contents are moot
@@ -236,7 +238,7 @@ object IvfIndex {
     sweep(spark, dir, keep = Set(curName), graceMs = orphanGraceMs, reconcileInto = Some(cur))
     val curCells = spark.read.parquet(s"$cur/centroids.parquet").count()
     // empty geometry (no assignments ever written): nothing to re-shard
-    if (!IndexFs.exists(s"$cur/assignments.parquet")) return curCells.toInt
+    if (!ControlFs.exists(s"$cur/assignments.parquet")) return curCells.toInt
     val assignedSrc = spark.read.parquet(s"$cur/assignments.parquet").select("n_id", "n_vec")
     // occupancy guard BEFORE any materialization: Maintenance.autoIndex
     // calls this after every batch, and the healthy-index path must cost
@@ -274,14 +276,14 @@ object IvfIndex {
     * for hours still gets its full window.
     */
   private def markSuperseded(genDir: String): Unit =
-    if (IndexFs.exists(genDir))
-      IndexFs.writeSmall(s"$genDir/SUPERSEDED", System.currentTimeMillis().toString)
+    if (ControlFs.exists(genDir))
+      ControlFs.writeSmall(s"$genDir/SUPERSEDED", System.currentTimeMillis().toString)
 
   /** The stamped supersession time, or None for an unstamped dir (a
     * crash-before-publish orphan no swap ever marked).
     */
   private def supersededAt(genDir: String): Option[Long] =
-    IndexFs.readSmall(s"$genDir/SUPERSEDED")
+    ControlFs.readSmall(s"$genDir/SUPERSEDED")
       .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
 
   private val PtrName = "ptr-(v\\d+)".r
@@ -298,20 +300,20 @@ object IvfIndex {
     currentVersion(dir).map(v => s"$dir/$v").getOrElse(dir)
 
   private def currentVersion(dir: String): Option[String] = {
-    val ptrs = IndexFs.list(dir).map(_.getPath.getName).collect {
+    val ptrs = ControlFs.list(dir).map(_.getPath.getName).collect {
       case PtrName(v) => v
     }
     if (ptrs.nonEmpty) Some(ptrs.maxBy(_.drop(1).toLong))
-    else IndexFs.readSmall(s"$dir/CURRENT").map(_.trim).filter(_.nonEmpty)
+    else ControlFs.readSmall(s"$dir/CURRENT").map(_.trim).filter(_.nonEmpty)
   }
 
   private def nextVersion(dir: String): Long = {
-    val names = IndexFs.list(dir).map(_.getPath.getName)
+    val names = ControlFs.list(dir).map(_.getPath.getName)
     // pointer files and the legacy CURRENT content bound the floor too: a
     // version name must never be reused while anything might reference it
     val seqs = names.collect { case n if n.matches("v\\d+") => n.drop(1).toLong } ++
       names.collect { case PtrName(v) => v.drop(1).toLong } ++
-      IndexFs.readSmall(s"$dir/CURRENT").map(_.trim).collect {
+      ControlFs.readSmall(s"$dir/CURRENT").map(_.trim).collect {
         case v if v.matches("v\\d+") => v.drop(1).toLong
       }
     seqs.foldLeft(0L)(math.max) + 1
@@ -319,7 +321,7 @@ object IvfIndex {
 
   /** Publish `version` as the active geometry: one create-exclusive
     * pointer file (no rename anywhere — object stores implement rename
-    * as a non-atomic copy+delete; see [[IndexFs.createExclusive]] for
+    * as a non-atomic copy+delete; see [[ControlFs.createExclusive]] for
     * the exact per-FS exclusivity bounds). Versions are monotonic
     * ([[nextVersion]]), so highest-pointer-wins is exactly last-publish
     * -wins. The legacy mutable `CURRENT` file, if any, is retired AFTER
@@ -330,9 +332,9 @@ object IvfIndex {
     * generation is kept one cycle anyway.
     */
   private def swapPointer(dir: String, version: String): Unit = {
-    IndexFs.createExclusive(s"$dir/ptr-$version", version)
-    IndexFs.delete(s"$dir/CURRENT", recursive = false)
-    IndexFs.list(dir)
+    ControlFs.createExclusive(s"$dir/ptr-$version", version)
+    ControlFs.delete(s"$dir/CURRENT", recursive = false)
+    ControlFs.list(dir)
       .flatMap { st =>
         st.getPath.getName match {
           case PtrName(v) => Some((v.drop(1).toLong, st.getPath))
@@ -341,7 +343,7 @@ object IvfIndex {
       }
       .sortBy(-_._1)
       .drop(2)
-      .foreach { case (_, p) => IndexFs.delete(p.toString, recursive = false) }
+      .foreach { case (_, p) => ControlFs.delete(p.toString, recursive = false) }
   }
 
   /** Delete version dirs that are neither pointer-referenced nor in
@@ -363,7 +365,7 @@ object IvfIndex {
       graceMs: Long,
       reconcileInto: Option[String]
   ): Unit = {
-    val entries = IndexFs.list(dir)
+    val entries = ControlFs.list(dir)
     if (entries.isEmpty) return
     val current = currentVersion(dir)
     val now = System.currentTimeMillis()
@@ -388,7 +390,7 @@ object IvfIndex {
         case None    => true
         case Some(t) => reconcile(spark, st.getPath.toString, t).isDefined
       }
-      if (safe) IndexFs.delete(st.getPath.toString, recursive = true)
+      if (safe) ControlFs.delete(st.getPath.toString, recursive = true)
     }
   }
 
@@ -400,8 +402,8 @@ object IvfIndex {
     * caller must not treat the victim as recovered.
     */
   private def reconcile(spark: SparkSession, fromDir: String, toDir: String): Option[Long] = {
-    if (!IndexFs.exists(s"$fromDir/assignments.parquet")) return Some(0L)
-    if (!IndexFs.exists(s"$toDir/assignments.parquet")) return None
+    if (!ControlFs.exists(s"$fromDir/assignments.parquet")) return Some(0L)
+    if (!ControlFs.exists(s"$toDir/assignments.parquet")) return None
     val old = spark.read.parquet(s"$fromDir/assignments.parquet").select("n_id", "n_vec")
     val act = spark.read.parquet(s"$toDir/assignments.parquet").select("n_id")
     val missing = old.join(act, Seq("n_id"), "left_anti").localCheckpoint()
@@ -591,7 +593,7 @@ object IvfIndex {
     */
   private[graft] def routeRows(spark: SparkSession, adir: String, vv: DataFrame): DataFrame = {
     import spark.implicits._
-    if (IndexFs.exists(s"$adir/supers.parquet")) {
+    if (ControlFs.exists(s"$adir/supers.parquet")) {
       val cells = spark.read.parquet(s"$adir/centroids.parquet")
       val supers = supersWithCells(spark, cells, readSupers(spark, adir))
       require(supers.nonEmpty,
@@ -621,7 +623,7 @@ object IvfIndex {
       wProbe: Int
   ): DataFrame = {
     import spark.implicits._
-    if (IndexFs.exists(s"$adir/supers.parquet")) {
+    if (ControlFs.exists(s"$adir/supers.parquet")) {
       val cells = spark.read.parquet(s"$adir/centroids.parquet")
       val supers = supersWithCells(spark, cells, readSupers(spark, adir))
       probeTwoLevel(queries, idCol, vecCol, supers, cells, nProbe, wProbe)
@@ -700,7 +702,7 @@ object IvfIndex {
     val adir = activeDir(dir)
     val empty = Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rank", "n_id", "cosine")
     val probes0 =
-      if (IndexFs.exists(s"$adir/supers.parquet")) {
+      if (ControlFs.exists(s"$adir/supers.parquet")) {
         val cells = spark.read.parquet(s"$adir/centroids.parquet")
         val supers = supersWithCells(spark, cells, readSupers(spark, adir))
         if (supers.isEmpty) return empty

@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.fs.ControlFs
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
@@ -19,16 +21,18 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField,
   * in the meta row LAST (the [[IndexLayout]] protocol Search and
   * Decontaminate use), so a crash anywhere before the meta commit
   * leaves the previous generation's meta+tables fully paired — probes
-  * keep answering from the old index. The meta overwrite itself is the
-  * one remaining non-atomic instant (a crash inside Spark's
-  * delete-then-write of the 1-row meta needs a rebuild re-run) — a
-  * bound the whole meta-published index family shares. Both data tables are hive-partitioned
+  * keep answering from the old index. The meta commit itself is a
+  * create-exclusive `ptr-vN` pointer publish ([[IndexLayout.publishMeta]],
+  * r15) — there is no torn-meta state a crash can leave; the pre-r15
+  * mutable `meta.parquet` is still read as a legacy fallback and retired
+  * at the next publish. Both data tables are hive-partitioned
   * by the WRITER'S BATCH (-1 = the base build and non-replayable
   * appends; `appendBatch` writes its micro-batch id), so a replayed
   * streaming batch REPLACES its own partition instead of duplicating
   * rows — the index's exactly-once story:
   * {{{
-  *   meta.parquet/          shingle n / numHashes / bands / gen
+  *   ptr-vN                 meta pointer — highest N wins (name = commit)
+  *   meta-vN.parquet/       shingle n / numHashes / bands / gen
   *   gen-<g>/buckets.parquet/batch=<b>/   (id, band, bh)  — the LSH candidate index
   *   gen-<g>/shingles.parquet/batch=<b>/  (id, shset)     — exact-Jaccard verify sets
   * }}}
@@ -102,14 +106,18 @@ object LshIndex {
       spark: SparkSession, dir: String, n: Int, numHashes: Int, bands: Int,
       gen: String, compactedThrough: Long = -1L): Unit = {
     import spark.implicits._
-    Seq((n, numHashes, bands, LayoutVersion, compactedThrough, gen))
-      .toDF("n", "num_hashes", "bands", "layout", "compacted_through", "gen")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    IndexLayout.publishMeta(dir) { path =>
+      Seq((n, numHashes, bands, LayoutVersion, compactedThrough, gen))
+        .toDF("n", "num_hashes", "bands", "layout", "compacted_through", "gen")
+        .repartition(1)
+        .write.mode("overwrite").parquet(path)
+    }
   }
 
   private[graft] def readMeta(spark: SparkSession, dir: String): LshMeta = {
-    val meta = spark.read.parquet(s"$dir/meta.parquet")
+    val metaPath = IndexLayout.metaTablePath(dir).getOrElse(throw
+      new IllegalArgumentException(s"no LshIndex at $dir — build it first"))
+    val meta = spark.read.parquet(metaPath)
     val layout =
       if (meta.columns.contains("layout")) meta.select("layout").head().getInt(0) else 1
     require(layout == LayoutVersion,
@@ -212,7 +220,7 @@ object LshIndex {
     // here or each migrated index leaks one corpus-sized copy forever
     // (sweepGenerations matches gen-* names only)
     Seq("buckets.parquet", "shingles.parquet")
-      .foreach(t => IndexFs.delete(s"$dir/$t", recursive = true))
+      .foreach(t => ControlFs.delete(s"$dir/$t", recursive = true))
     stored.count()
   }
 

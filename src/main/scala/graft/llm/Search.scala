@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.fs.ControlFs
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -86,11 +88,13 @@ object Search {
     // postings they serve)
     val s = spark.read.parquet(s"$dir/$gen/doclen")
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
-    Seq((IndexVersion, termBuckets.toLong, s.getLong(0),
-      if (s.isNullAt(1)) 0L else s.getLong(1), gen))
-      .toDF("version", "term_buckets", "n", "sumdl", "gen")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    IndexLayout.publishMeta(dir) { path =>
+      Seq((IndexVersion, termBuckets.toLong, s.getLong(0),
+        if (s.isNullAt(1)) 0L else s.getLong(1), gen))
+        .toDF("version", "term_buckets", "n", "sumdl", "gen")
+        .repartition(1)
+        .write.mode("overwrite").parquet(path)
+    }
     IndexLayout.sweepGenerations(spark, dir, keep = gen, prevPublished = prevGen)
   }
 
@@ -156,12 +160,13 @@ object Search {
     */
   private def readMeta(
       spark: org.apache.spark.sql.SparkSession, dir: String): SearchMeta = {
-    // a legacy v2 index has NO meta.parquet at all (stats lived in a
+    // a legacy v2 index has NO meta table at all (stats lived in a
     // driver-local stats.json) — probe first so it gets the same friendly
     // rebuild message instead of a raw PATH_NOT_FOUND from the read
-    require(IndexFs.exists(s"$dir/meta.parquet"),
-      s"BM25 index at $dir predates layout v$IndexVersion — rebuild the index")
-    val meta = spark.read.parquet(s"$dir/meta.parquet")
+    val metaPath = IndexLayout.metaTablePath(dir).getOrElse(throw
+      new IllegalArgumentException(
+        s"BM25 index at $dir predates layout v$IndexVersion — rebuild the index"))
+    val meta = spark.read.parquet(metaPath)
     require(meta.columns.contains("version") && meta.columns.contains("gen"),
       s"BM25 index at $dir predates layout v$IndexVersion — rebuild the index")
     val r = meta.select("version", "term_buckets", "n", "sumdl", "gen").head()

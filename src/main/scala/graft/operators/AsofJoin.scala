@@ -91,12 +91,21 @@ object AsofJoin {
         // path accepts timestamps fine). Compare in epoch micros instead,
         // so `tolerance` is uniformly "ts units" (micros for timestamps).
         val toNum: Column => Column = left.schema(tsCol).dataType match {
-          case org.apache.spark.sql.types.TimestampType |
-              org.apache.spark.sql.types.TimestampNTZType =>
-            // NTZ casts through TimestampType first (unix_micros takes
-            // TIMESTAMP only); the cast is monotone and the gap is a
-            // difference, so the session-timezone offset cancels
-            c => unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+          case org.apache.spark.sql.types.TimestampType =>
+            c => unix_micros(c)
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            // NTZ → micros through a UTC-PINNED cast (unix_micros takes
+            // TIMESTAMP only): a session-timezone cast applies an offset
+            // that is NOT constant across a DST transition — two wall
+            // clocks straddling spring-forward would see their gap shrink
+            // or grow by the DST delta, and ambiguous fall-back times
+            // make the cast non-injective. Pinning the zone makes the
+            // conversion a pure, monotone wall-clock → micros map.
+            c => unix_micros(org.apache.spark.sql.GraftInternal.column(
+              org.apache.spark.sql.catalyst.expressions.Cast(
+                org.apache.spark.sql.GraftInternal.expression(c),
+                org.apache.spark.sql.types.TimestampType,
+                Some("UTC"))))
           case _ => identity
         }
         val gap =

@@ -1,11 +1,12 @@
 package graft.sink
 
-import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
+import graft.fs.ControlFs
 import graft.table.{Commit, FileEntry, IceTable}
 import graft.operators.PartitionTransforms
 
@@ -180,7 +181,7 @@ object IceTableWriter {
     val schema = table.schema
     val schemaVersion = table.currentSchemaVersion
     val uuid = java.util.UUID.randomUUID().toString
-    val outDir = table.dir.resolve("data").resolve(uuid)
+    val outDir = s"${table.dir}/data/$uuid"
     markStaging(outDir) // gc skips this dir until publish clears the marker
 
     // P5 — `write.target-file-size-bytes` parity (Utilities.java:162-167):
@@ -265,7 +266,7 @@ object IceTableWriter {
         w = w.option("compression", codec.toLowerCase(java.util.Locale.ROOT))
       }
     }
-    w.save(outDir.toString)
+    w.save(outDir)
 
     val staged = listDataFiles(outDir, meta.format)
     val stats = fillUnknownRows(df.sparkSession,
@@ -276,15 +277,15 @@ object IceTableWriter {
     // dead-letter stream with clean batches would otherwise accumulate
     // thousands of empty files. Footer-less formats get their counts
     // from the read-back job above, so rows is authoritative here.
-    val (files, zeroRow) = staged.partition(p => stats(p.toString).rows != 0L)
-    zeroRow.foreach(Files.deleteIfExists(_))
+    val (files, zeroRow) = staged.partition(p => stats(p).rows != 0L)
+    zeroRow.foreach(ControlFs.delete(_, recursive = false))
     // an all-zero-row stage publishes nothing — nothing will ever clear
     // this dir's marker, so clear it here (gc reclaims the dir normally)
     if (files.isEmpty) clearStaging(outDir)
     files.map { p =>
-      val s = stats(p.toString)
+      val s = stats(p)
       FileEntry(
-        path = p.toString,
+        path = p,
         rows = s.rows,
         schemaVersion = schemaVersion,
         partition = partitionValues(outDir, p, transforms),
@@ -361,8 +362,17 @@ object IceTableWriter {
       counts: Map[String, Long]
   ): Map[String, FooterStats] = {
     def keyOf(p: String): String =
-      if (p.startsWith("file:"))
-        try new java.net.URI(p).getPath catch { case _: Exception => p }
+      if (p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*"))
+        // encoded URI form (input_file_name) decodes via java.net.URI;
+        // a DECODED scheme-ful listing path (Hadoop Path.toString) can
+        // carry characters java.net.URI rejects — Hadoop Path re-encodes
+        // it, and getPath decodes both down to the same plain path
+        try new java.net.URI(p).getPath
+        catch {
+          case _: Exception =>
+            try new org.apache.hadoop.fs.Path(p).toUri.getPath
+            catch { case _: Exception => p }
+        }
       else p
     val byPath = counts.map { case (p, n) => keyOf(p) -> n }
     stats.map { case (p, s) =>
@@ -372,23 +382,35 @@ object IceTableWriter {
 
   private def fileStats(
       spark: SparkSession,
-      files: Seq[Path],
+      files: Seq[String],
       format: String
   ): Map[String, FooterStats] =
     if (files.size <= DriverFooterLimit) {
+      // resolve the session conf ONCE on the calling thread — the fork-
+      // join pool's threads may not carry the active session, and the
+      // footer opens must see the session's fs.* bindings/credentials
+      val conf = ControlFs.conf
       val out = new java.util.concurrent.ConcurrentHashMap[String, FooterStats]()
       files.asJava.parallelStream().forEach { p =>
-        out.put(p.toString, footerStats(p, format))
+        out.put(p, footerStats(p, format, conf))
       }
       out.asScala.toMap
     } else {
       val fmt = format
-      val paths = files.map(_.toString)
+      // executors rebuild the driver's Hadoop conf from its serialized
+      // entries (a bare `new Configuration()` on an executor would miss
+      // session-level fs.* bindings and object-store credentials)
+      val confEntries: Seq[(String, String)] =
+        ControlFs.conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toSeq
       import org.apache.spark.sql.{Encoders => E}
       spark
-        .createDataset(paths)(E.STRING)
-        .repartition(math.min(paths.size, 512))
-        .map(p => (p, footerStats(Paths.get(p), fmt)))(E.product[(String, FooterStats)])
+        .createDataset(files)(E.STRING)
+        .repartition(math.min(files.size, 512))
+        .mapPartitions { it =>
+          val conf = new Configuration()
+          confEntries.foreach { case (k, v) => conf.set(k, v) }
+          it.map(p => (p, footerStats(p, fmt, conf)))
+        }(E.product[(String, FooterStats)])
         .collect()
         .toMap
     }
@@ -402,14 +424,14 @@ object IceTableWriter {
     * Bounds are recorded only for columns with valid statistics in EVERY
     * row group / stripe; nested paths and raw binary are skipped.
     */
-  private[sink] def footerStats(p: Path, format: String): FooterStats = {
-    val size = Files.size(p)
-    if (format == "orc") return orcStats(p, size)
+  private[sink] def footerStats(p: String, format: String, conf: Configuration): FooterStats = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val size = hp.getFileSystem(conf).getFileStatus(hp).getLen
+    if (format == "orc") return orcStats(p, size, conf)
     if (format != "parquet") return FooterStats(-1L, size, Map.empty, Map.empty)
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new org.apache.hadoop.fs.Path(p.toString), hadoopConf)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val blocks = r.getFooter.getBlocks.asScala.toSeq
@@ -468,10 +490,10 @@ object IceTableWriter {
     * Only integer/floating/string stats are recorded (same conservative
     * class as parquet); anything else simply carries no bound.
     */
-  private[sink] def orcStats(p: Path, size: Long): FooterStats = {
+  private[sink] def orcStats(p: String, size: Long, conf: Configuration): FooterStats = {
     import org.apache.orc.{OrcFile, TypeDescription}
     val reader = OrcFile.createReader(
-      new org.apache.hadoop.fs.Path(p.toString), OrcFile.readerOptions(hadoopConf))
+      new org.apache.hadoop.fs.Path(p), OrcFile.readerOptions(conf))
     try {
       val schema = reader.getSchema
       val mins = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -507,18 +529,19 @@ object IceTableWriter {
   private def writeDeleteFiles(keysDf: DataFrame, table: IceTable): Seq[FileEntry] = {
     val meta = table.meta
     val uuid = java.util.UUID.randomUUID().toString
-    val outDir = table.dir.resolve("deletes").resolve(uuid)
+    val outDir = s"${table.dir}/deletes/$uuid"
     markStaging(outDir)
-    keysDf.write.format(meta.format).mode("append").save(outDir.toString)
+    keysDf.write.format(meta.format).mode("append").save(outDir)
     // same zero-row unstaging as writeFiles: an empty delete side stages
     // an eager empty part file that would burden every later read's
     // anti-join planning for nothing
+    val conf = ControlFs.conf
     val entries = listDataFiles(outDir, meta.format).map { p =>
-      FileEntry(p.toString, rowCount(p, meta.format), table.currentSchemaVersion,
-        bytes = Files.size(p), format = meta.format)
+      FileEntry(p, rowCount(p, meta.format, conf), table.currentSchemaVersion,
+        bytes = ControlFs.status(p).map(_.getLen).getOrElse(-1L), format = meta.format)
     }
     val (live, zeroRow) = entries.partition(_.rows != 0L)
-    zeroRow.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+    zeroRow.foreach(f => ControlFs.delete(f.path, recursive = false))
     if (live.isEmpty) clearStaging(outDir)
     live
   }
@@ -529,29 +552,36 @@ object IceTableWriter {
     * the staging grace expires, so a write job longer than the orphan
     * age cannot lose its earliest part files to a concurrent gc.
     */
-  private def markStaging(outDir: Path): Unit = {
-    Files.createDirectories(outDir)
-    try Files.createFile(outDir.resolve(IceTable.StagingMarker))
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  private def markStaging(outDir: String): Unit = {
+    // fs.create makes missing parents; create-exclusive so a marker an
+    // earlier (crashed) writer left in a colliding dir is never re-aged
+    try ControlFs.createExclusive(s"$outDir/${IceTable.StagingMarker}", "")
+    catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
     ()
   }
 
-  private def clearStaging(outDir: Path): Unit = {
-    Files.deleteIfExists(outDir.resolve(IceTable.StagingMarker))
-    ()
-  }
+  private def clearStaging(outDir: String): Unit =
+    ControlFs.delete(s"$outDir/${IceTable.StagingMarker}", recursive = false)
 
   /** The `data/<uuid>` (or `deletes/<uuid>`) staging root a committed
     * file was written under — partition fan-out nests files deeper.
+    * Works on the file's ORIGINAL (possibly scheme-ful) string so the
+    * returned root resolves on the same filesystem; the table-dir match
+    * is scheme-normalized because entries and handles can mix plain and
+    * `file:`-style spellings of the same local path.
     */
-  private[sink] def stagingRootOf(file: Path, tableDir: Path): Option[Path] = {
-    val dataRoot = tableDir.resolve("data")
-    val deletesRoot = tableDir.resolve("deletes")
-    var cur = file.getParent
-    while (cur != null && cur.getParent != null) {
-      val parent = cur.getParent
-      if (parent == dataRoot || parent == deletesRoot) return Some(cur)
-      cur = parent
+  private[sink] def stagingRootOf(file: String, tableDir: String): Option[String] = {
+    val norm = IceTable.normalizePath(file)
+    val dirNorm = IceTable.normalizePath(tableDir).stripSuffix("/")
+    val shift = file.length - norm.length // scheme prefix length delta
+    for (sub <- Seq("data", "deletes")) {
+      val prefix = s"$dirNorm/$sub/"
+      if (norm.startsWith(prefix)) {
+        val rest = norm.drop(prefix.length)
+        val uuid = rest.takeWhile(_ != '/')
+        if (uuid.nonEmpty && rest.length > uuid.length)
+          return Some(file.substring(0, prefix.length + uuid.length + shift))
+      }
     }
     None
   }
@@ -627,64 +657,59 @@ object IceTableWriter {
     )
     if (committed.isEmpty) {
       // replayed batch: the staged files will never be referenced; drop them
-      (dataFiles ++ deleteFiles).foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+      (dataFiles ++ deleteFiles).foreach(f => ControlFs.delete(f.path, recursive = false))
     }
     // committed OR replayed-and-dropped: either way the stage→publish
     // window is over — release the dirs to normal gc rules. (A publish
     // that THROWS leaves its markers: conflict-aborted rewrites keep
     // their staged files protected until the staging grace sweeps them.)
     (dataFiles ++ deleteFiles)
-      .flatMap(f => stagingRootOf(Paths.get(f.path), table.dir))
+      .flatMap(f => stagingRootOf(f.path, table.dir))
       .distinct
       .foreach(clearStaging)
     committed
   }
 
-  private def listDataFiles(dir: Path, format: String): Seq[Path] = {
-    if (!Files.isDirectory(dir)) return Nil
+  private def listDataFiles(dir: String, format: String): Seq[String] = {
     val suffix = format match {
       case "parquet" => ".parquet"
       case "orc"     => ".orc"
       case "avro"    => ".avro"
       case _         => ""
     }
-    Files
-      .walk(dir)
-      .iterator()
-      .asScala
-      .filter(p => Files.isRegularFile(p))
+    ControlFs
+      .walkPostOrder(dir)
+      .filter(_.isFile)
+      .map(_.getPath.toString)
       .filter { p =>
-        val n = p.getFileName.toString
+        val n = p.substring(p.lastIndexOf('/') + 1)
         !n.startsWith("_") && !n.startsWith(".") && (suffix.isEmpty || n.endsWith(suffix))
       }
-      .toSeq
-      .sortBy(_.toString)
+      .sorted
   }
-
-  // one shared (read-only) Hadoop conf: constructing one per file costs
-  // tens of ms of XML parsing and dominated commit time at many files
-  private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
 
   /** Exact row count from the file footer (no data read); -1 for formats
-    * without a readable footer. Shared with [[graft.table.IceTable.fsck]]
-    * (one implementation, one shared Hadoop conf — a per-file
-    * Configuration costs tens of ms of XML parsing).
+    * without a readable footer. Shared with [[graft.table.IceTable.fsck]].
+    * Callers resolve `conf` once (ControlFs.conf) and reuse it across a
+    * batch of files — a per-file Configuration costs tens of ms of XML
+    * parsing and dominated commit time at many files.
     */
-  private[graft] def rowCount(p: Path, format: String): Long = format match {
-    case "parquet" =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new org.apache.hadoop.fs.Path(p.toString), hadoopConf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount
-      finally r.close()
-    case "orc" =>
-      val r = org.apache.orc.OrcFile.createReader(
-        new org.apache.hadoop.fs.Path(p.toString),
-        org.apache.orc.OrcFile.readerOptions(hadoopConf))
-      try r.getNumberOfRows
-      finally r.close()
-    case _ => -1L
-  }
+  private[graft] def rowCount(p: String, format: String, conf: Configuration): Long =
+    format match {
+      case "parquet" =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount
+        finally r.close()
+      case "orc" =>
+        val r = org.apache.orc.OrcFile.createReader(
+          new org.apache.hadoop.fs.Path(p),
+          org.apache.orc.OrcFile.readerOptions(conf))
+        try r.getNumberOfRows
+        finally r.close()
+      case _ => -1L
+    }
 
   /** Recover `name=value` partition values from the staged hive layout.
     * Decode with Spark's own `unescapePathName` (the exact inverse of the
@@ -693,16 +718,21 @@ object IceTableWriter {
     * partition-pruning predicates against it.
     */
   private def partitionValues(
-      root: Path,
-      file: Path,
+      root: String,
+      file: String,
       transforms: Seq[graft.operators.PartitionTransform]
   ): Map[String, String] = {
     val writeToField = transforms.map(t => t.writeName -> t.fieldName).toMap
-    root
-      .relativize(file)
-      .iterator()
-      .asScala
-      .map(_.toString)
+    // scheme-normalize both sides before relativizing: the staged root is
+    // the caller's spelling, the listed file the filesystem's
+    val rootNorm = IceTable.normalizePath(root).stripSuffix("/")
+    val fileNorm = IceTable.normalizePath(file)
+    val rel =
+      if (fileNorm.startsWith(rootNorm + "/")) fileNorm.drop(rootNorm.length + 1)
+      else fileNorm
+    rel
+      .split('/')
+      .iterator
       .filter(_.contains("="))
       .flatMap { seg =>
         val Array(k, v) = seg.split("=", 2)

@@ -1,10 +1,9 @@
 package graft.table
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
-
 import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+import graft.fs.ControlFs
 
 /** One data or equality-delete file tracked by a commit.
   *
@@ -72,12 +71,29 @@ final case class Commit(
     removedPaths: Seq[String] = Nil
 )
 
-/** Append-only JSON commit log with atomic-rename commits.
+/** Append-only JSON commit log with create-exclusive commit claims on
+  * Hadoop's FileSystem layer.
   *
   * Reproduces the commit semantics the reference gets from Iceberg's
   * optimistic snapshot commit: writers race to claim `v{seq}.json`; the
   * loser reloads and retries (`data/SchemaUtils.applySchemaUpdates:85-132`
   * uses the same retry-on-conflict pattern for schema commits).
+  *
+  * The claim primitive is [[ControlFs.createExclusive]] — one create
+  * call, no rename, no hard link (the pre-r15 log published via
+  * `Files.createLink`, a POSIX hard link that does not exist on HDFS or
+  * object stores; the whole control plane now rides the same Hadoop
+  * filesystem the data files are written through, so a table on
+  * `hdfs://`/`s3a://` keeps its log next to its data instead of silently
+  * on the driver's local disk). Where the FS cannot make the claim
+  * atomic (local FS, S3A without conditional creates), a racing loser
+  * could truncate-over the winner's entry — so every claim is VERIFIED
+  * by reading it back: whoever reads back their own commitId owns the
+  * seq; anyone else retries at the next seq. A claim file that stays
+  * unparseable (writer crashed mid-create) is an ABORTED claim: readers
+  * skip it — its writer never got a success, so the batch replays —
+  * and its seq is never reused (create-exclusive fails on it forever),
+  * which keeps seq attribution stable.
   *
   * Scale notes: at 100 TB the log is metadata only (file paths + stats);
   * data files are never renamed (Iceberg-style "write once, reference by
@@ -93,67 +109,137 @@ final case class Commit(
   * directory grew one file per commit forever and every hot-path
   * listing paid O(history).
   */
-final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
-  import CommitLog.mapper
+final class CommitLog(val root: String, checkpointInterval: Int = 100) {
+  import CommitLog.{mapper, log => slog}
 
-  Files.createDirectories(root)
+  private def commitPath(seq: Long): String = f"$root/v$seq%09d.json"
+  private def ckptPath(seq: Long): String = f"$root/ckpt-v$seq%09d.json"
 
-  private def commitPath(seq: Long): Path = root.resolve(f"v$seq%09d.json")
-  private def ckptPath(seq: Long): Path = root.resolve(f"ckpt-v$seq%09d.json")
-
-  private def listNames(): Seq[String] = {
-    val listing = Files.list(root) // close explicitly: an unclosed stream
-    try listing.iterator().asScala.map(_.getFileName.toString).toSeq // leaks one fd per commit
-    finally listing.close()
-  }
+  private def listNames(): Seq[String] =
+    ControlFs.list(root).map(_.getPath.getName)
 
   private def seqOf(name: String, prefix: String): Long =
     name.stripPrefix(prefix).stripPrefix("v").stripSuffix(".json").toLong
 
-  /** Read a listed commit file, tolerating it vanishing in between: a
-    * deleted entry is by definition a zombie that its writer rolled back
-    * (see commit()'s post-link verify), which the batchId self-heal filter
-    * would drop anyway — skipping it is equivalent and race-free.
+  /** Claim files judged permanently aborted (crashed writers): only an
+    * entry BOTH unparseable and older than [[CommitLog.AbortedClaimAgeMs]]
+    * is cached — a young unparseable entry may be a writer mid-create and
+    * must be re-examined on the next read, or a racing reader could
+    * permanently hide a commit that lands milliseconds later.
     */
-  private def readCommitOpt(p: Path): Option[Commit] =
-    try Some(mapper.readValue(Files.readAllBytes(p), classOf[Commit]))
-    catch { case _: java.nio.file.NoSuchFileException => None }
+  private val knownAborted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  import CommitLog.{Aborted, Missing, Parsed, ReadResult}
+
+  /** Read one claim file, distinguishing the three states the
+    * create-exclusive protocol can leave it in: parseable (committed),
+    * missing (rolled back or swept — the caller's re-list logic owns
+    * it), or present-but-unparseable. The last is EITHER a writer mid
+    * create (the content lands within milliseconds) or a crashed
+    * writer's permanent leavings — retried with a short backoff to
+    * cover the in-flight window, then treated as an aborted claim and
+    * skipped: its writer never observed success, so the batch replays
+    * under a later seq. The aborted judgment is only CACHED once the
+    * file is old enough that no live writer can still be filling it.
+    */
+  private def readCommitRes(p: String, retries: Int = 4): ReadResult = {
+    if (knownAborted.contains(p)) return Aborted
+    var i = 0
+    while (true) {
+      ControlFs.readSmallBytes(p) match {
+        case None => return Missing
+        case Some(bytes) =>
+          try return Parsed(mapper.readValue(bytes, classOf[Commit]))
+          catch {
+            case _: java.io.IOException | _: RuntimeException =>
+              if (i >= retries) {
+                val old = ControlFs.status(p)
+                  .forall(_.getModificationTime <
+                    System.currentTimeMillis() - CommitLog.AbortedClaimAgeMs)
+                if (old) {
+                  knownAborted.add(p)
+                  slog.warn(s"CommitLog at $root: claim $p is unparseable and " +
+                    "past the writer-liveness window — treating as an aborted " +
+                    "(crashed) commit claim; its batch will have replayed " +
+                    "under a later seq")
+                }
+                return Aborted
+              }
+              i += 1
+              Thread.sleep(10L << i) // 20/40/80/160 ms — covers a create in flight
+          }
+      }
+    }
+    Missing // unreachable
+  }
+
+  private def readCommitOpt(p: String): Option[Commit] =
+    readCommitRes(p) match {
+      case Parsed(c) => Some(c)
+      case _         => None
+    }
 
   def commits(): Seq[Commit] = commitsAttempt(retries = 3)
 
   private def commitsAttempt(retries: Int): Seq[Commit] = {
-    if (!Files.isDirectory(root)) return Nil
     val names = listNames()
-    val lastCkpt = names.filter(_.matches("ckpt-v\\d+\\.json")).sorted.lastOption
-    val base: Seq[Commit] = lastCkpt match {
-      case None => Nil
-      case Some(n) =>
-        // a checkpoint two generations old can be swept under a stale
-        // listing (see checkpoint()'s retention sweep) — re-list like a
-        // vanished tail file; the fresh listing's newer checkpoint
-        // covers everything this one did
-        try mapper
-          .readValue(Files.readAllBytes(root.resolve(n)), classOf[Array[Commit]])
-          .toSeq
-        catch {
-          case _: java.nio.file.NoSuchFileException if retries > 0 =>
-            return commitsAttempt(retries - 1)
-        }
+    if (names.isEmpty) return Nil
+    // newest PARSEABLE checkpoint wins; an aborted (crashed-mid-create)
+    // checkpoint never swept anything — the writer sweeps only after
+    // verifying its own checkpoint parses — so falling back one
+    // generation always finds every pruned entry covered
+    val ckptNames = names.filter(_.matches("ckpt-v\\d+\\.json")).sorted.reverse
+    var base: Seq[Commit] = Nil
+    var from = 0L
+    var picked = false
+    var vanishedCkpt = false
+    val it = ckptNames.iterator
+    while (!picked && it.hasNext) {
+      val n = it.next()
+      ControlFs.readSmallBytes(s"$root/$n") match {
+        case None =>
+          // swept under a stale listing (see checkpoint()'s retention
+          // sweep) — re-list; the fresh listing's newer checkpoint
+          // covers everything this one did
+          vanishedCkpt = true
+          picked = true
+        case Some(bytes) =>
+          try {
+            base = mapper.readValue(bytes, classOf[Array[Commit]]).toSeq
+            from = seqOf(n, "ckpt-")
+            picked = true
+          } catch {
+            case _: java.io.IOException | _: RuntimeException =>
+              () // aborted checkpoint — fall back to the next older one
+          }
+      }
     }
-    val from = lastCkpt.map(seqOf(_, "ckpt-")).getOrElse(0L)
+    if (vanishedCkpt) {
+      if (retries > 0) return commitsAttempt(retries - 1)
+      throw new IllegalStateException(
+        s"CommitLog at $root: checkpoints kept vanishing between listing and read")
+    }
     val tailNames = names
       .filter(_.matches("v\\d+\\.json"))
       .filter(seqOf(_, "") > from)
       .sorted
-    val tail = tailNames.flatMap(n => readCommitOpt(root.resolve(n)))
-    // A vanished tail file is EITHER a zombie its writer rolled back
+    var vanished = 0
+    val tail = tailNames.flatMap { n =>
+      readCommitRes(s"$root/$n") match {
+        case Parsed(c) => Some(c)
+        case Aborted   => None // crashed claim — skip, seq stays burned
+        case Missing   => vanished += 1; None
+      }
+    }
+    // A VANISHED tail file is EITHER a zombie its writer rolled back
     // (skipping is correct — the batchId filter below would drop it) OR
-    // an entry pruned by a checkpoint that linked after our listing (the
+    // an entry pruned by a checkpoint that landed after our listing (the
     // retention sweep only deletes entries a NEWER checkpoint covers).
     // The two are indistinguishable here, so when anything vanished,
     // re-list: a fresh listing's checkpoint covers every pruned seq, and
     // the zombie case merely pays one extra listing on a rare path.
-    if (tail.size != tailNames.size) {
+    if (vanished > 0) {
       if (retries > 0) return commitsAttempt(retries - 1)
       // Retries exhausted: each attempt re-lists from scratch, so a
       // once-rolled-back zombie cannot vanish twice — reaching here means
@@ -169,8 +255,8 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
     }
     // Replay-artifact self-heal: batch ids commit in strictly increasing
     // order, so a LATER entry whose batchId does not exceed the running
-    // max is a zombie's duplicate that crashed between link and rollback
-    // (see commit()'s post-link verify) — readers drop it, and the next
+    // max is a zombie's duplicate that crashed between claim and rollback
+    // (see commit()'s post-claim verify) — readers drop it, and the next
     // checkpoint consolidation erases it for good.
     var maxBatch = Long.MinValue
     (base ++ tail).filter { c =>
@@ -182,7 +268,6 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
 
   /** Highest claimed seq, from directory names only (no file reads). */
   def lastSeq(): Long = {
-    if (!Files.isDirectory(root)) return 0L
     val seqs = listNames().filter(_.matches("v\\d+\\.json")).map(seqOf(_, ""))
     if (seqs.isEmpty) 0L else seqs.max
   }
@@ -200,13 +285,13 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
   /** Replay fence: batch ids are committed in order, so normally only
     * the LAST entry needs reading (one file, not the log). The fast path
     * is guarded against a zombie tail — a crashed duplicate of an OLDER
-    * batch linked above the real head would understate the fence and let
+    * batch claimed above the real head would understate the fence and let
     * the NEXT batch's replay double-commit — by checking one step of
     * batch-id monotonicity against the previous entry and falling back
     * to the filtered log when it is violated. (Residual assumption: two
     * or more DISTINCT-batch zombies stacked in increasing batch order
     * would still fool the fast path; that needs two different replayed
-    * batches both crashing between link and rollback at the head, which
+    * batches both crashing between claim and rollback at the head, which
     * the single-coordinator deployment cannot produce.)
     */
   def lastBatchId(): Option[Long] = lastBatchIdFrom(
@@ -222,8 +307,9 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
               .forall(p => p.batchId < 0 || p.batchId <= c.batchId)
           if (monotone) Some(c.batchId)
           else commits().filter(_.batchId >= 0).lastOption.map(_.batchId)
-        // batchId < 0, or the last entry was a zombie rolled back between
-        // the directory listing and the read — fall back to the full log
+        // batchId < 0, an aborted claim, or the last entry was a zombie
+        // rolled back between the directory listing and the read — fall
+        // back to the full (self-healing) log
         case _ => commits().filter(_.batchId >= 0).lastOption.map(_.batchId)
       }
   }
@@ -232,7 +318,7 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
     * (exactly-once replay guard, K8). `build` receives the claimed seq and
     * runs once per attempt — it may throw [[CommitConflictException]] to
     * abort the commit (optimistic conflict validation, e.g. a rewrite
-    * detecting a concurrent delete); nothing is linked in that case.
+    * detecting a concurrent delete); nothing is claimed in that case.
     */
   def commit(batchId: Long, build: Long => Commit, maxRetries: Int = 10): Option[Commit] = {
     var attempt = 0
@@ -241,14 +327,29 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
       // ONE directory listing per attempt, shared by the fence snapshot,
       // the replay guard, and the seq claim (three separate listings here
       // made the hot path O(3·entries) per commit). Any same-batch
-      // duplicate linked after this snapshot has seq > fenceSeq, so the
-      // post-link verify's (fenceSeq, seq) window provably contains it;
-      // one linked at or before fenceSeq is visible to the lastBatchId
+      // duplicate claimed after this snapshot has seq > fenceSeq, so the
+      // post-claim verify's (fenceSeq, seq) window provably contains it;
+      // one claimed at or before fenceSeq is visible to the lastBatchId
       // fence (batch ids commit in increasing order). A racer claiming
-      // fenceSeq+1 first just fails our createLink below — retry.
+      // fenceSeq+1 first just fails our create-exclusive below — retry.
       val seqs = listNames().filter(_.matches("v\\d+\\.json")).map(seqOf(_, "")).sorted
       val fenceSeq = if (seqs.isEmpty) 0L else seqs.last
       if (batchId >= 0 && lastBatchIdFrom(seqs).exists(batchId <= _)) return None
+      // Newest CONFIRMED (parseable) claim at snapshot time: claims above
+      // it are in-flight or aborted and their batchIds were NOT visible
+      // to the replay fence — the post-claim verify below must re-examine
+      // exactly (confirmedSeq, seq), or a same-batch racer whose content
+      // had not landed when we read the fence could double-commit. (With
+      // the pre-r15 hard-link publish a listed entry was always complete,
+      // so the raw fence sufficed; create-then-write visibility is what
+      // widens the window.)
+      val confirmedSeq =
+        if (batchId < 0) fenceSeq
+        else seqs.reverseIterator.find(s =>
+          readCommitRes(commitPath(s)) match {
+            case Parsed(_) => true
+            case _         => false
+          }).getOrElse(0L)
       val seq = fenceSeq + 1
       // K7 defensive file-level dedup (channel/Deduplicated.java:79-148):
       // a replayed envelope can list the same staged file twice; enforced
@@ -258,31 +359,39 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
       val entry = built.copy(
         dataFiles = built.dataFiles.distinctBy(_.path),
         deleteFiles = built.deleteFiles.distinctBy(_.path))
-      val tmp = root.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, mapper.writeValueAsBytes(entry))
-      // publish via hard link: atomic full-content claim that FAILS if the
-      // seq is taken (ATOMIC_MOVE silently replaces an existing target on
-      // POSIX — it would lose concurrent commits)
-      try {
-        Files.createLink(commitPath(seq), tmp)
-        Files.deleteIfExists(tmp)
-        // Post-link zombie verify (K8): if another writer committed this
-        // batchId first, its seq is LOWER than ours (lower seq wins, we
-        // roll back) and lies in (fenceSeq, seq) — reading JUST that
-        // window (O(concurrent writers) direct file reads) replaces the
-        // previous full commits() scan, which paid a checkpoint + tail
-        // deserialization on every hot-path commit.
-        val dup = batchId >= 0 && ((fenceSeq + 1) until seq).exists(s =>
-          readCommitOpt(commitPath(s)).exists(_.batchId == batchId))
-        if (dup) {
-          Files.deleteIfExists(commitPath(seq))
-          return None
+      val bytes = mapper.writeValueAsBytes(entry)
+      val path = commitPath(seq)
+      // publish via create-exclusive claim — atomic where the FS can
+      // (HDFS, conditional-create object stores); where it can't, the
+      // read-back verify below arbitrates: whoever reads their own
+      // commitId out of the file owns the seq
+      val claimed =
+        try { ControlFs.createExclusive(path, bytes); true }
+        catch { // lost the race; reload and retry (any other IOException
+          //       is a real FS failure and propagates)
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         }
-        if (checkpointInterval > 0 && seq % checkpointInterval == 0) checkpoint(seq)
-        return Some(entry)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp) // lost the race; reload and retry
+      if (claimed) {
+        val ownsSeq = readCommitRes(path) match {
+          case Parsed(c) => c.commitId == entry.commitId
+          case _         => false // truncated-over by a racer mid-write
+        }
+        if (ownsSeq) {
+          // Post-claim zombie verify (K8): if another writer committed
+          // this batchId first, its seq is LOWER than ours (lower seq
+          // wins, we roll back) and lies in (confirmedSeq, seq) — reading
+          // JUST that window (O(concurrent writers) direct file reads)
+          // replaces a full commits() scan, which paid a checkpoint +
+          // tail deserialization on every hot-path commit.
+          val dup = batchId >= 0 && ((confirmedSeq + 1) until seq).exists(s =>
+            readCommitOpt(commitPath(s)).exists(_.batchId == batchId))
+          if (dup) {
+            ControlFs.delete(path, recursive = false)
+            return None
+          }
+          if (checkpointInterval > 0 && seq % checkpointInterval == 0) checkpoint(seq)
+          return Some(entry)
+        }
       }
     }
     throw new IllegalStateException(s"commit conflict not resolved after $maxRetries attempts")
@@ -291,42 +400,47 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
   /** Consolidate commits 1..seq into one checkpoint file (idempotent —
     * losing a race to another writer's identical checkpoint is fine),
     * then run the retention sweep: crashed writers' `.tmp-*` leftovers
-    * older than [[CommitLog.TmpSweepAgeMs]] (nothing else ever removes
-    * them), and entry files at least TWO checkpoint intervals below this
-    * checkpoint. Without the entry sweep the directory grows one file
-    * per commit forever and every listing on the hot path pays O(N);
-    * the data is fully covered by this checkpoint, so time travel and
-    * audit reads are unaffected (`commits()` reads checkpoint + tail).
-    * Two intervals of slack keep every tail file a reader with the
-    * PREVIOUS checkpoint in hand can reference; a reader with an even
-    * staler listing re-lists via commits()' vanished-tail retry.
+    * from pre-r15 logs older than [[CommitLog.TmpSweepAgeMs]] (nothing
+    * else ever removes them), and entry files at least TWO checkpoint
+    * intervals below this checkpoint. Without the entry sweep the
+    * directory grows one file per commit forever and every listing on
+    * the hot path pays O(N); the data is fully covered by this
+    * checkpoint, so time travel and audit reads are unaffected
+    * (`commits()` reads checkpoint + tail). Two intervals of slack keep
+    * every tail file a reader with the PREVIOUS checkpoint in hand can
+    * reference; a reader with an even staler listing re-lists via
+    * commits()' vanished-tail retry.
+    *
+    * The sweep runs ONLY after the checkpoint at `seq` reads back
+    * parseable — a claim garbled by a crash or a local-FS race must
+    * never prune the entries it failed to cover (readers fall back to
+    * the previous checkpoint generation, whose tail must stay whole).
     */
   private def checkpoint(seq: Long): Unit = {
     val upTo = commits().filter(_.seq <= seq)
-    val tmp = root.resolve(s".tmp-ckpt-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, mapper.writeValueAsBytes(upTo))
-    try {
-      Files.createLink(ckptPath(seq), tmp)
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => ()
-    } finally {
-      Files.deleteIfExists(tmp)
-      ()
+    try ControlFs.createExclusive(ckptPath(seq), mapper.writeValueAsBytes(upTo))
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      case _: java.io.IOException => ()
     }
+    val readable = ControlFs.readSmallBytes(ckptPath(seq)).exists { bytes =>
+      try { mapper.readValue(bytes, classOf[Array[Commit]]); true }
+      catch { case _: java.io.IOException | _: RuntimeException => false }
+    }
+    if (!readable) return
     val cutoff = System.currentTimeMillis() - CommitLog.TmpSweepAgeMs
     val pruneBelow = seq - 2L * checkpointInterval
-    listNames().foreach { n =>
+    ControlFs.list(root).foreach { st =>
+      val n = st.getPath.getName
       if (n.startsWith(".tmp-")) {
-        val p = root.resolve(n)
-        try {
-          if (Files.getLastModifiedTime(p).toMillis <= cutoff) Files.deleteIfExists(p)
-        } catch { case _: java.nio.file.NoSuchFileException => () }
+        if (st.getModificationTime <= cutoff)
+          ControlFs.delete(st.getPath.toString, recursive = false)
       } else if (n.matches("v\\d+\\.json") && seqOf(n, "") <= pruneBelow) {
-        Files.deleteIfExists(root.resolve(n))
+        ControlFs.delete(st.getPath.toString, recursive = false)
       } else if (n.matches("ckpt-v\\d+\\.json") && seqOf(n, "ckpt-") <= pruneBelow) {
         // superseded checkpoints below the same horizon go too — only
         // the newest two generations are ever read
-        Files.deleteIfExists(root.resolve(n))
+        ControlFs.delete(st.getPath.toString, recursive = false)
       }
     }
     ()
@@ -336,15 +450,34 @@ final class CommitLog(val root: Path, checkpointInterval: Int = 100) {
 /** Thrown by a commit builder to abort an optimistic commit whose
   * plan-time assumptions a concurrent commit invalidated (Iceberg's
   * ValidationException-on-conflict analogue). The claimed seq is NOT
-  * linked; the caller re-plans and retries.
+  * published; the caller re-plans and retries.
   */
 final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
 object CommitLog {
-  /** Age before a crashed writer's `.tmp-*` file is swept by the next
+  /** Age before a pre-r15 writer's `.tmp-*` file is swept by the next
     * checkpoint — far above any live writer's write→link window
-    * (milliseconds), so only genuine leftovers qualify. */
+    * (milliseconds), so only genuine leftovers qualify. The r15+ claim
+    * protocol writes no tmp files; the sweep arm remains for logs
+    * migrated from the hard-link era. */
   private[table] val TmpSweepAgeMs: Long = 60L * 60 * 1000
+
+  /** Age past which an unparseable claim file is judged a crashed
+    * writer's permanent leavings (and the judgment cached): a live
+    * writer fills its claim within milliseconds of creating it, so a
+    * minute of slack is orders of magnitude above any real
+    * create→write window while keeping genuinely aborted claims from
+    * costing the parse-retry backoff on every read forever.
+    */
+  private[table] val AbortedClaimAgeMs: Long = 60L * 1000
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[CommitLog])
+
+  /** Tri-state read of a claim file (see [[CommitLog]]'s protocol notes). */
+  private[table] sealed trait ReadResult
+  private[table] final case class Parsed(c: Commit) extends ReadResult
+  private[table] case object Missing extends ReadResult
+  private[table] case object Aborted extends ReadResult
 
   private[table] val mapper: ObjectMapper = {
     val m = new ObjectMapper()
@@ -353,5 +486,5 @@ object CommitLog {
     m
   }
 
-  def apply(dir: String): CommitLog = new CommitLog(Paths.get(dir))
+  def apply(dir: String): CommitLog = new CommitLog(dir)
 }

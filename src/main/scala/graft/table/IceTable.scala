@@ -1,11 +1,12 @@
 package graft.table
 
-import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.fs.ControlFs
 
 /** Predicate helpers over per-file column bounds (Iceberg
   * lower/upper-bound pruning analogue): conservative — a file without
@@ -88,7 +89,11 @@ final case class TableMeta(
   * anti-join.
   */
 final class IceTable private[table] (
-    val dir: Path,
+    /** table root — a Hadoop-resolvable path/URI string (plain local
+      * path, `file:`, `hdfs://`, `s3a://`, …); every control-plane op
+      * resolves it through [[ControlFs]], the same filesystem layer the
+      * data files are written through */
+    val dir: String,
     val branch: String,
     /** write-time property overlay (`iceberg.table.write-props.*`) — merged
       * over the table's own properties, never persisted (Utilities.java:160
@@ -96,7 +101,7 @@ final class IceTable private[table] (
     writeOverlay: Map[String, String] = Map.empty
 ) {
 
-  val log = new CommitLog(dir.resolve("_commits").resolve(branch))
+  val log = new CommitLog(s"$dir/_commits/$branch")
 
   /** mtime-validated cache for [[rawMeta]]: a scan otherwise reads and
     * parses table.json several times (data-side readAligned, delete-side
@@ -107,16 +112,20 @@ final class IceTable private[table] (
     * events, and every load-bearing decision re-reads via the commit
     * log, so the window is harmless.)
     */
-  @volatile private var metaCache: (java.nio.file.attribute.FileTime, TableMeta) = null
+  @volatile private var metaCache: (Long, TableMeta) = null
 
   /** Persisted table metadata, no write-time overlay applied. */
   private def rawMeta: TableMeta = {
-    val p = dir.resolve("table.json")
-    val mt = Files.getLastModifiedTime(p)
+    val p = s"$dir/table.json"
+    val st = ControlFs.status(p).getOrElse(
+      throw new java.io.FileNotFoundException(s"not an IceTable: $p missing"))
+    val mt = st.getModificationTime
     val c = metaCache
     if (c != null && c._1 == mt) c._2
     else {
-      val m = CommitLog.mapper.readValue(Files.readAllBytes(p), classOf[TableMeta])
+      val bytes = ControlFs.readSmallBytes(p).getOrElse(
+        throw new java.io.FileNotFoundException(p))
+      val m = CommitLog.mapper.readValue(bytes, classOf[TableMeta])
       metaCache = (mt, m)
       m
     }
@@ -143,10 +152,10 @@ final class IceTable private[table] (
 
   // ---- schema versions ------------------------------------------------
 
-  private def schemaDir: Path = dir.resolve("_schemas")
+  private def schemaDir: String = s"$dir/_schemas"
 
-  /** Parsed-schema cache: version files are immutable once linked, so a
-    * version only ever needs one read+parse per table handle — a scan
+  /** Parsed-schema cache: version files are immutable once published, so
+    * a version only ever needs one read+parse per table handle — a scan
     * over k version groups otherwise re-parses the same JSON O(k²) times.
     * The directory is still listed each call (cheap) so concurrently
     * committed versions are picked up.
@@ -154,21 +163,22 @@ final class IceTable private[table] (
   @volatile private var schemaCache: Map[Int, StructType] = Map.empty
 
   def schemaVersions: Seq[(Int, StructType)] = {
-    val listing = Files.list(schemaDir)
-    val versions =
-      try listing
-        .iterator()
-        .asScala
-        .map(_.getFileName.toString)
-        .filter(_.matches("v\\d+\\.json"))
-        .map(_.stripPrefix("v").stripSuffix(".json").toInt)
-        .toSeq
-      finally listing.close()
+    val versions = ControlFs.list(schemaDir)
+      .map(_.getPath.getName)
+      .filter(_.matches("v\\d+\\.json"))
+      .map(_.stripPrefix("v").stripSuffix(".json").toInt)
     val cached = schemaCache
-    val parsed = versions.map { v =>
-      v -> cached.getOrElse(v,
-        DataType.fromJson(new String(
-          Files.readAllBytes(schemaDir.resolve(s"v$v.json")), "UTF-8")).asInstanceOf[StructType])
+    // an unparseable version file is a crashed evolveTo's aborted claim
+    // (see evolveTo — its number stays burned, never reused): skip it;
+    // file entries stamped with a skipped version fall back to the
+    // current schema via schemaAt's getOrElse
+    val parsed = versions.flatMap { v =>
+      cached.get(v).map(v -> _).orElse {
+        ControlFs.readSmall(s"$schemaDir/v$v.json").flatMap { json =>
+          try Some(v -> DataType.fromJson(json).asInstanceOf[StructType])
+          catch { case _: Exception => None }
+        }
+      }
     }.toMap
     if (parsed.size != cached.size) schemaCache = parsed
     // sort by the PARSED version: a name sort puts v10 before v2 and
@@ -181,9 +191,11 @@ final class IceTable private[table] (
   def schemaAt(version: Int): StructType =
     schemaVersions.find(_._1 == version).map(_._2).getOrElse(schema)
 
-  /** Commit a new schema version (E2). Atomic-rename; idempotent: if a
-    * concurrent writer already committed an identical schema, reuse it.
-    * Mirrors `SchemaUtils.applySchemaUpdates` retry (`data/SchemaUtils.java:85-132`).
+  /** Commit a new schema version (E2). Create-exclusive claim on the
+    * Hadoop FS layer with read-back arbitration (same protocol as
+    * [[CommitLog.commit]]); idempotent: if a concurrent writer already
+    * committed an identical schema, reuse it. Mirrors
+    * `SchemaUtils.applySchemaUpdates` retry (`data/SchemaUtils.java:85-132`).
     */
   def evolveTo(newSchema0: StructType, maxRetries: Int = 3): Int = {
     val newSchema =
@@ -194,18 +206,18 @@ final class IceTable private[table] (
       val (lastV, lastS) = schemaVersions.last
       if (lastS == newSchema) return lastV
       val v = lastV + 1
-      val tmp = schemaDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, newSchema.json.getBytes("UTF-8"))
-      try {
-        // create-exclusive publish (see CommitLog: ATOMIC_MOVE replaces)
-        Files.createLink(schemaDir.resolve(s"v$v.json"), tmp)
-        Files.deleteIfExists(tmp)
-        return v
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-          if (attempt >= maxRetries) throw new IllegalStateException("schema commit conflict")
-      }
+      val path = s"$schemaDir/v$v.json"
+      val content = newSchema.json
+      val claimed =
+        try { ControlFs.createExclusive(path, content); true }
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      // read-back arbitration where create(overwrite=false) is
+      // check-then-act: the version is ours only if it reads back as
+      // ours; a racer's content (or a garbled mix — which
+      // schemaVersions skips and whose number stays burned) sends us
+      // around the loop to claim the next number
+      if (claimed && ControlFs.readSmall(path).contains(content)) return v
+      if (attempt >= maxRetries) throw new IllegalStateException("schema commit conflict")
     }
     -1 // unreachable
   }
@@ -542,7 +554,8 @@ final class IceTable private[table] (
         ))
       )
       val withSeq = df
-        .withColumn("__graft_file", regexp_replace(input_file_name(), "^file:/+", "/"))
+        .withColumn("__graft_file",
+          regexp_replace(input_file_name(), IceTable.SchemePrefixRegex, "/"))
         .join(broadcast(seqDf), Seq("__graft_file"))
         .drop("__graft_file")
       // align to target schema — the coercion kernel, not a bare cast:
@@ -930,27 +943,35 @@ final class IceTable private[table] (
     // huge file counts, run fsck per-branch/partition subset; the check
     // itself stays metadata-only either way)
     val problemList = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    // resolve the FS once on the caller thread: the pool threads inside
+    // parallelStream may not carry the active Spark session, and
+    // ControlFs.conf would then miss the session's fs.* bindings
+    val fsckConf = ControlFs.conf
     entries.asJava.parallelStream().forEach { case (f, seq, kind) =>
-      val p = Paths.get(IceTable.normalizePath(f.path))
-      if (!Files.exists(p))
-        problemList.add(Row(f.path, seq, kind, "missing", "file not found"))
-      else {
-        val sz = Files.size(p)
-        // entries predating per-file formats ("") resolve to the table's
-        // persisted format — same rule as every reader — so legacy
-        // parquet/ORC entries get their footers verified too
-        val fmt = if (f.format.nonEmpty) f.format else legacyFsckFmt
-        if (f.bytes >= 0 && sz != f.bytes)
-          problemList.add(Row(f.path, seq, kind, "size-mismatch",
-            s"recorded ${f.bytes} bytes, found $sz"))
-        else if (f.rows >= 0 && (fmt == "parquet" || fmt == "orc")) {
-          val actual =
-            try graft.sink.IceTableWriter.rowCount(p, fmt)
-            catch { case _: Exception => -1L }
-          if (actual != f.rows)
-            problemList.add(Row(f.path, seq, kind, "row-mismatch",
-              s"recorded ${f.rows} rows, footer has $actual"))
-        }
+      val hp = new org.apache.hadoop.fs.Path(f.path)
+      val st =
+        try Some(hp.getFileSystem(fsckConf).getFileStatus(hp))
+        catch { case _: java.io.FileNotFoundException => None }
+      st match {
+        case None =>
+          problemList.add(Row(f.path, seq, kind, "missing", "file not found"))
+        case Some(status) =>
+          val sz = status.getLen
+          // entries predating per-file formats ("") resolve to the table's
+          // persisted format — same rule as every reader — so legacy
+          // parquet/ORC entries get their footers verified too
+          val fmt = if (f.format.nonEmpty) f.format else legacyFsckFmt
+          if (f.bytes >= 0 && sz != f.bytes)
+            problemList.add(Row(f.path, seq, kind, "size-mismatch",
+              s"recorded ${f.bytes} bytes, found $sz"))
+          else if (f.rows >= 0 && (fmt == "parquet" || fmt == "orc")) {
+            val actual =
+              try graft.sink.IceTableWriter.rowCount(f.path, fmt, fsckConf)
+              catch { case _: Exception => -1L }
+            if (actual != f.rows)
+              problemList.add(Row(f.path, seq, kind, "row-mismatch",
+                s"recorded ${f.rows} rows, footer has $actual"))
+          }
       }
     }
     val problems = problemList.asScala.toSeq
@@ -991,17 +1012,9 @@ final class IceTable private[table] (
     val now = System.currentTimeMillis()
     val cutoff = now - olderThanMs
     val stagingCutoff = now - stagingGraceMs
-    val branchDirs = {
-      val root = dir.resolve("_commits")
-      if (!Files.isDirectory(root)) Nil
-      else {
-        val listing = Files.list(root)
-        try listing.iterator().asScala.filter(Files.isDirectory(_)).toSeq
-        finally listing.close()
-      }
-    }
+    val branchDirs = ControlFs.list(s"$dir/_commits").filter(_.isDirectory)
     val live = branchDirs.flatMap { bd =>
-      val commits = new CommitLog(bd).commits()
+      val commits = new CommitLog(bd.getPath.toString).commits()
       val lastRewrite = commits.lastIndexWhere(_.props.get("compaction").contains("true"))
       val active = if (lastRewrite >= 0) commits.drop(lastRewrite) else commits
       // bin-pack-superseded files stay: commits below the rewrite can
@@ -1012,35 +1025,28 @@ final class IceTable private[table] (
     }.toSet
     var removed = 0
     for (sub <- Seq("data", "deletes")) {
-      val root = dir.resolve(sub)
-      if (Files.isDirectory(root)) {
-        // staging roots whose marker is still inside the grace window: a
-        // writer is (or may be) mid stage→publish — skip every entry
-        // under them, including empty partition subdirs it is filling
-        val protectedRoots: Set[Path] = {
-          val listing = Files.list(root)
-          val dirs =
-            try listing.iterator().asScala.filter(Files.isDirectory(_)).toSeq
-            finally listing.close()
-          dirs.filter { d =>
-            val m = d.resolve(IceTable.StagingMarker)
-            Files.exists(m) && Files.getLastModifiedTime(m).toMillis > stagingCutoff
-          }.toSet
+      val root = s"$dir/$sub"
+      // staging roots whose marker is still inside the grace window: a
+      // writer is (or may be) mid stage→publish — skip every entry
+      // under them, including empty partition subdirs it is filling
+      val protectedRoots: Set[String] = ControlFs.list(root)
+        .filter(_.isDirectory)
+        .filter { d =>
+          ControlFs.status(s"${d.getPath}/${IceTable.StagingMarker}")
+            .exists(_.getModificationTime > stagingCutoff)
         }
-        val walk = Files.walk(root)
-        val entries = try walk.iterator().asScala.toSeq.reverse finally walk.close()
-        entries.foreach { p =>
-          if (protectedRoots.exists(p.startsWith(_))) ()
-          else if (Files.isRegularFile(p) && !live.contains(IceTable.normalizePath(p.toString)) &&
-              Files.getLastModifiedTime(p).toMillis <= cutoff) {
-            Files.delete(p)
-            removed += 1
-          } else if (Files.isDirectory(p) && {
-              val listing = Files.list(p)
-              try !listing.iterator().hasNext finally listing.close()
-            }) {
-            Files.delete(p)
-          }
+        .map(d => IceTable.normalizePath(d.getPath.toString))
+        .toSet
+      // post-order walk: files (and emptied subdirs) before their parent
+      ControlFs.walkPostOrder(root).foreach { st =>
+        val p = st.getPath.toString
+        val norm = IceTable.normalizePath(p)
+        if (protectedRoots.exists(r => norm == r || norm.startsWith(r + "/"))) ()
+        else if (st.isFile && !live.contains(norm) && st.getModificationTime <= cutoff) {
+          ControlFs.delete(p, recursive = false)
+          removed += 1
+        } else if (st.isDirectory && ControlFs.list(p).isEmpty) {
+          ControlFs.delete(p, recursive = false)
         }
       }
     }
@@ -1088,16 +1094,27 @@ object IceTable {
     else if (f.rows >= 0) f.rows * EstimatedDeleteRowBytes
     else UnknownDeleteFileBytes
 
-  private[graft] def normalizePath(p: String): String =
-    p.replaceFirst("^file:/+", "/")
+  /** `input_file_name()` form → metadata form: strip any URI scheme
+    * (and its slashes) down to one leading slash, so `file:///x`,
+    * `file:/x`, `graftfs:/x`, and a plain `/x` all key identically.
+    * (An authority, when present — `hdfs://nn:8020/x` — survives as a
+    * path segment on BOTH sides, so the keys still agree.)
+    */
+  private[table] val SchemePrefixRegex = "^[a-zA-Z][a-zA-Z0-9+.-]*:/+"
 
-  def exists(dir: String): Boolean = Files.exists(Paths.get(dir, "table.json"))
+  private[graft] def normalizePath(p: String): String =
+    p.replaceFirst(SchemePrefixRegex, "/")
+
+  def exists(dir: String): Boolean = ControlFs.exists(s"$dir/table.json")
 
   def load(dir: String, branch: String = "main"): IceTable =
-    new IceTable(Paths.get(dir), branch)
+    new IceTable(dir.stripSuffix("/"), branch)
 
   /** Create a table (race-safe load-or-create, mirroring the reference's
     * auto-create retry, `data/IcebergWriterFactory.autoCreateTable:69-117`).
+    * All control files publish via create-exclusive claims on the Hadoop
+    * FS layer; the loser of a concurrent create simply loads the winner's
+    * table.json / v1 schema.
     */
   def create(
       dir: String,
@@ -1107,23 +1124,13 @@ object IceTable {
   ): IceTable = {
     val schema =
       graft.schema.SchemaEvolution.deepNullable(schema0).asInstanceOf[StructType]
-    val d = Paths.get(dir)
-    Files.createDirectories(d)
-    Files.createDirectories(d.resolve("_schemas"))
-    val tmp = d.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, CommitLog.mapper.writeValueAsBytes(meta))
-    try { Files.createLink(d.resolve("table.json"), tmp); Files.deleteIfExists(tmp) }
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
-    }
-    val t = load(dir, branch)
+    val d = dir.stripSuffix("/")
+    try ControlFs.createExclusive(s"$d/table.json", CommitLog.mapper.writeValueAsBytes(meta))
+    catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
+    val t = load(d, branch)
     if (t.schemaVersions.isEmpty) {
-      val stmp = d.resolve("_schemas").resolve(s".tmp-${java.util.UUID.randomUUID()}")
-      Files.write(stmp, schema.json.getBytes("UTF-8"))
-      try { Files.createLink(d.resolve("_schemas").resolve("v1.json"), stmp); Files.deleteIfExists(stmp) }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(stmp)
-      }
+      try ControlFs.createExclusive(s"$d/_schemas/v1.json", schema.json)
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
     }
     t
   }

@@ -73,11 +73,11 @@ object Maintenance {
     // a no-op, like auto's pre-threshold arm — not a crash. The existence
     // probe goes through HADOOP's filesystem layer, like the whole IVF
     // control plane since r14 (IvfIndex resolves activeDir through
-    // IndexFs): an index on the cluster default FS (hdfs://, s3a://)
+    // ControlFs): an index on the cluster default FS (hdfs://, s3a://)
     // resolves to nothing on the driver's LOCAL disk, and a java.nio
     // gate would no-op autoIndex forever on exactly the deployments it
     // targets.
-    if (!graft.llm.IndexFs.exists(s"$adirBefore/centroids.parquet"))
+    if (!graft.fs.ControlFs.exists(s"$adirBefore/centroids.parquet"))
       return IndexDecision(0L, 0L, rebalanced = false)
     val before = spark.read.parquet(s"$adirBefore/centroids.parquet").count()
     val after = graft.llm.IvfIndex.rebalance(spark, dir, targetCellRows, kmeansIters)

@@ -515,7 +515,7 @@ object ScaleProbe {
   private def logHistProbe(ns: Seq[Int]): Unit = {
     val results = ns.map { n =>
       val dir = tmpDir(s"loghist$n")
-      val log = new graft.table.CommitLog(java.nio.file.Paths.get(dir))
+      val log = new graft.table.CommitLog(dir)
       var i = 0
       while (i < n - 100) {
         log.commit(i.toLong, s => graft.table.Commit(s, i.toLong, s"c$i", 0L, 1)); i += 1

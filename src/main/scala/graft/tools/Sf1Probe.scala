@@ -133,6 +133,9 @@ object Sf1Probe {
       println("generating sf1 …")
       generate(spark, src, dst)
     }
+    // `--generate-only`: scripts/sf1_verify.sh materializes the dataset
+    // and runs graft.Verify itself — no timing sweep wanted
+    if (args.sameElements(Array("--generate-only"))) { spark.stop(); return }
     val names = if (args.nonEmpty) args.toSeq else Default
     def dropPinned(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

@@ -195,22 +195,19 @@ class CurationOpsSuite extends AnyFunSuite {
     // restoring the OLD meta row: probes must still answer from the old,
     // fully-paired generation (stale stats pruning new tables was the
     // failure mode the v3 layout closes)
-    val oldMeta = spark.read.parquet(s"$dir/meta.parquet").collect()
-    val oldMetaSchema = spark.read.parquet(s"$dir/meta.parquet").schema
     Search.buildIndex(docs, "doc_id", "text", dir, termBuckets = 7)
-    spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(oldMeta: _*)),
-      oldMetaSchema)
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    IndexTestHooks.undoLastMetaPublish(dir)
     val afterCrash = Search.topKIndexed(spark, dir, terms, k = 10)
       .select("id", "rank").as[(Long, Long)].collect().toSeq
     assert(afterCrash === direct, "probe after a crashed rebuild must answer from the old generation")
-    // layout-version guard fails loudly
+    // layout-version guard fails loudly (tamper the COMMITTED meta table
+    // in place — the pointer still aims at it)
     import org.apache.spark.sql.functions.lit
-    spark.read.parquet(s"$dir/meta.parquet").withColumn("version", lit(99))
+    val committedMeta = IndexTestHooks.metaPath(dir)
+    spark.read.parquet(committedMeta).withColumn("version", lit(99))
       .write.mode("overwrite").parquet(s"$dir/meta_tmp.parquet")
     spark.read.parquet(s"$dir/meta_tmp.parquet")
-      .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+      .write.mode("overwrite").parquet(committedMeta)
     val e = intercept[IllegalArgumentException] {
       Search.topKIndexed(spark, dir, terms, k = 10)
     }
@@ -556,7 +553,7 @@ class CurationOpsSuite extends AnyFunSuite {
     val dir = graft.TestSpark.freshDir("gen-sweep-orphan")
     val docs100 = docs.limit(100)
     Search.buildIndex(docs100, "doc_id", "text", dir, termBuckets = 4)
-    val genA = spark.read.parquet(s"$dir/meta.parquet").select("gen").head().getString(0)
+    val genA = spark.read.parquet(IndexTestHooks.metaPath(dir)).select("gen").head().getString(0)
     // a crashed rebuild's orphan: data written, meta never committed —
     // and NEWER by mtime than the published generation. Pre-fix the
     // newest-by-mtime spare heuristic kept the ORPHAN and deleted the
@@ -565,7 +562,7 @@ class CurationOpsSuite extends AnyFunSuite {
     Files.createDirectories(orphan)
     Files.write(orphan.resolve("junk"), Array[Byte](1, 2))
     Search.buildIndex(docs100, "doc_id", "text", dir, termBuckets = 4)
-    val genC = spark.read.parquet(s"$dir/meta.parquet").select("gen").head().getString(0)
+    val genC = spark.read.parquet(IndexTestHooks.metaPath(dir)).select("gen").head().getString(0)
     assert(genC !== genA)
     assert(Files.isDirectory(Paths.get(dir, genA)),
       "published previous generation (the in-flight readers' spare) was deleted")

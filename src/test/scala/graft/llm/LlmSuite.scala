@@ -621,16 +621,12 @@ class DedupSuite extends AnyFunSuite {
     val before = LshIndex.queryBatch(spark, dir, batch, "doc_id", "text", threshold = 0.5)
       .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
     // simulate a crash ANYWHERE mid-rebuild (both table writes included):
-    // rebuild with DIFFERENT params over a different corpus, then restore
-    // the old meta row — exactly the state a crash before the meta commit
-    // leaves. The old generation's meta+tables must still be fully paired.
-    val oldMeta = spark.read.parquet(s"$dir/meta.parquet").collect()
-    val oldSchema = spark.read.parquet(s"$dir/meta.parquet").schema
+    // rebuild with DIFFERENT params over a different corpus, then undo
+    // the rebuild's meta-pointer publish — exactly the state a crash
+    // before the pointer commit leaves. The old generation's
+    // meta+tables must still be fully paired.
     LshIndex.build(corpus.limit(3), "doc_id", "text", dir, n = 2, numHashes = 32, bands = 16)
-    spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(oldMeta: _*)),
-      oldSchema)
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    IndexTestHooks.undoLastMetaPublish(dir)
     val after = LshIndex.queryBatch(spark, dir, batch, "doc_id", "text", threshold = 0.5)
       .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
     assert(after === before, "probe after a crashed rebuild must answer from the old generation")
@@ -644,15 +640,11 @@ class DedupSuite extends AnyFunSuite {
     EmbIndex.build(corpus, "vec_id", "embedding", dir, threshold = 0.45)
     val before = EmbIndex.queryBatch(spark, dir, batch, "vec_id", "embedding", 0.45)
       .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
-    val oldMeta = spark.read.parquet(s"$dir/meta.parquet").collect()
-    val oldSchema = spark.read.parquet(s"$dir/meta.parquet").schema
-    // crashed rebuild: different params, meta restored to the old row
+    // crashed rebuild: different params, pointer publish undone — the
+    // crash-before-pointer state
     EmbIndex.build(corpus.limit(3), "vec_id", "embedding", dir, threshold = 0.9,
       bits = 4, tables = 2)
-    spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(oldMeta: _*)),
-      oldSchema)
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    IndexTestHooks.undoLastMetaPublish(dir)
     val after = EmbIndex.queryBatch(spark, dir, batch, "vec_id", "embedding", 0.45)
       .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
     assert(after === before, "probe after a crashed rebuild must answer from the old generation")
@@ -1871,5 +1863,97 @@ class MultimodalSuite extends AnyFunSuite {
       Multimodal.sampleFrames(media, "id", "media").collect()
     }
     assert(e2.getMessage.contains("null or non-numeric id"), s"unexpected: ${e2.getMessage}")
+  }
+
+}
+
+class IndexPointerSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("meta-pointer publish is crash-atomic for all four indexes, on a registered Hadoop scheme") {
+    // the r15 ptr-vN protocol (IndexLayout.publishMeta), proven where
+    // java.nio cannot follow: for each index family member, (1) a crash
+    // BEFORE the pointer commit leaves probes answering from the old
+    // generation bit-for-bit, and (2) a crash IN THE MIDDLE of the
+    // pointer create (name present, content torn) still resolves — the
+    // pointer's name is the commit
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[graft.GraftTestFs].getName)
+    def g(prefix: String): String = s"graftfs:${TestSpark.freshDir(prefix)}"
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "an entirely different sentence about warehouses and lakes"),
+      (3L, "spark catalyst engines optimize declarative query plans")
+    ).toDF("doc_id", "text")
+
+    // LshIndex
+    locally {
+      val dir = g("ptr-lsh")
+      val probe = Seq((30L, "the quick brown fox jumps over the lazy cat")).toDF("doc_id", "text")
+      def answer() = LshIndex.queryBatch(spark, dir, probe, "doc_id", "text", threshold = 0.5)
+        .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
+      LshIndex.build(docs, "doc_id", "text", dir, n = 3, numHashes = 64, bands = 32)
+      val before = answer()
+      LshIndex.build(docs.limit(1), "doc_id", "text", dir, n = 2, numHashes = 32, bands = 16)
+      IndexTestHooks.undoLastMetaPublish(dir)
+      assert(answer() === before, "Lsh: crash-before-pointer must answer from the old generation")
+      LshIndex.build(docs, "doc_id", "text", dir, n = 3, numHashes = 64, bands = 32)
+      IndexTestHooks.tearLastPointerContent(dir)
+      assert(answer() === before, "Lsh: a name-only (torn-content) pointer must resolve")
+    }
+
+    // EmbIndex
+    locally {
+      val dir = g("ptr-emb")
+      val corpus = Seq((1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+        .toDF("vec_id", "embedding")
+      val probe = Seq((10L, Seq(0.99f, 0.05f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+      def answer() = EmbIndex.queryBatch(spark, dir, probe, "vec_id", "embedding", 0.9)
+        .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
+      EmbIndex.build(corpus, "vec_id", "embedding", dir, threshold = 0.9)
+      val before = answer()
+      EmbIndex.build(corpus.limit(1), "vec_id", "embedding", dir, threshold = 0.5,
+        bits = 4, tables = 2)
+      IndexTestHooks.undoLastMetaPublish(dir)
+      assert(answer() === before, "Emb: crash-before-pointer must answer from the old generation")
+      EmbIndex.build(corpus, "vec_id", "embedding", dir, threshold = 0.9)
+      IndexTestHooks.tearLastPointerContent(dir)
+      assert(answer() === before, "Emb: a name-only (torn-content) pointer must resolve")
+    }
+
+    // Search (BM25)
+    locally {
+      val dir = g("ptr-search")
+      def answer() = Search.topKIndexed(spark, dir, Seq("spark"), k = 5)
+        .select("id").as[Long].collect().toSet
+      Search.buildIndex(docs, "doc_id", "text", dir, termBuckets = 4)
+      val before = answer()
+      Search.buildIndex(docs.limit(1), "doc_id", "text", dir, termBuckets = 7)
+      IndexTestHooks.undoLastMetaPublish(dir)
+      assert(answer() === before, "Search: crash-before-pointer must answer from the old generation")
+      Search.buildIndex(docs, "doc_id", "text", dir, termBuckets = 4)
+      IndexTestHooks.tearLastPointerContent(dir)
+      assert(answer() === before, "Search: a name-only (torn-content) pointer must resolve")
+    }
+
+    // Decontaminate
+    locally {
+      val dir = g("ptr-decon")
+      val bench = Seq((100L, "secret eval answer text here")).toDF("doc_id", "text")
+      val corpus = Seq((1L, "the secret eval answer text here leaked"),
+        (2L, "a clean document")).toDF("doc_id", "text")
+      def answer() = Decontaminate.overlapReportIndexed(spark, dir, corpus, "doc_id", "text")
+        .select("id").as[Long].collect().toSet
+      Decontaminate.buildIndex(bench, "doc_id", "text", n = 3, dir = dir)
+      val before = answer()
+      assert(before === Set(1L))
+      Decontaminate.buildIndex(bench.limit(0), "doc_id", "text", n = 2, dir = dir)
+      IndexTestHooks.undoLastMetaPublish(dir)
+      assert(answer() === before, "Decon: crash-before-pointer must answer from the old generation")
+      Decontaminate.buildIndex(bench, "doc_id", "text", n = 3, dir = dir)
+      IndexTestHooks.tearLastPointerContent(dir)
+      assert(answer() === before, "Decon: a name-only (torn-content) pointer must resolve")
+    }
   }
 }

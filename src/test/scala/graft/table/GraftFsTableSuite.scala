@@ -1,0 +1,108 @@
+package graft.table
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.config.{EngineConfig, TableConfig}
+import graft.fs.ControlFs
+import graft.sink.IceTableWriter
+import graft.streaming.IngestStream
+
+/** r15 deployment-boundary proof for the TABLE FORMAT's control plane:
+  * every op below runs against a table whose `dir` uses the registered
+  * `graftfs:` scheme — paths java.nio cannot resolve at all — so a green
+  * suite means the commit log's create-exclusive claims, checkpoints and
+  * retention sweep, the schema/meta versioning, the writer's staging
+  * markers, footer stats, zero-row unstaging, gc's walk, and fsck all go
+  * through Hadoop's FileSystem layer, exactly like the data files. This
+  * is the same proof the r14 LlmSuite test gave the IVF index family,
+  * applied to the engine's most load-bearing component.
+  */
+class GraftFsTableSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def schemeDir(prefix: String): String = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[graft.GraftTestFs].getName)
+    s"graftfs:${TestSpark.freshDir(prefix)}"
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("v", DoubleType)))
+
+  private def df(rows: (Long, String, Double)*) = rows.toDF("id", "name", "v")
+
+  test("ingest → CDC upsert → schema evolution → compaction → gc → fsck, end-to-end on graftfs:") {
+    val dir = s"${schemeDir("gfs-table")}/tbl"
+    val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
+
+    // plain appends with the batchId replay fence through the scheme
+    assert(IceTableWriter.append(spark, df((1L, "a", 1.0), (2L, "b", 2.0)), t, batchId = 0,
+      offsets = Map("0" -> 2L)).isDefined)
+    assert(IceTableWriter.append(spark, df((1L, "a", 1.0)), t, batchId = 0).isEmpty,
+      "replayed batch must be fenced through the scheme")
+    assert(t.read(spark).count() === 2)
+
+    // CDC delta: upsert id=1, delete id=2, insert id=3
+    assert(IceTableWriter.delta(spark,
+      df((1L, "a2", 1.5), (3L, "c", 3.0)), Seq(1L, 2L).toDF("id"), t, batchId = 1).isDefined)
+    assert(t.read(spark).orderBy("id").select("id", "name").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a2"), (3L, "c")))
+
+    // schema evolution: add a column, old files null-fill on read
+    val evolved = StructType(schema.fields :+ StructField("w", LongType))
+    assert(t.evolveTo(evolved) === 2)
+    assert(Seq((4L, "d", 4.0, 40L)).toDF("id", "name", "v", "w").transform { d =>
+      IceTableWriter.append(spark, d, t, batchId = 2); t.read(spark)
+    }.filter(col("w").isNotNull).count() === 1)
+
+    // metadata tables + plan pruning still metadata-only through the scheme
+    assert(t.snapshots(spark).count() === t.log.commits().size.toLong)
+    assert(t.filesMeta(spark).count() > 0)
+
+    // compaction folds the delete chain; time travel below it still works
+    val preCompactCount = t.read(spark).count()
+    val seqBefore = t.log.lastCommittedSeq()
+    t.compact(spark)
+    assert(t.read(spark).count() === preCompactCount)
+    assert(t.readAt(spark, seqBefore).count() === preCompactCount)
+
+    // gc reclaims superseded files (age opt-out: no concurrent writers here)
+    val liveBefore = t.planFiles(None).map(_._1.path).toSet
+    assert(t.gc(olderThanMs = 0L) > 0, "gc through the scheme must reclaim superseded files")
+    assert(liveBefore.forall(ControlFs.exists), "gc must keep every live file")
+    assert(t.read(spark).count() === preCompactCount)
+
+    // fsck: healthy, then loudly unhealthy after out-of-band file surgery
+    assert(t.fsck(spark).count() === 0L)
+    val victim = t.planFiles(None).map(_._1.path).min
+    ControlFs.delete(victim, recursive = false)
+    assert(t.fsck(spark).select("problem").as[String].collect().toSet === Set("missing"))
+  }
+
+  test("streaming ingest (IngestStream) commits exactly-once per micro-batch on graftfs:") {
+    implicit val sq = spark.sqlContext
+    val wh = schemeDir("gfs-stream-wh")
+    val ckpt = TestSpark.freshDir("gfs-stream-ckpt") // Spark's own checkpoint stays local
+    val cfg = EngineConfig(warehouse = wh,
+      tables = Seq(TableConfig("sink")), autoCreate = true)
+    val ms = MemoryStream[graft.streaming.Ev]
+    val q = IngestStream.start(ms.toDF(), cfg, ckpt, triggerMs = Some(50))
+    try {
+      ms.addData(graft.streaming.Ev(1, 10, "click", 1.0), graft.streaming.Ev(2, 11, "view", 2.0))
+      q.processAllAvailable()
+      ms.addData(graft.streaming.Ev(3, 12, "click", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val t = IceTable.load(s"$wh/sink")
+    assert(t.read(spark).count() === 3)
+    assert(t.log.commits().map(_.batchId) === Seq(0L, 1L))
+    assert(t.dir.startsWith("graftfs:"), s"table left the scheme: ${t.dir}")
+  }
+}

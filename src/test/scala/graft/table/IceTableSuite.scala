@@ -20,6 +20,11 @@ class IceTableSuite extends AnyFunSuite {
   private def df(rows: (Long, String, Double)*) =
     rows.toDF("id", "name", "v")
 
+  /** FileEntry paths carry the filesystem's scheme (`file:/...`) since the
+    * control plane moved to the Hadoop FS layer; java.nio needs them bare. */
+  private def localPath(p: String): java.nio.file.Path =
+    java.nio.file.Paths.get(IceTable.normalizePath(p))
+
   test("create + append + read back") {
     val dir = TestSpark.freshDir("t1")
     val t = IceTable.create(dir, schema, TableMeta())
@@ -128,7 +133,7 @@ class IceTableSuite extends AnyFunSuite {
     val real = t.log.commits().head
     val dup = real.copy(seq = real.seq + 1, commitId = "zombie")
     java.nio.file.Files.write(
-      t.log.root.resolve(f"v${dup.seq}%09d.json"), CommitLog.mapper.writeValueAsBytes(dup))
+      java.nio.file.Paths.get(t.log.root, f"v${dup.seq}%09d.json"), CommitLog.mapper.writeValueAsBytes(dup))
     val seen = t.log.commits()
     assert(seen.map(_.commitId) === Seq(real.commitId), s"zombie entry not dropped: $seen")
     assert(t.read(spark).count() === 1) // data not doubled
@@ -147,7 +152,7 @@ class IceTableSuite extends AnyFunSuite {
     val b5 = t.log.commits().head
     val zombie = b5.copy(seq = t.log.lastSeq() + 1, commitId = "zombie5")
     java.nio.file.Files.write(
-      t.log.root.resolve(f"v${zombie.seq}%09d.json"),
+      java.nio.file.Paths.get(t.log.root, f"v${zombie.seq}%09d.json"),
       CommitLog.mapper.writeValueAsBytes(zombie))
     assert(t.log.lastBatchId() === Some(6L))
     assert(t.log.commit(6L, s => Commit(s, 6L, "replay6", 0L, 1)).isEmpty,
@@ -201,7 +206,7 @@ class IceTableSuite extends AnyFunSuite {
     // complete (a pruned tail read as 'zombie-skip' would silently drop
     // committed batches)
     val dir = TestSpark.freshDir("t-retention-race")
-    val log = new CommitLog(java.nio.file.Paths.get(dir), checkpointInterval = 3)
+    val log = new CommitLog(dir, checkpointInterval = 3)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     try {
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -240,7 +245,7 @@ class IceTableSuite extends AnyFunSuite {
     IceTableWriter.append(spark, df((1L, "a", 1.0)), t, 0)
     // stage an orphan the way an in-flight writer would (data file present,
     // commit entry not yet linked)
-    val staged = t.dir.resolve("data").resolve("inflight-uuid")
+    val staged = java.nio.file.Paths.get(t.dir, "data", "inflight-uuid")
     java.nio.file.Files.createDirectories(staged)
     java.nio.file.Files.write(staged.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
     assert(t.gc() === 0, "age-guarded gc deleted a freshly staged file")
@@ -256,7 +261,7 @@ class IceTableSuite extends AnyFunSuite {
     IceTableWriter.append(spark, df((1L, "a", 1.0)), t, 0)
     // the normal write path must leave NO marker behind (publish clears it)
     val leftovers = {
-      val w = Files.walk(t.dir)
+      val w = Files.walk(java.nio.file.Paths.get(t.dir))
       try {
         import scala.jdk.CollectionConverters._
         w.iterator().asScala.filter(_.getFileName.toString == "_staging").toList
@@ -267,7 +272,7 @@ class IceTableSuite extends AnyFunSuite {
     // in-flight long write: part file ALREADY older than the orphan age,
     // marker fresh — pre-fix, age-based gc deleted the file mid-job and
     // the eventual commit referenced a vanished path
-    val staged = t.dir.resolve("data").resolve("inflight-long-job")
+    val staged = java.nio.file.Paths.get(t.dir, "data", "inflight-long-job")
     Files.createDirectories(staged)
     val part = staged.resolve("part-0.parquet")
     Files.write(part, Array[Byte](1, 2, 3))
@@ -362,7 +367,7 @@ class IceTableSuite extends AnyFunSuite {
     // the row count stays tiny, which is exactly the wide-composite-key
     // case a row-count threshold would mis-broadcast
     val seq = t.log.commits().find(_.deleteFiles.nonEmpty).get.seq
-    val p = t.log.root.resolve(f"v$seq%09d.json")
+    val p = java.nio.file.Paths.get(t.log.root, f"v$seq%09d.json")
     val c = CommitLog.mapper.readValue(java.nio.file.Files.readAllBytes(p), classOf[Commit])
     val fat = c.copy(deleteFiles = c.deleteFiles.map(_.copy(bytes = 65L << 20)))
     java.nio.file.Files.write(p, CommitLog.mapper.writeValueAsBytes(fat))
@@ -405,13 +410,13 @@ class IceTableSuite extends AnyFunSuite {
     // still sweep writer bookkeeping like _SUCCESS/.crc)
     val originals = before.map(_._1.path)
     t.gc(olderThanMs = 0L)
-    assert(originals.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    assert(originals.forall(p => java.nio.file.Files.exists(localPath(p))))
     assert(t.readAt(spark, 5).count() === before.map(_._1.rows).sum)
     // a later FULL compaction truncates the window; gc then reclaims the
     // packed-away originals along with every other superseded file
     t.compact(spark)
     t.gc(olderThanMs = 0L)
-    assert(originals.forall(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    assert(originals.forall(p => !java.nio.file.Files.exists(localPath(p))))
     assert(t.read(spark).count() === 4 + 20000)
   }
 
@@ -554,7 +559,7 @@ class IceTableSuite extends AnyFunSuite {
     val real = audit.log.commits().head
     val zombie = real.copy(seq = real.seq + 1, commitId = "zombie")
     java.nio.file.Files.write(
-      audit.log.root.resolve(f"v${zombie.seq}%09d.json"),
+      java.nio.file.Paths.get(audit.log.root, f"v${zombie.seq}%09d.json"),
       CommitLog.mapper.writeValueAsBytes(zombie))
     IceTableWriter.append(spark, df((2L, "b", 2.0)), audit, batchId = 1)
     assert(audit.log.commits().map(_.seq) === Seq(1L, 3L)) // the gap is real
@@ -613,7 +618,7 @@ class IceTableSuite extends AnyFunSuite {
 
   test("commit-log checkpoints consolidate history; reads = checkpoint + tail") {
     val dir = TestSpark.freshDir("t-ckpt")
-    val log = new CommitLog(java.nio.file.Paths.get(dir), checkpointInterval = 3)
+    val log = new CommitLog(dir, checkpointInterval = 3)
     (0 until 7).foreach { i =>
       log.commit(i.toLong, seq => Commit(seq, i.toLong, s"c$i", i * 1000L, 1,
         dataFiles = Seq(FileEntry(s"f$i", i.toLong, 1))))
@@ -631,7 +636,7 @@ class IceTableSuite extends AnyFunSuite {
 
   test("commit-log retention: entries two checkpoint generations old are swept, reads intact") {
     val dir = TestSpark.freshDir("t-ckpt-retention")
-    val log = new CommitLog(java.nio.file.Paths.get(dir), checkpointInterval = 2)
+    val log = new CommitLog(dir, checkpointInterval = 2)
     // a crashed writer's tmp leftover, old enough to qualify for the sweep
     val orphanTmp = java.nio.file.Paths.get(dir, ".tmp-crashed-writer")
     java.nio.file.Files.write(orphanTmp, Array[Byte](1))
@@ -925,8 +930,8 @@ class IceTableSuite extends AnyFunSuite {
     assert(t.fsck(spark).count() === 0L)
     // delete one referenced file → missing; truncate the other → size-mismatch
     val paths = t.planFiles(None).map(_._1.path).sorted
-    java.nio.file.Files.delete(java.nio.file.Paths.get(paths.head))
-    val raf = new java.io.RandomAccessFile(paths.last, "rw")
+    java.nio.file.Files.delete(localPath(paths.head))
+    val raf = new java.io.RandomAccessFile(localPath(paths.last).toFile, "rw")
     try raf.setLength(raf.length() - 1) finally raf.close()
     val problems = t.fsck(spark).select("file_path", "problem")
       .as[(String, String)].collect().toMap
