@@ -1,0 +1,70 @@
+package graft.fs
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{Path => HPath, RawLocalFileSystem}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** An "HDFS-shaped" local FS: a scheme on the atomic-create list, so the
+  * probe must report the claim atomic without consulting capabilities.
+  */
+class AtomicSchemeTestFs extends RawLocalFileSystem {
+  override def getScheme: String = "hdfs"
+  override def getUri: URI = URI.create("hdfs://fake-nn")
+}
+
+class ControlFsSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("exclusivity probe: capability-less FS reports non-atomic, HDFS-schemed reports atomic") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftfs.impl", classOf[graft.GraftTestFs].getName)
+    val local = TestSpark.freshDir("controlfs-probe")
+
+    // GraftTestFs = RawLocalFileSystem under its own scheme: no
+    // conditional-create capability, not on the atomic-scheme list —
+    // the conservative answer, and what drives the loud WARN at the
+    // first publish on such an FS
+    val (gfs, gp) = ControlFs.fsFor(s"graftfs:$local/claim")
+    assert(!ControlFs.createClaimIsAtomic(gfs, gp),
+      "a capability-less filesystem must report a non-atomic claim")
+
+    // an FS whose scheme serializes namespace ops through a metadata
+    // service is atomic by scheme, before any capability query
+    val hfs = new AtomicSchemeTestFs
+    hfs.initialize(URI.create("hdfs://fake-nn"), conf)
+    assert(ControlFs.createClaimIsAtomic(hfs, new HPath("/x")))
+
+    // the probe fires once per scheme per JVM and never throws —
+    // exercised through a real publish on the capability-less scheme
+    ControlFs.resetProbesForTest()
+    ControlFs.createExclusive(s"graftfs:$local/claim", "x")
+    assert(ControlFs.readSmall(s"graftfs:$local/claim").contains("x"))
+    // second publish on the same scheme: probe already recorded, still fine
+    ControlFs.createExclusive(s"graftfs:$local/claim2", "y")
+  }
+
+  test("createExclusive refuses an existing path; writeSmall overwrites") {
+    val local = TestSpark.freshDir("controlfs-excl")
+    val p = s"$local/f"
+    ControlFs.createExclusive(p, "a")
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+      ControlFs.createExclusive(p, "b")
+    }
+    assert(ControlFs.readSmall(p).contains("a"))
+    ControlFs.writeSmall(p, "c")
+    assert(ControlFs.readSmall(p).contains("c"))
+  }
+
+  test("walkPostOrder lists children before parents (sweep order)") {
+    val local = TestSpark.freshDir("controlfs-walk")
+    ControlFs.createExclusive(s"$local/a/b/f1", "1")
+    ControlFs.createExclusive(s"$local/a/f2", "2")
+    val names = ControlFs.walkPostOrder(local).map(_.getPath.getName)
+    assert(names.indexOf("f1") < names.indexOf("b"))
+    assert(names.indexOf("b") < names.indexOf("a"))
+    assert(names.indexOf("f2") < names.indexOf("a"))
+  }
+}
