@@ -4,7 +4,12 @@
 each oracle in DuckDB over the sf tables and compares (columns sorted by
 name, rows sorted, exact values).
 
-Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir> [skip1,skip2,...]
+
+The optional third argument names queries to skip — used by check_sf1.py
+for the three queries whose sf1 verification is NOT a plain DuckDB
+equality (pack_sequences' recursive-CTE oracle is quadratic; the two
+embedding-LSH queries verify against a probabilistic recall bound).
 """
 import json
 import math
@@ -32,7 +37,7 @@ def canon(rows, cols):
     return out
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -40,6 +45,8 @@ def main(sf_dir, out_dir):
     ok = fail = 0
     import os
     for name, sql in sorted(oracles.items()):
+        if name in skip:
+            continue
         if not os.path.isdir(f"{out_dir}/{name}"):
             continue  # subset verify run — only compare what was dumped
         try:
@@ -70,8 +77,9 @@ def main(sf_dir, out_dir):
             print(f"OK   {name} ({len(g)} rows)")
             ok += 1
     print(f"\n{ok} ok, {fail} fail")
-    return 1 if fail else 0
+    return fail  # failure COUNT (callers aggregate); truthy = failed
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    skip = frozenset(sys.argv[3].split(",")) if len(sys.argv) > 3 else ()
+    sys.exit(1 if main(sys.argv[1], sys.argv[2], skip) else 0)

@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Per-contaminated-doc overlap report: corpus docs sharing at least
     * `minHits` distinct word `n`-grams with any benchmark doc. Returns
     * (id, hit_ngrams = distinct overlapping n-grams, first_benchmark_id =
@@ -134,10 +136,27 @@ object Decontaminate {
     */
   private def buildBloom(benchNg: DataFrame, fpp: Double): Option[Array[Byte]] = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
-    val est = math.min(math.max(benchNg.count(), 1L), 4000000L)
+    val actual = math.max(benchNg.count(), 1L)
+    val est = math.min(actual, 4000000L)
     // m = -n ln(p) / ln(2)^2, the standard Bloom sizing
-    val numBits = math.min(
-      math.max((-est * math.log(fpp) / (math.log(2) * math.log(2))).toLong, 64L), 1L << 26)
+    val wantBits = math.max(
+      (-actual * math.log(fpp) / (math.log(2) * math.log(2))).toLong, 64L)
+    val numBits = math.min(wantBits, 1L << 26)
+    // Past the caps the filter stays CORRECT (no false negatives; the
+    // exact index join removes false positives) but silently stops
+    // FILTERING: the shuffle the Bloom exists to prune balloons with no
+    // other signal — say so once. The realized rate must use the hash
+    // count the aggregate actually derives (k from the CAPPED est, so k
+    // overshoots optimal when actual ≫ est): fp = (1 − e^(−k·n/m))^k.
+    if (actual > est || wantBits > numBits) {
+      val k = math.max(1L, math.round(numBits.toDouble / est * math.log(2)))
+      val realizedFpp =
+        math.pow(1.0 - math.exp(-k * actual.toDouble / numBits), k.toDouble)
+      log.warn(s"benchmark n-gram stream ($actual items) exceeds the Bloom " +
+        s"sizing caps (4M items / 2^26 bits): realized fp rate ~" +
+        f"$realizedFpp%.3f vs requested $fpp%.3f — the prefilter degrades " +
+        "(results stay exact); shard the benchmark or use the indexed path")
+    }
     val bloomRow = benchNg.select(
       GraftInternal.column(new BloomFilterAggregate(
         GraftInternal.expression(xxhash64(col("ng"))),

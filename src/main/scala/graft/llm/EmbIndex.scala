@@ -180,9 +180,11 @@ object EmbIndex {
     * width filter dropped any — see [[widthClean]]. `vv0` must be
     * materialized (both counts are cheap re-scans of its blocks).
     */
-  private def countWarningDropped(vv0: DataFrame, vv: DataFrame, dim: Int, where: String): Long = {
+  private def countWarningDropped(vv0: DataFrame, vv: DataFrame, dim: Int, where: String): Long =
+    countWarningDropped(vv0.count(), vv, dim, where)
+
+  private def countWarningDropped(total: Long, vv: DataFrame, dim: Int, where: String): Long = {
     val kept = vv.count()
-    val total = vv0.count()
     if (kept < total)
       log.warn(s"$where: ${total - kept} of $total usable vectors have a different width " +
         s"than the index geometry (dim $dim) and were excluded — if this is every row, the " +
@@ -241,7 +243,13 @@ object EmbIndex {
     // widthClean); empty build → dim 0 sentinel, pinned by the first
     // non-empty append
     val dim = probeDim(vv0, "v").getOrElse(0)
-    val vv = widthClean(vv0, "v", dim)
+    // pre-filter total rides the WRITE job as an in-plan observation —
+    // a corpus-sized build must not re-execute its (possibly expensive)
+    // lineage a second time just to count what widthClean dropped (the
+    // append paths count a materialized batch instead; a full corpus is
+    // too big to pin)
+    val totalObs = org.apache.spark.sql.Observation()
+    val vv = widthClean(vv0.observe(totalObs, count(lit(1)).as("total")), "v", dim)
       .withColumn("src_batch", lit(BaseBatch))
       .withColumn("batch", lit(BaseBatch))
     vv.write.mode("overwrite").partitionBy("batch").parquet(s"$dir/$gen/vectors.parquet")
@@ -250,7 +258,8 @@ object EmbIndex {
     // same drop-observability warn as the append paths (r14 advice): a
     // systemic re-embed at a new width during a FULL rebuild otherwise
     // produced a near-empty index with no log signal
-    val n = countWarningDropped(vv0, stored, dim, "EmbIndex.build")
+    val n = countWarningDropped(
+      totalObs.get("total").asInstanceOf[Long], stored, dim, "EmbIndex.build")
     // auto-sized bits are ALWAYS capped at the recall-feasible bound (with
     // explicit tables: the bits at which THAT table count still meets the
     // per-pair miss tolerance) — only explicit bits waive the guarantee;

@@ -33,6 +33,7 @@ private[llm] object IndexLayout {
   def newGeneration(): String = s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
 
   private val PtrName = "ptr-v(\\d+)".r
+  private val StgName = "stg-v(\\d+)".r
 
   private def metaTableName(v: Long): String = s"meta-v$v.parquet"
 
@@ -54,25 +55,50 @@ private[llm] object IndexLayout {
     currentMetaVersion(dir).map(v => s"$dir/${metaTableName(v)}")
       .orElse(Some(s"$dir/meta.parquet").filter(ControlFs.exists))
 
-  /** Publish the next meta version: `write` stages the 1-row table into
-    * the versioned dir (a crash mid-stage is invisible — no pointer),
-    * then ONE create-exclusive `ptr-vN` commits it. Afterwards the
-    * legacy mutable `meta.parquet` (if any) is retired — the pointer
-    * takes precedence, so a crash between the two steps is benign — and
-    * superseded versions prune down to the newest two (keep-one-spare
-    * for a reader that resolved the previous pointer mid-probe, the
-    * [[IvfIndex]] rule). A pointer collision means a concurrent
-    * publisher (outside the single-maintenance-writer contract); the
-    * loop takes the next number rather than wedging.
+  /** Publish the next meta version: claim the version NUMBER with a
+    * create-exclusive `stg-vN` stamp, `write` stages the 1-row table
+    * into the claimed versioned dir (a crash mid-stage is invisible —
+    * no pointer), then ONE create-exclusive `ptr-vN` commits it.
+    * Afterwards the legacy mutable `meta.parquet` (if any) is retired —
+    * the pointer takes precedence, so a crash between the two steps is
+    * benign — and superseded versions prune down to the newest two
+    * (keep-one-spare for a reader that resolved the previous pointer
+    * mid-probe, the [[IvfIndex]] rule).
+    *
+    * The stage claim exists because the staging write is an OVERWRITE:
+    * two concurrent publishers targeting the same N without it would
+    * race ptr-vN correctly, but the loser's overwrite of
+    * `meta-vN.parquet` could clobber the winner's ALREADY-COMMITTED
+    * table content before the loser's pointer attempt fails — the claim
+    * moves the collision to a point where the loser has touched nothing
+    * and just takes the next number. (Concurrent publishers are outside
+    * the single-maintenance-writer contract anyway; this keeps the
+    * off-contract failure mode "skipped version number" instead of
+    * "committed pointer resolving to the wrong meta".) A crashed
+    * publisher's stamp makes later publishers skip its number — stamps
+    * and their orphaned stage dirs prune with the version window below.
     */
   def publishMeta(dir: String)(write: String => Unit): Unit = {
     var v = currentMetaVersion(dir).getOrElse(0L)
     var done = false
+    val nonce = java.util.UUID.randomUUID().toString
     while (!done) {
       v += 1
-      write(s"$dir/${metaTableName(v)}")
-      try { ControlFs.createExclusive(s"$dir/ptr-v$v", metaTableName(v)); done = true }
-      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
+      var claimed = false
+      try { ControlFs.createExclusive(s"$dir/stg-v$v", nonce); claimed = true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          () // number taken (live racer or crashed publisher) — next
+      }
+      // read-back verify, the CommitLog claim discipline: on a
+      // check-then-act FS two publishers can both "win" the create —
+      // whoever's NONCE landed owns the number, the other one touched
+      // nothing and moves on
+      if (claimed && ControlFs.readSmall(s"$dir/stg-v$v").contains(nonce)) {
+        write(s"$dir/${metaTableName(v)}")
+        try { ControlFs.createExclusive(s"$dir/ptr-v$v", metaTableName(v)); done = true }
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
+      }
     }
     ControlFs.delete(s"$dir/meta.parquet", recursive = true)
     val keep = ControlFs.list(dir).map(_.getPath.getName)
@@ -81,6 +107,10 @@ private[llm] object IndexLayout {
     ControlFs.list(dir).foreach { st =>
       st.getPath.getName match {
         case PtrName(n) if !keep.contains(n.toLong) =>
+          ControlFs.delete(st.getPath.toString, recursive = false)
+        case StgName(n) if n.toLong < floor =>
+          // stage stamps below the version window: their number can
+          // never be targeted again (currentMetaVersion ≥ floor)
           ControlFs.delete(st.getPath.toString, recursive = false)
         case m if m.startsWith("meta-v") && m.endsWith(".parquet") &&
             m.stripPrefix("meta-v").stripSuffix(".parquet").matches("\\d+") =>

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.HotPath.Pinnable
+
 /** D1-D4 — CDC / upsert operators.
   *
   * The reference's delta writer turns each record into insert /
@@ -63,6 +65,10 @@ object CdcOps {
     // on cdc_upsert at sf0.1). Still the single hash shuffle on the id
     // columns; materialize the resolved batch once — the data append and
     // the delete-key file derive from it in two separate write jobs.
+    // Pinned (default localCheckpoint): resolveBatch runs inside a
+    // foreachBatch/commit attempt, so a lost executor costs a batch
+    // RETRY fenced by the commit log's batchId guard, never wrong data —
+    // see HotPath's scaladoc for the story and the reliable-mode knob.
     val last = df
       .withColumn("__graft_rn", row_number().over(w))
       .withColumn("__graft_del",
@@ -70,7 +76,7 @@ object CdcOps {
           .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .filter(col("__graft_rn") === 1)
       .drop("__graft_rn")
-      .localCheckpoint()
+      .pin()
     val data = last.filter(col(OpCol) =!= "D").drop(OpCol, OrdCol, "__graft_del")
     val deleteKeys = last
       .filter(col("__graft_del") === 1)

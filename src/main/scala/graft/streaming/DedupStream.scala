@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.llm.{Dedup, LshIndex}
+import graft.operators.HotPath.Pinnable
 
 /** Exactly-once streaming corpus dedup over a persisted LSH index — the
   * "continuously curate arriving crawls" pipeline:
@@ -63,12 +64,19 @@ object DedupStream {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val b = batch.localCheckpoint() // scanned by cross-probe, pair search, anti-joins
+        // Every pin() below materializes a multi-consumer frame once
+        // (default localCheckpoint — lineage truncated). Safe HERE
+        // because a lost executor fails the attempt and the stream
+        // replays the SAME batch, fenced exactly-once by the probe's
+        // excludeBatch guard + the index fold's partition overwrite +
+        // the sink's batchId fence; cost is a batch retry, not wrong
+        // data. High-churn clusters: see HotPath.ReliableConf.
+        val b = batch.pin() // scanned by cross-probe, pair search, anti-joins
         // ONE shingle pass per trigger: the materialized (id, shset)
         // frame feeds the cross-probe, the within-batch pair search, and
         // the index fold — the shingle expression is the batch's
         // dominant map-side cost and used to run three times
-        val sets = LshIndex.shingleSets(b, idCol, textCol, meta.n).localCheckpoint()
+        val sets = LshIndex.shingleSets(b, idCol, textCol, meta.n).pin()
         // 1. cross-batch: anything near-duplicating the indexed corpus
         // goes. The probe EXCLUDES this batch id's own index partition:
         // on a replay (first attempt died after its appendBatch), the
@@ -80,7 +88,7 @@ object DedupStream {
           // dup ids only (tiny) — unmaterialized, the index probe (bucket
           // parquet read + join) re-executes in THREE jobs per trigger:
           // losers' checkpoint, survivors' checkpoint, and the index fold
-          .localCheckpoint()
+          .pin()
         val afterCross = b.join(crossDup,
           b(idCol).cast("long") === col("__dup_id"), "left_anti")
         val setsAfterCross = sets.join(crossDup,
@@ -92,10 +100,10 @@ object DedupStream {
         val losers = Dedup.connectedComponents(pairs)
           .filter(col("id") =!= col("group_id"))
           .select(col("id").as("__loser_id"))
-          .localCheckpoint() // filters the batch AND its shingle frame
+          .pin() // filters the batch AND its shingle frame
         val survivors = afterCross.join(losers,
           afterCross(idCol).cast("long") === col("__loser_id"), "left_anti")
-          .localCheckpoint() // feeds the index fold AND the sink
+          .pin() // feeds the index fold AND the sink
         val setsSurvivors = setsAfterCross.join(losers,
           col("id") === col("__loser_id"), "left_anti")
         // 3. replay-safe index fold (delete-then-write of this batch's

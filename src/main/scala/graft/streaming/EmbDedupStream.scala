@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.llm.{Dedup, EmbIndex}
+import graft.operators.HotPath.Pinnable
 
 /** Exactly-once streaming EMBEDDING dedup over a persisted hyperplane-LSH
   * index — the vector twin of [[DedupStream]] (same shell, same replay
@@ -64,7 +65,10 @@ object EmbDedupStream {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val b = batch.localCheckpoint() // scanned by cross-probe, pair search, anti-joins
+        // pin() = localCheckpoint by default; batch-replay recovery story
+        // and the reliable-checkpoint knob: see DedupStream's note and
+        // HotPath's scaladoc.
+        val b = batch.pin() // scanned by cross-probe, pair search, anti-joins
         // 1. cross-batch, excluding this batch's own prior index partition
         val crossDup = EmbIndex.queryBatchWith(spark, indexDir, b, idCol, vecCol,
           threshold, excludeBatch = Some(batchId), meta)
@@ -72,7 +76,7 @@ object EmbDedupStream {
           // dup ids only (tiny) — unmaterialized, the index probe
           // (bucket read + signature join + cosine verify) re-executes
           // in every downstream job of the trigger
-          .localCheckpoint()
+          .pin()
         val afterCross = b.join(crossDup,
           b(idCol).cast("long") === col("__dup_id"), "left_anti")
         // 2. within-batch at the index's parameters; losers = every
@@ -87,10 +91,10 @@ object EmbDedupStream {
           .select(col("id").as("__loser_id"))
           // same rule DedupStream applies: unmaterialized, the whole
           // hyperplane pair search re-runs for the index fold AND the sink
-          .localCheckpoint()
+          .pin()
         val survivors = afterCross.join(losers,
           afterCross(idCol).cast("long") === col("__loser_id"), "left_anti")
-          .localCheckpoint() // feeds the index fold AND the sink
+          .pin() // feeds the index fold AND the sink
         // 3. replay-safe index fold, THEN 4. the (batchId-fenced) sink
         EmbIndex.appendBatchWith(spark, indexDir, survivors, idCol, vecCol, batchId, meta)
         sink(survivors, batchId)

@@ -154,17 +154,25 @@ final class CommitLog(val root: String, checkpointInterval: Int = 100) {
           catch {
             case _: java.io.IOException | _: RuntimeException =>
               if (i >= retries) {
-                val old = ControlFs.status(p)
-                  .forall(_.getModificationTime <
-                    System.currentTimeMillis() - CommitLog.AbortedClaimAgeMs)
-                if (old) {
-                  knownAborted.add(p)
-                  slog.warn(s"CommitLog at $root: claim $p is unparseable and " +
-                    "past the writer-liveness window — treating as an aborted " +
-                    "(crashed) commit claim; its batch will have replayed " +
-                    "under a later seq")
+                ControlFs.status(p) match {
+                  // vanished DURING the retry loop: a dup-verify rollback
+                  // deleted it (that head seq number is free for reuse, so
+                  // judging — let alone CACHING — this path aborted would
+                  // hide the next real commit at the same seq) or a sweep
+                  // took it; either way Missing, and the caller's
+                  // vanished-tail re-list logic owns it
+                  case None => return Missing
+                  case Some(st) =>
+                    if (st.getModificationTime <
+                        System.currentTimeMillis() - CommitLog.AbortedClaimAgeMs) {
+                      knownAborted.add(p)
+                      slog.warn(s"CommitLog at $root: claim $p is unparseable and " +
+                        "past the writer-liveness window — treating as an aborted " +
+                        "(crashed) commit claim; its batch will have replayed " +
+                        "under a later seq")
+                    }
+                    return Aborted
                 }
-                return Aborted
               }
               i += 1
               Thread.sleep(10L << i) // 20/40/80/160 ms — covers a create in flight
@@ -420,8 +428,16 @@ final class CommitLog(val root: String, checkpointInterval: Int = 100) {
     val upTo = commits().filter(_.seq <= seq)
     try ControlFs.createExclusive(ckptPath(seq), mapper.writeValueAsBytes(upTo))
     catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
-      case _: java.io.IOException => ()
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => () // racer won; theirs is as good
+      case e: java.io.IOException =>
+        // checkpointing is an OPTIMIZATION (commits stay correct without
+        // it), so an FS failure here must not fail the commit — but a
+        // PERSISTENT failure disables the retention sweep too and every
+        // hot-path listing degrades to O(history), so it must not be
+        // silent either
+        slog.warn(s"CommitLog at $root: checkpoint at seq $seq failed " +
+          s"(${e.getMessage}) — the log keeps working but will not prune " +
+          "until a checkpoint succeeds")
     }
     val readable = ControlFs.readSmallBytes(ckptPath(seq)).exists { bytes =>
       try { mapper.readValue(bytes, classOf[Array[Commit]]); true }

@@ -1127,12 +1127,41 @@ object IceTable {
     val d = dir.stripSuffix("/")
     try ControlFs.createExclusive(s"$d/table.json", CommitLog.mapper.writeValueAsBytes(meta))
     catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
+    // Read-back verification, the same discipline CommitLog's commit
+    // claims use: on a filesystem without atomic create-exclusivity two
+    // CROSS-PROCESS creators can both pass the no-overwrite check and
+    // interleave writes (same-JVM racers are serialized by ControlFs's
+    // stripe lock; the pre-r15 hard-link publish made this race lose
+    // cleanly). WHICH creator's meta landed doesn't matter — the loser
+    // loads the winner's, reference semantics — but a garbled mix must
+    // fail HERE with an actionable message, not at some later load.
+    verifyReadsBack(s"$d/table.json", "table metadata") { bytes =>
+      CommitLog.mapper.readValue(bytes, classOf[TableMeta]); ()
+    }
     val t = load(d, branch)
     if (t.schemaVersions.isEmpty) {
       try ControlFs.createExclusive(s"$d/_schemas/v1.json", schema.json)
       catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
+      verifyReadsBack(s"$d/_schemas/v1.json", "schema v1") { bytes =>
+        org.apache.spark.sql.types.DataType.fromJson(
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8)); ()
+      }
     }
     t
+  }
+
+  /** Post-publish parse check for create's two control files. */
+  private def verifyReadsBack(path: String, what: String)(
+      parse: Array[Byte] => Unit): Unit = {
+    val ok = ControlFs.readSmallBytes(path).exists { bytes =>
+      try { parse(bytes); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    if (!ok) throw new IllegalStateException(
+      s"$what at $path is unreadable after create — concurrent creators " +
+        "raced on a filesystem without atomic create-exclusivity; delete " +
+        "the file and recreate the table (see OPERATIONS.md, concurrency " +
+        "boundaries)")
   }
 
   def loadOrCreate(
