@@ -1956,4 +1956,26 @@ class IndexPointerSuite extends AnyFunSuite {
       assert(answer() === before, "Decon: a name-only (torn-content) pointer must resolve")
     }
   }
+
+  test("a foreign stage stamp makes publishMeta skip that version number untouched") {
+    import graft.fs.ControlFs
+    val dir = TestSpark.freshDir("ptr-stamp")
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    LshIndex.build(docs, "doc_id", "text", dir, n = 3, numHashes = 32, bands = 16)
+    assert(IndexLayout.currentMetaVersion(dir).contains(1L))
+    // a concurrent publisher (or a crashed one) holds v2: its stamp is
+    // there, its meta table is not — the next publish must NOT stage
+    // into meta-v2.parquet (the r15 clobber fix), it takes v3
+    ControlFs.createExclusive(s"$dir/stg-v2", "someone-else's nonce")
+    LshIndex.build(docs, "doc_id", "text", dir, n = 3, numHashes = 32, bands = 16)
+    assert(IndexLayout.currentMetaVersion(dir).contains(3L),
+      "publisher must skip a stamped version number")
+    assert(!ControlFs.exists(s"$dir/meta-v2.parquet"),
+      "the stamped (foreign) version's staging dir must never be written")
+    // and the index still answers — the committed pointer chain is intact
+    val hit = LshIndex.queryBatch(spark, dir,
+      Seq((9L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5).count()
+    assert(hit === 1L)
+  }
 }

@@ -35,6 +35,21 @@ class IceTableSuite extends AnyFunSuite {
     assert(t.log.commits().map(_.batchId) === Seq(0L, 1L))
   }
 
+  test("create fails loudly (and create-to-load wins cleanly) on table.json read-back") {
+    // garbled table.json — the state an interleaved cross-process create
+    // race on a check-then-act FS can leave: create must fail HERE with
+    // an actionable message, not at some later load with a JSON trace
+    val bad = TestSpark.freshDir("t-garbled")
+    graft.fs.ControlFs.createExclusive(s"$bad/table.json", "not json {{{")
+    val e = intercept[IllegalStateException] { IceTable.create(bad, schema, TableMeta()) }
+    assert(e.getMessage.contains("unreadable after create"), s"unexpected: ${e.getMessage}")
+    // whole loser content: the normal race outcome — loser loads winner's
+    val won = TestSpark.freshDir("t-won")
+    val winner = IceTable.create(won, schema, TableMeta(idColumns = Seq("id")))
+    val loser = IceTable.create(won, schema, TableMeta()) // different meta, loses
+    assert(loser.meta.idColumns === winner.meta.idColumns)
+  }
+
   test("batchId replay guard (K8): re-committing a batch is a no-op") {
     val dir = TestSpark.freshDir("t2")
     val t = IceTable.create(dir, schema, TableMeta())
