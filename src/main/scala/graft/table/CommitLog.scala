@@ -144,7 +144,25 @@ final class CommitLog(val root: String, checkpointInterval: Int = 100) {
     * file is old enough that no live writer can still be filling it.
     */
   private def readCommitRes(p: String, retries: Int = 4): ReadResult = {
-    if (knownAborted.contains(p)) return Aborted
+    if (knownAborted.contains(p)) {
+      // Self-healing cache hit: ONE plain read, no backoff loop (the
+      // loop is what the cache exists to skip). A writer that outlived
+      // the liveness window and then completed anyway — or a freed seq
+      // number re-claimed after the unparseable file was swept — must
+      // become visible again rather than stay hidden until this handle's
+      // process restarts.
+      ControlFs.readSmallBytes(p) match {
+        case None => knownAborted.remove(p); return Missing
+        case Some(bytes) =>
+          try {
+            val c = mapper.readValue(bytes, classOf[Commit])
+            knownAborted.remove(p)
+            return Parsed(c)
+          } catch {
+            case _: java.io.IOException | _: RuntimeException => return Aborted
+          }
+      }
+    }
     var i = 0
     while (true) {
       ControlFs.readSmallBytes(p) match {
@@ -305,10 +323,18 @@ final class CommitLog(val root: String, checkpointInterval: Int = 100) {
   def lastBatchId(): Option[Long] = lastBatchIdFrom(
     listNames().filter(_.matches("v\\d+\\.json")).map(seqOf(_, "")).sorted)
 
-  private def lastBatchIdFrom(seqs: Seq[Long]): Option[Long] = {
+  private def lastBatchIdFrom(seqs: Seq[Long]): Option[Long] =
+    lastBatchIdFromHead(seqs,
+      if (seqs.isEmpty) Missing else readCommitRes(commitPath(seqs.last)))
+
+  /** [[lastBatchIdFrom]] with the head claim already read — the commit
+    * hot path shares one head read between this fence and its
+    * confirmed-seq scan.
+    */
+  private def lastBatchIdFromHead(seqs: Seq[Long], headRes: ReadResult): Option[Long] = {
     if (seqs.isEmpty) None
     else
-      readCommitOpt(commitPath(seqs.last)) match {
+      (headRes match { case Parsed(c) => Some(c); case _ => None }) match {
         case Some(c) if c.batchId >= 0 =>
           val monotone = seqs.size < 2 ||
             readCommitOpt(commitPath(seqs(seqs.size - 2)))
@@ -342,7 +368,11 @@ final class CommitLog(val root: String, checkpointInterval: Int = 100) {
       // fenceSeq+1 first just fails our create-exclusive below — retry.
       val seqs = listNames().filter(_.matches("v\\d+\\.json")).map(seqOf(_, "")).sorted
       val fenceSeq = if (seqs.isEmpty) 0L else seqs.last
-      if (batchId >= 0 && lastBatchIdFrom(seqs).exists(batchId <= _)) return None
+      // ONE head read shared by the replay fence and the confirmed-seq
+      // scan below (they used to each read+parse the same head file —
+      // one GET per commit saved on object stores)
+      val headRes = if (seqs.isEmpty) Missing else readCommitRes(commitPath(seqs.last))
+      if (batchId >= 0 && lastBatchIdFromHead(seqs, headRes).exists(batchId <= _)) return None
       // Newest CONFIRMED (parseable) claim at snapshot time: claims above
       // it are in-flight or aborted and their batchIds were NOT visible
       // to the replay fence — the post-claim verify below must re-examine
@@ -353,11 +383,14 @@ final class CommitLog(val root: String, checkpointInterval: Int = 100) {
       // widens the window.)
       val confirmedSeq =
         if (batchId < 0) fenceSeq
-        else seqs.reverseIterator.find(s =>
-          readCommitRes(commitPath(s)) match {
-            case Parsed(_) => true
-            case _         => false
-          }).getOrElse(0L)
+        else headRes match {
+          case Parsed(_) => fenceSeq
+          case _ => seqs.reverseIterator.drop(1).find(s =>
+            readCommitRes(commitPath(s)) match {
+              case Parsed(_) => true
+              case _         => false
+            }).getOrElse(0L)
+        }
       val seq = fenceSeq + 1
       // K7 defensive file-level dedup (channel/Deduplicated.java:79-148):
       // a replayed envelope can list the same staged file twice; enforced
@@ -373,6 +406,7 @@ final class CommitLog(val root: String, checkpointInterval: Int = 100) {
       // (HDFS, conditional-create object stores); where it can't, the
       // read-back verify below arbitrates: whoever reads their own
       // commitId out of the file owns the seq
+      val claimStarted = System.currentTimeMillis()
       val claimed =
         try { ControlFs.createExclusive(path, bytes); true }
         catch { // lost the race; reload and retry (any other IOException
@@ -396,6 +430,23 @@ final class CommitLog(val root: String, checkpointInterval: Int = 100) {
           if (dup) {
             ControlFs.delete(path, recursive = false)
             return None
+          }
+          // Liveness contract, writer side: readers judge a claim whose
+          // content hasn't landed within AbortedClaimAgeMs as a crashed
+          // writer's leavings, and a checkpoint may consolidate past it.
+          // A writer that stalled PAST the window (pathological GC/FS
+          // pause) cannot just report success — its claim may already be
+          // invisible. One full visibility check, paid only in the
+          // pathological case; if consolidated away, fail so the batch
+          // replays under a fresh seq (the claim's data files are
+          // unreferenced and gc-reapable).
+          if (System.currentTimeMillis() - claimStarted > CommitLog.AbortedClaimAgeMs &&
+              !commits().exists(_.commitId == entry.commitId)) {
+            ControlFs.delete(path, recursive = false)
+            throw new IllegalStateException(
+              s"commit of batch $batchId at seq $seq exceeded the claim-liveness " +
+                s"window (${CommitLog.AbortedClaimAgeMs} ms) and was consolidated " +
+                "past by a checkpoint — the claim was rolled back; replay the batch")
           }
           if (checkpointInterval > 0 && seq % checkpointInterval == 0) checkpoint(seq)
           return Some(entry)
@@ -426,6 +477,27 @@ final class CommitLog(val root: String, checkpointInterval: Int = 100) {
     */
   private def checkpoint(seq: Long): Unit = {
     val upTo = commits().filter(_.seq <= seq)
+    // Refuse to consolidate past an IN-FLIGHT claim: a claim whose
+    // content hasn't landed yet reads as aborted after the short backoff,
+    // but its writer — still inside the liveness window — may complete
+    // it and observe success. Baking that judgment into a checkpoint
+    // (whose sweep later DELETES the entry) would hide a real commit.
+    // Past the window it's a crashed writer's leavings by contract
+    // (commit()'s writer-side guard enforces the other half), and the
+    // checkpoint proceeds. Deferral is cheap: the next interval retries.
+    val covered = upTo.map(_.seq).toSet
+    val now = System.currentTimeMillis()
+    val inFlight = listNames().exists { n =>
+      n.matches("v\\d+\\.json") && seqOf(n, "") <= seq &&
+      !covered.contains(seqOf(n, "")) &&
+      ControlFs.status(s"$root/$n")
+        .exists(_.getModificationTime >= now - CommitLog.AbortedClaimAgeMs)
+    }
+    if (inFlight) {
+      slog.info(s"CommitLog at $root: checkpoint at seq $seq deferred — an " +
+        "in-flight claim below it has not landed yet; the next interval retries")
+      return
+    }
     try ControlFs.createExclusive(ckptPath(seq), mapper.writeValueAsBytes(upTo))
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => () // racer won; theirs is as good

@@ -205,7 +205,15 @@ final class IceTable private[table] (
       attempt += 1
       val (lastV, lastS) = schemaVersions.last
       if (lastS == newSchema) return lastV
-      val v = lastV + 1
+      // next number from listed NAMES, not parseable versions: a burned
+      // (garbled) version file is excluded from schemaVersions, so
+      // lastV+1 would re-claim the burned number forever — the same
+      // advance-past-burned-numbers rule CommitLog (names) and
+      // IndexLayout.publishMeta (stamps) follow
+      val v = ControlFs.list(schemaDir).map(_.getPath.getName)
+        .filter(_.matches("v\\d+\\.json"))
+        .map(_.stripPrefix("v").stripSuffix(".json").toInt)
+        .foldLeft(lastV)(math.max) + 1
       val path = s"$schemaDir/v$v.json"
       val content = newSchema.json
       val claimed =

@@ -35,6 +35,21 @@ class IceTableSuite extends AnyFunSuite {
     assert(t.log.commits().map(_.batchId) === Seq(0L, 1L))
   }
 
+  test("evolveTo advances past a burned (garbled) schema version instead of wedging") {
+    val dir = TestSpark.freshDir("t-burned-schema")
+    val t = IceTable.create(dir, schema, TableMeta())
+    // the on-disk state a writer crashed mid-create (or a cross-process
+    // race) leaves: v2.json exists but parses as nothing — its number is
+    // burned and must never be re-claimed
+    graft.fs.ControlFs.createExclusive(s"$dir/_schemas/v2.json", "garbled {{{")
+    val widened = StructType(schema.fields :+ StructField("extra", StringType))
+    val v = t.evolveTo(widened)
+    assert(v === 3, "evolution must claim the next FREE number, not retry the burned one")
+    assert(t.schema.fieldNames.contains("extra"))
+    // idempotent re-evolve still resolves to the committed version
+    assert(t.evolveTo(widened) === 3)
+  }
+
   test("create fails loudly (and create-to-load wins cleanly) on table.json read-back") {
     // garbled table.json — the state an interleaved cross-process create
     // race on a check-then-act FS can leave: create must fail HERE with
