@@ -60,6 +60,27 @@ private[graft] object ControlFs {
     (fs, p)
   }
 
+  /** Local fast path. RawLocalFileSystem's per-op cost is pathological
+    * for a control plane: listStatus builds a Path + several java.io.File
+    * stats PER CHILD (3.2 ms at 202 entries), and create() without
+    * native hadoop libs applies its default permission by FORK+EXEC'ing
+    * chmod (5.3 ms per create) — together the entire ~8 ms/commit the
+    * loghist probe measured after the r15 port (java.nio: 0.15/0.04 ms;
+    * `Scratch fsops`). Cluster filesystems keep the pure Hadoop path —
+    * at 100 TB the cost there is network RTTs and the design minimizes
+    * op COUNT. For filesystems that resolve to the LOCAL disk (file:,
+    * plus registered test schemes extending RawLocalFileSystem), the
+    * path still resolves THROUGH the filesystem (`pathToFile`, so scheme
+    * mapping stays exercised and tested) but byte I/O runs on java.nio.
+    * CREATE_NEW is O_EXCL — fail-if-exists strictly STRONGER than the
+    * Hadoop layer's local check-then-act.
+    */
+  private def localFile(fs: FileSystem, p: HPath): Option[java.io.File] =
+    fs match {
+      case rl: org.apache.hadoop.fs.RawLocalFileSystem => Some(rl.pathToFile(p))
+      case _                                           => None
+    }
+
   def mkdirs(dir: String): Unit = {
     val (fs, p) = fsFor(dir)
     fs.mkdirs(p)
@@ -81,7 +102,42 @@ private[graft] object ControlFs {
   /** Children of `dir` (empty when `dir` is absent). */
   def list(dir: String): Seq[FileStatus] = {
     val (fs, p) = fsFor(dir)
-    if (!fs.exists(p)) Nil else fs.listStatus(p).toSeq
+    localFile(fs, p) match {
+      case Some(d) =>
+        val names = d.list()
+        if (names == null) return Nil // absent or not a directory
+        names.toSeq.flatMap { n =>
+          // one readAttributes call per child instead of listStatus's
+          // Path + repeated File stats; a child deleted mid-list is
+          // skipped, matching listStatus's behavior on a fresh listing
+          try {
+            val a = java.nio.file.Files.readAttributes(
+              d.toPath.resolve(n),
+              classOf[java.nio.file.attribute.BasicFileAttributes])
+            Some(new FileStatus(a.size(), a.isDirectory, 1, 0,
+              a.lastModifiedTime().toMillis, new HPath(p, n)))
+          } catch { case _: java.io.IOException => None }
+        }
+      case None =>
+        if (!fs.exists(p)) Nil else fs.listStatus(p).toSeq
+    }
+  }
+
+  /** Child NAMES of `dir` (empty when absent) — the hot-path listing.
+    * Most control-plane listings (commit fences, schema versions, meta
+    * pointers) need only names; on the local fast path this is ONE
+    * directory read with zero per-child stats or Path constructions
+    * (~0.15 ms at 200 entries vs [[list]]'s ~1.4 ms — `Scratch fsops`).
+    */
+  def listNames(dir: String): Seq[String] = {
+    val (fs, p) = fsFor(dir)
+    localFile(fs, p) match {
+      case Some(d) =>
+        val names = d.list()
+        if (names == null) Nil else names.toSeq
+      case None =>
+        if (!fs.exists(p)) Nil else fs.listStatus(p).toSeq.map(_.getPath.getName)
+    }
   }
 
   /** Every status under `dir`, depth-first with children BEFORE their
@@ -90,27 +146,34 @@ private[graft] object ControlFs {
     * `dir` is absent.
     */
   def walkPostOrder(dir: String): Seq[FileStatus] = {
-    val (fs, p) = fsFor(dir)
-    if (!fs.exists(p)) return Nil
     def rec(st: FileStatus): Seq[FileStatus] =
       if (!st.isDirectory) Seq(st)
-      else fs.listStatus(st.getPath).toSeq.flatMap(rec) :+ st
-    fs.listStatus(p).toSeq.flatMap(rec)
+      else list(st.getPath.toString).flatMap(rec) :+ st
+    list(dir).flatMap(rec) // list() is empty on an absent dir
   }
 
   /** Full contents of a small control file, or None if absent. */
   def readSmallBytes(path: String): Option[Array[Byte]] = {
     val (fs, p) = fsFor(path)
-    try {
-      val in = fs.open(p)
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        Some(out.toByteArray)
-      } finally in.close()
-    } catch { case _: java.io.FileNotFoundException => None }
+    localFile(fs, p) match {
+      case Some(f) =>
+        try Some(java.nio.file.Files.readAllBytes(f.toPath))
+        catch {
+          case _: java.nio.file.NoSuchFileException => None
+          case _: java.io.FileNotFoundException     => None
+        }
+      case None =>
+        try {
+          val in = fs.open(p)
+          try {
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+            Some(out.toByteArray)
+          } finally in.close()
+        } catch { case _: java.io.FileNotFoundException => None }
+    }
   }
 
   /** Full contents of a small control file as UTF-8, or None if absent. */
@@ -144,9 +207,28 @@ private[graft] object ControlFs {
     // same-JVM publishes of the same path — which conflict anyway.
     val stripe = lockStripes(math.floorMod(path.hashCode, lockStripes.length))
     stripe.synchronized {
-      val out = fs.create(p, /* overwrite = */ false)
-      try out.write(content)
-      finally out.close()
+      localFile(fs, p) match {
+        case Some(f) =>
+          // O_EXCL create — atomic fail-if-exists on posix, and skips
+          // the Hadoop layer's fork+exec'd chmod (see localFile). The
+          // Hadoop path auto-creates parents; match that.
+          if (f.getParentFile != null) java.nio.file.Files.createDirectories(f.getParentFile.toPath)
+          try {
+            java.nio.file.Files.write(f.toPath, content,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            ()
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              // callers speak the Hadoop exception vocabulary
+              throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+                s"File already exists: $p")
+          }
+        case None =>
+          val out = fs.create(p, /* overwrite = */ false)
+          try out.write(content)
+          finally out.close()
+      }
     }
   }
 
@@ -160,9 +242,16 @@ private[graft] object ControlFs {
     */
   def writeSmall(path: String, content: String): Unit = {
     val (fs, p) = fsFor(path)
-    val out = fs.create(p, /* overwrite = */ true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    localFile(fs, p) match {
+      case Some(f) =>
+        if (f.getParentFile != null) java.nio.file.Files.createDirectories(f.getParentFile.toPath)
+        java.nio.file.Files.write(f.toPath, content.getBytes(StandardCharsets.UTF_8))
+        ()
+      case None =>
+        val out = fs.create(p, /* overwrite = */ true)
+        try out.write(content.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+    }
   }
 
   def delete(path: String, recursive: Boolean): Unit = {

@@ -42,7 +42,7 @@ private[llm] object IndexLayout {
     * (name present, content torn) still resolves correctly.
     */
   def currentMetaVersion(dir: String): Option[Long] = {
-    val vs = ControlFs.list(dir).map(_.getPath.getName)
+    val vs = ControlFs.listNames(dir)
       .collect { case PtrName(n) => n.toLong }
     if (vs.isEmpty) None else Some(vs.max)
   }
@@ -101,7 +101,7 @@ private[llm] object IndexLayout {
       }
     }
     ControlFs.delete(s"$dir/meta.parquet", recursive = true)
-    val keep = ControlFs.list(dir).map(_.getPath.getName)
+    val keep = ControlFs.listNames(dir)
       .collect { case PtrName(n) => n.toLong }.sorted.takeRight(2).toSet
     val floor = if (keep.isEmpty) 0L else keep.min
     ControlFs.list(dir).foreach { st =>

@@ -300,7 +300,7 @@ object IvfIndex {
     currentVersion(dir).map(v => s"$dir/$v").getOrElse(dir)
 
   private def currentVersion(dir: String): Option[String] = {
-    val ptrs = ControlFs.list(dir).map(_.getPath.getName).collect {
+    val ptrs = ControlFs.listNames(dir).collect {
       case PtrName(v) => v
     }
     if (ptrs.nonEmpty) Some(ptrs.maxBy(_.drop(1).toLong))
@@ -308,7 +308,7 @@ object IvfIndex {
   }
 
   private def nextVersion(dir: String): Long = {
-    val names = ControlFs.list(dir).map(_.getPath.getName)
+    val names = ControlFs.listNames(dir)
     // pointer files and the legacy CURRENT content bound the floor too: a
     // version name must never be reused while anything might reference it
     val seqs = names.collect { case n if n.matches("v\\d+") => n.drop(1).toLong } ++

@@ -115,8 +115,7 @@ final class CommitLog(val root: String, checkpointInterval: Int = 100) {
   private def commitPath(seq: Long): String = f"$root/v$seq%09d.json"
   private def ckptPath(seq: Long): String = f"$root/ckpt-v$seq%09d.json"
 
-  private def listNames(): Seq[String] =
-    ControlFs.list(root).map(_.getPath.getName)
+  private def listNames(): Seq[String] = ControlFs.listNames(root)
 
   private def seqOf(name: String, prefix: String): Long =
     name.stripPrefix(prefix).stripPrefix("v").stripSuffix(".json").toLong

@@ -163,8 +163,7 @@ final class IceTable private[table] (
   @volatile private var schemaCache: Map[Int, StructType] = Map.empty
 
   def schemaVersions: Seq[(Int, StructType)] = {
-    val versions = ControlFs.list(schemaDir)
-      .map(_.getPath.getName)
+    val versions = ControlFs.listNames(schemaDir)
       .filter(_.matches("v\\d+\\.json"))
       .map(_.stripPrefix("v").stripSuffix(".json").toInt)
     val cached = schemaCache
@@ -210,7 +209,7 @@ final class IceTable private[table] (
       // lastV+1 would re-claim the burned number forever — the same
       // advance-past-burned-numbers rule CommitLog (names) and
       // IndexLayout.publishMeta (stamps) follow
-      val v = ControlFs.list(schemaDir).map(_.getPath.getName)
+      val v = ControlFs.listNames(schemaDir)
         .filter(_.matches("v\\d+\\.json"))
         .map(_.stripPrefix("v").stripSuffix(".json").toInt)
         .foldLeft(lastV)(math.max) + 1

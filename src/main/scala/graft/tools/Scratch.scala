@@ -31,6 +31,46 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("fsops")) {
+      // Where do a commit's ~8 ms go post-FS-port? Time each control-
+      // plane primitive on a 202-file dir, ControlFs vs raw java.nio.
+      import graft.fs.ControlFs
+      val dir = tmpDir("fsops")
+      val payload = ("x" * 400).getBytes
+      (1 to 200).foreach(i => ControlFs.createExclusive(s"$dir/v$i.json", payload))
+      def time(label: String, n: Int)(f: Int => Unit): Unit = {
+        (1 to 50).foreach(f) // warm
+        val t0 = System.nanoTime()
+        (1 to n).foreach(f)
+        println(f"$label%-34s ${(System.nanoTime() - t0) / 1e6 / n}%8.3f ms/op")
+      }
+      time("ControlFs.list(202)", 500)(_ => ControlFs.list(dir))
+      time("ControlFs.listNames(202)", 500)(_ => ControlFs.listNames(dir))
+      time("nio DirectoryStream(202)", 500) { _ =>
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try s.count() finally s.close()
+      }
+      time("ControlFs.readSmall(400B)", 1000)(i => ControlFs.readSmallBytes(s"$dir/v${i % 200 + 1}.json"))
+      time("nio readAllBytes(400B)", 1000)(i =>
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/v${i % 200 + 1}.json")))
+      var cx = 0
+      time("ControlFs.createExclusive", 500) { _ =>
+        cx += 1; ControlFs.createExclusive(s"$dir/cx$cx", payload)
+      }
+      var nx = 0
+      time("nio CREATE_NEW write", 500) { _ =>
+        nx += 1
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/nx$nx"), payload,
+          java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
+        ()
+      }
+      time("ControlFs.status", 1000)(i => ControlFs.status(s"$dir/v${i % 200 + 1}.json"))
+      time("ControlFs.fsFor alone", 2000)(_ => ControlFs.fsFor(s"$dir/v1.json"))
+      val (cachedFs, cachedRoot) = ControlFs.fsFor(dir)
+      time("pre-resolved fs.listStatus(202)", 500)(_ => cachedFs.listStatus(cachedRoot))
+      spark.stop(); return
+    }
     if (args.headOption.contains("kmiter")) {
       // how many Lloyd iterations does spherical k-means (k=8) need to
       // reach the fixed point at each scale? (the cluster_kmeans query
