@@ -105,18 +105,27 @@ private[graft] object ControlFs {
     localFile(fs, p) match {
       case Some(d) =>
         val names = d.list()
-        if (names == null) return Nil // absent or not a directory
+        // null = absent OR a regular file; match listStatus, where a
+        // FILE path lists as itself — local and cluster must not
+        // silently diverge on a shared primitive
+        if (names == null) return status(dir).filter(_.isFile).toSeq
         names.toSeq.flatMap { n =>
           // one readAttributes call per child instead of listStatus's
           // Path + repeated File stats; a child deleted mid-list is
-          // skipped, matching listStatus's behavior on a fresh listing
+          // skipped, matching listStatus's behavior on a fresh listing —
+          // any OTHER per-child IO error is logged, not swallowed
           try {
             val a = java.nio.file.Files.readAttributes(
               d.toPath.resolve(n),
               classOf[java.nio.file.attribute.BasicFileAttributes])
             Some(new FileStatus(a.size(), a.isDirectory, 1, 0,
               a.lastModifiedTime().toMillis, new HPath(p, n)))
-          } catch { case _: java.io.IOException => None }
+          } catch {
+            case _: java.nio.file.NoSuchFileException => None
+            case e: java.io.IOException =>
+              log.warn(s"listing $dir: skipping child '$n': $e")
+              None
+          }
         }
       case None =>
         if (!fs.exists(p)) Nil else fs.listStatus(p).toSeq
@@ -134,7 +143,10 @@ private[graft] object ControlFs {
     localFile(fs, p) match {
       case Some(d) =>
         val names = d.list()
-        if (names == null) Nil else names.toSeq
+        // null = absent or a regular file; a FILE lists as itself,
+        // matching the Hadoop branch (see list)
+        if (names == null) { if (d.isFile) Seq(d.getName) else Nil }
+        else names.toSeq
       case None =>
         if (!fs.exists(p)) Nil else fs.listStatus(p).toSeq.map(_.getPath.getName)
     }
@@ -282,6 +294,9 @@ private[graft] object ControlFs {
     */
   def createClaimIsAtomic(fs: FileSystem, p: HPath): Boolean = {
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    // local disks: createExclusive takes the O_EXCL fast path (see
+    // localFile) — genuinely atomic against concurrent creators
+    localFile(fs, p).isDefined ||
     AtomicCreateSchemes.contains(scheme) ||
     ConditionalCreateCapabilities.exists { k =>
       try fs.hasPathCapability(p, k)

@@ -369,8 +369,12 @@ final class CommitLog(val root: String, checkpointInterval: Int = 100) {
       val fenceSeq = if (seqs.isEmpty) 0L else seqs.last
       // ONE head read shared by the replay fence and the confirmed-seq
       // scan below (they used to each read+parse the same head file —
-      // one GET per commit saved on object stores)
-      val headRes = if (seqs.isEmpty) Missing else readCommitRes(commitPath(seqs.last))
+      // one GET per commit saved on object stores). batchId < 0 commits
+      // (compaction/rewrite/reconcile) consult neither — skip the read
+      // entirely, as the pre-r15 short-circuit did.
+      val headRes =
+        if (seqs.isEmpty || batchId < 0) Missing
+        else readCommitRes(commitPath(seqs.last))
       if (batchId >= 0 && lastBatchIdFromHead(seqs, headRes).exists(batchId <= _)) return None
       // Newest CONFIRMED (parseable) claim at snapshot time: claims above
       // it are in-flight or aborted and their batchIds were NOT visible

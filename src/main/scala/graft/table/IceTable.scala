@@ -162,10 +162,16 @@ final class IceTable private[table] (
     */
   @volatile private var schemaCache: Map[Int, StructType] = Map.empty
 
-  def schemaVersions: Seq[(Int, StructType)] = {
-    val versions = ControlFs.listNames(schemaDir)
+  /** Version numbers present in the directory by NAME — including burned
+    * (unparseable) ones, which [[evolveTo]] must advance past. */
+  private def schemaVersionNames(): Seq[Int] =
+    ControlFs.listNames(schemaDir)
       .filter(_.matches("v\\d+\\.json"))
       .map(_.stripPrefix("v").stripSuffix(".json").toInt)
+
+  def schemaVersions: Seq[(Int, StructType)] = schemaVersionsFrom(schemaVersionNames())
+
+  private def schemaVersionsFrom(versions: Seq[Int]): Seq[(Int, StructType)] = {
     val cached = schemaCache
     // an unparseable version file is a crashed evolveTo's aborted claim
     // (see evolveTo — its number stays burned, never reused): skip it;
@@ -202,17 +208,17 @@ final class IceTable private[table] (
     var attempt = 0
     while (true) {
       attempt += 1
-      val (lastV, lastS) = schemaVersions.last
+      // ONE listing per attempt feeds both the parsed-version check and
+      // the next-number fold
+      val names = schemaVersionNames()
+      val (lastV, lastS) = schemaVersionsFrom(names).last
       if (lastS == newSchema) return lastV
       // next number from listed NAMES, not parseable versions: a burned
       // (garbled) version file is excluded from schemaVersions, so
       // lastV+1 would re-claim the burned number forever — the same
       // advance-past-burned-numbers rule CommitLog (names) and
       // IndexLayout.publishMeta (stamps) follow
-      val v = ControlFs.listNames(schemaDir)
-        .filter(_.matches("v\\d+\\.json"))
-        .map(_.stripPrefix("v").stripSuffix(".json").toInt)
-        .foldLeft(lastV)(math.max) + 1
+      val v = names.foldLeft(lastV)(math.max) + 1
       val path = s"$schemaDir/v$v.json"
       val content = newSchema.json
       val claimed =

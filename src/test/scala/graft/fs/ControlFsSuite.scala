@@ -2,7 +2,7 @@ package graft.fs
 
 import java.net.URI
 
-import org.apache.hadoop.fs.{Path => HPath, RawLocalFileSystem}
+import org.apache.hadoop.fs.{FilterFileSystem, Path => HPath, RawLocalFileSystem}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -15,27 +15,43 @@ class AtomicSchemeTestFs extends RawLocalFileSystem {
   override def getUri: URI = URI.create("hdfs://fake-nn")
 }
 
+/** An "object-store-shaped" FS: NOT a RawLocalFileSystem (no O_EXCL fast
+  * path), scheme off the atomic list, no conditional-create capability —
+  * the conservative non-atomic answer.
+  */
+class CapabilityLessTestFs extends FilterFileSystem(new RawLocalFileSystem) {
+  override def getScheme: String = "s3x"
+  override def getUri: URI = URI.create("s3x://fake-bucket")
+  override def hasPathCapability(p: HPath, c: String): Boolean = false
+}
+
 class ControlFsSuite extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("exclusivity probe: capability-less FS reports non-atomic, HDFS-schemed reports atomic") {
+  test("exclusivity probe: capability-less FS non-atomic; HDFS-schemed and local O_EXCL atomic") {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.graftfs.impl", classOf[graft.GraftTestFs].getName)
     val local = TestSpark.freshDir("controlfs-probe")
 
-    // GraftTestFs = RawLocalFileSystem under its own scheme: no
-    // conditional-create capability, not on the atomic-scheme list —
-    // the conservative answer, and what drives the loud WARN at the
-    // first publish on such an FS
-    val (gfs, gp) = ControlFs.fsFor(s"graftfs:$local/claim")
-    assert(!ControlFs.createClaimIsAtomic(gfs, gp),
-      "a capability-less filesystem must report a non-atomic claim")
+    // not raw-local, no capability, scheme off the atomic list — the
+    // conservative answer, and what drives the loud WARN at the first
+    // publish on such an FS
+    val sfs = new CapabilityLessTestFs
+    sfs.initialize(URI.create("s3x://fake-bucket"), conf)
+    assert(!ControlFs.createClaimIsAtomic(sfs, new HPath("/x")),
+      "a capability-less non-local filesystem must report a non-atomic claim")
 
     // an FS whose scheme serializes namespace ops through a metadata
     // service is atomic by scheme, before any capability query
     val hfs = new AtomicSchemeTestFs
     hfs.initialize(URI.create("hdfs://fake-nn"), conf)
     assert(ControlFs.createClaimIsAtomic(hfs, new HPath("/x")))
+
+    // local disks (incl. registered schemes backed by RawLocalFileSystem)
+    // take the O_EXCL fast path — genuinely atomic
+    val (gfs, gp) = ControlFs.fsFor(s"graftfs:$local/claim")
+    assert(ControlFs.createClaimIsAtomic(gfs, gp),
+      "the local O_EXCL fast path is an atomic claim")
 
     // the probe fires once per scheme per JVM and never throws —
     // exercised through a real publish on the capability-less scheme
