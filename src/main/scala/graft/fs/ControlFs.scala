@@ -128,7 +128,13 @@ private[graft] object ControlFs {
           }
         }
       case None =>
-        if (!fs.exists(p)) Nil else fs.listStatus(p).toSeq
+        // listStatus throws FileNotFoundException on an absent dir — map
+        // it to empty, the local branch's null-listing semantics. One RPC
+        // (no exists pre-check), and a dir deleted concurrently (retention
+        // sweep, gc, generation sweep) reads as absent instead of throwing
+        // out of a shared primitive.
+        try fs.listStatus(p).toSeq
+        catch { case _: java.io.FileNotFoundException => Nil }
     }
   }
 
@@ -148,7 +154,9 @@ private[graft] object ControlFs {
         if (names == null) { if (d.isFile) Seq(d.getName) else Nil }
         else names.toSeq
       case None =>
-        if (!fs.exists(p)) Nil else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        // same absent/vanished rule (and same saved RPC) as list()
+        try fs.listStatus(p).toSeq.map(_.getPath.getName)
+        catch { case _: java.io.FileNotFoundException => Nil }
     }
   }
 

@@ -451,7 +451,23 @@ final class CommitLog(val root: String, checkpointInterval: Int = 100) {
                 s"window (${CommitLog.AbortedClaimAgeMs} ms) and was consolidated " +
                 "past by a checkpoint — the claim was rolled back; replay the batch")
           }
-          if (checkpointInterval > 0 && seq % checkpointInterval == 0) checkpoint(seq)
+          // The claim is durably published at this point — checkpointing
+          // is an optimization and must NEVER turn a succeeded commit
+          // into a caller-visible failure (the batch would replay, the
+          // fence would return None, and the replay's staged files would
+          // be dropped as orphans — correct but a full wasted batch).
+          // checkpoint() already absorbs its create failure; this guard
+          // covers the rest of its body (commits() churn aborts, sweep
+          // delete IO errors).
+          if (checkpointInterval > 0 && seq % checkpointInterval == 0) {
+            try checkpoint(seq)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                slog.warn(s"CommitLog at $root: checkpoint at seq $seq failed " +
+                  s"after a successful commit (${e.getMessage}) — the commit " +
+                  "stands; the log will not prune until a checkpoint succeeds")
+            }
+          }
           return Some(entry)
         }
       }

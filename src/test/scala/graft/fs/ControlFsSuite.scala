@@ -25,6 +25,17 @@ class CapabilityLessTestFs extends FilterFileSystem(new RawLocalFileSystem) {
   override def hasPathCapability(p: HPath, c: String): Boolean = false
 }
 
+/** exists() answers true but listStatus throws FileNotFoundException —
+  * the directory vanished between the shared primitive's existence check
+  * and its listing (concurrent retention sweep / gc / generation sweep).
+  */
+class VanishOnListTestFs extends FilterFileSystem(new graft.SchemedRawLocalFs("vanishx")) {
+  override def getScheme: String = "vanishx"
+  override def getUri: URI = URI.create("vanishx:///")
+  override def listStatus(p: HPath): Array[org.apache.hadoop.fs.FileStatus] =
+    throw new java.io.FileNotFoundException(s"$p vanished mid-list")
+}
+
 class ControlFsSuite extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -72,6 +83,19 @@ class ControlFsSuite extends AnyFunSuite {
     assert(ControlFs.readSmall(p).contains("a"))
     ControlFs.writeSmall(p, "c")
     assert(ControlFs.readSmall(p).contains("c"))
+  }
+
+  test("Hadoop branch: a dir vanished between exists and listStatus reads as absent") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.vanishx.impl", classOf[VanishOnListTestFs].getName)
+    val local = TestSpark.freshDir("controlfs-vanish")
+    ControlFs.createExclusive(s"$local/f", "x") // dir genuinely exists with a child
+    // the FilterFileSystem wrapper defeats the local fast path, so these
+    // run the pure Hadoop branch: exists=true, then the FNF mid-listing
+    // must read as an empty dir (the local branch's null-listing rule),
+    // not escape a shared primitive into a sweep or commit read
+    assert(ControlFs.list(s"vanishx:$local").isEmpty)
+    assert(ControlFs.listNames(s"vanishx:$local").isEmpty)
   }
 
   test("walkPostOrder lists children before parents (sweep order)") {

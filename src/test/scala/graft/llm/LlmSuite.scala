@@ -655,14 +655,26 @@ class DedupSuite extends AnyFunSuite {
     // these paths, so green here means the generation sweep, the
     // appendBatch partition delete-then-write, and the two-phase
     // compaction fold all go through Path.getFileSystem
-    spark.sparkContext.hadoopConfiguration
-      .set("fs.graftfs.impl", classOf[graft.GraftTestFs].getName)
-    val local = TestSpark.freshDir("lsh-hadoopfs")
-    val dir = s"graftfs:$local"
+    lshControlPlaneOn("graftfs", classOf[graft.GraftTestFs].getName, "lsh-hadoopfs")
+  }
+
+  test("LshIndex control plane runs on the pure Hadoop branch (non-raw-local scheme)") {
+    // graftfs: is a RawLocalFileSystem, so ControlFs routes its byte I/O
+    // through the local nio fast path; clusterfs: wraps it in a
+    // FilterFileSystem, defeating the fast-path match — this run takes
+    // the same ControlFs branch a real hdfs://s3a:// deployment does
+    // (fs.create claims, fs.open reads, listStatus listings)
+    lshControlPlaneOn("clusterfs", classOf[graft.ClusterTestFs].getName, "lsh-clusterfs")
+  }
+
+  private def lshControlPlaneOn(scheme: String, fsImpl: String, prefix: String): Unit = {
+    spark.sparkContext.hadoopConfiguration.set(s"fs.$scheme.impl", fsImpl)
+    val local = TestSpark.freshDir(prefix)
+    val dir = s"$scheme:$local"
     val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     LshIndex.build(corpus, "doc_id", "text", dir, n = 3, numHashes = 64, bands = 32)
     val gen1 = LshIndex.dataDir(spark, dir)
-    assert(gen1.startsWith("graftfs:"), s"dataDir left the index scheme: $gen1")
+    assert(gen1.startsWith(s"$scheme:"), s"dataDir left the index scheme: $gen1")
     // replayable appends + a probe against appended rows, all through the scheme
     assert(LshIndex.appendBatch(spark, dir,
       Seq((10L, "completely novel text about spark and catalyst engines")).toDF("doc_id", "text"),
@@ -675,9 +687,9 @@ class DedupSuite extends AnyFunSuite {
       "doc_id", "text", threshold = 0.5)
       .select("id_new", "id_indexed").as[(Long, Long)].collect().toSet
     assert(got === Set((30L, 10L)), s"probe through the scheme: $got")
-    // two-phase compaction fold (staging + plan marker + moves) on graftfs
+    // two-phase compaction fold (staging + plan marker + moves) on the scheme
     LshIndex.compact(spark, dir, upToBatch = 0L)
-    val parts = new java.io.File(s"${local}${gen1.stripPrefix(s"graftfs:$local")}/shingles.parquet")
+    val parts = new java.io.File(s"${local}${gen1.stripPrefix(s"$scheme:$local")}/shingles.parquet")
       .list().filter(_.startsWith("batch=")).sorted.toSeq
     assert(parts === Seq("batch=-1", "batch=1"),
       s"compaction through the scheme left an unexpected layout: $parts")

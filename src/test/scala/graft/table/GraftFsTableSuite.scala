@@ -11,24 +11,37 @@ import graft.fs.ControlFs
 import graft.sink.IceTableWriter
 import graft.streaming.IngestStream
 
-/** r15 deployment-boundary proof for the TABLE FORMAT's control plane:
-  * every op below runs against a table whose `dir` uses the registered
-  * `graftfs:` scheme — paths java.nio cannot resolve at all — so a green
-  * suite means the commit log's create-exclusive claims, checkpoints and
-  * retention sweep, the schema/meta versioning, the writer's staging
-  * markers, footer stats, zero-row unstaging, gc's walk, and fsck all go
-  * through Hadoop's FileSystem layer, exactly like the data files. This
-  * is the same proof the r14 LlmSuite test gave the IVF index family,
-  * applied to the engine's most load-bearing component.
+/** r15 deployment-boundary proof for the TABLE FORMAT's control plane,
+  * run against BOTH registered test schemes:
+  *
+  *  - `graftfs:` ([[graft.GraftTestFs]], a RawLocalFileSystem under its
+  *    own scheme): paths java.nio cannot resolve, so a green run proves
+  *    every control-plane op resolves through `Path.getFileSystem` —
+  *    and, because the FS is raw-local, it exercises ControlFs's local
+  *    nio FAST PATH (O_EXCL claims, names-only listings).
+  *  - `clusterfs:` ([[graft.ClusterTestFs]], a FilterFileSystem wrapper
+  *    — NOT a RawLocalFileSystem): defeats the fast-path match, so the
+  *    same scenario runs the PURE Hadoop branch a real `hdfs://`/`s3a://`
+  *    deployment takes — `fs.create(overwrite=false)` claims, `fs.open`
+  *    reads, `listStatus` listings, recursive deletes.
+  *
+  * A green suite on both schemes means the commit log's create-exclusive
+  * claims, checkpoints and retention sweep, the schema/meta versioning,
+  * the writer's staging markers, footer stats, zero-row unstaging, gc's
+  * walk, and fsck all work through Hadoop's FileSystem layer on both the
+  * local fast path and the cluster branch. This is the same proof the
+  * r14 LlmSuite test gave the IVF index family, applied to the engine's
+  * most load-bearing component.
   */
 class GraftFsTableSuite extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def schemeDir(prefix: String): String = {
-    spark.sparkContext.hadoopConfiguration
-      .set("fs.graftfs.impl", classOf[graft.GraftTestFs].getName)
-    s"graftfs:${TestSpark.freshDir(prefix)}"
+  private def schemeDir(scheme: String, prefix: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftfs.impl", classOf[graft.GraftTestFs].getName)
+    conf.set("fs.clusterfs.impl", classOf[graft.ClusterTestFs].getName)
+    s"$scheme:${TestSpark.freshDir(prefix)}"
   }
 
   private val schema = StructType(Seq(
@@ -38,8 +51,8 @@ class GraftFsTableSuite extends AnyFunSuite {
 
   private def df(rows: (Long, String, Double)*) = rows.toDF("id", "name", "v")
 
-  test("ingest → CDC upsert → schema evolution → compaction → gc → fsck, end-to-end on graftfs:") {
-    val dir = s"${schemeDir("gfs-table")}/tbl"
+  private def endToEnd(scheme: String): Unit = {
+    val dir = s"${schemeDir(scheme, s"$scheme-table")}/tbl"
     val t = IceTable.create(dir, schema, TableMeta(idColumns = Seq("id")))
 
     // plain appends with the batchId replay fence through the scheme
@@ -86,10 +99,10 @@ class GraftFsTableSuite extends AnyFunSuite {
     assert(t.fsck(spark).select("problem").as[String].collect().toSet === Set("missing"))
   }
 
-  test("streaming ingest (IngestStream) commits exactly-once per micro-batch on graftfs:") {
+  private def streamingIngest(scheme: String): Unit = {
     implicit val sq = spark.sqlContext
-    val wh = schemeDir("gfs-stream-wh")
-    val ckpt = TestSpark.freshDir("gfs-stream-ckpt") // Spark's own checkpoint stays local
+    val wh = schemeDir(scheme, s"$scheme-stream-wh")
+    val ckpt = TestSpark.freshDir(s"$scheme-stream-ckpt") // Spark's own checkpoint stays local
     val cfg = EngineConfig(warehouse = wh,
       tables = Seq(TableConfig("sink")), autoCreate = true)
     val ms = MemoryStream[graft.streaming.Ev]
@@ -103,6 +116,22 @@ class GraftFsTableSuite extends AnyFunSuite {
     val t = IceTable.load(s"$wh/sink")
     assert(t.read(spark).count() === 3)
     assert(t.log.commits().map(_.batchId) === Seq(0L, 1L))
-    assert(t.dir.startsWith("graftfs:"), s"table left the scheme: ${t.dir}")
+    assert(t.dir.startsWith(s"$scheme:"), s"table left the scheme: ${t.dir}")
+  }
+
+  test("ingest → CDC upsert → evolution → compaction → gc → fsck on graftfs: (local fast path)") {
+    endToEnd("graftfs")
+  }
+
+  test("ingest → CDC upsert → evolution → compaction → gc → fsck on clusterfs: (pure Hadoop branch)") {
+    endToEnd("clusterfs")
+  }
+
+  test("streaming ingest (IngestStream) commits exactly-once per micro-batch on graftfs:") {
+    streamingIngest("graftfs")
+  }
+
+  test("streaming ingest (IngestStream) commits exactly-once per micro-batch on clusterfs:") {
+    streamingIngest("clusterfs")
   }
 }

@@ -7,6 +7,28 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 import graft.sink.IceTableWriter
 
+/** Fails any `ckpt-*` create with a RuntimeException — an injected
+  * checkpoint-write failure that bypasses checkpoint()'s own IOException
+  * handling, proving commit()'s succeeded-claim guard.
+  */
+class CkptFailTestFs
+    extends org.apache.hadoop.fs.FilterFileSystem(
+      new graft.SchemedRawLocalFs("ckptfailx")) {
+  override def getScheme: String = "ckptfailx"
+  override def getUri: java.net.URI = java.net.URI.create("ckptfailx:///")
+  override def create(
+      f: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean,
+      bufferSize: Int,
+      replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream =
+    if (f.getName.startsWith("ckpt-"))
+      throw new RuntimeException("injected checkpoint create failure")
+    else super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
+}
+
 class IceTableSuite extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -662,6 +684,25 @@ class IceTableSuite extends AnyFunSuite {
     assert(log.commit(3L, seq => Commit(seq, 3L, "dup", 0L, 1)).isEmpty)
     assert(log.lastBatchId() === Some(6L))
     assert(log.lastSeq() === 7L)
+  }
+
+  test("a checkpoint failure after a successful claim never fails the commit") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.ckptfailx.impl", classOf[CkptFailTestFs].getName)
+    val dir = TestSpark.freshDir("t-ckpt-fail")
+    // interval 1: every commit tries to checkpoint; the scheme FS throws a
+    // RuntimeException on any ckpt-* create — past checkpoint()'s own
+    // IOException absorption, so only commit()'s guard stands between an
+    // optimization failure and a spuriously failed (durably published)
+    // commit
+    val log = new CommitLog(s"ckptfailx:$dir", checkpointInterval = 1)
+    val c = log.commit(0L, seq => Commit(seq, 0L, "c0", 0L, 1,
+      dataFiles = Seq(FileEntry("f0", 1L, 1))))
+    assert(c.nonEmpty,
+      "the claim was durably published; a checkpoint failure must not fail the commit")
+    assert(log.commits().map(_.batchId) === Seq(0L))
+    // and the fence still sees the committed batch
+    assert(log.commit(0L, seq => Commit(seq, 0L, "dup", 0L, 1)).isEmpty)
   }
 
   test("commit-log retention: entries two checkpoint generations old are swept, reads intact") {
