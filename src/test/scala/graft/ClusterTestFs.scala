@@ -33,3 +33,67 @@ class ClusterTestFs extends FilterFileSystem(new SchemedRawLocalFs("clusterfs"))
   override def getScheme: String = "clusterfs"
   override def getUri: URI = URI.create("clusterfs:///")
 }
+
+/** [[ClusterTestFs]]-shaped (pure Hadoop branch), but counts every
+  * namespace/data operation — on a cluster filesystem each of these is
+  * an RPC round trip (S3: a billed request), so a control-plane path's
+  * OP COUNT is its real cost there, not local wall-clock. Counters are
+  * global per JVM (the FileSystem CACHE hands every caller one shared
+  * instance); reset between measurement windows.
+  */
+class OpCountingFs extends FilterFileSystem(new SchemedRawLocalFs("countfs")) {
+  import OpCountingFs._
+  override def getScheme: String = "countfs"
+  override def getUri: URI = URI.create("countfs:///")
+
+  override def listStatus(f: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    count("listStatus"); super.listStatus(f)
+  }
+  override def getFileStatus(f: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus = {
+    count("getFileStatus"); super.getFileStatus(f)
+  }
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    count("open"); super.open(f, bufferSize)
+  }
+  override def create(
+      f: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean,
+      bufferSize: Int,
+      replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    count("create")
+    super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
+  }
+  override def delete(f: org.apache.hadoop.fs.Path, recursive: Boolean): Boolean = {
+    count("delete"); super.delete(f, recursive)
+  }
+  override def mkdirs(
+      f: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission): Boolean = {
+    count("mkdirs"); super.mkdirs(f, permission)
+  }
+  override def rename(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Boolean = {
+    count("rename"); super.rename(src, dst)
+  }
+}
+
+object OpCountingFs {
+  val ops = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def count(op: String): Unit = {
+    ops.computeIfAbsent(op, _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+    ()
+  }
+  def reset(): Unit = ops.clear()
+  def total: Long = {
+    var t = 0L
+    ops.forEach((_, v) => t += v.get())
+    t
+  }
+  def snapshot: Map[String, Long] = {
+    val b = Map.newBuilder[String, Long]
+    ops.forEach((k, v) => b += (k -> v.get()))
+    b.result()
+  }
+}

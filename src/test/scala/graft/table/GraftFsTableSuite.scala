@@ -134,4 +134,51 @@ class GraftFsTableSuite extends AnyFunSuite {
   test("streaming ingest (IngestStream) commits exactly-once per micro-batch on clusterfs:") {
     streamingIngest("clusterfs")
   }
+
+  test("FS ops per commit are flat in history and rename-free (cluster RPC budget)") {
+    // On a cluster FS every namespace op is an RPC (S3: a billed
+    // request), so the commit path's real cost there is its OP COUNT —
+    // wall-clock flatness (`loghist` probe, SCALE.md) is measured on the
+    // local fast path and can't see an accidentally added per-commit op.
+    // Amortized over a full checkpoint interval, ops/commit at history
+    // ~130 and ~530 must match: checkpoint retention bounds the listing,
+    // and nothing else in the path may scale with table age.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.countfs.impl", classOf[graft.OpCountingFs].getName)
+    val dir = TestSpark.freshDir("countfs-commits")
+    val log = new CommitLog(s"countfs:$dir", checkpointInterval = 100)
+
+    def drive(from: Int, n: Int): Unit = (from until from + n).foreach { i =>
+      assert(log.commit(i.toLong, s => Commit(s, i.toLong, s"c$i", 0L, 1,
+        dataFiles = Seq(FileEntry(s"f$i", 1L, 1)))).nonEmpty)
+    }
+
+    // warm PAST two checkpoint generations (sweeps start at seq 300:
+    // pruneBelow = seq - 2*interval) so both windows see the steady-state
+    // op profile: fence listing + head/monotone reads + claim create +
+    // read-back, plus one checkpoint's consolidation reads and one
+    // interval's sweep deletes amortized across the window
+    drive(0, 330)
+    graft.OpCountingFs.reset()
+    drive(330, 100) // window A spans exactly one checkpoint (seq 400)
+    val opsA = graft.OpCountingFs.total
+    val snapA = graft.OpCountingFs.snapshot
+    drive(430, 300)
+    graft.OpCountingFs.reset()
+    drive(730, 100) // window B, same shape, ~2.2x the history
+    val opsB = graft.OpCountingFs.total
+    val snapB = graft.OpCountingFs.snapshot
+
+    assert(!snapA.contains("rename") && !snapB.contains("rename"),
+      s"the publish path must stay rename-free (object stores copy+delete): $snapA $snapB")
+    // flat: same window shape => same op count, independent of history
+    assert(opsB <= opsA * 1.1 + 10,
+      s"FS ops grew with history: window A (330-430) = $opsA ($snapA), " +
+        s"window B (730-830) = $opsB ($snapB)")
+    // absolute budget regression pin — loose enough for protocol jitter
+    // (checkpoint sweeps), tight enough to catch an added per-commit op
+    // class (a second listing per commit alone would add ~100)
+    assert(opsB.toDouble / 100 <= 12.0,
+      s"per-commit RPC budget blew past 12: ${opsB / 100.0} ($snapB)")
+  }
 }
