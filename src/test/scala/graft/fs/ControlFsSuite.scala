@@ -98,6 +98,33 @@ class ControlFsSuite extends AnyFunSuite {
     assert(ControlFs.listNames(s"vanishx:$local").isEmpty)
   }
 
+  test("createExclusive race on the pure Hadoop branch: one winner, content intact") {
+    // On a check-then-act FS (the clusterfs: branch — no O_EXCL, no
+    // conditional create) two same-JVM racers could both pass the
+    // existence check and truncate over each other mid-write; the stripe
+    // lock must serialize them so exactly one wins and ITS full content
+    // survives. 16 threads, one path, distinct payloads.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.clusterfs.impl", classOf[graft.ClusterTestFs].getName)
+    val path = s"clusterfs:${TestSpark.freshDir("controlfs-race")}/claim"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = (0 until 16).map { i =>
+        new java.util.concurrent.Callable[Option[Int]] {
+          def call(): Option[Int] =
+            try { ControlFs.createExclusive(path, s"writer-$i-" + ("x" * 1000)); Some(i) }
+            catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => None }
+        }
+      }
+      val winners = pool.invokeAll(tasks.asJava).asScala.flatMap(_.get())
+      assert(winners.size === 1, s"exactly one racer must win the claim: $winners")
+      val content = ControlFs.readSmall(path).get
+      assert(content === s"writer-${winners.head}-" + ("x" * 1000),
+        "the winner's content must survive whole — no truncation by a loser")
+    } finally pool.shutdown()
+  }
+
   test("walkPostOrder lists children before parents (sweep order)") {
     val local = TestSpark.freshDir("controlfs-walk")
     ControlFs.createExclusive(s"$local/a/b/f1", "1")

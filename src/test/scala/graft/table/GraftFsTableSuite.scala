@@ -135,6 +135,29 @@ class GraftFsTableSuite extends AnyFunSuite {
     streamingIngest("clusterfs")
   }
 
+  test("optimistic commit race is safe on the pure Hadoop branch (read-back arbitration)") {
+    // the local-path twin lives in IceTableSuite; here the claim create
+    // is check-then-act (no O_EXCL), so seq arbitration rests on the
+    // stripe lock + the post-claim read-back verify
+    val dir = s"${schemeDir("clusterfs", "clusterfs-race")}/tbl"
+    val t = IceTable.create(dir, schema, TableMeta())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = (0 until 8).map { i =>
+        new java.util.concurrent.Callable[Option[Commit]] {
+          def call() = t.log.commit(-1L, seq =>
+            Commit(seq, -1L, s"c$i", 0L, 1), maxRetries = 50)
+        }
+      }
+      val results = pool.invokeAll(tasks.asJava).asScala.map(_.get())
+      assert(results.forall(_.isDefined))
+      val commits = t.log.commits()
+      assert(commits.map(_.seq) === (1L to 8L)) // dense, no gaps, no loss
+      assert(commits.map(_.commitId).toSet.size === 8)
+    } finally pool.shutdown()
+  }
+
   test("FS ops per commit are flat in history and rename-free (cluster RPC budget)") {
     // On a cluster FS every namespace op is an RPC (S3: a billed
     // request), so the commit path's real cost there is its OP COUNT —
