@@ -221,8 +221,8 @@ private[graft] object ControlFs {
     // All committers of a single-driver deployment live in one JVM, so a
     // JVM-level mutex around check+create+write+close closes exactly the
     // races that deployment can produce; cross-process racers on such an
-    // FS remain the documented single-maintenance-writer boundary (and
-    // the commit log additionally verifies its claims by read-back). On
+    // FS remain a documented single-writer boundary (the commit log's
+    // read-back verify narrows but cannot close it — see CommitLog). On
     // an atomic FS (HDFS) the lock is redundant and only serializes
     // same-JVM publishes of the same path — which conflict anyway.
     val stripe = lockStripes(math.floorMod(path.hashCode, lockStripes.length))

@@ -89,7 +89,17 @@ final case class Commit(
   * atomic (local FS, S3A without conditional creates), a racing loser
   * could truncate-over the winner's entry — so every claim is VERIFIED
   * by reading it back: whoever reads back their own commitId owns the
-  * seq; anyone else retries at the next seq. A claim file that stays
+  * seq; anyone else retries at the next seq. Read-back arbitration is
+  * complete for SAME-JVM racers (a stripe lock additionally serializes
+  * the check+create+write window — all committers of a single-driver
+  * deployment share one JVM) and on atomic-create filesystems; two
+  * committers in DIFFERENT processes on a check-then-act FS can each
+  * pass their own read-back in turn (B's existence check can predate
+  * A's object becoming visible, and B's truncate lands after A already
+  * verified), so multi-driver writes to one table on such an FS are a
+  * documented single-committer boundary — the exclusivity probe WARNs
+  * at the first publish, and S3A with conditional creates (Hadoop
+  * 3.4.1+) lifts it. A claim file that stays
   * unparseable (writer crashed mid-create) is an ABORTED claim: readers
   * skip it — its writer never got a success, so the batch replays —
   * and its seq is never reused (create-exclusive fails on it forever),
