@@ -686,6 +686,71 @@ class IceTableSuite extends AnyFunSuite {
     assert(log.lastSeq() === 7L)
   }
 
+  test("concurrent mixed stress: same-batch racers + maintenance + mid-stress checkpoints") {
+    // The zombie-driver scenario at full contention: for each batchId,
+    // three committers race the SAME batch (an old driver's in-flight
+    // commit racing a new driver's replay) while a maintenance commit
+    // (batchId -1, compaction-shaped) runs concurrently, with a small
+    // checkpointInterval so consolidation + retention sweeps fire in the
+    // middle of the racing. Batch ids still arrive in order across
+    // races — the stream contract the fence's monotonicity rule assumes.
+    // Invariants: every batchId lands in commits() EXACTLY once (racers
+    // may all see success — idempotent — but readers must never see a
+    // duplicate), every maintenance commit lands, seqs are unique and
+    // increasing, and a post-stress replay of any batch is fenced.
+    mixedStress(TestSpark.freshDir("t-stress-mixed"))
+  }
+
+  test("concurrent mixed stress on the check-then-act Hadoop branch (clusterfs:)") {
+    // same schedule where the claim create is NOT atomic: arbitration
+    // rests entirely on the stripe lock + read-back verify
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.clusterfs.impl", classOf[graft.ClusterTestFs].getName)
+    mixedStress(s"clusterfs:${TestSpark.freshDir("t-stress-clusterfs")}")
+  }
+
+  private def mixedStress(dir: String): Unit = {
+    val log = new CommitLog(dir, checkpointInterval = 7)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      import scala.jdk.CollectionConverters._
+      (0 until 20).foreach { b =>
+        val barrier = new java.util.concurrent.CyclicBarrier(4)
+        val racers = (0 until 3).map { r =>
+          new java.util.concurrent.Callable[Option[Commit]] {
+            def call() = {
+              barrier.await()
+              log.commit(b.toLong, seq => Commit(seq, b.toLong, s"b$b-r$r", 0L, 1,
+                dataFiles = Seq(FileEntry(s"f$b-r$r", 1L, 1))), maxRetries = 100)
+            }
+          }
+        }
+        val maint = new java.util.concurrent.Callable[Option[Commit]] {
+          def call() = {
+            barrier.await()
+            log.commit(-1L, seq => Commit(seq, -1L, s"m$b", 0L, 1), maxRetries = 100)
+          }
+        }
+        val results = pool.invokeAll((racers :+ maint).asJava).asScala.map(_.get())
+        assert(results.last.isDefined, s"maintenance commit $b must land")
+        assert(results.init.exists(_.isDefined), s"some racer of batch $b must win")
+      }
+      val commits = log.commits()
+      val batchCounts = commits.filter(_.batchId >= 0).groupBy(_.batchId).view.mapValues(_.size)
+      assert(batchCounts.toMap === (0L until 20L).map(_ -> 1).toMap,
+        s"every batchId must appear exactly once: ${batchCounts.toMap}")
+      assert(commits.count(_.batchId < 0) === 20, "all maintenance commits must land")
+      val seqs = commits.map(_.seq)
+      assert(seqs === seqs.sorted && seqs.distinct.size === seqs.size,
+        "seqs must be unique and increasing")
+      // the replay fence holds after the dust settles
+      (0 until 20).foreach { b =>
+        assert(log.commit(b.toLong, seq => Commit(seq, b.toLong, s"late$b", 0L, 1)).isEmpty,
+          s"a post-stress replay of batch $b must be fenced")
+      }
+    } finally pool.shutdown()
+  }
+
   test("a checkpoint failure after a successful claim never fails the commit") {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.ckptfailx.impl", classOf[CkptFailTestFs].getName)
