@@ -1380,10 +1380,20 @@ class SimilaritySuite extends AnyFunSuite {
     // pointer/probe/stamp/sweep op still on java.nio cannot resolve these
     // paths and fails loudly, so green here proves the whole protocol
     // goes through Path.getFileSystem (the hdfs://s3a:// deployment shape)
-    spark.sparkContext.hadoopConfiguration
-      .set("fs.graftfs.impl", classOf[graft.GraftTestFs].getName)
-    val local = graft.TestSpark.freshDir("ivf-hadoopfs")
-    val dir = s"graftfs:$local"
+    ivfControlPlaneOn("graftfs", classOf[graft.GraftTestFs].getName, "ivf-hadoopfs")
+  }
+
+  test("IVF control plane runs on the pure Hadoop branch (non-raw-local scheme)") {
+    // clusterfs: defeats ControlFs's raw-local fast-path match, so the
+    // pointer/stamp/sweep protocol runs the exact branch hdfs://s3a://
+    // executes (fs.create claims, fs.open reads, listStatus listings)
+    ivfControlPlaneOn("clusterfs", classOf[graft.ClusterTestFs].getName, "ivf-clusterfs")
+  }
+
+  private def ivfControlPlaneOn(scheme: String, fsImpl: String, prefix: String): Unit = {
+    spark.sparkContext.hadoopConfiguration.set(s"fs.$scheme.impl", fsImpl)
+    val local = graft.TestSpark.freshDir(prefix)
+    val dir = s"$scheme:$local"
     // two-level geometry (gate forced low) so the supers.parquet probe
     // and the grouped routing path also run through the scheme
     val base = emb.filter(col("vec_id") % 5 =!= 0)
@@ -1392,7 +1402,7 @@ class SimilaritySuite extends AnyFunSuite {
       kmeansIters = 1, twoLevelGate = 2)
     assert(written > 0)
     val v1 = IvfIndex.activeDir(dir)
-    assert(v1.startsWith("graftfs:"), s"activeDir left the index scheme: $v1")
+    assert(v1.startsWith(s"$scheme:"), s"activeDir left the index scheme: $v1")
     assert(v1 !== dir, "build must publish a versioned generation")
     // publish protocol: a numbered pointer file, never a mutable CURRENT
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(local, "ptr-v1")))
@@ -1884,15 +1894,24 @@ class IndexPointerSuite extends AnyFunSuite {
   import spark.implicits._
 
   test("meta-pointer publish is crash-atomic for all four indexes, on a registered Hadoop scheme") {
+    metaPointerCrashAtomicOn("graftfs", classOf[graft.GraftTestFs].getName)
+  }
+
+  test("meta-pointer publish is crash-atomic for all four indexes on the pure Hadoop branch") {
+    // clusterfs: is not a RawLocalFileSystem, so every pointer/stamp op
+    // below runs ControlFs's cluster branch, not the local nio fast path
+    metaPointerCrashAtomicOn("clusterfs", classOf[graft.ClusterTestFs].getName)
+  }
+
+  private def metaPointerCrashAtomicOn(scheme: String, fsImpl: String): Unit = {
     // the r15 ptr-vN protocol (IndexLayout.publishMeta), proven where
     // java.nio cannot follow: for each index family member, (1) a crash
     // BEFORE the pointer commit leaves probes answering from the old
     // generation bit-for-bit, and (2) a crash IN THE MIDDLE of the
     // pointer create (name present, content torn) still resolves — the
     // pointer's name is the commit
-    spark.sparkContext.hadoopConfiguration
-      .set("fs.graftfs.impl", classOf[graft.GraftTestFs].getName)
-    def g(prefix: String): String = s"graftfs:${TestSpark.freshDir(prefix)}"
+    spark.sparkContext.hadoopConfiguration.set(s"fs.$scheme.impl", fsImpl)
+    def g(prefix: String): String = s"$scheme:${TestSpark.freshDir(s"$scheme-$prefix")}"
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "an entirely different sentence about warehouses and lakes"),
