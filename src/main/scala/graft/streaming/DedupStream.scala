@@ -32,6 +32,8 @@ import graft.operators.HotPath.Pinnable
   */
 object DedupStream {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   def start(
       source: DataFrame,
       indexDir: String,
@@ -117,7 +119,16 @@ object DedupStream {
         // ids this stream has already committed past.
         compactEveryBatches.foreach { every =>
           if (batchId > 0 && batchId % every == 0)
-            LshIndex.compact(spark, indexDir, upToBatch = batchId - 1)
+            // compaction is an optimization riding an already-published
+            // dedup batch — absorb its failure (loud) rather than wedge
+            // the stream in a restart loop; the fold retries at the next
+            // multiple (same rule as IngestStream's maintenance guard)
+            try LshIndex.compact(spark, indexDir, upToBatch = batchId - 1)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                log.warn(s"in-stream index compaction at batch $batchId failed " +
+                  s"(${e.getMessage}) — dedup continues; the fold retries later")
+            }
         }
       }
       .start()

@@ -40,6 +40,8 @@ import graft.operators.HotPath.Pinnable
   */
 object EmbDedupStream {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   def start(
       source: DataFrame,
       indexDir: String,
@@ -103,7 +105,15 @@ object EmbDedupStream {
         // partition the fold deletes (see DedupStream)
         compactEveryBatches.foreach { every =>
           if (batchId > 0 && batchId % every == 0)
-            EmbIndex.compact(spark, indexDir, upToBatch = batchId - 1)
+            // same guard as DedupStream: compaction is an optimization;
+            // its failure must not wedge the stream (loud WARN, retried
+            // at the next multiple)
+            try EmbIndex.compact(spark, indexDir, upToBatch = batchId - 1)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                log.warn(s"in-stream index compaction at batch $batchId failed " +
+                  s"(${e.getMessage}) — dedup continues; the fold retries later")
+            }
         }
       }
       .start()

@@ -23,6 +23,8 @@ import graft.sink.Ingest
   */
 object IngestStream {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   def start(
       source: DataFrame,
       config: EngineConfig,
@@ -59,7 +61,21 @@ object IngestStream {
             val path = Ingest.tablePath(config, r.table)
             if (graft.table.IceTable.exists(path)) {
               val t = graft.table.IceTable.load(path, config.tableConfig(r.table).commitBranch)
-              graft.table.Maintenance.auto(batch.sparkSession, t, threshold)
+              // In-stream compaction is an OPTIMIZATION riding a batch
+              // whose data commit already succeeded — a failure here
+              // (conflict with an external compactor, transient IO)
+              // must not fail the trigger, or a persistently failing
+              // compaction wedges INGEST in a restart loop. Same rule
+              // as CommitLog's post-claim checkpoint guard. Loud WARN:
+              // a compaction that never succeeds means unbounded
+              // small-file growth, which the operator must see.
+              try { graft.table.Maintenance.auto(batch.sparkSession, t, threshold); () }
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  log.warn(s"in-stream maintenance on '${r.table}' failed after batch " +
+                    s"$batchId committed (${e.getMessage}) — ingest continues; " +
+                    "compaction retries next trigger")
+              }
             }
           }
         }

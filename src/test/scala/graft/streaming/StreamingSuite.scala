@@ -5,6 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 import graft.config.{EngineConfig, TableConfig}
+import graft.fs.ControlFs
 import graft.table.IceTable
 
 case class Ev(event_id: Long, user_id: Long, event_type: String, value: Double)
@@ -180,6 +181,55 @@ class StreamingSuite extends AnyFunSuite {
     // had no compaction fired, 6 delta commits would have accumulated
     assert(t.deltaCommitsSinceCompaction < 3,
       s"compaction never fired: ${t.deltaCommitsSinceCompaction} deltas accumulated")
+  }
+
+  test("a failing in-stream compaction never wedges ingest (maintenance is an optimization)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val wh = TestSpark.freshDir("stream-maint-fail")
+    val ckpt = TestSpark.freshDir("stream-maint-fail-ckpt")
+    // CDC table like the healthy twin above: every batch is a DELTA
+    // commit, so threshold 1 makes Maintenance.auto attempt a compaction
+    // on every trigger (plain appends never count toward the threshold)
+    val cfg = EngineConfig(warehouse = wh,
+      tables = Seq(TableConfig("state", idColumns = Seq("user_id"))),
+      cdcField = Some("event_type"), autoCreate = true)
+    val ms = MemoryStream[Ev]
+    val q = IngestStream.start(ms.toDF(), cfg, ckpt, triggerMs = Some(20),
+      maintenanceDeltaCommits = Some(1))
+    try {
+      ms.addData(Ev(1L, 100L, "I", 1.0))
+      q.processAllAvailable() // batch 0: insert (no deletes — no compaction yet)
+      ms.addData(Ev(2L, 100L, "U", 2.0))
+      q.processAllAvailable() // batch 1: a DELTA commit → compaction fires, succeeds
+      // break every FUTURE compaction: delete the LIVE data file (the
+      // compaction's output), so the next binpack's table read fails —
+      // while ingest (delta-writes only, never reads data files) stays
+      // healthy. The guard must absorb the failure; without it the
+      // trigger fails AFTER its data commit and the stream wedges in a
+      // restart loop.
+      val t0 = IceTable.load(s"$wh/state")
+      val last = t0.log.commits().last
+      assert(last.props.keys.exists(_.startsWith("compaction")),
+        s"batch 1's threshold-1 compaction should have fired: ${t0.log.commits()}")
+      val victim = last.dataFiles.head.path
+      ControlFs.delete(victim, recursive = false)
+      assert(!ControlFs.exists(victim), s"victim still exists: $victim")
+      (3 to 5).foreach { i =>
+        ms.addData(Ev(i.toLong, 100L, "U", i.toDouble))
+        q.processAllAvailable() // must keep committing despite failing compaction
+      }
+    } finally q.stop()
+    val t = IceTable.load(s"$wh/state")
+    assert(t.log.commits().map(_.batchId).filter(_ >= 0) === Seq(0L, 1L, 2L, 3L, 4L),
+      "ingest must keep committing while in-stream compaction fails")
+    // the failure was real, not a silent no-op: every post-deletion
+    // compaction attempt failed, so delta commits accumulated past the
+    // threshold instead of being folded (the healthy-path twin test
+    // asserts the opposite), and fsck sees the damage
+    assert(t.deltaCommitsSinceCompaction >= 3,
+      s"compaction should have kept failing: ${t.deltaCommitsSinceCompaction} deltas")
+    assert(t.fsck(spark).select("problem").as[String].collect().contains("missing"))
   }
 
   test("in-stream index compaction: aged partitions fold mid-stream; dedup against folded rows holds") {
