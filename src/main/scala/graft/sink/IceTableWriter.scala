@@ -38,6 +38,8 @@ final case class FooterStats(
   */
 object IceTableWriter {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Table-property prefix enabling a per-column parquet bloom filter
     * (`write.parquet.bloom-filter-enabled.column.<col> = true`). */
   val BloomPropPrefix = "write.parquet.bloom-filter-enabled.column."
@@ -655,18 +657,31 @@ object IceTableWriter {
         )
       }
     )
-    if (committed.isEmpty) {
-      // replayed batch: the staged files will never be referenced; drop them
-      (dataFiles ++ deleteFiles).foreach(f => ControlFs.delete(f.path, recursive = false))
+    // Post-commit cleanup is an OPTIMIZATION: the commit (or the replay
+    // fence's None) is already decided, and both leftovers it clears are
+    // reclaimed by gc anyway (unreferenced staged files as orphans,
+    // markers by the staging grace sweep). An FS hiccup here must not
+    // turn a durable outcome into a failed trigger — same rule as the
+    // commit log's post-claim checkpoint guard.
+    try {
+      if (committed.isEmpty) {
+        // replayed batch: the staged files will never be referenced; drop them
+        (dataFiles ++ deleteFiles).foreach(f => ControlFs.delete(f.path, recursive = false))
+      }
+      // committed OR replayed-and-dropped: either way the stage→publish
+      // window is over — release the dirs to normal gc rules. (A publish
+      // that THROWS leaves its markers: conflict-aborted rewrites keep
+      // their staged files protected until the staging grace sweeps them.)
+      (dataFiles ++ deleteFiles)
+        .flatMap(f => stagingRootOf(f.path, table.dir))
+        .distinct
+        .foreach(clearStaging)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"post-commit staging cleanup failed for batch $batchId at " +
+          s"${table.dir} (${e.getMessage}) — the commit outcome stands; " +
+          "gc reclaims the leftovers")
     }
-    // committed OR replayed-and-dropped: either way the stage→publish
-    // window is over — release the dirs to normal gc rules. (A publish
-    // that THROWS leaves its markers: conflict-aborted rewrites keep
-    // their staged files protected until the staging grace sweeps them.)
-    (dataFiles ++ deleteFiles)
-      .flatMap(f => stagingRootOf(f.path, table.dir))
-      .distinct
-      .foreach(clearStaging)
     committed
   }
 

@@ -29,6 +29,21 @@ class CkptFailTestFs
     else super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
 }
 
+/** Fails every delete of a `_staging` marker — an injected post-commit
+  * cleanup failure, proving publish()'s cleanup guard: the commit
+  * outcome must stand even when releasing the staging markers fails.
+  */
+class StagingClearFailTestFs
+    extends org.apache.hadoop.fs.FilterFileSystem(
+      new graft.SchemedRawLocalFs("stagefailx")) {
+  override def getScheme: String = "stagefailx"
+  override def getUri: java.net.URI = java.net.URI.create("stagefailx:///")
+  override def delete(f: org.apache.hadoop.fs.Path, recursive: Boolean): Boolean =
+    if (f.getName == "_staging")
+      throw new RuntimeException("injected staging-marker delete failure")
+    else super.delete(f, recursive)
+}
+
 class IceTableSuite extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -749,6 +764,26 @@ class IceTableSuite extends AnyFunSuite {
           s"a post-stress replay of batch $b must be fenced")
       }
     } finally pool.shutdown()
+  }
+
+  test("a post-commit staging-cleanup failure never fails a published append") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.stagefailx.impl", classOf[StagingClearFailTestFs].getName)
+    val dir = s"stagefailx:${TestSpark.freshDir("t-stage-fail")}/tbl"
+    val t = IceTable.create(dir, schema, TableMeta())
+    // the scheme FS throws on every _staging delete, so publish()'s
+    // cleanup fails after the commit claim landed — the append must
+    // still report success and the rows must be readable
+    val c = IceTableWriter.append(spark, df((1L, "a", 1.0)), t, batchId = 0)
+    assert(c.nonEmpty, "the commit landed; a failing marker cleanup must not unwind it")
+    assert(t.read(spark).count() === 1)
+    // the marker genuinely survived (the cleanup really failed) — the
+    // staging grace sweep owns it from here
+    val markers = graft.fs.ControlFs.walkPostOrder(dir)
+      .filter(_.getPath.getName == IceTable.StagingMarker)
+    assert(markers.nonEmpty, "injection missed: no surviving _staging marker")
+    // and the replay fence still answers from the committed log
+    assert(IceTableWriter.append(spark, df((2L, "b", 2.0)), t, batchId = 0).isEmpty)
   }
 
   test("a checkpoint failure after a successful claim never fails the commit") {
