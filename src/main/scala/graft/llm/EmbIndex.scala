@@ -284,8 +284,10 @@ object EmbIndex {
     IndexLayout.sweepGenerations(spark, dir, keep = gen, prevPublished = prevGen)
     // reclaim a migrated pre-v3 index's root-level tables (unreachable
     // under the gen layout; see LshIndex.build)
-    Seq("buckets.parquet", "vectors.parquet")
-      .foreach(t => ControlFs.delete(s"$dir/$t", recursive = true))
+    IndexLayout.cleanupQuietly(s"legacy-root reclaim at $dir") {
+      Seq("buckets.parquet", "vectors.parquet")
+        .foreach(t => ControlFs.delete(s"$dir/$t", recursive = true))
+    }
     n
   }
 

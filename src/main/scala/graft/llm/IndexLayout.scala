@@ -30,6 +30,22 @@ import graft.fs.ControlFs
   */
 private[llm] object IndexLayout {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Post-publish cleanup guard: retirement sweeps run AFTER the commit
+    * (the pointer create) has landed, and everything they reclaim is
+    * re-attempted by the next publish — an FS hiccup there must WARN,
+    * not unwind a build/append whose publish already succeeded (the
+    * rule the table format's checkpoint and staging guards follow).
+    */
+  def cleanupQuietly(what: String)(body: => Unit): Unit =
+    try body
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"post-publish cleanup '$what' failed (${e.getMessage}) — " +
+          "the publish stands; the next publish re-sweeps")
+    }
+
   def newGeneration(): String = s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
 
   private val PtrName = "ptr-v(\\d+)".r
@@ -100,27 +116,29 @@ private[llm] object IndexLayout {
         catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
       }
     }
-    ControlFs.delete(s"$dir/meta.parquet", recursive = true)
-    val keep = ControlFs.listNames(dir)
-      .collect { case PtrName(n) => n.toLong }.sorted.takeRight(2).toSet
-    val floor = if (keep.isEmpty) 0L else keep.min
-    ControlFs.list(dir).foreach { st =>
-      st.getPath.getName match {
-        case PtrName(n) if !keep.contains(n.toLong) =>
-          ControlFs.delete(st.getPath.toString, recursive = false)
-        case StgName(n) if n.toLong < floor =>
-          // stage stamps below the version window: their number can
-          // never be targeted again (currentMetaVersion ≥ floor)
-          ControlFs.delete(st.getPath.toString, recursive = false)
-        case m if m.startsWith("meta-v") && m.endsWith(".parquet") &&
-            m.stripPrefix("meta-v").stripSuffix(".parquet").matches("\\d+") =>
-          // only versions BELOW the keep window: an unreferenced dir
-          // ABOVE it could be a (out-of-contract) concurrent publisher
-          // mid-stage, and the next publish overwrites such orphans
-          // in place anyway
-          val n = m.stripPrefix("meta-v").stripSuffix(".parquet").toLong
-          if (n < floor) ControlFs.delete(st.getPath.toString, recursive = true)
-        case _ => ()
+    cleanupQuietly(s"meta-pointer retirement at $dir") {
+      ControlFs.delete(s"$dir/meta.parquet", recursive = true)
+      val keep = ControlFs.listNames(dir)
+        .collect { case PtrName(n) => n.toLong }.sorted.takeRight(2).toSet
+      val floor = if (keep.isEmpty) 0L else keep.min
+      ControlFs.list(dir).foreach { st =>
+        st.getPath.getName match {
+          case PtrName(n) if !keep.contains(n.toLong) =>
+            ControlFs.delete(st.getPath.toString, recursive = false)
+          case StgName(n) if n.toLong < floor =>
+            // stage stamps below the version window: their number can
+            // never be targeted again (currentMetaVersion ≥ floor)
+            ControlFs.delete(st.getPath.toString, recursive = false)
+          case m if m.startsWith("meta-v") && m.endsWith(".parquet") &&
+              m.stripPrefix("meta-v").stripSuffix(".parquet").matches("\\d+") =>
+            // only versions BELOW the keep window: an unreferenced dir
+            // ABOVE it could be a (out-of-contract) concurrent publisher
+            // mid-stage, and the next publish overwrites such orphans
+            // in place anyway
+            val n = m.stripPrefix("meta-v").stripSuffix(".parquet").toLong
+            if (n < floor) ControlFs.delete(st.getPath.toString, recursive = true)
+          case _ => ()
+        }
       }
     }
   }
@@ -151,16 +169,17 @@ private[llm] object IndexLayout {
       spark: SparkSession,
       dir: String,
       keep: String,
-      prevPublished: Option[String]): Unit = {
+      prevPublished: Option[String]): Unit = cleanupQuietly(s"generation sweep at $dir") {
     val d = new org.apache.hadoop.fs.Path(dir)
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(d)) return
-    val keepSet = Set(keep) ++ prevPublished
-    fs.listStatus(d).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("gen-") && !keepSet.contains(name)) {
-        fs.delete(st.getPath, true)
-        ()
+    if (fs.exists(d)) {
+      val keepSet = Set(keep) ++ prevPublished
+      fs.listStatus(d).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("gen-") && !keepSet.contains(name)) {
+          fs.delete(st.getPath, true)
+          ()
+        }
       }
     }
   }

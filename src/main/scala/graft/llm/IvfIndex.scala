@@ -133,12 +133,20 @@ object IvfIndex {
     val next = s"v${nextVersion(dir)}"
     val written = writeGeometry(spark, c, s"$dir/$next", nCells, kmeansIters, twoLevelGate)
     swapPointer(dir, next)
+    // Everything below the pointer swap is retirement — a failure there
+    // must not fail a build whose publish already landed (an unstamped
+    // superseded dir just starts its grace clock at first sweep
+    // observation, and the next entry sweep re-attempts the prune).
     // grace clocks run from SUPERSESSION, not creation: a generation that
     // was active for hours must still get its full reader grace window
-    prev.foreach(p => markSuperseded(s"$dir/$p"))
+    IndexLayout.cleanupQuietly(s"supersession stamps at $dir") {
+      prev.foreach(p => markSuperseded(s"$dir/$p"))
+    }
     // keep the just-replaced generation explicitly; older ones fall to
     // the grace window (measured from when THEY were superseded)
-    sweep(spark, dir, keep = Set(next) ++ prev, graceMs = orphanGraceMs, reconcileInto = None)
+    IndexLayout.cleanupQuietly(s"post-build sweep at $dir") {
+      sweep(spark, dir, keep = Set(next) ++ prev, graceMs = orphanGraceMs, reconcileInto = None)
+    }
     written
   }
 
@@ -257,15 +265,27 @@ object IvfIndex {
     val next = s"v${nextVersion(dir)}"
     val written = writeGeometry(spark, assigned, s"$dir/$next", newCells, kmeansIters, twoLevelGate)
     swapPointer(dir, next)
-    markSuperseded(cur) // grace clock runs from supersession (see build)
+    // Below the pointer swap: retirement + late-append repair. A failure
+    // in any step must not fail a rebalance whose publish landed — each
+    // step is independently re-attempted later (a crash at the same
+    // point leaves the identical state, which the NEXT build/rebalance
+    // entry sweep reconciles and prunes), so each gets its own guard
+    // and a failure in one doesn't skip the rest.
+    IndexLayout.cleanupQuietly(s"supersession stamp at $cur") {
+      markSuperseded(cur) // grace clock runs from supersession (see build)
+    }
     // close the concurrent-append window: rows that landed in the OLD
     // geometry after the snapshot re-route into the new one
-    reconcile(spark, cur, s"$dir/$next")
+    IndexLayout.cleanupQuietly(s"late-append reconcile into $next") {
+      reconcile(spark, cur, s"$dir/$next")
+    }
     // prune superseded version dirs past THEIR grace window (after
     // reconciling each), keeping the one we just replaced for in-flight
     // readers that resolved the pointer before the swap
-    sweep(spark, dir, keep = Set(next, curName), graceMs = orphanGraceMs,
-      reconcileInto = Some(s"$dir/$next"))
+    IndexLayout.cleanupQuietly(s"post-rebalance sweep at $dir") {
+      sweep(spark, dir, keep = Set(next, curName), graceMs = orphanGraceMs,
+        reconcileInto = Some(s"$dir/$next"))
+    }
     written
   }
 

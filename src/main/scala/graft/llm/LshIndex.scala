@@ -219,8 +219,10 @@ object LshIndex {
     // unreachable (v4 readers resolve $dir/$gen/... only) — delete them
     // here or each migrated index leaks one corpus-sized copy forever
     // (sweepGenerations matches gen-* names only)
-    Seq("buckets.parquet", "shingles.parquet")
-      .foreach(t => ControlFs.delete(s"$dir/$t", recursive = true))
+    IndexLayout.cleanupQuietly(s"legacy-root reclaim at $dir") {
+      Seq("buckets.parquet", "shingles.parquet")
+        .foreach(t => ControlFs.delete(s"$dir/$t", recursive = true))
+    }
     stored.count()
   }
 

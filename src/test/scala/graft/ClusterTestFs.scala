@@ -34,6 +34,24 @@ class ClusterTestFs extends FilterFileSystem(new SchemedRawLocalFs("clusterfs"))
   override def getUri: URI = URI.create("clusterfs:///")
 }
 
+/** Fails every delete of an index-family cleanup target (the legacy
+  * `meta.parquet`, `ptr-vN`/`stg-vN` pointer files, `gen-*` generation
+  * dirs) while leaving all other deletes — Spark job temporaries, data
+  * writes — healthy: an injected post-publish retirement failure,
+  * proving IndexLayout's cleanup guard.
+  */
+class IndexCleanupFailTestFs
+    extends FilterFileSystem(new SchemedRawLocalFs("idxfailx")) {
+  override def getScheme: String = "idxfailx"
+  override def getUri: URI = URI.create("idxfailx:///")
+  override def delete(f: org.apache.hadoop.fs.Path, recursive: Boolean): Boolean = {
+    val n = f.getName
+    if (n == "meta.parquet" || n.matches("(ptr|stg)-v\\d+") || n.startsWith("gen-"))
+      throw new RuntimeException(s"injected cleanup delete failure: $n")
+    super.delete(f, recursive)
+  }
+}
+
 /** [[ClusterTestFs]]-shaped (pure Hadoop branch), but counts every
   * namespace/data operation — on a cluster filesystem each of these is
   * an RPC round trip (S3: a billed request), so a control-plane path's

@@ -1988,6 +1988,39 @@ class IndexPointerSuite extends AnyFunSuite {
     }
   }
 
+  test("a post-publish retirement failure never fails a build; leftovers stay for the next sweep") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.idxfailx.impl", classOf[graft.IndexCleanupFailTestFs].getName)
+    val dir = s"idxfailx:${TestSpark.freshDir("ptr-cleanup-fail")}"
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark catalyst engines optimize declarative query plans")
+    ).toDF("doc_id", "text")
+    // three rebuilds: every retirement step the guard covers fires and
+    // FAILS on this FS — the legacy meta.parquet delete (build 1), the
+    // superseded-generation sweep (build 2+), and the pointer/stage
+    // prune below the keep-2 window (build 3). Each build must still
+    // report success and the index must answer from its newest
+    // generation.
+    (1 to 3).foreach { _ =>
+      LshIndex.build(docs, "doc_id", "text", dir, n = 3, numHashes = 64, bands = 32)
+    }
+    assert(IndexLayout.currentMetaVersion(dir).contains(3L),
+      "three publishes must have landed despite failing retirements")
+    val hit = LshIndex.queryBatch(spark, dir,
+      Seq((9L, "the quick brown fox jumps over the lazy cat")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5)
+      .select("id_indexed").as[Long].collect().toSet
+    assert(hit === Set(1L), s"index must answer from the newest generation: $hit")
+    // the injection genuinely hit: superseded generations and old
+    // pointers survived their failed sweeps
+    val names = graft.fs.ControlFs.listNames(dir)
+    assert(names.count(_.startsWith("gen-")) === 3,
+      s"failed generation sweeps must leave all generations: $names")
+    assert(names.count(_.matches("ptr-v\\d+")) === 3,
+      s"failed pointer prunes must leave all pointers: $names")
+  }
+
   test("a foreign stage stamp makes publishMeta skip that version number untouched") {
     import graft.fs.ControlFs
     val dir = TestSpark.freshDir("ptr-stamp")
