@@ -158,6 +158,38 @@ class GraftFsTableSuite extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("FS ops per FULL append (stage + write + stats + publish) are flat in table age") {
+    // The commit-log budget below isolates the claim protocol; this one
+    // covers the whole write path a streaming batch pays — staging
+    // marker, Spark's parquet write (its committer's ops included),
+    // footer stats, zero-row unstage, publish. Nothing in it may scale
+    // with TABLE AGE: the only age-coupled step is the commit fence,
+    // already bounded by checkpoint retention. (Spark's committer DOES
+    // rename here — that's the data plane; see OPERATIONS.md on the
+    // magic committer. The control plane stays rename-free, asserted by
+    // the commit-budget test.)
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.countfs.impl", classOf[graft.OpCountingFs].getName)
+    val dir = s"countfs:${TestSpark.freshDir("countfs-append")}/tbl"
+    val t = IceTable.create(dir, schema, TableMeta())
+    def appendBatch(b: Int): Unit = {
+      assert(IceTableWriter.append(spark, df((b.toLong, s"n$b", b.toDouble)), t, batchId = b).nonEmpty)
+    }
+    (0 until 12).foreach(appendBatch) // warm: fences, caches, codegen
+    graft.OpCountingFs.reset()
+    (12 until 20).foreach(appendBatch) // window A: 8 appends, age ~12
+    val opsA = graft.OpCountingFs.total
+    (20 until 44).foreach(appendBatch)
+    graft.OpCountingFs.reset()
+    (44 until 52).foreach(appendBatch) // window B: 8 appends, age ~44
+    val opsB = graft.OpCountingFs.total
+    println(f"[rpc-budget] full append: ${opsA / 8.0}%.1f ops/batch at age 12, " +
+      f"${opsB / 8.0}%.1f at age 44 (${graft.OpCountingFs.snapshot})")
+    assert(opsB <= opsA * 1.15 + 16,
+      s"write-path FS ops grew with table age: window A = $opsA, window B = $opsB " +
+        s"(${graft.OpCountingFs.snapshot})")
+  }
+
   test("FS ops per commit are flat in history and rename-free (cluster RPC budget)") {
     // On a cluster FS every namespace op is an RPC (S3: a billed
     // request), so the commit path's real cost there is its OP COUNT —
