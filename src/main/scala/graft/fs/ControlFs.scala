@@ -30,6 +30,38 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object ControlFs {
 
+  // ---- op profile -------------------------------------------------------
+  // Always-on per-primitive (count, nanos) tallies — two LongAdder bumps
+  // per op, ~20 ns, invisible next to any filesystem call. Exists so a
+  // bench regression on a control-plane-heavy query can be attributed to
+  // a PRIMITIVE (which op, how many, how long) instead of re-derived from
+  // first principles each round — `Scratch prof:<query>` prints the delta
+  // around a run.
+  private final class OpStat {
+    val count = new java.util.concurrent.atomic.LongAdder
+    val nanos = new java.util.concurrent.atomic.LongAdder
+  }
+  private val opStats =
+    new java.util.concurrent.ConcurrentHashMap[String, OpStat]()
+  @inline private def timed[A](op: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    try f
+    finally {
+      val s = opStats.computeIfAbsent(op, _ => new OpStat)
+      s.count.increment(); s.nanos.add(System.nanoTime() - t0)
+    }
+  }
+  /** (op → (count, totalNanos)) since JVM start or the last reset. */
+  private[graft] def profileSnapshot(): Map[String, (Long, Long)] = {
+    val b = Map.newBuilder[String, (Long, Long)]
+    opStats.forEach((k, v) => b += k -> (v.count.sum(), v.nanos.sum()))
+    b.result()
+  }
+  private[graft] def resetProfile(): Unit = opStats.clear()
+  /** Tally an engine-side (non-primitive) phase — e.g. the writer's
+    * footer-stats pass — into the same profile. */
+  private[graft] def timedOp[A](op: String)(f: => A): A = timed(op)(f)
+
   /** The active session's Hadoop conf (it carries `fs.*.impl` bindings
     * and object-store credentials); a bare Configuration only as a last
     * resort for conf-less callers outside any session — call from a
@@ -81,26 +113,26 @@ private[graft] object ControlFs {
       case _                                           => None
     }
 
-  def mkdirs(dir: String): Unit = {
+  def mkdirs(dir: String): Unit = timed("mkdirs") {
     val (fs, p) = fsFor(dir)
     fs.mkdirs(p)
     ()
   }
 
-  def exists(path: String): Boolean = {
+  def exists(path: String): Boolean = timed("exists") {
     val (fs, p) = fsFor(path)
     fs.exists(p)
   }
 
   /** One-RPC stat: status (existence, length, modification time) or None. */
-  def status(path: String): Option[FileStatus] = {
+  def status(path: String): Option[FileStatus] = timed("status") {
     val (fs, p) = fsFor(path)
     try Some(fs.getFileStatus(p))
     catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** Children of `dir` (empty when `dir` is absent). */
-  def list(dir: String): Seq[FileStatus] = {
+  def list(dir: String): Seq[FileStatus] = timed("list") {
     val (fs, p) = fsFor(dir)
     localFile(fs, p) match {
       case Some(d) =>
@@ -144,7 +176,7 @@ private[graft] object ControlFs {
     * directory read with zero per-child stats or Path constructions
     * (~0.15 ms at 200 entries vs [[list]]'s ~1.4 ms — `Scratch fsops`).
     */
-  def listNames(dir: String): Seq[String] = {
+  def listNames(dir: String): Seq[String] = timed("listNames") {
     val (fs, p) = fsFor(dir)
     localFile(fs, p) match {
       case Some(d) =>
@@ -173,7 +205,7 @@ private[graft] object ControlFs {
   }
 
   /** Full contents of a small control file, or None if absent. */
-  def readSmallBytes(path: String): Option[Array[Byte]] = {
+  def readSmallBytes(path: String): Option[Array[Byte]] = timed("readSmall") {
     val (fs, p) = fsFor(path)
     localFile(fs, p) match {
       case Some(f) =>
@@ -212,7 +244,7 @@ private[graft] object ControlFs {
     * non-atomic copy+delete even for single writers). Throws
     * FileAlreadyExistsException if the path already exists.
     */
-  def createExclusive(path: String, content: Array[Byte]): Unit = {
+  def createExclusive(path: String, content: Array[Byte]): Unit = timed("createExclusive") {
     val (fs, p) = fsFor(path)
     probeExclusivity(fs, p)
     // Stripe lock: where create(overwrite=false) is check-then-act (local
@@ -260,7 +292,7 @@ private[graft] object ControlFs {
   /** Overwriting write of a small control file (stamps, where last-write
     * -wins is the intended semantics).
     */
-  def writeSmall(path: String, content: String): Unit = {
+  def writeSmall(path: String, content: String): Unit = timed("writeSmall") {
     val (fs, p) = fsFor(path)
     localFile(fs, p) match {
       case Some(f) =>
@@ -274,7 +306,7 @@ private[graft] object ControlFs {
     }
   }
 
-  def delete(path: String, recursive: Boolean): Unit = {
+  def delete(path: String, recursive: Boolean): Unit = timed("delete") {
     val (fs, p) = fsFor(path)
     fs.delete(p, recursive)
     ()

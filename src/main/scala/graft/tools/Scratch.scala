@@ -83,6 +83,34 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.headOption.exists(_.startsWith("prof:"))) {
+      // Per-query control-plane attribution: run each named query 3x at
+      // sf0.1 (after an sf0.001 warmup) and print the ControlFs op-profile
+      // delta of the LAST run next to its wall time — which primitive,
+      // how many calls, how many ms. `sparkWriteJob`/`footerStatsPass`
+      // rows split the write path into data-plane vs footer-read cost.
+      import graft.fs.ControlFs
+      val names = args.head.stripPrefix("prof:").split(',').toSeq
+      names.foreach(n => graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
+      names.foreach { n =>
+        var last: Map[String, (Long, Long)] = Map.empty
+        val times = (1 to 3).map { _ =>
+          ControlFs.resetProfile()
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(n)(spark, sf).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          last = ControlFs.profileSnapshot()
+          dt
+        }
+        println(f"== $n: ${times.map(t => f"$t%.2f").mkString(" ")} s")
+        val totalMs = last.values.map(_._2).sum / 1e6
+        last.toSeq.sortBy(-_._2._2).foreach { case (op, (c, ns)) =>
+          println(f"   $op%-18s n=$c%-6d ${ns / 1e6}%9.1f ms  (${ns / 1e3 / math.max(c, 1)}%8.1f us/op)")
+        }
+        println(f"   TOTAL tracked ${totalMs}%9.1f ms of last run")
+      }
+      spark.stop(); return
+    }
     val names = if (args.nonEmpty) args.toSeq else Seq("knn_ivf")
     names.foreach(n => graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
     names.foreach { n =>
