@@ -37,13 +37,17 @@ private[llm] object IndexLayout {
     * re-attempted by the next publish — an FS hiccup there must WARN,
     * not unwind a build/append whose publish already succeeded (the
     * rule the table format's checkpoint and staging guards follow).
+    * Repeated failures of the SAME site escalate to ERROR via
+    * [[graft.fs.SweepAlarm]] — a permanently failing retirement (auth
+    * regression) accumulates garbage and must become visible.
     */
   def cleanupQuietly(what: String)(body: => Unit): Unit =
-    try body
+    try { body; graft.fs.SweepAlarm.succeeded(s"post-publish cleanup '$what'") }
     catch {
       case scala.util.control.NonFatal(e) =>
-        log.warn(s"post-publish cleanup '$what' failed (${e.getMessage}) — " +
+        graft.fs.SweepAlarm.failed(s"post-publish cleanup '$what'", e,
           "the publish stands; the next publish re-sweeps")
+        ()
     }
 
   def newGeneration(): String = s"gen-${java.util.UUID.randomUUID().toString.take(8)}"

@@ -267,16 +267,23 @@ object IvfIndex {
     swapPointer(dir, next)
     // Below the pointer swap: retirement + late-append repair. A failure
     // in any step must not fail a rebalance whose publish landed — each
-    // step is independently re-attempted later (a crash at the same
-    // point leaves the identical state, which the NEXT build/rebalance
-    // entry sweep reconciles and prunes), so each gets its own guard
-    // and a failure in one doesn't skip the rest.
+    // gets its own guard and a failure in one doesn't skip the rest.
+    // Re-attempt story per step: the stamp and the sweep are re-run by
+    // the next REBALANCE's sweep (a crash at the same point leaves the
+    // identical state); the late-append RECONCILE is re-run only by a
+    // future rebalance's sweep (`reconcileInto`) — a full build()'s
+    // entry sweep deliberately passes reconcileInto = None (its snapshot
+    // already covers the corpus), so appends that raced THIS rebalance
+    // and then lost their reconcile to the guard are recovered by the
+    // next rebalance, not by a rebuild. The guard's WARN says so.
     IndexLayout.cleanupQuietly(s"supersession stamp at $cur") {
       markSuperseded(cur) // grace clock runs from supersession (see build)
     }
     // close the concurrent-append window: rows that landed in the OLD
     // geometry after the snapshot re-route into the new one
-    IndexLayout.cleanupQuietly(s"late-append reconcile into $next") {
+    IndexLayout.cleanupQuietly(
+      s"late-append reconcile into $next (recovered by a future rebalance's " +
+        "sweep, NOT by build(), whose entry sweep skips reconciliation)") {
       reconcile(spark, cur, s"$dir/$next")
     }
     // prune superseded version dirs past THEIR grace window (after

@@ -268,9 +268,9 @@ object IceTableWriter {
         w = w.option("compression", codec.toLowerCase(java.util.Locale.ROOT))
       }
     }
-    w.save(outDir)
+    ControlFs.timedOp("sparkWriteJob")(w.save(outDir))
 
-    val staged = listDataFiles(outDir, meta.format)
+    val staged = listStagedFiles(outDir, meta.format)
     val stats = fillUnknownRows(df.sparkSession,
       fileStats(df.sparkSession, staged, meta.format), meta.format)
     // Unstage zero-row files: FileFormatWriter creates part files EAGERLY
@@ -386,7 +386,7 @@ object IceTableWriter {
       spark: SparkSession,
       files: Seq[String],
       format: String
-  ): Map[String, FooterStats] =
+  ): Map[String, FooterStats] = ControlFs.timedOp("footerStatsPass") {
     if (files.size <= DriverFooterLimit) {
       // resolve the session conf ONCE on the calling thread — the fork-
       // join pool's threads may not carry the active session, and the
@@ -416,6 +416,7 @@ object IceTableWriter {
         .collect()
         .toMap
     }
+  }
 
   /** Rows + size + per-top-level-column min/max bounds from one file
     * footer (no data read). Parquet and ORC both carry footer statistics;
@@ -538,7 +539,7 @@ object IceTableWriter {
     // an eager empty part file that would burden every later read's
     // anti-join planning for nothing
     val conf = ControlFs.conf
-    val entries = listDataFiles(outDir, meta.format).map { p =>
+    val entries = listStagedFiles(outDir, meta.format).map { p =>
       FileEntry(p, rowCount(p, meta.format, conf), table.currentSchemaVersion,
         bytes = ControlFs.status(p).map(_.getLen).getOrElse(-1L), format = meta.format)
     }
@@ -676,13 +677,47 @@ object IceTableWriter {
         .flatMap(f => stagingRootOf(f.path, table.dir))
         .distinct
         .foreach(clearStaging)
+      graft.fs.SweepAlarm.succeeded(s"post-commit staging cleanup at ${table.dir}")
     } catch {
       case scala.util.control.NonFatal(e) =>
-        log.warn(s"post-commit staging cleanup failed for batch $batchId at " +
-          s"${table.dir} (${e.getMessage}) — the commit outcome stands; " +
-          "gc reclaims the leftovers")
+        graft.fs.SweepAlarm.failed(s"post-commit staging cleanup at ${table.dir}", e,
+          s"batch $batchId's commit outcome stands; gc reclaims the leftovers")
+        ()
     }
     committed
+  }
+
+  /** List the files a just-finished write job staged under `dir`,
+    * defending against LIST-after-write lag (object stores without
+    * consistent listings): a lagged listing here would silently commit an
+    * EMPTY or partial file set — data loss with a green trigger. The
+    * committer wrote `_SUCCESS` into `dir` strictly BEFORE `save()`
+    * returned (default `mapreduce.fileoutputcommitter.marksuccessfuljobs`),
+    * so a listing that cannot see `_SUCCESS` yet is PROVABLY stale — wait
+    * (bounded backoff, ~1.5 s) for the namespace to catch up, then WARN and
+    * proceed with whatever lists. Residual boundary, documented in
+    * OPERATIONS.md: a listing that shows `_SUCCESS` but still hides some
+    * part files is not client-detectable — the engine's filesystem
+    * contract requires listings to be consistent once they include the
+    * job's last-written file (true of every current major store: S3 since
+    * 2020, GCS, ADLS, HDFS). ObjectStoreSemanticsSuite drives the total-
+    * lag arm deterministically.
+    */
+  private def listStagedFiles(dir: String, format: String): Seq[String] = {
+    if (ControlFs.conf.getBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)) {
+      var delay = 50L
+      var attempt = 0
+      while (attempt < 6 && !ControlFs.listNames(dir).contains("_SUCCESS")) {
+        attempt += 1
+        if (attempt == 6)
+          log.warn(s"staged dir $dir still does not list the committer's _SUCCESS " +
+            "after ~1.5s — the listing is lagging the write; committing what lists " +
+            "(see OPERATIONS.md on listing consistency)")
+        else Thread.sleep(delay)
+        delay *= 2
+      }
+    }
+    listDataFiles(dir, format)
   }
 
   private def listDataFiles(dir: String, format: String): Seq[String] = {

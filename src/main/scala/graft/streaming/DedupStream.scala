@@ -123,11 +123,15 @@ object DedupStream {
             // dedup batch — absorb its failure (loud) rather than wedge
             // the stream in a restart loop; the fold retries at the next
             // multiple (same rule as IngestStream's maintenance guard)
-            try LshIndex.compact(spark, indexDir, upToBatch = batchId - 1)
-            catch {
+            try {
+              LshIndex.compact(spark, indexDir, upToBatch = batchId - 1)
+              graft.fs.SweepAlarm.succeeded(s"in-stream index compaction at $indexDir")
+            } catch {
               case scala.util.control.NonFatal(e) =>
-                log.warn(s"in-stream index compaction at batch $batchId failed " +
-                  s"(${e.getMessage}) — dedup continues; the fold retries later")
+                graft.fs.SweepAlarm.failed(
+                  s"in-stream index compaction at $indexDir",
+                  e, s"batch $batchId's dedup output stands; the fold retries later")
+                ()
             }
         }
       }

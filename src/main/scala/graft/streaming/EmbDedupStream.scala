@@ -108,11 +108,15 @@ object EmbDedupStream {
             // same guard as DedupStream: compaction is an optimization;
             // its failure must not wedge the stream (loud WARN, retried
             // at the next multiple)
-            try EmbIndex.compact(spark, indexDir, upToBatch = batchId - 1)
-            catch {
+            try {
+              EmbIndex.compact(spark, indexDir, upToBatch = batchId - 1)
+              graft.fs.SweepAlarm.succeeded(s"in-stream index compaction at $indexDir")
+            } catch {
               case scala.util.control.NonFatal(e) =>
-                log.warn(s"in-stream index compaction at batch $batchId failed " +
-                  s"(${e.getMessage}) — dedup continues; the fold retries later")
+                graft.fs.SweepAlarm.failed(
+                  s"in-stream index compaction at $indexDir",
+                  e, s"batch $batchId's dedup output stands; the fold retries later")
+                ()
             }
         }
       }

@@ -69,12 +69,15 @@ object IngestStream {
               // as CommitLog's post-claim checkpoint guard. Loud WARN:
               // a compaction that never succeeds means unbounded
               // small-file growth, which the operator must see.
-              try { graft.table.Maintenance.auto(batch.sparkSession, t, threshold); () }
-              catch {
+              try {
+                graft.table.Maintenance.auto(batch.sparkSession, t, threshold)
+                graft.fs.SweepAlarm.succeeded(s"in-stream maintenance on '$path'")
+              } catch {
                 case scala.util.control.NonFatal(e) =>
-                  log.warn(s"in-stream maintenance on '${r.table}' failed after batch " +
-                    s"$batchId committed (${e.getMessage}) — ingest continues; " +
-                    "compaction retries next trigger")
+                  graft.fs.SweepAlarm.failed(s"in-stream maintenance on '$path'", e,
+                    s"batch $batchId's commit stands; ingest continues and " +
+                      "compaction retries next trigger")
+                  ()
               }
             }
           }

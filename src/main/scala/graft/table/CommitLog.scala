@@ -365,6 +365,16 @@ final class CommitLog(val root: String, checkpointInterval: Int = 100) {
     */
   def commit(batchId: Long, build: Long => Commit, maxRetries: Int = 10): Option[Commit] = {
     var attempt = 0
+    // Highest seq PROVEN claimed by a refused/lost create, even when the
+    // directory listing does not show it yet (LIST-after-write lag on
+    // object stores — exists/HEAD is consistent where LIST lags). Without
+    // it, a committer behind a lagging listing retries the same seq until
+    // maxRetries and dies with zero progress; with it, the refusal itself
+    // advances the fence. Safety is unchanged: the post-claim duplicate
+    // window below re-reads every skipped seq DIRECTLY (consistent reads),
+    // so a hidden same-batch duplicate is still caught.
+    // (ObjectStoreSemanticsSuite drives this deterministically.)
+    var seqFloor = 0L
     while (attempt < maxRetries) {
       attempt += 1
       // ONE directory listing per attempt, shared by the fence snapshot,
@@ -376,7 +386,8 @@ final class CommitLog(val root: String, checkpointInterval: Int = 100) {
       // fence (batch ids commit in increasing order). A racer claiming
       // fenceSeq+1 first just fails our create-exclusive below — retry.
       val seqs = listNames().filter(_.matches("v\\d+\\.json")).map(seqOf(_, "")).sorted
-      val fenceSeq = if (seqs.isEmpty) 0L else seqs.last
+      val listedFence = if (seqs.isEmpty) 0L else seqs.last
+      val fenceSeq = math.max(listedFence, seqFloor)
       // ONE head read shared by the replay fence and the confirmed-seq
       // scan below (they used to each read+parse the same head file —
       // one GET per commit saved on object stores). batchId < 0 commits
@@ -394,10 +405,13 @@ final class CommitLog(val root: String, checkpointInterval: Int = 100) {
       // the pre-r15 hard-link publish a listed entry was always complete,
       // so the raw fence sufficed; create-then-write visibility is what
       // widens the window.)
+      // anchored on the LISTED head, never the seqFloor-raised fence: seqs
+      // between the listed head and the floor are exactly the ones a
+      // lagging listing hid, and the dup window below must re-read them
       val confirmedSeq =
         if (batchId < 0) fenceSeq
         else headRes match {
-          case Parsed(_) => fenceSeq
+          case Parsed(_) => listedFence
           case _ => seqs.reverseIterator.drop(1).find(s =>
             readCommitRes(commitPath(s)) match {
               case Parsed(_) => true
@@ -470,17 +484,24 @@ final class CommitLog(val root: String, checkpointInterval: Int = 100) {
           // covers the rest of its body (commits() churn aborts, sweep
           // delete IO errors).
           if (checkpointInterval > 0 && seq % checkpointInterval == 0) {
-            try checkpoint(seq)
-            catch {
+            try {
+              checkpoint(seq)
+              graft.fs.SweepAlarm.succeeded(s"commit-log checkpoint at $root")
+            } catch {
               case scala.util.control.NonFatal(e) =>
-                slog.warn(s"CommitLog at $root: checkpoint at seq $seq failed " +
-                  s"after a successful commit (${e.getMessage}) — the commit " +
-                  "stands; the log will not prune until a checkpoint succeeds")
+                graft.fs.SweepAlarm.failed(s"commit-log checkpoint at $root", e,
+                  s"the commit at seq $seq stands; the log will not prune " +
+                    "until a checkpoint succeeds")
+                ()
             }
           }
           return Some(entry)
         }
       }
+      // the refused (or truncated-over) claim proves `seq` is occupied
+      // even if the next listing does not show it — advance the floor so
+      // the retry makes progress against a lagging namespace
+      seqFloor = seq
     }
     throw new IllegalStateException(s"commit conflict not resolved after $maxRetries attempts")
   }

@@ -98,6 +98,12 @@ class OpCountingFs extends FilterFileSystem(new SchemedRawLocalFs("countfs")) {
 }
 
 object OpCountingFs {
+  /** Counters are JVM-global (the FileSystem cache hands every caller one
+    * shared instance), so a reset()+measure window is only meaningful
+    * while nothing else drives `countfs:` — budget tests hold THIS lock
+    * around their measurement windows, making them safe even if suite
+    * execution ever goes parallel. */
+  val lock = new Object
   val ops = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
   private def count(op: String): Unit = {
     ops.computeIfAbsent(op, _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()

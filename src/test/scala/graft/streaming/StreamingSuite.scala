@@ -446,6 +446,100 @@ class StreamingSuite extends AnyFunSuite {
       .select("user_id", "value").as[(Long, Double)].collect().toSet
     assert(rows === Set((100L, 9.0)))
   }
+
+  test("kitchen sink: dynamic route + auto-create + evolution + CDC upsert + DLQ " +
+    "+ in-stream maintenance across a restart, exactly-once (r16 composed-deployment test)") {
+    // Feature PAIRS are covered elsewhere; this runs the full reference
+    // deployment shape in ONE foreachBatch stream across 3+ tables:
+    // JSON records route dynamically by event_type, tables auto-create on
+    // first sight, `clicks` is PRE-created with a typed schema so poison
+    // values dead-letter, CDC ops (I/U/D) resolve per-key, a mid-run
+    // restart resumes the same checkpoint, the restarted stream's records
+    // carry a NEW column (mid-stream evolution), and Maintenance.auto
+    // rides every trigger. Asserts final per-table states, DLQ contents,
+    // exactly-once batch ids, the evolution commit, and that an in-stream
+    // compaction actually landed.
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    implicit val sq = spark.sqlContext
+    val wh = TestSpark.freshDir("stream-sink-wh")
+    val ckpt = TestSpark.freshDir("stream-sink-ckpt")
+    val cfg = EngineConfig(warehouse = wh,
+      routeField = Some("event_type"), dynamicRouting = true,
+      cdcField = Some("op"), autoCreate = true, evolveSchema = true,
+      deadLetterEnabled = true, defaultIdColumns = Seq("event_id"))
+    // `clicks` pre-created typed (value DOUBLE): a record whose value
+    // cannot coerce must dead-letter, not null out or fail the trigger
+    IceTable.create(s"$wh/clicks", StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType))),
+      graft.table.TableMeta(idColumns = Seq("event_id")))
+
+    def j(id: Long, t: String, op: String, v: String, w: Option[Long] = None): String =
+      s"""{"event_id":$id,"event_type":"$t","op":"$op","value":$v""" +
+        w.map(x => s""","w":$x}""").getOrElse("}")
+
+    val ms = MemoryStream[String]
+    def start() = IngestStream.start(ms.toDF(), cfg, ckpt,
+      transforms = Seq(graft.transforms.Transforms.jsonExpand("value")),
+      triggerMs = Some(20), maintenanceDeltaCommits = Some(2))
+
+    val q1 = start()
+    try {
+      // batch 0: inserts fan out to three auto/pre-created tables
+      ms.addData(
+        j(1, "clicks", "I", "\"12.5\""), j(2, "clicks", "I", "\"7.5\""),
+        j(10, "views", "I", "\"a\""), j(20, "buys", "I", "\"x\""))
+      q1.processAllAvailable()
+      // batch 1: upsert id 1, delete id 2, a poison clicks value (DLQ),
+      // and a views insert — CDC + DLQ in the same trigger
+      ms.addData(
+        j(1, "clicks", "U", "\"99.0\""), j(2, "clicks", "D", "\"0\""),
+        j(3, "clicks", "I", "\"oops\""), j(11, "views", "I", "\"b\""))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart mid-run from the same checkpoint; the new incarnation's
+    // records carry a NEW field `w` — schema evolution applies mid-stream
+    ms.addData(
+      j(4, "clicks", "U", "\"1.0\"", Some(40L)), // upsert of an absent key = insert
+      j(5, "clicks", "I", "\"bad\"", Some(50L)), // second poison after restart
+      j(12, "views", "I", "\"c\"", Some(7L)),
+      j(20, "buys", "U", "\"y\"", Some(9L)))
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+
+    val clicks = IceTable.load(s"$wh/clicks")
+    // CDC state: 1 upserted, 2 deleted, 3/5 dead-lettered, 4 inserted
+    assert(clicks.read(spark).select("event_id", "value").as[(Long, Double)]
+      .collect().toSet === Set((1L, 99.0), (4L, 1.0)))
+    // mid-stream evolution: `w` landed on clicks; pre-restart rows null-fill
+    assert(clicks.schema.fieldNames.contains("w"), s"${clicks.schema.fieldNames.toSeq}")
+    assert(clicks.read(spark).filter(org.apache.spark.sql.functions.col("w").isNotNull)
+      .select("event_id").as[Long].collect().toSeq === Seq(4L))
+    // the other routes: plain appends + a CDC upsert on buys
+    assert(IceTable.load(s"$wh/views").read(spark).select("event_id").as[Long]
+      .collect().sorted.toSeq === Seq(10L, 11L, 12L))
+    assert(IceTable.load(s"$wh/buys").read(spark)
+      .select("event_id", "value").as[(Long, String)].collect().toSet === Set((20L, "y")))
+    // DLQ: exactly the two poison records, with the full source JSON kept
+    val dlq = IceTable.load(s"$wh/clicks__dlq").read(spark)
+    assert(dlq.count() === 2)
+    assert(dlq.select("record").as[String].collect()
+      .count(r => r.contains("\"oops\"") || r.contains("\"bad\"")) === 2)
+    // exactly-once across the restart: batch ids per table are distinct
+    // and increasing — nothing replayed into any of the four logs
+    Seq("clicks", "views", "buys", "clicks__dlq").foreach { t =>
+      val ids = IceTable.load(s"$wh/$t").log.commits().map(_.batchId).filter(_ >= 0)
+      assert(ids === ids.distinct.sorted, s"$t: replayed batch ids: $ids")
+    }
+    // in-stream maintenance genuinely ran: clicks accumulated >= 2 delta
+    // commits before the last trigger, so at least one compaction commit
+    // (rewrite with removedPaths) landed through the running stream
+    assert(clicks.log.commits().exists(c => c.props.get("compaction").contains("true")),
+      s"no in-stream compaction commit: ${clicks.log.commits().map(_.props)}")
+  }
 }
 
 case class TsEv(event_id: Long, ts: java.sql.Timestamp, v: String)

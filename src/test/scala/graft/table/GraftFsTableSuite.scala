@@ -168,6 +168,16 @@ class GraftFsTableSuite extends AnyFunSuite {
     // rename here — that's the data plane; see OPERATIONS.md on the
     // magic committer. The control plane stays rename-free, asserted by
     // the commit-budget test.)
+    //
+    // The pin INCLUDES committer ops, so a speculative or retried write
+    // task would inflate a window and flake the bound — this budget is
+    // only meaningful with speculation off (Spark's default; pinned here
+    // so a future TestSpark conf change fails loudly instead of as a
+    // mystery flake). A task RETRY inside the window still inflates it,
+    // but a failing task in a healthy local-mode test is itself the bug.
+    assert(!spark.sparkContext.getConf.getBoolean("spark.speculation", false),
+      "the full-append RPC pin counts committer ops — run it with speculation off")
+    graft.OpCountingFs.lock.synchronized {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.countfs.impl", classOf[graft.OpCountingFs].getName)
     val dir = s"countfs:${TestSpark.freshDir("countfs-append")}/tbl"
@@ -188,6 +198,7 @@ class GraftFsTableSuite extends AnyFunSuite {
     assert(opsB <= opsA * 1.15 + 16,
       s"write-path FS ops grew with table age: window A = $opsA, window B = $opsB " +
         s"(${graft.OpCountingFs.snapshot})")
+    }
   }
 
   test("FS ops per commit are flat in history and rename-free (cluster RPC budget)") {
@@ -198,6 +209,7 @@ class GraftFsTableSuite extends AnyFunSuite {
     // Amortized over a full checkpoint interval, ops/commit at history
     // ~130 and ~530 must match: checkpoint retention bounds the listing,
     // and nothing else in the path may scale with table age.
+    graft.OpCountingFs.lock.synchronized {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.countfs.impl", classOf[graft.OpCountingFs].getName)
     val dir = TestSpark.freshDir("countfs-commits")
@@ -235,5 +247,6 @@ class GraftFsTableSuite extends AnyFunSuite {
     // class (a second listing per commit alone would add ~100)
     assert(opsB.toDouble / 100 <= 12.0,
       s"per-commit RPC budget blew past 12: ${opsB / 100.0} ($snapB)")
+    }
   }
 }

@@ -1,0 +1,183 @@
+package graft.table
+
+import java.io.File
+import java.net.URI
+
+import org.apache.hadoop.fs.{FilterFileSystem, FSDataOutputStream, Path}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** A check-then-act FS whose exists→create window is WIDENED to tens of
+  * milliseconds (`racyfs:`), so two free-running processes reliably
+  * collide inside it — the microsecond window of a real local FS would
+  * make the cross-process double-claim a once-a-year flake instead of a
+  * demonstrable fact. Window size comes from
+  * `-Dgraft.test.racyfs.window.ms` (default 25).
+  */
+class RacyCreateFs extends FilterFileSystem(new graft.SchemedRawLocalFs("racyfs")) {
+  override def getScheme: String = "racyfs"
+  override def getUri: URI = URI.create("racyfs:///")
+  override def create(
+      f: Path,
+      permission: FsPermission,
+      overwrite: Boolean,
+      bufferSize: Int,
+      replication: Short,
+      blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    if (!overwrite) {
+      if (exists(f))
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(s"File already exists: $f")
+      Thread.sleep(sys.props.getOrElse("graft.test.racyfs.window.ms", "25").toLong)
+    }
+    super.create(f, permission, /* overwrite = */ true,
+      bufferSize, replication, blockSize, progress)
+  }
+}
+
+/** Child process main for [[TwoJvmCommitRaceSuite]]: claims `n` commits
+  * against one log, printing `OK <commitId> <seq>` per success. Runs with
+  * NO SparkSession — ControlFs falls back to `new Configuration()`, which
+  * picks the fs impl bindings up from the core-site.xml the parent put on
+  * the child's classpath (exactly how a non-Spark maintenance tool would
+  * address the same table).
+  */
+object CommitRaceChild {
+  def main(args: Array[String]): Unit = {
+    val Array(root, writer, nStr) = args
+    val log = new CommitLog(root)
+    (0 until nStr.toInt).foreach { i =>
+      val id = s"$writer-$i"
+      val c = log.commit(-1L,
+        seq => Commit(seq, -1L, id, System.currentTimeMillis(), 1),
+        maxRetries = 5000)
+      println(s"OK $id ${c.get.seq}")
+    }
+  }
+}
+
+/** r16: the multi-PROCESS commit boundary pinned by EXPERIMENT (it was
+  * documented by argument through r15). Two real JVMs race commits to one
+  * table:
+  *
+  *  - on `graftfs:` the claim is an O_EXCL create — atomic ACROSS
+  *    processes on POSIX — and the experiment shows zero double-claims
+  *    and zero lost commits under full contention;
+  *  - on `racyfs:` (check-then-act with a widened window) the documented
+  *    failure mode actually happens: two processes both pass read-back
+  *    for one seq and a verified commit is silently replaced — and the
+  *    exclusivity probe WARNed about exactly this at first publish.
+  *
+  * OPERATIONS.md's single-committer rule for no-conditional-create
+  * stores cites this suite.
+  */
+class TwoJvmCommitRaceSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Classpath dir carrying core-site.xml (fs impl bindings for a
+    * session-less Configuration) and a log4j2 config that surfaces WARNs
+    * on stderr. */
+  private lazy val confDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("race-conf")
+    java.nio.file.Files.write(d.resolve("core-site.xml"),
+      s"""<?xml version="1.0"?>
+         |<configuration>
+         |  <property><name>fs.graftfs.impl</name><value>${classOf[graft.GraftTestFs].getName}</value></property>
+         |  <property><name>fs.racyfs.impl</name><value>${classOf[RacyCreateFs].getName}</value></property>
+         |</configuration>
+         |""".stripMargin.getBytes)
+    java.nio.file.Files.write(d.resolve("log4j2.properties"),
+      """rootLogger.level = warn
+        |rootLogger.appenderRef.stderr.ref = STDERR
+        |appender.stderr.type = Console
+        |appender.stderr.name = STDERR
+        |appender.stderr.target = SYSTEM_ERR
+        |appender.stderr.layout.type = PatternLayout
+        |appender.stderr.layout.pattern = %p %c{1}: %m%n
+        |""".stripMargin.getBytes)
+    d.toString
+  }
+
+  private case class ChildRun(exit: Int, reported: Seq[(String, Long)], stderr: String)
+
+  private def race(root: String, perChild: Int): (Seq[ChildRun], Seq[String]) = {
+    val outs = Seq("w0", "w1").map { w =>
+      val outDir = TestSpark.freshDir(s"race-io-$w")
+      (w, new File(s"$outDir/out"), new File(s"$outDir/err"))
+    }
+    val procs = outs.map { case (w, out, err) =>
+      val java = s"${System.getProperty("java.home")}/bin/java"
+      val cp = s"$confDir${File.pathSeparator}${System.getProperty("java.class.path")}"
+      (w, out, err, new ProcessBuilder(
+        java, "-Xmx512m", "-cp", cp,
+        "graft.table.CommitRaceChild", root, w, perChild.toString)
+        .redirectOutput(out).redirectError(err).start())
+    }
+    val runs = procs.map { case (w, out, err, p) =>
+      assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), s"child $w timed out")
+      val lines = new String(java.nio.file.Files.readAllBytes(out.toPath)).linesIterator.toSeq
+      val reported = lines.filter(_.startsWith("OK ")).map { l =>
+        val Array(_, id, seq) = l.split(' ')
+        (id, seq.toLong)
+      }
+      ChildRun(p.exitValue(), reported,
+        new String(java.nio.file.Files.readAllBytes(err.toPath)))
+    }
+    (runs, runs.map(_.stderr))
+  }
+
+  test("two real JVMs on graftfs: (O_EXCL claims): no seq double-claimed, no commit lost") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftfs.impl", classOf[graft.GraftTestFs].getName)
+    val perChild = 150
+    val root = s"graftfs:${TestSpark.freshDir("race-atomic")}/log"
+    val (runs, _) = race(root, perChild)
+    runs.foreach(r => assert(r.exit === 0, s"child failed: ${r.stderr.take(2000)}"))
+    val reported = runs.flatMap(_.reported)
+    assert(reported.size === 2 * perChild)
+    // atomic claims: every reported seq is unique across both processes
+    assert(reported.map(_._2).distinct.size === reported.size,
+      s"double-claimed seqs: ${reported.groupBy(_._2).filter(_._2.size > 1)}")
+    // and nothing a child observed as success is missing from the log
+    val log = new CommitLog(root)
+    val committed = log.commits()
+    assert(committed.map(_.seq) === (1L to (2L * perChild)), "seqs must be dense, no gaps")
+    assert(committed.map(_.commitId).toSet === reported.map(_._1).toSet,
+      "every verified commit must be durable under cross-process contention")
+  }
+
+  test("two real JVMs on a check-then-act FS (racyfs:): the documented double-claim " +
+    "happens for real, and the exclusivity probe WARNed") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.racyfs.impl", classOf[RacyCreateFs].getName)
+    // the widened window makes a collision near-certain per arm; retry a
+    // couple of times anyway rather than flake on scheduler luck
+    val attempts = (1 to 3).iterator.map { i =>
+      val root = s"racyfs:${TestSpark.freshDir(s"race-cta-$i")}/log"
+      val perChild = 30
+      val (runs, stderrs) = race(root, perChild)
+      // children may exit nonzero here (retries exhausted under heavy
+      // collision) — the demonstration only needs their success reports
+      val reported = runs.flatMap(_.reported)
+      val log = new CommitLog(root)
+      val durable = log.commits().map(_.commitId).toSet
+      val doubleClaims = reported.groupBy(_._2).filter(_._2.size > 1)
+      val lost = reported.map(_._1).filterNot(durable.contains)
+      (doubleClaims, lost, stderrs)
+    }
+    val hit = attempts.find { case (d, l, _) => d.nonEmpty || l.nonEmpty }
+    assert(hit.isDefined,
+      "expected at least one double-claimed seq or lost-after-verify commit " +
+        "on the widened check-then-act FS across 3 arms")
+    val (doubleClaims, lost, stderrs) = hit.get
+    info(s"demonstrated: double-claimed seqs=${doubleClaims.keys.toSeq.sorted}, " +
+      s"lost-after-verify=${lost}")
+    // the boundary is LOUD: the probe's one-per-scheme WARN fired in the
+    // children (check-then-act, single-maintenance-writer pointer)
+    assert(stderrs.exists(_.contains("CHECK-THEN-ACT")),
+      s"probe WARN missing from child logs: ${stderrs.map(_.take(500))}")
+  }
+}
