@@ -276,13 +276,16 @@ object IvfIndex {
     // already covers the corpus), so appends that raced THIS rebalance
     // and then lost their reconcile to the guard are recovered by the
     // next rebalance, not by a rebuild. The guard's WARN says so.
-    IndexLayout.cleanupQuietly(s"supersession stamp at $cur") {
+    // site anchored on $dir, not the per-rebalance $cur/$next: the alarm
+    // tracks CONSECUTIVE failures per site, and a stuck sweep is a
+    // per-INDEX pathology (auth/ACL), not a per-generation one
+    IndexLayout.cleanupQuietly(s"supersession stamp at $dir") {
       markSuperseded(cur) // grace clock runs from supersession (see build)
     }
     // close the concurrent-append window: rows that landed in the OLD
     // geometry after the snapshot re-route into the new one
     IndexLayout.cleanupQuietly(
-      s"late-append reconcile into $next (recovered by a future rebalance's " +
+      s"late-append reconcile at $dir (recovered by a future rebalance's " +
         "sweep, NOT by build(), whose entry sweep skips reconciliation)") {
       reconcile(spark, cur, s"$dir/$next")
     }

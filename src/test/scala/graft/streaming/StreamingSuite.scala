@@ -480,8 +480,17 @@ class StreamingSuite extends AnyFunSuite {
         w.map(x => s""","w":$x}""").getOrElse("}")
 
     val ms = MemoryStream[String]
+    // armable one-shot CRASH inside the pipeline: the restarted stream's
+    // first trigger dies mid-run (a real failure, not a graceful stop)
+    // and the incarnation after it must replay that batch exactly-once
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val crashOnce: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = { d =>
+      if (crashArmed.compareAndSet(true, false))
+        throw new RuntimeException("injected mid-run crash")
+      d
+    }
     def start() = IngestStream.start(ms.toDF(), cfg, ckpt,
-      transforms = Seq(graft.transforms.Transforms.jsonExpand("value")),
+      transforms = Seq(crashOnce, graft.transforms.Transforms.jsonExpand("value")),
       triggerMs = Some(20), maintenanceDeltaCommits = Some(2))
 
     val q1 = start()
@@ -506,9 +515,19 @@ class StreamingSuite extends AnyFunSuite {
       j(5, "clicks", "I", "\"bad\"", Some(50L)), // second poison after restart
       j(12, "views", "I", "\"c\"", Some(7L)),
       j(20, "buys", "U", "\"y\"", Some(9L)))
+    // incarnation 2 CRASHES mid-run on its first trigger (injected, before
+    // any write lands) — the batch stays uncommitted in the checkpoint
+    crashArmed.set(true)
     val q2 = start()
-    try q2.processAllAvailable()
-    finally q2.stop()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination()
+    }
+    assert(!crashArmed.get(), "the injected crash must have fired")
+    // incarnation 3 replays the crashed batch exactly-once
+    val q3 = start()
+    try q3.processAllAvailable()
+    finally q3.stop()
 
     val clicks = IceTable.load(s"$wh/clicks")
     // CDC state: 1 upserted, 2 deleted, 3/5 dead-lettered, 4 inserted
