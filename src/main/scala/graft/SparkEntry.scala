@@ -1924,17 +1924,18 @@ object SparkEntry {
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
 
-  /** Embedding near-dup via the multi-table hyperplane-LSH scale path —
-    * oracle-checked against the same brute SQL: candidates are verified
-    * with the exact cosine (no false positives). Bits are AUTO-SIZED from
-    * the corpus count (`Dedup.sizedLshBits`) so per-table candidate
-    * volume stays ~linear as the corpus grows (asserted across
-    * sf0.01→sf0.1 in LlmSuite), and tables are AUTO-SIZED from the
-    * threshold at those bits (`Dedup.sizedLshTables`, capped) so the
-    * per-pair recall target tracks the growing bit count; at the
-    * verification scale this resolves to bits=5 / tables=41, which
-    * reaches recall 1 on the fixed test data (deterministic seeds), so
-    * the output matches brute exactly.
+  /** Embedding near-dup via the fully-AUTO scale path — oracle-checked
+    * against the same brute SQL. Auto sizing picks bits from the corpus
+    * count and tables from the threshold at those bits, and — since the
+    * r16 sf1 sweep — DETECTS when that sizing cannot prune (this query's
+    * 0.45 threshold puts per-bit agreement so close to the random rate
+    * that candidate coverage ≈ 0.97 of all pairs at every corpus size)
+    * and takes the exact blocked-kernel brute arm instead: identical
+    * output, no tables-fold overhead (sf1 measured the un-switched LSH
+    * plan at exponent 2.1 / 113× the kernel — SCALE.md). Genuine LSH
+    * pruning at realistic thresholds (≥ ~0.7) is exercised by
+    * `dedup_embedding_incremental`, the persisted-index family, and
+    * AllPairsKernelSuite/LlmSuite.
     */
   private def qDedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.embeddingNearDupPairs(t(spark, sfDir, "embeddings"), "vec_id", "embedding", 0.45,

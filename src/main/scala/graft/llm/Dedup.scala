@@ -649,11 +649,20 @@ object Dedup {
     // super→cell route + cells join) would re-execute once PER JOIN
     // SIDE, doubling the dominant clustering cost
     val assigned = withC.localCheckpoint()
-    assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
-      .join(assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b")), "cluster")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), Similarity.dot(col("v_a"), col("v_b")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    // within-cluster exact verify: the blocked tile kernel when the
+    // assignment fits the broadcast gate (bit-identical pairs at
+    // matrix-multiply cost — the r16 sf1 sweep measured the join shape
+    // at 5x the kernel on 20k x 64f with an explicit small k, where
+    // per-cluster volume grows quadratically); the grouped self-join
+    // stays the plan past the gate
+    Similarity.allPairsAtLeast(assigned, threshold, groupCol = Some("cluster"))
+      .getOrElse {
+        assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
+          .join(assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b")), "cluster")
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), Similarity.dot(col("v_a"), col("v_b")).as("cosine"))
+          .filter(col("cosine") >= threshold)
+      }
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, using
@@ -816,11 +825,28 @@ object Dedup {
       dim0: Int = 0
   ): DataFrame = {
     val v = df.select(col(idCol).as("id"), Similarity.normalize(col(vecCol)).as("v"))
+    // Brute arm: blocked matrix kernel when the vector set fits the
+    // broadcast gate (bit-identical output at matrix-multiply cost —
+    // [[Similarity.allPairsAtLeast]]), the distributed pair join past it.
+    // Degenerate vectors are excluded up front on BOTH paths (r16): null
+    // and zero vectors already dropped themselves at the threshold
+    // filter (NULL dots), but a NaN vector's NaN cosine PASSES Spark's
+    // `>=` (NaN sorts greatest) — the pre-r16 join arm emitted NaN
+    // "near-dup" pairs for it while the LSH arm (clusterable-filtered)
+    // did not. Filtering makes all three arms agree: a vector with no
+    // direction on the unit sphere is a near-dup of nothing.
+    def brute(vin: DataFrame): DataFrame = {
+      val clean = vin.filter(Similarity.clusterable(col("v")))
+      Similarity.allPairsAtLeast(clean, threshold)
+        .getOrElse {
+          clean.alias("a").join(clean.alias("b"), col("a.id") < col("b.id"))
+            .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              Similarity.dot(col("a.v"), col("b.v")).as("cosine"))
+            .filter(col("cosine") >= threshold)
+        }
+    }
     if (lshBits == 0) {
-      v.alias("a").join(v.alias("b"), col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          Similarity.dot(col("a.v"), col("b.v")).as("cosine"))
-        .filter(col("cosine") >= threshold)
+      brute(v)
     } else {
       // degenerate (null/empty/zero/NaN) and width-mismatched vectors are
       // excluded BEFORE signing: they can never verify (cosine NULL/NaN),
@@ -848,6 +874,23 @@ object Dedup {
         else math.min(bitsVolume, recallFeasibleBits(threshold,
           maxTables = if (lshTables > 0) lshTables else 64))
       val tables = if (lshTables > 0) lshTables else sizedLshTables(threshold, bits)
+      // Degenerate-LSH switch (r16, caught by the sf1 bench sweep): when
+      // the recall-feasible bits cap binds far below the volume-sized
+      // bits — LOW thresholds, where per-bit agreement p₁ = 1-acos(t)/π
+      // sits near the random-pair rate p₂ = 1/2 — the bucket join stops
+      // pruning. Expected RANDOM-pair candidate coverage is
+      // tables × 2^-bits of ALL pairs (sign agreement on independent
+      // planes); at threshold 0.45 the cap gives bits 6 / tables 62 →
+      // coverage 0.97: every pair is a candidate and "LSH" is the brute
+      // pass with a tables-fold explode+join+distinct on top (sf1
+      // measured it at exponent 2.1, 4× the brute arm's cost). Pruning
+      // below a quarter of brute volume is the break-even with LSH's
+      // heavier per-candidate machinery — under it, take the brute arm,
+      // which computes the identical exact output. Sizing-only decision
+      // (no data scan), and only for AUTO bits: explicit bits mean the
+      // caller owns the trade.
+      if (lshBits < 0 && tables.toDouble / math.pow(2.0, bits) >= 0.25)
+        return brute(vv)
       val candidates0 = lshCandidateStream(vv, bits, tables, sigDim)
       val candidates = if (dedupCandidates) candidates0.distinct() else candidates0
       val verified = candidates

@@ -65,6 +65,106 @@ object Similarity {
       size(filter(nVec, x => x.isNull || isnan(x))) === 0 &&
       size(filter(nVec, x => x =!= 0.0)) > 0
 
+  /** Byte cap for [[allPairsAtLeast]]'s driver collect+broadcast of the
+    * normalized vector set (n × dim × 8 B): 64 MB ≈ 128k 64-dim vectors.
+    * Past it the caller keeps the distributed pair-join plan — at that
+    * scale an exact all-pairs pass is the wrong tool anyway (CAPS table;
+    * the scale paths are high-threshold LSH, SemDeDup clusters, and the
+    * persisted indexes).
+    */
+  private[llm] val AllPairsKernelBytes: Long = 64L << 20
+
+  /** Exact all-pairs `cosine >= threshold` over a NORMALIZED,
+    * [[clusterable]]-filtered (id, v) frame — optionally within groups
+    * (`groupCol`: the SemDeDup within-cluster verify) — as a BLOCKED
+    * kernel instead of a row-pair join: rows are collected sorted by
+    * (group, id) behind a byte gate (the broadcast-KNN discipline),
+    * broadcast once, the driver derives the (block_i, block_j) tile list
+    * per group, and each task computes one tile with a tight double-FMA
+    * loop. The arithmetic is the join arm's exactly
+    * ([[graft.functions.VectorOps.dotDD]]: sequential index-order double
+    * accumulation over [[normalize]]d doubles), so the output is
+    * bit-identical — at matrix-multiply cost instead of per-pair join
+    * machinery (measured at sf1, 20k × 64f: 76 s join → ~2 s kernel,
+    * SCALE.md r16). Returns None past [[AllPairsKernelBytes]];
+    * width-mismatched pairs are skipped (the join arm's NULL-dot drop),
+    * equal-id pairs excluded like `a.id < b.id`.
+    */
+  private[llm] def allPairsAtLeast(
+      vv: DataFrame,
+      threshold: Double,
+      blockRows: Int = 2048,
+      groupCol: Option[String] = None): Option[DataFrame] = {
+    val spark = vv.sparkSession
+    import spark.implicits._
+    // gate measured BEFORE collecting: one small agg over the (typically
+    // checkpointed) frame
+    val head = vv.agg(count(lit(1)), max(size(col("v")))).head()
+    val n = head.getLong(0)
+    val dim = if (head.isNullAt(1)) 1 else math.max(1, head.getInt(1))
+    if (n * dim * 8L > AllPairsKernelBytes) return None
+    val g = groupCol.map(c => col(c).cast("long")).getOrElse(lit(0L))
+    val data = vv.select(g.as("g"), col("id").cast("long"), col("v").cast("array<double>"))
+      .as[(Long, Long, Array[Double])].collect().sortBy(r => (r._1, r._2))
+    val bc = spark.sparkContext.broadcast(data)
+    // tile list: per group segment, the upper triangle of its blocks —
+    // (aStart, bStart, end-of-b-block); the diagonal tile is aStart ==
+    // bStart and the inner loop starts past x there
+    val tiles = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var s = 0
+    while (s < data.length) {
+      var e = s
+      while (e < data.length && data(e)._1 == data(s)._1) e += 1
+      val nB = (e - s + blockRows - 1) / blockRows
+      var i = 0
+      while (i < nB) {
+        var j = i
+        while (j < nB) {
+          tiles += ((s + i * blockRows, s + j * blockRows,
+            math.min(e, s + (j + 1) * blockRows)))
+          j += 1
+        }
+        i += 1
+      }
+      s = e
+    }
+    val tileArr = tiles.toArray
+    val bl = blockRows
+    val thr = threshold
+    val out = spark
+      .range(0L, tileArr.length.toLong, 1L,
+        math.max(1, math.min(tileArr.length, spark.sparkContext.defaultParallelism * 2)))
+      .mapPartitions { it =>
+        val rows = bc.value
+        it.flatMap { tIdx =>
+          val (aStart, bStart, bEnd) = tileArr(tIdx.toInt)
+          val aEnd = math.min(bEnd, aStart + bl) // a-block never crosses its group end
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var x = aStart
+          while (x < aEnd) {
+            val va = rows(x)._3
+            val ida = rows(x)._2
+            var y = if (aStart == bStart) x + 1 else bStart
+            while (y < bEnd) {
+              val vb = rows(y)._3
+              if (va.length == vb.length && ida != rows(y)._2) {
+                var acc = 0.0
+                var d = 0
+                val len = va.length
+                while (d < len) { acc += va(d) * vb(d); d += 1 }
+                if (acc >= thr) buf += ((ida, rows(y)._2, acc))
+              }
+              y += 1
+            }
+            x += 1
+          }
+          buf
+        }
+      }
+      .toDF("id_a", "id_b", "cosine")
+    Some(out)
+  }
+
   /** Sign-bit signature against `bits` deterministic pseudo-random
     * hyperplanes (seeded per index): bucket key for cosine LSH. `seed`
     * varies the plane set — multi-table LSH uses one seed per table.

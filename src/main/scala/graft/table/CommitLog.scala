@@ -484,10 +484,14 @@ final class CommitLog(val root: String, checkpointInterval: Int = 100) {
           // covers the rest of its body (commits() churn aborts, sweep
           // delete IO errors).
           if (checkpointInterval > 0 && seq % checkpointInterval == 0) {
-            try {
-              checkpoint(seq)
-              graft.fs.SweepAlarm.succeeded(s"commit-log checkpoint at $root")
-            } catch {
+            // success/failure accounting lives INSIDE checkpoint(): its
+            // create-IOException arm is absorbed there (a checkpoint
+            // failure must never fail the commit), so only checkpoint()
+            // knows whether pruning actually progressed — marking success
+            // out here would reset the stuck-sweep alarm on exactly the
+            // "log will never prune" pathology it exists to surface.
+            try checkpoint(seq)
+            catch {
               case scala.util.control.NonFatal(e) =>
                 graft.fs.SweepAlarm.failed(s"commit-log checkpoint at $root", e,
                   s"the commit at seq $seq stands; the log will not prune " +
@@ -555,11 +559,12 @@ final class CommitLog(val root: String, checkpointInterval: Int = 100) {
         // checkpointing is an OPTIMIZATION (commits stay correct without
         // it), so an FS failure here must not fail the commit — but a
         // PERSISTENT failure disables the retention sweep too and every
-        // hot-path listing degrades to O(history), so it must not be
-        // silent either
-        slog.warn(s"CommitLog at $root: checkpoint at seq $seq failed " +
-          s"(${e.getMessage}) — the log keeps working but will not prune " +
-          "until a checkpoint succeeds")
+        // hot-path listing degrades to O(history), so it escalates
+        // through the stuck-sweep alarm (WARN, then ERROR after 3
+        // consecutive intervals) instead of staying an even WARN stream
+        graft.fs.SweepAlarm.failed(s"commit-log checkpoint at $root", e,
+          "the log keeps working but will not prune until a checkpoint succeeds")
+        ()
     }
     val readable = ControlFs.readSmallBytes(ckptPath(seq)).exists { bytes =>
       try { mapper.readValue(bytes, classOf[Array[Commit]]); true }
@@ -581,7 +586,8 @@ final class CommitLog(val root: String, checkpointInterval: Int = 100) {
         ControlFs.delete(st.getPath.toString, recursive = false)
       }
     }
-    ()
+    // full consolidation + sweep completed: pruning is progressing
+    graft.fs.SweepAlarm.succeeded(s"commit-log checkpoint at $root")
   }
 }
 
