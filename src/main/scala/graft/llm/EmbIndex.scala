@@ -362,6 +362,30 @@ object EmbIndex {
     val hinted = batchRows <= broadcastRowLimit &&
       batchRows * vecBytes <= LshIndex.ProbeBroadcastByteLimit
     def maybeBroadcast(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
+    // Degenerate-geometry probe switch (r16, the in-session arm's twin —
+    // see Dedup.embeddingNearDupPairs): when the index's OWN sizing says
+    // its buckets cannot prune (expected random-pair coverage
+    // tables/2^bits >= 0.25 — low build thresholds), the bucket join
+    // yields ~every (batch x corpus) pair as a candidate and the probe
+    // pays signatures + a candidate-sized distinct + two vector joins
+    // for nothing. Cross-verify directly instead: one scan of the stored
+    // vectors against the (gated) broadcast batch, exact cosine, no
+    // shuffle. Output is a SUPERSET of the bucket path's (recall 1.0 vs
+    // the miss tolerance) — strictly within the recall contract. The sf1
+    // sweep measured the bucket path at exponent 1.37 on a threshold-0.45
+    // index; the cross path is the corpus scan it was already paying,
+    // minus the machinery.
+    // gated on the batch being genuinely broadcast-sized: past the gate a
+    // cross join would plan a cartesian shuffle — the bucket path stays
+    // the plan there (equally candidate-heavy, but shuffle-structured)
+    if (hinted && effMeta.tables.toDouble / math.pow(2.0, effMeta.bits) >= 0.25) {
+      val storedVecs = visible(readVectors(spark, dir, effMeta.gen))
+        .select(col("id").as("id_indexed"), col("v").as("v_idx"))
+      return storedVecs.crossJoin(maybeBroadcast(newVecs))
+        .select(col("id_new"), col("id_indexed"),
+          Similarity.dot(col("v_new"), col("v_idx")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    }
     val newSigs = sigRows(newVecs, "id_new", "v_new", effMeta.bits, effMeta.tables, effMeta.dim)
     val index = visible(readBuckets(spark, dir, effMeta.gen))
     // batch side broadcast: the corpus-sized index never shuffles

@@ -153,18 +153,23 @@ class PlanAndOffsetsSuite extends AnyFunSuite {
   }
 
   test("incremental index probes broadcast the batch side — the corpus never shuffles") {
-    // the probe is two-phase since the candidate-count gate (r13): the
-    // bucket-probe join materializes into the candidates checkpoint (its
-    // own broadcast-hinted job, invisible in the final plan), and the
-    // final plan joins checkpointed candidates to the batch and stored
-    // tables. BOTH visible verify joins must be broadcasts and nothing
-    // corpus-sized may regress to a sort-merge/shuffled join.
+    // Two accepted shapes, same invariant (batch side broadcast, nothing
+    // corpus-sized ever shuffles):
+    //  - bucket-probe path (r13 candidate-count gate): the bucket join
+    //    materializes into the candidates checkpoint and BOTH visible
+    //    verify joins are broadcast hash joins;
+    //  - degenerate-geometry cross-verify (r16, EmbIndex on a
+    //    low-threshold index whose sizing cannot prune): ONE
+    //    BroadcastNestedLoopJoin with the BATCH side as the broadcast
+    //    build — the corpus is scanned once, shuffle-free.
     for (q <- Seq("dedup_incremental", "dedup_embedding_incremental")) {
       val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
-      val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
-      assert(broadcasts >= 2,
-        s"$q: expected >=2 broadcast joins, got $broadcasts:\n$plan")
+      val hashBroadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+      val crossVerify = plan.contains("BroadcastNestedLoopJoin BuildRight")
+      assert(hashBroadcasts >= 2 || crossVerify,
+        s"$q: expected >=2 broadcast hash joins or a batch-broadcast " +
+          s"cross-verify, got $hashBroadcasts:\n$plan")
       assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
         s"$q: a corpus-sized side regressed to a shuffle join:\n$plan")
     }
