@@ -6,12 +6,20 @@ quiet-machine Bench runs: per query, budget = min over runs of
 """
 import json, sys
 
+# file-only trend entries (build/probe and train/score splits) are not in
+# SparkEntry.queries, so the gate can never check them — keep them out of
+# the table so it states exactly what the gate covers
+SPLIT_KEYS = {
+    "dedup_embedding_incremental_build", "dedup_embedding_incremental_probe",
+    "quality_lm2_train", "quality_lm2_score",
+}
+
 budget = {}
 for path in sys.argv[1:]:
     d = json.load(open(path))
     a = d["ambient"]["ratio"]
     for k, v in d["queries"].items():
-        if v is None:
+        if v is None or k in SPLIT_KEYS:
             continue
         n = v / a
         if k not in budget or n < budget[k]:

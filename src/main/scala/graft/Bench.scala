@@ -179,8 +179,15 @@ object Bench {
     // regression — the r15 driver run's 2.47x ingest_kafka_shaped outlier
     // was diagnosable only against manual quiet reruns; now the artifact
     // carries the attribution itself
+    // re-measures that THROW are discarded (the main loop's own rule:
+    // time-to-throw is not a benchmark number) — a query that cannot
+    // produce one clean re-run stays CONFIRMED rather than being
+    // exonerated by a fast crash
     val recheck: Map[String, Double] = suspects.map { q =>
-      q -> (1 to 3).map(_ => timeQuery(q, SparkEntry.queries(q))._1).min / ambientRatio
+      val clean = (1 to 3).map(_ => timeQuery(q, SparkEntry.queries(q))).collect {
+        case (t, true) => t
+      }
+      q -> (if (clean.isEmpty) Double.MaxValue else clean.min / ambientRatio)
     }.toMap
     val (confirmed, transient) = suspects.partition(q =>
       budgets.get(q).exists(b => recheck(q) > b * GateTolerance + GateFloorSec))
@@ -201,7 +208,13 @@ object Bench {
       else norm.toSeq
         .flatMap { case (q, n) => budgets.get(q).map(b => (n / (b * GateTolerance + GateFloorSec), q)) }
         .sortBy(-_._1).take(RepeatTopN)
-        .map { case (_, q) => q -> (1 to repeatK).map(_ => timeQuery(q, SparkEntry.queries(q))._1) }
+        .map { case (_, q) =>
+          // failed re-runs are dropped from the spread for the same
+          // time-to-throw rule as the gate's recheck
+          q -> (1 to repeatK).map(_ => timeQuery(q, SparkEntry.queries(q)))
+            .collect { case (t, true) => t }
+        }
+        .filter(_._2.nonEmpty)
     def spreadJson: String = spread.map { case (q, ts) =>
       val mean = ts.sum / ts.size
       val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.size)

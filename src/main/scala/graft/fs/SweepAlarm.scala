@@ -55,6 +55,23 @@ private[graft] object SweepAlarm {
     ()
   }
 
+  /** Run a post-success cleanup/sweep under the alarm: success clears
+    * the site, a NonFatal failure records it (and is SWALLOWED — the
+    * published outcome the guard protects always stands). The one shared
+    * shape of every guard site, so a site's success and failure keys can
+    * never drift apart (a one-character drift would accumulate failures
+    * on one key while successes cleared another). Asymmetric sites — a
+    * body that absorbs part of its own failure internally, like the
+    * commit log's checkpoint — call [[failed]]/[[succeeded]] directly.
+    */
+  def guarded(site: String, standsMsg: => String)(body: => Unit): Unit =
+    try { body; succeeded(site) }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        failed(site, e, standsMsg)
+        ()
+    }
+
   private[graft] def consecutive(site: String): Long =
     Option(fails.get(site)).map(_.get()).getOrElse(0L)
 

@@ -835,8 +835,12 @@ object Dedup {
     // "near-dup" pairs for it while the LSH arm (clusterable-filtered)
     // did not. Filtering makes all three arms agree: a vector with no
     // direction on the unit sphere is a near-dup of nothing.
-    def brute(vin: DataFrame): DataFrame = {
-      val clean = vin.filter(Similarity.clusterable(col("v")))
+    // `clean` must arrive clusterable-filtered AND materialized: the
+    // kernel's byte gate and its collect are two passes over it (and the
+    // join fallback's self-join is two more) — unmaterialized, the whole
+    // upstream normalize pipeline would recompute per pass. The LSH
+    // switch path passes its already-checkpointed vv.
+    def brute(clean: DataFrame): DataFrame =
       Similarity.allPairsAtLeast(clean, threshold)
         .getOrElse {
           clean.alias("a").join(clean.alias("b"), col("a.id") < col("b.id"))
@@ -844,9 +848,8 @@ object Dedup {
               Similarity.dot(col("a.v"), col("b.v")).as("cosine"))
             .filter(col("cosine") >= threshold)
         }
-    }
     if (lshBits == 0) {
-      brute(v)
+      brute(v.filter(Similarity.clusterable(col("v"))).localCheckpoint())
     } else {
       // degenerate (null/empty/zero/NaN) and width-mismatched vectors are
       // excluded BEFORE signing: they can never verify (cosine NULL/NaN),

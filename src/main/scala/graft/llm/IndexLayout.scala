@@ -30,7 +30,6 @@ import graft.fs.ControlFs
   */
 private[llm] object IndexLayout {
 
-  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Post-publish cleanup guard: retirement sweeps run AFTER the commit
     * (the pointer create) has landed, and everything they reclaim is
@@ -42,13 +41,8 @@ private[llm] object IndexLayout {
     * regression) accumulates garbage and must become visible.
     */
   def cleanupQuietly(what: String)(body: => Unit): Unit =
-    try { body; graft.fs.SweepAlarm.succeeded(s"post-publish cleanup '$what'") }
-    catch {
-      case scala.util.control.NonFatal(e) =>
-        graft.fs.SweepAlarm.failed(s"post-publish cleanup '$what'", e,
-          "the publish stands; the next publish re-sweeps")
-        ()
-    }
+    graft.fs.SweepAlarm.guarded(s"post-publish cleanup '$what'",
+      "the publish stands; the next publish re-sweeps")(body)
 
   def newGeneration(): String = s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
 

@@ -97,6 +97,12 @@ object Similarity {
       groupCol: Option[String] = None): Option[DataFrame] = {
     val spark = vv.sparkSession
     import spark.implicits._
+    // LongType ids only: the kernel keys its collected rows by a long, so
+    // any other id type (string/uuid, or even int — whose output schema
+    // would silently widen) keeps the join arm, which orders and returns
+    // the ORIGINAL id type for free. Behavior must not depend on corpus
+    // size for ids the kernel cannot represent.
+    if (vv.schema("id").dataType != org.apache.spark.sql.types.LongType) return None
     // gate measured BEFORE collecting: one small agg over the (typically
     // checkpointed) frame
     val head = vv.agg(count(lit(1)), max(size(col("v")))).head()

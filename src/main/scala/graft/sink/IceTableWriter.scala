@@ -664,7 +664,8 @@ object IceTableWriter {
     // markers by the staging grace sweep). An FS hiccup here must not
     // turn a durable outcome into a failed trigger — same rule as the
     // commit log's post-claim checkpoint guard.
-    try {
+    graft.fs.SweepAlarm.guarded(s"post-commit staging cleanup at ${table.dir}",
+      s"batch $batchId's commit outcome stands; gc reclaims the leftovers") {
       if (committed.isEmpty) {
         // replayed batch: the staged files will never be referenced; drop them
         (dataFiles ++ deleteFiles).foreach(f => ControlFs.delete(f.path, recursive = false))
@@ -677,12 +678,6 @@ object IceTableWriter {
         .flatMap(f => stagingRootOf(f.path, table.dir))
         .distinct
         .foreach(clearStaging)
-      graft.fs.SweepAlarm.succeeded(s"post-commit staging cleanup at ${table.dir}")
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        graft.fs.SweepAlarm.failed(s"post-commit staging cleanup at ${table.dir}", e,
-          s"batch $batchId's commit outcome stands; gc reclaims the leftovers")
-        ()
     }
     committed
   }

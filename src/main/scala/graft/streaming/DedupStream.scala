@@ -32,7 +32,6 @@ import graft.operators.HotPath.Pinnable
   */
 object DedupStream {
 
-  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   def start(
       source: DataFrame,
@@ -123,15 +122,10 @@ object DedupStream {
             // dedup batch — absorb its failure (loud) rather than wedge
             // the stream in a restart loop; the fold retries at the next
             // multiple (same rule as IngestStream's maintenance guard)
-            try {
+            graft.fs.SweepAlarm.guarded(s"in-stream index compaction at $indexDir",
+              s"batch $batchId's dedup output stands; the fold retries later") {
               LshIndex.compact(spark, indexDir, upToBatch = batchId - 1)
-              graft.fs.SweepAlarm.succeeded(s"in-stream index compaction at $indexDir")
-            } catch {
-              case scala.util.control.NonFatal(e) =>
-                graft.fs.SweepAlarm.failed(
-                  s"in-stream index compaction at $indexDir",
-                  e, s"batch $batchId's dedup output stands; the fold retries later")
-                ()
+              ()
             }
         }
       }

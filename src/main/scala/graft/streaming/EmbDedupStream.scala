@@ -40,7 +40,6 @@ import graft.operators.HotPath.Pinnable
   */
 object EmbDedupStream {
 
-  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   def start(
       source: DataFrame,
@@ -108,15 +107,10 @@ object EmbDedupStream {
             // same guard as DedupStream: compaction is an optimization;
             // its failure must not wedge the stream (loud WARN, retried
             // at the next multiple)
-            try {
+            graft.fs.SweepAlarm.guarded(s"in-stream index compaction at $indexDir",
+              s"batch $batchId's dedup output stands; the fold retries later") {
               EmbIndex.compact(spark, indexDir, upToBatch = batchId - 1)
-              graft.fs.SweepAlarm.succeeded(s"in-stream index compaction at $indexDir")
-            } catch {
-              case scala.util.control.NonFatal(e) =>
-                graft.fs.SweepAlarm.failed(
-                  s"in-stream index compaction at $indexDir",
-                  e, s"batch $batchId's dedup output stands; the fold retries later")
-                ()
+              ()
             }
         }
       }

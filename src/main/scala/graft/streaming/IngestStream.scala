@@ -23,7 +23,6 @@ import graft.sink.Ingest
   */
 object IngestStream {
 
-  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   def start(
       source: DataFrame,
@@ -69,15 +68,11 @@ object IngestStream {
               // as CommitLog's post-claim checkpoint guard. Loud WARN:
               // a compaction that never succeeds means unbounded
               // small-file growth, which the operator must see.
-              try {
+              graft.fs.SweepAlarm.guarded(s"in-stream maintenance on '$path'",
+                s"batch $batchId's commit stands; ingest continues and " +
+                  "compaction retries next trigger") {
                 graft.table.Maintenance.auto(batch.sparkSession, t, threshold)
-                graft.fs.SweepAlarm.succeeded(s"in-stream maintenance on '$path'")
-              } catch {
-                case scala.util.control.NonFatal(e) =>
-                  graft.fs.SweepAlarm.failed(s"in-stream maintenance on '$path'", e,
-                    s"batch $batchId's commit stands; ingest continues and " +
-                      "compaction retries next trigger")
-                  ()
+                ()
               }
             }
           }
