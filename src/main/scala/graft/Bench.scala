@@ -183,12 +183,14 @@ object Bench {
     // time-to-throw is not a benchmark number) — a query that cannot
     // produce one clean re-run stays CONFIRMED rather than being
     // exonerated by a fast crash
-    val recheck: Map[String, Double] = suspects.map { q =>
-      val clean = (1 to 3).map(_ => timeQuery(q, SparkEntry.queries(q))).collect {
+    val recheckRuns: Map[String, Seq[Double]] = suspects.map { q =>
+      q -> (1 to 3).map(_ => timeQuery(q, SparkEntry.queries(q))).collect {
         case (t, true) => t
       }
-      q -> (if (clean.isEmpty) Double.MaxValue else clean.min / ambientRatio)
     }.toMap
+    val recheck: Map[String, Double] = recheckRuns.map { case (q, clean) =>
+      q -> (if (clean.isEmpty) Double.MaxValue else clean.min / ambientRatio)
+    }
     val (confirmed, transient) = suspects.partition(q =>
       budgets.get(q).exists(b => recheck(q) > b * GateTolerance + GateFloorSec))
     confirmed.foreach { q =>
@@ -203,7 +205,12 @@ object Bench {
     // --repeat k: per-query spread for the queries closest to their
     // budgets, so outlier attribution needs no manual reruns
     val repeatK = args.sliding(2).collectFirst { case Array("--repeat", k) => k.toInt }.getOrElse(0)
-    val spread: Seq[(String, Seq[Double])] =
+    // the gate's own re-measures ride the spread unconditionally, so the
+    // DRIVER's artifact (no --repeat) still carries per-query repetition
+    // data for exactly the queries whose attribution matters
+    val spread0: Seq[(String, Seq[Double])] =
+      recheckRuns.toSeq.collect { case (q, ts) if ts.nonEmpty => (q, norm(q) * ambientRatio +: ts) }
+    val spreadExtra: Seq[(String, Seq[Double])] =
       if (repeatK <= 0) Nil
       else norm.toSeq
         .flatMap { case (q, n) => budgets.get(q).map(b => (n / (b * GateTolerance + GateFloorSec), q)) }
@@ -215,6 +222,7 @@ object Bench {
             .collect { case (t, true) => t }
         }
         .filter(_._2.nonEmpty)
+    val spread = (spread0 ++ spreadExtra.filterNot(e => recheckRuns.contains(e._1)))
     def spreadJson: String = spread.map { case (q, ts) =>
       val mean = ts.sum / ts.size
       val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.size)
