@@ -100,6 +100,22 @@ class AllPairsKernelSuite extends AnyFunSuite {
       "explicit bits must keep the LSH plan")
   }
 
+  test("auto sizing KEEPS genuine LSH at a realistic threshold once the corpus " +
+    "is large enough to prune (the switch's other side)") {
+    // at 0.85 and 10k rows: volume bits 10, feasible ~15, tables 33 —
+    // coverage 33/1024 ≈ 0.03, well under the switch: the LSH plan must
+    // stand. (Small corpora legitimately switch even at 0.85: 5 volume
+    // bits put coverage at ~0.4 — LSH on a few hundred rows never made
+    // sense, and the output is identical either way.)
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 10000).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val auto = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", 0.85,
+      lshBits = Dedup.AutoSize, lshTables = Dedup.AutoSize)
+    assert(auto.queryExecution.analyzed.toString.toLowerCase.contains("hyperplane"),
+      "a prunable auto sizing must keep the LSH plan")
+  }
+
   test("a NaN vector is a near-dup of NOTHING on every arm (r16 semantics pin)") {
     // pre-r16, the unfiltered brute join emitted (x, nanId, NaN) pairs —
     // Spark's `>=` ranks NaN above every threshold; the LSH arm never
