@@ -208,8 +208,9 @@ object Bench {
     // the gate's own re-measures ride the spread unconditionally, so the
     // DRIVER's artifact (no --repeat) still carries per-query repetition
     // data for exactly the queries whose attribution matters
+    val rawTime: Map[String, Double] = results.collect { case (n, t, true) => n -> t }.toMap
     val spread0: Seq[(String, Seq[Double])] =
-      recheckRuns.toSeq.collect { case (q, ts) if ts.nonEmpty => (q, norm(q) * ambientRatio +: ts) }
+      recheckRuns.toSeq.collect { case (q, ts) if ts.nonEmpty => (q, rawTime(q) +: ts) }
     val spreadExtra: Seq[(String, Seq[Double])] =
       if (repeatK <= 0) Nil
       else norm.toSeq

@@ -378,9 +378,9 @@ object EmbIndex {
     // gated on the batch being genuinely broadcast-sized: past the gate a
     // cross join would plan a cartesian shuffle — the bucket path stays
     // the plan there (equally candidate-heavy, but shuffle-structured)
+    val storedVecs = visible(readVectors(spark, dir, effMeta.gen))
+      .select(col("id").as("id_indexed"), col("v").as("v_idx"))
     if (hinted && effMeta.tables.toDouble / math.pow(2.0, effMeta.bits) >= 0.25) {
-      val storedVecs = visible(readVectors(spark, dir, effMeta.gen))
-        .select(col("id").as("id_indexed"), col("v").as("v_idx"))
       return storedVecs.crossJoin(maybeBroadcast(newVecs))
         .select(col("id_new"), col("id_indexed"),
           Similarity.dot(col("v_new"), col("v_idx")).as("cosine"))
@@ -394,8 +394,6 @@ object EmbIndex {
       .select(col("id_new"), col("id").as("id_indexed"))
       .distinct()
       .localCheckpoint() // feeds the verify join AND its own size gate
-    val storedVecs = visible(readVectors(spark, dir, effMeta.gen))
-      .select(col("id").as("id_indexed"), col("v").as("v_idx"))
     // the verify side is CANDIDATE-sized, not batch-sized — signature
     // collisions scale with batch × corpus, so a small batch can still
     // yield a driver-killing candidate set (the sf1 probe found exactly

@@ -152,13 +152,14 @@ object Similarity {
             val ida = rows(x)._2
             var y = if (aStart == bStart) x + 1 else bStart
             while (y < bEnd) {
-              val vb = rows(y)._3
-              if (va.length == vb.length && ida != rows(y)._2) {
+              val ry = rows(y)
+              val vb = ry._3
+              if (va.length == vb.length && ida != ry._2) {
                 var acc = 0.0
                 var d = 0
                 val len = va.length
                 while (d < len) { acc += va(d) * vb(d); d += 1 }
-                if (acc >= thr) buf += ((ida, rows(y)._2, acc))
+                if (acc >= thr) buf += ((ida, ry._2, acc))
               }
               y += 1
             }

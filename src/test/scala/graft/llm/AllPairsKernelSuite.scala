@@ -121,7 +121,7 @@ class AllPairsKernelSuite extends AnyFunSuite {
     // Spark's `>=` ranks NaN above every threshold; the LSH arm never
     // did. All arms now agree on the clusterable contract.
     val df = corpus(50, 8, seed = 5)
-    val nanId = 54L // corpus() appends the NaN carrier at n + 3
+    val nanId = 53L // corpus() appends the NaN carrier at id n + 3
     val brute = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", 0.3)
     assert(brute.filter(col("id_a") === nanId || col("id_b") === nanId).count() === 0)
     val lsh = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", 0.3, lshBits = 6)
