@@ -14,14 +14,30 @@ SPLIT_KEYS = {
     "quality_lm2_train", "quality_lm2_score",
 }
 
+def ambient_at(samples, pos):
+    """Piecewise-linear ambient ratio at a query position (Bench.ambientAt)."""
+    if pos <= samples[0][0]:
+        return samples[0][1]
+    if pos >= samples[-1][0]:
+        return samples[-1][1]
+    for (x0, y0), (x1, y1) in zip(samples, samples[1:]):
+        if x0 <= pos <= x1:
+            return y0 if x1 == x0 else y0 + (y1 - y0) * (pos - x0) / (x1 - x0)
+    return samples[-1][1]
+
 budget = {}
 for path in sys.argv[1:]:
     d = json.load(open(path))
     a = d["ambient"]["ratio"]
+    # r17: mid-run ambient samples — normalize each query by the
+    # interpolated ratio at its position, exactly as Bench.norm does
+    samples = d["ambient"].get("samples")
+    qnames = sorted(k for k in d["queries"] if k not in SPLIT_KEYS)
+    pos = {k: i + 0.5 for i, k in enumerate(qnames)}
     for k, v in d["queries"].items():
         if v is None or k in SPLIT_KEYS:
             continue
-        n = v / a
+        n = v / (ambient_at(samples, pos[k]) if samples else a)
         if k not in budget or n < budget[k]:
             budget[k] = n
 

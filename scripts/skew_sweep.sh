@@ -1,0 +1,35 @@
+#!/usr/bin/env bash
+# Adversarial skew sweep (r17): run the FULL Bench query surface on two
+# matched-volume fixture arms — uniform vs skewed (zipf route field, hot
+# CDC key, ≥10k-member near-dup group, hot shingle, 100×-length docs,
+# hot partition day, 10%-identical + degenerate embeddings; see
+# graft.tools.SkewProbe) — INTERLEAVED (u, s, u, s) so ambient drift
+# cancels, then report the per-query skewed/uniform normalized ratio
+# (min-of-2 per arm, each normalized by its run's per-position ambient).
+#
+# Usage: scripts/skew_sweep.sh [rounds]   (default 2)
+# Output: .work/skew/bench_{uniform,skewed}_N.json + the report table
+# from scripts/skew_report.py (paste into SCALE.md).
+#
+# Do NOT run sbt (tests or benches) concurrently — shared target dir.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+ROUNDS="${1:-2}"
+ROOT=$PWD/.work/skew
+sbt -batch compile
+sbt -batch "runMain graft.tools.SkewProbe /root/testdata/sf0.1 $ROOT"
+
+run_bench() { # $1 = arm (uniform|skewed), $2 = round index
+  echo "=== bench $1 round $2 ==="
+  SPARK_GRAFT_SF_DIR="$ROOT/$1" sbt -batch "runMain graft.Bench" \
+    | grep '"metric"' || true
+  mv BENCH_out.json "$ROOT/bench_$1_$2.json"
+}
+
+for i in $(seq 1 "$ROUNDS"); do
+  run_bench uniform "$i"
+  run_bench skewed "$i"
+done
+
+python3 scripts/skew_report.py "$ROOT" "$ROUNDS"

@@ -101,6 +101,16 @@ object Bench {
       }.min
     }
     val ambientStart = canary()
+    // Mid-run ambient samples (r17): start/end-only sampling undercounted
+    // burst noise — r16's final runs spanned 93.5–111.9 s at
+    // near-identical start/end canaries because load spikes INSIDE the
+    // run were invisible. The canary now also runs every
+    // [[AmbientSampleEvery]] queries; each query is normalized by the
+    // piecewise-linear interpolation of the ratio at its position, so
+    // gate attribution reflects the load the query actually ran under.
+    val AmbientSampleEvery = 20
+    val ambientSamples =
+      scala.collection.mutable.ArrayBuffer[(Double, Double)]((0.0, ambientStart / AmbientRef))
     // (name, seconds, ok) — a thrown query records ok=false and is NEVER
     // folded into the total: time-to-throw is not a benchmark number, and
     // r7 shipped broken queries as "fast" because this loop swallowed them.
@@ -122,7 +132,10 @@ object Bench {
       dropPinnedBlocks()
       (dt, ok)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % AmbientSampleEvery == 0)
+        ambientSamples += ((i.toDouble, canary() / AmbientRef))
       val (dt, ok) = timeQuery(name, fn)
       (name, dt, ok)
     }
@@ -166,14 +179,29 @@ object Bench {
           Seq(("quality_lm2_train", 0.0, false), ("quality_lm2_score", 0.0, false))
       }
     val ambientEnd = canary()
+    ambientSamples += ((ordered.size.toDouble, ambientEnd / AmbientRef))
     def r3(v: Double): String = f"$v%.3f"
     val ambientRatio = ((ambientStart + ambientEnd) / 2) / AmbientRef
+    // piecewise-linear ambient ratio at a query position (query i is
+    // normalized at i + 0.5 — the middle of its slot between samples)
+    def ambientAt(pos: Double): Double = {
+      if (pos <= ambientSamples.head._1) ambientSamples.head._2
+      else if (pos >= ambientSamples.last._1) ambientSamples.last._2
+      else {
+        val j = ambientSamples.lastIndexWhere(_._1 <= pos)
+        val (x0, y0) = ambientSamples(j)
+        val (x1, y1) = ambientSamples(j + 1)
+        if (x1 == x0) y0 else y0 + (y1 - y0) * (pos - x0) / (x1 - x0)
+      }
+    }
+    val qPos: Map[String, Double] =
+      ordered.map(_._1).zipWithIndex.map { case (n, i) => n -> (i + 0.5) }.toMap
 
     // ---- per-query regression gate (only at the budgets' scale, sf0.1)
     val budgets = BenchBudgets.normalizedSeconds
     val atBudgetSf = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
     val norm: Map[String, Double] =
-      results.collect { case (n, t, true) => n -> t / ambientRatio }.toMap
+      results.collect { case (n, t, true) => n -> t / ambientAt(qPos(n)) }.toMap
     val suspects = if (atBudgetSf) overBudget(norm, budgets) else Nil
     // a flagged query is re-measured in the same JVM before it is called a
     // regression — the r15 driver run's 2.47x ingest_kafka_shaped outlier
@@ -188,8 +216,10 @@ object Bench {
         case (t, true) => t
       }
     }.toMap
+    // rechecks execute after the end sample — normalize by the freshest
+    // ratio, not the whole-run mean
     val recheck: Map[String, Double] = recheckRuns.map { case (q, clean) =>
-      q -> (if (clean.isEmpty) Double.MaxValue else clean.min / ambientRatio)
+      q -> (if (clean.isEmpty) Double.MaxValue else clean.min / ambientSamples.last._2)
     }
     val (confirmed, transient) = suspects.partition(q =>
       budgets.get(q).exists(b => recheck(q) > b * GateTolerance + GateFloorSec))
@@ -215,6 +245,10 @@ object Bench {
       if (repeatK <= 0) Nil
       else norm.toSeq
         .flatMap { case (q, n) => budgets.get(q).map(b => (n / (b * GateTolerance + GateFloorSec), q)) }
+        // gate suspects already carry re-measures (spread0) — exclude them
+        // BEFORE taking top-N so repeat slots go to uncovered queries
+        // instead of being re-run and then discarded
+        .filterNot { case (_, q) => recheckRuns.contains(q) }
         .sortBy(-_._1).take(RepeatTopN)
         .map { case (_, q) =>
           // failed re-runs are dropped from the spread for the same
@@ -223,7 +257,7 @@ object Bench {
             .collect { case (t, true) => t }
         }
         .filter(_._2.nonEmpty)
-    val spread = (spread0 ++ spreadExtra.filterNot(e => recheckRuns.contains(e._1)))
+    val spread = spread0 ++ spreadExtra
     def spreadJson: String = spread.map { case (q, ts) =>
       val mean = ts.sum / ts.size
       val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.size)
@@ -233,9 +267,12 @@ object Bench {
       s"""{"confirmed":${confirmed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""transient":${transient.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""tolerance":$GateTolerance,"floor_sec":$GateFloorSec,"applied":$atBudgetSf}"""
+    val segmentsJson = ambientSamples
+      .map { case (p, r) => s"""[${p.toInt},${r3(r)}]""" }.mkString("[", ",", "]")
     val ambientJson =
       s"""{"start":${r3(ambientStart)},"end":${r3(ambientEnd)},""" +
-        s""""ref":${r3(AmbientRef)},"ratio":${r3(ambientRatio)}}"""
+        s""""ref":${r3(AmbientRef)},"ratio":${r3(ambientRatio)},""" +
+        s""""samples":$segmentsJson}"""
     val qs = (results ++ split ++ lmSplit).map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) r3(v) else "null")
     }.mkString("{", ",", "}")

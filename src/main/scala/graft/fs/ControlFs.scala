@@ -369,7 +369,9 @@ private[graft] object ControlFs {
           "CHECK-THEN-ACT no-overwrite create (no conditional-create " +
           "capability detected): commit claims are verified by read-back, " +
           "but index/maintenance publishes assume a SINGLE maintenance " +
-          "writer per table/index — see OPERATIONS.md")
+          "writer per table/index — see OPERATIONS.md. For multi-writer " +
+          s"deployments on such a store, set ${LockLease.ConfKey} to " +
+          "enable the best-effort writer lease (loud takeover on expiry)")
     }
   }
 

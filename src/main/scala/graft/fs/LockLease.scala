@@ -1,0 +1,179 @@
+package graft.fs
+
+/** Best-effort writer LEASE for commit logs on stores with NEITHER an
+  * atomic no-overwrite create (HDFS-class) nor a conditional create
+  * (S3A If-None-Match on Hadoop 3.4.1+, GCS preconditions) — the
+  * check-then-act residue the exclusivity probe WARNs about. Opt-in via
+  * the Hadoop conf key [[LockLease.ConfKey]] (`graft.commit.lease.ms`,
+  * 0 = off, the default); [[graft.table.CommitLog]] wires it around its
+  * claim loop when enabled.
+  *
+  * Protocol (one small `_lease` file per log directory):
+  *  - RECORD: `epoch writerId renewedAtMs` — epoch increments on every
+  *    ownership change, so a holder can detect it was displaced even if
+  *    its own id is later rewritten.
+  *  - ACQUIRE: read the record. A LIVE record (age < leaseMs) from
+  *    another writer → wait and re-poll until `waitMs` expires, then
+  *    fail LOUDLY. Absent or EXPIRED → write our own record with
+  *    epoch+1 (a takeover of an expired lease logs one WARN naming the
+  *    displaced writer), sleep `settleMs` so a concurrent taker's write
+  *    can land, and read back: we own the lease iff our (epoch, id)
+  *    survived.
+  *  - HEARTBEAT: a daemon thread renews every leaseMs/3 while held.
+  *    Renewal re-reads first: a record that is no longer ours (we were
+  *    displaced after an expiry-length stall) marks the lease LOST with
+  *    an ERROR — the holder must stop treating itself as the writer.
+  *  - RELEASE: delete the file if still ours (clean handoff; a crash
+  *    just lets the lease expire).
+  *
+  * Honesty boundary (documented in OPERATIONS.md): without a
+  * compare-and-swap primitive this is BEST-EFFORT mutual exclusion —
+  * two writers racing inside one `settleMs` window, or wall clocks
+  * skewed by more than leaseMs across machines, can both believe they
+  * hold the lease. The lease therefore narrows the multi-writer window
+  * from EVERY commit to ownership-change events (crash takeover,
+  * clock pathology); the commit log's claim verify + double-claim probe
+  * stay in force underneath, so even a lease failure is never a SILENT
+  * replacement. TwoJvmCommitRaceSuite races two real processes on the
+  * widened check-then-act FS with the lease on and observes zero lost
+  * or double-claimed commits.
+  */
+final class LockLease(
+    dir: String,
+    leaseMs: Long,
+    val writerId: String = LockLease.defaultWriterId(),
+    settleMs: Long = 120L) {
+  require(leaseMs > 0, "leaseMs must be positive (0 disables the lease at the conf layer)")
+
+  import LockLease.log
+
+  private val path = s"$dir/_lease"
+  @volatile private var heldEpoch: Long = -1L
+  @volatile private var heartbeat: Thread = null
+
+  def held: Boolean = heldEpoch >= 0
+
+  private def readRecord(): Option[(Long, String, Long)] =
+    ControlFs.readSmall(path).flatMap { s =>
+      s.trim.split(' ') match {
+        case Array(e, w, at) =>
+          try Some((e.toLong, w, at.toLong)) catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    }
+
+  private def write(epoch: Long): Unit =
+    ControlFs.writeSmall(path, s"$epoch $writerId ${System.currentTimeMillis()}")
+
+  /** Acquire (or re-confirm) the lease, polling up to `waitMs` against a
+    * live holder. True = held; false = a LIVE writer kept it the whole
+    * window (the caller should fail its commit loudly).
+    */
+  def acquire(waitMs: Long): Boolean = synchronized {
+    val deadline = System.currentTimeMillis() + waitMs
+    while (true) {
+      val now = System.currentTimeMillis()
+      readRecord() match {
+        case Some((e, w, _)) if w == writerId && (heldEpoch == e || heldEpoch < 0) =>
+          // ours (fresh acquire finding our own crash leavings re-enters)
+          heldEpoch = e
+          write(e)
+          startHeartbeat()
+          return true
+        case Some((e, w, at)) if now - at < leaseMs =>
+          // live foreign holder — poll until the window closes
+          heldEpoch = -1L
+          if (now >= deadline) {
+            log.warn(s"lease at $path is held by live writer '$w' (epoch $e, " +
+              s"renewed ${now - at} ms ago) — refusing to write")
+            return false
+          }
+          Thread.sleep(math.min(math.max(leaseMs / 4, 10L), 250L))
+        case other =>
+          // absent or expired: take it, loudly when displacing someone
+          val myEpoch = other.map(_._1 + 1L).getOrElse(1L)
+          other.foreach { case (e, w, at) =>
+            log.warn(s"TAKING OVER expired lease at $path from writer '$w' " +
+              s"(epoch $e, last renewed ${now - at} ms ago > lease $leaseMs ms) — " +
+              "if that writer is merely stalled, its next renewal will detect the " +
+              "displacement and stop")
+          }
+          write(myEpoch)
+          Thread.sleep(settleMs) // let a racing taker's write land before we judge
+          readRecord() match {
+            case Some((e, w, _)) if e == myEpoch && w == writerId =>
+              heldEpoch = myEpoch
+              startHeartbeat()
+              return true
+            case _ =>
+              heldEpoch = -1L // lost the takeover race — re-poll
+              if (System.currentTimeMillis() >= deadline) return false
+          }
+      }
+    }
+    false
+  }
+
+  /** One renewal. False (with an ERROR log) when the record is no longer
+    * ours — the holder was displaced and must stop writing.
+    */
+  def renew(): Boolean = synchronized {
+    if (heldEpoch < 0) return false
+    readRecord() match {
+      case Some((e, w, _)) if e == heldEpoch && w == writerId =>
+        write(heldEpoch); true
+      case other =>
+        log.error(s"lease at $path LOST: expected (epoch $heldEpoch, '$writerId') " +
+          s"but found $other — this writer was displaced (expiry takeover after a " +
+          "stall, or clock skew); stopping renewals")
+        heldEpoch = -1L
+        false
+    }
+  }
+
+  def release(): Unit = synchronized {
+    if (heldEpoch >= 0) {
+      readRecord() match {
+        case Some((e, w, _)) if e == heldEpoch && w == writerId =>
+          ControlFs.delete(path, recursive = false)
+        case _ => () // displaced — nothing of ours to remove
+      }
+      heldEpoch = -1L
+    }
+  }
+
+  private def startHeartbeat(): Unit = {
+    if (heartbeat != null && heartbeat.isAlive) return
+    val t = new Thread(() => {
+      // no early `return` in a lambda (it would throw NonLocalReturnControl)
+      var live = true
+      while (live && held) {
+        try Thread.sleep(math.max(leaseMs / 3, 10L))
+        catch { case _: InterruptedException => live = false }
+        if (live && held && !renew()) live = false
+      }
+    }, s"graft-lease-heartbeat-$writerId")
+    t.setDaemon(true)
+    heartbeat = t
+    t.start()
+  }
+}
+
+object LockLease {
+  /** Opt-in knob: lease duration in ms; 0 (default) disables the lease. */
+  val ConfKey = "graft.commit.lease.ms"
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[LockLease])
+
+  /** pid@host-uuid — unique per process, readable in takeover logs. */
+  def defaultWriterId(): String = {
+    val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+    s"$jvm-${java.util.UUID.randomUUID().toString.take(8)}"
+  }
+
+  /** The configured lease for a log directory, if the knob is set. */
+  def fromConf(dir: String): Option[LockLease] = {
+    val ms = ControlFs.conf.getLong(ConfKey, 0L)
+    if (ms <= 0) None else Some(new LockLease(dir, ms))
+  }
+}

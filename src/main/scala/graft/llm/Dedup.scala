@@ -53,6 +53,7 @@ private[graft] object IntegralId {
   *    verification, LSH hyperplane buckets as the scale path
   */
 object Dedup {
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Sentinel for the auto-sized LSH path: pass as `lshBits` to size bits
     * from the corpus count ([[sizedLshBits]]) and/or as `lshTables` to
@@ -882,18 +883,22 @@ object Dedup {
       // bits — LOW thresholds, where per-bit agreement p₁ = 1-acos(t)/π
       // sits near the random-pair rate p₂ = 1/2 — the bucket join stops
       // pruning. Expected RANDOM-pair candidate coverage is
-      // tables × 2^-bits of ALL pairs (sign agreement on independent
-      // planes); at threshold 0.45 the cap gives bits 6 / tables 62 →
-      // coverage 0.97: every pair is a candidate and "LSH" is the brute
-      // pass with a tables-fold explode+join+distinct on top (sf1
-      // measured it at exponent 2.1, 4× the brute arm's cost). Pruning
-      // below a quarter of brute volume is the break-even with LSH's
-      // heavier per-candidate machinery — under it, take the brute arm,
-      // which computes the identical exact output. Sizing-only decision
-      // (no data scan), and only for AUTO bits: explicit bits mean the
-      // caller owns the trade.
-      if (lshBits < 0 && tables.toDouble / math.pow(2.0, bits) >= 0.25)
-        return brute(vv)
+      // 1-(1-2^-bits)^tables of ALL pairs
+      // ([[Similarity.lshRandomPairCoverage]]); at threshold 0.45 the cap
+      // gives bits 6 / tables 62 → coverage ≈0.62: most pairs are
+      // candidates and "LSH" is most of the brute pass with a tables-fold
+      // explode+join+distinct on top (sf1 measured it at exponent 2.1, 4×
+      // the brute arm's cost). Pruning below a quarter of brute volume is
+      // the break-even with LSH's heavier per-candidate machinery — under
+      // it, take the brute arm, which computes the identical exact
+      // output. Sizing-only decision (no data scan), and only for AUTO
+      // bits: explicit bits mean the caller owns the trade — but they
+      // should SEE it (r17): one WARN with the computed coverage.
+      if (Similarity.lshRandomPairCoverage(bits, tables) >=
+          Similarity.LshDegenerateCoverage) {
+        if (lshBits < 0) return brute(vv)
+        degenerateLshWarning(bits, tables, threshold).foreach(log.warn)
+      }
       val candidates0 = lshCandidateStream(vv, bits, tables, sigDim)
       val candidates = if (dedupCandidates) candidates0.distinct() else candidates0
       val verified = candidates
@@ -904,6 +909,25 @@ object Dedup {
       // cosine is deterministic per pair, so post-dedup is exact
       if (dedupCandidates) verified else verified.distinct()
     }
+  }
+
+  /** The explicit-bits degenerate-LSH warning (r17): auto sizing switches
+    * itself to the brute arm past the coverage break-even, but a caller
+    * who PINNED `lshBits` at a low threshold waives the switch by design —
+    * and silently gets coverage-0.6 "LSH" that costs more than brute.
+    * The caller owns the trade but should see it: Some(message) when the
+    * pinned sizing lands at or past
+    * [[Similarity.LshDegenerateCoverage]], None otherwise.
+    */
+  private[llm] def degenerateLshWarning(
+      bits: Int, tables: Int, threshold: Double): Option[String] = {
+    val coverage = Similarity.lshRandomPairCoverage(bits, tables)
+    if (coverage < Similarity.LshDegenerateCoverage) None
+    else Some(f"explicit lshBits=$bits%d with $tables%d tables at threshold " +
+      f"$threshold%.2f gives random-pair candidate coverage $coverage%.2f " +
+      f"(>= ${Similarity.LshDegenerateCoverage}%.2f): the bucket join barely prunes, " +
+      "so this 'LSH' costs more than the exact brute arm (lshBits = 0), which " +
+      "computes the identical output — consider it, or raise the threshold")
   }
 
   /** Raw candidate pairs from the banded multi-table self-join — one row

@@ -365,7 +365,7 @@ object EmbIndex {
     // Degenerate-geometry probe switch (r16, the in-session arm's twin —
     // see Dedup.embeddingNearDupPairs): when the index's OWN sizing says
     // its buckets cannot prune (expected random-pair coverage
-    // tables/2^bits >= 0.25 — low build thresholds), the bucket join
+    // 1-(1-2^-bits)^tables >= 0.25 — low build thresholds), the bucket join
     // yields ~every (batch x corpus) pair as a candidate and the probe
     // pays signatures + a candidate-sized distinct + two vector joins
     // for nothing. Cross-verify directly instead: one scan of the stored
@@ -380,7 +380,8 @@ object EmbIndex {
     // the plan there (equally candidate-heavy, but shuffle-structured)
     val storedVecs = visible(readVectors(spark, dir, effMeta.gen))
       .select(col("id").as("id_indexed"), col("v").as("v_idx"))
-    if (hinted && effMeta.tables.toDouble / math.pow(2.0, effMeta.bits) >= 0.25) {
+    if (hinted && Similarity.lshRandomPairCoverage(effMeta.bits, effMeta.tables) >=
+        Similarity.LshDegenerateCoverage) {
       return storedVecs.crossJoin(maybeBroadcast(newVecs))
         .select(col("id_new"), col("id_indexed"),
           Similarity.dot(col("v_new"), col("v_idx")).as("cosine"))

@@ -74,6 +74,25 @@ object Similarity {
     */
   private[llm] val AllPairsKernelBytes: Long = 64L << 20
 
+  /** Expected fraction of ALL pairs that become LSH candidates purely by
+    * chance: each of `tables` independent tables buckets a random pair
+    * together with probability `2^-bits` (sign agreement on independent
+    * hyperplanes), so coverage is `1 − (1 − 2^-bits)^tables` — the exact
+    * union over tables, not the r16 linear estimate `tables · 2^-bits`,
+    * which overstates coverage well above the 0.25 break-even (bits 6 /
+    * tables 62: linear "0.97" vs true ≈0.62). At ≥0.25 the bucket join
+    * stops pruning relative to brute volume and LSH's per-candidate
+    * machinery (explode + join + distinct) costs more than it saves.
+    */
+  private[llm] def lshRandomPairCoverage(bits: Int, tables: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(2.0, -bits.toDouble), tables.toDouble)
+
+  /** Break-even random-pair coverage for the degenerate-LSH switches —
+    * shared by [[graft.llm.Dedup.embeddingNearDupPairs]] (auto-sized arm
+    * switches to brute) and [[graft.llm.EmbIndex]] (probe cross-verifies).
+    */
+  private[llm] val LshDegenerateCoverage: Double = 0.25
+
   /** Exact all-pairs `cosine >= threshold` over a NORMALIZED,
     * [[clusterable]]-filtered (id, v) frame — optionally within groups
     * (`groupCol`: the SemDeDup within-cluster verify) — as a BLOCKED
@@ -145,27 +164,44 @@ object Similarity {
         it.flatMap { tIdx =>
           val (aStart, bStart, bEnd) = tileArr(tIdx.toInt)
           val aEnd = math.min(bEnd, aStart + bl) // a-block never crosses its group end
-          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          var x = aStart
-          while (x < aEnd) {
-            val va = rows(x)._3
-            val ida = rows(x)._2
-            var y = if (aStart == bStart) x + 1 else bStart
-            while (y < bEnd) {
-              val ry = rows(y)
-              val vb = ry._3
-              if (va.length == vb.length && ida != ry._2) {
-                var acc = 0.0
-                var d = 0
-                val len = va.length
-                while (d < len) { acc += va(d) * vb(d); d += 1 }
-                if (acc >= thr) buf += ((ida, ry._2, acc))
+          // pairs are emitted LAZILY, one at a time, instead of buffering a
+          // per-tile ArrayBuffer: at a low threshold on near-dup-heavy data
+          // a tile can match up to blockRows² pairs (~4.2M boxed tuples,
+          // hundreds of MB) — a per-task memory spike the streamed join arm
+          // never has. Same (x, y) traversal order, same arithmetic →
+          // bit-identical output (AllPairsKernelSuite).
+          new scala.collection.AbstractIterator[(Long, Long, Double)] {
+            private var x = aStart
+            private var y = if (aStart == bStart) aStart + 1 else bStart
+            private var va: Array[Double] = if (x < aEnd) rows(x)._3 else null
+            private var ida: Long = if (x < aEnd) rows(x)._2 else 0L
+            private var nxt: (Long, Long, Double) = _
+            private var has = false
+            private def advance(): Unit = {
+              has = false
+              while (!has && x < aEnd) {
+                if (y >= bEnd) {
+                  x += 1
+                  y = if (aStart == bStart) x + 1 else bStart
+                  if (x < aEnd) { va = rows(x)._3; ida = rows(x)._2 }
+                } else {
+                  val ry = rows(y)
+                  val vb = ry._3
+                  if (va.length == vb.length && ida != ry._2) {
+                    var acc = 0.0
+                    var d = 0
+                    val len = va.length
+                    while (d < len) { acc += va(d) * vb(d); d += 1 }
+                    if (acc >= thr) { nxt = ((ida, ry._2, acc)); has = true }
+                  }
+                  y += 1
+                }
               }
-              y += 1
             }
-            x += 1
+            advance()
+            def hasNext: Boolean = has
+            def next(): (Long, Long, Double) = { val r = nxt; advance(); r }
           }
-          buf
         }
       }
       .toDF("id_a", "id_b", "cosine")

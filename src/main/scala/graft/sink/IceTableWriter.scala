@@ -689,14 +689,20 @@ object IceTableWriter {
     * committer wrote `_SUCCESS` into `dir` strictly BEFORE `save()`
     * returned (default `mapreduce.fileoutputcommitter.marksuccessfuljobs`),
     * so a listing that cannot see `_SUCCESS` yet is PROVABLY stale — wait
-    * (bounded backoff, ~1.5 s) for the namespace to catch up, then WARN and
-    * proceed with whatever lists. Residual boundary, documented in
-    * OPERATIONS.md: a listing that shows `_SUCCESS` but still hides some
-    * part files is not client-detectable — the engine's filesystem
-    * contract requires listings to be consistent once they include the
-    * job's last-written file (true of every current major store: S3 since
-    * 2020, GCS, ADLS, HDFS). ObjectStoreSemanticsSuite drives the total-
-    * lag arm deterministically.
+    * (bounded backoff, ~1.5 s) for the namespace to catch up, and if it
+    * never does, FAIL the write: by this function's own reasoning the
+    * listing is known-stale, and committing whatever lists would be
+    * exactly the silent empty/partial commit the guard exists to prevent.
+    * The staged files stay protected by the staging marker, the trigger
+    * fails loudly, and the batch replays exactly-once (batchId fence) —
+    * strictly safer than a green trigger over lost data. Residual
+    * boundary, documented in OPERATIONS.md: a listing that shows
+    * `_SUCCESS` but still hides some part files is not client-detectable —
+    * the engine's filesystem contract requires listings to be consistent
+    * once they include the job's last-written file (true of every current
+    * major store: S3 since 2020, GCS, ADLS, HDFS).
+    * ObjectStoreSemanticsSuite drives both the catches-up arm and the
+    * never-listable (throw) arm deterministically.
     */
   private def listStagedFiles(dir: String, format: String): Seq[String] = {
     if (ControlFs.conf.getBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)) {
@@ -705,9 +711,11 @@ object IceTableWriter {
       while (attempt < 6 && !ControlFs.listNames(dir).contains("_SUCCESS")) {
         attempt += 1
         if (attempt == 6)
-          log.warn(s"staged dir $dir still does not list the committer's _SUCCESS " +
-            "after ~1.5s — the listing is lagging the write; committing what lists " +
-            "(see OPERATIONS.md on listing consistency)")
+          throw new java.io.IOException(s"staged dir $dir still does not list the " +
+            "committer's _SUCCESS after ~1.5s of bounded backoff — the listing is " +
+            "provably lagging the write, and committing it could silently publish an " +
+            "empty or partial file set. Failing the trigger; the batch replays " +
+            "exactly-once (see OPERATIONS.md on listing consistency)")
         else Thread.sleep(delay)
         delay *= 2
       }

@@ -139,6 +139,21 @@ final class CommitLog(val root: String, checkpointInterval: Int = 100) {
   private val knownAborted =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Opt-in writer lease (r17, `graft.commit.lease.ms`): resolved once
+    * per log from the Hadoop conf; None (default) = protocol unchanged.
+    */
+  private lazy val lease: Option[graft.fs.LockLease] = graft.fs.LockLease.fromConf(root)
+
+  /** How long an acquirer polls a LIVE foreign lease before failing the
+    * commit: two lease windows covers one missed heartbeat plus the
+    * takeover settle. */
+  private def leaseWaitMs: Long =
+    2L * ControlFs.conf.getLong(graft.fs.LockLease.ConfKey, 0L)
+
+  /** Clean lease handoff for tools/tests that finish writing (a crashed
+    * writer just lets it expire). No-op when the lease is off. */
+  def releaseLease(): Unit = lease.foreach(_.release())
+
   import CommitLog.{Aborted, Missing, Parsed, ReadResult}
 
   /** Read one claim file, distinguishing the three states the
@@ -364,6 +379,21 @@ final class CommitLog(val root: String, checkpointInterval: Int = 100) {
     * detecting a concurrent delete); nothing is claimed in that case.
     */
   def commit(batchId: Long, build: Long => Commit, maxRetries: Int = 10): Option[Commit] = {
+    // Opt-in lock-lease arm (r17) for stores with neither atomic nor
+    // conditional creates: serialize WRITERS (not claims) behind a
+    // heartbeat lease, held across commits once acquired — takeover only
+    // at expiry (crash), always loud. The claim protocol below stays in
+    // force underneath, so even the lease's documented best-effort
+    // windows (settle race, clock skew) can never make a replacement
+    // silent. See graft.fs.LockLease + OPERATIONS.md.
+    lease.foreach { l =>
+      if (!l.acquire(waitMs = leaseWaitMs))
+        throw new IllegalStateException(
+          s"commit of batch $batchId refused: another LIVE writer holds the " +
+            s"lease at $root (waited $leaseWaitMs ms). One writer per log — " +
+            s"if the holder crashed, its lease expires and the next attempt " +
+            "takes over loudly.")
+    }
     var attempt = 0
     // Highest seq PROVEN claimed by a refused/lost create, even when the
     // directory listing does not show it yet (LIST-after-write lag on

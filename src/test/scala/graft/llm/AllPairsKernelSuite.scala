@@ -116,6 +116,25 @@ class AllPairsKernelSuite extends AnyFunSuite {
       "a prunable auto sizing must keep the LSH plan")
   }
 
+  test("random-pair coverage is the exact table union, and explicit degenerate " +
+    "sizing WARNs with it (r17)") {
+    // exact 1-(1-2^-bits)^tables, not the r16 linear tables·2^-bits: at
+    // bits 6 / tables 62 the linear estimate said 0.97; the true union is
+    // ≈0.62 — still past the 0.25 break-even, so the auto switch stands
+    val c = Similarity.lshRandomPairCoverage(6, 62)
+    assert(math.abs(c - (1.0 - math.pow(63.0 / 64.0, 62))) < 1e-12)
+    assert(c > 0.6 && c < 0.65)
+    // single table degenerates to 2^-bits exactly; more tables only add
+    assert(Similarity.lshRandomPairCoverage(10, 1) === math.pow(2.0, -10))
+    assert(Similarity.lshRandomPairCoverage(10, 64) <= 64 * math.pow(2.0, -10))
+    // explicit degenerate sizing: the caller keeps the plan but gets told
+    val warned = Dedup.degenerateLshWarning(bits = 6, tables = 62, threshold = 0.45)
+    assert(warned.exists(m => m.contains("coverage") && m.contains("brute")),
+      s"degenerate explicit sizing must WARN, got $warned")
+    // healthy explicit sizing (coverage ≈0.06): silence
+    assert(Dedup.degenerateLshWarning(bits = 8, tables = 16, threshold = 0.45).isEmpty)
+  }
+
   test("a NaN vector is a near-dup of NOTHING on every arm (r16 semantics pin)") {
     // pre-r16, the unfiltered brute join emitted (x, nanId, NaN) pairs —
     // Spark's `>=` ranks NaN above every threshold; the LSH arm never

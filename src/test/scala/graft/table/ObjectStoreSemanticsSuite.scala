@@ -150,6 +150,27 @@ class ObjectStoreSemanticsSuite extends AnyFunSuite {
     assert(t.read(spark).count() === 3L)
   }
 
+  test("staged-file listing lag that NEVER clears: publish fails loudly instead of " +
+    "committing a known-stale (possibly empty) listing; the batch then replays exactly-once") {
+    val dir = s"${osDir("osfs-stale")}/tbl"
+    val t = IceTable.create(dir, schema, TableMeta())
+    ObjectStoreTestFs.armListLag()
+    val ex = try {
+      intercept[java.io.IOException] {
+        // the write job itself succeeds (HEAD/GET are consistent); only the
+        // final-location listing lags — publish must refuse to commit it
+        IceTableWriter.append(spark, df((1L, "a"), (2L, "b")), t, batchId = 0)
+      }
+    } finally ObjectStoreTestFs.reset()
+    assert(ex.getMessage.contains("_SUCCESS"),
+      s"failure must name the provably-stale listing, got: ${ex.getMessage}")
+    assert(t.read(spark).count() === 0L, "a failed trigger must publish nothing")
+    // replay after the namespace recovers: same batchId commits exactly once
+    assert(IceTableWriter.append(spark, df((1L, "a"), (2L, "b")), t, batchId = 0).isDefined)
+    assert(IceTableWriter.append(spark, df((1L, "a"), (2L, "b")), t, batchId = 0).isEmpty)
+    assert(t.read(spark).count() === 2L)
+  }
+
   test("index pointer protocol (stg/ptr claims, keep-2 prune) on check-then-act osfs:") {
     val dir = osDir("osfs-ptr")
     val docs = Seq(

@@ -56,6 +56,9 @@ object CommitRaceChild {
         maxRetries = 5000)
       println(s"OK $id ${c.get.seq}")
     }
+    // clean handoff when the opt-in lease is on (no-op otherwise): the
+    // second racer proceeds immediately instead of waiting out expiry
+    log.releaseLease()
   }
 }
 
@@ -80,13 +83,17 @@ class TwoJvmCommitRaceSuite extends AnyFunSuite {
   /** Classpath dir carrying core-site.xml (fs impl bindings for a
     * session-less Configuration) and a log4j2 config that surfaces WARNs
     * on stderr. */
-  private lazy val confDir: String = {
+  private def mkConfDir(extraProps: Map[String, String]): String = {
     val d = java.nio.file.Files.createTempDirectory("race-conf")
+    val extras = extraProps.map { case (k, v) =>
+      s"  <property><name>$k</name><value>$v</value></property>"
+    }.mkString("\n")
     java.nio.file.Files.write(d.resolve("core-site.xml"),
       s"""<?xml version="1.0"?>
          |<configuration>
          |  <property><name>fs.graftfs.impl</name><value>${classOf[graft.GraftTestFs].getName}</value></property>
          |  <property><name>fs.racyfs.impl</name><value>${classOf[RacyCreateFs].getName}</value></property>
+         |$extras
          |</configuration>
          |""".stripMargin.getBytes)
     java.nio.file.Files.write(d.resolve("log4j2.properties"),
@@ -101,16 +108,23 @@ class TwoJvmCommitRaceSuite extends AnyFunSuite {
     d.toString
   }
 
+  private lazy val confDir: String = mkConfDir(Map.empty)
+
+  /** Same bindings plus the opt-in writer lease turned on (r17). */
+  private lazy val leaseConfDir: String =
+    mkConfDir(Map(graft.fs.LockLease.ConfKey -> "30000"))
+
   private case class ChildRun(exit: Int, reported: Seq[(String, Long)], stderr: String)
 
-  private def race(root: String, perChild: Int): (Seq[ChildRun], Seq[String]) = {
+  private def race(root: String, perChild: Int, cpDir: String = null): (Seq[ChildRun], Seq[String]) = {
     val outs = Seq("w0", "w1").map { w =>
       val outDir = TestSpark.freshDir(s"race-io-$w")
       (w, new File(s"$outDir/out"), new File(s"$outDir/err"))
     }
     val procs = outs.map { case (w, out, err) =>
       val java = s"${System.getProperty("java.home")}/bin/java"
-      val cp = s"$confDir${File.pathSeparator}${System.getProperty("java.class.path")}"
+      val conf = if (cpDir == null) confDir else cpDir
+      val cp = s"$conf${File.pathSeparator}${System.getProperty("java.class.path")}"
       (w, out, err, new ProcessBuilder(
         java, "-Xmx512m", "-cp", cp,
         "graft.table.CommitRaceChild", root, w, perChild.toString)
@@ -179,5 +193,31 @@ class TwoJvmCommitRaceSuite extends AnyFunSuite {
     // children (check-then-act, single-maintenance-writer pointer)
     assert(stderrs.exists(_.contains("CHECK-THEN-ACT")),
       s"probe WARN missing from child logs: ${stderrs.map(_.take(500))}")
+  }
+
+  test("r17 lease arm: two real JVMs on the SAME widened check-then-act FS, " +
+    "lease on — zero double-claims, zero silent replacements (the writers " +
+    "serialize behind the lease and hand off on release)") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.racyfs.impl", classOf[RacyCreateFs].getName)
+    val perChild = 30
+    val root = s"racyfs:${TestSpark.freshDir("race-lease")}/log"
+    val (runs, stderrs) = race(root, perChild, cpDir = leaseConfDir)
+    runs.foreach(r => assert(r.exit === 0,
+      s"child failed under lease (waited-out or displaced?): ${r.stderr.take(2000)}"))
+    val reported = runs.flatMap(_.reported)
+    assert(reported.size === 2 * perChild)
+    assert(reported.map(_._2).distinct.size === reported.size,
+      s"lease must prevent double-claimed seqs on the check-then-act FS: " +
+        s"${reported.groupBy(_._2).filter(_._2.size > 1)}")
+    val log = new CommitLog(root)
+    val committed = log.commits()
+    assert(committed.map(_.seq) === (1L to (2L * perChild)), "seqs dense, no gaps")
+    assert(committed.map(_.commitId).toSet === reported.map(_._1).toSet,
+      "every verified commit must be durable — zero silent replacements with the lease on")
+    // exactly the FS the double-claim test reproduces the failure on —
+    // the difference here is only the lease knob (see leaseConfDir)
+    assert(stderrs.exists(_.contains("CHECK-THEN-ACT")),
+      "still the check-then-act FS: the probe WARN must fire with the lease pointer")
   }
 }
