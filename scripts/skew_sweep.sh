@@ -17,6 +17,10 @@ cd "$(dirname "$0")/.."
 
 ROUNDS="${1:-2}"
 ROOT=$PWD/.work/skew
+# pairs-listing queries under the giant dup group carry a Θ(m²)-pair
+# OUTPUT (tens of millions of rows) — size the JVM for their shuffles
+# the way sf1_verify.sh does, so the sweep measures the plan, not spill
+export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-32g}"
 sbt -batch compile
 sbt -batch "runMain graft.tools.SkewProbe /root/testdata/sf0.1 $ROOT"
 

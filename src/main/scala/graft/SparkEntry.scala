@@ -973,9 +973,36 @@ object SparkEntry {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8") // state partition count
     try {
-      val q = p
-        .join(c,
-          col("user_id") === col("c_user") &&
+      // The equality key is REFINED with the interval's hour bucket
+      // (floor(epoch/3600)): Spark's symmetric hash join scans EVERY
+      // state row of a matching key and tests the time predicate per
+      // row, so a hot user (25% of the stream — the r17 skew sweep)
+      // makes each of its arrivals scan its entire opposite-side state.
+      // With the 1-hour interval, a qualifying pair's buckets differ by
+      // exactly 0 or 1, so two bucket-aligned joins (cb = pb and
+      // cb = pb − 1) partition the match space — each pair appears in
+      // exactly ONE arm, the union is the identical result set, and a
+      // state probe now touches only the key's rows in ONE hour bucket
+      // instead of its whole history. Same technique as salting a batch
+      // skew-join, but exact by construction.
+      // ONE join, purchase side exploded into the two bucket values its
+      // interval can reach (bucket(c) ∈ {bucket(p), bucket(p)−1} exactly,
+      // for a 1-hour interval and 1-hour buckets), so each qualifying
+      // pair matches exactly once and the join key stays a PLAIN
+      // column equality ((user, bucket) — an expression key like
+      // `cb === pb − 1` is not extractable as a state-store key and
+      // silently degrades to user-only keying, the full-state scan this
+      // rewrite removes). Cost on healthy data: the purchase side's rows
+      // double; two separate join arms would instead double the whole
+      // join machinery (sources, state stores) — measured 2.4× on the
+      // uniform arm.
+      val p2 = p
+        .withColumn("pb0", expr("floor(unix_timestamp(p_ts) / 14400)"))
+        .withColumn("pb", explode(array(col("pb0"), col("pb0") - 1)))
+      val c2 = c.withColumn("cb", expr("floor(unix_timestamp(c_ts) / 14400)"))
+      val q = p2
+        .join(c2,
+          col("user_id") === col("c_user") && col("cb") === col("pb") &&
             col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
             col("c_ts") <= col("p_ts"))
         .select("purchase_id", "click_id")
@@ -2051,8 +2078,13 @@ object SparkEntry {
     // escapes all bands with p ≈ (1-0.25)^32 ≈ 1e-4 (pairs above it far
     // less) — margin against the exact-Jaccard oracle, since one missed
     // edge would relabel a whole component
+    // group-shaped consumer → GroupMaxBucket: a giant duplicate group
+    // emits star edges (connectivity preserved) instead of Θ(bands·m²)
+    // candidates; no healthy bucket reaches the bound, so the oracle's
+    // exact pair graph yields identical components (r17 skew sweep)
     val pairs = Dedup.minhashLshPairs(t(spark, sfDir, "documents"), "doc_id", "text",
-      n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      n = 3, numHashes = 64, bands = 32, threshold = 0.5,
+      maxBucket = Dedup.GroupMaxBucket)
     Dedup.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("group_id"))
       .orderBy("doc_id")
@@ -2206,7 +2238,8 @@ object SparkEntry {
   private def qPipelineDedupCurate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-      n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      n = 3, numHashes = 64, bands = 32, threshold = 0.5,
+      maxBucket = Dedup.GroupMaxBucket) // group-shaped: see qDedupGroups
     val groups = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
     val withGroup = docs.join(groups, Seq("doc_id"), "left")
       .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))

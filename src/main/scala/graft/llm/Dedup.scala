@@ -55,6 +55,25 @@ private[graft] object IntegralId {
 object Dedup {
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Bucket-size bound GROUP-shaped minhash consumers pass as
+    * `maxBucket` (see [[minhashLshPairsFromSets]]): far above any bucket
+    * a healthy corpus produces at the sized band width (the r17 skew
+    * sweep's uniform arm tops out in the tens), low enough that a
+    * 10k-member duplicate group emits Θ(m) star edges instead of
+    * Θ(bands·m²) candidate rows. Pair-LISTING callers keep the exact
+    * default (0): their output is itself Θ(m²), so the cap would change
+    * what they return, not just how it's computed.
+    */
+  val GroupMaxBucket: Int = 1024
+
+  /** Byte gate for broadcasting the (id, shingle-set) verify side of the
+    * minhash candidate join (estimated as rows×48 + shingles×28 — array
+    * headers + average shingle string): same discipline as
+    * [[Similarity.AllPairsKernelBytes]]. 256 MB ≈ 180k average web docs;
+    * corpus-scale sets keep the shuffle join.
+    */
+  private[llm] val VerifyBroadcastBytes: Long = 256L << 20
+
   /** Sentinel for the auto-sized LSH path: pass as `lshBits` to size bits
     * from the corpus count ([[sizedLshBits]]) and/or as `lshTables` to
     * size the table count from the threshold ([[sizedLshTables]]).
@@ -488,7 +507,10 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.6
+      threshold: Double = 0.6,
+      /** see [[minhashLshPairsFromSets]] — star edges for buckets past
+        * this size (group-resolution callers); 0 = exact all pairs */
+      maxBucket: Int = 0
   ): DataFrame = {
     // one shingle pass feeds both the signatures and the verification
     // sets; materialized once (cluster scale: a persisted index table).
@@ -503,7 +525,7 @@ object Dedup {
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("shset"))
       .filter(size(col("shset")) > 0)
       .localCheckpoint()
-    minhashLshPairsFromSets(withSets, numHashes, bands, threshold)
+    minhashLshPairsFromSets(withSets, numHashes, bands, threshold, maxBucket)
   }
 
   /** [[minhashLshPairs]] over a PRE-SHINGLED, materialized (id, shset)
@@ -511,11 +533,31 @@ object Dedup {
     * per trigger and feeds cross-probe, within-batch search, and the
     * index fold from the same frame instead of re-shingling three times.
     */
+  /** Bucket-size guard for GROUP-shaped consumers (`maxBucket > 0`): a
+    * duplicate group with m members puts all m into one (band, bucket)
+    * per agreeing band, and the full within-bucket self-join emits
+    * Θ(bands · m²) candidate rows — at m = 10k that is ~10⁹ rows whose
+    * verified output (m²/2 pairs) the group resolution doesn't even
+    * need: connected components only require the bucket to stay
+    * CONNECTED. Buckets larger than `maxBucket` therefore emit STAR
+    * edges (min-id member ↔ every other member, Θ(m) rows) instead of
+    * all pairs; small buckets are untouched. Every emitted pair is still
+    * exact-Jaccard verified, so for a true near-dup clique the star
+    * verifies fully and the component is identical to the all-pairs
+    * graph's. Recall boundary (documented): a >maxBucket bucket that
+    * MIXES unrelated sub-groups connects each member only through the
+    * min id, so a sub-group whose star pairs fail verification relies on
+    * its own (smaller) buckets in other bands — the same
+    * miss-probability trade banding itself already makes.
+    * `maxBucket = 0` (the default) keeps the exact all-pairs contract —
+    * pair-LISTING callers own their Θ(m²) output.
+    */
   private[graft] def minhashLshPairsFromSets(
       withSets: DataFrame,
       numHashes: Int,
       bands: Int,
-      threshold: Double
+      threshold: Double,
+      maxBucket: Int = 0
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
@@ -526,21 +568,61 @@ object Dedup {
       col("id"),
       explode(bandBuckets(col("sig"), bands, r)).as("bb")
     ).localCheckpoint()
-    val candidates = banded
+    val flat = banded
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .alias("l")
-      .join(
-        banded.select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh")).alias("r"),
-        Seq("band", "bh")
-      )
-      .filter(col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
+    val candidates0 =
+      if (maxBucket <= 0) {
+        flat.alias("l")
+          .join(flat.alias("r"), Seq("band", "bh"))
+          .filter(col("l.id") < col("r.id"))
+          .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      } else {
+        // one aggregation finds the oversized buckets (tiny frame —
+        // broadcast into both arms); min id per bucket doubles as the
+        // star center
+        val stats = flat.groupBy("band", "bh")
+          .agg(count(lit(1)).as("__n"), min(col("id")).as("__min_id"))
+        val big = stats.filter(col("__n") > maxBucket)
+          .select(col("band"), col("bh"), col("__min_id"))
+          .localCheckpoint()
+        val bigCount = big.count()
+        if (bigCount > 0)
+          log.warn(s"minhash-LSH: $bigCount bucket(s) exceed maxBucket=$maxBucket — " +
+            "emitting star candidate edges (min-id hub) for them instead of all " +
+            s"pairs; group connectivity is preserved for true near-dup groups " +
+            "(see Dedup.minhashLshPairsFromSets)")
+        val small = flat.join(broadcast(big.select("band", "bh")), Seq("band", "bh"), "left_anti")
+        val smallPairs = small.alias("l")
+          .join(small.alias("r"), Seq("band", "bh"))
+          .filter(col("l.id") < col("r.id"))
+          .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        val starPairs = flat.join(broadcast(big), Seq("band", "bh"))
+          .filter(col("id") =!= col("__min_id"))
+          .select(col("__min_id").as("id_a"), col("id").as("id_b"))
+        smallPairs.unionByName(starPairs)
+      }
+    val candidates = candidates0.distinct()
     // verify candidates with exact Jaccard (no false positives survive):
-    // join pairs against per-id shingle sets, intersect in one pass
+    // join pairs against per-id shingle sets, intersect in one pass.
+    // The sets side is HINTED broadcast when it measurably fits (count ×
+    // observed shingle payload ≤ the broadcast gate): a shuffle join here
+    // re-exchanges every candidate row CARRYING set_a (~1.5 KB each) for
+    // the second join — under a giant dup group (Θ(m²) candidates, the
+    // r17 skew sweep) that is a candidates×payload shuffle measured in
+    // tens of GB, where the broadcast keeps the candidate stream
+    // pipelined and exchange-free. Past the gate (corpus-scale sets) the
+    // shuffle join stands — it is the only shape that fits.
+    val setStats = withSets
+      .agg(count(lit(1)), sum(size(col("shset")))).head()
+    val setBytes = 48L * setStats.getLong(0) +
+      28L * (if (setStats.isNullAt(1)) 0L else setStats.getLong(1))
+    def setsSide(idAs: String, setAs: String): DataFrame = {
+      val side = withSets.select(col("id").as(idAs), col("shset").as(setAs))
+      if (setBytes <= VerifyBroadcastBytes) broadcast(side) else side
+    }
     candidates
-      .join(withSets.select(col("id").as("id_a"), col("shset").as("set_a")), "id_a")
-      .join(withSets.select(col("id").as("id_b"), col("shset").as("set_b")), "id_b")
+      .join(setsSide("id_a", "set_a"), "id_a")
+      .join(setsSide("id_b", "set_b"), "id_b")
       .withColumn("isect", size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("union_sz", size(col("set_a")) + size(col("set_b")) - col("isect"))
       .withColumn("jaccard", col("isect").cast("double") / col("union_sz").cast("double"))

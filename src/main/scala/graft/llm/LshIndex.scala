@@ -426,8 +426,23 @@ object LshIndex {
     val verifyHinted = hinted && candCount <= broadcastRowLimit &&
       candCount * avgSetBytes <= ProbeBroadcastByteLimit
     val verifySide = candidates.join(maybeBroadcast(newSets), "id_new")
+    // Past the candidate gate the verify used to SHUFFLE the candidate
+    // stream with its per-row batch shingle set attached (candidates ×
+    // ~KB — a skewed probe against a giant dup group makes that a
+    // multi-GB exchange, r17 skew sweep). When the STORED side fits the
+    // same byte gate, broadcast it instead: the fat candidate stream
+    // then pipelines through two broadcast joins with zero exchanges.
+    // Neither-fits keeps the shuffle join — the only shape at that scale.
+    lazy val storedHintable = {
+      val st = storedSets
+        .agg(count(lit(1)), coalesce(sum(size(col("set_indexed"))), lit(0L))).head()
+      st.getLong(0) <= broadcastRowLimit &&
+        st.getLong(1) * EstimatedShingleBytes <= ProbeBroadcastByteLimit
+    }
+    val storedSide =
+      if (!verifyHinted && storedHintable) broadcast(storedSets) else storedSets
     (if (verifyHinted) broadcast(verifySide) else verifySide)
-      .join(storedSets, "id_indexed")
+      .join(storedSide, "id_indexed")
       .withColumn("isect", size(array_intersect(col("set_new"), col("set_indexed"))))
       .withColumn("union_sz", size(col("set_new")) + size(col("set_indexed")) - col("isect"))
       .withColumn("jaccard", col("isect").cast("double") / col("union_sz").cast("double"))

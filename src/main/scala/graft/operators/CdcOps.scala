@@ -57,25 +57,34 @@ object CdcOps {
   ): (DataFrame, DataFrame) = {
     require(keyCols.nonEmpty,
       "CDC/upsert requires id columns (parity: data/Utilities.java:169-178)")
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(OrdCol).desc)
-    // the any-op flag uses the SAME (partition, order) spec with an
-    // explicit whole-partition frame, so Catalyst evaluates both window
-    // functions in ONE WindowExec over one sort — an unordered
-    // partition-only spec would plan a second sort pass (measured +0.5 s
-    // on cdc_upsert at sf0.1). Still the single hash shuffle on the id
-    // columns; materialize the resolved batch once — the data append and
-    // the delete-key file derive from it in two separate write jobs.
+    // Last-wins per key as a HASH AGGREGATION (max_by on the ordering
+    // column), not a window: both are one shuffle on the id columns, but
+    // the aggregation gets map-side PARTIAL combine, so a hot key (one
+    // entity carrying 25% of a batch — the r17 skew sweep's CDC shape)
+    // reduces to one partial row per upstream partition before the
+    // shuffle, where the window formulation funnels the key's every row
+    // through a single sort task. Identical output whenever OrdCol is
+    // unique per row (it is: the Kafka offset / event id); tie order on
+    // duplicate offsets is unspecified in both formulations, exactly like
+    // the reference's arrival-order replay under an offset collision.
+    // Materialize the resolved batch once — the data append and the
+    // delete-key file derive from it in two separate write jobs.
     // Pinned (default localCheckpoint): resolveBatch runs inside a
     // foreachBatch/commit attempt, so a lost executor costs a batch
     // RETRY fenced by the commit log's batchId guard, never wrong data —
     // see HotPath's scaladoc for the story and the reliable-mode knob.
+    val srcCols = df.columns.toSeq
+    // NULL offsets sort lowest (the window formulation's DESC NULLS LAST):
+    // max_by SKIPS rows whose ordering value is null, so an all-null key
+    // would otherwise aggregate to a null struct instead of picking a row
+    val ord = coalesce(col(OrdCol), lit(Long.MinValue))
     val last = df
-      .withColumn("__graft_rn", row_number().over(w))
-      .withColumn("__graft_del",
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        max_by(struct(srcCols.map(col): _*), ord).as("__graft_last"),
         max(when(col(OpCol) === "U" || col(OpCol) === "D", 1).otherwise(0))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .filter(col("__graft_rn") === 1)
-      .drop("__graft_rn")
+          .as("__graft_del"))
+      .select(srcCols.map(c => col(s"__graft_last.`$c`").as(c)) :+ col("__graft_del"): _*)
       .pin()
     val data = last.filter(col(OpCol) =!= "D").drop(OpCol, OrdCol, "__graft_del")
     val deleteKeys = last

@@ -96,8 +96,13 @@ object DedupStream {
           col("id") === col("__dup_id"), "left_anti")
         // 2. within-batch: same signature parameters as the index, losers =
         // every component member except the min id
+        // group-shaped consumer: a giant duplicate group arriving in one
+        // batch emits star edges past GroupMaxBucket instead of a
+        // quadratic candidate set (r17 skew sweep; components unchanged
+        // for true near-dup groups)
         val pairs = Dedup.minhashLshPairsFromSets(setsAfterCross,
-          numHashes = meta.numHashes, bands = meta.bands, threshold = threshold)
+          numHashes = meta.numHashes, bands = meta.bands, threshold = threshold,
+          maxBucket = Dedup.GroupMaxBucket)
         val losers = Dedup.connectedComponents(pairs)
           .filter(col("id") =!= col("group_id"))
           .select(col("id").as("__loser_id"))

@@ -10,7 +10,9 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.builder("local[32]", shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.1"
+    // override with SPARK_GRAFT_SF_DIR to time against another fixture
+    // (e.g. the r17 skew arms under .work/skew/)
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("lsh-profile")) {
       import org.apache.spark.sql.functions._
       val d = spark.read.parquet(s"$sf/documents.parquet")
@@ -108,6 +110,57 @@ object Scratch {
           println(f"   $op%-18s n=$c%-6d ${ns / 1e6}%9.1f ms  (${ns / 1e3 / math.max(c, 1)}%8.1f us/op)")
         }
         println(f"   TOTAL tracked ${totalMs}%9.1f ms of last run")
+      }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("sjflat")) {
+      // r17 skew A/B: the PRE-refinement streaming_join shape (plain
+      // (user)-keyed interval join) timed on $sf, so the bucket-refined
+      // default can be compared at matched ambient
+      import org.apache.spark.sql.functions._
+      val schema = spark.read.parquet(s"$sf/events.parquet").schema
+      def run(): Double = {
+        def src = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(sf)
+        val ps = src
+        val p = ps.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            graft.SparkEntry.tsTimestamp(ps).as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val cs = src
+        val c = cs.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            graft.SparkEntry.tsTimestamp(cs).as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+        val qn = s"sjflat_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        val t0 = System.nanoTime()
+        try {
+          val q = p.join(c,
+              col("user_id") === col("c_user") &&
+                col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+                col("c_ts") <= col("p_ts"))
+            .select("purchase_id", "click_id")
+            .writeStream.outputMode("append").format("memory").queryName(qn)
+            .option("checkpointLocation", tmpDir("sjflat_ckpt"))
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.table(qn).count()
+        dt
+      }
+      run() // warm
+      println(f"sjflat: ${(1 to 3).map(_ => run()).map(t => f"$t%.2f").mkString(" ")} s")
+      spark.stop(); return
+    }
+    if (args.headOption.contains("count")) {
+      // row-count queries on $sf (r17: pins the OUTPUT size behind the
+      // skew sweep's output-bound ratios)
+      args.drop(1).foreach { n =>
+        println(s"$n rows: ${graft.SparkEntry.queries(n)(spark, sf).count()}")
       }
       spark.stop(); return
     }

@@ -113,6 +113,38 @@ class DedupSuite extends AnyFunSuite {
     assert(lsh === exact)
   }
 
+  test("maxBucket star edges (r17): a giant near-dup group yields the SAME connected " +
+    "components as the exact all-pairs graph at Θ(m) candidate cost") {
+    // 60 near-identical docs (one varying token) + the normal corpus: at
+    // maxBucket 16 the group's buckets go star while every healthy
+    // bucket keeps the exact self-join
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val giant = (1000L until 1060L).map(i => (i, s"$base tail$i"))
+    val mixed = docs.select(col("doc_id"), col("text"))
+      .unionByName(giant.toDF("doc_id", "text"))
+    def groupsOf(maxBucket: Int): Map[Long, Long] =
+      Dedup.connectedComponents(
+        Dedup.minhashLshPairs(mixed, "doc_id", "text",
+          n = 3, numHashes = 64, bands = 32, threshold = 0.5, maxBucket = maxBucket))
+        .as[(Long, Long)].collect().toMap
+    val exact = groupsOf(0)
+    val starred = groupsOf(16)
+    assert(starred === exact,
+      "star candidates must resolve to the identical component labeling")
+    // and the giant group really is one 60-member component
+    assert(exact.collect { case (id, g) if g == 1000L => id }.toSet ===
+      (1000L until 1060L).toSet)
+    // the star arm's raw pair list is LINEAR in the group (hub pairs
+    // only inside oversized buckets), not quadratic
+    val starPairs = Dedup.minhashLshPairs(mixed, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 32, threshold = 0.5, maxBucket = 16)
+      .filter(col("id_a") >= 1000L).count()
+    val exactPairs = 60L * 59 / 2
+    assert(starPairs < exactPairs / 10,
+      s"expected Θ(m) star pairs for the group, got $starPairs (exact would be $exactPairs)")
+  }
+
   test("simhash pairs: every reported pair is within the Hamming bound, none missed") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
       .select("id_a", "id_b", "hamming").collect()

@@ -57,6 +57,19 @@ class CdcOpsSuite extends AnyFunSuite {
     assert(dels.as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("null offsets: last-wins still picks a present row (nulls sort lowest, " +
+    "matching the pre-r17 window's DESC NULLS LAST — max_by must not yield a null struct)") {
+    val df = Seq(
+      (1L, "v1", "U", Some(10L)), (1L, "v2", "U", None), // null loses to 10
+      (2L, "w1", "U", None), (2L, "w2", "U", None)       // all-null: a row, not a null struct
+    ).toDF("id", "payload", CdcOps.OpCol, CdcOps.OrdCol)
+    val (data, _) = CdcOps.resolveBatch(df, Seq("id"))
+    val rows = data.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.head === ((1L, "v1")), s"non-null offset must win over null: $rows")
+    assert(rows.size === 2 && rows(1)._2 != null,
+      s"an all-null-offset key must still resolve to one real row: $rows")
+  }
+
   test("CDC requires id columns (Utilities.java:169-178 parity)") {
     val df = Seq((1L, "I", 0L)).toDF("id", CdcOps.OpCol, CdcOps.OrdCol)
     assertThrows[IllegalArgumentException](CdcOps.resolveBatch(df, Nil))

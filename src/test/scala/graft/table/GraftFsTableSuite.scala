@@ -249,4 +249,52 @@ class GraftFsTableSuite extends AnyFunSuite {
       s"per-commit RPC budget blew past 12: ${opsB / 100.0} ($snapB)")
     }
   }
+
+  test("deep-history READ budget: a cold commits() at 1000+ commits costs the same " +
+    "FS ops as at 150 (checkpoint + bounded tail, flat in age — r17)") {
+    // SCALE.md's pre-checkpoint read-latency curve bent at 64 commits;
+    // checkpoints are the fix, and this pins WHAT a cold reader (a fresh
+    // driver/maintenance tool attaching to an old table) actually pays:
+    // one listing of a retention-bounded directory, one checkpoint read,
+    // and at most `interval` tail entry reads — independent of how many
+    // thousands of commits the table has ever taken.
+    graft.OpCountingFs.lock.synchronized {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.countfs.impl", classOf[graft.OpCountingFs].getName)
+    val dir = TestSpark.freshDir("countfs-deepread")
+    val root = s"countfs:$dir"
+    val log = new CommitLog(root, checkpointInterval = 100)
+    def drive(from: Int, n: Int): Unit = (from until from + n).foreach { i =>
+      assert(log.commit(i.toLong, s => Commit(s, i.toLong, s"c$i", 0L, 1,
+        dataFiles = Seq(FileEntry(s"f$i", 1L, 1)))).nonEmpty)
+    }
+    def coldRead(): (Long, Long, Double) = {
+      graft.OpCountingFs.reset()
+      val t0 = System.nanoTime()
+      val commits = new CommitLog(root, checkpointInterval = 100).commits()
+      val dt = (System.nanoTime() - t0) / 1e9
+      (commits.size.toLong, graft.OpCountingFs.total, dt)
+    }
+    drive(0, 150)
+    val (n150, ops150, t150) = coldRead()
+    assert(n150 === 150L)
+    drive(150, 900) // 1050 total — ten checkpoint generations deep
+    val (n1050, ops1050, t1050) = coldRead()
+    assert(n1050 === 1050L)
+    println(f"[read-budget] cold commits() ops: $ops150 at 150 commits, " +
+      f"$ops1050 at 1050 (${t150}%.3f s vs ${t1050}%.3f s wall)")
+    // flat-or-log: the deep read may not cost more ops than the shallow
+    // one beyond jitter — retention sweeps bound the listing, the
+    // checkpoint absorbs the body, only the tail is read entry-by-entry
+    assert(ops1050 <= ops150 * 1.2 + 10,
+      s"cold-read FS ops grew with history: $ops150 at 150 → $ops1050 at 1050 " +
+        s"(${graft.OpCountingFs.snapshot})")
+    // absolute pin: listing + checkpoint + ≤interval tail reads + slack.
+    // A reader that ever re-reads swept entries or lists per-entry would
+    // blow past this immediately.
+    assert(ops1050 <= 150,
+      s"cold deep-history read budget blew past 150 ops: $ops1050 " +
+        s"(${graft.OpCountingFs.snapshot})")
+    }
+  }
 }
