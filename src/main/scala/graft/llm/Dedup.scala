@@ -532,8 +532,8 @@ object Dedup {
     * frame — the streaming shell computes the batch's shingle sets once
     * per trigger and feeds cross-probe, within-batch search, and the
     * index fold from the same frame instead of re-shingling three times.
-    */
-  /** Bucket-size guard for GROUP-shaped consumers (`maxBucket > 0`): a
+    *
+    * Bucket-size guard for GROUP-shaped consumers (`maxBucket > 0`): a
     * duplicate group with m members puts all m into one (band, bucket)
     * per agreeing band, and the full within-bucket self-join emits
     * Θ(bands · m²) candidate rows — at m = 10k that is ~10⁹ rows whose

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.HotPath.Pinnable
@@ -12,11 +11,13 @@ import graft.operators.HotPath.Pinnable
   * (equality-delete + insert) / equality-delete
   * (`data/BaseDeltaTaskWriter.write:71-84`) with within-batch key dedup
   * supplied by Iceberg's insert-map (D4). In Spark the whole batch is
-  * resolved in one shuffle: a last-wins window per key, then a split into
-  * data rows and delete keys.
+  * resolved in one shuffle: a last-wins hash AGGREGATION per key
+  * (`max_by` on the offset), then a split into data rows and delete keys.
   *
   * Scale: one hash-partitioned shuffle on the id columns per micro-batch —
-  * the minimum possible for keyed upserts; AQE handles skewed keys.
+  * the minimum possible for keyed upserts — with map-side partial
+  * aggregation, so a hot key reduces to one row per upstream partition
+  * before it ever crosses the wire (r17 skew sweep).
   */
 object CdcOps {
 
