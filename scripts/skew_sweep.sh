@@ -26,8 +26,21 @@ sbt -batch "runMain graft.tools.SkewProbe /root/testdata/sf0.1 $ROOT"
 
 run_bench() { # $1 = arm (uniform|skewed), $2 = round index
   echo "=== bench $1 round $2 ==="
+  # A failed Bench must fail the sweep — the old `|| true` swallowed sbt
+  # errors, letting the mv promote a STALE BENCH_out.json from an earlier
+  # run into this round's slot and silently corrupt the skewed/uniform
+  # comparison. With pipefail, a failing sbt OR a metric-less run (grep
+  # no-match — equally broken) now aborts under set -e; the stamp check
+  # below additionally proves BENCH_out.json was rewritten BY THIS run.
+  local stamp
+  stamp=$(mktemp "$ROOT/.stamp.XXXXXX")
   SPARK_GRAFT_SF_DIR="$ROOT/$1" sbt -batch "runMain graft.Bench" \
-    | grep '"metric"' || true
+    | grep '"metric"'
+  if [ ! BENCH_out.json -nt "$stamp" ]; then
+    echo "FATAL: BENCH_out.json was not rewritten by this run ($1 round $2)" >&2
+    rm -f "$stamp"; exit 1
+  fi
+  rm -f "$stamp"
   mv BENCH_out.json "$ROOT/bench_$1_$2.json"
 }
 

@@ -973,29 +973,32 @@ object SparkEntry {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8") // state partition count
     try {
-      // The equality key is REFINED with the interval's hour bucket
-      // (floor(epoch/3600)): Spark's symmetric hash join scans EVERY
+      // The equality key is REFINED with a 4-hour time bucket
+      // (floor(epoch/14400)): Spark's symmetric hash join scans EVERY
       // state row of a matching key and tests the time predicate per
       // row, so a hot user (25% of the stream — the r17 skew sweep)
       // makes each of its arrivals scan its entire opposite-side state.
-      // With the 1-hour interval, a qualifying pair's buckets differ by
-      // exactly 0 or 1, so two bucket-aligned joins (cb = pb and
-      // cb = pb − 1) partition the match space — each pair appears in
-      // exactly ONE arm, the union is the identical result set, and a
-      // state probe now touches only the key's rows in ONE hour bucket
-      // instead of its whole history. Same technique as salting a batch
-      // skew-join, but exact by construction.
+      // EXACTNESS INVARIANT: for ANY bucket width ≥ the join interval
+      // (here 4 h ≥ 1 h), a qualifying pair (c_ts ∈ [p_ts − 1h, p_ts])
+      // has bucket(c) ∈ {bucket(p), bucket(p) − 1} — the click can reach
+      // back at most one bucket boundary — so bucketing by (user, bucket)
+      // partitions the match space with no pair lost and no pair doubled.
+      // A state probe now touches only the key's rows in ONE 4-hour
+      // bucket instead of its whole history. Same technique as salting a
+      // batch skew-join, but exact by construction.
       // ONE join, purchase side exploded into the two bucket values its
-      // interval can reach (bucket(c) ∈ {bucket(p), bucket(p)−1} exactly,
-      // for a 1-hour interval and 1-hour buckets), so each qualifying
-      // pair matches exactly once and the join key stays a PLAIN
-      // column equality ((user, bucket) — an expression key like
-      // `cb === pb − 1` is not extractable as a state-store key and
-      // silently degrades to user-only keying, the full-state scan this
-      // rewrite removes). Cost on healthy data: the purchase side's rows
-      // double; two separate join arms would instead double the whole
-      // join machinery (sources, state stores) — measured 2.4× on the
-      // uniform arm.
+      // interval can reach, so each qualifying pair matches exactly once
+      // and the join key stays a PLAIN column equality ((user, bucket) —
+      // an expression key like `cb === pb − 1` is not extractable as a
+      // state-store key and silently degrades to user-only keying, the
+      // full-state scan this rewrite removes). Cost on healthy data: the
+      // purchase side's rows double; two separate join arms would instead
+      // double the whole join machinery (sources, state stores) —
+      // measured 2.4× on the uniform arm. Width choice: 4 h won the r17
+      // shape A/B (SCALE.md) — 1-hour buckets prune state harder but pay
+      // more bucket-boundary explode traffic (uniform 11.5 s vs 4.3 s at
+      // 4 h); any width ≥ 1 h keeps the invariant, 4 h balances pruning
+      // against explode overhead on this feed's density.
       val p2 = p
         .withColumn("pb0", expr("floor(unix_timestamp(p_ts) / 14400)"))
         .withColumn("pb", explode(array(col("pb0"), col("pb0") - 1)))

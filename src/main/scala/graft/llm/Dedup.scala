@@ -74,6 +74,24 @@ object Dedup {
     */
   private[llm] val VerifyBroadcastBytes: Long = 256L << 20
 
+  /** Projected-candidate count above which the pair-LISTING arm
+    * (`maxBucket = 0`) WARNs before launching the within-bucket
+    * self-join: Σ over buckets of n·(n−1)/2 is known from the preflight
+    * BEFORE any quadratic work starts, and a giant duplicate group makes
+    * the listing Θ(m²) in the group size — the r17 skew sweep measured
+    * 689 s at a 10k-member group; a 100k-member group (routine in web
+    * corpora — empty pages) is ~5×10⁹ pairs and effectively never
+    * returns. 10M ≈ where the listing starts to dominate a healthy run.
+    */
+  val PairListingWarnEstimate: Long = 10L * 1000 * 1000
+
+  /** Opt-in HARD cap (Spark conf, long; 0 = off, the default) on the
+    * pair-listing arm's projected candidate count: set it to fail fast
+    * — loudly, with the projected count and a pointer at the bounded
+    * groups chain — instead of launching a listing that will not return.
+    */
+  val MaxPairEstimateKey = "graft.dedup.maxPairEstimate"
+
   /** Sentinel for the auto-sized LSH path: pass as `lshBits` to size bits
     * from the corpus count ([[sizedLshBits]]) and/or as `lshTables` to
     * size the table count from the threshold ([[sizedLshTables]]).
@@ -561,65 +579,143 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
+    val spark = withSets.sparkSession
     val sig = withSets
-      .select(col("id"), transform(col("shset"), s => abs(xxhash64(s))).as("hh"))
-      .select(col("id"), minhashSignatureFromHashes(col("hh"), numHashes).as("sig"))
+      .select(col("id"), size(col("shset")).as("ssz"),
+        transform(col("shset"), s => abs(xxhash64(s))).as("hh"))
+      .select(col("id"), col("ssz"),
+        minhashSignatureFromHashes(col("hh"), numHashes).as("sig"))
     val banded = sig.select(
-      col("id"),
+      col("id"), col("ssz"),
       explode(bandBuckets(col("sig"), bands, r)).as("bb")
     ).localCheckpoint()
     val flat = banded
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // ONE preflight job over the checkpointed banded frame replaces the
+    // three separate r17 jobs (oversized-bucket stats + their count + the
+    // verify-side size agg over withSets): per-(band, bucket) stats roll
+    // up in the same pass to (a) the totals the verify broadcast gate
+    // needs — every id contributes exactly `bands` rows (bandBuckets is a
+    // fixed-length array), so the banded totals divide back to per-id
+    // totals exactly — (b) the projected candidate count Σ n·(n−1)/2 the
+    // pair-listing guardrail reads BEFORE any quadratic work starts, and
+    // (c) the oversized-bucket list (tiny by contract), collected here
+    // into a LOCAL relation instead of checkpoint + count + re-scan.
+    val bigThresh = if (maxBucket > 0) maxBucket.toLong else Long.MaxValue
+    val pre = banded
+      .groupBy(col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"), sum(col("ssz")).as("sz"))
+      .agg(
+        sum(col("n")).as("rows"),
+        sum(col("sz")).as("shingles"),
+        sum(col("n").cast("double") * (col("n") - lit(1)).cast("double") / lit(2.0))
+          .as("proj_pairs"),
+        collect_list(when(col("n") > bigThresh,
+          struct(col("band"), col("bh"), col("min_id")))).as("oversized")
+      ).head()
+    val idsCount = if (pre.isNullAt(0)) 0L else pre.getLong(0) / bands
+    val shingleTotal = if (pre.isNullAt(1)) 0L else pre.getLong(1) / bands
+    val projPairs = if (pre.isNullAt(2)) 0.0 else pre.getDouble(2)
+    val oversized = pre.getSeq[org.apache.spark.sql.Row](3)
+    if (maxBucket <= 0 && projPairs > 0) {
+      // Pair-listing guardrail: the caller asked for every pair, and a
+      // giant duplicate group makes that output itself Θ(m²) — warn with
+      // the projected count, and honor the opt-in hard cap, BEFORE the
+      // self-join launches (a 100k-member group projects ~5×10⁹ pairs
+      // and effectively never returns).
+      val cap = spark.conf.get(MaxPairEstimateKey, "0").toLong
+      if (cap > 0 && projPairs > cap.toDouble)
+        throw new IllegalStateException(
+          f"minhash-LSH pair listing: banded buckets project ~$projPairs%.3g candidate " +
+            s"pairs, over the configured hard cap $MaxPairEstimateKey=$cap. If the " +
+            "duplicate STRUCTURE is enough, dedupNearGroups bounds giant groups with " +
+            "star edges (Dedup.GroupMaxBucket); otherwise raise or unset the cap.")
+      if (projPairs > PairListingWarnEstimate.toDouble)
+        log.warn(f"minhash-LSH pair listing: ~$projPairs%.3g projected candidate pairs " +
+          "before verification — pair LISTING is Θ(m²) in a duplicate group's size " +
+          "(689 s measured at a 10k-member group; 100k ≈ never returns). If group " +
+          "structure is enough, use dedupNearGroups (star-edge bounded); set " +
+          s"$MaxPairEstimateKey to fail fast instead of warning.")
+    }
+    // Verify-side broadcast gate (estimate derived in the preflight): a
+    // shuffle join for verification re-exchanges every candidate row
+    // CARRYING set_a (~1.5 KB each) for the second join — under a giant
+    // dup group (Θ(m²) candidates, the r17 skew sweep) that is a
+    // candidates×payload shuffle measured in tens of GB, where the
+    // broadcast keeps the candidate stream pipelined and exchange-free.
+    // Past the gate (corpus-scale sets) the shuffle join stands — it is
+    // the only shape that fits.
+    val setBytes = 48L * idsCount + 28L * shingleTotal
+    def setsSide(idAs: String, setAs: String): DataFrame = {
+      val side = withSets.select(col("id").as(idAs), col("shset").as(setAs))
+      if (setBytes <= VerifyBroadcastBytes) broadcast(side) else side
+    }
     val candidates0 =
-      if (maxBucket <= 0) {
+      if (oversized.isEmpty) {
+        // No oversized buckets (pair-listing arm, or a healthy corpus
+        // under maxBucket): the plain within-bucket self-join — the
+        // anti-join + star-union machinery is skipped entirely.
         flat.alias("l")
           .join(flat.alias("r"), Seq("band", "bh"))
           .filter(col("l.id") < col("r.id"))
           .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       } else {
-        // one aggregation finds the oversized buckets (tiny frame —
-        // broadcast into both arms); min id per bucket doubles as the
-        // star center
-        val stats = flat.groupBy("band", "bh")
-          .agg(count(lit(1)).as("__n"), min(col("id")).as("__min_id"))
-        val big = stats.filter(col("__n") > maxBucket)
-          .select(col("band"), col("bh"), col("__min_id"))
-          .localCheckpoint()
-        val bigCount = big.count()
-        if (bigCount > 0)
-          log.warn(s"minhash-LSH: $bigCount bucket(s) exceed maxBucket=$maxBucket — " +
-            "emitting star candidate edges (min-id hub) for them instead of all " +
-            s"pairs; group connectivity is preserved for true near-dup groups " +
-            "(see Dedup.minhashLshPairsFromSets)")
-        val small = flat.join(broadcast(big.select("band", "bh")), Seq("band", "bh"), "left_anti")
+        log.warn(s"minhash-LSH: ${oversized.size} bucket(s) exceed maxBucket=$maxBucket — " +
+          "emitting star candidate edges (min-id hub) for them instead of all " +
+          "pairs; group connectivity is preserved for true near-dup groups " +
+          "(see Dedup.minhashLshPairsFromSets)")
+        import scala.jdk.CollectionConverters._
+        val bigSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("bh", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__min_id", flat.schema("id").dataType)))
+        val big = broadcast(spark.createDataFrame(oversized.asJava, bigSchema))
+        val small = flat.join(big.select("band", "bh"), Seq("band", "bh"), "left_anti")
         val smallPairs = small.alias("l")
           .join(small.alias("r"), Seq("band", "bh"))
           .filter(col("l.id") < col("r.id"))
           .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-        val starPairs = flat.join(broadcast(big), Seq("band", "bh"))
+        val starWithBucket = flat.join(big, Seq("band", "bh"))
           .filter(col("id") =!= col("__min_id"))
-          .select(col("__min_id").as("id_a"), col("id").as("id_b"))
-        smallPairs.unionByName(starPairs)
+          .select(col("band"), col("bh"),
+            col("__min_id").as("id_a"), col("id").as("id_b"))
+        // Observability (r17 advice): an oversized bucket that MIXES
+        // unrelated sub-groups loses all-pairs connectivity for a
+        // sub-group whose hub edges fail verification (it then relies on
+        // its other-band buckets). Verify the star edges NOW — Θ(m) per
+        // bucket, and only on this already-pathological path — and log
+        // the per-bucket pass rate so a mixed-bucket recall loss is
+        // observable in production, not just reasoned about.
+        val sJac = size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          (size(col("set_a")) + size(col("set_b")) -
+            size(array_intersect(col("set_a"), col("set_b")))).cast("double")
+        val starRates = starWithBucket
+          .join(setsSide("id_a", "set_a"), "id_a")
+          .join(setsSide("id_b", "set_b"), "id_b")
+          .withColumn("ok", coalesce((sJac >= threshold).cast("int"), lit(0)))
+          .groupBy("band", "bh")
+          .agg(count(lit(1)).as("edges"), sum(col("ok")).as("verified"))
+          .collect()
+        starRates.foreach { row =>
+          val edges = row.getLong(2)
+          val ver = if (row.isNullAt(3)) 0L else row.getLong(3)
+          if (ver < edges)
+            log.warn(s"minhash-LSH star bucket (band=${row.get(0)}, bh=${row.get(1)}): " +
+              s"only $ver/$edges hub edges verified at Jaccard >= $threshold — a MIXED " +
+              "oversized bucket; the unverified members lose this bucket's connectivity " +
+              "and rely on their other-band buckets (the same miss-probability trade " +
+              "banding already makes)")
+          else
+            log.info(s"minhash-LSH star bucket (band=${row.get(0)}, bh=${row.get(1)}): " +
+              s"all $edges hub edges verified — a true near-dup clique, component intact")
+        }
+        smallPairs.unionByName(starWithBucket.select("id_a", "id_b"))
       }
     val candidates = candidates0.distinct()
     // verify candidates with exact Jaccard (no false positives survive):
-    // join pairs against per-id shingle sets, intersect in one pass.
-    // The sets side is HINTED broadcast when it measurably fits (count ×
-    // observed shingle payload ≤ the broadcast gate): a shuffle join here
-    // re-exchanges every candidate row CARRYING set_a (~1.5 KB each) for
-    // the second join — under a giant dup group (Θ(m²) candidates, the
-    // r17 skew sweep) that is a candidates×payload shuffle measured in
-    // tens of GB, where the broadcast keeps the candidate stream
-    // pipelined and exchange-free. Past the gate (corpus-scale sets) the
-    // shuffle join stands — it is the only shape that fits.
-    val setStats = withSets
-      .agg(count(lit(1)), sum(size(col("shset")))).head()
-    val setBytes = 48L * setStats.getLong(0) +
-      28L * (if (setStats.isNullAt(1)) 0L else setStats.getLong(1))
-    def setsSide(idAs: String, setAs: String): DataFrame = {
-      val side = withSets.select(col("id").as(idAs), col("shset").as(setAs))
-      if (setBytes <= VerifyBroadcastBytes) broadcast(side) else side
-    }
+    // join pairs against per-id shingle sets, intersect in one pass; the
+    // sets side is HINTED broadcast when the preflight's estimate fits
+    // (see setsSide above).
     candidates
       .join(setsSide("id_a", "set_a"), "id_a")
       .join(setsSide("id_b", "set_b"), "id_b")

@@ -121,3 +121,34 @@ object OpCountingFs {
     b.result()
   }
 }
+
+/** Toggleable fault injection for the lease heartbeat (r18): while
+  * [[LeaseFlakyFs.failing]] is set, every open/create throws a plain
+  * IOException — a transient store outage, NOT a missing file (ControlFs
+  * maps FileNotFound to None, which a lease renewal reads as "displaced";
+  * a transient error must instead be retried). Off, a plain local FS.
+  */
+class LeaseFlakyFs extends FilterFileSystem(new SchemedRawLocalFs("leaseflaky")) {
+  override def getScheme: String = "leaseflaky"
+  override def getUri: URI = URI.create("leaseflaky:///")
+  private def check(): Unit =
+    if (LeaseFlakyFs.failing.get())
+      throw new java.io.IOException("injected transient FS outage (LeaseFlakyFs)")
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    check(); super.open(f, bufferSize)
+  }
+  override def create(
+      f: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean,
+      bufferSize: Int,
+      replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    check(); super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
+  }
+}
+
+object LeaseFlakyFs {
+  val failing = new java.util.concurrent.atomic.AtomicBoolean(false)
+}

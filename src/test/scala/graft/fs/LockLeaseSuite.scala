@@ -79,6 +79,36 @@ class LockLeaseSuite extends AnyFunSuite {
     a.release()
   }
 
+  test("heartbeat survives a TRANSIENT FS outage (retry, lease kept) but marks the " +
+    "lease LOST once failures span a full lease window (r18)") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.leaseflaky.impl", classOf[graft.LeaseFlakyFs].getName)
+    val d = s"leaseflaky:${graft.TestSpark.freshDir("lease-flaky")}"
+    val a = new LockLease(d, leaseMs = 1200, writerId = "wA", settleMs = 20)
+    try {
+      assert(a.acquire(waitMs = 1000))
+      // transient: fail renewals for ~600 ms (≥1 heartbeat at the 400 ms
+      // period), well under the 1200 ms lease — the pre-fix heartbeat
+      // thread DIED on the first exception, leaving heldEpoch set with
+      // nobody renewing; now it logs, retries, and keeps the lease
+      graft.LeaseFlakyFs.failing.set(true)
+      Thread.sleep(600)
+      graft.LeaseFlakyFs.failing.set(false)
+      Thread.sleep(600) // a healthy renewal lands
+      assert(a.held, "a transient outage shorter than the lease must not lose it")
+      assert(a.renew(), "the record must still be ours after the outage")
+      // persistent: once the failure run spans >= leaseMs, the record is
+      // expired for every other writer — the holder must stop pretending
+      graft.LeaseFlakyFs.failing.set(true)
+      val deadline = System.currentTimeMillis() + 8000
+      while (a.held && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(!a.held, "renewals failing for a full lease window must mark the lease LOST")
+    } finally {
+      graft.LeaseFlakyFs.failing.set(false)
+      a.release()
+    }
+  }
+
   test("CommitLog wires the lease from conf: commits succeed with it on, and " +
     "a live foreign lease fails the commit loudly") {
     import graft.table.{Commit, CommitLog}

@@ -145,6 +145,29 @@ class DedupSuite extends AnyFunSuite {
       s"expected Θ(m) star pairs for the group, got $starPairs (exact would be $exactPairs)")
   }
 
+  test("pair-listing guardrail (r18): the opt-in hard cap fails fast with the projected " +
+    "pair count BEFORE the quadratic candidate join launches; unset keeps the exact contract") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val giant = (1000L until 1060L).map(i => (i, s"$base tail$i")).toDF("doc_id", "text")
+    def listPairs(maxBucket: Int = 0) =
+      Dedup.minhashLshPairs(giant, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 16, threshold = 0.5, maxBucket = maxBucket)
+    spark.conf.set(Dedup.MaxPairEstimateKey, "100")
+    try {
+      val e = intercept[IllegalStateException](listPairs().count())
+      assert(e.getMessage.contains(Dedup.MaxPairEstimateKey), s"unexpected: ${e.getMessage}")
+      assert(e.getMessage.contains("dedupNearGroups"),
+        "the failure must point the caller at the bounded groups chain")
+      // the cap governs pair LISTING only: the group-shaped arm bounds the
+      // giant bucket with star edges, so it proceeds under the same conf
+      assert(listPairs(maxBucket = 16).count() > 0)
+    } finally spark.conf.unset(Dedup.MaxPairEstimateKey)
+    // default (no cap): the exact all-pairs contract stands — every
+    // near-identical pair of the 60-member clique is listed
+    assert(listPairs().count() === 60L * 59 / 2)
+  }
+
   test("simhash pairs: every reported pair is within the Hamming bound, none missed") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
       .select("id_a", "id_b", "hamming").collect()
