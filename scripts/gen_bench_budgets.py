@@ -41,6 +41,42 @@ for path in sys.argv[1:]:
         if k not in budget or n < budget[k]:
             budget[k] = n
 
+# ---- old -> new delta table (r18 budget-regeneration discipline) ----
+# A regen in a round that also changed plans can silently absorb a
+# regression: the gate then certifies stability against the NEW budgets
+# only. Emitting the per-query delta makes the re-baseline itself an
+# auditable artifact (paste into SCALE.md).
+import re as _re, statistics as _stats
+old = {}
+try:
+    _src = open("src/main/scala/graft/BenchBudgets.scala").read()
+    old = {m.group(1): float(m.group(2))
+           for m in _re.finditer(r'"([a-z0-9_]+)" -> ([0-9.]+),', _src)}
+except FileNotFoundError:
+    pass
+if old:
+    rows = []
+    for k in sorted(budget):
+        if k in old and old[k] > 0:
+            rows.append((budget[k] / old[k], k, old[k], budget[k]))
+    rows.sort(key=lambda r: -abs(__import__("math").log(r[0])))
+    ratios = [r[0] for r in rows]
+    lines = ["| query | old budget (s) | new budget (s) | new/old |",
+             "|---|---|---|---|"]
+    for ratio, k, o, n in rows:
+        lines.append(f"| {k} | {o:.3f} | {n:.3f} | {ratio:.2f} |")
+    grew = [k for ratio, k, _, _ in rows if ratio > 1.15]
+    shrank = [k for ratio, k, _, _ in rows if ratio < 1 / 1.15]
+    summary = (f"median new/old {_stats.median(ratios):.3f}; "
+               f"{len(grew)} budgets grew >1.15x ({', '.join(grew) or 'none'}); "
+               f"{len(shrank)} shrank >1.15x ({', '.join(shrank) or 'none'})")
+    delta = "\n".join([f"Budget regen delta ({len(rows)} queries): {summary}", ""] + lines)
+    import os
+    os.makedirs(".work", exist_ok=True)
+    open(".work/budget_delta.md", "w").write(delta + "\n")
+    print(f"budget delta: {summary}")
+    print("full old->new table written to .work/budget_delta.md")
+
 body = "\n".join(f'    "{k}" -> {budget[k]:.3f},' for k in sorted(budget))
 src = f'''package graft
 

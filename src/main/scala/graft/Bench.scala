@@ -30,11 +30,31 @@ object Bench {
   val GateTolerance = 1.4
 
   /** Absolute slack so 0.1-0.3 s fixture queries don't flap on
-    * scheduler noise. */
-  val GateFloorSec = 0.25
+    * scheduler noise. (r18: rescaled with AmbientRef 0.67 → 0.49 so the
+    * gate inequality is EXACTLY the one that held before — normalized
+    * seconds and budgets both scaled by 0.49/0.67, so the floor must
+    * too: 0.25 × 0.49/0.67 ≈ 0.18.) */
+  val GateFloorSec = 0.18
 
   /** How many near-budget queries `--repeat` re-measures. */
   val RepeatTopN = 10
+
+  /** Band within which a run's ambient ratios count as calibrated: a
+    * quiet machine should sit near 1.0; ordinary load pushes ratios UP
+    * within the band. Every sample of a whole run landing outside it
+    * means the quiet-machine reference no longer describes the hardware
+    * (that is how the stale r11 ref went unnoticed for two rounds —
+    * ratios sat at 0.74–0.87, "internally consistent" but wrong). */
+  val AmbientStaleLow = 0.8
+  val AmbientStaleHigh = 1.25
+
+  /** True when EVERY ambient sample of a run sits outside the calibrated
+    * band — persistent, not a load spike. Pure for BenchGateSuite. */
+  def ambientRefStale(
+      ratios: Seq[Double],
+      lo: Double = AmbientStaleLow,
+      hi: Double = AmbientStaleHigh): Boolean =
+    ratios.nonEmpty && ratios.forall(r => r < lo || r > hi)
 
   /** Queries whose normalized seconds exceed budget × tol + floor.
     * Pure — BenchGateSuite pins that it fires (and only fires) right. */
@@ -87,10 +107,17 @@ object Bench {
     // instead of a per-round argument (benches on this host drift
     // 1.1-1.4x under load; r8-r10 each re-litigated the same drift).
     // Best-of-3 smooths GC; the canary still sees sustained load.
-    // quiet-machine seconds for this exact job — best-of-5 via
-    // `runMain graft.tools.Canary` on an idle host (r11 calibration:
-    // runs 0.67-0.78 s; re-run Canary to recalibrate if hardware changes)
-    val AmbientRef = 0.67
+    // quiet-machine seconds for this exact job, IN A WARM BENCH JVM —
+    // r18 recalibration: the in-bench canaries of the last two rounds'
+    // quiet artifacts ran 0.478–0.51 s (ratios sat at 0.74–0.87 against
+    // the stale r11 ref of 0.67 for whole rounds — the hardware changed).
+    // NOTE the JVM-warmth gap when recalibrating: the standalone
+    // `graft.tools.Canary` floors ~0.1 s HIGHER (~0.60 s) because its JVM
+    // only warms the canary job itself, not the bench's full query sweep —
+    // prefer a quiet bench run's ambient.start/end; Canary is the quick
+    // cross-check. A persistent ratio outside [AmbientStaleLow,
+    // AmbientStaleHigh] now WARNs (see ambientRefStale).
+    val AmbientRef = 0.49
     def canary(): Double = {
       import org.apache.spark.sql.functions.{col, sum, xxhash64}
       (1 to 3).map { _ =>
@@ -182,6 +209,13 @@ object Bench {
     ambientSamples += ((ordered.size.toDouble, ambientEnd / AmbientRef))
     def r3(v: Double): String = f"$v%.3f"
     val ambientRatio = ((ambientStart + ambientEnd) / 2) / AmbientRef
+    if (ambientRefStale(ambientSamples.map(_._2).toSeq))
+      System.err.println(f"BENCH WARN: every ambient sample of this run sits outside " +
+        f"[$AmbientStaleLow%.2f, $AmbientStaleHigh%.2f] (ratios " +
+        ambientSamples.map(s => f"${s._2}%.2f").mkString(" ") +
+        f") — AmbientRef=$AmbientRef%.2f no longer describes this hardware; recalibrate " +
+        "from a quiet run's ambient.start/end (graft.tools.Canary as the cross-check) " +
+        "and regenerate BenchBudgets")
     // piecewise-linear ambient ratio at a query position (query i is
     // normalized at i + 0.5 — the middle of its slot between samples)
     def ambientAt(pos: Double): Double = {

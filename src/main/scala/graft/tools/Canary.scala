@@ -3,9 +3,17 @@ package graft.tools
 import org.apache.spark.sql.functions.{col, sum, xxhash64}
 
 /** Standalone runner for the Bench ambient-load canary (the EXACT job
-  * Bench times at start/end): run on a QUIET machine to (re)calibrate
-  * `Bench.AmbientRef`. Prints 5 timed runs after one warmup; the
-  * reference is the min.
+  * Bench times at start/end): run on a QUIET machine to cross-check
+  * `Bench.AmbientRef`. Prints 5 timed runs after one warmup; the floor
+  * is the min.
+  *
+  * JVM-warmth caveat (r18): this JVM only warms the canary job itself,
+  * while Bench's canary runs after the full query warmup sweep — the
+  * standalone floor reads ~0.1 s HIGHER than the in-bench value on the
+  * same hardware (measured 0.60 standalone vs 0.478–0.51 in-bench).
+  * For recalibration, prefer the ambient.start/end of a quiet Bench
+  * run's BENCH_out.json; use this tool to confirm the machine is quiet
+  * and the order of magnitude.
   */
 object Canary {
   def main(args: Array[String]): Unit = {
