@@ -29,10 +29,15 @@ def ambient_at(samples, pos):
 def load(path, common_ref):
     d = json.load(open(path))
     ref = d["ambient"]["ref"]
-    # raw canary seconds at each sample position, renormalized to the
-    # common reference so trees with different refs share units
-    samples = [(p, (r * ref) / common_ref) for p, r in d["ambient"]["samples"]]
     queries = {k: v for k, v in d["queries"].items() if v is not None}
+    # raw canary seconds at each sample position, renormalized to the
+    # common reference so trees with different refs share units; trees
+    # predating mid-run samples (r16 and older) fall back to start/end
+    if "samples" in d["ambient"]:
+        samples = [(p, (r * ref) / common_ref) for p, r in d["ambient"]["samples"]]
+    else:
+        samples = [(0.0, d["ambient"]["start"] / common_ref),
+                   (float(len(queries)), d["ambient"]["end"] / common_ref)]
     qnames = sorted(queries)
     pos = {k: i + 0.5 for i, k in enumerate(qnames)}
     return {k: v / ambient_at(samples, pos[k]) for k, v in queries.items()}

@@ -70,6 +70,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // `--only q1,q2`: run (and warm) a SUBSET of the query surface — for
+    // targeted re-measures (e.g. one query on the skew fixture's two arms)
+    // where the full sweep's cost is the obstacle. Subset runs skip the
+    // build/probe + train/score split entries (full-surface trend data).
+    val only: Option[Set[String]] =
+      args.sliding(2).collectFirst { case Array("--only", qs) => qs.split(',').toSet }
+    only.foreach { qs =>
+      val unknown = qs -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"--only names unknown queries: $unknown")
+    }
+    def selected(name: String): Boolean = only.forall(_.contains(name))
     val spark = GraftSession
       .builder(s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
@@ -93,7 +104,7 @@ object Bench {
       spark.catalog.listTables().collect()
         .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).filter(q => selected(q._1)).foreach { case (name, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count()
       catch {
         case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
@@ -159,7 +170,7 @@ object Bench {
       dropPinnedBlocks()
       (dt, ok)
     }
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1).filter(q => selected(q._1))
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       if (i > 0 && i % AmbientSampleEvery == 0)
         ambientSamples += ((i.toDouble, canary() / AmbientRef))
@@ -170,7 +181,8 @@ object Bench {
     // probe (O(batch)) — recorded as extra file-only entries so trend
     // tooling can tell which side moved (VERDICT r7 §perf)
     val split: Seq[(String, Double, Boolean)] =
-      try {
+      if (only.nonEmpty) Nil
+      else try {
         val tB = System.nanoTime()
         val dir = SparkEntry.embIncrementalBuild(spark, sfDir)
         val build = (System.nanoTime() - tB) / 1e9
@@ -190,7 +202,8 @@ object Bench {
     // in one blob; at scale the LM trains once and scores many batches,
     // so the trend tooling needs to see which side moves (VERDICT r8 §4)
     val lmSplit: Seq[(String, Double, Boolean)] =
-      try {
+      if (only.nonEmpty) Nil
+      else try {
         val tT = System.nanoTime()
         val lm = SparkEntry.lm2Train(spark, sfDir)
         lm.count() // materialize the checkpoint inside the timed region

@@ -591,45 +591,62 @@ object Dedup {
     ).localCheckpoint()
     val flat = banded
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    // ONE preflight job over the checkpointed banded frame replaces the
-    // three separate r17 jobs (oversized-bucket stats + their count + the
-    // verify-side size agg over withSets): per-(band, bucket) stats roll
-    // up in the same pass to (a) the totals the verify broadcast gate
-    // needs — every id contributes exactly `bands` rows (bandBuckets is a
-    // fixed-length array), so the banded totals divide back to per-id
-    // totals exactly — (b) the projected candidate count Σ n·(n−1)/2 the
-    // pair-listing guardrail reads BEFORE any quadratic work starts, and
-    // (c) the oversized-bucket list (tiny by contract), collected here
-    // into a LOCAL relation instead of checkpoint + count + re-scan.
-    val bigThresh = if (maxBucket > 0) maxBucket.toLong else Long.MaxValue
-    val pre = banded
-      .groupBy(col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"), sum(col("ssz")).as("sz"))
-      .agg(
-        sum(col("n")).as("rows"),
-        sum(col("sz")).as("shingles"),
-        sum(col("n").cast("double") * (col("n") - lit(1)).cast("double") / lit(2.0))
-          .as("proj_pairs"),
-        collect_list(when(col("n") > bigThresh,
-          struct(col("band"), col("bh"), col("min_id")))).as("oversized")
-      ).head()
-    val idsCount = if (pre.isNullAt(0)) 0L else pre.getLong(0) / bands
-    val shingleTotal = if (pre.isNullAt(1)) 0L else pre.getLong(1) / bands
-    val projPairs = if (pre.isNullAt(2)) 0.0 else pre.getDouble(2)
-    val oversized = pre.getSeq[org.apache.spark.sql.Row](3)
+    // Preflight (r18, reworked after the cross-tree A/B): the r17 shape
+    // ran up to three separate jobs per call; the first r18 cut fused
+    // them into one FULL groupBy(band, bh) — but at uniform data the
+    // buckets are near-unique, so that groupBy shuffles ~|ids|×bands
+    // rows and cost dedup_minhash +0.6 s at sf0.1. Final shape, two
+    // cheap pieces:
+    //  1. TOTALS for the verify broadcast gate: a shuffle-free global
+    //     agg over the checkpointed banded frame (every id contributes
+    //     exactly `bands` rows — bandBuckets is a fixed-length array —
+    //     so banded totals divide back to per-id totals exactly).
+    //  2. BUCKET SHAPE from a deterministic 1/16 HASH SAMPLE of ids:
+    //     a bucket of c members appears with Binomial(c, 1/k) sampled
+    //     rows, so Σ c_s(c_s−1)/2 × k² is an UNBIASED estimator of the
+    //     projected candidate-pair count (the guardrail's number), and
+    //     a giant bucket (≥ maxBucket = 1024 ⇒ E[c_s] ≥ 64) is detected
+    //     with near-certainty. The sampled groupBy shuffles 1/16 of the
+    //     rows. Detection is a PERFORMANCE heuristic only: a missed
+    //     oversized bucket falls into the all-pairs arm, whose output is
+    //     exactly correct (just slower) — never wrong.
+    val tot = banded.agg(count(lit(1)), sum(col("ssz"))).head()
+    val idsCount = tot.getLong(0) / bands
+    val shingleTotal = (if (tot.isNullAt(1)) 0L else tot.getLong(1)) / bands
+    val SampleK = 16L
+    // small caps (tests, tiny corpora) sample too coarsely — below
+    // 4×SampleK members the expected sample is < 4 rows; go exact direct
+    val sampleTooCoarse = maxBucket > 0 && maxBucket < 4 * SampleK
+    val sampled =
+      if (idsCount == 0 || sampleTooCoarse) None
+      else Some(flat
+        .filter(pmod(xxhash64(col("id")), lit(SampleK)) === lit(0L))
+        .groupBy("band", "bh")
+        .agg(count(lit(1)).as("n"))
+        .agg(
+          sum(col("n").cast("double") * (col("n") - lit(1)).cast("double") / lit(2.0)),
+          max(col("n")))
+        .head())
+    val projPairs = sampled.map { s =>
+      (if (s.isNullAt(0)) 0.0 else s.getDouble(0)) * SampleK * SampleK
+    }.getOrElse(0.0)
+    val sampledMax = sampled.map(s => if (s.isNullAt(1)) 0L else s.getLong(1)).getOrElse(0L)
     if (maxBucket <= 0 && projPairs > 0) {
       // Pair-listing guardrail: the caller asked for every pair, and a
       // giant duplicate group makes that output itself Θ(m²) — warn with
       // the projected count, and honor the opt-in hard cap, BEFORE the
       // self-join launches (a 100k-member group projects ~5×10⁹ pairs
-      // and effectively never returns).
+      // and effectively never returns). The estimate is unbiased and
+      // deterministic (hash-sampled), accurate exactly where it matters:
+      // a 10k-member group contributes ~2×10⁵ sampled pairs.
       val cap = spark.conf.get(MaxPairEstimateKey, "0").toLong
       if (cap > 0 && projPairs > cap.toDouble)
         throw new IllegalStateException(
           f"minhash-LSH pair listing: banded buckets project ~$projPairs%.3g candidate " +
-            s"pairs, over the configured hard cap $MaxPairEstimateKey=$cap. If the " +
-            "duplicate STRUCTURE is enough, dedupNearGroups bounds giant groups with " +
-            "star edges (Dedup.GroupMaxBucket); otherwise raise or unset the cap.")
+            s"pairs (hash-sampled estimate), over the configured hard cap " +
+            s"$MaxPairEstimateKey=$cap. If the duplicate STRUCTURE is enough, " +
+            "dedupNearGroups bounds giant groups with star edges " +
+            "(Dedup.GroupMaxBucket); otherwise raise or unset the cap.")
       if (projPairs > PairListingWarnEstimate.toDouble)
         log.warn(f"minhash-LSH pair listing: ~$projPairs%.3g projected candidate pairs " +
           "before verification — pair LISTING is Θ(m²) in a duplicate group's size " +
@@ -637,6 +654,18 @@ object Dedup {
           "structure is enough, use dedupNearGroups (star-edge bounded); set " +
           s"$MaxPairEstimateKey to fail fast instead of warning.")
     }
+    // group-shaped arm: exact per-bucket stats run ONLY when the sample
+    // says a bucket might cross maxBucket (or the cap is too small to
+    // sample) — healthy corpora skip the full-shuffle pass entirely
+    val sampledTrigger = math.max(2L, maxBucket.toLong / (2L * SampleK))
+    val needExact = maxBucket > 0 && (sampleTooCoarse || sampledMax >= sampledTrigger)
+    val oversized: Seq[org.apache.spark.sql.Row] =
+      if (!needExact) Nil
+      else flat.groupBy("band", "bh")
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"))
+        .filter(col("n") > maxBucket)
+        .select(col("band"), col("bh"), col("min_id"))
+        .collect().toSeq
     // Verify-side broadcast gate (estimate derived in the preflight): a
     // shuffle join for verification re-exchanges every candidate row
     // CARRYING set_a (~1.5 KB each) for the second join — under a giant

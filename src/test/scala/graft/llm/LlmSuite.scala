@@ -149,7 +149,10 @@ class DedupSuite extends AnyFunSuite {
     "pair count BEFORE the quadratic candidate join launches; unset keeps the exact contract") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
-    val giant = (1000L until 1060L).map(i => (i, s"$base tail$i")).toDF("doc_id", "text")
+    // 300 members: the 1/16 hash-sampled preflight sees E≈19 of them —
+    // detection is certain, and the estimate (~2048·s·(s−1) projected
+    // pairs) is far over any small cap
+    val giant = (1000L until 1300L).map(i => (i, s"$base tail$i")).toDF("doc_id", "text")
     def listPairs(maxBucket: Int = 0) =
       Dedup.minhashLshPairs(giant, "doc_id", "text",
         n = 3, numHashes = 32, bands = 16, threshold = 0.5, maxBucket = maxBucket)
@@ -164,8 +167,8 @@ class DedupSuite extends AnyFunSuite {
       assert(listPairs(maxBucket = 16).count() > 0)
     } finally spark.conf.unset(Dedup.MaxPairEstimateKey)
     // default (no cap): the exact all-pairs contract stands — every
-    // near-identical pair of the 60-member clique is listed
-    assert(listPairs().count() === 60L * 59 / 2)
+    // near-identical pair of the 300-member clique is listed
+    assert(listPairs().count() === 300L * 299 / 2)
   }
 
   test("simhash pairs: every reported pair is within the Hamming bound, none missed") {
