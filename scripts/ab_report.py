@@ -14,6 +14,15 @@ MIN-of-rounds normalized time; ratios are tree_k / tree_1.
 import json
 import sys
 
+# file-only trend entries (build/probe and train/score splits): not part
+# of the main timed sweep, so they must not shift the POSITIONS the
+# ambient samples are interpolated at (Bench samples at main-sweep query
+# indices only; gen_bench_budgets.py excludes the same keys)
+SPLIT_KEYS = {
+    "dedup_embedding_incremental_build", "dedup_embedding_incremental_probe",
+    "quality_lm2_train", "quality_lm2_score",
+}
+
 
 def ambient_at(samples, pos):
     if pos <= samples[0][0]:
@@ -29,7 +38,8 @@ def ambient_at(samples, pos):
 def load(path, common_ref):
     d = json.load(open(path))
     ref = d["ambient"]["ref"]
-    queries = {k: v for k, v in d["queries"].items() if v is not None}
+    queries = {k: v for k, v in d["queries"].items()
+               if v is not None and k not in SPLIT_KEYS}
     # raw canary seconds at each sample position, renormalized to the
     # common reference so trees with different refs share units; trees
     # predating mid-run samples (r16 and older) fall back to start/end

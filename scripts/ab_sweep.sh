@@ -37,10 +37,16 @@ mkdir -p "$ROOT"
 for i in "${!LABELS[@]}"; do
   label="${LABELS[$i]}"; ref="${REFS[$i]}"
   tree="$ROOT/tree_$label"
+  # Resolve the ref in the MAIN repo before entering the worktree: inside
+  # a stale worktree `HEAD` resolves to the worktree's own old commit (a
+  # silently-successful no-op), and a swallowed checkout failure would
+  # bench last sweep's code under this sweep's label — the same
+  # stale-artifact bug class skew_sweep.sh r18 fixed.
+  sha=$(git rev-parse --verify "$ref^{commit}")
   if [ ! -d "$tree" ]; then
-    git worktree add --detach "$tree" "$ref"
+    git worktree add --detach "$tree" "$sha"
   else
-    git -C "$tree" checkout --detach "$ref" >/dev/null 2>&1 || true
+    git -C "$tree" checkout --detach "$sha"
   fi
   echo "=== compile $label ($(git -C "$tree" rev-parse --short HEAD)) ==="
   (cd "$tree" && sbt -batch compile >/dev/null)

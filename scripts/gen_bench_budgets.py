@@ -26,8 +26,18 @@ def ambient_at(samples, pos):
     return samples[-1][1]
 
 budget = {}
+new_ref = None
 for path in sys.argv[1:]:
     d = json.load(open(path))
+    # normalized seconds scale linearly with AmbientRef — record the ref
+    # the budgets are calibrated at so a later regen across a
+    # recalibration can rescale the OLD values into the new units before
+    # computing the delta (otherwise the delta table reports the unit
+    # change as per-query drift)
+    r = d["ambient"].get("ref")
+    assert new_ref is None or new_ref == r, \
+        f"input runs disagree on AmbientRef ({new_ref} vs {r}) — regenerate from one tree"
+    new_ref = r
     a = d["ambient"]["ratio"]
     # r17: mid-run ambient samples — normalize each query by the
     # interpolated ratio at its position, exactly as Bench.norm does
@@ -52,6 +62,15 @@ try:
     _src = open("src/main/scala/graft/BenchBudgets.scala").read()
     old = {m.group(1): float(m.group(2))
            for m in _re.finditer(r'"([a-z0-9_]+)" -> ([0-9.]+),', _src)}
+    # rescale old values into the NEW ref's units when the calibration
+    # moved (normalized seconds ∝ AmbientRef), so the delta below shows
+    # genuine per-query drift, never the unit change itself
+    _m = _re.search(r'calibratedAtAmbientRef = ([0-9.]+)', _src)
+    if _m and new_ref and abs(float(_m.group(1)) - new_ref) > 1e-9:
+        _scale = new_ref / float(_m.group(1))
+        old = {k: v * _scale for k, v in old.items()}
+        print(f"note: old budgets rescaled x{_scale:.4f} "
+              f"(AmbientRef {float(_m.group(1))} -> {new_ref}) before the delta")
 except FileNotFoundError:
     pass
 if old:
@@ -91,6 +110,11 @@ src = f'''package graft
   * the round that introduces it instead of by the next round's judge.
   */
 object BenchBudgets {{
+  /** AmbientRef these budgets are calibrated at — normalized seconds
+    * scale linearly with it, so gen_bench_budgets.py uses this to
+    * rescale across a recalibration before computing the regen delta. */
+  val calibratedAtAmbientRef = {new_ref}
+
   val normalizedSeconds: Map[String, Double] = Map(
 {body}
   )

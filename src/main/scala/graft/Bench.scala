@@ -76,6 +76,14 @@ object Bench {
     // build/probe + train/score split entries (full-surface trend data).
     val only: Option[Set[String]] =
       args.sliding(2).collectFirst { case Array("--only", qs) => qs.split(',').toSet }
+        .orElse(args.collectFirst {
+          case a if a.startsWith("--only=") => a.stripPrefix("--only=").split(',').toSet
+        })
+    // a malformed --only must FAIL, not silently run the full multi-minute
+    // sweep and overwrite BENCH_out.json with full-surface numbers where a
+    // targeted subset was expected
+    require(only.nonEmpty || !args.exists(_.startsWith("--only")),
+      s"--only needs a comma-separated query list (got: ${args.mkString(" ")})")
     only.foreach { qs =>
       val unknown = qs -- SparkEntry.queries.keySet
       require(unknown.isEmpty, s"--only names unknown queries: $unknown")

@@ -147,7 +147,11 @@ final class LockLease(
     val t = new Thread(() => {
       // no early `return` in a lambda (it would throw NonLocalReturnControl)
       var live = true
-      var failedSince = -1L // start of the current consecutive-failure run
+      // anchored at the LAST SUCCESSFUL renewal, not the first failure's
+      // catch: a renew() that blocks a long time in FS-client retries
+      // before throwing must count its blocked time against the lease —
+      // the record expired for other writers while we were stuck
+      var lastOkMs = System.currentTimeMillis()
       while (live && held) {
         try Thread.sleep(math.max(leaseMs / 3, 10L))
         catch { case _: InterruptedException => live = false }
@@ -155,20 +159,20 @@ final class LockLease(
           // A transient FS error from renew() must not kill the heartbeat
           // SILENTLY — the holder would keep believing it holds a lease
           // nobody is renewing until the next commit's acquire(). Log and
-          // retry; once the failures span a full lease window the record
-          // is expired for every other writer (a takeover is legitimate),
-          // so mark the lease LOST loudly instead of pretending.
+          // retry; once the time since the last successful renewal spans
+          // a full lease window the record is expired for every other
+          // writer (a takeover is legitimate), so mark the lease LOST
+          // loudly instead of pretending.
           val epochAtAttempt = heldEpoch
           try {
             if (!renew()) live = false
-            failedSince = -1L
+            lastOkMs = System.currentTimeMillis()
           } catch {
             case scala.util.control.NonFatal(ex) =>
               val now = System.currentTimeMillis()
-              if (failedSince < 0) failedSince = now
-              if (now - failedSince >= leaseMs) {
-                log.error(s"lease at $path: renewals have failed continuously for " +
-                  s"${now - failedSince} ms (>= lease $leaseMs ms) — the record is " +
+              if (now - lastOkMs >= leaseMs) {
+                log.error(s"lease at $path: no successful renewal for " +
+                  s"${now - lastOkMs} ms (>= lease $leaseMs ms) — the record is " +
                   s"expired for every other writer; marking the lease LOST " +
                   s"(last error: $ex)")
                 synchronized { if (heldEpoch == epochAtAttempt) heldEpoch = -1L }

@@ -714,7 +714,12 @@ object Dedup {
         // its other-band buckets). Verify the star edges NOW — Θ(m) per
         // bucket, and only on this already-pathological path — and log
         // the per-bucket pass rate so a mixed-bucket recall loss is
-        // observable in production, not just reasoned about.
+        // observable in production, not just reasoned about. DELIBERATE:
+        // the returned plan re-verifies these same edges (double work,
+        // ~m extra Jaccards per oversized bucket — milliseconds at 10k);
+        // folding this accounting into the lazy verify would tie the log
+        // to whether/when the caller materializes, and deduplicating the
+        // union across the star/small arms would add an output shuffle.
         val sJac = size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
           (size(col("set_a")) + size(col("set_b")) -
             size(array_intersect(col("set_a"), col("set_b")))).cast("double")
