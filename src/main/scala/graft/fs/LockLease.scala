@@ -18,7 +18,10 @@ package graft.fs
   *    epoch+1 (a takeover of an expired lease logs one WARN naming the
   *    displaced writer), sleep `settleMs` so a concurrent taker's write
   *    can land, and read back: we own the lease iff our (epoch, id)
-  *    survived.
+  *    survived. A GARBLED read (file present but unparseable — a
+  *    concurrent truncate-then-write caught mid-flight) is never
+  *    "absent": re-poll, and take over only bytes that stay identical
+  *    for a full lease window (a writer that crashed mid-write).
   *  - HEARTBEAT: a daemon thread renews every leaseMs/3 while held.
   *    Renewal re-reads first: a record that is no longer ours (we were
   *    displaced after an expiry-length stall) marks the lease LOST with
@@ -53,13 +56,38 @@ final class LockLease(
 
   def held: Boolean = heldEpoch >= 0
 
+  /** A lease-file read distinguishes ABSENT (no file) from GARBLED (file
+    * present but unparseable). The distinction is load-bearing:
+    * [[graft.fs.ControlFs.writeSmall]] overwrites by truncate-then-write,
+    * so a reader polling during the holder's renewal can catch the file
+    * EMPTY for a few microseconds — r18's full-suite run caught exactly
+    * that: the poller read "absent", took the lease over at epoch 1, and
+    * displaced a live holder. A garble is therefore never "absent": a
+    * LIVE writer rewrites the record within leaseMs, so transient garble
+    * resolves on re-poll, and only a garble that stays BYTE-IDENTICAL
+    * for a full lease window is a writer that crashed mid-write.
+    */
+  private sealed trait LeaseRead
+  private case object Absent extends LeaseRead
+  private case class Garbled(raw: String) extends LeaseRead
+  private case class Valid(epoch: Long, writer: String, renewedAt: Long) extends LeaseRead
+
+  private def readState(): LeaseRead =
+    ControlFs.readSmall(path) match {
+      case None => Absent
+      case Some(s) =>
+        s.trim.split(' ') match {
+          case Array(e, w, at) =>
+            try Valid(e.toLong, w, at.toLong)
+            catch { case _: NumberFormatException => Garbled(s) }
+          case _ => Garbled(s)
+        }
+    }
+
   private def readRecord(): Option[(Long, String, Long)] =
-    ControlFs.readSmall(path).flatMap { s =>
-      s.trim.split(' ') match {
-        case Array(e, w, at) =>
-          try Some((e.toLong, w, at.toLong)) catch { case _: NumberFormatException => None }
-        case _ => None
-      }
+    readState() match {
+      case Valid(e, w, at) => Some((e, w, at))
+      case _               => None
     }
 
   private def write(epoch: Long): Unit =
@@ -71,17 +99,35 @@ final class LockLease(
     */
   def acquire(waitMs: Long): Boolean = synchronized {
     val deadline = System.currentTimeMillis() + waitMs
+    var garbleRaw: String = null
+    var garbleSince = -1L
+    // write myEpoch, settle, and confirm — Some(result) ends the acquire,
+    // None re-polls (lost the takeover race to a concurrent taker)
+    def takeover(myEpoch: Long): Option[Boolean] = {
+      write(myEpoch)
+      Thread.sleep(settleMs) // let a racing taker's write land before we judge
+      readState() match {
+        case Valid(e, w, _) if e == myEpoch && w == writerId =>
+          heldEpoch = myEpoch
+          startHeartbeat()
+          Some(true)
+        case _ =>
+          heldEpoch = -1L // lost the takeover race — re-poll
+          if (System.currentTimeMillis() >= deadline) Some(false) else None
+      }
+    }
     while (true) {
       val now = System.currentTimeMillis()
-      readRecord() match {
-        case Some((e, w, _)) if w == writerId && (heldEpoch == e || heldEpoch < 0) =>
+      readState() match {
+        case Valid(e, w, _) if w == writerId && (heldEpoch == e || heldEpoch < 0) =>
           // ours (fresh acquire finding our own crash leavings re-enters)
           heldEpoch = e
           write(e)
           startHeartbeat()
           return true
-        case Some((e, w, at)) if now - at < leaseMs =>
+        case Valid(e, w, at) if now - at < leaseMs =>
           // live foreign holder — poll until the window closes
+          garbleRaw = null; garbleSince = -1L
           heldEpoch = -1L
           if (now >= deadline) {
             log.warn(s"lease at $path is held by live writer '$w' (epoch $e, " +
@@ -89,25 +135,38 @@ final class LockLease(
             return false
           }
           Thread.sleep(math.min(math.max(leaseMs / 4, 10L), 250L))
-        case other =>
+        case Garbled(raw) =>
+          // mid-write garble (see LeaseRead): re-poll — a live writer
+          // resolves it within a renewal period. Only the SAME bytes
+          // persisting a full lease window mean a crashed mid-write
+          // holder; take over then (no readable epoch — start at 1; any
+          // displaced holder detects the identity mismatch regardless).
+          if (garbleRaw != raw) { garbleRaw = raw; garbleSince = now }
+          if (now - garbleSince >= leaseMs) {
+            log.warn(s"lease file at $path has held the same unparseable content " +
+              s"(${raw.length} bytes) for ${now - garbleSince} ms (>= lease $leaseMs ms) " +
+              "— a writer crashed mid-write; taking the lease over")
+            garbleRaw = null; garbleSince = -1L
+            takeover(1L) match { case Some(r) => return r; case None => () }
+          } else if (now >= deadline) {
+            log.warn(s"lease file at $path is unparseable and still settling at the " +
+              "acquire deadline — refusing to write (a concurrent writer is mid-update)")
+            heldEpoch = -1L
+            return false
+          } else Thread.sleep(10L)
+        case st =>
           // absent or expired: take it, loudly when displacing someone
-          val myEpoch = other.map(_._1 + 1L).getOrElse(1L)
-          other.foreach { case (e, w, at) =>
+          garbleRaw = null; garbleSince = -1L
+          val prior = st match { case Valid(e, w, at) => Some((e, w, at)); case _ => None }
+          prior.foreach { case (e, w, at) =>
             log.warn(s"TAKING OVER expired lease at $path from writer '$w' " +
               s"(epoch $e, last renewed ${now - at} ms ago > lease $leaseMs ms) — " +
               "if that writer is merely stalled, its next renewal will detect the " +
               "displacement and stop")
           }
-          write(myEpoch)
-          Thread.sleep(settleMs) // let a racing taker's write land before we judge
-          readRecord() match {
-            case Some((e, w, _)) if e == myEpoch && w == writerId =>
-              heldEpoch = myEpoch
-              startHeartbeat()
-              return true
-            case _ =>
-              heldEpoch = -1L // lost the takeover race — re-poll
-              if (System.currentTimeMillis() >= deadline) return false
+          takeover(prior.map(_._1 + 1L).getOrElse(1L)) match {
+            case Some(r) => return r
+            case None    => ()
           }
       }
     }

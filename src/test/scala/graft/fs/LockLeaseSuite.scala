@@ -79,6 +79,24 @@ class LockLeaseSuite extends AnyFunSuite {
     a.release()
   }
 
+  test("a garbled lease file is never treated as absent: acquire re-polls, refuses at " +
+    "the deadline while the garble is fresh, and takes over only a STABLE garble older " +
+    "than the lease window (r18)") {
+    val d = dir("lease-garble")
+    // two fields — unparseable, like a truncate-then-write caught mid-
+    // flight (the full-suite flake: a poller read the mid-write file as
+    // ABSENT and displaced a live holder at epoch 1)
+    graft.fs.ControlFs.writeSmall(s"$d/_lease", "1 wA")
+    val b = new LockLease(d, leaseMs = 600, writerId = "wB", settleMs = 20)
+    assert(!b.acquire(waitMs = 150), "a fresh garble must be re-polled, not taken over")
+    assert(!b.held)
+    // the same bytes persisting a full lease window = a crashed mid-write
+    // writer; the takeover is legitimate (and loud)
+    assert(b.acquire(waitMs = 2500), "a stable garble past the lease window is takeable")
+    assert(b.held)
+    b.release()
+  }
+
   test("heartbeat survives a TRANSIENT FS outage (retry, lease kept) but marks the " +
     "lease LOST once failures span a full lease window (r18)") {
     val conf = spark.sparkContext.hadoopConfiguration
