@@ -52,7 +52,17 @@ final class LockLease(
 
   private val path = s"$dir/_lease"
   @volatile private var heldEpoch: Long = -1L
-  @volatile private var heartbeat: Thread = null
+  // garble-stability clock (guarded by `synchronized` in acquire): set
+  // while consecutive reads return the same unparseable bytes, instance-
+  // scoped so short-waitMs retry loops still accumulate stability
+  private var garbleRaw: String = null
+  private var garbleSince: Long = -1L
+  // heartbeat GENERATION: bumped on every startHeartbeat so a re-acquired
+  // lease always gets a fresh renewer even if the previous thread (which
+  // marked the lease LOST) has not finished exiting — an isAlive guard
+  // would see the dying thread and skip the start, leaving the new hold
+  // with heldEpoch >= 0 and nobody renewing
+  private val heartbeatGen = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def held: Boolean = heldEpoch >= 0
 
@@ -77,7 +87,7 @@ final class LockLease(
       case None => Absent
       case Some(s) =>
         s.trim.split(' ') match {
-          case Array(e, w, at) =>
+          case Array(e, w, at, "#") => // terminator present = complete write
             try Valid(e.toLong, w, at.toLong)
             catch { case _: NumberFormatException => Garbled(s) }
           case _ => Garbled(s)
@@ -91,16 +101,23 @@ final class LockLease(
     }
 
   private def write(epoch: Long): Unit =
-    ControlFs.writeSmall(path, s"$epoch $writerId ${System.currentTimeMillis()}")
+    // the trailing "#" is a TERMINATOR: truncate-then-write means a
+    // concurrent reader can catch any PREFIX of this line, and a prefix
+    // that cuts the timestamp short ("5 wA 1755") still parses as three
+    // tokens — a Valid-looking record with an ancient renewedAt that
+    // would trigger an immediate expiry takeover of a LIVE holder. A
+    // record without the terminator is provably incomplete → Garbled.
+    ControlFs.writeSmall(path, s"$epoch $writerId ${System.currentTimeMillis()} #")
 
   /** Acquire (or re-confirm) the lease, polling up to `waitMs` against a
     * live holder. True = held; false = a LIVE writer kept it the whole
-    * window (the caller should fail its commit loudly).
+    * window, OR an unparseable record was still settling at the deadline
+    * (mid-write by a live writer, or a crashed writer's garble younger
+    * than the lease window) — either way the caller should fail its
+    * commit loudly.
     */
   def acquire(waitMs: Long): Boolean = synchronized {
     val deadline = System.currentTimeMillis() + waitMs
-    var garbleRaw: String = null
-    var garbleSince = -1L
     // write myEpoch, settle, and confirm — Some(result) ends the acquire,
     // None re-polls (lost the takeover race to a concurrent taker)
     def takeover(myEpoch: Long): Option[Boolean] = {
@@ -111,14 +128,23 @@ final class LockLease(
           heldEpoch = myEpoch
           startHeartbeat()
           Some(true)
-        case _ =>
+        case other =>
           heldEpoch = -1L // lost the takeover race — re-poll
-          if (System.currentTimeMillis() >= deadline) Some(false) else None
+          if (System.currentTimeMillis() >= deadline) {
+            log.warn(s"lease at $path: lost the takeover race at the acquire " +
+              s"deadline (read back $other after writing epoch $myEpoch) — " +
+              "refusing to write")
+            Some(false)
+          } else None
       }
     }
     while (true) {
       val now = System.currentTimeMillis()
-      readState() match {
+      val st = readState()
+      // the garble-stability clock only survives CONSECUTIVE garble
+      // reads — any parseable (or absent) state resets it in one place
+      if (!st.isInstanceOf[Garbled]) { garbleRaw = null; garbleSince = -1L }
+      st match {
         case Valid(e, w, _) if w == writerId && (heldEpoch == e || heldEpoch < 0) =>
           // ours (fresh acquire finding our own crash leavings re-enters)
           heldEpoch = e
@@ -127,7 +153,6 @@ final class LockLease(
           return true
         case Valid(e, w, at) if now - at < leaseMs =>
           // live foreign holder — poll until the window closes
-          garbleRaw = null; garbleSince = -1L
           heldEpoch = -1L
           if (now >= deadline) {
             log.warn(s"lease at $path is held by live writer '$w' (epoch $e, " +
@@ -141,6 +166,9 @@ final class LockLease(
           // persisting a full lease window mean a crashed mid-write
           // holder; take over then (no readable epoch — start at 1; any
           // displaced holder detects the identity mismatch regardless).
+          // The clock lives on the INSTANCE, so a retrying caller whose
+          // per-call waitMs is shorter than the lease still accumulates
+          // stability across calls instead of restarting it each time.
           if (garbleRaw != raw) { garbleRaw = raw; garbleSince = now }
           if (now - garbleSince >= leaseMs) {
             log.warn(s"lease file at $path has held the same unparseable content " +
@@ -150,14 +178,22 @@ final class LockLease(
             takeover(1L) match { case Some(r) => return r; case None => () }
           } else if (now >= deadline) {
             log.warn(s"lease file at $path is unparseable and still settling at the " +
-              "acquire deadline — refusing to write (a concurrent writer is mid-update)")
+              "acquire deadline — refusing to write (a concurrent writer is mid-update, " +
+              "or a crashed one whose garble is younger than the lease window)")
             heldEpoch = -1L
             return false
-          } else Thread.sleep(10L)
-        case st =>
+          } else {
+            // fresh garble resolves within one renewal period — poll fast;
+            // past that, it is almost certainly a crashed writer and we
+            // are just waiting out the lease window — back off to the
+            // live-holder cadence (leaseMs = 60 s would otherwise mean
+            // ~6000 control-plane reads in a tight 10 ms loop)
+            if (now - garbleSince < math.max(leaseMs / 3, 10L)) Thread.sleep(10L)
+            else Thread.sleep(math.min(math.max(leaseMs / 4, 10L), 250L))
+          }
+        case st2 =>
           // absent or expired: take it, loudly when displacing someone
-          garbleRaw = null; garbleSince = -1L
-          val prior = st match { case Valid(e, w, at) => Some((e, w, at)); case _ => None }
+          val prior = st2 match { case Valid(e, w, at) => Some((e, w, at)); case _ => None }
           prior.foreach { case (e, w, at) =>
             log.warn(s"TAKING OVER expired lease at $path from writer '$w' " +
               s"(epoch $e, last renewed ${now - at} ms ago > lease $leaseMs ms) — " +
@@ -202,7 +238,7 @@ final class LockLease(
   }
 
   private def startHeartbeat(): Unit = {
-    if (heartbeat != null && heartbeat.isAlive) return
+    val gen = heartbeatGen.incrementAndGet()
     val t = new Thread(() => {
       // no early `return` in a lambda (it would throw NonLocalReturnControl)
       var live = true
@@ -211,10 +247,10 @@ final class LockLease(
       // before throwing must count its blocked time against the lease —
       // the record expired for other writers while we were stuck
       var lastOkMs = System.currentTimeMillis()
-      while (live && held) {
+      while (live && held && heartbeatGen.get() == gen) {
         try Thread.sleep(math.max(leaseMs / 3, 10L))
         catch { case _: InterruptedException => live = false }
-        if (live && held) {
+        if (live && held && heartbeatGen.get() == gen) {
           // A transient FS error from renew() must not kill the heartbeat
           // SILENTLY — the holder would keep believing it holds a lease
           // nobody is renewing until the next commit's acquire(). Log and
@@ -244,7 +280,6 @@ final class LockLease(
       }
     }, s"graft-lease-heartbeat-$writerId")
     t.setDaemon(true)
-    heartbeat = t
     t.start()
   }
 }
