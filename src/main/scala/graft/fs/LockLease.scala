@@ -9,9 +9,12 @@ package graft.fs
   * claim loop when enabled.
   *
   * Protocol (one small `_lease` file per log directory):
-  *  - RECORD: `epoch writerId renewedAtMs` — epoch increments on every
+  *  - RECORD: `epoch writerId renewedAtMs #` — epoch increments on every
   *    ownership change, so a holder can detect it was displaced even if
-  *    its own id is later rewritten.
+  *    its own id is later rewritten. The trailing `#` is a write
+  *    TERMINATOR: a truncate-then-write prefix caught mid-flight can
+  *    parse as three plausible tokens, so only a record that ends with
+  *    the terminator counts as completely written (see [[readState]]).
   *  - ACQUIRE: read the record. A LIVE record (age < leaseMs) from
   *    another writer → wait and re-poll until `waitMs` expires, then
   *    fail LOUDLY. Absent or EXPIRED → write our own record with
