@@ -40,6 +40,33 @@ object IceTableWriter {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** One batch landing in more than this many DISTINCT partition values
+    * is almost always a partition-spec bug at scale (identity on a
+    * high-cardinality column — the classic millions-of-small-files
+    * trap): every commit multiplies the table's file count by the
+    * fan-out, and no post-hoc compaction keeps up with a spec that
+    * mints thousands of partitions per trigger. */
+  private[graft] val FanoutWarnPartitions = 1000
+
+  /** Pure decision for the post-write fan-out WARN (pinned in
+    * IceTableSuite without staging thousands of files): fires when one
+    * batch's committed files span more than `threshold` distinct
+    * partition values. Computed from the already-collected file entries
+    * — zero extra jobs. */
+  private[graft] def fanoutWarning(
+      partitions: Int,
+      files: Int,
+      totalBytes: Long,
+      threshold: Int = FanoutWarnPartitions): Option[String] =
+    if (partitions <= threshold) None
+    else Some(
+      s"partitioned write fanned out to $partitions distinct partition values in ONE " +
+        s"batch ($files files, mean ${if (files > 0) totalBytes / files else 0L} " +
+        "bytes/file) — a spec this fine multiplies the table's file count every " +
+        "commit and listing/planning will not survive it at scale; prefer a coarser " +
+        "transform (days/months, bucket[N]) on the hot column, or pre-aggregate the " +
+        "feed (compactSmallFiles mitigates the files, not the partition count)")
+
   /** Table-property prefix enabling a per-column parquet bloom filter
     * (`write.parquet.bloom-filter-enabled.column.<col> = true`). */
   val BloomPropPrefix = "write.parquet.bloom-filter-enabled.column."
@@ -284,7 +311,7 @@ object IceTableWriter {
     // an all-zero-row stage publishes nothing — nothing will ever clear
     // this dir's marker, so clear it here (gc reclaims the dir normally)
     if (files.isEmpty) clearStaging(outDir)
-    files.map { p =>
+    val entries = files.map { p =>
       val s = stats(p)
       FileEntry(
         path = p,
@@ -297,6 +324,13 @@ object IceTableWriter {
         format = meta.format
       )
     }
+    if (transforms.nonEmpty)
+      IceTableWriter.fanoutWarning(
+        entries.iterator.map(_.partition).toSet.size,
+        entries.size,
+        entries.iterator.map(_.bytes).sum
+      ).foreach(IceTableWriter.log.warn(_))
+    entries
   }
 
   /** Rows-per-file cap that approximates `targetBytes` per file, from the
