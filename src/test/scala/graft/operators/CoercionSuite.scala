@@ -377,4 +377,40 @@ class CoercionSuite extends AnyFunSuite {
     // and the violation filter parses it as one identifier too
     assert(df.select(Coercion.violationReason(df, target)).collect()(0).isNullAt(0))
   }
+
+  test("DEEP nesting (r18): a 30-level struct coerces through the recursion — leaf " +
+    "widened, a missing field at the deepest level nulled, every tag preserved") {
+    // Debezium/Mongo envelopes nest aggressively; the coercion recursion
+    // and its generated expression tree must survive real depth, not the
+    // 2-3 levels the matrix tests use. 30 levels ≈ well past any sane
+    // producer, well inside what must not StackOverflow.
+    val depth = 30
+    def deepType(n: Int, leaf: DataType, withMissing: Boolean): DataType =
+      if (n == 0)
+        StructType(
+          StructField("leaf", leaf) +:
+            (if (withMissing) Seq(StructField("added", StringType)) else Nil))
+      else StructType(Seq(
+        StructField("s", deepType(n - 1, leaf, withMissing)),
+        StructField(s"tag$n", StringType)))
+    def deepExpr(n: Int): String =
+      if (n == 0) "named_struct('leaf', 41)"
+      else s"named_struct('s', ${deepExpr(n - 1)}, 'tag$n', 't$n')"
+    val src = spark.sql(s"SELECT 1L AS id, ${deepExpr(depth)} AS root")
+    val target = StructType(Seq(
+      StructField("id", LongType),
+      StructField("root", deepType(depth, LongType, withMissing = true))))
+    val out = Coercion.project(src, target)
+    assert(out.schema("root").dataType === target("root").dataType,
+      "the full 30-level shape must land exactly")
+    val path = "root." + Seq.fill(depth)("s").mkString(".")
+    val r = out.select(
+      col(s"$path.leaf"), col(s"$path.added"),
+      col("root.tag30"), col(s"$path".split('.').take(depth).mkString(".") + ".tag1"))
+      .head()
+    assert(r.getLong(0) === 41L, "int leaf must widen to long through 30 levels")
+    assert(r.isNullAt(1), "the missing deepest field must coerce to null")
+    assert(r.getString(2) === "t30")
+    assert(r.getString(3) === "t1")
+  }
 }
