@@ -354,4 +354,33 @@ class EndToEndSuite extends AnyFunSuite {
     assert(cfg.tableConfig("nosuch").idColumns === Seq("uid"))
     assert(cfg.autoCreateProps === Map("write.target-file-size-bytes" -> "4096"))
   }
+
+  test("ROUTE cardinality stress (r18): one batch fans out to 120 auto-created " +
+    "tables — every table lands exactly its rows, and a full replay commits nowhere") {
+    // the r3 route annotation bounds the distinct-targets collect by
+    // TABLE cardinality; nothing had driven that bound past a handful.
+    // 120 dynamic routes in ONE batch exercises discovery, auto-create,
+    // the K10 parallel-commit pool, and the K8 replay guard at width.
+    val wh = TestSpark.freshDir("e2e-many-routes")
+    val cfg = EngineConfig(warehouse = wh,
+      routeField = Some("route"), dynamicRouting = true, autoCreate = true,
+      commitThreads = 8)
+    val n = 120
+    val batch = (0 until 5 * n).map(i => (i.toLong, s"t${i % n}")).toDF("id", "route")
+    val t0 = System.nanoTime()
+    val results = Ingest.run(spark, batch, 0L, cfg)
+    val dt = (System.nanoTime() - t0) / 1e9
+    info(f"$n-table fan-out batch: $dt%.1f s (${dt / n * 1000}%.0f ms/table)")
+    assert(results.size === n)
+    assert(results.forall(_.commit.isDefined), "every route must commit")
+    // content spot-checks across the width (id ≡ route index mod n)
+    (0 until n by 17).foreach { k =>
+      val rows = IceTable.load(s"$wh/t$k").read(spark).select("id").as[Long].collect().toSet
+      assert(rows === (k until 5 * n by n).map(_.toLong).toSet, s"table t$k content")
+    }
+    // K8 at width: replaying the batchId must touch NOTHING across all 120
+    val replay = Ingest.run(spark, batch, 0L, cfg)
+    assert(replay.forall(_.commit.isEmpty), "replayed batch must commit nowhere")
+    assert(IceTable.load(s"$wh/t3").read(spark).count() === 5L)
+  }
 }
