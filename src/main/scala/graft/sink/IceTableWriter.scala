@@ -107,7 +107,8 @@ object IceTableWriter {
         */
       validateFromSeq: Option[Long] = None
   ): Option[Commit] = {
-    val deltas = writeFiles(df, table, maxRecordsPerFile, sortBy, sortPartitions, sortExprs)
+    val deltas = writeFiles(df, table, maxRecordsPerFile, sortBy, sortPartitions, sortExprs,
+      warnFanout = !compaction)
     publish(table, batchId, deltas, Nil, offsets, vtts,
       if (compaction) props + ("compaction" -> "true") else props,
       validateFromSeq = validateFromSeq)
@@ -133,7 +134,7 @@ object IceTableWriter {
         */
       allowConcurrentAppends: Boolean = false
   ): Option[Commit] = {
-    val files = writeFiles(df, table, maxRecords = 0L)
+    val files = writeFiles(df, table, maxRecords = 0L, warnFanout = false)
     publish(table, batchId = -1L, files, Nil, Map.empty, None, props, removedPaths,
       validateFromSeq = validateFromSeq, allowConcurrentAppends = allowConcurrentAppends)
   }
@@ -205,7 +206,12 @@ object IceTableWriter {
       maxRecords: Long,
       sortBy: Seq[String] = Nil,
       sortPartitions: Int = 0,
-      sortExprs: Seq[org.apache.spark.sql.Column] = Nil): Seq[FileEntry] = {
+      sortExprs: Seq[org.apache.spark.sql.Column] = Nil,
+      /** Maintenance rewrites (compaction, bin-pack) legitimately respan
+        * every partition the table has accumulated — the fan-out WARN is
+        * for INGEST-shaped writes, where one batch minting thousands of
+        * partitions means the spec is wrong. */
+      warnFanout: Boolean = true): Seq[FileEntry] = {
     val meta = table.meta
     val schema = table.schema
     val schemaVersion = table.currentSchemaVersion
@@ -324,7 +330,7 @@ object IceTableWriter {
         format = meta.format
       )
     }
-    if (transforms.nonEmpty)
+    if (transforms.nonEmpty && warnFanout)
       IceTableWriter.fanoutWarning(
         entries.iterator.map(_.partition).toSet.size,
         entries.size,
