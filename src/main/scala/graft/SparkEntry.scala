@@ -971,7 +971,17 @@ object SparkEntry {
       .withWatermark("c_ts", "2 hours")
     val qn = s"stream_join_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8") // state partition count
+    // An append-mode stream-stream INNER join emits each matched pair in
+    // the micro-batch where both sides have arrived; the watermark bounds
+    // STATE only. The trailing no-data batch AvailableNow schedules exists
+    // to let stateful operators act on the advanced watermark — here that
+    // action is pure state EVICTION, which emits nothing and whose state
+    // dies with the query anyway. Skipping it removes a full 8-task pass
+    // over every state store (measured ~40% of the query's task time,
+    // r18 profile) with a bit-identical result set.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       // The equality key is REFINED with a 4-hour time bucket
       // (floor(epoch/14400)): Spark's symmetric hash join scans EVERY
@@ -1002,6 +1012,9 @@ object SparkEntry {
       val p2 = p
         .withColumn("pb0", expr("floor(unix_timestamp(p_ts) / 14400)"))
         .withColumn("pb", explode(array(col("pb0"), col("pb0") - 1)))
+        // pb0 is spent once the explode has produced pb — dropping it
+        // here keeps the transient out of every purchase-side state row
+        .drop("pb0")
       val c2 = c.withColumn("cb", expr("floor(unix_timestamp(c_ts) / 14400)"))
       val q = p2
         .join(c2,
@@ -1017,7 +1030,10 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
+    }
     spark.table(qn).orderBy("purchase_id", "click_id")
   }
 
@@ -1035,7 +1051,14 @@ object SparkEntry {
       .parquet(sfDir)
     val qn = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8") // state partition count
+    // dropDuplicatesWithinWatermark emits each FIRST-seen key in the
+    // batch it arrives (append output never waits on the watermark); the
+    // trailing no-data batch only expires state that dies with this
+    // query anyway — skip it (same reasoning, and the same measured
+    // state-pass saving, as qStreamingJoin)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val unioned = src.union(src)
       val q = unioned
@@ -1051,7 +1074,10 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
+    }
     spark.table(qn).orderBy("event_id")
   }
 
@@ -2196,7 +2222,13 @@ object SparkEntry {
     * whole encode→decode→feature path is verified bit-exact.
     */
   private def qMultimodal(spark: SparkSession, sfDir: String): DataFrame = {
+    // the codec kernels are CPU-bound per row while their input is a
+    // single tiny parquet split (1-3 scan partitions): spread the 8-byte
+    // id rows across the cluster before synthesizing/decoding, or one
+    // task pays the whole encode+decode bill (guide §2.5 input skew —
+    // measured 2.0 s single-task vs ~0.3 s spread, r18 profile)
     val d = t(spark, sfDir, "documents").select("doc_id")
+      .repartition(spark.sparkContext.defaultParallelism)
     val media = Multimodal.synthesizeImages(d, "doc_id")
     Multimodal.extractImageFeatures(media, "id", "media")
       .orderBy("id")
@@ -2208,7 +2240,10 @@ object SparkEntry {
     * ((a+b+c+d+2)>>2), which the oracle recomputes per output pixel.
     */
   private def qMultimodalResize(spark: SparkSession, sfDir: String): DataFrame = {
+    // same single-split starvation fix as qMultimodal: this query pays
+    // the codec path TWICE (encode→decode→resize→re-encode→re-decode)
     val d = t(spark, sfDir, "documents").select("doc_id")
+      .repartition(spark.sparkContext.defaultParallelism)
     val media = Multimodal.synthesizeImages(d, "doc_id")
     val resized = Multimodal.resizeBilinear(media, "id", "media", 1, 2)
     Multimodal.extractImageFeatures(resized, "id", "media")

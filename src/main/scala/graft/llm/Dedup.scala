@@ -407,6 +407,12 @@ object Dedup {
       n: Int,
       maxShingleDf: Long
   ): DataFrame = {
+    // NOT spread (cf. minhashLshPairs): the explode's cost is dominated
+    // by materializing the checkpoint blocks, and every consumer below is
+    // a shuffle over the exploded rows that re-parallelizes anyway — the
+    // r18 A/B measured the spread costing +0.35–0.77 s on all four
+    // consumers of this helper (extra exchange + 32-block checkpoint for
+    // a kernel that was never the bottleneck here)
     val sh = df
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
       .localCheckpoint()
@@ -539,8 +545,12 @@ object Dedup {
     // pairs the verify then discards anyway (Jaccard 0/0 = NULL). They
     // are unindexable by this measure; skip them up front, same rule as
     // the persisted [[LshIndex]].
-    val withSets = df
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("shset"))
+    // spread a narrow input before the shingle + (downstream) minhash
+    // kernels — one small parquet split otherwise serializes the whole
+    // signature pass on one core; no-op on already-parallel input
+    val withSets = graft.operators.HotPath.spreadIfNarrow(
+      df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), shingles(col(textCol), n).as("shset"))
       .filter(size(col("shset")) > 0)
       .localCheckpoint()
     minhashLshPairsFromSets(withSets, numHashes, bands, threshold, maxBucket)

@@ -167,7 +167,15 @@ object LshIndex {
 
   private[graft] def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     IntegralId.require(df, idCol, "LshIndex")
-    df.select(col(idCol).cast("long").as("id"), Dedup.shingles(col(textCol), n).as("shset"))
+    // tokenize/shingle (and the minhash kernel every consumer derives
+    // from these sets) is CPU-bound per row: spread a narrow input —
+    // a one-split corpus file, a small probe batch — across the cluster
+    // BEFORE the kernel runs, moving only the raw (id, text) rows;
+    // already-parallel inputs pass through untouched (no-op at scale,
+    // where the scan has thousands of splits)
+    graft.operators.HotPath.spreadIfNarrow(
+      df.select(col(idCol).cast("long").as("id"), col(textCol)))
+      .select(col("id"), Dedup.shingles(col(textCol), n).as("shset"))
       // docs shorter than n tokens have EMPTY shingle sets: their minhash
       // signatures are all identical, so every such doc would collide with
       // every other in all bands — a quadratic candidate blow-up whose

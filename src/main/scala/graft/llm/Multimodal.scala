@@ -86,12 +86,34 @@ object Multimodal {
     img
   }
 
-  private def encode(img: BufferedImage, format: String): Array[Byte] = {
-    val baos = new ByteArrayOutputStream()
-    if (!ImageIO.write(img, format, baos))
-      throw new IllegalStateException(s"no ImageIO writer for format '$format'")
-    baos.toByteArray
+  /** One reusable writer per (task, format): `ImageIO.write(_, _, out)`
+    * does a synchronized registry scan per call AND spools through a
+    * disk-backed FileCacheImageOutputStream (useCache defaults to true) —
+    * per-row temp-file I/O that serializes concurrent encode tasks on
+    * the filesystem (the write-side twin of the decode kernel's
+    * MemoryCacheImageInputStream note below). Same codec, same bytes:
+    * only the lookup and the cache stream change.
+    */
+  private final class Encoder {
+    private val writers = scala.collection.mutable.Map[String, javax.imageio.ImageWriter]()
+    def encode(img: BufferedImage, format: String): Array[Byte] = {
+      val w = writers.getOrElseUpdate(format, {
+        val it = ImageIO.getImageWritersByFormatName(format)
+        if (!it.hasNext) throw new IllegalStateException(s"no ImageIO writer for format '$format'")
+        it.next()
+      })
+      val baos = new ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      try {
+        w.setOutput(ios)
+        w.write(img)
+      } finally ios.close() // flushes the cache stream into baos
+      baos.toByteArray
+    }
   }
+
+  private def encode(img: BufferedImage, format: String): Array[Byte] =
+    new Encoder().encode(img, format)
 
   /** Generate the deterministic image corpus: one real encoded image per
     * id — even ids as PNG, odd as BMP, so BOTH JDK codecs are exercised
@@ -108,10 +130,11 @@ object Multimodal {
     val input = df.select(checkedId(idCol))
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     input.mapPartitions { rows =>
+      val enc = new Encoder() // once per task, reused across the batch
       rows.map { r =>
         val id = r.getLong(0)
         val fmt = if (id % 2 == 0) "png" else "bmp"
-        val bytes = encode(synthImage(id), fmt)
+        val bytes = enc.encode(synthImage(id), fmt)
         Row(id, bytes, Row("image", s"image/$fmt", bytes.length.toLong))
       }
     }
@@ -337,6 +360,7 @@ object Multimodal {
       col(s"$metaCol.kind"))
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     input.mapPartitions { rows =>
+      val enc = new Encoder() // once per task, reused across the batch
       rows.map { r =>
         val id = r.getLong(0)
         val kind = r.getString(2)
@@ -356,7 +380,7 @@ object Multimodal {
           // Long, so the pixel-cap comparison itself cannot overflow
           case (Some(im), Some((dwL, dhL)))
               if dwL <= Int.MaxValue && dhL <= Int.MaxValue && dwL * dhL <= maxDecodePixels =>
-            val bytes = encode(bilinearResize(im, dwL.toInt, dhL.toInt), "png")
+            val bytes = enc.encode(bilinearResize(im, dwL.toInt, dhL.toInt), "png")
             Row(id, bytes, Row(kind, "image/png", bytes.length.toLong))
           case _ => Row(id, null, Row(kind, null, 0L))
         }

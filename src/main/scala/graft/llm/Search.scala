@@ -67,16 +67,33 @@ object Search {
     // spare for in-flight probes: the generation the current meta points
     // at, snapshotted before the meta overwrite below
     val prevGen = IndexLayout.publishedGen(spark, dir)
-    val toks = docs
-      .select(col(idCol).as("id"), posexplode(TextAnalysis.tokens(col(textCol))))
+    // both passes below (tokenize→postings, tokenCount→doclen) are
+    // CPU-bound per row: spread a narrow corpus — one small parquet
+    // split — across the cluster first (no-op on already-parallel input)
+    val src = graft.operators.HotPath.spreadIfNarrow(
+      docs.select(col(idCol).as("id"), col(textCol)))
+    val toks = src
+      .select(col("id"), posexplode(TextAnalysis.tokens(col(textCol))))
       .select(col("id"), (col("pos") + 1).as("p"), col("col").as("term"))
     // positions are an unordered SET for the probe's membership tests —
     // sorting them per posting would buy nothing and cost a per-group sort
-    toks.groupBy("id", "term")
+    //
+    // ONE exchange, keyed by the BUCKET: hash-partitioning on tb alone
+    // already satisfies the aggregation's (id, term, tb) clustering (tb
+    // is a function of term), so the same single shuffle that the
+    // groupBy needs also CLUSTERS the write — without it each reduce
+    // task holds every bucket and the partitionBy fan-out opens
+    // tasks × termBuckets parquet writers (192 files at the bench's
+    // 3 AQE-coalesced reducers; thousands at cluster task counts) where
+    // the clustered write opens exactly one per bucket. Partial (map-
+    // side) aggregation is no loss here: positions are collect_list'd,
+    // so pre-shuffle combining never shrank the payload anyway.
+    toks.withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
+      .repartition(col("tb"))
+      .groupBy("id", "term", "tb")
       .agg(count(lit(1)).as("tf"), collect_list(col("p")).as("positions"))
-      .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/$gen/postings")
-    docs.select(col(idCol).as("id"),
+    src.select(col("id"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
       .write.mode("overwrite").parquet(s"$dir/$gen/doclen")
     // n/sumdl from a read-back of the doclen table just written — NOT a

@@ -50,4 +50,20 @@ object HotPath {
   implicit final class Pinnable(private val df: DataFrame) extends AnyVal {
     def pin(): DataFrame = HotPath.pin(df)
   }
+
+  /** Spread an UNDER-PARALLEL frame across the cluster before a
+    * CPU-heavy per-row kernel (minhash signatures, tokenization, codecs).
+    *
+    * A corpus that arrives as a handful of scan splits — one small
+    * parquet file, a coalesced upstream exchange — serializes the kernel
+    * on one core while the rest of the cluster idles (guide §2.5 "input
+    * skew"). A corpus that is already wider than the cluster's core
+    * count gains nothing from an extra exchange, so this is a strict
+    * NO-OP there: at scale the scan has thousands of splits and no bytes
+    * move. The partition check is plan-time only (no job runs).
+    */
+  def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }
