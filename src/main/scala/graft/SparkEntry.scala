@@ -99,6 +99,23 @@ object SparkEntry {
           "changed; teach SparkEntry.tsTimestamp the new shape.")
     }
 
+  /** State-store partition count for the stateful streaming queries —
+    * `spark.graft.stream.statePartitions`, default 8. A state partition
+    * carries real fixed cost per micro-batch (provider load + delta
+    * commit per store; a symmetric join keeps FOUR stores per
+    * partition), so the count should track STATE VOLUME, not core
+    * count: the r18 A/B at this fixture measured total stateful task
+    * time 8 parts → 32 parts growing 2.5 s → 23 s on sessionize and
+    * 2.0 s → 6.3 s wall on the join (10× per-partition machinery for
+    * zero data gain), while 4 parts bought only ~0.2 s — 8 keeps
+    * headroom without paying the machinery. At production state sizes
+    * raise the conf so each partition's state fits executor memory
+    * (the count is FROZEN into a checkpoint at first start — size it
+    * for the stream's lifetime, not its first day).
+    */
+  private def stateParts(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.stream.statePartitions").getOrElse("8")
+
   /** events with a micros-precision TimestampType `ts_t` column. */
   private def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = t(spark, sfDir, "events")
@@ -972,7 +989,7 @@ object SparkEntry {
     val qn = s"stream_join_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     val savedNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", "8") // state partition count
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts(spark)) // state partition count, see stateParts
     // An append-mode stream-stream INNER join emits each matched pair in
     // the micro-batch where both sides have arrived; the watermark bounds
     // STATE only. The trailing no-data batch AvailableNow schedules exists
@@ -1052,7 +1069,7 @@ object SparkEntry {
     val qn = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     val savedNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", "8") // state partition count
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts(spark)) // state partition count, see stateParts
     // dropDuplicatesWithinWatermark emits each FIRST-seen key in the
     // batch it arrives (append output never waits on the watermark); the
     // trailing no-data batch only expires state that dies with this
@@ -1102,7 +1119,7 @@ object SparkEntry {
       .as[(Long, Long)]
     val qn = s"stream_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8") // state partition count
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts(spark)) // state partition count, see stateParts
     try {
       val q = graft.streaming.Sessionize.stream(keyed)
         .writeStream
@@ -1442,6 +1459,12 @@ object SparkEntry {
     */
   private def qTransformDebezium(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = freshDir("transform_debezium")
+    // NOT spread: the envelope+coercion plan serializes to a ~2.4 MB task
+    // binary, so each ADDED task pays ~0.5-0.8 s of fixed deserialization
+    // — the r18 A/B measured the 32-way spread at 26.6 s task time vs
+    // 0.56 s single-task for the same 100k rows. Fat-plan stages want few
+    // tasks; only slim-plan CPU kernels (codecs, shingles) benefit from
+    // spreading.
     val ev = t(spark, sfDir, "events")
     val after = struct(col("event_id"), col("user_id"), col("event_type"), col("value"))
     // the before image differs from after on purpose: live rows must show
@@ -1491,6 +1514,8 @@ object SparkEntry {
     */
   private def qTransformDms(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = freshDir("transform_dms")
+    // NOT spread — see qTransformDebezium: fat-plan stages pay a per-task
+    // binary-deserialization cost that dwarfs the kernel being spread
     val ev = t(spark, sfDir, "events")
     val m = pmod(col("event_id"), lit(3))
     val env = ev.select(

@@ -78,20 +78,18 @@ object Search {
     // positions are an unordered SET for the probe's membership tests —
     // sorting them per posting would buy nothing and cost a per-group sort
     //
-    // ONE exchange, keyed by the BUCKET: hash-partitioning on tb alone
-    // already satisfies the aggregation's (id, term, tb) clustering (tb
-    // is a function of term), so the same single shuffle that the
-    // groupBy needs also CLUSTERS the write — without it each reduce
-    // task holds every bucket and the partitionBy fan-out opens
-    // tasks × termBuckets parquet writers (192 files at the bench's
-    // 3 AQE-coalesced reducers; thousands at cluster task counts) where
-    // the clustered write opens exactly one per bucket. Partial (map-
-    // side) aggregation is no loss here: positions are collect_list'd,
-    // so pre-shuffle combining never shrank the payload anyway.
-    toks.withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
-      .repartition(col("tb"))
-      .groupBy("id", "term", "tb")
+    // The (id, term) exchange stays ENSURE_REQUIREMENTS so AQE sizes the
+    // reduce side by bytes; a bucket-keyed repartition(col("tb")) was
+    // tried in r18 (one writer per bucket instead of tasks × buckets) and
+    // REVERTED: the explicit repartition is not AQE-coalesced, and its 32
+    // tasks each paid the stage's fixed task-binary cost — two ~10 s
+    // task-time stages where the coalesced original ran ~1.5 s total.
+    // The fan-out stays bounded because AQE coalesces this exchange to a
+    // handful of reducers at small inputs and to byte-sized tasks at
+    // scale.
+    toks.groupBy("id", "term")
       .agg(count(lit(1)).as("tf"), collect_list(col("p")).as("positions"))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/$gen/postings")
     src.select(col("id"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
@@ -203,10 +201,16 @@ object Search {
       terms: Seq[String],
       meta: SearchMeta
   ): DataFrame = {
-    // bucket ids via the SAME engine hash the build used (one k-term job)
-    val buckets = spark.range(1).select(
-      terms.distinct.map(t => pmod(xxhash64(lit(t)), lit(meta.termBuckets)).as(t)): _*).head()
-      .toSeq.map(_.asInstanceOf[Long]).distinct
+    // bucket ids via the SAME engine hash the build used. A LocalRelation
+    // (not spark.range) so constant folding evaluates the literal hashes
+    // at PLAN time — head() returns without scheduling a Spark job, where
+    // the Range-based formulation paid one 1-task job per probe
+    val buckets = {
+      import spark.implicits._
+      Seq(0).toDF("z").select(
+        terms.distinct.map(t => pmod(xxhash64(lit(t)), lit(meta.termBuckets)).as(t)): _*).head()
+        .toSeq.map(_.asInstanceOf[Long]).distinct
+    }
     spark.read.parquet(s"$dir/${meta.gen}/postings")
       .filter(col("tb").isin(buckets: _*) && col("term").isin(terms.distinct: _*))
   }
