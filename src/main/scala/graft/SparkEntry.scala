@@ -2251,9 +2251,10 @@ object SparkEntry {
     // single tiny parquet split (1-3 scan partitions): spread the 8-byte
     // id rows across the cluster before synthesizing/decoding, or one
     // task pays the whole encode+decode bill (guide §2.5 input skew —
-    // measured 2.0 s single-task vs ~0.3 s spread, r18 profile)
-    val d = t(spark, sfDir, "documents").select("doc_id")
-      .repartition(spark.sparkContext.defaultParallelism)
+    // measured 2.0 s single-task vs ~0.3 s spread, r18 profile);
+    // no-op when the scan is already wider than the cluster
+    val d = graft.operators.HotPath.spreadIfNarrow(
+      t(spark, sfDir, "documents").select("doc_id"))
     val media = Multimodal.synthesizeImages(d, "doc_id")
     Multimodal.extractImageFeatures(media, "id", "media")
       .orderBy("id")
@@ -2267,8 +2268,8 @@ object SparkEntry {
   private def qMultimodalResize(spark: SparkSession, sfDir: String): DataFrame = {
     // same single-split starvation fix as qMultimodal: this query pays
     // the codec path TWICE (encode→decode→resize→re-encode→re-decode)
-    val d = t(spark, sfDir, "documents").select("doc_id")
-      .repartition(spark.sparkContext.defaultParallelism)
+    val d = graft.operators.HotPath.spreadIfNarrow(
+      t(spark, sfDir, "documents").select("doc_id"))
     val media = Multimodal.synthesizeImages(d, "doc_id")
     val resized = Multimodal.resizeBilinear(media, "id", "media", 1, 2)
     Multimodal.extractImageFeatures(resized, "id", "media")

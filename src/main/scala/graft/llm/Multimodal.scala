@@ -112,8 +112,6 @@ object Multimodal {
     }
   }
 
-  private def encode(img: BufferedImage, format: String): Array[Byte] =
-    new Encoder().encode(img, format)
 
   /** Generate the deterministic image corpus: one real encoded image per
     * id — even ids as PNG, odd as BMP, so BOTH JDK codecs are exercised

@@ -60,10 +60,26 @@ object HotPath {
     * skew"). A corpus that is already wider than the cluster's core
     * count gains nothing from an extra exchange, so this is a strict
     * NO-OP there: at scale the scan has thousands of splits and no bytes
-    * move. The partition check is plan-time only (no job runs).
+    * move.
+    *
+    * SCAN-SHAPED inputs only: the partition probe (`df.rdd`) is
+    * plan-time for narrow plans, but under AQE it EXECUTES every
+    * upstream shuffle stage of a plan that has one — and the repartition
+    * would then re-run them (no cross-query exchange reuse). Frames that
+    * already contain an aggregate/join/repartition/window/sort carry
+    * shuffle partitioning (≈ cluster-parallel) and pass through
+    * untouched, which also keeps the probe job-free by construction.
     */
   def spreadIfNarrow(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val hasExchangeShape = df.queryExecution.analyzed.collectFirst {
+      case p @ (_: Aggregate | _: Join | _: RepartitionOperation | _: Window | _: Sort |
+          _: Distinct | _: Deduplicate) => p
+    }.nonEmpty
+    if (hasExchangeShape) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    }
   }
 }

@@ -27,8 +27,11 @@ import graft.{GraftSession, SparkEntry}
 object Profile {
   final case class JobRow(id: Int, wallMs: Long, desc: String)
 
-  private lazy val out = new java.io.PrintWriter(
-    new java.io.FileWriter(".work/profile.txt", /*append=*/ true), /*autoFlush=*/ true)
+  private lazy val out = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(".work"))
+    new java.io.PrintWriter(
+      new java.io.FileWriter(".work/profile.txt", /*append=*/ true), /*autoFlush=*/ true)
+  }
   private def emit(s: String): Unit = { println(s); out.println(s) }
 
   def main(args: Array[String]): Unit = {

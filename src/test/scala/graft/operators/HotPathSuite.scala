@@ -32,6 +32,31 @@ class HotPathSuite extends AnyFunSuite {
       assert(ControlFsCompat.nonEmpty(dir))
     } finally spark.conf.unset(HotPath.ReliableConf)
   }
+
+  test("spreadIfNarrow widens a narrow scan-shaped frame and only then") {
+    import spark.implicits._
+    val target = spark.sparkContext.defaultParallelism
+
+    // narrow scan shape (one-partition local frame) → repartitioned
+    val narrow = Seq.tabulate(100)(i => (i.toLong, s"t$i")).toDF("id", "text")
+      .repartition(1).localCheckpoint() // pin so the frame ARRIVES 1-partition, plan scan-shaped
+    val spread = HotPath.spreadIfNarrow(narrow)
+    assert(spread.rdd.getNumPartitions === target)
+    // row set untouched
+    assert(spread.as[(Long, String)].collect().toSet ===
+      narrow.as[(Long, String)].collect().toSet)
+
+    // already-parallel input → the SAME frame back, no extra exchange
+    val wide = Seq.tabulate(100)(i => (i.toLong, s"t$i")).toDF("id", "text")
+      .repartition(target + 4).localCheckpoint()
+    assert(HotPath.spreadIfNarrow(wide) eq wide)
+
+    // exchange-shaped plans (aggregate here) pass through UNTOUCHED even
+    // when their partition count would be low — the probe must not
+    // execute upstream shuffle stages (see scaladoc)
+    val agged = narrow.groupBy("id").count()
+    assert(HotPath.spreadIfNarrow(agged) eq agged)
+  }
 }
 
 /** Tiny local helper so the suite doesn't reach into graft.fs privates. */
