@@ -342,11 +342,17 @@ object Bench {
     val failed = failedQueries ++ failedSplit
     val total = results.collect { case (_, v, true) => v }.sum
     val nOk = results.count(_._3)
-    // stdout line stays SHORT (the driver tails ~2.2 KB): total + counts
-    // only; the per-query map lives in BENCH_out.json.
-    val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":$nOk,"n_err":${failedQueries.size},"n_split_err":${failedSplit.size},"gate_fail":${confirmed.size},"ambient":${r3(ambientRatio)},"sf":"$sfDir"}"""
+    // stdout line carries the PER-QUERY map (driver contract:
+    // `{"metric":…,"queries":{name:sec,…},"sf":…}`). r8–r18 printed a
+    // short total-only line out of 2 KB-tail caution, which left the
+    // driver's per-query comparison blind (PERF_r18: per_query {},
+    // n_common 0) — but the r05 artifact proves the driver parses the
+    // FULL stdout (its parsed line carried a 59-entry queries map; the
+    // 2 KB tail is display-only). The rich diagnostics (ambient samples,
+    // gate attribution, spread) stay in BENCH_out.json.
+    val stdoutLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":$nOk,"n_err":${failedQueries.size},"n_split_err":${failedSplit.size},"gate_fail":${confirmed.size},"ambient":${r3(ambientRatio)},"queries":$qs,"sf":"$sfDir"}"""
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":$nOk,"n_err":${failedQueries.size},"n_split_err":${failedSplit.size},"ambient":$ambientJson,"errors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"gate":$gateJson,"spread":$spreadJson,"queries":$qs,"sf":"$sfDir"}"""
-    println(short)
+    println(stdoutLine)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_out.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

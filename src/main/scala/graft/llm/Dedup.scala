@@ -548,9 +548,12 @@ object Dedup {
     // spread a narrow input before the shingle + (downstream) minhash
     // kernels — one small parquet split otherwise serializes the whole
     // signature pass on one core; no-op on already-parallel input
+    // text aliased in the SAME select as the id rename: re-resolving
+    // textCol by name downstream breaks if a caller's textCol is
+    // literally "id" (duplicate-column AnalysisException)
     val withSets = graft.operators.HotPath.spreadIfNarrow(
-      df.select(col(idCol).as("id"), col(textCol)))
-      .select(col("id"), shingles(col(textCol), n).as("shset"))
+      df.select(col(idCol).as("id"), col(textCol).as("__graft_text")))
+      .select(col("id"), shingles(col("__graft_text"), n).as("shset"))
       .filter(size(col("shset")) > 0)
       .localCheckpoint()
     minhashLshPairsFromSets(withSets, numHashes, bands, threshold, maxBucket)

@@ -173,9 +173,11 @@ object LshIndex {
     // BEFORE the kernel runs, moving only the raw (id, text) rows;
     // already-parallel inputs pass through untouched (no-op at scale,
     // where the scan has thousands of splits)
+    // text aliased alongside the id rename (a textCol literally named
+    // "id" would otherwise duplicate and break the downstream resolve)
     graft.operators.HotPath.spreadIfNarrow(
-      df.select(col(idCol).cast("long").as("id"), col(textCol)))
-      .select(col("id"), Dedup.shingles(col(textCol), n).as("shset"))
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("__graft_text")))
+      .select(col("id"), Dedup.shingles(col("__graft_text"), n).as("shset"))
       // docs shorter than n tokens have EMPTY shingle sets: their minhash
       // signatures are all identical, so every such doc would collide with
       // every other in all bands — a quadratic candidate blow-up whose

@@ -107,10 +107,31 @@ object Multimodal {
       try {
         w.setOutput(ios)
         w.write(img)
-      } finally ios.close() // flushes the cache stream into baos
+      } finally {
+        // detach the stream so a mid-encode throw can't leave the reused
+        // writer holding stale output state for the partition's next row
+        w.setOutput(null)
+        ios.close() // flushes the cache stream into baos
+      }
       baos.toByteArray
     }
+    /** Release native/codec resources when the partition is exhausted. */
+    def dispose(): Unit = {
+      writers.valuesIterator.foreach(w => try w.dispose() catch { case _: Exception => () })
+      writers.clear()
+    }
   }
+
+  /** Wrap a partition's row iterator so the task-scoped [[Encoder]] is
+    * disposed once the rows are exhausted (ImageWriter instances hold
+    * codec state that otherwise lives until task end). Idempotent:
+    * post-exhaustion hasNext() calls re-dispose an empty map.
+    */
+  private def disposing(it: Iterator[Row], enc: Encoder): Iterator[Row] =
+    new Iterator[Row] {
+      def hasNext: Boolean = { val h = it.hasNext; if (!h) enc.dispose(); h }
+      def next(): Row = it.next()
+    }
 
 
   /** Generate the deterministic image corpus: one real encoded image per
@@ -129,12 +150,12 @@ object Multimodal {
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     input.mapPartitions { rows =>
       val enc = new Encoder() // once per task, reused across the batch
-      rows.map { r =>
+      disposing(rows.map { r =>
         val id = r.getLong(0)
         val fmt = if (id % 2 == 0) "png" else "bmp"
         val bytes = enc.encode(synthImage(id), fmt)
         Row(id, bytes, Row("image", s"image/$fmt", bytes.length.toLong))
-      }
+      }, enc)
     }
   }
 
@@ -359,7 +380,7 @@ object Multimodal {
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     input.mapPartitions { rows =>
       val enc = new Encoder() // once per task, reused across the batch
-      rows.map { r =>
+      disposing(rows.map { r =>
         val id = r.getLong(0)
         val kind = r.getString(2)
         val img =
@@ -382,7 +403,7 @@ object Multimodal {
             Row(id, bytes, Row(kind, "image/png", bytes.length.toLong))
           case _ => Row(id, null, Row(kind, null, 0L))
         }
-      }
+      }, enc)
     }
   }
 

@@ -70,29 +70,32 @@ object Search {
     // both passes below (tokenize→postings, tokenCount→doclen) are
     // CPU-bound per row: spread a narrow corpus — one small parquet
     // split — across the cluster first (no-op on already-parallel input)
+    // text aliased in the same select as the id rename (a textCol
+    // literally named "id" would otherwise duplicate downstream)
     val src = graft.operators.HotPath.spreadIfNarrow(
-      docs.select(col(idCol).as("id"), col(textCol)))
+      docs.select(col(idCol).as("id"), col(textCol).as("__graft_text")))
     val toks = src
-      .select(col("id"), posexplode(TextAnalysis.tokens(col(textCol))))
+      .select(col("id"), posexplode(TextAnalysis.tokens(col("__graft_text"))))
       .select(col("id"), (col("pos") + 1).as("p"), col("col").as("term"))
     // positions are an unordered SET for the probe's membership tests —
     // sorting them per posting would buy nothing and cost a per-group sort
     //
-    // The (id, term) exchange stays ENSURE_REQUIREMENTS so AQE sizes the
-    // reduce side by bytes; a bucket-keyed repartition(col("tb")) was
-    // tried in r18 (one writer per bucket instead of tasks × buckets) and
-    // REVERTED: the explicit repartition is not AQE-coalesced, and its 32
-    // tasks each paid the stage's fixed task-binary cost — two ~10 s
-    // task-time stages where the coalesced original ran ~1.5 s total.
-    // The fan-out stays bounded because AQE coalesces this exchange to a
-    // handful of reducers at small inputs and to byte-sized tasks at
-    // scale.
+    // The postings rows are CLUSTERED by term bucket before the
+    // partitionBy("tb") write via an AQE REBALANCE (guide §6): without
+    // it every (id,term)-keyed reduce task holds rows of every bucket
+    // and opens tasks × buckets parquet writers; rebalanced, the total
+    // file count is ≈ the bucket count. REBALANCE (unlike the
+    // repartition(col("tb")) tried and reverted in r18) is AQE-managed:
+    // tiny bucket partitions coalesce to a handful of write tasks (no
+    // 32-way fat-task-binary fan-out at bench scale) and a skewed hot
+    // bucket splits across tasks by mapper range at cluster scale.
     toks.groupBy("id", "term")
       .agg(count(lit(1)).as("tf"), collect_list(col("p")).as("positions"))
       .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
+      .hint("rebalance", col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/$gen/postings")
     src.select(col("id"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+      TextAnalysis.tokenCount(col("__graft_text")).cast("long").as("dl"))
       .write.mode("overwrite").parquet(s"$dir/$gen/doclen")
     // n/sumdl from a read-back of the doclen table just written — NOT a
     // third full tokenize of the corpus: one tiny 2-column parquet agg

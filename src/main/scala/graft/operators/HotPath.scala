@@ -72,6 +72,14 @@ object HotPath {
     */
   def spreadIfNarrow(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    // KEEP IN SYNC with Spark upgrades: this allowlist names the logical
+    // nodes that plan to a shuffle. A new shuffle-carrying node type
+    // (or a rename) would silently fall through to the `df.rdd` probe,
+    // which under AQE EXECUTES the upstream shuffle stages — plan-time
+    // cost becomes job cost. The probe itself is plan-only for
+    // scan-shaped frames (full physical planning, no job); on per-batch
+    // trigger paths that is one planning pass per call, measured cheap
+    // relative to the kernels it feeds (r18 ADVICE notes the trade).
     val hasExchangeShape = df.queryExecution.analyzed.collectFirst {
       case p @ (_: Aggregate | _: Join | _: RepartitionOperation | _: Window | _: Sort |
           _: Distinct | _: Deduplicate) => p

@@ -67,6 +67,34 @@ object IceTableWriter {
         "transform (days/months, bucket[N]) on the hot column, or pre-aggregate the " +
         "feed (compactSmallFiles mitigates the files, not the partition count)")
 
+  /** Coalesce floor (bytes) for the fan-out write's AQE rebalance — see
+    * the writeFiles comment. Conf-tunable
+    * (`spark.graft.write.fanout.minPartitionSize`); the 64 KB default
+    * keeps parallelism-first behavior for small many-partition-value
+    * batches while staying far below any sane advisory size, so cluster-
+    * scale task sizing (bytes/parallelism vs advisory) is untouched. */
+  val FanoutMinPartitionSizeConf = "spark.graft.write.fanout.minPartitionSize"
+  val FanoutMinPartitionSizeDefault = "64KB"
+  private val AqeMinPartitionSizeKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+
+  /** Run `body` (a partitioned fan-out write) with the AQE coalesce
+    * minimum-partition-size floor lowered, restoring the session value
+    * after. Session-wide conf for the job's duration: a concurrent
+    * non-fan-out job planned in the window coalesces a little finer —
+    * a perf-neutral race, never a correctness one.
+    */
+  private[sink] def withFanoutCoalesceFloor[T](spark: SparkSession)(body: => T): T = {
+    val floor = spark.conf.getOption(FanoutMinPartitionSizeConf)
+      .getOrElse(FanoutMinPartitionSizeDefault)
+    val prev = spark.conf.getOption(AqeMinPartitionSizeKey)
+    spark.conf.set(AqeMinPartitionSizeKey, floor)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(AqeMinPartitionSizeKey, v)
+      case None    => spark.conf.unset(AqeMinPartitionSizeKey)
+    }
+  }
+
   /** Table-property prefix enabling a per-column parquet bloom filter
     * (`write.parquet.bloom-filter-enabled.column.<col> = true`). */
   val BloomPropPrefix = "write.parquet.bloom-filter-enabled.column."
@@ -193,10 +221,51 @@ object IceTableWriter {
       props: Map[String, String] = Map.empty,
       maxRecordsPerFile: Long = 0L
   ): Option[Commit] = {
-    val dataFiles = writeFiles(dataDf, table, maxRecordsPerFile)
-    val delFiles = writeDeleteFiles(deleteKeysDf, table)
+    // The data save and delete save are INDEPENDENT Spark actions over the
+    // same pinned resolve frame (CdcOps.resolveBatch localCheckpoints
+    // before splitting) writing to distinct staging dirs — submit the
+    // delete write from a driver thread so its job back-fills the data
+    // write's scheduling gaps and task tail (guide §2.6) instead of
+    // queueing behind it; publish still waits for both. A DEDICATED pool,
+    // not Ingest's K10 commit pool: in multi-table mode writeTable already
+    // runs ON that pool, and a nested Await inside a fixed pool's own
+    // thread can exhaust it (classic pool-in-pool deadlock).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val delF = Future {
+      // pool threads carry no active-session thread-local; anything
+      // below that resolves the session via getActiveSession must see
+      // the frame's own session, not another thread's
+      org.apache.spark.sql.SparkSession.setActiveSession(deleteKeysDf.sparkSession)
+      writeDeleteFiles(deleteKeysDf, table)
+    }(deltaWriteEc)
+    val dataFiles =
+      try writeFiles(dataDf, table, maxRecordsPerFile)
+      catch {
+        case t: Throwable =>
+          // surface the data-side error, but never abandon a running
+          // delete job silently (its staged files stay gc-fenced until
+          // the staging grace expires either way)
+          try Await.ready(delF, Duration.Inf) catch { case _: Throwable => () }
+          throw t
+      }
+    val delFiles = Await.result(delF, Duration.Inf)
     publish(table, batchId, dataFiles, delFiles, offsets, vtts, props)
   }
+
+  /** Driver-side pool for the delta data/delete write overlap — daemon
+    * threads (never pins the JVM), cached (threads die after 60 s idle;
+    * concurrent multi-table deltas each get a slot without a sizing
+    * knob). Only `Future`s that themselves never block on this pool are
+    * submitted here.
+    */
+  private lazy val deltaWriteEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-delta-write")
+        t.setDaemon(true)
+        t
+      }))
 
   // ---- internals ------------------------------------------------------
 
@@ -274,6 +343,25 @@ object IceTableWriter {
         case "range" => withParts0.repartitionByRange(transforms.map(t => col(t.writeName)): _*)
         case _       => withParts0.hint("rebalance", transforms.map(t => col(t.writeName)): _*)
       }
+    // Fan-out parallelism floor (guide §6/§2.5): AQE's bytes-based
+    // coalescing of the rebalance above sizes write tasks as
+    // max(totalBytes/defaultParallelism, coalescePartitions.minPartitionSize
+    // = 1 MB) — a cost model with NO term for the per-partition-value
+    // file-open constant (~20 ms each). A small batch carrying many
+    // partition values therefore collapses to 2-3 tasks that each open
+    // dozens of parquet writers SEQUENTIALLY (r18 profile:
+    // ingest_partitioned = 3 tasks × ~50 opens = 3.4 s task time) while
+    // the cluster idles. Scoped to the fan-out write only, the floor is
+    // lowered so the rebalance keeps up to defaultParallelism tasks for
+    // any batch wider than parallelism × floor; value-count awareness is
+    // implicit — rebalance buckets BY partition value, so a batch with
+    // few values occupies few buckets and still gets few tasks, and the
+    // total file count (≈ one per value either way) is unchanged. At
+    // cluster scale bytes/parallelism dominates the floor and the
+    // advisory size caps task width exactly as before — the floor only
+    // engages where per-open cost, not bytes, is the wall.
+    val fanoutFloor = transforms.nonEmpty && distMode == "hash" &&
+      sortBy.isEmpty && sortExprs.isEmpty
     var w = withParts.write.format(meta.format).mode("append")
     if (transforms.nonEmpty) w = w.partitionBy(transforms.map(_.writeName): _*)
     if (effectiveMax > 0) w = w.option("maxRecordsPerFile", effectiveMax)
@@ -301,7 +389,10 @@ object IceTableWriter {
         w = w.option("compression", codec.toLowerCase(java.util.Locale.ROOT))
       }
     }
-    ControlFs.timedOp("sparkWriteJob")(w.save(outDir))
+    ControlFs.timedOp("sparkWriteJob") {
+      if (fanoutFloor) IceTableWriter.withFanoutCoalesceFloor(df.sparkSession)(w.save(outDir))
+      else w.save(outDir)
+    }
 
     val staged = listStagedFiles(outDir, meta.format)
     val stats = fillUnknownRows(df.sparkSession,

@@ -106,9 +106,16 @@ object Profile {
         val ok = try { fn(spark, sf).count(); true }
         catch { case e: Throwable => println(s"[profile] $name FAILED: ${e.getMessage}"); false }
         val wallMs = (System.nanoTime() - t0) / 1000000
-        // let straggler listener events drain before reading the buffers
-        // (the bus has no public drain hook; events arrive within ms)
-        Thread.sleep(500)
+        // drain the listener bus before reading the buffers: waitUntilEmpty
+        // (private[spark], via reflection) blocks until every queued event
+        // is delivered — a fixed sleep undercounted stage rows on a loaded
+        // host; the sleep stays as the fallback if the API moves
+        try {
+          val sc = spark.sparkContext
+          val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+          bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+            .invoke(bus, java.lang.Long.valueOf(5000L))
+        } catch { case _: Exception => Thread.sleep(500) }
         spark.sparkContext.removeSparkListener(listener)
         if (ok) {
           val jobWall = jobs.map(_.wallMs).sum
@@ -125,5 +132,6 @@ object Profile {
       }
     }
     spark.stop()
+    out.close() // autoflush covers crashes; the close guarantees the tail
   }
 }
