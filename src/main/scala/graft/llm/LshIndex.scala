@@ -214,9 +214,15 @@ object LshIndex {
     // the verify sets are the durable form of the shingle pass — write
     // them first, then derive buckets from the WRITTEN table so the
     // (expensive) shingling runs exactly once
+    // the doc count rides the shingles WRITE as an observe metric — the
+    // pre-r19 `stored.count()` readback at the end of the build was one
+    // whole extra scan job over the just-written table for a number this
+    // write already knows (rows landed = docs indexed)
+    val obs = org.apache.spark.sql.Observation(s"lsh_build_$gen")
     shingleSets(corpus, idCol, textCol, n)
       .withColumn("src_batch", lit(BaseBatch))
       .withColumn("batch", lit(BaseBatch))
+      .observe(obs, count(lit(1)).as("docs"))
       .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/$gen/shingles.parquet")
     val stored = readShingles(spark, dir, gen)
     bucketRows(stored, "id", "shset", numHashes, bands)
@@ -233,7 +239,7 @@ object LshIndex {
       Seq("buckets.parquet", "shingles.parquet")
         .foreach(t => ControlFs.delete(s"$dir/$t", recursive = true))
     }
-    stored.count()
+    obs.get("docs").asInstanceOf[Long]
   }
 
   /** Fold a batch into the index (parquet append of its shingle sets and

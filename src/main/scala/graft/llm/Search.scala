@@ -94,21 +94,22 @@ object Search {
       .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
       .hint("rebalance", col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/$gen/postings")
+    // n/sumdl ride the doclen WRITE as an observe metric (the Ingest
+    // bookkeeping pattern) — zero extra jobs, and stronger consistency
+    // than even a read-back: the stats are computed from the exact rows
+    // THIS write landed, so a non-deterministic `docs` (a table being
+    // appended to, a sampling stage) can never publish idf/avgdl that
+    // disagree with the tables they serve. (Pre-r19 this was a read-back
+    // agg over the just-written parquet — one whole extra job per build.)
+    val obs = org.apache.spark.sql.Observation(s"bm25_build_$gen")
     src.select(col("id"),
       TextAnalysis.tokenCount(col("__graft_text")).cast("long").as("dl"))
+      .observe(obs, count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
       .write.mode("overwrite").parquet(s"$dir/$gen/doclen")
-    // n/sumdl from a read-back of the doclen table just written — NOT a
-    // third full tokenize of the corpus: one tiny 2-column parquet agg
-    // replaces a whole scan, and the stats are CONSISTENT with the
-    // tables by construction (three independent jobs over a
-    // non-deterministic `docs` — a table being appended to, a sampling
-    // stage — could otherwise publish idf/avgdl that disagree with the
-    // postings they serve)
-    val s = spark.read.parquet(s"$dir/$gen/doclen")
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
+    val n = obs.get("n").asInstanceOf[Long]
+    val sumdl = Option(obs.get("sumdl")).map(_.asInstanceOf[Long]).getOrElse(0L)
     IndexLayout.publishMeta(dir) { path =>
-      Seq((IndexVersion, termBuckets.toLong, s.getLong(0),
-        if (s.isNullAt(1)) 0L else s.getLong(1), gen))
+      Seq((IndexVersion, termBuckets.toLong, n, sumdl, gen))
         .toDF("version", "term_buckets", "n", "sumdl", "gen")
         .repartition(1)
         .write.mode("overwrite").parquet(path)

@@ -238,7 +238,7 @@ object IceTableWriter {
       // the frame's own session, not another thread's
       org.apache.spark.sql.SparkSession.setActiveSession(deleteKeysDf.sparkSession)
       writeDeleteFiles(deleteKeysDf, table)
-    }(deltaWriteEc)
+    }(sideJobEc)
     val dataFiles =
       try writeFiles(dataDf, table, maxRecordsPerFile)
       catch {
@@ -253,16 +253,17 @@ object IceTableWriter {
     publish(table, batchId, dataFiles, delFiles, offsets, vtts, props)
   }
 
-  /** Driver-side pool for the delta data/delete write overlap — daemon
-    * threads (never pins the JVM), cached (threads die after 60 s idle;
-    * concurrent multi-table deltas each get a slot without a sizing
-    * knob). Only `Future`s that themselves never block on this pool are
-    * submitted here.
+  /** Driver-side pool for independent side-writes inside one logical
+    * commit (the delta data/delete overlap, the DLQ/main overlap) —
+    * daemon threads (never pins the JVM), cached (threads die after 60 s
+    * idle; concurrent multi-table callers each get a slot without a
+    * sizing knob). Only `Future`s that themselves never block on this
+    * pool are submitted here.
     */
-  private lazy val deltaWriteEc: scala.concurrent.ExecutionContext =
+  private[graft] lazy val sideJobEc: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newCachedThreadPool(r => {
-        val t = new Thread(r, "graft-delta-write")
+        val t = new Thread(r, "graft-side-job")
         t.setDaemon(true)
         t
       }))

@@ -219,6 +219,7 @@ object Ingest {
     // wedged the stream on every replay (and with strict off it was
     // silently nulled instead of dead-lettered) — exactly the failure
     // the DLQ exists to absorb.
+    var dlqF: Option[scala.concurrent.Future[Option[Commit]]] = None
     val toWrite =
       if (!config.deadLetterEnabled) tdf
       else {
@@ -239,43 +240,67 @@ object Ingest {
           tconf.commitBranch).withWriteProps(config.writeProps)
         // a clean batch writes an empty (zero-file) DLQ commit rather
         // than paying an extra emptiness-probe scan per trigger; the
-        // commit log's checkpoint consolidation bounds the entry count
-        IceTableWriter.append(spark, dlqRows, dlqTable, batchId)
+        // commit log's checkpoint consolidation bounds the entry count.
+        // The DLQ write+commit targets a DIFFERENT table than the main
+        // write — two independent jobs over the same persisted batch —
+        // so it runs concurrently (guide §2.6) and is awaited below
+        // before this table's result returns. Replay safety is the same
+        // as the old sequential order: whichever commit lands first, a
+        // crashed batch replays under the same batchId and both tables'
+        // idempotence guards skip what already committed.
+        dlqF = Some(scala.concurrent.Future {
+          org.apache.spark.sql.SparkSession.setActiveSession(spark)
+          IceTableWriter.append(spark, dlqRows, dlqTable, batchId)
+        }(IceTableWriter.sideJobEc))
         ok
       }
-    if (cdcMode) {
-      // defaults are applied ONCE, at the config layer (fromProperties /
-      // tableConfig pre-fill default-id-columns into every TableConfig);
-      // re-applying them here would override a table's explicit
-      // empty-id-columns opt-out
-      val keyCols = tconf.idColumns
-      val op = CdcOps.opColumn(config.cdcField, config.upsertMode)
-      val ord =
-        if (tdf.columns.contains("offset")) col("offset").cast("long")
-        else monotonically_increasing_id()
-      val prepared = toWrite.withColumn(CdcOps.OpCol, op).withColumn(CdcOps.OrdCol, ord)
-      val coerced = Coercion.project(prepared, table.schema,
-        nameMapping = nameMapping,
-        caseInsensitive = config.schemaCaseInsensitive,
-        extraCols = Seq(CdcOps.OpCol, CdcOps.OrdCol),
-        // dead-letter mode subsumes strict (same rule as the append
-        // branch): violations were already routed away above
-        strict = config.strictCoercion && !config.deadLetterEnabled)
-      val (data, deleteKeys) = CdcOps.resolveBatch(coerced, keyCols)
-      IceTableWriter.delta(spark, data, deleteKeys, table, batchId,
-        offsets = bookkeeping()._1, vtts = bookkeeping()._2,
-        maxRecordsPerFile = config.maxRecordsPerFile)
-    } else {
-      val coerced = Coercion.project(toWrite, table.schema,
-        nameMapping = nameMapping,
-        caseInsensitive = config.schemaCaseInsensitive,
-        // dead-letter mode subsumes strict: violations were already
-        // routed away, so the projection must not re-throw on them
-        strict = config.strictCoercion && !config.deadLetterEnabled)
-      IceTableWriter.append(spark, coerced, table, batchId,
-        offsets = bookkeeping()._1, vtts = bookkeeping()._2,
-        maxRecordsPerFile = config.maxRecordsPerFile)
+    def awaitDlq(): Unit = dlqF.foreach { f =>
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf); ()
     }
+    val result =
+      try {
+        if (cdcMode) {
+          // defaults are applied ONCE, at the config layer (fromProperties /
+          // tableConfig pre-fill default-id-columns into every TableConfig);
+          // re-applying them here would override a table's explicit
+          // empty-id-columns opt-out
+          val keyCols = tconf.idColumns
+          val op = CdcOps.opColumn(config.cdcField, config.upsertMode)
+          val ord =
+            if (tdf.columns.contains("offset")) col("offset").cast("long")
+            else monotonically_increasing_id()
+          val prepared = toWrite.withColumn(CdcOps.OpCol, op).withColumn(CdcOps.OrdCol, ord)
+          val coerced = Coercion.project(prepared, table.schema,
+            nameMapping = nameMapping,
+            caseInsensitive = config.schemaCaseInsensitive,
+            extraCols = Seq(CdcOps.OpCol, CdcOps.OrdCol),
+            // dead-letter mode subsumes strict (same rule as the append
+            // branch): violations were already routed away above
+            strict = config.strictCoercion && !config.deadLetterEnabled)
+          val (data, deleteKeys) = CdcOps.resolveBatch(coerced, keyCols)
+          IceTableWriter.delta(spark, data, deleteKeys, table, batchId,
+            offsets = bookkeeping()._1, vtts = bookkeeping()._2,
+            maxRecordsPerFile = config.maxRecordsPerFile)
+        } else {
+          val coerced = Coercion.project(toWrite, table.schema,
+            nameMapping = nameMapping,
+            caseInsensitive = config.schemaCaseInsensitive,
+            // dead-letter mode subsumes strict: violations were already
+            // routed away, so the projection must not re-throw on them
+            strict = config.strictCoercion && !config.deadLetterEnabled)
+          IceTableWriter.append(spark, coerced, table, batchId,
+            offsets = bookkeeping()._1, vtts = bookkeeping()._2,
+            maxRecordsPerFile = config.maxRecordsPerFile)
+        }
+      } catch {
+        case t: Throwable =>
+          // surface the main write's error, but never leave the DLQ job
+          // running unobserved past this call
+          try awaitDlq() catch { case _: Throwable => () }
+          throw t
+      }
+    awaitDlq()
+    result
   }
 
   /** Schema of the data payload: only the engine's internal `__graft_*`

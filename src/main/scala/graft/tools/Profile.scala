@@ -49,12 +49,22 @@ object Profile {
 
     val spark = GraftSession.builder(s"local[$cpus]", shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // ad-hoc conf A/Bs: SPARK_GRAFT_CONF="k=v;k=v" applies runtime-settable
+    // session confs before the sweep (e.g. state-store providerClass,
+    // statePartitions) — measurement plumbing only, never query semantics
+    sys.env.get("SPARK_GRAFT_CONF").foreach { s =>
+      s.split(';').filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        println(s"[profile] conf $k=$v")
+        spark.conf.set(k.trim, v.trim)
+      }
+    }
 
     val jobStarts = mutable.Map[Int, (Long, String)]()
     val jobs = mutable.ArrayBuffer[JobRow]()
     var taskTimeMs, gcMs, shufReadB, shufWriteB, inputB = 0L
     var nStages, nTasks = 0
-    final case class StageRow(id: Int, name: String, tasks: Int, runMs: Long)
+    final case class StageRow(id: Int, name: String, tasks: Int, runMs: Long, deserMs: Long)
     val stages = mutable.ArrayBuffer[StageRow]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
@@ -73,7 +83,7 @@ object Profile {
         nStages += 1
         nTasks += sc.stageInfo.numTasks
         stages += StageRow(sc.stageInfo.stageId, sc.stageInfo.name.takeWhile(_ != '\n'),
-          sc.stageInfo.numTasks, m.executorRunTime)
+          sc.stageInfo.numTasks, m.executorRunTime, m.executorDeserializeTime)
         taskTimeMs += m.executorRunTime
         gcMs += m.jvmGCTime
         shufReadB += m.shuffleReadMetrics.totalBytesRead
@@ -126,7 +136,8 @@ object Profile {
           val top = jobs.sortBy(-_.wallMs).take(12)
           top.foreach(j => emit(f"   job ${j.id}%4d ${j.wallMs / 1000.0}%7.3f s  ${j.desc.take(110)}"))
           stages.sortBy(-_.runMs).take(8).foreach(s =>
-            emit(f"   stage ${s.id}%4d tasks ${s.tasks}%4d run ${s.runMs / 1000.0}%8.3f s  ${s.name.take(100)}"))
+            emit(f"   stage ${s.id}%4d tasks ${s.tasks}%4d run ${s.runMs / 1000.0}%8.3f s  " +
+              f"deser ${s.deserMs / 1000.0}%7.3f s  ${s.name.take(90)}"))
         }
         dropPinned()
       }
