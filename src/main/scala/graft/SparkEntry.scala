@@ -1459,12 +1459,15 @@ object SparkEntry {
     */
   private def qTransformDebezium(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = freshDir("transform_debezium")
-    // NOT spread: the envelope+coercion plan serializes to a ~2.4 MB task
-    // binary, so each ADDED task pays ~0.5-0.8 s of fixed deserialization
-    // — the r18 A/B measured the 32-way spread at 26.6 s task time vs
-    // 0.56 s single-task for the same 100k rows. Fat-plan stages want few
-    // tasks; only slim-plan CPU kernels (codecs, shingles) benefit from
-    // spreading.
+    // NOT spread: each ADDED task of this plan shape pays ~0.4-0.8 s of
+    // FIXED setup cost — the r18 A/B measured the 32-way spread at
+    // 26.6 s task time vs 0.56 s single-task for the same 100k rows, and
+    // the r19 re-measure on the sibling qTransformDms reproduced it
+    // (wall 1.37 s -> 3.34 s). r19's BinProbe corrected the attribution:
+    // the serialized plan is only ~28 KiB, so the cost is per-task
+    // projection/aggregate machinery, not binary deserialization. Either
+    // way: fat-plan stages want few tasks; only slim-plan CPU kernels
+    // (codecs, shingles) benefit from spreading.
     val ev = t(spark, sfDir, "events")
     val after = struct(col("event_id"), col("user_id"), col("event_type"), col("value"))
     // the before image differs from after on purpose: live rows must show
@@ -1514,8 +1517,15 @@ object SparkEntry {
     */
   private def qTransformDms(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = freshDir("transform_dms")
-    // NOT spread — see qTransformDebezium: fat-plan stages pay a per-task
-    // binary-deserialization cost that dwarfs the kernel being spread
+    // NOT spread — re-measured in r19 after BinProbe showed the r18
+    // "2.4 MB task binary" attribution was wrong (the plan serializes at
+    // ~28 KiB): the regression itself is REAL and reproduces — spreading
+    // the envelope build 32-way measured wall 1.37 s -> 3.34 s
+    // (min-of-3) and Sigma-task 1.3 s -> 12-18 s, i.e. ~0.4 s of per-task
+    // FIXED setup cost for this plan shape (projection/aggregate
+    // machinery, not binary deserialization) plus an added full-payload
+    // exchange. Fat-plan stages want few tasks; only slim-plan CPU
+    // kernels (codecs, shingles) benefit from spreading.
     val ev = t(spark, sfDir, "events")
     val m = pmod(col("event_id"), lit(3))
     val env = ev.select(

@@ -456,35 +456,60 @@ object IvfIndex {
   ): Int = {
     import spark.implicits._
     val dim = Similarity.detectDim(c)
+    // Both branches: the tiny geometry writes (driver-held centroids /
+    // supers, one small file each) are independent of the corpus-sized
+    // assignments write — submit them from a driver thread so their
+    // per-job floor overlaps the big write instead of preceding it
+    // (guide §2.6); awaited before return, so the staged-generation
+    // publish order (meta LAST, outside this method) is unchanged.
+    // The assignments cluster by cell via an AQE REBALANCE (guide §6) —
+    // a plain repartition(col) pinned every cell to one fixed task (32
+    // fixed tasks at any input size, a hot cell serializing its rows);
+    // the rebalance coalesces tiny cells into few write tasks and
+    // range-splits a skewed cell, same one-cell-per-file clustering.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    def sideWrite(body: => Unit): Future[Unit] = Future {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      body
+    }(graft.sink.IceTableWriter.sideJobEc)
     if (nCells <= twoLevelGate) {
       val cents = Similarity.trainCentroids(c, nCells, kmeansIters, dim)
-      cents.toSeq.map { case (id, v) => (id, v.toSeq) }
-        .toDF("c_id", "c_vec")
-        .repartition(1)
-        .write.mode("overwrite").parquet(s"$stage/centroids.parquet")
-      if (cents.nonEmpty) {
-        c.withColumn("c_id", Similarity.nearestCentroid(col("n_vec"), cents).getField("c_id"))
-          .select("n_id", "n_vec", "c_id")
-          // cluster rows by cell so each cell's files hold only that cell
-          .repartition(col("c_id"))
-          .write.mode("overwrite").partitionBy("c_id").parquet(s"$stage/assignments.parquet")
+      val geomF = sideWrite {
+        cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+          .toDF("c_id", "c_vec")
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$stage/centroids.parquet")
       }
+      try {
+        if (cents.nonEmpty) {
+          c.withColumn("c_id", Similarity.nearestCentroid(col("n_vec"), cents).getField("c_id"))
+            .select("n_id", "n_vec", "c_id")
+            // cluster rows by cell so each cell's files hold only that cell
+            .hint("rebalance", col("c_id"))
+            .write.mode("overwrite").partitionBy("c_id").parquet(s"$stage/assignments.parquet")
+        }
+      } finally Await.result(geomF, Duration.Inf)
       cents.length
     } else {
       val (supers, cells0) = trainTwoLevel(c, nCells, kmeansIters, dim)
       val cells = cells0.localCheckpoint() // feeds the write, the routing join, and the count
-      spark.createDataset(supers.toSeq.map { case (id, v) => (id, v.toSeq) })
-        .toDF("s_id", "s_vec")
-        .repartition(1)
-        .write.mode("overwrite").parquet(s"$stage/supers.parquet")
-      cells.repartition(1).write.mode("overwrite").parquet(s"$stage/centroids.parquet")
-      val n = cells.count()
-      if (n > 0) {
-        assignTwoLevel(c, supersWithCells(spark, cells, supers), groupCells(cells))
-          .repartition(col("c_id"))
-          .write.mode("overwrite").partitionBy("c_id").parquet(s"$stage/assignments.parquet")
+      val geomF = sideWrite {
+        spark.createDataset(supers.toSeq.map { case (id, v) => (id, v.toSeq) })
+          .toDF("s_id", "s_vec")
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$stage/supers.parquet")
+        cells.repartition(1).write.mode("overwrite").parquet(s"$stage/centroids.parquet")
       }
-      n.toInt
+      try {
+        val n = cells.count()
+        if (n > 0) {
+          assignTwoLevel(c, supersWithCells(spark, cells, supers), groupCells(cells))
+            .hint("rebalance", col("c_id"))
+            .write.mode("overwrite").partitionBy("c_id").parquet(s"$stage/assignments.parquet")
+        }
+        n.toInt
+      } finally Await.result(geomF, Duration.Inf)
     }
   }
 
@@ -670,7 +695,10 @@ object IvfIndex {
     */
   private def appendAssigned(spark: SparkSession, adir: String, vv: DataFrame): Unit =
     routeRows(spark, adir, vv)
-      .repartition(col("c_id"))
+      // AQE rebalance, not repartition(col): same one-cell-per-task
+      // clustering, but coalesced for small appends and skew-split for a
+      // hot cell (see writeGeometry)
+      .hint("rebalance", col("c_id"))
       .write.mode("append").partitionBy("c_id").parquet(s"$adir/assignments.parquet")
 
   /** Route each query to its `nProbe` nearest cells through the
