@@ -24,7 +24,14 @@ object TaskCostBisect {
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.builder(s"local[$cpus]", shufflePartitions = cpus.toInt).getOrCreate()
+    // page-size hypothesis arm: spark.buffer.pageSize is read at task-
+    // memory-manager init, so it must land in the SparkConf BEFORE the
+    // context exists — env-parameterized for the A/B
+    val builder0 = GraftSession.builder(s"local[$cpus]", shufflePartitions = cpus.toInt)
+    val builder = sys.env.get("SPARK_GRAFT_PAGESIZE")
+      .fold(builder0)(ps => builder0.config("spark.buffer.pageSize", ps))
+    val spark = builder.getOrCreate()
+    sys.env.get("SPARK_GRAFT_PAGESIZE").foreach(ps => println(s"[bisect] pageSize=$ps"))
     spark.sparkContext.setLogLevel("ERROR")
     import graft.SparkEntry.tsMicros
 
